@@ -1,0 +1,132 @@
+"""Parquet sink/source with the reference's schema contract.
+
+Write side (reference parquet.go:101-341): zstd compression, 7-column
+schema.  The reference *declares* Parquet sorting columns (timestamp, group)
+but physically writes rows in file order (parquet.go:124-127 sets metadata
+only; records are appended in arrival order) — positional ops (tail/seek)
+depend on that.  We therefore keep rows physically ordered by ``row_id``
+and rely on row-group min/max stats on ``row_id`` for positional pruning;
+``row_id`` rides along as an extra column, which the reference reader
+tolerates by design (it ignores unknown columns, query.go:203-233 — its own
+testdata has a legacy 8th column).
+
+Read side: tolerant, name-based resolution (query.go:203-233):
+``timestamp`` and ``content`` required; ``group`` defaults to ``""``;
+booleans default to false; unknown extra columns ignored; string columns
+accepted as utf8 or binary (query.go:282-291).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from buildkite_logs_parquet_spark.operators.ingest import CANONICAL_COLUMNS
+
+_REQUIRED = ("timestamp", "content")
+_STRING_DEFAULTS = {"content": "", "group": ""}
+_BOOL_COLUMNS = ("has_timestamp", "is_command", "is_group", "is_progress")
+
+
+def write_entries(
+    entries: DataFrame,
+    path: str,
+    filter_expr=None,
+    single_file: bool = False,
+    target_rows_per_partition: int = 4_000_000,
+) -> None:
+    """Write canonical entries (+ ``row_id``) as zstd Parquet.
+
+    ``filter_expr`` mirrors the reference's filtered export
+    (parquet.go:290-341): a Column predicate or SQL string applied before
+    the write.  ``single_file=True`` gives byte-level parity-style output
+    for small job logs; the default range-partitions on ``row_id`` so huge
+    logs write in parallel while keeping positional locality (each output
+    file covers a contiguous row range → row-group & file pruning for
+    seek/tail).
+    """
+    df = entries
+    if filter_expr is not None:
+        df = df.where(filter_expr)
+    cols = (["row_id"] if "row_id" in df.columns else []) + CANONICAL_COLUMNS
+    df = df.select(*cols)
+    if "row_id" in df.columns:
+        if single_file:
+            df = df.coalesce(1).sortWithinPartitions("row_id")
+        else:
+            n = max(1, df.count() // target_rows_per_partition)
+            df = df.repartitionByRange(n, "row_id").sortWithinPartitions("row_id")
+    elif single_file:
+        df = df.coalesce(1)
+    df.write.mode("overwrite").option("compression", "zstd").parquet(path)
+
+
+def read_entries(spark: SparkSession, path: str) -> DataFrame:
+    """Tolerant canonical read of a Parquet entries table.
+
+    Accepts files written by this engine *or* by the reference (including
+    its legacy 8-column file).  Raises ``ValueError`` when a required
+    column is missing, matching mapColumns (query.go:228-230).
+    """
+    df = spark.read.parquet(path)
+    present = {f.name: f.dataType for f in df.schema.fields}
+    for req in _REQUIRED:
+        if req not in present:
+            raise ValueError(f"required column not found: {req}")
+
+    def _as_string(name: str) -> F.Column:
+        col = F.col(name)
+        if isinstance(present[name], T.BinaryType):
+            col = col.cast("string")  # query.go:282-291 accepts utf8 or binary
+        return F.coalesce(col, F.lit(_STRING_DEFAULTS.get(name, "")))
+
+    out = [F.coalesce(F.col("timestamp").cast("long"), F.lit(0)).alias("timestamp")]
+    out.append(_as_string("content").alias("content"))
+    out.append(
+        (_as_string("group") if "group" in present else F.lit("")).alias("group")
+    )
+    for b in _BOOL_COLUMNS:
+        col = F.coalesce(F.col(b), F.lit(False)) if b in present else F.lit(False)
+        out.append(col.alias(b))
+    if "row_id" in present:
+        out.insert(0, F.col("row_id").cast("long").alias("row_id"))
+    return df.select(*out)
+
+
+def file_info(path: str) -> dict:
+    """Parquet metadata without reading data (query.go:358-396): row count,
+    column count, file size, row-group count.  Uses footer metadata only;
+    sums across part-files when ``path`` is a directory (the reference is
+    single-file; a directory is this engine's scale-out layout)."""
+    import pyarrow.parquet as pq
+
+    files: list[str]
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+    else:
+        files = [path]
+    if not files:
+        raise ValueError(f"no parquet files at {path}")
+    rows = 0
+    row_groups = 0
+    size = 0
+    ncols = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        rows += md.num_rows
+        row_groups += md.num_row_groups
+        ncols = md.num_columns
+        size += os.path.getsize(f)
+    return {
+        "row_count": rows,
+        "column_count": ncols,
+        "file_size_bytes": size,
+        "num_row_groups": row_groups,
+    }

@@ -1,0 +1,93 @@
+"""Structured Streaming ingest — "tail -f" of a growing log directory.
+
+The reference is batch-only (its "streaming" is constant-memory pull
+iteration, README.md:672-681); this module is the Spark-native extension:
+new log files landing in a directory are parsed incrementally with the same
+scalar semantics and appended to a Parquet sink.
+
+Group propagation is inherently sequential per file, so the streaming path
+classifies lines and tags group *headers*; full running-group assignment is
+a batch concern (or a ``applyInPandasWithState`` follow-up) — noted in the
+returned schema by ``group`` being the header content only on header rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from buildkite_logs_parquet_spark.functions.log_text import (
+    is_command,
+    is_group_header,
+    is_osc_line,
+    is_progress,
+    osc_content,
+    osc_timestamp_str,
+    strip_ansi,
+    TS_DIGITS_PATTERN,
+)
+
+
+def follow_log_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming DataFrame of parsed entries from text files under ``path``.
+
+    Use ``.writeStream.trigger(availableNow=True)`` for catch-up batch runs
+    or a processing-time trigger for live follow.  Event time =
+    ``event_ts`` (derived from the OSC timestamp) enables watermarked
+    windowed aggregation downstream.
+    """
+    lines = spark.readStream.text(path).select(
+        F.col("value").alias("raw"),
+        F.input_file_name().alias("file"),
+    )
+    raw = F.col("raw")
+    osc = is_osc_line(raw)
+    ts_str = osc_timestamp_str(raw)
+    ts_ok = ts_str.rlike(TS_DIGITS_PATTERN)
+    ts_val = ts_str.try_cast("long")
+    parsed = (
+        lines.withColumn("_osc", osc)
+        .withColumn(
+            "parse_error",
+            F.when(
+                F.col("_osc") & (~ts_ok | ts_val.isNull()),
+                F.concat(F.lit("invalid timestamp: "), ts_str),
+            ),
+        )
+        .withColumn(
+            "timestamp",
+            F.when(F.col("_osc") & F.col("parse_error").isNull(), ts_val).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        .withColumn("content", osc_content(raw, F.col("_osc")))
+        .withColumn("clean_content", strip_ansi(F.col("content")))
+        .withColumn("has_timestamp", F.col("timestamp") != 0)
+        .withColumn("is_command", is_command(F.col("clean_content")))
+        .withColumn("is_group", is_group_header(F.col("clean_content")))
+        .withColumn(
+            "is_progress", is_progress(F.col("content"), F.col("clean_content"))
+        )
+        .withColumn(
+            "group",
+            F.when(F.col("is_group"), F.col("clean_content")).otherwise(F.lit("")),
+        )
+        .withColumn("event_ts", F.timestamp_millis(F.col("timestamp")))
+        .drop("_osc")
+    )
+    return parsed
+
+
+def windowed_counts(entries: DataFrame, window: str = "1 minute") -> DataFrame:
+    """Watermarked tumbling-window counts by classification — the standard
+    late-data-tolerant streaming aggregation over the follow stream."""
+    return (
+        entries.withWatermark("event_ts", "5 minutes")
+        .groupBy(F.window("event_ts", window))
+        .agg(
+            F.count("*").alias("entries"),
+            F.sum(F.col("is_command").cast("long")).alias("commands"),
+            F.sum(F.col("is_group").cast("long")).alias("groups"),
+            F.sum(F.col("is_progress").cast("long")).alias("progress"),
+        )
+    )

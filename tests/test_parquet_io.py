@@ -1,0 +1,129 @@
+"""Parquet round-trip, tolerant-read, and file-info tests.
+
+Better than the reference's own tests (parquet_test.go asserts only
+file-exists + size>0): full read-back value equality.
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from buildkite_logs_parquet_spark.operators.ingest import entries_view, parse_log_lines
+from buildkite_logs_parquet_spark.sources.parquet_io import (
+    file_info,
+    read_entries,
+    write_entries,
+)
+
+OSC = "\x1b_bk;t="
+BEL = "\x07"
+
+LINES = [
+    f"{OSC}1000{BEL}~~~ Group A",
+    f"{OSC}2000{BEL}$ cmd",
+    "plain",
+    f"{OSC}3000{BEL}--- Group B",
+    f"{OSC}4000{BEL}done",
+]
+
+
+@pytest.fixture()
+def entries(spark):
+    lines = spark.createDataFrame(
+        [("f", i, l) for i, l in enumerate(LINES)],
+        "file string, line_no long, raw string",
+    )
+    return entries_view(parse_log_lines(lines, file_col="file"))
+
+
+def test_round_trip_values(spark, entries, tmp_path):
+    path = str(tmp_path / "entries.parquet")
+    write_entries(entries, path, single_file=True)
+    back = read_entries(spark, path)
+    want = sorted(map(tuple, entries.collect()))
+    got = sorted(map(tuple, back.select(*entries.columns).collect()))
+    assert got == want
+
+
+def test_filtered_write(spark, entries, tmp_path):
+    path = str(tmp_path / "cmds.parquet")
+    write_entries(entries, path, filter_expr=F.col("is_command"), single_file=True)
+    back = read_entries(spark, path)
+    assert back.count() == 1
+    assert back.first()["content"] == "$ cmd"
+
+
+def test_zstd_compression_used(spark, entries, tmp_path):
+    path = str(tmp_path / "z.parquet")
+    write_entries(entries, path, single_file=True)
+    part = [f for f in os.listdir(path) if f.endswith(".parquet")][0]
+    md = pq.ParquetFile(os.path.join(path, part)).metadata
+    assert md.row_group(0).column(0).compression.lower() == "zstd"
+
+
+def test_read_reference_legacy_schema(spark):
+    # the reference's own 8-column file (legacy raw_line_size extra column)
+    path = "/root/reference/testdata/bash-example.parquet"
+    if not os.path.exists(path):
+        pytest.skip("reference testdata not present")
+    df = read_entries(spark, path)
+    assert df.count() == 212
+    assert "raw_line_size" not in df.columns  # extras ignored
+    assert df.where(F.col("group") == "").count() >= 0  # group accessible
+
+
+def test_read_missing_optional_columns(spark, tmp_path):
+    # variant parquet missing the boolean columns and group → defaults
+    t = pa.table(
+        {
+            "timestamp": pa.array([1, 2], pa.int64()),
+            "content": pa.array(["a", "b"], pa.string()),
+        }
+    )
+    p = str(tmp_path / "minimal.parquet")
+    pq.write_table(t, p)
+    df = read_entries(spark, p)
+    rows = df.orderBy("timestamp").collect()
+    assert [r["group"] for r in rows] == ["", ""]
+    assert not any(r["is_command"] or r["is_group"] or r["is_progress"] for r in rows)
+
+
+def test_read_binary_string_columns(spark, tmp_path):
+    # string columns written as binary are accepted (query.go:282-291)
+    t = pa.table(
+        {
+            "timestamp": pa.array([5], pa.int64()),
+            "content": pa.array([b"bytes content"], pa.binary()),
+            "group": pa.array([b"g"], pa.binary()),
+        }
+    )
+    p = str(tmp_path / "binary.parquet")
+    pq.write_table(t, p)
+    row = read_entries(spark, p).first()
+    assert row["content"] == "bytes content" and row["group"] == "g"
+
+
+def test_read_missing_required_raises(spark, tmp_path):
+    t = pa.table({"content": pa.array(["a"], pa.string())})
+    p = str(tmp_path / "norequired.parquet")
+    pq.write_table(t, p)
+    with pytest.raises(ValueError, match="required column not found: timestamp"):
+        read_entries(spark, p)
+
+
+def test_file_info_single_and_dir(spark, entries, tmp_path):
+    ref = "/root/reference/testdata/bash-example.parquet"
+    if os.path.exists(ref):
+        info = file_info(ref)
+        assert info["row_count"] == 212
+        assert info["column_count"] == 8
+        assert info["num_row_groups"] == 1
+        assert info["file_size_bytes"] == os.path.getsize(ref)
+    path = str(tmp_path / "dir.parquet")
+    write_entries(entries, path, single_file=True)
+    info = file_info(path)
+    assert info["row_count"] == 5
+    assert info["column_count"] == 8  # 7 canonical + row_id
