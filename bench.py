@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Benchmark the engine's headline queries.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is materialized through the noop sink so Catalyst cannot prune
+the measured work down to a count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # reference-parity pipeline over synthetic OSC lines
+    "bk_parse_entries",
+    "bk_list_groups",
+    "bk_summary",
+    "bk_filter_by_group",
+    "bk_tail",
+    # star-schema analytics
+    "tpch_q1_pricing",
+    "top_customers",
+    "revenue_by_nation",
+    "part_type_stats",
+    # event-time
+    "events_hourly",
+    "events_sessions",
+    "events_json",
+    # training-data ops
+    "dedup_exact",
+    "doc_fingerprint",
+    "minhash_near_dups",
+    "token_stats",
+    "lang_id",
+    "quality_score",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as E
+    from buildkite_logs_parquet_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="bklp-bench")
+
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.monotonic() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

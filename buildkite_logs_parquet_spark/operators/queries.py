@@ -112,13 +112,17 @@ def seek(entries: DataFrame, start_row: int, row_col: str = "row_id") -> DataFra
 
 
 def tail(entries: DataFrame, n: int, row_col: str = "row_id") -> DataFrame:
-    """Last ``n`` rows by file position (query_cli.go:311-348): start at
-    ``total - n`` clamped to 0.  ``n <= 0`` defaults to 10 like the CLI."""
+    """Last ``n`` rows by file position (query_cli.go:311-348).
+
+    ``n <= 0`` defaults to 10 like the CLI.  Planned as order-by-desc +
+    limit → Spark's TakeOrderedAndProject (per-partition top-n, no full
+    shuffle), then re-sorted ascending to present file order.  Unlike a
+    ``row_id >= count - n`` predicate this stays exact when ``row_id`` has
+    quarantine gaps, and it needs no extra count job.
+    """
     if n <= 0:
         n = 10
-    total = entries.count()
-    start = max(total - n, 0)
-    return entries.where(F.col(row_col) >= start)
+    return entries.orderBy(F.col(row_col).desc()).limit(n).orderBy(row_col)
 
 
 def by_group_stats(entries: DataFrame, pattern: str, limit: int = 0) -> DataFrame:

@@ -1,0 +1,193 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the exact baseline (one scan, JVM-side
+``zip_with``/``aggregate`` arithmetic — no Python UDF, no shuffle beyond the
+final top-k merge).  The scale paths bucket vectors so queries probe a
+subset: random-hyperplane LSH (deterministic seeded planes) and an
+IVF-style partition by a coarse centroid id.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def _lit_vec(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product (deterministic across engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec``.
+
+    Plan: project a scalar score per row, TakeOrderedAndProject for the
+    top-k (per-partition heaps + driver merge — no global sort shuffle).
+    Ties broken by id for determinism.
+    """
+    q = _lit_vec(query_vec)
+    score = cosine(_as_double(F.col(vec_col)), q)
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (
+        df.select(F.col(id_col), score.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per row (sign bits packed to int).
+
+    Planes are generated driver-side from a seeded PRNG and inlined as
+    literals — the executor-side work is ``n_planes`` dot products per row,
+    fully codegen'd.  Cosine-similar vectors collide with high probability.
+    """
+    import random
+
+    rng = random.Random(seed)
+    planes = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+    v = _as_double(F.col(vec_col))
+    bucket = None
+    for i, p in enumerate(planes):
+        bit = F.when(dot(v, _lit_vec(p)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.withColumn("bucket", bucket.cast("int"))
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only rows whose hyperplane bucket is within
+    ``probe_hamming`` bit flips of the query's bucket.
+
+    At scale the bucket column is written/partitioned at ingest so the probe
+    prunes files; here it prunes rows before the (expensive) exact scoring.
+    """
+    import random
+
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+    qbucket = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, p)) >= 0:
+            qbucket |= 1 << i
+    probes = [qbucket]
+    if probe_hamming >= 1:
+        probes += [qbucket ^ (1 << i) for i in range(n_planes)]
+    if probe_hamming >= 2:
+        probes += [
+            qbucket ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    bucketed = hyperplane_buckets(df, vec_col, dim, n_planes, seed)
+    pruned = bucketed.where(F.col("bucket").isin(probes))
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse assignment: nearest centroid id per row (literal
+    centroids — executor work is |C| dot products, no shuffle)."""
+    v = _as_double(F.col(vec_col))
+    best_id, best_score = None, None
+    for cid, c in enumerate(centroids):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        s = dot(v, _lit_vec([x / cn for x in c]))
+        if best_id is None:
+            best_id, best_score = F.lit(cid), s
+        else:
+            better = s > best_score
+            best_id = F.when(better, F.lit(cid)).otherwise(best_id)
+            best_score = F.when(better, s).otherwise(best_score)
+    return df.withColumn("ivf_cell", best_id.cast("int"))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    brute_force: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold.
+
+    Default path buckets by hyperplane signature and only scores
+    same-bucket pairs (near-dup vectors almost surely collide at high
+    thresholds); ``brute_force=True`` scores all pairs — the exactness
+    oracle at test scale, never the 100 TB plan.
+    """
+    if brute_force:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    else:
+        bucketed = hyperplane_buckets(df, vec_col, dim, n_planes, seed)
+        a = bucketed.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+        )
+        b = bucketed.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+        )
+        pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    sim = cosine(_as_double(F.col("va")), _as_double(F.col("vb")))
+    return (
+        pairs.select("id_a", "id_b", sim.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .distinct()
+    )

@@ -1,0 +1,85 @@
+"""Dedup operator tests with hand-computable fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from buildkite_logs_parquet_spark.operators import dedup as D
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat"),  # near dup of 0
+    (3, "completely different content about spark engines"),
+    (4, "completely different content about spark engines!"),  # near dup of 3
+    (5, "zzzz"),  # shorter than shingle size
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_stats(spark, docs):
+    row = D.exact_dedup_stats(docs, ["text"]).first()
+    assert row["total_rows"] == 6
+    assert row["unique_rows"] == 5
+    assert row["removable_duplicates"] == 1
+    assert row["duplicate_groups"] == 1
+
+
+def test_exact_dedup(spark, docs):
+    assert D.exact_dedup(docs, ["text"]).count() == 5
+
+
+def test_shingles_short_doc(spark, docs):
+    sh = D.shingles(docs.where(F.col("doc_id") == 5), "doc_id", "text", k=8)
+    rows = sh.collect()
+    assert len(rows) == 1 and rows[0]["shingle"] == "zzzz"
+
+
+def test_minhash_identical_docs_identical_signatures(spark, docs):
+    sigs = D.minhash_signatures(docs, "doc_id", "text", num_perm=8).collect()
+    by_id = {r["doc_id"]: tuple(r)[1:] for r in sigs}
+    assert by_id[0] == by_id[1]
+    assert by_id[0] != by_id[3]
+
+
+@pytest.mark.parametrize("hash_fn", ["md5", "xxhash64"])
+def test_minhash_near_duplicates(spark, docs, hash_fn):
+    out = D.minhash_near_duplicates(
+        docs, "doc_id", "text", num_perm=16, bands=8, threshold=0.5, hash_fn=hash_fn
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in out}
+    assert pairs[(0, 1)] == 1.0  # exact dups always survive
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    out = D.ngram_jaccard_pairs(docs, "doc_id", "text", k=8, threshold=0.0).collect()
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert j[(0, 1)] == 1.0
+    # near-dups share most shingles; disjoint docs share none
+    assert 0.5 < j[(0, 2)] < 1.0
+    assert (0, 3) not in j
+
+
+def test_simhash_hamming(spark, docs):
+    fps = D.simhash(docs, "doc_id", "text", bits=32)
+    by_id = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+    assert by_id[0] == by_id[1]
+    pairs = D.simhash_near_duplicates(fps, "doc_id", max_hamming=3, bits=32).collect()
+    pset = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert pset[(0, 1)] == 0
+    assert (0, 3) not in pset
+
+
+def test_lsh_plan_is_broadcast_free_of_cartesian(spark, docs):
+    # the candidate join must be an equi-join (hash/sort-merge), never a
+    # cartesian product
+    sigs = D.minhash_signatures(docs, "doc_id", "text", num_perm=8)
+    pairs = D.lsh_candidate_pairs(sigs, "doc_id", num_perm=8, bands=4)
+    plan = pairs._sc._jvm.PythonSQLUtils.explainString(
+        pairs._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan

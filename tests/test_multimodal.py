@@ -1,0 +1,51 @@
+"""Multimodal plumbing tests: schemas, Arrow-batched decode stage, stubs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from buildkite_logs_parquet_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (0, b"\x89PNG fake payload 0", "file:///img0.png"),
+        (1, b"\x89PNG fake payload 1", "file:///img1.png"),
+        (2, None, "file:///missing.png"),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary, uri string"
+    )
+    return M.attach_media_meta(df, media_type="image", fmt="png", uri_col="uri").cache()
+
+
+def test_meta_struct(spark, media):
+    row = media.orderBy("media_id").first()
+    assert row["meta"]["media_type"] == "image"
+    assert row["meta"]["format"] == "png"
+    assert row["meta"]["byte_size"] == len(b"\x89PNG fake payload 0")
+    null_row = media.where(F.col("media_id") == 2).first()
+    assert null_row["meta"]["byte_size"] == 0
+
+
+def test_extract_features_deterministic(spark, media):
+    a = {r["media_id"]: r.asDict() for r in M.extract_features(media).collect()}
+    b = {r["media_id"]: r.asDict() for r in M.extract_features(media).collect()}
+    assert a == b  # deterministic fake decode
+    assert a[0]["width"] is not None and len(a[0]["feature"]) == 8
+    assert a[2]["width"] is None  # null payload → null features
+    assert a[0]["feature"] != a[1]["feature"]
+
+
+def test_strict_decode_is_marked_stub(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
+        M.extract_features(media, decode=M.strict_decode).collect()
+
+
+def test_frame_sample_plan(spark, media):
+    frames = M.frame_sample_plan(media, every_nth=2).collect()
+    feats = {r["media_id"]: r for r in M.extract_features(media).collect()}
+    for mid in (0, 1):
+        expect = [i for i in range(feats[mid]["n_frames"]) if i % 2 == 0]
+        got = sorted(r["frame_index"] for r in frames if r["media_id"] == mid)
+        assert got == expect

@@ -1,0 +1,84 @@
+"""Similarity search tests: exact brute-force vs LSH-pruned variants."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from buildkite_logs_parquet_spark.operators import similarity as S
+
+DIM = 16
+N = 60
+
+
+def _vec(rng):
+    return [rng.gauss(0, 1) for _ in range(DIM)]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = random.Random(7)
+    base = _vec(rng)
+    rows = [(0, [float(x) for x in base])]
+    for i in range(1, N):
+        if i <= 3:  # near-dups of vector 0
+            v = [x + rng.gauss(0, 0.01) for x in base]
+        else:
+            v = _vec(rng)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df.cache(), rows
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+
+def test_cosine_topk_matches_python(spark, vectors):
+    df, rows = vectors
+    q = rows[0][1]
+    got = S.cosine_topk(df.where(F.col("vec_id") != 0), q, k=5).collect()
+    want = sorted(
+        ((i, _cos([float(x) for x in v], q)) for i, v in rows[1:]),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert [r["vec_id"] for r in got] == [i for i, _ in want]
+    for r, (_, c) in zip(got, want):
+        assert abs(r["cosine"] - c) < 1e-6
+
+
+def test_lsh_topk_finds_near_duplicates(spark, vectors):
+    df, rows = vectors
+    q = rows[0][1]
+    got = S.cosine_topk_lsh(
+        df.where(F.col("vec_id") != 0), q, k=3, dim=DIM, n_planes=6, probe_hamming=1
+    ).collect()
+    # the three perturbed copies are ~identical to q; LSH must find them
+    assert {r["vec_id"] for r in got} == {1, 2, 3}
+
+
+def test_near_dup_pairs_brute_vs_lsh(spark, vectors):
+    df, _ = vectors
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_dup_pairs(df, threshold=0.99, brute_force=True, dim=DIM).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_dup_pairs(df, threshold=0.99, dim=DIM, n_planes=4).collect()
+    }
+    expected = {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)}
+    assert brute == expected
+    assert lsh == expected  # colliding buckets at this threshold
+
+
+def test_ivf_assign_partitions_all_rows(spark, vectors):
+    df, rows = vectors
+    centroids = [rows[0][1], rows[10][1], rows[20][1]]
+    out = S.ivf_assign(df, centroids)
+    assert out.where(F.col("ivf_cell").isNull()).count() == 0
+    assert out.select("ivf_cell").distinct().count() <= 3
+    # vector 0 must land on its own centroid
+    assert out.where(F.col("vec_id") == 0).first()["ivf_cell"] == 0

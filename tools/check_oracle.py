@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry and its ``oracle_sql()``
+against the same sf directory, compares row count + column names + an
+order-insensitive value multiset (exact equality — the driver hashes), and
+prints a per-query verdict.  Exit code 1 on any mismatch.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver-equivalent: repr of the double bits
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v)
+    if v is None:
+        return "NULL"
+    import datetime
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return str(v)
+
+
+def rows_to_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as E
+    from buildkite_logs_parquet_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="oracle-check",
+        extra_conf={"spark.driver.memory": "8g"},
+    )
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {exc}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(srows)} rows (no oracle — rows-only check)")
+            continue
+        try:
+            ocur = con.sql(oracles[name])
+            ocols = [d[0] for d in ocur.description]
+            orows = ocur.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"row count {len(srows)} != {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"columns {sorted(scols)} != {sorted(ocols)}")
+        if not problems:
+            a = rows_to_multiset(scols, srows)
+            b = rows_to_multiset(ocols, orows)
+            if a != b:
+                diff = [(x, y) for x, y in zip(a, b) if x != y]
+                problems.append(
+                    f"value mismatch ({len(diff)} differing sorted rows; first: "
+                    f"{diff[0] if diff else (a[-1], b[-1])})"
+                )
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            failures.append(name)
+        else:
+            print(f"ok    {name}: {len(srows)} rows hash-equal")
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        return 1
+    print("all queries match their oracles")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
