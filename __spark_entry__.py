@@ -299,6 +299,59 @@ def q_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_supplier_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per supplier in ship order — windowed cumulative
+    aggregation (the reference's G1 running-state pattern, generalized)."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _dec(F.col("l_extendedprice")) * (_frac(F.lit(1)) - _frac(F.col("l_discount")))
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        _money(F.sum(rev).over(w)).alias("running_revenue"),
+    )
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation over order status/priority (subtotal levels the
+    reference cannot express)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _money(F.sum(_dec(F.col("o_totalprice")))).alias("total_price"),
+        )
+    )
+
+
+def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by revenue within each brand — rank window + filter."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.sum(_dec(F.col("l_extendedprice")) * (_frac(F.lit(1)) - _frac(F.col("l_discount"))))
+    per_part = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(rev.alias("_rev"))
+    )
+    w = W.partitionBy("p_brand").orderBy(F.col("_rev").desc(), F.col("p_partkey"))
+    return (
+        per_part.withColumn("brand_rank", F.row_number().over(w))
+        .where(F.col("brand_rank") <= 3)
+        .select("p_brand", "p_partkey", _money(F.col("_rev")).alias("revenue"), "brand_rank")
+    )
+
+
 # --------------------------------------------------------------------------
 # event-time operators
 # --------------------------------------------------------------------------
@@ -483,6 +536,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "revenue_by_nation": q_revenue_by_nation,
         "part_type_stats": q_part_type_stats,
+        "supplier_running_revenue": q_supplier_running_revenue,
+        "orders_rollup": q_orders_rollup,
+        "top_parts_per_brand": q_top_parts_per_brand,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_json": q_events_json,
@@ -509,6 +565,8 @@ def _with_entries(select: str) -> str:
     return f"WITH {_oracle_entries_cte()} {select}"
 
 
+_MINHASH_PRIME = 4294967291
+
 _MINHASH_CTE = """
 o_shingles AS (
   SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS shingle
@@ -518,15 +576,20 @@ o_shingles AS (
     FROM documents
   )
 ),
+o_hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(concat('0:', shingle)), 1, 15)) AS BIGINT) AS h
+  FROM o_shingles
+),
 signatures AS (
   SELECT doc_id,
          {min_cols}
-  FROM o_shingles
+  FROM o_hashed
   GROUP BY doc_id
 )
 """.format(
     min_cols=",\n         ".join(
-        f"min(CAST(concat('0x', substr(md5(concat('{p}:', shingle)), 1, 15)) AS BIGINT)) AS minhash_{p}"
+        f"min(({2 * p + 1} * (h % {_MINHASH_PRIME}) + {10007 * p + 12345}) % {_MINHASH_PRIME}) AS minhash_{p}"
         for p in range(8)
     )
 )
@@ -687,6 +750,38 @@ SELECT p_type,
        max(p_retailprice) AS max_price
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_type
+"""
+
+    sql["supplier_running_revenue"] = f"""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(sum({dec('l_extendedprice')} * ({one} - {frac('l_discount')}))
+            OVER (PARTITION BY l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS STRING) AS running_revenue
+FROM lineitem
+"""
+
+    sql["orders_rollup"] = f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum({dec('o_totalprice')}) AS STRING) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+    sql["top_parts_per_brand"] = f"""
+WITH per_part AS (
+  SELECT p_brand, p_partkey, {rev} AS _rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, p_partkey
+),
+ranked AS (
+  SELECT p_brand, p_partkey, _rev,
+         CAST(row_number() OVER (PARTITION BY p_brand ORDER BY _rev DESC, p_partkey) AS INT) AS brand_rank
+  FROM per_part
+)
+SELECT p_brand, p_partkey, CAST(_rev AS STRING) AS revenue, brand_rank
+FROM ranked WHERE brand_rank <= 3
 """
 
     sql["events_hourly"] = f"""

@@ -54,16 +54,20 @@ def main() -> None:
     spark = get_spark(app_name="bklp-bench")
 
     qs = E.queries()
+    runs = int(os.environ.get("BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.monotonic() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        best = None
+        for _ in range(runs):  # steady-state: min over runs (JVM/codegen warm)
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        total += best
 
     print(
         json.dumps(

@@ -33,6 +33,18 @@ def _hash64(col: Column, seed: int, hash_fn: str = "md5") -> Column:
     )
 
 
+#: universal-hash modulus (largest 32-bit prime) — permutation hashes are
+#: (a_p·(h mod P) + b_p) mod P with small a_p, so products stay < 2^63 and
+#: the identical integer arithmetic runs exactly in any SQL engine.
+MINHASH_PRIME = 4294967291
+
+
+def _perm_hash(base: Column, p: int) -> Column:
+    a = 2 * p + 1
+    b = 10007 * p + 12345
+    return (F.lit(a) * (base % MINHASH_PRIME) + F.lit(b)) % MINHASH_PRIME
+
+
 # ------------------------------------------------------------- exact dedup
 
 
@@ -98,13 +110,16 @@ def minhash_signatures(
     """MinHash signature per document: ``minhash_0 .. minhash_{P-1}``.
 
     All P permutation minima are computed in ONE groupBy over the shingle
-    table — P scalar hashes per shingle row, a single shuffle keyed on the
-    document id.  At 100 TB: shingle rows dominate; there is no P-fold
-    row blowup and no repeated scan.
+    table — a single shuffle keyed on the document id, no P-fold row blowup
+    and no repeated scan.  The expensive digest runs ONCE per shingle; the
+    P permutations are cheap universal-hash rearrangements of it (classic
+    a·h+b mod prime), which cuts the dominant cost by P× at any scale.
     """
     sh = _shingles_inline(df, id_col, text_col, shingle_k)
+    base = _hash64(F.col("shingle"), 0, hash_fn)
+    sh = sh.select(id_col, base.alias("_h"))
     aggs = [
-        F.min(_hash64(F.col("shingle"), p, hash_fn)).alias(f"minhash_{p}")
+        F.min(_perm_hash(F.col("_h"), p)).alias(f"minhash_{p}")
         for p in range(num_perm)
     ]
     return sh.groupBy(id_col).agg(*aggs)

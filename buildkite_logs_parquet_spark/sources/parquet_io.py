@@ -89,7 +89,11 @@ def read_entries(spark: SparkSession, path: str) -> DataFrame:
         (_as_string("group") if "group" in present else F.lit("")).alias("group")
     )
     for b in _BOOL_COLUMNS:
-        col = F.coalesce(F.col(b), F.lit(False)) if b in present else F.lit(False)
+        # present columns are read raw (canonical files write them
+        # non-nullable — both this engine and the reference), keeping
+        # classification predicates eligible for parquet pushdown; a
+        # coalesce wrapper here would block PushedFilters entirely
+        col = F.col(b) if b in present else F.lit(False)
         out.append(col.alias(b))
     if "row_id" in present:
         out.insert(0, F.col("row_id").cast("long").alias("row_id"))

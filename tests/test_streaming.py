@@ -25,10 +25,14 @@ def test_follow_log_dir_parses_new_files(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
-    out = spark.sql(
-        "select timestamp, content, is_command, is_group, group from follow_test order by timestamp"
-    ).collect()
+    out = {
+        r["content"]: r
+        for r in spark.sql(
+            "select timestamp, content, is_command, is_group, group from follow_test"
+        ).collect()
+    }
     assert len(out) == 3
-    assert out[0]["is_group"] and out[0]["group"] == "~~~ Group A"
-    assert out[1]["is_command"]
-    assert out[2]["timestamp"] == 0
+    grp = out["~~~ Group A"]
+    assert grp["is_group"] and grp["group"] == "~~~ Group A"
+    assert out["$ make test"]["is_command"]
+    assert out["plain line"]["timestamp"] == 0
