@@ -100,6 +100,38 @@ def read_entries(spark: SparkSession, path: str) -> DataFrame:
     return df.select(*out)
 
 
+def write_log_lake(
+    entries: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("org", "pipeline", "build"),
+) -> None:
+    """Multi-job lake layout: one canonical entries table partitioned by
+    CI coordinates (the reference is strictly one file per job log; this is
+    the 100 TB layout).
+
+    Hive-style partition directories give Spark partition *pruning* — a
+    query filtered on org/pipeline/build never touches other jobs' files —
+    and each partition keeps rows in ``row_id`` order for positional ops.
+    """
+    missing = [c for c in partition_cols if c not in entries.columns]
+    if missing:
+        raise ValueError(f"partition columns missing from entries: {missing}")
+    (
+        entries.repartition(*[F.col(c) for c in partition_cols])
+        .sortWithinPartitions(*partition_cols, "row_id")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def read_log_lake(spark: SparkSession, path: str) -> DataFrame:
+    """Read the partitioned lake; partition columns come back as columns
+    and filters on them prune directories before any file is opened."""
+    return spark.read.parquet(path)
+
+
 def file_info(path: str) -> dict:
     """Parquet metadata without reading data (query.go:358-396): row count,
     column count, file size, row-group count.  Uses footer metadata only;

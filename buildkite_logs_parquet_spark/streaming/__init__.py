@@ -1,3 +1,7 @@
-from buildkite_logs_parquet_spark.streaming.follow import follow_log_dir
+from buildkite_logs_parquet_spark.streaming.follow import (
+    follow_log_dir,
+    follow_with_groups,
+    windowed_counts,
+)
 
-__all__ = ["follow_log_dir"]
+__all__ = ["follow_log_dir", "follow_with_groups", "windowed_counts"]

@@ -78,6 +78,73 @@ def follow_log_dir(spark: SparkSession, path: str) -> DataFrame:
     return parsed
 
 
+def follow_with_groups(spark: SparkSession, path: str) -> DataFrame:
+    """Follow-mode ingest with *stateful* running-group propagation.
+
+    The batch engine's group window needs the whole file; the streaming
+    equivalent keeps one state cell per source file (the current group —
+    parser.go:20-23's ``currentGroup`` made durable across micro-batches)
+    via ``applyInPandasWithState`` keyed by file name.
+
+    Ordering assumption (documented, asserted in tests): Spark's text file
+    source reads each file sequentially within a partition, and rows of one
+    file arrive in file order within each micro-batch for that group key.
+    This matches the reference's one-parser-per-file model.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    parsed = follow_log_dir(spark, path)
+
+    out_schema = (
+        "file string, timestamp long, content string, clean_content string, "
+        "group string, has_timestamp boolean, is_command boolean, "
+        "is_group boolean, is_progress boolean"
+    )
+    state_schema = "current_group string"
+
+    def assign(key, pdfs, state):
+        import pandas as pd
+
+        (file,) = key
+        (current,) = state.get if state.exists else ("",)
+        out = []
+        for pdf in pdfs:
+            groups = []
+            for is_group, clean, err in zip(
+                pdf["is_group"], pdf["clean_content"], pdf["parse_error"]
+            ):
+                if bool(is_group) and err is None:
+                    current = clean
+                groups.append(current)
+            res = pdf[
+                [
+                    "timestamp",
+                    "content",
+                    "clean_content",
+                    "has_timestamp",
+                    "is_command",
+                    "is_group",
+                    "is_progress",
+                ]
+            ].copy()
+            res.insert(0, "file", file)
+            res["group"] = groups
+            out.append(res)
+        state.update((current,))
+        yield from out
+
+    return (
+        parsed.groupBy("file")
+        .applyInPandasWithState(
+            assign,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def windowed_counts(entries: DataFrame, window: str = "1 minute") -> DataFrame:
     """Watermarked tumbling-window counts by classification — the standard
     late-data-tolerant streaming aggregation over the follow stream."""

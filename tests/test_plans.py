@@ -70,6 +70,43 @@ def test_group_window_partitions_by_file(spark):
     assert "file" in plan and "Window" in plan
 
 
+def test_log_lake_partition_pruning(spark, tmp_path):
+    from buildkite_logs_parquet_spark.sources.parquet_io import (
+        read_log_lake,
+        write_log_lake,
+    )
+
+    rows = []
+    rid = 0
+    for org in ("acme", "globex"):
+        for build in ("1", "2"):
+            for i in range(5):
+                rows.append((org, "web", build, rid, 1000 + rid, f"line {rid}",
+                             "", False, False, False, False))
+                rid += 1
+    entries = spark.createDataFrame(
+        rows,
+        "org string, pipeline string, build string, row_id long, timestamp long,"
+        "content string, group string, has_timestamp boolean, is_command boolean,"
+        "is_group boolean, is_progress boolean",
+    )
+    path = str(tmp_path / "lake")
+    write_log_lake(entries, path)
+
+    df = read_log_lake(spark, path).where(
+        (F.col("org") == "acme") & (F.col("build") == "1")
+    )
+    assert df.count() == 5
+    plan = explain_str(df)
+    # partition filters prune directories — they must NOT appear as data
+    # filters over row values
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "org" in m.group(1) and "build" in m.group(1), plan
+
+
 def test_whole_stage_codegen_covers_parse(spark, entries_path):
     # the scalar pipeline (classification read + filter) must stay inside
     # whole-stage codegen over a real columnar scan
