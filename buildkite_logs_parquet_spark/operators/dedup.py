@@ -80,12 +80,14 @@ def shingles(
 
 
 def _shingles_inline(
-    df: DataFrame, id_col: str, text_col: str, k: int
+    df: DataFrame, id_col: str, text_col: str, k: int, distinct: bool = True
 ) -> DataFrame:
     """Explode-only shingle derivation (no self-join): one pass, one shuffle
-    only for the downstream distinct/agg."""
+    only for the downstream distinct/agg.  Pass ``distinct=False`` for
+    consumers that are multiset-invariant (MinHash minima) — skipping the
+    dedup removes an entire shuffle of the exploded shingle table."""
     n_sh = F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1))
-    return df.select(
+    out = df.select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -93,7 +95,8 @@ def _shingles_inline(
                 lambda p: F.col(text_col).substr(p, F.lit(k)),
             )
         ).alias("shingle"),
-    ).distinct()
+    )
+    return out.distinct() if distinct else out
 
 
 # ------------------------------------------------------------- MinHash/LSH
@@ -115,7 +118,9 @@ def minhash_signatures(
     P permutations are cheap universal-hash rearrangements of it (classic
     a·h+b mod prime), which cuts the dominant cost by P× at any scale.
     """
-    sh = _shingles_inline(df, id_col, text_col, shingle_k)
+    # min over a multiset equals min over the set: no distinct needed —
+    # one shuffle (the signature groupBy) instead of two
+    sh = _shingles_inline(df, id_col, text_col, shingle_k, distinct=False)
     base = _hash64(F.col("shingle"), 0, hash_fn)
     sh = sh.select(id_col, base.alias("_h"))
     aggs = [

@@ -43,12 +43,22 @@ def read_log_lines(
     into many partitions and still number correctly.
     """
     sc = spark.sparkContext
+    conf = {"textinputformat.record.delimiter": "\n"}
+    if min_partitions and min_partitions > 1:
+        # newAPIHadoopFile has no minPartitions arg; bound the split size so
+        # a single large file still fans out across tasks
+        local = path[7:] if path.startswith("file://") else path
+        if os.path.isfile(local):
+            size = os.path.getsize(local)
+            conf["mapreduce.input.fileinputformat.split.maxsize"] = str(
+                max(size // min_partitions, 1 << 20)
+            )
     rdd = sc.newAPIHadoopFile(
         path,
         "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
         "org.apache.hadoop.io.LongWritable",
         "org.apache.hadoop.io.Text",
-        conf={"textinputformat.record.delimiter": "\n"},
+        conf=conf,
     ).map(lambda kv: kv[1])
 
     def tag(split_index: int, it):
