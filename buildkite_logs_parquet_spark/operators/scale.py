@@ -1,0 +1,100 @@
+"""Scale utilities: bucketed co-located joins and skew-salted operations.
+
+These are the knobs the 100 TB deployment turns that small-scale code never
+needs; each is exercised by a plan-asserting test so the claimed shuffle
+behavior is verified, not assumed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sorted) table.
+
+    Two tables bucketed the same way join WITHOUT a shuffle — the classic
+    co-location strategy for repeated fact-fact joins (e.g. lineitem ⋈
+    orders on the order key, or entries ⋈ entries self-joins on row ranges).
+    Bucket count should match the target parallelism at full scale.
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def salt_column(key: Column, n_salts: int) -> Column:
+    """Deterministic salt derived from the full row key's hash — spreads a
+    hot key across ``n_salts`` reducers without RNG (reproducible plans)."""
+    return F.pmod(F.xxhash64(key, F.monotonically_increasing_id()), F.lit(n_salts))
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, tuple],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    Phase 1 groups on (key, salt) — the hot key's rows split across
+    ``n_salts`` partial groups; phase 2 merges partials per key.  ``aggs``
+    maps output name → (column, kind) with kind in {"sum", "count", "min",
+    "max"} (the re-aggregatable kinds; avg = sum/count downstream).
+    """
+    salt = salt_column(F.concat_ws("\x1f", *key_cols), n_salts)
+    phase1_aggs = []
+    for name, (col, kind) in aggs.items():
+        if kind == "count":
+            phase1_aggs.append(F.count(col).alias(f"_p_{name}"))
+        elif kind == "sum":
+            phase1_aggs.append(F.sum(col).alias(f"_p_{name}"))
+        elif kind == "min":
+            phase1_aggs.append(F.min(col).alias(f"_p_{name}"))
+        elif kind == "max":
+            phase1_aggs.append(F.max(col).alias(f"_p_{name}"))
+        else:
+            raise ValueError(f"non-reaggregatable kind: {kind}")
+    partial = df.groupBy(*key_cols, salt.alias("_salt")).agg(*phase1_aggs)
+    merge = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+    phase2 = [
+        merge[kind](F.col(f"_p_{name}")).alias(name)
+        for name, (_, kind) in aggs.items()
+    ]
+    return partial.groupBy(*key_cols).agg(*phase2)
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: the skewed side gets a deterministic salt,
+    the (smaller) build side is replicated ``n_salts`` times with every salt
+    value, and the join key becomes (key, salt) — a hot key's rows land on
+    ``n_salts`` different reducers instead of one straggler.
+
+    Spark's AQE skew-join handles most cases at runtime; this is the
+    explicit variant for engines/pipelines where AQE is off (e.g. stateful
+    streaming) or where the skew is known up front.
+    """
+    salted_left = skewed.withColumn(
+        "_salt", salt_column(F.col(key), n_salts)
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    replicated = small.withColumn("_salt", salts)
+    out = salted_left.join(replicated, on=[key, "_salt"])
+    return out.drop("_salt")

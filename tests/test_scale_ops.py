@@ -1,0 +1,72 @@
+"""Bucketed co-located joins and skew salting — results must equal the
+plain operators, and the bucketed join plan must be shuffle-free."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from buildkite_logs_parquet_spark.operators.scale import (
+    read_table,
+    salted_aggregate,
+    salted_join,
+    write_bucketed_table,
+)
+from buildkite_logs_parquet_spark.plans.checks import explain_str
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one hot key (90% of rows) + a tail
+    rows = [(0, float(i % 7)) for i in range(9000)] + [
+        (k, float(k)) for k in range(1, 1001)
+    ]
+    return spark.createDataFrame(rows, "k long, v double").cache()
+
+
+def test_salted_aggregate_equals_plain(spark, skewed):
+    salted = salted_aggregate(
+        skewed,
+        ["k"],
+        {"n": ("v", "count"), "total": ("v", "sum"), "mx": ("v", "max")},
+        n_salts=8,
+    )
+    plain = skewed.groupBy("k").agg(
+        F.count("v").alias("n"), F.sum("v").alias("total"), F.max("v").alias("mx")
+    )
+    a = sorted(map(tuple, salted.collect()))
+    b = sorted(map(tuple, plain.collect()))
+    assert a == b
+
+
+def test_salted_join_equals_plain(spark, skewed):
+    dim = spark.createDataFrame(
+        [(k, f"name{k}") for k in range(0, 1001)], "k long, name string"
+    )
+    salted = salted_join(skewed, dim, "k", n_salts=8)
+    plain = skewed.join(dim, "k")
+    assert salted.count() == plain.count()
+    a = sorted(map(tuple, salted.select("k", "v", "name").collect()))
+    b = sorted(map(tuple, plain.select("k", "v", "name").collect()))
+    assert a == b
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    # warehouse dir is a static conf; rely on DROP TABLE cleanup instead
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    write_bucketed_table(li, "b_lineitem", "l_orderkey", n_buckets=4)
+    write_bucketed_table(orders, "b_orders", "o_orderkey", n_buckets=4)
+
+    a = read_table(spark, "b_lineitem")
+    b = read_table(spark, "b_orders")
+    joined = a.join(b, a.l_orderkey == b.o_orderkey)
+    # co-located bucketed join: SortMergeJoin with NO Exchange on either side
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain_str(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
