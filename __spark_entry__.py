@@ -437,6 +437,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash(docs, "doc_id", "text", bits=32)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -547,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_near_dups": q_minhash_near_dups,
         "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -891,6 +897,34 @@ FROM inter
 JOIN sizes sa ON id_a = sa.doc_id
 JOIN sizes sb ON id_b = sb.doc_id
 WHERE CAST(intersection AS DOUBLE) / (sa.set_size + sb.set_size - intersection) >= 0.2
+"""
+
+    # SimHash: per-bit votes over token hashes, majority packs the bit.
+    # Engine parity: same md5-60-bit base hash (seed 0), bits 0..31.
+    _votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}"
+        for b in range(32)
+    )
+    _pack = " + ".join(
+        f"(CASE WHEN v_{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END)"
+        for b in range(32)
+    )
+    sql["simhash"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(concat('0:', tok)), 1, 15)) AS BIGINT) AS h
+  FROM toks WHERE tok <> ''
+),
+votes AS (
+  SELECT doc_id,
+         {_votes}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {_pack} AS simhash FROM votes
 """
 
     sql["token_stats"] = """
