@@ -49,6 +49,22 @@ def test_ingest_matches_reference_output(spark, strategy):
         assert tuple(a) == tuple(b), f"row {i}: {tuple(a)} != {tuple(b)}"
 
 
+def test_read_log_dir_multi_file(spark, tmp_path):
+    from buildkite_logs_parquet_spark.sources.logs import read_log_dir
+
+    a = tmp_path / "a.log"
+    b = tmp_path / "b.log"
+    a.write_text("a0\na1\n")
+    b.write_text("b0\n")
+    df = read_log_dir(spark, [str(a), str(b)])
+    rows = sorted(map(tuple, df.select("file", "line_no", "raw").collect()))
+    assert rows == [
+        (str(a), 0, "a0"),
+        (str(a), 1, "a1"),
+        (str(b), 0, "b0"),
+    ]
+
+
 def test_line_reader_scanlines_semantics(spark, tmp_path):
     # split on \n, drop exactly one trailing \r, keep interior \r
     p = tmp_path / "crlf.log"

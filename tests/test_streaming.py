@@ -5,6 +5,7 @@ import time
 from buildkite_logs_parquet_spark.streaming.follow import (
     follow_log_dir,
     follow_with_groups,
+    windowed_counts,
 )
 
 OSC = "\x1b_bk;t="
@@ -39,6 +40,34 @@ def test_follow_log_dir_parses_new_files(spark, tmp_path):
     assert grp["is_group"] and grp["group"] == "~~~ Group A"
     assert out["$ make test"]["is_command"]
     assert out["plain line"]["timestamp"] == 0
+
+
+def test_windowed_counts(spark, tmp_path):
+    logs = tmp_path / "wlogs"
+    logs.mkdir()
+    base = 1745322200000  # fixed minute boundary offsets below
+    lines = []
+    for i in range(10):
+        ts = base + i * 1000  # all within one minute window
+        lines.append(f"{OSC}{ts}{BEL}$ cmd {i}" if i % 2 == 0 else f"{OSC}{ts}{BEL}out {i}")
+    lines.append(f"{OSC}{base + 120_000}{BEL}~~~ next window group")
+    (logs / "w.log").write_text("\n".join(lines) + "\n")
+
+    stream = windowed_counts(follow_log_dir(spark, str(logs)), window="1 minute")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "select window.start as s, entries, commands, groups from win_counts order by s"
+    ).collect()
+    assert len(rows) == 2
+    assert rows[0]["entries"] == 10 and rows[0]["commands"] == 5
+    assert rows[1]["entries"] == 1 and rows[1]["groups"] == 1
 
 
 def test_follow_with_groups_across_batches(spark, tmp_path):
