@@ -71,6 +71,18 @@ def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
 # ------------------------------------------------------------ shingling
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Repartition ahead of a row-multiplying stage when the input arrives
+    in fewer partitions than cores (e.g. one small parquet file).  The
+    narrow pre-shuffle of document rows is trivially cheap next to the
+    exploded work it parallelizes; at real scale inputs already have
+    enough partitions and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingles(
     df: DataFrame, id_col: str, text_col: str, k: int = 8
 ) -> DataFrame:
@@ -87,6 +99,7 @@ def _shingles_inline(
     consumers that are multiset-invariant (MinHash minima) — skipping the
     dedup removes an entire shuffle of the exploded shingle table."""
     n_sh = F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1))
+    df = _fan_out(df)
     out = df.select(
         F.col(id_col),
         F.explode(
@@ -266,7 +279,7 @@ def simhash(
     One explode + one groupBy; ``bits`` scalar expressions per token row,
     all JVM-side.
     """
-    tokens = df.select(
+    tokens = _fan_out(df).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).where(F.col("tok") != "")
