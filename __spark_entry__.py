@@ -357,6 +357,60 @@ def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def q_orders_with_discounted_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-style semi join: orders having at least one deep-discount
+    line, counted by priority."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_discount") >= 0.08)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_orders_without_discounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS-style anti join: orders with no discounted line at all."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_discount") > 0)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _money(F.sum(_dec(F.col("o_totalprice")))).alias("total_price"),
+        )
+    )
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar subquery): revenue from lines
+    whose quantity is below half their part's average quantity.
+
+    Float discipline: the predicate is the multiplication form
+    ``qty * 2 * n_lines < sum_qty`` — exact decimal arithmetic, no
+    division, so row selection is identical in any engine/order.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(_dec(F.col("l_quantity"))).alias("_sum_qty"),
+        F.count("*").alias("_n"),
+    )
+    joined = li.join(F.broadcast(per_part), li.l_partkey == per_part._pk)
+    below = joined.where(
+        (_dec(F.col("l_quantity")) * 2 * F.col("_n")) < F.col("_sum_qty")
+    )
+    return below.agg(
+        F.count("*").alias("n_lines"),
+        _money(F.sum(_dec(F.col("l_extendedprice")))).alias("revenue"),
+    )
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return TA.winnow_fingerprints(docs, "doc_id", "text", k=8, window=4)
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     hour = F.date_format(F.timestamp_millis(F.col("ts_ms")), "yyyy-MM-dd HH:00:00")
@@ -544,6 +598,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_running_revenue": q_supplier_running_revenue,
         "orders_rollup": q_orders_rollup,
         "top_parts_per_brand": q_top_parts_per_brand,
+        "orders_with_discounted_lines": q_orders_with_discounted_lines,
+        "orders_without_discounts": q_orders_without_discounts,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_json": q_events_json,
@@ -788,6 +846,54 @@ ranked AS (
 )
 SELECT p_brand, p_partkey, CAST(_rev AS STRING) AS revenue, brand_rank
 FROM ranked WHERE brand_rank <= 3
+"""
+
+    sql["orders_with_discounted_lines"] = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount >= 0.08)
+GROUP BY o_orderpriority
+"""
+
+    sql["orders_without_discounts"] = f"""
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(sum({dec('o_totalprice')}) AS STRING) AS total_price
+FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount > 0)
+GROUP BY o_orderstatus
+"""
+
+    sql["small_quantity_revenue"] = f"""
+WITH per_part AS (
+  SELECT l_partkey AS _pk, sum({dec('l_quantity')}) AS _sum_qty, count(*) AS _n
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT count(*) AS n_lines,
+       CAST(sum({dec('l_extendedprice')}) AS STRING) AS revenue
+FROM lineitem JOIN per_part ON l_partkey = _pk
+WHERE {dec('l_quantity')} * 2 * _n < _sum_qty
+"""
+
+    sql["winnow_fingerprint"] = """
+WITH grams AS (
+  SELECT doc_id, i AS pos, substr(text, CAST(i AS INT), 8) AS gram
+  FROM (
+    SELECT doc_id, text,
+           unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+    FROM documents
+  )
+),
+hashed AS (
+  SELECT doc_id, pos,
+         CAST(concat('0x', substr(md5(concat('0:', gram)), 1, 15)) AS BIGINT) AS h
+  FROM grams
+)
+SELECT DISTINCT doc_id,
+       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+FROM hashed
 """
 
     sql["events_hourly"] = f"""

@@ -109,6 +109,50 @@ def quality_score(
     return out.withColumn("quality_score", F.round(score, round_to))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken MOSS scheme):
+    hash every k-gram, slide a ``window`` over consecutive hashes, keep
+    each window's minimum — a position-robust fingerprint set that
+    guarantees detection of matches ≥ k+window-1 chars.
+
+    Plan shape: explode k-grams with positions → hash (one digest per
+    gram) → per-document sliding-window min (rows-between window) →
+    distinct.  Partitioned by document id, so it scales horizontally.
+    """
+    from pyspark.sql import Window as W
+
+    from buildkite_logs_parquet_spark.operators.dedup import _fan_out, _hash64
+
+    n_sh = F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1))
+    grams = _fan_out(df).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda p: F.col(text_col).substr(p, F.lit(k)),
+            )
+        ).alias("pos", "gram"),
+    )
+    hashed = grams.select(
+        F.col(id_col), F.col("pos"), _hash64(F.col("gram"), 0).alias("h")
+    )
+    w = (
+        W.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, window - 1)
+    )
+    return (
+        hashed.select(F.col(id_col), F.min("h").over(w).alias("fingerprint"))
+        .distinct()
+    )
+
+
 def fingerprint(
     df: DataFrame, id_col: str, text_col: str = "text"
 ) -> DataFrame:

@@ -65,6 +65,27 @@ def test_quality_score_bounds_and_determinism(spark, docs):
     assert by_id[0] > by_id[6]
 
 
+def test_winnow_fingerprints_detect_shared_substring(spark):
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    df = spark.createDataFrame(
+        [
+            (0, f"prefix AAA {shared} suffix BBB"),
+            (1, f"totally different start {shared} and different end"),
+            (2, "no overlap whatsoever in this one, none at all truly"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = TA.winnow_fingerprints(df, "doc_id", "text", k=8, window=4)
+    by_id = {
+        i: {r["fingerprint"] for r in fps.where(F.col("doc_id") == i).collect()}
+        for i in (0, 1, 2)
+    }
+    # winnowing guarantee: a shared substring >= k+window-1 chars yields
+    # shared fingerprints
+    assert by_id[0] & by_id[1]
+    assert len(by_id[0] & by_id[2]) < len(by_id[0] & by_id[1])
+
+
 def test_fingerprint_normalization(spark):
     df = spark.createDataFrame(
         [
