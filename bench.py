@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "lang_id",
     "quality_score",
     "ann_cosine_topk",
+    "winnow_fingerprint",
+    "simhash",
 ]
 
 
