@@ -44,18 +44,35 @@ ANSI_PATTERN = "\x1b\\[[^A-Za-z]*[A-Za-z]?|\\[[0-9;]{0,8}[A-Za-z]"
 TS_DIGITS_PATTERN = "^[+-]?[0-9]+$"
 
 
+_OSC_PREFIX_TEXT = "\x1b_bk;t="
+_BEL = "\x07"
+
+
 def is_osc_line(raw: Column) -> Column:
     """True when the line carries a parseable OSC prefix (scanner.go:22-51).
 
-    ``octet_length`` mirrors the reference's *byte* length guard (Go
-    ``len([]byte)``), not character count.
+    String ops instead of a regex — the Spark analog of the reference's
+    byte parser (its README credits the byte machine with 10× over regex;
+    the same holds for codegen'd ``startswith``/``instr`` vs ``rlike``).
+    ``octet_length`` mirrors the reference's *byte* length guard; positions
+    below are character-based and mutually consistent.  The prefix contains
+    no BEL, so the first BEL anywhere is the delimiter.
     """
-    return (F.octet_length(raw) >= 10) & raw.rlike(OSC_PREFIX_PATTERN)
+    return (
+        (F.octet_length(raw) >= 10)
+        & raw.startswith(_OSC_PREFIX_TEXT)
+        & (F.instr(raw, _BEL) > 0)
+    )
 
 
 def osc_timestamp_str(raw: Column) -> Column:
-    """Raw timestamp span between ``t=`` and the first BEL ('' if no match)."""
-    return F.regexp_extract(raw, OSC_PREFIX_PATTERN, 1)
+    """Raw timestamp span between ``t=`` and the first BEL.
+
+    Only meaningful under ``is_osc_line``; callers gate on it.  The prefix
+    ``ESC_bk;t=`` is 7 characters, so the span is 1-based position 8 up to
+    the first BEL (Go's 0-based ``timestampStart := 7``, scanner.go:42)."""
+    bel = F.instr(raw, _BEL)
+    return raw.substr(F.lit(8), bel - 8)
 
 
 def osc_content(raw: Column, osc: Column | None = None) -> Column:
@@ -66,7 +83,9 @@ def osc_content(raw: Column, osc: Column | None = None) -> Column:
     """
     if osc is None:
         osc = is_osc_line(raw)
-    return F.when(osc, F.regexp_replace(raw, OSC_PREFIX_PATTERN, "")).otherwise(raw)
+    bel = F.instr(raw, _BEL)
+    after_bel = raw.substr(bel + 1, F.length(raw) - bel)
+    return F.when(osc, after_bel).otherwise(raw)
 
 
 def strip_ansi(content: Column) -> Column:

@@ -16,6 +16,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _LINES_SCHEMA = T.StructType(
@@ -28,78 +29,88 @@ _LINES_SCHEMA = T.StructType(
 
 
 def read_log_lines(
-    spark: SparkSession, path: str, min_partitions: int | None = None
+    spark: SparkSession,
+    path: str | list[str],
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """Read raw log file(s) into ``(file, line_no, raw)`` with a stable
-    0-based per-file line number.
+    0-based per-file line number — entirely JVM-side.
 
-    ``spark.read.text`` preserves order but exposes no index, and
-    ``monotonically_increasing_id`` is non-contiguous, so the index is
-    derived RDD-side: tag each element with (partition, intra-partition
-    position), count rows per (file, partition) in one lightweight pass,
-    and add the cumulative per-file offset — the standard distributed
-    zipWithIndex, kept per-file so multi-file ingests stay parallel and
-    group state never crosses a file boundary.  Large single files split
-    into many partitions and still number correctly.
+    Splitting uses the text source with ``lineSep="\\n"`` (bare ``\\r`` is
+    NOT a separator) and strips exactly one trailing ``\\r``: byte-for-byte
+    ``bufio.ScanLines`` parity.
+
+    Line numbering without any Python row path: Spark documents
+    ``monotonically_increasing_id`` as partition-id in the upper bits and a
+    *contiguous* 0-based record number within each partition in the lower
+    33 bits.  File-scan partitioning is deterministic (files + conf), rows
+    within a partition arrive in file order, and a file's splits land in
+    ascending partition order — so one metadata-sized aggregation of
+    ``(file, partition) → (first id, row count)`` yields exact per-file
+    cumulative offsets, broadcast back as a tiny join.  Two streaming scans
+    total (offsets + main), both columnar/whole-stage-codegen; the Python
+    process never sees a row.
     """
-    sc = spark.sparkContext
-    conf = {"textinputformat.record.delimiter": "\n"}
+    reader = spark.read.option("lineSep", "\n")
+    restore = None
     if min_partitions and min_partitions > 1:
-        # newAPIHadoopFile has no minPartitions arg; bound the split size so
-        # a single large file still fans out across tasks
-        local = path[7:] if path.startswith("file://") else path
-        if os.path.isfile(local):
-            size = os.path.getsize(local)
-            conf["mapreduce.input.fileinputformat.split.maxsize"] = str(
-                max(size // min_partitions, 1 << 20)
-            )
-    rdd = sc.newAPIHadoopFile(
-        path,
-        "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
-        "org.apache.hadoop.io.LongWritable",
-        "org.apache.hadoop.io.Text",
-        conf=conf,
-    ).map(lambda kv: kv[1])
+        paths = [path] if isinstance(path, str) else list(path)
+        local = [p[7:] if p.startswith("file://") else p for p in paths]
+        sizes = [os.path.getsize(p) for p in local if os.path.isfile(p)]
+        if sizes:
+            target = max(sum(sizes) // min_partitions, 1 << 20)
+            restore = spark.conf.get("spark.sql.files.maxPartitionBytes")
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+    try:
+        text = reader.text(path)
+    finally:
+        if restore is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", restore)
 
-    def tag(split_index: int, it):
-        pos = 0
-        for line in it:
-            # ScanLines parity: drop exactly one trailing \r (CRLF files)
-            if line.endswith("\r"):
-                line = line[:-1]
-            yield (split_index, pos, line)
-            pos += 1
-
-    tagged = rdd.mapPartitionsWithIndex(tag, preservesPartitioning=True)
-    # Byte offsets within one file are monotone across its splits, and
-    # Hadoop split order follows (file, offset) — per-partition counts give
-    # the per-split base index.  One cheap count job over already-read data.
-    counts = tagged.map(lambda t: (t[0], 1)).reduceByKey(lambda a, b: a + b).collect()
-    base: dict[int, int] = {}
-    acc = 0
-    for pid, cnt in sorted(counts):
-        base[pid] = acc
-        acc += cnt
-
-    # Hadoop TextInputFormat already applied the ScanLines semantics; it
-    # does not expose the filename per record, so single-path reads carry
-    # the input path. Multi-file ingests should call this once per file (or
-    # use read_log_dir below) to keep per-file numbering.
-    file_tag = path
-    rows = tagged.map(lambda t: (file_tag, base[t[0]] + t[1], t[2]))
-    return spark.createDataFrame(rows, _LINES_SCHEMA)
+    tagged = text.select(
+        F.input_file_name().alias("file"),
+        F.spark_partition_id().alias("_pid"),
+        F.monotonically_increasing_id().alias("_mid"),
+        F.col("value"),
+    )
+    # metadata-sized: one row per (file, scan partition)
+    stats = (
+        tagged.groupBy("file", "_pid")
+        .agg(F.min("_mid").alias("_first"), F.count("*").alias("_cnt"))
+        .collect()
+    )
+    per_file: dict[str, list] = {}
+    for r in stats:
+        per_file.setdefault(r["file"], []).append(r)
+    bases = []
+    for file, rows in per_file.items():
+        acc = 0
+        for r in sorted(rows, key=lambda r: r["_pid"]):
+            bases.append((file, r["_pid"], r["_first"], acc))
+            acc += r["_cnt"]
+    base_df = spark.createDataFrame(
+        bases, "file string, _pid int, _first long, _base long"
+    )
+    raw = F.when(
+        F.col("value").endswith("\r"),
+        F.col("value").substr(F.lit(1), F.length("value") - 1),
+    ).otherwise(F.col("value"))
+    return (
+        tagged.join(F.broadcast(base_df), on=["file", "_pid"])
+        .select(
+            "file",
+            (F.col("_base") + (F.col("_mid") - F.col("_first"))).alias("line_no"),
+            raw.alias("raw"),
+        )
+    )
 
 
 def read_log_dir(spark: SparkSession, paths: list[str]) -> DataFrame:
-    """Union of per-file ordered reads; keeps per-file line numbering so the
-    group-propagation window partitions by ``file``."""
-    out: DataFrame | None = None
-    for p in paths:
-        df = read_log_lines(spark, p)
-        out = df if out is None else out.unionByName(df)
-    if out is None:
+    """Multi-file read with per-file line numbering (one distributed scan;
+    the group-propagation window partitions by ``file``)."""
+    if not paths:
         raise ValueError("no paths given")
-    return out
+    return read_log_lines(spark, paths)
 
 
 class BuildkiteAPIClient:

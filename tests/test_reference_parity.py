@@ -57,11 +57,14 @@ def test_read_log_dir_multi_file(spark, tmp_path):
     a.write_text("a0\na1\n")
     b.write_text("b0\n")
     df = read_log_dir(spark, [str(a), str(b)])
-    rows = sorted(map(tuple, df.select("file", "line_no", "raw").collect()))
+    rows = sorted(
+        (r["file"].split("/")[-1], r["line_no"], r["raw"])
+        for r in df.select("file", "line_no", "raw").collect()
+    )
     assert rows == [
-        (str(a), 0, "a0"),
-        (str(a), 1, "a1"),
-        (str(b), 0, "b0"),
+        ("a.log", 0, "a0"),
+        ("a.log", 1, "a1"),
+        ("b.log", 0, "b0"),
     ]
 
 
