@@ -540,37 +540,50 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style coarse stats: per label, mean pairwise-to-centroid cosine —
-    exercises array aggregation (element-wise mean) + rescoring."""
+    """IVF-style coarse stats: per label, min/max cosine to the label
+    centroid — exercises element-wise array aggregation + rescoring.
+
+    Engine-exact trick: cosine is scale-invariant, so the centroid is the
+    element-wise SUM vector (no /n division), and the sums go through
+    DECIMAL — the vector is then bit-comparable across engines and the
+    per-row cosine is a deterministic scalar, so this query hash-matches
+    its oracle despite being float-heavy.
+    """
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.first()["embedding"])
     v = F.col("embedding").cast("array<double>")
     sums = [
-        F.sum(F.element_at(v, i + 1)).alias(f"s_{i}") for i in range(dim)
+        F.sum(F.element_at(v, i + 1).cast("decimal(28,12)"))
+        .cast("double")
+        .alias(f"s_{i}")
+        for i in range(dim)
     ]
-    # per-label decimal-free mean is fine: per-element sums are reused only
-    # via count division and the output is rounded per scalar row
     cent = (
-        _t(spark, sf_dir, "embeddings")
-        .groupBy("label")
-        .agg(F.count("*").alias("n"), *sums)
+        emb.groupBy("label")
+        .agg(*sums)
         .select(
             "label",
-            "n",
-            F.array(*[(F.col(f"s_{i}") / F.col("n")) for i in range(dim)]).alias(
-                "centroid"
-            ),
+            F.array(*[F.col(f"s_{i}") for i in range(dim)]).alias("centroid"),
         )
     )
     joined = emb.join(F.broadcast(cent), "label")
     sim = S.cosine(v, F.col("centroid"))
-    return (
-        joined.groupBy("label")
-        .agg(
-            F.count("*").alias("n_vectors"),
-            F.round(F.min(sim), 4).alias("min_sim"),
-            F.round(F.max(sim), 4).alias("max_sim"),
-        )
+    return joined.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.min(sim), 4).alias("min_sim"),
+        F.round(F.max(sim), 4).alias("max_sim"),
+    )
+
+
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/p90 of event values per type — sort-based exact percentiles
+    interpolate identically across engines (same formula on the same
+    sorted doubles)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
     )
 
 
@@ -605,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_json": q_events_json,
+        "events_percentiles": q_events_percentiles,
         "dedup_exact": q_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_signatures": q_minhash_signatures,
@@ -1103,6 +1117,32 @@ FROM embeddings
 WHERE vec_id <> 0
 ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 4) DESC, vec_id
 LIMIT 10
+"""
+
+    sql["events_percentiles"] = """
+SELECT event_type, count(*) AS n,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90
+FROM events
+GROUP BY event_type
+"""
+
+    sql["embedding_label_centroid_sim"] = """
+WITH expl AS (
+  SELECT label, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+cent AS (
+  SELECT label, list(s ORDER BY i) AS centroid FROM (
+    SELECT label, i, CAST(sum(CAST(e AS DECIMAL(28,12))) AS DOUBLE) AS s
+    FROM expl GROUP BY label, i
+  ) GROUP BY label
+)
+SELECT e.label AS label, count(*) AS n_vectors,
+       round(min(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid)), 4) AS min_sim,
+       round(max(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid)), 4) AS max_sim
+FROM embeddings e JOIN cent c ON e.label = c.label
+GROUP BY e.label
 """
 
     sql["embedding_near_dups"] = """
