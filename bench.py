@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "events_hourly",
     "events_sessions",
     "events_json",
+    "events_percentiles",
     # training-data ops
     "dedup_exact",
     "doc_fingerprint",

@@ -107,6 +107,25 @@ def test_log_lake_partition_pruning(spark, tmp_path):
     assert m and "org" in m.group(1) and "build" in m.group(1), plan
 
 
+def test_no_cartesian_products_anywhere(spark):
+    """Sweep every registered query: no plan may contain a cartesian
+    product — pair generation must always be bucketed/equi-joined.  The
+    single exception is embedding_near_dups, which deliberately uses the
+    brute-force cross join as the small-scale exactness oracle."""
+    import __spark_entry__ as E
+
+    allowed = {"embedding_near_dups"}
+    offenders = []
+    for name, fn in E.queries().items():
+        if name in allowed:
+            continue
+        df = fn(spark, "/root/testdata/sf0.001")
+        plan = explain_str(df, "simple")
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
 def test_whole_stage_codegen_covers_parse(spark, entries_path):
     # the scalar pipeline (classification read + filter) must stay inside
     # whole-stage codegen over a real columnar scan
