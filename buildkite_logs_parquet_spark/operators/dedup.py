@@ -284,18 +284,18 @@ def simhash(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).where(F.col("tok") != "")
     h = _hash64(F.col("tok"), 0, hash_fn)
-    votes = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v_{b}")
+    # majority vote via ones-count: vote_b > 0  ⇔  2·ones_b > n — plain bit
+    # extraction sums, no per-row branching
+    ones = [
+        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"o_{b}")
         for b in range(bits)
     ]
-    voted = tokens.groupBy(id_col).agg(*votes)
+    voted = tokens.groupBy(id_col).agg(F.count("*").alias("_n"), *ones)
     fp = None
     for b in range(bits):
-        bit = F.when(F.col(f"v_{b}") > 0, F.lit(2**b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = F.when(
+            F.col(f"o_{b}") * 2 > F.col("_n"), F.lit(2**b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         fp = bit if fp is None else fp + bit
     return voted.select(F.col(id_col), fp.alias("simhash"))
 
