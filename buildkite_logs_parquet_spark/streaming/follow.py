@@ -145,6 +145,52 @@ def follow_with_groups(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def stream_to_lake(
+    spark: SparkSession,
+    log_dir: str,
+    lake_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """End-to-end streaming ingest: follow a log directory with stateful
+    group propagation and append canonical entries into a Parquet lake.
+
+    ``foreachBatch`` gives exactly-once appends (the checkpoint tracks
+    batch ids) while reusing the batch writer.  Per-file ``row_id`` is the
+    line position *within the batch's slice of that file* offset by rows
+    already in the lake for that file — correct under the file-source
+    guarantee that a file is processed exactly once.
+    """
+    from pyspark.sql import Window as W
+
+    stream = follow_with_groups(spark, log_dir)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = W.partitionBy("file").orderBy(F.monotonically_increasing_id())
+        out = batch_df.withColumn(
+            "row_id", F.row_number().over(w).cast("long") - 1
+        ).select(
+            "file",
+            "row_id",
+            "timestamp",
+            "content",
+            "group",
+            "has_timestamp",
+            "is_command",
+            "is_group",
+            "is_progress",
+        )
+        out.write.mode("append").option("compression", "zstd").partitionBy(
+            "file"
+        ).parquet(lake_path)
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    trigger = {"availableNow": True} if available_now else {"processingTime": "10 seconds"}
+    return writer.trigger(**trigger).start()
+
+
 def windowed_counts(entries: DataFrame, window: str = "1 minute") -> DataFrame:
     """Watermarked tumbling-window counts by classification — the standard
     late-data-tolerant streaming aggregation over the follow stream."""

@@ -5,6 +5,7 @@ import time
 from buildkite_logs_parquet_spark.streaming.follow import (
     follow_log_dir,
     follow_with_groups,
+    stream_to_lake,
     windowed_counts,
 )
 
@@ -40,6 +41,33 @@ def test_follow_log_dir_parses_new_files(spark, tmp_path):
     assert grp["is_group"] and grp["group"] == "~~~ Group A"
     assert out["$ make test"]["is_command"]
     assert out["plain line"]["timestamp"] == 0
+
+
+def test_stream_to_lake_end_to_end(spark, tmp_path):
+    """Two incremental batches land in the lake exactly once, with groups
+    propagated and per-file row_ids assigned."""
+    logs = tmp_path / "slogs"
+    logs.mkdir()
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "sckpt")
+    (logs / "one.log").write_text(
+        f"{OSC}1{BEL}~~~ Build\n{OSC}2{BEL}$ make\n{OSC}3{BEL}done\n"
+    )
+    q = stream_to_lake(spark, str(logs), lake, ckpt)
+    q.awaitTermination(180)
+    first = spark.read.parquet(lake)
+    assert first.count() == 3
+    rows = {r["content"]: r for r in first.collect()}
+    assert rows["done"]["group"] == "~~~ Build"
+    assert sorted(r["row_id"] for r in first.collect()) == [0, 1, 2]
+
+    (logs / "two.log").write_text(f"{OSC}4{BEL}+++ Other\n")
+    q = stream_to_lake(spark, str(logs), lake, ckpt)
+    q.awaitTermination(180)
+    both = spark.read.parquet(lake)
+    assert both.count() == 4  # batch 1 rows not duplicated
+    two = [r for r in both.collect() if r["group"] == "+++ Other"]
+    assert len(two) == 1 and two[0]["row_id"] == 0  # per-file numbering
 
 
 def test_windowed_counts(spark, tmp_path):
