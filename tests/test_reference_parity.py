@@ -49,6 +49,49 @@ def test_ingest_matches_reference_output(spark, strategy):
         assert tuple(a) == tuple(b), f"row {i}: {tuple(a)} != {tuple(b)}"
 
 
+BAZEL = "/root/reference/testdata/bazel-bazel_build_32517_rocky-rocky-linux-8.parquet"
+
+
+@pytest.mark.skipif(not os.path.exists(BAZEL), reason="reference testdata absent")
+def test_query_ops_on_reference_bazel_file(spark):
+    """The reference's larger committed file: 11,029 rows / 12 row groups —
+    exercises multi-row-group reads, tolerant schema, and the query ops on
+    real data we didn't produce."""
+    from buildkite_logs_parquet_spark.operators.queries import (
+        filter_by_group,
+        list_groups,
+        processing_summary,
+        tail,
+    )
+    from buildkite_logs_parquet_spark.sources.parquet_io import file_info, read_entries
+
+    info = file_info(BAZEL)
+    assert info["row_count"] == 11029 and info["num_row_groups"] == 12
+
+    entries = read_entries(spark, BAZEL)
+    assert entries.count() == 11029
+    s = processing_summary(entries).first()
+    assert s["total_entries"] == 11029
+    assert 0 < s["sections"] < 100
+
+    groups = list_groups(entries).collect()
+    # distinct group names ≤ header rows (+1 for <no group>); names repeat
+    assert 1 <= len(groups) <= s["sections"] + 1
+    assert sum(g["entry_count"] for g in groups) == 11029
+
+    # positional ops need an order column; synthesize like the CLI does
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    ordered = entries.withColumn(
+        "row_id", F.row_number().over(W.orderBy(F.monotonically_increasing_id())) - 1
+    )
+    last3 = tail(ordered, 3).collect()
+    assert [r["row_id"] for r in last3] == [11026, 11027, 11028]
+
+    assert filter_by_group(entries, "bazel").count() >= 0  # runs tolerantly
+
+
 def test_read_log_dir_multi_file(spark, tmp_path):
     from buildkite_logs_parquet_spark.sources.logs import read_log_dir
 
