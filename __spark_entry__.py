@@ -533,9 +533,25 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: threshold for the near-dup queries — sits in a wide gap of the pair-cosine
+#: distribution at every test SF, so raw-double threshold comparisons can
+#: never disagree across engines on a boundary row
+_NEAR_DUP_THRESHOLD = 0.463
+
+
+def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane-LSH near-dup pairs — the scale path, registered
+    with a DuckDB oracle that replays the same seeded planes as literals.
+
+    8 planes split into 4 bands of 2 (OR-amplification): a pair is scored
+    iff some band's sign bits agree, via a (band, key) equi-join — never a
+    cross join.  Deterministic: planes come from a seeded PRNG, so the
+    approximation itself is reproducible and oracle-checkable.
+    """
     emb = _t(spark, sf_dir, "embeddings")
-    out = S.embedding_near_dup_pairs(emb, threshold=0.9, brute_force=True)
+    out = S.embedding_near_dup_pairs(
+        emb, threshold=_NEAR_DUP_THRESHOLD, n_planes=8, bands=4, dim=64, seed=42
+    )
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
@@ -629,7 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "embedding_label_centroid_sim": q_embedding_label_centroid_sim,
     }
 
@@ -1145,12 +1161,38 @@ FROM embeddings e JOIN cent c ON e.label = c.label
 GROUP BY e.label
 """
 
-    sql["embedding_near_dups"] = """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine
-FROM embeddings a, embeddings b
-WHERE a.vec_id < b.vec_id
-  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.9
+    # same seeded planes the Spark query uses, inlined as list literals
+    import random as _random
+
+    _rng = _random.Random(42)
+    _planes = [[_rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(8)]
+    _plane_rows = ",\n         ".join(
+        "({}, [{}])".format(i, ", ".join(repr(x) for x in p))
+        for i, p in enumerate(_planes)
+    )
+    _cos = (
+        "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(bb.embedding AS DOUBLE[]))"
+    )
+    sql["embedding_near_dups_lsh"] = f"""
+WITH planes(plane_id, plane) AS (
+  VALUES {_plane_rows}
+),
+b AS (
+  SELECT e.vec_id, e.embedding,
+         CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), p.plane) >= 0
+                  THEN (1 << p.plane_id) ELSE 0 END) AS INT) AS bucket
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, e.embedding
+),
+banded AS (
+  SELECT vec_id, embedding, j.band, (bucket >> (2 * j.band)) & 3 AS key
+  FROM b, (SELECT unnest(range(4)) AS band) j
+)
+SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b, round({_cos}, 4) AS cosine
+FROM banded a
+JOIN banded bb ON a.band = bb.band AND a.key = bb.key AND a.vec_id < bb.vec_id
+WHERE {_cos} >= {_NEAR_DUP_THRESHOLD}
 """
 
     return sql

@@ -163,13 +163,18 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     brute_force: bool = False,
     seed: int = 42,
+    bands: int = 1,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold.
 
     Default path buckets by hyperplane signature and only scores
-    same-bucket pairs (near-dup vectors almost surely collide at high
-    thresholds); ``brute_force=True`` scores all pairs — the exactness
-    oracle at test scale, never the 100 TB plan.
+    same-bucket pairs.  ``bands > 1`` splits the signature into bands and
+    joins per band (OR-amplification, the MinHash-LSH construction): a pair
+    is scored if ANY band agrees, so recall at moderate thresholds is
+    1-(1-p^r)^b instead of the all-bits p^n — this is the 100 TB shape,
+    with the join still a (band, key) equi-join, never all-pairs.
+    ``brute_force=True`` scores all pairs — the exactness oracle at test
+    scale, never the 100 TB plan.
     """
     if brute_force:
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
@@ -177,13 +182,34 @@ def embedding_near_dup_pairs(
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     else:
         bucketed = hyperplane_buckets(df, vec_col, dim, n_planes, seed)
-        a = bucketed.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+        r = n_planes // bands
+        mask = (1 << r) - 1
+        band_cols = [
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright(F.col("bucket"), r * j)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for j in range(bands)
+        ]
+        banded = bucketed.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(F.array(*band_cols)).alias("bk"),
+        ).select(
+            id_col,
+            vec_col,
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("key"),
         )
-        b = bucketed.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+        a = banded.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "band", "key"
         )
-        pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+        b = banded.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "band", "key"
+        )
+        pairs = a.join(b, ["band", "key"]).where(F.col("id_a") < F.col("id_b"))
     sim = cosine(_as_double(F.col("va")), _as_double(F.col("vb")))
     return (
         pairs.select("id_a", "id_b", sim.alias("cosine"))

@@ -109,16 +109,13 @@ def test_log_lake_partition_pruning(spark, tmp_path):
 
 def test_no_cartesian_products_anywhere(spark):
     """Sweep every registered query: no plan may contain a cartesian
-    product — pair generation must always be bucketed/equi-joined.  The
-    single exception is embedding_near_dups, which deliberately uses the
-    brute-force cross join as the small-scale exactness oracle."""
+    product — pair generation must always be bucketed/equi-joined.  (The
+    brute-force cross-join variant of embedding_near_dup_pairs exists only
+    as a pytest exactness oracle; it is not a registered query.)"""
     import __spark_entry__ as E
 
-    allowed = {"embedding_near_dups"}
     offenders = []
     for name, fn in E.queries().items():
-        if name in allowed:
-            continue
         df = fn(spark, "/root/testdata/sf0.001")
         plan = explain_str(df, "simple")
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:

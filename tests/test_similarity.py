@@ -74,6 +74,32 @@ def test_near_dup_pairs_brute_vs_lsh(spark, vectors):
     assert lsh == expected  # colliding buckets at this threshold
 
 
+def test_banded_lsh_subset_of_brute(spark, vectors):
+    """OR-amplified (banded) LSH returns a subset of the exact pair set,
+    with identical cosines, and at near-identical vectors full recall."""
+    df, _ = vectors
+    brute = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in S.embedding_near_dup_pairs(
+            df, threshold=0.9, brute_force=True, dim=DIM
+        ).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in S.embedding_near_dup_pairs(
+            df, threshold=0.9, dim=DIM, n_planes=8, bands=4
+        ).collect()
+    }
+    assert set(banded) <= set(brute)
+    for pair, c in banded.items():
+        assert abs(c - brute[pair]) < 1e-12
+    # the 0.99-cosine clique must survive banding (some band always agrees)
+    assert {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)} <= set(banded)
+    # multi-band collisions must not duplicate pairs
+    out = S.embedding_near_dup_pairs(df, threshold=0.9, dim=DIM, n_planes=8, bands=4)
+    assert out.count() == out.select("id_a", "id_b").distinct().count()
+
+
 def test_ivf_assign_partitions_all_rows(spark, vectors):
     df, rows = vectors
     centroids = [rows[0][1], rows[10][1], rows[20][1]]
