@@ -74,7 +74,7 @@ o_flagged AS (
          CASE WHEN is_osc AND NOT (regexp_matches(ts_str, '^[+-]?[0-9]+$') AND TRY_CAST(ts_str AS BIGINT) IS NOT NULL)
               THEN 'invalid timestamp: ' || ts_str END AS parse_error,
          CASE WHEN is_osc AND regexp_matches(ts_str, '^[+-]?[0-9]+$') AND TRY_CAST(ts_str AS BIGINT) IS NOT NULL
-              THEN TRY_CAST(ts_str AS BIGINT) ELSE 0 END AS "timestamp",
+              THEN TRY_CAST(ts_str AS BIGINT) ELSE -62135596800000 END AS "timestamp",
          CASE WHEN is_osc THEN regexp_replace(raw, '^\\x1b_bk;t=[^\\x07]*\\x07', '') ELSE raw END AS content
   FROM o_parsed
 ),
@@ -84,7 +84,7 @@ o_cleaned AS (
 ),
 o_classified AS (
   SELECT line_no, "timestamp", content, clean_content, parse_error,
-         "timestamp" <> 0 AS has_timestamp,
+         "timestamp" <> -62135596800000 AS has_timestamp,
          clean_content LIKE '$ %' AS is_command,
          (clean_content LIKE '~~~%' OR clean_content LIKE '---%' OR clean_content LIKE '+++%') AS is_group,
          (contains(content, '[K') AND (contains(clean_content, 'objects') OR contains(clean_content, 'deltas') OR contains(clean_content, '%'))) AS is_progress

@@ -54,7 +54,10 @@ def _entries_text(rows, show_group: bool, strip: bool) -> None:
         content = r["content"]
         if strip:
             content = ansi.sub("", content)
-        ts = f"[{_fmt_ts_ms(r['timestamp'])}] " if r["timestamp"] else "[no timestamp] "
+        # main.go:373-383: the timestamp prefix appears only for entries
+        # with HasTimestamp — untimestamped lines print bare (no sentinel
+        # rendering, no "[no timestamp]" placeholder)
+        ts = f"[{_fmt_ts_ms(r['timestamp'])}] " if r["has_timestamp"] else ""
         grp = f"[{r['group']}] " if show_group and r["group"] else ""
         print(f"{ts}{grp}{content}")
 
@@ -63,7 +66,9 @@ def _entries_json(rows) -> None:
     out = []
     for r in rows:
         item = {
-            "timestamp": _fmt_ts_rfc3339(r["timestamp"]) if r["timestamp"] else None,
+            "timestamp": (
+                _fmt_ts_rfc3339(r["timestamp"]) if r["has_timestamp"] else None
+            ),
             "content": r["content"],
             "has_timestamp": bool(r["has_timestamp"]),
         }

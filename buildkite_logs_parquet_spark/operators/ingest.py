@@ -38,6 +38,17 @@ from buildkite_logs_parquet_spark.functions.log_text import (
     TS_DIGITS_PATTERN,
 )
 
+#: At-rest timestamp for lines without an OSC timestamp: the reference
+#: writes ``entry.Timestamp.UnixMilli()`` (parquet.go:63) and a non-OSC
+#: line leaves ``Timestamp`` as Go's zero ``time.Time`` — January 1 of
+#: year 1 — whose UnixMilli is this value.  A literal ``t=0`` OSC line is
+#: NOT sentinel: ``time.Unix(0,0)`` (epoch 1970) is a real instant, so it
+#: stores 0 with ``has_timestamp = true``.  ``has_timestamp`` therefore
+#: equals ``timestamp != sentinel`` — the exact image of the reference's
+#: ``!Timestamp.IsZero()`` (parser.go:138-140), including the pathological
+#: ``t=-62135596800000`` line which Go would also classify timestamp-less.
+NO_TIMESTAMP_SENTINEL_MS = -62135596800000
+
 #: Canonical at-rest schema, reference parquet.go:17-27 (7 columns), plus the
 #: engine's stable ordering column ``row_id`` (required for tail/seek — the
 #: reference gets positional order implicitly from single-file row order).
@@ -88,12 +99,14 @@ def parse_log_lines(
         .withColumn(
             "timestamp",
             F.when(F.col("_osc") & F.col("parse_error").isNull(), ts_val).otherwise(
-                F.lit(0).cast("long")
+                F.lit(NO_TIMESTAMP_SENTINEL_MS).cast("long")
             ),
         )
         .withColumn("content", osc_content(raw, F.col("_osc")))
         .withColumn("clean_content", strip_ansi(F.col("content")))
-        .withColumn("has_timestamp", F.col("timestamp") != 0)
+        .withColumn(
+            "has_timestamp", F.col("timestamp") != NO_TIMESTAMP_SENTINEL_MS
+        )
         .withColumn("is_command", is_command(F.col("clean_content")))
         .withColumn("is_group", is_group_header(F.col("clean_content")))
         .withColumn("is_progress", is_progress(F.col("content"), F.col("clean_content")))

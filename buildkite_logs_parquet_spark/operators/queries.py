@@ -22,8 +22,9 @@ def list_groups(entries: DataFrame, as_timestamp: bool = True) -> DataFrame:
     """Group statistics ordered by first appearance (query_cli.go:55-118).
 
     Per group (empty name → ``<no group>``): entry count, first/last seen
-    (min/max entry time — entries without timestamps participate with epoch
-    ms 0, matching the reference which folds ``time.Unix(0,0)`` into
+    (min/max entry time — entries without timestamps participate with the
+    year-1 sentinel ``ingest.NO_TIMESTAMP_SENTINEL_MS``, matching the
+    reference which folds the Go zero ``time.Time`` of such entries into
     min/max), command count, progress count.
 
     Spark plan: hash aggregate with map-side partial aggregation, then a

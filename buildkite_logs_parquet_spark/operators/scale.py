@@ -35,10 +35,23 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
-def salt_column(key: Column, n_salts: int) -> Column:
-    """Deterministic salt derived from the full row key's hash — spreads a
-    hot key across ``n_salts`` reducers without RNG (reproducible plans)."""
-    return F.pmod(F.xxhash64(key, F.monotonically_increasing_id()), F.lit(n_salts))
+def salt_column(
+    key: Column, n_salts: int, payload: Column | None = None
+) -> Column:
+    """Per-row salt spreading a hot key across ``n_salts`` reducers.
+
+    A useful salt must differ BETWEEN rows of the same key, so it cannot be
+    a function of the key alone.  With ``payload`` (any row-content column
+    that varies within a key) the salt is a pure content hash: values are
+    reproducible run-to-run.  Without it the salt mixes in
+    ``monotonically_increasing_id`` — no RNG and the *plan* is
+    deterministic, but the values depend on partition layout and row
+    arrival order, so they are arbitrary-but-valid rather than
+    reproducible.  Either way aggregate/join RESULTS are exact: the salt
+    only routes rows; phase-2 merges / build-side replication erase it.
+    """
+    mixer = payload if payload is not None else F.monotonically_increasing_id()
+    return F.pmod(F.xxhash64(key, mixer), F.lit(n_salts))
 
 
 def salted_aggregate(

@@ -43,13 +43,16 @@ def read_log_lines(
     Line numbering without any Python row path: Spark documents
     ``monotonically_increasing_id`` as partition-id in the upper bits and a
     *contiguous* 0-based record number within each partition in the lower
-    33 bits.  File-scan partitioning is deterministic (files + conf), rows
-    within a partition arrive in file order, and a file's splits land in
-    ascending partition order — so one metadata-sized aggregation of
-    ``(file, partition) → (first id, row count)`` yields exact per-file
-    cumulative offsets, broadcast back as a tiny join.  Two streaming scans
-    total (offsets + main), both columnar/whole-stage-codegen; the Python
-    process never sees a row.
+    33 bits, and file sources expose each row's split byte offset as
+    ``_metadata.file_block_start``.  Splits of a file are ordered by that
+    byte offset — documented metadata, NOT the scheduler's split-packing
+    order — so one metadata-sized aggregation of ``(file, block_start) →
+    (first id, row count)`` yields exact per-file cumulative offsets,
+    broadcast back as a tiny join.  Two streaming scans total (offsets +
+    main), both columnar/whole-stage-codegen; the Python process never
+    sees a row.  A runtime guard asserts id-contiguity per split
+    (``max − min + 1 == count``) and fails loudly if a Spark upgrade ever
+    changes the id layout, rather than silently misnumbering lines.
     """
     reader = spark.read.option("lineSep", "\n")
     restore = None
@@ -69,34 +72,46 @@ def read_log_lines(
 
     tagged = text.select(
         F.input_file_name().alias("file"),
-        F.spark_partition_id().alias("_pid"),
+        F.col("_metadata.file_block_start").alias("_bstart"),
         F.monotonically_increasing_id().alias("_mid"),
         F.col("value"),
     )
-    # metadata-sized: one row per (file, scan partition)
+    # metadata-sized: one row per (file, split)
     stats = (
-        tagged.groupBy("file", "_pid")
-        .agg(F.min("_mid").alias("_first"), F.count("*").alias("_cnt"))
+        tagged.groupBy("file", "_bstart")
+        .agg(
+            F.min("_mid").alias("_first"),
+            F.max("_mid").alias("_last"),
+            F.count("*").alias("_cnt"),
+        )
         .collect()
     )
     per_file: dict[str, list] = {}
     for r in stats:
+        if r["_last"] - r["_first"] + 1 != r["_cnt"]:
+            raise RuntimeError(
+                "monotonically_increasing_id is not contiguous within a "
+                f"file split (file={r['file']} block_start={r['_bstart']}: "
+                f"ids span {r['_last'] - r['_first'] + 1} for {r['_cnt']} "
+                "rows) — line numbering would be wrong; the Spark id "
+                "layout this source relies on has changed"
+            )
         per_file.setdefault(r["file"], []).append(r)
     bases = []
     for file, rows in per_file.items():
         acc = 0
-        for r in sorted(rows, key=lambda r: r["_pid"]):
-            bases.append((file, r["_pid"], r["_first"], acc))
+        for r in sorted(rows, key=lambda r: r["_bstart"]):
+            bases.append((file, r["_bstart"], r["_first"], acc))
             acc += r["_cnt"]
     base_df = spark.createDataFrame(
-        bases, "file string, _pid int, _first long, _base long"
+        bases, "file string, _bstart long, _first long, _base long"
     )
     raw = F.when(
         F.col("value").endswith("\r"),
         F.col("value").substr(F.lit(1), F.length("value") - 1),
     ).otherwise(F.col("value"))
     return (
-        tagged.join(F.broadcast(base_df), on=["file", "_pid"])
+        tagged.join(F.broadcast(base_df), on=["file", "_bstart"])
         .select(
             "file",
             (F.col("_base") + (F.col("_mid") - F.col("_first"))).alias("line_no"),

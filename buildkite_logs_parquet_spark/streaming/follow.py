@@ -26,17 +26,27 @@ from buildkite_logs_parquet_spark.functions.log_text import (
     strip_ansi,
     TS_DIGITS_PATTERN,
 )
+from buildkite_logs_parquet_spark.operators.ingest import (
+    NO_TIMESTAMP_SENTINEL_MS,
+)
 
 
-def follow_log_dir(spark: SparkSession, path: str) -> DataFrame:
+def follow_log_dir(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Streaming DataFrame of parsed entries from text files under ``path``.
 
     Use ``.writeStream.trigger(availableNow=True)`` for catch-up batch runs
     or a processing-time trigger for live follow.  Event time =
     ``event_ts`` (derived from the OSC timestamp) enables watermarked
-    windowed aggregation downstream.
+    windowed aggregation downstream.  ``max_files_per_trigger`` bounds
+    batch size by *file count* — the file source never splits one file
+    across micro-batches, a guarantee the sink's row numbering relies on.
     """
-    lines = spark.readStream.text(path).select(
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.text(path).select(
         F.col("value").alias("raw"),
         F.input_file_name().alias("file"),
     )
@@ -57,12 +67,14 @@ def follow_log_dir(spark: SparkSession, path: str) -> DataFrame:
         .withColumn(
             "timestamp",
             F.when(F.col("_osc") & F.col("parse_error").isNull(), ts_val).otherwise(
-                F.lit(0).cast("long")
+                F.lit(NO_TIMESTAMP_SENTINEL_MS).cast("long")
             ),
         )
         .withColumn("content", osc_content(raw, F.col("_osc")))
         .withColumn("clean_content", strip_ansi(F.col("content")))
-        .withColumn("has_timestamp", F.col("timestamp") != 0)
+        .withColumn(
+            "has_timestamp", F.col("timestamp") != NO_TIMESTAMP_SENTINEL_MS
+        )
         .withColumn("is_command", is_command(F.col("clean_content")))
         .withColumn("is_group", is_group_header(F.col("clean_content")))
         .withColumn(
@@ -78,7 +90,9 @@ def follow_log_dir(spark: SparkSession, path: str) -> DataFrame:
     return parsed
 
 
-def follow_with_groups(spark: SparkSession, path: str) -> DataFrame:
+def follow_with_groups(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Follow-mode ingest with *stateful* running-group propagation.
 
     The batch engine's group window needs the whole file; the streaming
@@ -151,19 +165,30 @@ def stream_to_lake(
     lake_path: str,
     checkpoint: str,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """End-to-end streaming ingest: follow a log directory with stateful
-    group propagation and append canonical entries into a Parquet lake.
+    group propagation and write canonical entries into a Parquet lake.
 
-    ``foreachBatch`` gives exactly-once appends (the checkpoint tracks
-    batch ids) while reusing the batch writer.  Per-file ``row_id`` is the
-    line position *within the batch's slice of that file* offset by rows
-    already in the lake for that file — correct under the file-source
-    guarantee that a file is processed exactly once.
+    Delivery: ``foreachBatch`` alone is at-least-once — a batch retried
+    after a partial write would duplicate rows under a blind append.  The
+    write is made idempotent with *dynamic partition overwrite* keyed by
+    ``file``: a replayed batch overwrites exactly the file partitions it
+    already touched, so replays converge instead of duplicating.  This is
+    sound because the file source assigns each source file wholly to one
+    micro-batch (``maxFilesPerTrigger`` limits file count, never splits a
+    file), so no lake partition ever holds rows from two batches.
+
+    Per-file ``row_id`` is the line position within the micro-batch for
+    that file — equal to the absolute line position in the source file
+    under the same whole-file-per-batch guarantee (no offset bookkeeping
+    exists or is needed).  Both assumptions are pinned by
+    ``test_streaming.py::test_lake_positions_with_max_files_per_trigger``
+    and ``test_lake_batch_replay_is_idempotent``.
     """
     from pyspark.sql import Window as W
 
-    stream = follow_with_groups(spark, log_dir)
+    stream = follow_with_groups(spark, log_dir, max_files_per_trigger)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         w = W.partitionBy("file").orderBy(F.monotonically_increasing_id())
@@ -180,9 +205,9 @@ def stream_to_lake(
             "is_group",
             "is_progress",
         )
-        out.write.mode("append").option("compression", "zstd").partitionBy(
-            "file"
-        ).parquet(lake_path)
+        out.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).option("compression", "zstd").partitionBy("file").parquet(lake_path)
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint
@@ -193,9 +218,19 @@ def stream_to_lake(
 
 def windowed_counts(entries: DataFrame, window: str = "1 minute") -> DataFrame:
     """Watermarked tumbling-window counts by classification — the standard
-    late-data-tolerant streaming aggregation over the follow stream."""
+    late-data-tolerant streaming aggregation over the follow stream.
+
+    Rows without an OSC timestamp are excluded up front: their
+    ``event_ts`` would be the year-1 sentinel, which the advancing
+    watermark would silently drop as late data — an explicit filter makes
+    the exclusion a
+    documented semantic (event-time aggregation is only defined for rows
+    that *have* an event time) instead of a watermark accident.  The batch
+    ``processing_summary`` remains the count of every line.
+    """
     return (
-        entries.withWatermark("event_ts", "5 minutes")
+        entries.where(F.col("has_timestamp"))
+        .withWatermark("event_ts", "5 minutes")
         .groupBy(F.window("event_ts", window))
         .agg(
             F.count("*").alias("entries"),

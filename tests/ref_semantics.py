@@ -106,13 +106,20 @@ def run_pipeline(lines: list[str]):
             continue
         if is_group(content):
             group = strip_ansi(content)
+        # parquet.go:63: at-rest timestamp is UnixMilli() of the in-flight
+        # time.Time; a non-OSC line leaves the Go zero time (year 1) →
+        # -62135596800000 ms.  HasTimestamp = !IsZero() (parser.go:138-140),
+        # i.e. the stored value differs from that sentinel (t=0 is epoch
+        # 1970 — a real instant, HasTimestamp true).
+        sentinel = -62135596800000
+        at_rest = ts if ts is not None else sentinel
         rows.append(
             {
                 "line_no": i,
-                "timestamp": ts if ts is not None else 0,
+                "timestamp": at_rest,
                 "content": content,
                 "group": group,
-                "has_timestamp": (ts if ts is not None else 0) != 0,
+                "has_timestamp": at_rest != sentinel,
                 "is_command": is_command(content),
                 "is_group": is_group(content),
                 "is_progress": is_progress(content),

@@ -86,6 +86,37 @@ def test_pipeline_matches_spec(spark, strategy):
             assert g[k] == w[k], f"line {w['line_no']} col {k}: {g[k]!r} != {w[k]!r}"
 
 
+def test_no_timestamp_sentinel_parity(spark):
+    """At-rest parity for untimestamped lines (parquet.go:63 writes
+    UnixMilli of the in-flight time.Time):
+
+    * non-OSC line → Go zero time → -62135596800000 ms, HasTimestamp false
+    * ``t=0`` → time.Unix(0,0) is epoch 1970, a REAL instant → stores 0
+      with HasTimestamp TRUE (not a sentinel)
+    * a literal ``t=-62135596800000`` hits the zero instant → IsZero()
+      true → HasTimestamp false even though the OSC parse succeeded
+    """
+    from buildkite_logs_parquet_spark.operators.ingest import (
+        NO_TIMESTAMP_SENTINEL_MS,
+    )
+
+    lines = [
+        "plain line, no OSC prefix",
+        f"{OSC}0{BEL}x",
+        f"{OSC}-62135596800000{BEL}x",
+        f"{OSC}1745322209921{BEL}normal",
+    ]
+    df = parse_log_lines(_lines_df(spark, lines), file_col="file")
+    got = {
+        r["line_no"]: (r["timestamp"], r["has_timestamp"])
+        for r in df.collect()
+    }
+    assert got[0] == (NO_TIMESTAMP_SENTINEL_MS, False)
+    assert got[1] == (0, True)
+    assert got[2] == (NO_TIMESTAMP_SENTINEL_MS, False)
+    assert got[3] == (1745322209921, True)
+
+
 def test_strategies_equivalent_multifile(spark):
     rows = []
     for f in range(3):

@@ -40,7 +40,8 @@ def test_follow_log_dir_parses_new_files(spark, tmp_path):
     grp = out["~~~ Group A"]
     assert grp["is_group"] and grp["group"] == "~~~ Group A"
     assert out["$ make test"]["is_command"]
-    assert out["plain line"]["timestamp"] == 0
+    # non-OSC line: reference at-rest sentinel (Go zero time, year 1)
+    assert out["plain line"]["timestamp"] == -62135596800000
 
 
 def test_stream_to_lake_end_to_end(spark, tmp_path):
@@ -70,6 +71,65 @@ def test_stream_to_lake_end_to_end(spark, tmp_path):
     assert len(two) == 1 and two[0]["row_id"] == 0  # per-file numbering
 
 
+def test_lake_positions_with_max_files_per_trigger(spark, tmp_path):
+    """A file arriving in a maxFilesPerTrigger=1 run still gets correct
+    absolute positions: the file source assigns whole files to batches
+    (it limits file *count* per trigger, never splits a file), so the
+    within-batch row_number IS the in-file line position."""
+    logs = tmp_path / "mlogs"
+    logs.mkdir()
+    lake = str(tmp_path / "mlake")
+    ckpt = str(tmp_path / "mckpt")
+    (logs / "a.log").write_text(
+        f"{OSC}1{BEL}~~~ A\n{OSC}2{BEL}a line 1\n{OSC}3{BEL}a line 2\n"
+    )
+    (logs / "b.log").write_text(f"{OSC}4{BEL}b line 0\n{OSC}5{BEL}b line 1\n")
+    q = stream_to_lake(
+        spark, str(logs), lake, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["file"].rsplit("/", 1)[-1].split("=")[-1], r["content"]): r["row_id"]
+        for r in spark.read.parquet(lake).collect()
+    }
+    assert len(got) == 5
+    assert got[("a.log", "~~~ A")] == 0
+    assert got[("a.log", "a line 1")] == 1
+    assert got[("a.log", "a line 2")] == 2
+    assert got[("b.log", "b line 0")] == 0
+    assert got[("b.log", "b line 1")] == 1
+
+
+def test_lake_batch_replay_is_idempotent(spark, tmp_path):
+    """Replaying a batch whose write landed but whose checkpoint commit
+    did not (the at-least-once failure window of foreachBatch) must not
+    duplicate rows: the dynamic partition overwrite rewrites exactly the
+    file partitions the batch touched.  Simulated by re-running the same
+    source dir with a fresh checkpoint — i.e. 'everything replays'."""
+    logs = tmp_path / "rlogs"
+    logs.mkdir()
+    lake = str(tmp_path / "rlake")
+    (logs / "one.log").write_text(
+        f"{OSC}1{BEL}~~~ Build\n{OSC}2{BEL}$ make\n{OSC}3{BEL}done\n"
+    )
+    q = stream_to_lake(spark, str(logs), lake, str(tmp_path / "rckpt1"))
+    q.awaitTermination(180)
+    before = sorted(
+        (r["row_id"], r["content"], r["group"])
+        for r in spark.read.parquet(lake).collect()
+    )
+    assert len(before) == 3
+    # fresh checkpoint = the sink believes nothing was processed: the full
+    # replay of batch 0 hits the already-written lake
+    q = stream_to_lake(spark, str(logs), lake, str(tmp_path / "rckpt2"))
+    q.awaitTermination(180)
+    after = sorted(
+        (r["row_id"], r["content"], r["group"])
+        for r in spark.read.parquet(lake).collect()
+    )
+    assert after == before  # converged, not duplicated
+
+
 def test_windowed_counts(spark, tmp_path):
     logs = tmp_path / "wlogs"
     logs.mkdir()
@@ -79,6 +139,9 @@ def test_windowed_counts(spark, tmp_path):
         ts = base + i * 1000  # all within one minute window
         lines.append(f"{OSC}{ts}{BEL}$ cmd {i}" if i % 2 == 0 else f"{OSC}{ts}{BEL}out {i}")
     lines.append(f"{OSC}{base + 120_000}{BEL}~~~ next window group")
+    # no-OSC line: no event time → excluded from event-time windows by the
+    # explicit has_timestamp filter (NOT silently watermark-dropped)
+    lines.append("plain line without timestamp")
     (logs / "w.log").write_text("\n".join(lines) + "\n")
 
     stream = windowed_counts(follow_log_dir(spark, str(logs)), window="1 minute")
