@@ -110,6 +110,13 @@ def _lines_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical entries over the synthetic log — via the WINDOW group
+    strategy: one pass over the parsed lines.  The broadcast segmented
+    strategy (equivalence-tested, see ingest._propagate_groups_broadcast)
+    trades THREE scans of the parse pipeline for the elimination of the
+    single-task window — measured 3-4× slower at bench scale where the
+    window covers only thousands of rows; it is the escape hatch for a
+    single file too large for a one-task window, not the default."""
     return entries_view(parse_log_lines(_lines_df(spark, sf_dir)))
 
 

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "lang_id",
     "quality_score",
     "ann_cosine_topk",
+    "embedding_near_dups_lsh",
     "winnow_fingerprint",
     "simhash",
 ]
@@ -72,17 +73,41 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+
+    # append to the committed trend log so any round can answer "which
+    # queries regressed" mechanically (diff the last two lines)
+    try:
+        import datetime
+        import subprocess
+
+        rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+        stamped = {
+            "utc": datetime.datetime.now(datetime.timezone.utc).strftime(
+                "%Y-%m-%dT%H:%M:%SZ"
+            ),
+            "rev": rev or None,
+            **result,
+        }
+        hist = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl"
         )
-    )
+        with open(hist, "a") as f:
+            f.write(json.dumps(stamped) + "\n")
+    except Exception as exc:  # the bench result must never die on logging
+        print(f"warning: could not append BENCH_HISTORY.jsonl: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -183,15 +183,9 @@ def cmd_query(args: argparse.Namespace) -> int:
             print(f"  Row Groups:   {info['num_row_groups']}")
         return 0
 
-    entries = read_entries(spark, args.parquet_file)
-    if "row_id" not in entries.columns:
-        # files from the reference lack row_id; synthesize stable order
-        from pyspark.sql import Window as W
-
-        entries = entries.withColumn(
-            "row_id",
-            F.row_number().over(W.orderBy(F.monotonically_increasing_id())) - 1,
-        )
+    # synthesize_row_id: reference-written files lack the row_id column;
+    # positional order is derived from split offsets, not a global window
+    entries = read_entries(spark, args.parquet_file, synthesize_row_id=True)
 
     def emit(df: DataFrame, stats_name: str) -> None:
         df = df.orderBy("row_id")

@@ -159,62 +159,66 @@ def _propagate_groups_broadcast(
 ) -> DataFrame:
     """Scale path for a single giant file: no global-order window.
 
-    Group headers are characteristically rare (hundreds per multi-million-
-    line CI log), so the header set is tiny.  Build [start, next_start)
-    ranges with a window *over headers only* (cheap), explode each range to
-    the coarse buckets it covers, and broadcast-hash-join lines on
-    ``(file, bucket)`` with a residual range predicate.  Lines before the
-    first header fall out of the left join as NULL → ``""``.
+    Two-level segmented design.  Lines hash to coarse buckets of
+    ``bucket_size`` positions.  Level 1 (tiny): per (file, bucket), the
+    sorted in-bucket header list and — via a window over the BUCKET table
+    ordered by bucket id — the carry-in header (the last header of any
+    earlier bucket).  Level 2: lines broadcast-equi-join that bucket table
+    on ``(file, bucket)`` alone (no range residual, no cross join of any
+    kind) and resolve their group in-row: the greatest header start ≤ the
+    line's position from carry-in ∪ in-bucket headers, via
+    ``array_max(filter(...))`` — all codegen scalar work.
 
-    Cost: exploded header rows ≈ total_lines / bucket_size + n_headers —
-    thousands of rows even at 10^9 lines — vs. a single-task global window.
+    Cost: the level-1 table is total_lines / bucket_size rows (122k rows
+    at 10^9 lines) — its window is effectively free, and headers are
+    characteristically rare (hundreds per multi-million-line CI log), so
+    the broadcast stays small.  Lines before any header see an empty
+    candidate array → ``""``.
     """
     file_cols = [file_col] if file_col else []
-    lines = parsed
-    headers = (
-        lines.withColumn("_rhdr", header)
-        .where(F.col("_rhdr").isNotNull())
-        .select(
-            *[F.col(c).alias(f"_r_{c}") for c in file_cols],
-            F.col(order_col).alias("_start"),
-            F.col("_rhdr"),
-        )
-    )
-    r_file_cols = [f"_r_{c}" for c in file_cols]
-    hw = Window.partitionBy(*r_file_cols).orderBy("_start")
-    max_order = lines.groupBy(*file_cols).agg(F.max(order_col).alias("_max_ord"))
-    max_order = max_order.select(
-        *[F.col(c).alias(f"_r_{c}") for c in file_cols], "_max_ord"
-    )
-    ranges = headers.withColumn(
-        "_end", F.lead("_start").over(hw)  # next header start; null for the last
-    )
-    if r_file_cols:
-        ranges = ranges.join(max_order, on=r_file_cols, how="left")
-    else:
-        ranges = ranges.crossJoin(max_order)
-    ranges = ranges.withColumn("_end", F.coalesce(F.col("_end") - 1, F.col("_max_ord")))
-    # explode to the coarse buckets covered by [start, end] (end inclusive)
-    ranges = ranges.withColumn(
-        "_rbucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.col("_start") / bucket_size),
-                F.floor(F.col("_end") / bucket_size),
-            )
-        ),
-    ).select(*r_file_cols, "_rbucket", "_start", "_end", "_rhdr")
+    lines = parsed.withColumn("_bucket", F.floor(F.col(order_col) / bucket_size))
+    headers = lines.withColumn("_rhdr", header).where(F.col("_rhdr").isNotNull())
 
-    keyed = lines.withColumn("_bucket", F.floor(F.col(order_col) / bucket_size))
-    cond = F.col("_bucket") == F.col("_rbucket")
-    for c in file_cols:
-        cond = cond & (F.col(c) == F.col(f"_r_{c}"))
-    cond = cond & (F.col(order_col) >= F.col("_start"))
-    cond = cond & (F.col(order_col) <= F.col("_end"))
-    joined = keyed.join(F.broadcast(ranges), on=cond, how="left")
+    hdr_by_bucket = headers.groupBy(*file_cols, "_bucket").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col(order_col).alias("_start"), F.col("_rhdr"))
+            )
+        ).alias("_hdrs")
+    )
+    line_buckets = lines.select(*file_cols, "_bucket").distinct()
+    buckets = line_buckets.join(
+        hdr_by_bucket, on=[*file_cols, "_bucket"], how="left"
+    )
+    # carry-in: last header of any STRICTLY earlier bucket (window over the
+    # tiny bucket table — partitioned per file, ~n/bucket_size rows)
+    wprev = (
+        Window.partitionBy(*file_cols)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_in_bucket = F.element_at(F.col("_hdrs"), -1)  # sorted → max start
+    buckets = buckets.withColumn(
+        "_carry", F.last(last_in_bucket, ignorenulls=True).over(wprev)
+    ).select(
+        *file_cols,
+        "_bucket",
+        F.concat(
+            F.when(F.col("_carry").isNotNull(), F.array(F.col("_carry"))).otherwise(
+                F.array().cast("array<struct<_start:long,_rhdr:string>>")
+            ),
+            F.coalesce(
+                F.col("_hdrs"),
+                F.array().cast("array<struct<_start:long,_rhdr:string>>"),
+            ),
+        ).alias("_cands"),
+    )
+    pos = F.col(order_col)
+    applicable = F.filter(F.col("_cands"), lambda h: h["_start"] <= pos)
+    joined = lines.join(F.broadcast(buckets), on=[*file_cols, "_bucket"])
     return joined.select(
         *parsed.columns,
-        F.coalesce(F.col("_rhdr"), F.lit("")).alias("group"),
+        F.coalesce(F.array_max(applicable)["_rhdr"], F.lit("")).alias("group"),
     )
 
 

@@ -39,3 +39,30 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df) or "BroadcastNestedLoopJoin" in (
         explain_str(df)
     )
+
+
+def scan_metrics(df: DataFrame) -> dict[str, int]:
+    """Runtime metrics of the plan's file scans, summed — call AFTER an
+    action has executed the DataFrame.  Keys of interest: ``numFiles``
+    (files listed for the scan) and ``numOutputRows`` (rows actually
+    materialized by the reader — rows inside parquet row groups skipped by
+    pushed min/max predicates never appear here, which makes this the
+    runtime proof of positional pruning)."""
+    totals: dict[str, int] = {}
+
+    def walk(node) -> None:
+        if "Scan" in node.nodeName():
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                totals[kv._1()] = totals.get(kv._1(), 0) + kv._2().value()
+        for i in range(node.children().length()):
+            walk(node.children().apply(i))
+        if hasattr(node, "executedPlan"):  # descend into AQE subtrees
+            try:
+                walk(node.executedPlan())
+            except Exception:
+                pass
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return totals

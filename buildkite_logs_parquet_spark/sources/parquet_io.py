@@ -64,18 +64,76 @@ def write_entries(
     df.write.mode("overwrite").option("compression", "zstd").parquet(path)
 
 
-def read_entries(spark: SparkSession, path: str) -> DataFrame:
+def _attach_positional_row_id(df: DataFrame) -> DataFrame:
+    """Synthesize ``row_id`` = physical file position for files that lack
+    the column (reference-written parquet) WITHOUT a global-order window.
+
+    Same technique as ``logs.read_log_lines``: ``monotonically_increasing_id``
+    is contiguous within a scan partition, and ``_metadata.file_block_start``
+    orders a file's splits by byte offset — so a metadata-sized aggregation
+    of per-split (first id, count) yields exact cumulative offsets, joined
+    back as a broadcast.  Part-files order lexicographically by path (the
+    reference's files are single-file, where this is vacuous).  The same
+    id-contiguity guard fails loudly rather than misnumber.
+    """
+    spark = df.sparkSession
+    tagged = (
+        df.withColumn("_file", F.col("_metadata.file_path"))
+        .withColumn("_bstart", F.col("_metadata.file_block_start"))
+        .withColumn("_mid", F.monotonically_increasing_id())
+    )
+    stats = (
+        tagged.groupBy("_file", "_bstart")
+        .agg(
+            F.min("_mid").alias("_first"),
+            F.max("_mid").alias("_last"),
+            F.count("*").alias("_cnt"),
+        )
+        .collect()
+    )
+    bases = []
+    acc = 0
+    for r in sorted(stats, key=lambda r: (r["_file"], r["_bstart"])):
+        if r["_last"] - r["_first"] + 1 != r["_cnt"]:
+            raise RuntimeError(
+                "monotonically_increasing_id is not contiguous within a "
+                f"parquet split (file={r['_file']} block_start="
+                f"{r['_bstart']}) — positional row_id would be wrong"
+            )
+        bases.append((r["_file"], r["_bstart"], r["_first"], acc))
+        acc += r["_cnt"]
+    base_df = spark.createDataFrame(
+        bases, "_file string, _bstart long, _first long, _base long"
+    )
+    return (
+        tagged.join(F.broadcast(base_df), on=["_file", "_bstart"])
+        .withColumn(
+            "row_id", F.col("_base") + (F.col("_mid") - F.col("_first"))
+        )
+        .drop("_file", "_bstart", "_mid", "_first", "_base")
+    )
+
+
+def read_entries(
+    spark: SparkSession, path: str, synthesize_row_id: bool = False
+) -> DataFrame:
     """Tolerant canonical read of a Parquet entries table.
 
     Accepts files written by this engine *or* by the reference (including
     its legacy 8-column file).  Raises ``ValueError`` when a required
-    column is missing, matching mapColumns (query.go:228-230).
+    column is missing, matching mapColumns (query.go:228-230).  With
+    ``synthesize_row_id`` a file lacking ``row_id`` gets one derived from
+    physical position (see ``_attach_positional_row_id``) so positional
+    ops (seek/tail) work on reference-written files.
     """
     df = spark.read.parquet(path)
     present = {f.name: f.dataType for f in df.schema.fields}
     for req in _REQUIRED:
         if req not in present:
             raise ValueError(f"required column not found: {req}")
+    if "row_id" not in present and synthesize_row_id:
+        df = _attach_positional_row_id(df)
+        present["row_id"] = T.LongType()
 
     def _as_string(name: str) -> F.Column:
         col = F.col(name)

@@ -75,6 +75,29 @@ def test_read_reference_legacy_schema(spark):
     assert df.where(F.col("group") == "").count() >= 0  # group accessible
 
 
+def test_synthesized_row_id_matches_physical_order(spark):
+    """``synthesize_row_id`` on a reference-written file (no row_id column)
+    yields exactly the physical row positions — checked value-for-value
+    against pyarrow's in-order read of the 12-row-group bazel file."""
+    path = (
+        "/root/reference/testdata/"
+        "bazel-bazel_build_32517_rocky-rocky-linux-8.parquet"
+    )
+    if not os.path.exists(path):
+        pytest.skip("reference testdata not present")
+    df = read_entries(spark, path, synthesize_row_id=True)
+    n = df.count()
+    got = {
+        r["row_id"]: r["content"]
+        for r in df.select("row_id", "content").collect()
+    }
+    assert sorted(got) == list(range(n))  # dense 0..n-1
+    contents = pq.read_table(path, columns=["content"])["content"].to_pylist()
+    assert n == len(contents)
+    for pos in (0, 1, 5000, n - 2, n - 1):
+        assert got[pos] == contents[pos]
+
+
 def test_read_missing_optional_columns(spark, tmp_path):
     # variant parquet missing the boolean columns and group → defaults
     t = pa.table(
