@@ -26,6 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from buildkite_logs_parquet_spark.operators import curation as CU
 from buildkite_logs_parquet_spark.operators import dedup as D
 from buildkite_logs_parquet_spark.operators import queries as Q
 from buildkite_logs_parquet_spark.operators import similarity as S
@@ -610,6 +611,45 @@ def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling of the corpus: the kept set
+    is a pure function of (seed, doc_id), so it is identical run-to-run,
+    engine-to-engine, and layout-to-layout — the reproducibility property
+    ``df.sample`` (per-partition RNG) cannot provide.  One narrow
+    predicate; composes with scan pruning."""
+    docs = _t(spark, sf_dir, "documents")
+    sampled = CU.sample_stratified(
+        docs,
+        "doc_id",
+        "lang",
+        rates={"en": 0.3, "de": 1.0, "zh": 0.5},
+        default_rate=0.1,
+        seed=42,
+    )
+    return sampled.select("doc_id", "lang", "n_chars")
+
+
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter with auditable per-rule fail reasons."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.gopher_quality_filter(docs, "text").select(
+        "doc_id",
+        "n_tokens",
+        "mean_token_len",
+        "symbol_ratio",
+        "has_stopword",
+        "fail_reasons",
+        "passes",
+    )
+
+
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (dup-token / top-token /
+    top-bigram shares)."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.repetition_metrics(docs, "doc_id", "text")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -654,6 +694,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "embedding_label_centroid_sim": q_embedding_label_centroid_sim,
+        "sample_stratified": q_sample_stratified,
+        "gopher_filter": q_gopher_filter,
+        "repetition_metrics": q_repetition_metrics,
     }
 
 
@@ -1200,6 +1243,89 @@ SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b, round({_cos}, 4) AS cosine
 FROM banded a
 JOIN banded bb ON a.band = bb.band AND a.key = bb.key AND a.vec_id < bb.vec_id
 WHERE {_cos} >= {_NEAR_DUP_THRESHOLD}
+"""
+
+    # deterministic md5-bucket sampling: identical integer arithmetic in
+    # both engines (first 8 md5 hex digits → [0, 2^32) bucket)
+    _bucket = (
+        "CAST(concat('0x', substr(md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)"
+    )
+    _b32 = 1 << 32
+    sql["sample_stratified"] = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE {_bucket} < CASE lang
+  WHEN 'de' THEN {int(1.0 * _b32)}
+  WHEN 'en' THEN {int(0.3 * _b32)}
+  WHEN 'zh' THEN {int(0.5 * _b32)}
+  ELSE {int(0.1 * _b32)} END
+"""
+
+    _stop = (
+        "(len(regexp_extract_all(lower(text), '\\bthe\\b')) + "
+        "len(regexp_extract_all(lower(text), '\\band\\b')) + "
+        "len(regexp_extract_all(lower(text), '\\bof\\b')) + "
+        "len(regexp_extract_all(lower(text), '\\bto\\b')) + "
+        "len(regexp_extract_all(lower(text), '\\bis\\b')))"
+    )
+    sql["gopher_filter"] = f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens,
+         length(text) - len(regexp_extract_all(text, '\\s')) AS non_ws,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_sym,
+         length(text) AS n_chars,
+         {_stop} AS stop_hits
+  FROM documents
+),
+g AS (
+  SELECT doc_id, n_tokens,
+         non_ws / CAST(greatest(n_tokens, 1) AS DOUBLE) AS mean_len,
+         n_sym / CAST(greatest(n_chars, 1) AS DOUBLE) AS sym_ratio,
+         stop_hits > 0 AS has_stopword
+  FROM f
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         round(mean_len, 4) AS mean_token_len,
+         round(sym_ratio, 4) AS symbol_ratio,
+         has_stopword,
+         concat_ws(',',
+           CASE WHEN n_tokens < 10 THEN 'too_few_tokens' END,
+           CASE WHEN n_tokens > 1000 THEN 'too_many_tokens' END,
+           CASE WHEN mean_len < 3.0 THEN 'mean_token_len_low' END,
+           CASE WHEN mean_len > 10.0 THEN 'mean_token_len_high' END,
+           CASE WHEN sym_ratio > 0.1 THEN 'symbol_heavy' END,
+           CASE WHEN NOT has_stopword THEN 'no_stopword' END) AS fail_reasons
+  FROM g
+)
+SELECT *, fail_reasons = '' AS passes FROM r
+"""
+
+    sql["repetition_metrics"] = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+tc AS (SELECT doc_id, w, count(*) AS c FROM tok WHERE w <> '' GROUP BY doc_id, w),
+ts AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_unique_tokens, max(c) AS top_tok
+  FROM tc GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, list_extract(ws, CAST(i AS INT)) || ' ' || list_extract(ws, CAST(i AS INT) + 1) AS bg
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)
+),
+bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bg, max(c) AS top_bg FROM bc GROUP BY doc_id)
+SELECT ts.doc_id AS doc_id, n_tokens, n_unique_tokens,
+       round((n_tokens - n_unique_tokens) / CAST(n_tokens AS DOUBLE), 4) AS dup_token_ratio,
+       round(top_tok / CAST(n_tokens AS DOUBLE), 4) AS top_token_ratio,
+       round(coalesce(top_bg / CAST(n_bg AS DOUBLE), 0.0), 4) AS top_bigram_ratio
+FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
 """
 
     return sql

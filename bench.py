@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "token_stats",
     "lang_id",
     "quality_score",
+    "gopher_filter",
+    "repetition_metrics",
     "ann_cosine_topk",
     "embedding_near_dups_lsh",
     "winnow_fingerprint",

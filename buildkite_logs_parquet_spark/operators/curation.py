@@ -1,0 +1,222 @@
+"""Corpus-curation operators for large-scale training-data pipelines.
+
+Beyond-reference extensions (the reference is a single-log tool and has no
+corpus-level ops); every scalar here is engine-portable (md5 / regexp /
+integer arithmetic) so the DuckDB oracle replicates it bit-for-bit, and
+every plan is a narrow projection or a keyed aggregation — no shuffle
+carries document text unless the semantics require it.
+
+* deterministic sampling — md5-bucket Bernoulli: the sample is a pure
+  function of (seed, key), so re-running the pipeline (or running it on a
+  different cluster layout) selects the SAME rows.  Uniform and per-stratum
+  rate variants.  This is what `df.sample()` cannot give you: Spark's
+  sampler is seeded per-partition, so the selected set changes whenever the
+  partition layout does.
+* quality filtering (Gopher-style) — rule-based document filter with
+  per-rule failure reasons, after Rae et al. 2021 ("Scaling Language
+  Models", §A1.1): token-count bounds, mean-token-length band, symbol
+  ratio, stopword presence.  All built-in expressions; at 100 TB this is a
+  single narrow map over the corpus.
+* repetition metrics — within-document duplication signals from the same
+  Gopher appendix: duplicate-token ratio, most-common-token share, top
+  bigram share.  Plan: token/bigram explode → per-(doc, gram) count →
+  per-doc aggregate; everything is keyed by doc_id so it scales
+  horizontally and the shuffle carries (doc_id, gram-hash-sized) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: sampling buckets span [0, 2^32): the first 8 hex digits of an md5.
+_BUCKETS = 1 << 32
+
+
+def hash_bucket(key: Column, seed: int) -> Column:
+    """Deterministic bucket in [0, 2^32) — first 8 md5 hex digits of
+    ``"{seed}:{key}"``.  Pure content hash: stable across runs, engines,
+    partition layouts."""
+    tagged = F.concat(F.lit(f"{seed}:"), key.cast("string"))
+    return F.conv(F.substring(F.md5(tagged), 1, 8), 16, 10).cast("long")
+
+
+def sample_deterministic(
+    df: DataFrame, key_col: str, rate: float, seed: int = 42
+) -> DataFrame:
+    """Keep a ``rate`` fraction of rows, chosen by content hash of
+    ``key_col`` — reproducible run-to-run and engine-to-engine (unlike
+    ``DataFrame.sample``, whose per-partition RNG ties the selected set to
+    the physical layout).  The filter is a narrow predicate: it pushes no
+    data movement and composes with scan pruning."""
+    threshold = int(rate * _BUCKETS)
+    return df.where(hash_bucket(F.col(key_col), seed) < F.lit(threshold))
+
+
+def sample_stratified(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — e.g. downsample English to 10%
+    while keeping all low-resource languages.  One narrow predicate; the
+    per-stratum threshold is a CASE chain on ``stratum_col`` (broadcast-free:
+    the rate table is folded into the expression)."""
+    threshold: Column = F.lit(int(default_rate * _BUCKETS))
+    for value in sorted(rates):  # fixed order: deterministic expression
+        threshold = F.when(
+            F.col(stratum_col) == value, F.lit(int(rates[value] * _BUCKETS))
+        ).otherwise(threshold)
+    return df.where(hash_bucket(F.col(key_col), seed) < threshold)
+
+
+# ------------------------------------------------------ quality filtering
+
+#: Gopher-style rule set (Rae et al. 2021 §A1.1, simplified to portable
+#: scalars).  Names are the filter-reason vocabulary; order is the fixed
+#: reason-string order.
+GOPHER_DEFAULTS = {
+    "min_tokens": 10,
+    "max_tokens": 1000,
+    "min_mean_token_len": 3.0,
+    "max_mean_token_len": 10.0,
+    "max_symbol_ratio": 0.1,
+}
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    params: dict | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """Rule-based document filter with per-rule reasons.
+
+    Adds ``n_tokens``, ``mean_token_len``, ``symbol_ratio``,
+    ``has_stopword``, boolean ``passes``, and ``fail_reasons`` (the
+    comma-joined names of every failed rule, in fixed rule order — ``''``
+    when the document passes).  Keep/drop is then a trivial
+    ``.where("passes")``; keeping the reasons makes the filter auditable,
+    which at corpus scale matters more than the boolean.
+    """
+    from buildkite_logs_parquet_spark.operators.text_analysis import (
+        LANG_MARKERS,
+        marker_count,
+        token_count,
+    )
+
+    p = {**GOPHER_DEFAULTS, **(params or {})}
+    text = F.col(text_col)
+    n_tokens = token_count(text)
+    # mean token length over non-whitespace chars: whitespace never counts
+    # toward a token, so (chars - whitespace) / tokens is exact
+    non_ws = F.length(text) - F.regexp_count(text, F.lit(r"\s"))
+    mean_len = non_ws / F.greatest(n_tokens, F.lit(1)).cast("double")
+    symbol_ratio = F.regexp_count(text, F.lit(r"[^A-Za-z0-9\s]")) / F.greatest(
+        F.length(text), F.lit(1)
+    ).cast("double")
+    has_stopword = (
+        sum(marker_count(text, w) for w in LANG_MARKERS["en"]) > 0
+    )
+
+    rules: list[tuple[str, Column]] = [
+        ("too_few_tokens", n_tokens < p["min_tokens"]),
+        ("too_many_tokens", n_tokens > p["max_tokens"]),
+        ("mean_token_len_low", mean_len < p["min_mean_token_len"]),
+        ("mean_token_len_high", mean_len > p["max_mean_token_len"]),
+        ("symbol_heavy", symbol_ratio > p["max_symbol_ratio"]),
+        ("no_stopword", ~has_stopword),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    out = df.withColumns(
+        {
+            "n_tokens": n_tokens,
+            "mean_token_len": F.round(mean_len, round_to),
+            "symbol_ratio": F.round(symbol_ratio, round_to),
+            "has_stopword": has_stopword,
+            "fail_reasons": reasons,
+        }
+    )
+    return out.withColumn("passes", F.col("fail_reasons") == "")
+
+
+# ------------------------------------------------------ repetition metrics
+
+
+def _words(text_col: str) -> Column:
+    """Lowercased whitespace tokens; blank text → empty array (both engines
+    split '' into [''], so empties are filtered on the exploded side)."""
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def repetition_metrics(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Within-document repetition signals (Gopher §A1.1): for each doc,
+    ``dup_token_ratio`` (fraction of tokens that are repeats of an earlier
+    token), ``top_token_ratio`` (share of the most common token) and
+    ``top_bigram_ratio`` (share of the most common bigram among the n-1
+    bigrams; 0.0 for single-token docs).
+
+    Plan: one explode per gram kind → count by (doc, gram) → per-doc max /
+    distinct-count, rejoined on doc_id.  The shuffles are keyed by
+    (doc_id, gram): horizontal, and the heavy side carries short grams, not
+    documents.  High-repetition docs are exactly the skewed keys — but the
+    skew is bounded by document length, not corpus size, so no salting is
+    needed.
+    """
+    from buildkite_logs_parquet_spark.operators.dedup import _fan_out
+
+    words = _fan_out(df.select(F.col(id_col), _words(text_col).alias("_ws")))
+
+    tok = words.select(F.col(id_col), F.explode("_ws").alias("w")).where(
+        F.col("w") != ""
+    )
+    tok_counts = tok.groupBy(id_col, "w").agg(F.count("*").alias("c"))
+    tok_stats = tok_counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_unique_tokens"),
+        F.max("c").alias("_top_tok"),
+    )
+
+    n = F.size(F.filter(F.col("_ws"), lambda w: w != ""))
+    bigrams = words.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_ws"), 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(F.col("_ws"), 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bg"),
+    )
+    bg_counts = bigrams.groupBy(id_col, "bg").agg(F.count("*").alias("c"))
+    bg_stats = bg_counts.groupBy(id_col).agg(
+        F.sum("c").alias("_n_bg"), F.max("c").alias("_top_bg")
+    )
+
+    joined = tok_stats.join(bg_stats, on=id_col, how="left")
+    denom = F.col("n_tokens").cast("double")
+    return joined.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("n_unique_tokens"),
+        F.round(
+            (F.col("n_tokens") - F.col("n_unique_tokens")) / denom, round_to
+        ).alias("dup_token_ratio"),
+        F.round(F.col("_top_tok") / denom, round_to).alias("top_token_ratio"),
+        F.round(
+            F.coalesce(
+                F.col("_top_bg") / F.col("_n_bg").cast("double"), F.lit(0.0)
+            ),
+            round_to,
+        ).alias("top_bigram_ratio"),
+    )

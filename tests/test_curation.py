@@ -1,0 +1,140 @@
+"""Corpus-curation operators: deterministic sampling, Gopher-style quality
+filtering, within-document repetition metrics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from buildkite_logs_parquet_spark.operators.curation import (
+    gopher_quality_filter,
+    hash_bucket,
+    repetition_metrics,
+    sample_deterministic,
+    sample_stratified,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_sample_deterministic_is_reproducible_and_layout_independent(spark):
+    df = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"] for r in sample_deterministic(df, "doc_id", 0.3).collect()}
+    b = {r["doc_id"] for r in sample_deterministic(df, "doc_id", 0.3).collect()}
+    assert a == b
+    # layout independence: a different partitioning selects the SAME rows
+    # (the property df.sample cannot give)
+    c = {
+        r["doc_id"]
+        for r in sample_deterministic(
+            df.repartition(17, "doc_id"), "doc_id", 0.3
+        ).collect()
+    }
+    assert a == c
+    # rate is approximately honored (md5 buckets are uniform)
+    assert 0.25 < len(a) / 10_000 < 0.35
+
+
+def test_sample_deterministic_is_a_subset_lattice(spark):
+    """Lower rates select subsets of higher rates (same seed): thresholds
+    nest, so a 10% sample is contained in the 30% sample — the property
+    that makes staged downsampling consistent across pipeline versions."""
+    df = spark.range(5_000).select(F.col("id").alias("doc_id"))
+    small = {r["doc_id"] for r in sample_deterministic(df, "doc_id", 0.1).collect()}
+    large = {r["doc_id"] for r in sample_deterministic(df, "doc_id", 0.3).collect()}
+    assert small < large
+
+
+def test_sample_stratified_respects_per_stratum_rates(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de", f"doc {i}") for i in range(8_000)]
+    df = _docs(spark, rows)
+    out = sample_stratified(
+        df, "doc_id", "lang", {"en": 0.1, "de": 1.0}, default_rate=0.0
+    )
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["de"] == 4_000  # rate 1.0 keeps everything
+    assert 250 < counts["en"] < 550  # ~10% of 4,000
+
+
+def test_sample_stratified_default_rate_drops_unlisted_strata(spark):
+    rows = [(i, ["en", "fr", "zh"][i % 3], "x") for i in range(300)]
+    out = sample_stratified(
+        _docs(spark, rows), "doc_id", "lang", {"en": 1.0}, default_rate=0.0
+    )
+    assert {r["lang"] for r in out.select("lang").distinct().collect()} == {"en"}
+
+
+def test_hash_bucket_range(spark):
+    df = spark.range(1_000).select(
+        hash_bucket(F.col("id"), seed=7).alias("b")
+    )
+    mn, mx = df.agg(F.min("b"), F.max("b")).first()
+    assert 0 <= mn and mx < (1 << 32)
+
+
+def test_gopher_filter_reasons(spark):
+    rows = [
+        # passes every rule
+        (0, "en", "the quick brown fox jumps over the lazy dog and runs to it"),
+        # too few tokens + no stopword
+        (1, "en", "short text here"),
+        # symbol-heavy (and stopword present so only one reason)
+        (2, "en", "the $$ %% @@ !! ## && ** (( )) ;; :: '' \"\" ^^ ~~ ||"),
+        # mean token length high: 12-char tokens, stopword 'the' present
+        (3, "en", "the abcdefghijkl abcdefghijkl abcdefghijkl abcdefghijkl "
+                  "abcdefghijkl abcdefghijkl abcdefghijkl abcdefghijkl abcdefghijkl"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_filter(_docs(spark, rows)).collect()
+    }
+    assert out[0]["passes"] and out[0]["fail_reasons"] == ""
+    assert not out[1]["passes"]
+    assert set(out[1]["fail_reasons"].split(",")) == {
+        "too_few_tokens",
+        "no_stopword",
+    }
+    assert "symbol_heavy" in out[2]["fail_reasons"]
+    assert out[3]["fail_reasons"] == "mean_token_len_high"
+    # reasons are in fixed rule order (auditable, hash-stable)
+    assert out[1]["fail_reasons"] == "too_few_tokens,no_stopword"
+
+
+def test_gopher_filter_params_override(spark):
+    rows = [(0, "en", "the cat is on the mat")]
+    strict = gopher_quality_filter(
+        _docs(spark, rows), params={"min_tokens": 50}
+    ).first()
+    assert "too_few_tokens" in strict["fail_reasons"]
+
+
+def test_repetition_metrics_hand_computed(spark):
+    rows = [
+        (0, "en", "a a a b"),
+        (1, "en", "x y z w"),
+        (2, "en", "solo"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in repetition_metrics(_docs(spark, rows), "doc_id").collect()
+    }
+    d0 = out[0]
+    assert d0["n_tokens"] == 4 and d0["n_unique_tokens"] == 2
+    assert d0["dup_token_ratio"] == 0.5
+    assert d0["top_token_ratio"] == 0.75
+    # bigrams: "a a", "a a", "a b" → top share 2/3
+    assert d0["top_bigram_ratio"] == 0.6667
+    d1 = out[1]
+    assert d1["dup_token_ratio"] == 0.0 and d1["top_bigram_ratio"] == 0.3333
+    d2 = out[2]  # single token: no bigrams → ratio 0.0
+    assert d2["n_tokens"] == 1 and d2["top_bigram_ratio"] == 0.0
+
+
+def test_repetition_metrics_case_fold(spark):
+    rows = [(0, "en", "The THE the")]
+    r = repetition_metrics(_docs(spark, rows), "doc_id").first()
+    assert r["n_unique_tokens"] == 1 and r["dup_token_ratio"] == 0.6667
