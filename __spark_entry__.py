@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from buildkite_logs_parquet_spark.operators import curation as CU
 from buildkite_logs_parquet_spark.operators import dedup as D
+from buildkite_logs_parquet_spark.operators import packing as PK
 from buildkite_logs_parquet_spark.operators import queries as Q
 from buildkite_logs_parquet_spark.operators import similarity as S
 from buildkite_logs_parquet_spark.operators import text_analysis as TA
@@ -650,6 +651,14 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.repetition_metrics(docs, "doc_id", "text")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing of the corpus into 64-token training
+    sequences, driven by a distributed prefix sum (no single-task global
+    window — see operators/packing.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return PK.pack_sequences(docs, "doc_id", "text", capacity=64)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -697,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "gopher_filter": q_gopher_filter,
         "repetition_metrics": q_repetition_metrics,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1326,6 +1336,29 @@ SELECT ts.doc_id AS doc_id, n_tokens, n_unique_tokens,
        round(top_tok / CAST(n_tokens AS DOUBLE), 4) AS top_token_ratio,
        round(coalesce(top_bg / CAST(n_bg AS DOUBLE), 0.0), 4) AS top_bigram_ratio
 FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+"""
+
+    sql["pack_sequences"] = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS w
+  FROM documents
+),
+c AS (
+  SELECT doc_id, w,
+         CAST(coalesce(sum(w) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+  FROM t WHERE w > 0
+),
+e AS (
+  SELECT doc_id, w, st,
+         unnest(range(st // 64, (st + w - 1) // 64 + 1)) AS seq_id
+  FROM c
+)
+SELECT seq_id, count(*) AS n_docs,
+       CAST(sum(least(st + w, (seq_id + 1) * 64) - greatest(st, seq_id * 64)) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM e GROUP BY seq_id
 """
 
     return sql

@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "quality_score",
     "gopher_filter",
     "repetition_metrics",
+    "pack_sequences",
     "ann_cosine_topk",
     "embedding_near_dups_lsh",
     "winnow_fingerprint",

@@ -1,0 +1,136 @@
+"""Sequence packing: map a document stream onto fixed-capacity training
+sequences (concat-and-chunk at the context length), the final assembly step
+of an LLM training-data pipeline.
+
+The core primitive is a **distributed exclusive prefix sum** over a global
+ordering — the thing a naive ``Window.orderBy`` does in ONE task and this
+module does in three metadata-cheap steps:
+
+1. range-partition by the order column (contiguous key ranges per
+   partition, shuffled once, persisted so every downstream pass sees the
+   same layout);
+2. per-partition totals → driver (one row per partition — metadata-sized,
+   like the split-offset technique in ``sources/logs.py``) → cumulative
+   partition offsets broadcast back;
+3. per-partition windows (parallel across partitions) add the in-partition
+   exclusive prefix to the broadcast offset.
+
+Every step is horizontal; the only driver data is #partitions rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def with_global_offsets(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    out_col: str = "start",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = exclusive prefix sum of ``weight_col`` in global
+    ``order_col`` order, without a single-task global window.
+
+    The range repartition is persisted before the totals pass so the
+    partition layout is computed once and shared by both jobs (range
+    boundaries come from a sampling pass; persisting pins one outcome).
+    Rows with equal ``order_col`` values land in one partition (range
+    partitioner invariant), but their relative order within the window is
+    then arbitrary — use a unique order column for deterministic output.
+    """
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    tagged = (
+        df.repartitionByRange(n, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    totals = (
+        tagged.groupBy("_pid")
+        .agg(F.sum(weight_col).alias("_t"), F.min(order_col).alias("_mn"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for r in sorted(totals, key=lambda r: r["_mn"]):  # ranges are ordered
+        offsets.append((r["_pid"], acc))
+        acc += r["_t"]
+    odf = spark.createDataFrame(offsets, "_pid int, _off long")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        tagged.join(F.broadcast(odf), "_pid")
+        .withColumn(
+            out_col,
+            (F.coalesce(F.sum(weight_col).over(w), F.lit(0)) + F.col("_off")).cast(
+                "long"
+            ),
+        )
+        .drop("_pid", "_off")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    capacity: int = 64,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk packing: documents are laid end-to-end in
+    ``id_col`` order and cut into sequences of exactly ``capacity`` tokens
+    (the last sequence may be short) — GPT-style training assembly, where
+    a document may straddle a sequence boundary.
+
+    Returns one row per sequence: ``seq_id``, ``n_docs`` (documents
+    overlapping the sequence), ``n_tokens`` (token positions filled —
+    ``capacity`` everywhere but the tail), ``first_doc``/``last_doc``.
+
+    Token weights default to the whitespace token count of ``text_col``;
+    pass ``weight_col`` to pack by a precomputed budget (e.g. a real
+    tokenizer's counts).  Zero-token documents are dropped — they occupy
+    no positions, so they have no sequence to belong to.
+
+    Plan: prefix-sum (see ``with_global_offsets``) → per-doc sequence span
+    by integer division → explode the span → groupBy seq_id.  The explode
+    fan-out is bounded by ceil(doc_tokens / capacity) + 1, so the shuffle
+    is proportional to corpus tokens / capacity.
+    """
+    from buildkite_logs_parquet_spark.operators.text_analysis import token_count
+
+    weight = F.col(weight_col) if weight_col else token_count(F.col(text_col))
+    base = (
+        df.select(F.col(id_col), weight.cast("long").alias("_w"))
+        .where(F.col("_w") > 0)
+    )
+    started = with_global_offsets(base, id_col, "_w", out_col="_start")
+    spans = started.select(
+        F.col(id_col),
+        "_w",
+        "_start",
+        F.expr(f"_start DIV {capacity}").alias("_first_seq"),
+        F.expr(f"(_start + _w - 1) DIV {capacity}").alias("_last_seq"),
+    )
+    exploded = spans.select(
+        F.col(id_col),
+        "_w",
+        "_start",
+        F.explode(F.sequence("_first_seq", "_last_seq")).alias("seq_id"),
+    )
+    contrib = F.least(
+        F.col("_start") + F.col("_w"), (F.col("seq_id") + 1) * capacity
+    ) - F.greatest(F.col("_start"), F.col("seq_id") * capacity)
+    return exploded.groupBy("seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(contrib).alias("n_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )

@@ -1,0 +1,83 @@
+"""Sequence packing and the distributed prefix-sum primitive."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from buildkite_logs_parquet_spark.operators.packing import (
+    pack_sequences,
+    with_global_offsets,
+)
+
+
+def test_global_offsets_match_single_window(spark):
+    """The 3-step distributed prefix sum equals the textbook global-window
+    cumsum, on data spread over many partitions."""
+    df = spark.range(0, 5_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("w")
+    ).repartition(16)
+    got = with_global_offsets(df, "k", "w", out_col="start")
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want = df.withColumn("start", F.coalesce(F.sum("w").over(w), F.lit(0)))
+    assert got.select("k", "start").subtract(want.select("k", "start")).count() == 0
+    assert want.select("k", "start").subtract(got.select("k", "start")).count() == 0
+
+
+def test_global_offsets_no_single_task_window(spark):
+    """The plan must not contain a global-order (empty partition spec)
+    window — the whole point of the primitive."""
+    df = spark.range(0, 100).select(F.col("id").alias("k"), F.lit(1).alias("w"))
+    plan = with_global_offsets(df, "k", "w")._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Window .*?windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        # every window spec must name a partition column before the sort col
+        assert "_pid" in spec, plan
+
+
+def test_pack_sequences_hand_computed(spark):
+    rows = [(0, 4), (1, 5), (2, 3), (3, 10), (4, 2)]
+    df = spark.createDataFrame(rows, "doc_id long, toks long")
+    out = {
+        r["seq_id"]: r
+        for r in pack_sequences(
+            df, "doc_id", capacity=10, weight_col="toks"
+        ).collect()
+    }
+    # layout: starts 0,4,9,12,22 — doc2 straddles seq0/1, doc3 seq1/2
+    assert out[0]["n_docs"] == 3 and out[0]["n_tokens"] == 10
+    assert out[0]["first_doc"] == 0 and out[0]["last_doc"] == 2
+    assert out[1]["n_docs"] == 2 and out[1]["n_tokens"] == 10
+    assert out[1]["first_doc"] == 2 and out[1]["last_doc"] == 3
+    assert out[2]["n_docs"] == 2 and out[2]["n_tokens"] == 4
+    assert out[2]["last_doc"] == 4
+    assert len(out) == 3
+
+
+def test_pack_sequences_invariants_on_documents(spark):
+    """Every sequence except the last is exactly full, and filled positions
+    sum to the corpus token total — conservation, no positions lost or
+    duplicated."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cap = 64
+    packed = pack_sequences(docs, "doc_id", "text", capacity=cap).collect()
+    from buildkite_logs_parquet_spark.operators.text_analysis import token_count
+
+    total = docs.select(F.sum(token_count(F.col("text")))).first()[0]
+    assert sum(r["n_tokens"] for r in packed) == total
+    last = max(r["seq_id"] for r in packed)
+    for r in packed:
+        if r["seq_id"] != last:
+            assert r["n_tokens"] == cap, r
+    # seq ids are dense 0..last
+    assert sorted(r["seq_id"] for r in packed) == list(range(last + 1))
+
+
+def test_pack_sequences_drops_zero_token_docs(spark):
+    rows = [(0, "a b c"), (1, "   "), (2, "d e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = pack_sequences(df, "doc_id", "text", capacity=10).collect()
+    assert len(packed) == 1
+    assert packed[0]["n_docs"] == 2 and packed[0]["n_tokens"] == 5
