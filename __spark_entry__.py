@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from buildkite_logs_parquet_spark.operators import curation as CU
 from buildkite_logs_parquet_spark.operators import dedup as D
+from buildkite_logs_parquet_spark.operators import graph as G
 from buildkite_logs_parquet_spark.operators import packing as PK
 from buildkite_logs_parquet_spark.operators import queries as Q
 from buildkite_logs_parquet_spark.operators import similarity as S
@@ -659,6 +660,19 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PK.pack_sequences(docs, "doc_id", "text", capacity=64)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering end-to-end: MinHash-LSH candidate pairs →
+    connected components (iterative min-label propagation) → per-document
+    cluster id + canonical flag.  The oracle replays the same pair
+    construction and closes it with a recursive CTE, so even the
+    *iterative* operator carries a full value-level oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(
+        docs, "doc_id", "text", num_perm=8, bands=4, shingle_k=8, threshold=0.25
+    ).select("id_a", "id_b")
+    return G.dedup_clusters(docs, pairs, id_col="doc_id")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -707,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "repetition_metrics": q_repetition_metrics,
         "pack_sequences": q_pack_sequences,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1360,5 +1375,39 @@ SELECT seq_id, count(*) AS n_docs,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM e GROUP BY seq_id
 """
+
+    _agree = " + ".join(
+        f"CASE WHEN a.minhash_{p} = b.minhash_{p} THEN 1 ELSE 0 END"
+        for p in range(8)
+    )
+    # min-label transitive closure: propagating a component's minimum m
+    # through any node y is admissible because m < y for every non-min
+    # node, so the (comp < next) prune never blocks the true minimum and
+    # keeps the recursion linear in component size.
+    sql["dedup_clusters"] = (
+        "WITH RECURSIVE "
+        + _LSH_PAIRS_CTE.lstrip()
+        + f""",
+nd AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN signatures a ON c.id_a = a.doc_id
+  JOIN signatures b ON c.id_b = b.doc_id
+  WHERE (({_agree}) / 8.0) >= 0.25
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM nd
+  UNION ALL
+  SELECT id_b, id_a FROM nd
+),
+reach(id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id WHERE r.comp < s.b
+)
+SELECT id AS doc_id, min(comp) AS cluster, min(comp) = id AS is_canonical
+FROM reach GROUP BY id
+"""
+    )
 
     return sql

@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "doc_fingerprint",
     "minhash_near_dups",
+    "dedup_clusters",
     "token_stats",
     "lang_id",
     "quality_score",
