@@ -673,6 +673,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.dedup_clusters(docs, pairs, id_col="doc_id")
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set contamination: 13-gram overlap between the training split
+    (source <> 'src0') and the benchmark split (source = 'src0'), with the
+    benchmark gram set broadcast — at corpus scale the training grams
+    never shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.benchmark_contamination(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        k=13,
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -722,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": q_repetition_metrics,
         "pack_sequences": q_pack_sequences,
         "dedup_clusters": q_dedup_clusters,
+        "contamination": q_contamination,
     }
 
 
@@ -1409,5 +1425,30 @@ SELECT id AS doc_id, min(comp) AS cluster, min(comp) = id AS is_canonical
 FROM reach GROUP BY id
 """
     )
+
+    _gram_h = (
+        "CAST(concat('0x', substr(md5(concat('0:', "
+        "substr(text, CAST(i AS INT), 13))), 1, 15)) AS BIGINT)"
+    )
+    _gram_src = """
+  SELECT doc_id, text,
+         unnest(range(1, greatest(length(text) - 12, 1) + 1)) AS i
+  FROM documents WHERE source {op} 'src0'
+"""
+    sql["contamination"] = f"""
+WITH tg AS (
+  SELECT DISTINCT doc_id, {_gram_h} AS h
+  FROM ({_gram_src.format(op='<>')})
+),
+bg AS (
+  SELECT DISTINCT doc_id, {_gram_h} AS h
+  FROM ({_gram_src.format(op='=')})
+)
+SELECT tg.doc_id AS doc_id,
+       count(DISTINCT tg.h) AS n_shared_ngrams,
+       count(DISTINCT bg.doc_id) AS n_benchmark_docs
+FROM tg JOIN bg ON tg.h = bg.h
+GROUP BY tg.doc_id
+"""
 
     return sql

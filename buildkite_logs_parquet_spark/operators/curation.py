@@ -145,6 +145,64 @@ def gopher_quality_filter(
     return out.withColumn("passes", F.col("fail_reasons") == "")
 
 
+# ------------------------------------------------- contamination checking
+
+
+def benchmark_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 13,
+    hash_fn: str = "md5",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Test-set contamination scan (GPT-3-style 13-gram overlap): for every
+    training document sharing at least one character k-gram with the
+    benchmark set, report ``n_shared_ngrams`` (distinct shared grams) and
+    ``n_benchmark_docs`` (distinct benchmark documents hit).
+
+    The 100 TB shape: the benchmark side is an eval set — tiny by
+    definition — so its distinct gram hashes are **broadcast**
+    (``broadcast_benchmark``), and the corpus-sized side is filtered by a
+    broadcast hash join with NO shuffle of corpus grams; only the
+    per-document aggregation shuffles, and it carries (id, 8-byte hash)
+    rows.  Set ``broadcast_benchmark=False`` only if the "benchmark" is
+    itself corpus-sized.
+
+    Documents shorter than ``k`` contribute their whole text as a single
+    short gram (consistent with the n-gram Jaccard operator).
+    """
+    from buildkite_logs_parquet_spark.operators.dedup import _fan_out, _hash64
+
+    def grams(df: DataFrame, alias: str) -> DataFrame:
+        n = F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1))
+        return (
+            _fan_out(df)
+            .select(
+                F.col(id_col).alias(alias),
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), n),
+                        lambda p: F.col(text_col).substr(p, F.lit(k)),
+                    )
+                ).alias("_g"),
+            )
+            .select(F.col(alias), _hash64(F.col("_g"), 0, hash_fn).alias("_h"))
+            .distinct()
+        )
+
+    tg = grams(train, "train_id")
+    bg = grams(benchmark, "bench_id")
+    if broadcast_benchmark:
+        bg = F.broadcast(bg)
+    hits = tg.join(bg, on="_h")
+    return hits.groupBy(F.col("train_id").alias(id_col)).agg(
+        F.count_distinct(F.col("_h")).alias("n_shared_ngrams"),
+        F.count_distinct(F.col("bench_id")).alias("n_benchmark_docs"),
+    )
+
+
 # ------------------------------------------------------ repetition metrics
 
 

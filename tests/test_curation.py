@@ -138,3 +138,42 @@ def test_repetition_metrics_case_fold(spark):
     rows = [(0, "en", "The THE the")]
     r = repetition_metrics(_docs(spark, rows), "doc_id").first()
     assert r["n_unique_tokens"] == 1 and r["dup_token_ratio"] == 0.6667
+
+
+def test_benchmark_contamination_hand_computed(spark):
+    train = _docs(
+        spark,
+        [
+            (0, "en", "the secret benchmark answer is fortytwo"),
+            (1, "en", "completely unrelated training text here"),
+            (2, "en", "another doc with the secret benchmark answer inside"),
+        ],
+    )
+    bench = _docs(spark, [(100, "en", "secret benchmark answer")])
+    from buildkite_logs_parquet_spark.operators.curation import (
+        benchmark_contamination,
+    )
+
+    out = {
+        r["doc_id"]: r
+        for r in benchmark_contamination(train, bench, "doc_id", k=13).collect()
+    }
+    # doc 1 shares no 13-gram with the benchmark → absent
+    assert set(out) == {0, 2}
+    # "secret benchmark answer" (23 chars) has 11 distinct 13-grams, all
+    # present verbatim in docs 0 and 2
+    assert out[0]["n_shared_ngrams"] == 11
+    assert out[2]["n_shared_ngrams"] == 11
+    assert out[0]["n_benchmark_docs"] == 1
+
+
+def test_benchmark_contamination_broadcasts_the_benchmark(spark):
+    from buildkite_logs_parquet_spark.operators.curation import (
+        benchmark_contamination,
+    )
+    from buildkite_logs_parquet_spark.plans.checks import explain_str
+
+    train = _docs(spark, [(0, "en", "some training document text")])
+    bench = _docs(spark, [(1, "en", "benchmark text")])
+    plan = explain_str(benchmark_contamination(train, bench, "doc_id"))
+    assert "BroadcastHashJoin" in plan
