@@ -3,17 +3,29 @@ deduplication: candidate pairs from MinHash-LSH / SimHash / embedding-LSH
 are edges, and each connected component is one duplicate cluster, of which
 one canonical document is kept.
 
-Algorithm: iterative min-label propagation (the alternating-star family of
-Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14,
-reduces round count for pathological diameters; plain propagation is the
-right default for near-dup graphs, whose components are shallow).  Each
-round is one equi-join + one keyed aggregation — both horizontal — and the
-driver sees only a single aggregate per round (the label-sum convergence
-probe), never row data.
+Algorithm: min-label propagation with pointer jumping (the path-doubling
+idea of Shiloach–Vishkin; the alternating-star family of Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14, is the same
+round-compression goal).  Each round does one edge join, one keyed
+aggregation, and one jump join ``comp ← prev_label(comp)`` through the
+previous (already materialized) label table, so label chains compress
+well beyond plain propagation and each round evaluates one plan tree
+exactly once.  The driver sees one aggregate per round (the label-sum
+convergence probe), never row data.
 
-Lineage is truncated every round with an eager ``localCheckpoint``:
-without it the plan doubles per iteration and Catalyst analysis time
-dominates beyond ~10 rounds.
+Scale discipline:
+
+* The loop iterates over **edge-touched nodes only** — at corpus scale the
+  overwhelming majority of documents appear in no candidate pair, and
+  carrying them through every round would dominate the cost.  Singletons
+  are folded in by one final left join (``dedup_clusters``).
+* The input edge list is materialized ONCE (eager ``localCheckpoint``)
+  before symmetrization — the candidate-pair pipeline upstream (LSH band
+  join + verification) is far too expensive to evaluate once per
+  orientation, let alone once per round.
+* Lineage is truncated every round with an eager ``localCheckpoint``:
+  without it the plan doubles per iteration and Catalyst analysis time
+  dominates beyond ~10 rounds.
 """
 
 from __future__ import annotations
@@ -34,11 +46,11 @@ def connected_components(
 
     ``edges`` is an undirected pair list (each pair listed once in either
     orientation).  ``nodes`` optionally supplies the full vertex set (one
-    ``id_col`` column) so isolated nodes — documents with no near-dup
-    candidate — come out as singleton components; without it the vertex
-    set is derived from the edges.
+    ``id_col`` column) so isolated nodes come out as singleton components;
+    when the vertex set is corpus-sized, prefer leaving ``nodes=None`` and
+    joining singletons back afterwards (see ``dedup_clusters``) so the
+    iteration only carries edge-touched nodes.
 
-    Rounds needed = component diameter (near-dup clusters: a handful).
     Convergence is detected by the label sum, which strictly decreases
     until fixpoint — one tiny aggregate per round instead of a
     changed-rows join.  Raises ``RuntimeError`` after ``max_iter`` rounds
@@ -46,10 +58,13 @@ def connected_components(
     """
     from pyspark import StorageLevel
 
-    sym = (
+    e0 = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .where(F.col("a") != F.col("b"))
+        .localCheckpoint(eager=True)  # evaluate the pair pipeline ONCE
+    )
+    sym = (
+        e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -66,16 +81,29 @@ def connected_components(
             .groupBy(F.col("b").alias("id"))
             .agg(F.min("comp").alias("_nc"))
         )
-        new_labels = (
-            labels.join(neigh_min, on="id", how="left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce(F.col("_nc"), F.col("comp"))).alias(
-                    "comp"
-                ),
-            )
-            .localCheckpoint(eager=True)
+        cand = labels.join(neigh_min, on="id", how="left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce(F.col("_nc"), F.col("comp"))).alias(
+                "comp"
+            ),
         )
+        # pointer jump THROUGH THE MATERIALIZED PREVIOUS LABELS:
+        # prev_label(x) ≤ x and stays in x's component, so it is an
+        # admissible compression — and unlike jumping through `cand`
+        # itself (a self-join on an unmaterialized subtree, which would
+        # evaluate the whole round's plan twice), the previous labels are
+        # already checkpointed, so each round evaluates one tree once.
+        jumped = cand.join(
+            labels.select(F.col("id").alias("_jid"), F.col("comp").alias("_jc")),
+            cand.comp == F.col("_jid"),
+            how="left",
+        ).select(
+            "id",
+            F.least(F.col("comp"), F.coalesce(F.col("_jc"), F.col("comp"))).alias(
+                "comp"
+            ),
+        )
+        new_labels = jumped.localCheckpoint(eager=True)
         cur_sum = new_labels.agg(
             F.sum(F.col("comp").cast("decimal(38,0)"))
         ).first()[0]
@@ -96,14 +124,25 @@ def dedup_clusters(
     pair_b: str = "id_b",
 ) -> DataFrame:
     """Assign every document to its near-dup cluster (smallest doc id in
-    the component) and flag the canonical survivor.  ``docs`` supplies the
-    full corpus so untouched documents become singleton clusters —
-    ``.where("is_canonical")`` is then exactly the deduplicated corpus."""
-    comp = connected_components(
-        pairs, src=pair_a, dst=pair_b, nodes=docs, id_col=id_col
-    )
-    return comp.select(
-        F.col("id").alias(id_col),
-        F.col("comp").alias("cluster"),
-        (F.col("comp") == F.col("id")).alias("is_canonical"),
+    the component) and flag the canonical survivor.
+
+    The component iteration runs over edge-touched documents only; the
+    full corpus joins in once at the end, untouched documents becoming
+    singleton clusters — so the per-round cost scales with the candidate
+    pairs, not the corpus.  ``.where("is_canonical")`` is exactly the
+    deduplicated corpus.
+    """
+    comp = connected_components(pairs, src=pair_a, dst=pair_b)
+    return (
+        docs.select(F.col(id_col))
+        .join(
+            comp.select(F.col("id").alias(id_col), "comp"), on=id_col, how="left"
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("comp"), F.col(id_col)).alias("cluster"),
+            (F.coalesce(F.col("comp"), F.col(id_col)) == F.col(id_col)).alias(
+                "is_canonical"
+            ),
+        )
     )
