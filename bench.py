@@ -68,6 +68,12 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = qs[name]
         best = None
+        # isolate queries from each other's storage pressure: cached blocks
+        # left by an earlier query (persisted signatures, checkpoints) can
+        # evict a later query's working set and distort its timing.  The
+        # cache is NOT cleared between the runs of one query — min-of-runs
+        # deliberately measures the steady state incl. legitimate reuse.
+        spark.catalog.clearCache()
         for _ in range(runs):  # steady-state: min over runs (JVM/codegen warm)
             t0 = time.monotonic()
             df = fn(spark, sf_dir)
