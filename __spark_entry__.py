@@ -549,6 +549,33 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NEAR_DUP_THRESHOLD = 0.463
 
 
+def _ivf_centroids(n: int = 8, dim: int = 64, seed: int = 7) -> list[list[float]]:
+    """Seeded literal IVF centroids — deterministic, so the approximate
+    IVF search itself is reproducible and oracle-checkable (the oracle
+    inlines the same values)."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n)]
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: coarse-assign every vector to its nearest
+    of 8 literal centroids, probe the query's 3 nearest cells, exact-score
+    inside them.  At scale the cell id is the partition column, so the
+    probe becomes partition pruning."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return S.ivf_topk(
+        emb.where(F.col("vec_id") != 0),
+        _ivf_centroids(),
+        qvec,
+        k=10,
+        n_probe=3,
+        round_to=4,
+    )
+
+
 def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded hyperplane-LSH near-dup pairs — the scale path, registered
     with a DuckDB oracle that replays the same seeded planes as literals.
@@ -738,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "dedup_clusters": q_dedup_clusters,
         "contamination": q_contamination,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 
@@ -1425,6 +1453,64 @@ SELECT id AS doc_id, min(comp) AS cluster, min(comp) = id AS is_canonical
 FROM reach GROUP BY id
 """
     )
+
+    # IVF oracle: replay the same literal centroids.  The normalized
+    # centroid lists and per-centroid norms are computed by the SAME
+    # Python expressions the Spark operator uses, then inlined — so both
+    # engines evaluate identical double literals; the probe-cell ranking
+    # mirrors ivf_topk's driver-side formula term for term.
+    import math as _math
+
+    _cents = _ivf_centroids()
+    _cns = [
+        _math.sqrt(sum(x * x for x in c)) or 1.0 for c in _cents
+    ]
+    _norm_lits = [
+        "[" + ", ".join(repr(x / cn) for x in c) + "]"
+        for c, cn in zip(_cents, _cns)
+    ]
+    _raw_lits = ["[" + ", ".join(repr(x) for x in c) + "]" for c in _cents]
+    _cent_rows = ",\n         ".join(
+        f"({cid}, {_raw_lits[cid]}, {_cns[cid]!r})" for cid in range(len(_cents))
+    )
+    _s_cols = ",\n         ".join(
+        f"list_inner_product(CAST(embedding AS DOUBLE[]), {_norm_lits[cid]}) AS s{cid}"
+        for cid in range(len(_cents))
+    )
+    _m = "greatest(" + ", ".join(f"s{cid}" for cid in range(len(_cents))) + ")"
+    # first argmax — the image of ivf_assign's strictly-greater chain
+    _cell = (
+        "CASE "
+        + " ".join(f"WHEN s{cid} = {_m} THEN {cid}" for cid in range(len(_cents)))
+        + " END"
+    )
+    _qcos = (
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "(SELECT qv FROM q)), 4)"
+    )
+    sql["ann_ivf_topk"] = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+cent(cid, c, cn) AS (
+  VALUES {_cent_rows}
+),
+probe AS (
+  SELECT cid FROM cent, q
+  ORDER BY list_inner_product(qv, c) / (sqrt(list_inner_product(qv, qv)) * cn) DESC, cid
+  LIMIT 3
+),
+s AS (
+  SELECT vec_id, embedding,
+         {_s_cols}
+  FROM embeddings WHERE vec_id <> 0
+),
+a AS (
+  SELECT vec_id, embedding, {_cell} AS cell FROM s
+)
+SELECT vec_id, {_qcos} AS cosine
+FROM a WHERE cell IN (SELECT cid FROM probe)
+ORDER BY {_qcos} DESC, vec_id
+LIMIT 10
+"""
 
     _gram_h = (
         "CAST(concat('0x', substr(md5(concat('0:', "

@@ -163,6 +163,44 @@ def ivf_assign(
     return df.withColumn("ivf_cell", best_id.cast("int"))
 
 
+def ivf_topk(
+    df: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: rows are coarse-assigned to
+    their nearest centroid (``ivf_assign``), the query probes only its
+    ``n_probe`` nearest cells, and exact cosine scoring runs inside those
+    cells alone.
+
+    The 100 TB shape: the cell id is computed at ingest and used as the
+    table's partition column, so a probe becomes *partition pruning* — the
+    scan reads only the probed cells' files and the exact scoring touches
+    a |probed cells| / |cells| fraction of the corpus.  Here the cell
+    filter is applied in-plan; the pruning claim is tested via the
+    bucket-partitioned layout in test_similarity.
+
+    Centroid ranking for the probe set happens driver-side on plain
+    floats (|C| dot products — metadata-sized); ties rank the lower cell
+    id first, deterministically.
+    """
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    scored = []
+    for cid, c in enumerate(centroids):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        sim = sum(a * b for a, b in zip(query_vec, c)) / (qn * cn)
+        scored.append((-sim, cid))
+    probes = [cid for _, cid in sorted(scored)[:n_probe]]
+    assigned = ivf_assign(df, centroids, vec_col)
+    pruned = assigned.where(F.col("ivf_cell").isin(probes))
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col, round_to=round_to)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -108,3 +108,67 @@ def test_ivf_assign_partitions_all_rows(spark, vectors):
     assert out.select("ivf_cell").distinct().count() <= 3
     # vector 0 must land on its own centroid
     assert out.where(F.col("vec_id") == 0).first()["ivf_cell"] == 0
+
+
+def test_ivf_topk_equals_bruteforce_within_probed_cells(spark, vectors):
+    """ivf_topk == exact top-k restricted to the probed cells, and the
+    probed cells are the query's nearest centroids."""
+    df, rows = vectors
+    rng = random.Random(3)
+    centroids = [[rng.gauss(0, 1) for _ in range(DIM)] for _ in range(4)]
+    qvec = rows[0][1]
+    got = S.ivf_topk(
+        df.where(F.col("vec_id") != 0), centroids, qvec, k=5, n_probe=2,
+        round_to=None,
+    ).collect()
+    # reference: assign in python, keep 2 nearest cells, brute-force score
+    def cell(v):
+        best, bs = 0, None
+        for cid, c in enumerate(centroids):
+            cn = math.sqrt(sum(x * x for x in c)) or 1.0
+            s = sum(a * b / cn for a, b in zip(v, c))
+            if bs is None or s > bs:
+                best, bs = cid, s
+        return best
+
+    qn = math.sqrt(sum(x * x for x in qvec))
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda cid: (
+            -sum(a * b for a, b in zip(qvec, centroids[cid]))
+            / (qn * (math.sqrt(sum(x * x for x in centroids[cid])) or 1.0)),
+            cid,
+        ),
+    )
+    probed = set(ranked[:2])
+    want = sorted(
+        (
+            (vid, _cos(v, qvec))
+            for vid, v in rows
+            if vid != 0 and cell(v) in probed
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert [(r["vec_id"]) for r in got] == [vid for vid, _ in want]
+    # rows hold float64 but the table stores float32 — compare loosely
+    for r, (_, c) in zip(got, want):
+        assert abs(r["cosine"] - c) < 1e-6
+
+
+def test_ivf_topk_near_dups_found_with_full_probe(spark, vectors):
+    """Probing every cell must recover the exact top-k — the approximation
+    error is entirely the probe choice."""
+    df, rows = vectors
+    rng = random.Random(3)
+    centroids = [[rng.gauss(0, 1) for _ in range(DIM)] for _ in range(4)]
+    qvec = rows[0][1]
+    approx = S.ivf_topk(
+        df.where(F.col("vec_id") != 0), centroids, qvec, k=3,
+        n_probe=len(centroids), round_to=None,
+    ).collect()
+    exact = S.cosine_topk(
+        df.where(F.col("vec_id") != 0), qvec, k=3, round_to=None
+    ).collect()
+    assert [r["vec_id"] for r in approx] == [r["vec_id"] for r in exact]
+    # the near-dup plants of vector 0 dominate
+    assert {r["vec_id"] for r in approx} == {1, 2, 3}
