@@ -640,6 +640,15 @@ def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit fingerprints, pigeonhole-banded
+    (4 bands of 8 bits — any pair within hamming 3 shares a band) so the
+    candidate join is a (band, key) equi-join, never all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    fps = D.simhash(docs, "doc_id", "text", bits=32)
+    return D.simhash_near_duplicates(fps, "doc_id", max_hamming=3, bits=32)
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language downsampling of the corpus: the kept set
     is a pure function of (seed, doc_id), so it is identical run-to-run,
@@ -766,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "contamination": q_contamination,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "simhash_near_dups": q_simhash_near_dups,
     }
 
 
@@ -1180,6 +1190,33 @@ votes AS (
   FROM hashed GROUP BY doc_id
 )
 SELECT doc_id, {_pack} AS simhash FROM votes
+"""
+
+    sql["simhash_near_dups"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(concat('0:', tok)), 1, 15)) AS BIGINT) AS h
+  FROM toks WHERE tok <> ''
+),
+votes AS (
+  SELECT doc_id,
+         {_votes}
+  FROM hashed GROUP BY doc_id
+),
+fp AS (SELECT doc_id, {_pack} AS simhash FROM votes),
+banded AS (
+  SELECT doc_id, simhash, j.band, (simhash >> (8 * j.band)) & 255 AS key
+  FROM fp, (SELECT unnest(range(4)) AS band) j
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
     sql["token_stats"] = """
