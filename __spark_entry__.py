@@ -640,6 +640,25 @@ def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — a document's split never
+    changes as the corpus grows (pure content hash, not a shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.split_assign(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
+    ).select("doc_id", "lang", "split")
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with per-category audit counts (email/IPv4/phone),
+    patterns constrained to the RE2 ∩ Java regex subset so the oracle
+    applies byte-identical semantics."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.pii_scrub(docs, "text").select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "scrubbed"
+    )
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 32-bit fingerprints, pigeonhole-banded
     (4 bands of 8 bits — any pair within hamming 3 shares a band) so the
@@ -776,6 +795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "ann_ivf_topk": q_ann_ivf_topk,
         "simhash_near_dups": q_simhash_near_dups,
+        "split_assign": q_split_assign,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -1548,6 +1569,40 @@ FROM a WHERE cell IN (SELECT cid FROM probe)
 ORDER BY {_qcos} DESC, vec_id
 LIMIT 10
 """
+
+    # split_assign: same sorted-name cumulative bounds the operator builds
+    from buildkite_logs_parquet_spark.operators.curation import PII_PATTERNS
+
+    _sw = {"train": 0.8, "val": 0.1, "test": 0.1}
+    _names = sorted(_sw)
+    _cases, _acc = [], 0.0
+    for _nm in _names[:-1]:
+        _acc += _sw[_nm] / sum(_sw.values())
+        _cases.append(f"WHEN {_bucket} < {int(_acc * _b32)} THEN '{_nm}'")
+    sql["split_assign"] = f"""
+SELECT doc_id, lang,
+       CASE {' '.join(_cases)} ELSE '{_names[-1]}' END AS split
+FROM documents
+"""
+
+    # pii_scrub: chain generated from the SAME pattern table the operator
+    # uses — count on the running text, then replace, per category
+    _pii_ctes, _prev, _cnt_cols = [], "s0", []
+    for _i, (_nm, _pat, _repl) in enumerate(PII_PATTERNS):
+        _cols = ", ".join(_cnt_cols)
+        _sep = ", " if _cols else ""
+        _pii_ctes.append(
+            f"p{_i} AS (SELECT doc_id{_sep}{_cols}, "
+            f"CAST(len(regexp_extract_all(cur, '{_pat}')) AS INT) AS n_{_nm}, "
+            f"regexp_replace(cur, '{_pat}', '{_repl}', 'g') AS cur FROM {_prev})"
+        )
+        _cnt_cols.append(f"n_{_nm}")
+        _prev = f"p{_i}"
+    sql["pii_scrub"] = (
+        "WITH s0 AS (SELECT doc_id, text AS cur FROM documents),\n"
+        + ",\n".join(_pii_ctes)
+        + f"\nSELECT doc_id, {', '.join(_cnt_cols)}, cur AS scrubbed FROM {_prev}"
+    )
 
     _gram_h = (
         "CAST(concat('0x', substr(md5(concat('0:', "

@@ -73,6 +73,63 @@ def sample_stratified(
     return df.where(hash_bucket(F.col(key_col), seed) < threshold)
 
 
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split: each row's bucket (pure content
+    hash of ``key_col``) is mapped to the split whose cumulative weight
+    range contains it.  Reproducible across runs/engines/layouts, and
+    stable under corpus growth: a document's split never changes when
+    other documents are added or removed — the property random shuffling
+    cannot give.  Splits are assigned in sorted-name order; weights are
+    normalized."""
+    total = sum(weights.values())
+    bucket = hash_bucket(F.col(key_col), seed)
+    expr: Column | None = None
+    acc = 0.0
+    names = sorted(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        bound = int(acc * _BUCKETS)
+        cond = bucket < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, out)
+
+
+# --------------------------------------------------------- PII scrubbing
+
+#: redaction patterns — applied in this order, each on the output of the
+#: previous (RE2- and Java-regex-compatible: no backrefs, no lookaround)
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9() .-]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", out_col: str = "scrubbed"
+) -> DataFrame:
+    """Redact emails / IPv4s / phone-shaped numbers, keeping per-category
+    match counts for auditing.  A narrow map — each pattern is counted on
+    and then replaced in the running text, so counts reflect what was
+    actually redacted (an IP inside an already-redacted email is not
+    double-counted).  Patterns stay in the RE2 ∩ Java regex subset so the
+    same semantics run on any engine."""
+    cur = F.col(text_col)
+    out = df
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, repl)
+    return out.withColumn(out_col, cur)
+
+
 # ------------------------------------------------------ quality filtering
 
 #: Gopher-style rule set (Rae et al. 2021 §A1.1, simplified to portable

@@ -177,3 +177,50 @@ def test_benchmark_contamination_broadcasts_the_benchmark(spark):
     bench = _docs(spark, [(1, "en", "benchmark text")])
     plan = explain_str(benchmark_contamination(train, bench, "doc_id"))
     assert "BroadcastHashJoin" in plan
+
+
+def test_split_assign_partitions_everything_and_is_stable(spark):
+    from buildkite_logs_parquet_spark.operators.curation import split_assign
+
+    df = spark.range(9_000).select(F.col("id").alias("doc_id"))
+    out = split_assign(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] / 9_000 > 0.75
+    assert abs(counts["val"] - 900) < 150 and abs(counts["test"] - 900) < 150
+    # growth stability: a row's split is unchanged when the corpus doubles
+    small = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(
+            spark.range(100).select(F.col("id").alias("doc_id")),
+            "doc_id",
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        ).collect()
+    }
+    big = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert all(big[k] == v for k, v in small.items())
+
+
+def test_pii_scrub_hand_computed(spark):
+    from buildkite_logs_parquet_spark.operators.curation import pii_scrub
+
+    rows = [
+        (0, "en", "contact alice@example.com or bob@corp.io today"),
+        (1, "en", "server at 10.1.2.3 answered; call +1 555-123-4567 now"),
+        (2, "en", "nothing sensitive here"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in pii_scrub(
+            spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        ).collect()
+    }
+    assert out[0]["n_email"] == 2 and out[0]["n_ipv4"] == 0
+    assert out[0]["scrubbed"] == "contact <EMAIL> or <EMAIL> today"
+    assert out[1]["n_ipv4"] == 1 and out[1]["n_phone"] == 1
+    assert "<IP>" in out[1]["scrubbed"] and "<PHONE>" in out[1]["scrubbed"]
+    assert out[2]["scrubbed"] == "nothing sensitive here"
+    assert out[2]["n_email"] == out[2]["n_ipv4"] == out[2]["n_phone"] == 0
