@@ -208,3 +208,51 @@ def test_follow_with_groups_across_batches(spark, tmp_path):
     assert got["no header yet in b"] == ""  # state is per-file
     assert got["+++ B group"] == "+++ B group"
     assert got["inside first"] == "~~~ First"  # batch-1 rows unchanged
+
+
+def test_stream_dedup_drops_redelivered_lines(spark, tmp_path):
+    """The same line content re-shipped in a second file (at-least-once
+    delivery) is dropped; distinct lines all survive."""
+    from buildkite_logs_parquet_spark.streaming.follow import stream_dedup
+
+    logs = tmp_path / "dlogs"
+    logs.mkdir()
+    # same file name key: re-delivery = same (file, content)
+    (logs / "a.log").write_text(
+        f"{OSC}1745322209921{BEL}$ step one\n"
+        f"{OSC}1745322209922{BEL}$ step two\n"
+        f"{OSC}1745322209921{BEL}$ step one\n"  # duplicate shipment
+    )
+    stream = follow_with_groups(spark, str(logs))
+    deduped = stream_dedup(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select content from dedup_test").collect()
+    contents = sorted(r["content"] for r in rows)
+    assert contents == ["$ step one", "$ step two"]
+
+
+def test_stream_dedup_keeps_same_content_in_different_files(spark, tmp_path):
+    from buildkite_logs_parquet_spark.streaming.follow import stream_dedup
+
+    logs = tmp_path / "dlogs2"
+    logs.mkdir()
+    (logs / "a.log").write_text(f"{OSC}1745322209921{BEL}$ same\n")
+    (logs / "b.log").write_text(f"{OSC}1745322209921{BEL}$ same\n")
+    stream = follow_with_groups(spark, str(logs))
+    deduped = stream_dedup(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test2")
+        .option("checkpointLocation", str(tmp_path / "dckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("select * from dedup_test2").count() == 2
