@@ -47,9 +47,13 @@ BENCH_QUERIES = [
     "repetition_metrics",
     "pack_sequences",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "embedding_near_dups_lsh",
     "winnow_fingerprint",
     "simhash",
+    "simhash_near_dups",
+    "contamination",
+    "pii_scrub",
 ]
 
 
