@@ -659,6 +659,13 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed sklearn idf); shuffles
+    keyed by term/doc, corpus size broadcast as a one-row aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    return TA.tfidf_top_terms(docs, "doc_id", "text", top_k=3)
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 32-bit fingerprints, pigeonhole-banded
     (4 bands of 8 bits — any pair within hamming 3 shares a band) so the
@@ -797,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "split_assign": q_split_assign,
         "pii_scrub": q_pii_scrub,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -1453,6 +1461,27 @@ SELECT ts.doc_id AS doc_id, n_tokens, n_unique_tokens,
        round(top_tok / CAST(n_tokens AS DOUBLE), 4) AS top_token_ratio,
        round(coalesce(top_bg / CAST(n_bg AS DOUBLE), 0.0), 4) AS top_bigram_ratio
 FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+"""
+
+    sql["tfidf_top_terms"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+t AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term),
+d AS (SELECT term, count(*) AS df FROM t GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (
+  SELECT t.doc_id, t.term, t.tf,
+         t.tf * (ln((1.0 + n.n) / (1.0 + d.df)) + 1.0) AS tfidf
+  FROM t JOIN d ON t.term = d.term, n
+),
+r AS (
+  SELECT doc_id, term, tf, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS "rank"
+  FROM s
+)
+SELECT doc_id, "rank", term, tf, round(tfidf, 4) AS tfidf FROM r WHERE "rank" <= 3
 """
 
     sql["pack_sequences"] = """

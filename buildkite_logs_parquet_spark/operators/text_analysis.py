@@ -109,6 +109,64 @@ def quality_score(
     return out.withColumn("quality_score", F.round(score, round_to))
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    top_k: int = 3,
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-``top_k`` TF-IDF terms per document (smoothed idf:
+    ``ln((1+N)/(1+df)) + 1``, sklearn's formula).
+
+    Plan: token explode → (doc, term) counts → term document-frequency
+    aggregation joined back on term → per-doc top-k window.  All shuffles
+    are keyed by term or doc.  The corpus size N (total documents, the
+    standard idf denominator basis) is taken driver-side as a literal —
+    ``df.count()`` on a parquet source is footer-metadata work, and a
+    constant-key broadcast join for a scalar folds into a nested-loop
+    cross join, which the plan discipline bans.  Ties rank
+    lexicographically (term asc) so the result is deterministic.
+    """
+    from pyspark.sql import Window as W
+
+    from buildkite_logs_parquet_spark.operators.dedup import _fan_out
+
+    tokens = (
+        _fan_out(df)
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+                "term"
+            ),
+        )
+        .where(F.col("term") != "")
+    )
+    tf = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = df.count()
+    scored = tf.join(docfreq, on="term").withColumn(
+        "tfidf",
+        F.col("tf")
+        * (
+            F.log((F.lit(1.0) + F.lit(float(n))) / (F.lit(1.0) + F.col("df")))
+            + F.lit(1.0)
+        ),
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col(id_col),
+            "rank",
+            "term",
+            F.col("tf"),
+            F.round("tfidf", round_to).alias("tfidf"),
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str,

@@ -99,3 +99,49 @@ def test_fingerprint_normalization(spark):
     fp = {r["doc_id"]: r["fingerprint"] for r in TA.fingerprint(df, "doc_id").collect()}
     assert fp[0] == fp[1] == fp[2]
     assert fp[0] != fp[3]
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    from buildkite_logs_parquet_spark.operators.text_analysis import (
+        tfidf_top_terms,
+    )
+
+    rows = [
+        (0, "apple apple banana"),
+        (1, "banana cherry"),
+        (2, "cherry cherry cherry durian"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(df, "doc_id", "text", top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: apple tf=2 df=1 → 2*(ln(4/2)+1); banana tf=1 df=2
+    idf = lambda dfreq: math.log(4 / (1 + dfreq)) + 1
+    top0 = by_doc[0][0]
+    assert top0["term"] == "apple" and top0["rank"] == 1
+    assert abs(top0["tfidf"] - round(2 * idf(1), 4)) < 1e-9
+    # doc 2: cherry tf=3 dominates; durian (df=1) second
+    assert [r["term"] for r in sorted(by_doc[2], key=lambda r: r["rank"])] == [
+        "cherry",
+        "durian",
+    ]
+    # every doc has at most top_k rows, ranks dense from 1
+    for doc, rs in by_doc.items():
+        assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
+
+
+def test_tfidf_tie_breaks_lexicographically(spark):
+    from buildkite_logs_parquet_spark.operators.text_analysis import (
+        tfidf_top_terms,
+    )
+
+    df = spark.createDataFrame([(0, "zed alpha")], "doc_id long, text string")
+    out = sorted(
+        tfidf_top_terms(df, "doc_id", "text", top_k=2).collect(),
+        key=lambda r: r["rank"],
+    )
+    # identical scores → alphabetical order decides ranks
+    assert [r["term"] for r in out] == ["alpha", "zed"]
