@@ -388,9 +388,9 @@ def simhash_near_duplicates(
     a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "key")
     b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "key")
     xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
-    hamming = sum(
-        F.shiftright(xor, i).bitwiseAND(F.lit(1)) for i in range(bits)
-    )
+    # popcount intrinsic — one expression instead of `bits` shift-mask
+    # terms; result widened to long to keep the output schema stable
+    hamming = F.bit_count(xor).cast("long")
     return (
         a.join(b, on=["band", "key"])
         .where(F.col("id_a") < F.col("id_b"))

@@ -224,3 +224,31 @@ def test_pii_scrub_hand_computed(spark):
     assert "<IP>" in out[1]["scrubbed"] and "<PHONE>" in out[1]["scrubbed"]
     assert out[2]["scrubbed"] == "nothing sensitive here"
     assert out[2]["n_email"] == out[2]["n_ipv4"] == out[2]["n_phone"] == 0
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.floats(min_value=0.0, max_value=1.0),
+    st.integers(min_value=0, max_value=10_000),
+)
+def test_sample_deterministic_matches_python_md5(spark, rate, seed):
+    """Property: the Spark-side md5 bucket decision equals a pure-python
+    hashlib computation row for row — the sample is fully predictable."""
+    import hashlib
+
+    ids = list(range(400))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]
+        for r in sample_deterministic(df, "doc_id", rate, seed=seed).collect()
+    }
+    thr = int(rate * (1 << 32))
+    want = {
+        i
+        for i in ids
+        if int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16) < thr
+    }
+    assert got == want

@@ -81,3 +81,37 @@ def test_pack_sequences_drops_zero_token_docs(spark):
     packed = pack_sequences(df, "doc_id", "text", capacity=10).collect()
     assert len(packed) == 1
     assert packed[0]["n_docs"] == 2 and packed[0]["n_tokens"] == 5
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=60),
+    st.integers(min_value=2, max_value=17),
+)
+def test_pack_sequences_matches_python_simulation(spark, weights, capacity):
+    """Property: packing equals a literal python concat-and-chunk
+    simulation for arbitrary weights and capacities."""
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, toks long")
+    got = {
+        r["seq_id"]: (r["n_docs"], r["n_tokens"], r["first_doc"], r["last_doc"])
+        for r in pack_sequences(
+            df, "doc_id", capacity=capacity, weight_col="toks"
+        ).collect()
+    }
+    # python reference
+    want: dict[int, list] = {}
+    pos = 0
+    for i, w in enumerate(weights):
+        for seq in range(pos // capacity, (pos + w - 1) // capacity + 1):
+            lo = max(pos, seq * capacity)
+            hi = min(pos + w, (seq + 1) * capacity)
+            e = want.setdefault(seq, [0, 0, i, i])
+            e[0] += 1
+            e[1] += hi - lo
+            e[3] = i
+        pos += w
+    assert got == {k: tuple(v) for k, v in want.items()}
