@@ -130,6 +130,59 @@ def extract_features(
     return pruned.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+def embed_media(
+    media: DataFrame,
+    dim: int = 64,
+    encode: Callable[[bytes], list] | None = None,
+) -> DataFrame:
+    """Media → embedding column, the bridge from binary payloads into the
+    similarity stack (``operators/similarity``): the output schema
+    ``(media_id, embedding array<float>)`` is exactly what
+    ``cosine_topk`` / ``hyperplane_buckets`` / ``ivf_assign`` consume.
+
+    ``encode`` is the real-model seam (CLIP-style image encoder etc. —
+    the libraries are absent from this environment); the default is a
+    DETERMINISTIC FAKE — ``dim`` unit-normalized floats seeded from the
+    payload's md5 — that keeps every downstream ANN test runnable and
+    reproducible.  Same Arrow-batching discipline as
+    ``extract_features``: payloads never leave the executors, one Python
+    crossing per batch.
+    """
+
+    def default_encode(payload: bytes) -> list:
+        import hashlib
+        import random as _random
+
+        seed = int.from_bytes(
+            hashlib.md5(payload or b"").digest()[:8], "big"
+        )
+        rng = _random.Random(seed)
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = sum(x * x for x in v) ** 0.5 or 1.0
+        return [float(x / n) for x in v]
+
+    enc = encode or default_encode
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                out.append(
+                    {
+                        "media_id": media_id,
+                        "embedding": enc(
+                            bytes(payload) if payload is not None else None
+                        ),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    schema = "media_id long, embedding array<float>"
+    return media.select("media_id", "payload").mapInPandas(run, schema=schema)
+
+
 def frame_sample_plan(
     media: DataFrame, every_nth: int = 2
 ) -> DataFrame:

@@ -49,3 +49,29 @@ def test_frame_sample_plan(spark, media):
         expect = [i for i in range(feats[mid]["n_frames"]) if i % 2 == 0]
         got = sorted(r["frame_index"] for r in frames if r["media_id"] == mid)
         assert got == expect
+
+
+def test_embed_media_deterministic_unit_vectors(spark, media):
+    import math
+
+    a = {r["media_id"]: list(r["embedding"]) for r in M.embed_media(media).collect()}
+    b = {r["media_id"]: list(r["embedding"]) for r in M.embed_media(media).collect()}
+    assert a == b  # deterministic fake: same payload → same embedding
+    for v in a.values():
+        assert len(v) == 64
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-5
+
+
+def test_embed_media_feeds_the_ann_stack(spark, media):
+    """The multimodal bridge: binary payloads → embeddings → exact and
+    LSH-bucketed similarity, end to end with no schema glue."""
+    from buildkite_logs_parquet_spark.operators import similarity as S
+
+    emb = M.embed_media(media)
+    qvec = [float(x) for x in emb.orderBy("media_id").first()["embedding"]]
+    top = S.cosine_topk(
+        emb, qvec, k=2, id_col="media_id", vec_col="embedding", round_to=None
+    ).collect()
+    assert top[0]["cosine"] > 0.999  # the query row itself ranks first
+    bucketed = S.hyperplane_buckets(emb, "embedding", dim=64, n_planes=8)
+    assert bucketed.where(F.col("bucket").isNull()).count() == 0
