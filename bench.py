@@ -78,6 +78,11 @@ def main() -> None:
         # cache is NOT cleared between the runs of one query — min-of-runs
         # deliberately measures the steady state incl. legitimate reuse.
         spark.catalog.clearCache()
+        # release py4j refs to dead DataFrames so the ContextCleaner can
+        # drop their checkpoint/cache blocks before the next measurement
+        import gc
+
+        gc.collect()
         for _ in range(runs):  # steady-state: min over runs (JVM/codegen warm)
             t0 = time.monotonic()
             df = fn(spark, sf_dir)

@@ -72,7 +72,20 @@ def connected_components(
         vertex = nodes.select(F.col(id_col).alias("id")).distinct()
     else:
         vertex = sym.select(F.col("a").alias("id")).distinct()
-    labels = vertex.withColumn("comp", F.col("id")).localCheckpoint(eager=True)
+    # seed comp = min(id, min neighbor): one round's propagation folded
+    # into the init materialization — saves a full loop round (join +
+    # checkpoint + probe) on every graph
+    seed_min = sym.groupBy(F.col("b").alias("id")).agg(F.min("a").alias("_sm"))
+    labels = (
+        vertex.join(seed_min, on="id", how="left")
+        .select(
+            "id",
+            F.least(F.col("id"), F.coalesce(F.col("_sm"), F.col("id"))).alias(
+                "comp"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
 
     prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
     for _ in range(max_iter):

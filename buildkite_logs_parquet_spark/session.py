@@ -42,7 +42,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver JVM IS the executor — size it for 32
+        # concurrent task threads plus cached/checkpointed blocks, or
+        # execution pressure evicts storage mid-run and repeat timings
+        # go bimodal (the rig has 128 GiB; a real cluster sets executor
+        # memory through spark-submit instead)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
     if extra_conf:
         for k, v in extra_conf.items():
