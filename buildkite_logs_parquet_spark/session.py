@@ -48,6 +48,13 @@ def get_spark(
         # go bimodal (the rig has 128 GiB; a real cluster sets executor
         # memory through spark-submit instead)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # every distinct plan compiles a fresh whole-stage-codegen class;
+        # a long session (30+ bench queries, iterative loops) fills the
+        # default JIT code cache and the JVM silently stops compiling —
+        # late queries then run interpreted at 2-5x cost
+        .config(
+            "spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m"
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
