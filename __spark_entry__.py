@@ -666,6 +666,28 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.tfidf_top_terms(docs, "doc_id", "text", top_k=3)
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation flagship, END TO END in one plan: Gopher quality
+    filter → exact dedup (normalized-fingerprint, keep lowest doc id) →
+    deterministic split assignment → pack the train split into 64-token
+    sequences.  Every stage is an operator proven individually; this
+    query proves the COMPOSITION is still oracle-exact — the property a
+    real pipeline depends on."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = (
+        CU.gopher_quality_filter(docs, "text")
+        .where("passes")
+        .select("doc_id", "text")
+    )
+    fp = TA.fingerprint(kept, "doc_id", "text")
+    canon_ids = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    canon = kept.join(canon_ids.select("doc_id"), on="doc_id")
+    train = CU.split_assign(
+        canon, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
+    ).where(F.col("split") == "train")
+    return PK.pack_sequences(train, "doc_id", "text", capacity=64)
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 32-bit fingerprints, pigeonhole-banded
     (4 bands of 8 bits — any pair within hamming 3 shares a band) so the
@@ -805,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "pii_scrub": q_pii_scrub,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -1632,6 +1655,62 @@ FROM documents
         + ",\n".join(_pii_ctes)
         + f"\nSELECT doc_id, {', '.join(_cnt_cols)}, cur AS scrubbed FROM {_prev}"
     )
+
+    # end-to-end pipeline: gopher pass → fingerprint dedup (keep min id)
+    # → split → pack train at 64 tokens — composed from the same SQL
+    # fragments as the individual oracles
+    _split_case = f"CASE {' '.join(_cases)} ELSE '{_names[-1]}' END"
+    sql["curation_pipeline"] = f"""
+WITH f AS (
+  SELECT doc_id, text,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens,
+         length(text) - len(regexp_extract_all(text, '\\s')) AS non_ws,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_sym,
+         length(text) AS n_chars,
+         {_stop} AS stop_hits
+  FROM documents
+),
+g AS (
+  SELECT doc_id, text FROM f
+  WHERE n_tokens >= 10 AND n_tokens <= 1000
+    AND non_ws / CAST(greatest(n_tokens, 1) AS DOUBLE) >= 3.0
+    AND non_ws / CAST(greatest(n_tokens, 1) AS DOUBLE) <= 10.0
+    AND n_sym / CAST(greatest(n_chars, 1) AS DOUBLE) <= 0.1
+    AND stop_hits > 0
+),
+fpp AS (
+  SELECT doc_id, text,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+  FROM g
+),
+canon AS (SELECT min(doc_id) AS doc_id FROM fpp GROUP BY fp),
+tr AS (
+  SELECT doc_id, text FROM fpp
+  WHERE doc_id IN (SELECT doc_id FROM canon)
+    AND {_split_case} = 'train'
+),
+t AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS w
+  FROM tr
+),
+c AS (
+  SELECT doc_id, w,
+         CAST(coalesce(sum(w) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+  FROM t WHERE w > 0
+),
+e AS (
+  SELECT doc_id, w, st,
+         unnest(range(st // 64, (st + w - 1) // 64 + 1)) AS seq_id
+  FROM c
+)
+SELECT seq_id, count(*) AS n_docs,
+       CAST(sum(least(st + w, (seq_id + 1) * 64) - greatest(st, seq_id * 64)) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM e GROUP BY seq_id
+"""
 
     _gram_h = (
         "CAST(concat('0x', substr(md5(concat('0:', "

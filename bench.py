@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "simhash_near_dups",
     "contamination",
     "pii_scrub",
+    "tfidf_top_terms",
+    "curation_pipeline",
 ]
 
 
