@@ -26,6 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from buildkite_logs_parquet_spark.operators import asof as AS
 from buildkite_logs_parquet_spark.operators import curation as CU
 from buildkite_logs_parquet_spark.operators import dedup as D
 from buildkite_logs_parquet_spark.operators import graph as G
@@ -640,6 +641,43 @@ def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style segment-level dedup: 10-word chunks deduped
+    corpus-wide, first (lowest doc, lowest position) occurrence kept,
+    documents rebuilt from their surviving chunks."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.segment_dedup(docs, "doc_id", "text", k=10)
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each purchase gets the user's most recent
+    prior-or-simultaneous click (operators/asof.py — union-tag sweep, ONE
+    hash shuffle by user, no range join).  The click side is pre-reduced to
+    one row per (user, ms) so the as-of match is well-defined in any engine;
+    the oracle is DuckDB's native ASOF JOIN — a genuinely independent
+    implementation of the same semantics."""
+    ev = _events(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_ms")
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ms"
+    )
+    out = AS.asof_join(
+        purchases, clicks, on="user_id", left_ts="ts_ms", right_ts="ts_ms"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.col("matched_ts").alias("click_ts_ms"),
+        (F.col("ts_ms") - F.col("matched_ts")).alias("gap_ms"),
+        F.round("click_value", 4).alias("click_value"),
+    )
+
+
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment — a document's split never
     changes as the corpus grows (pure content hash, not a shuffle)."""
@@ -824,6 +862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "ann_ivf_topk": q_ann_ivf_topk,
         "simhash_near_dups": q_simhash_near_dups,
+        "events_asof": q_events_asof,
+        "segment_dedup": q_segment_dedup,
         "split_assign": q_split_assign,
         "pii_scrub": q_pii_scrub,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -1349,6 +1389,50 @@ SELECT event_type, count(*) AS n,
        quantile_cont(value, 0.9) AS p90
 FROM events
 GROUP BY event_type
+"""
+
+    sql["segment_dedup"] = """
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents
+),
+segs AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS seg
+  FROM (
+    SELECT doc_id, ws,
+           unnest(range(greatest(CAST(ceil(len(ws)/10.0) AS BIGINT), 1))) AS i
+    FROM words
+  )
+),
+ordd AS (
+  SELECT doc_id, pos, seg, md5(seg) AS h, doc_id * 1048576 + pos AS ord FROM segs
+),
+canon AS (SELECT h, min(ord) AS first_ord FROM ordd GROUP BY h)
+SELECT o.doc_id,
+       count(*) AS n_segments,
+       CAST(sum(CASE WHEN o.ord = c.first_ord THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN o.ord = c.first_ord THEN o.seg END, ' ' ORDER BY o.pos), '') AS dedup_text
+FROM ordd o JOIN canon c USING (h)
+GROUP BY o.doc_id
+"""
+
+    # independent implementation: DuckDB's NATIVE ASOF JOIN vs the engine's
+    # union-tag sweep — same point-in-time semantics, different algorithm
+    sql["events_asof"] = """
+WITH clicks AS (
+  SELECT user_id, epoch_ms(ts) AS r_ts, max_by(value, event_id) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+purchases AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts_ms,
+       c.r_ts AS click_ts_ms,
+       p.ts_ms - c.r_ts AS gap_ms,
+       round(c.click_value, 4) AS click_value
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts_ms >= c.r_ts
 """
 
     sql["embedding_label_centroid_sim"] = """

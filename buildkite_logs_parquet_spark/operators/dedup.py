@@ -398,3 +398,69 @@ def simhash_near_duplicates(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ------------------------------------------------------------ segment dedup
+
+
+#: positions-per-document bound for the packed (doc, pos) ordinal — 2^20
+#: segments ≈ 10M words per document; ANSI arithmetic fails loudly beyond
+_SEGMENT_POS_BOUND = 1 << 20
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Corpus-level *segment* deduplication: split every document into
+    non-overlapping ``k``-word chunks and keep only the canonical (first)
+    occurrence of each distinct chunk corpus-wide — the paragraph/line
+    dedup step of C4/CCNet-style pipelines, expressed for a corpus whose
+    documents are single-line word streams.
+
+    Canonical occurrence = the lowest ``(doc_id, position)`` — encoded as
+    one packed BIGINT so "first" is a plain ``min`` aggregate that partial-
+    aggregates map-side (no min-by-struct, which not every engine orders
+    identically).
+
+    Output: one row per document — ``n_segments``, ``n_kept``, and
+    ``dedup_text`` (the kept chunks rejoined in order; ``''`` when every
+    chunk was seen earlier).
+
+    100 TB shape: the explode emits (id, pos, chunk) rows; the canonical
+    groupBy and the membership join are both keyed by the chunk digest, so
+    the shuffle carries 16-byte digests + packed longs, never documents.
+    A corpus-wide boilerplate chunk is a hot digest — bounded map-side by
+    partial ``min`` aggregation, and the rejoin is AQE-skew-splittable.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_seg = F.greatest(
+        F.floor((F.size(words) + (k - 1)) / F.lit(k)), F.lit(1).cast("long")
+    )
+    seg_at = lambda i: F.array_join(F.slice(words, i * k + 1, k), " ")  # noqa: E731
+    segs = _fan_out(df).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), n_seg - 1), seg_at)
+        ).alias("pos", "seg"),
+    )
+    packed = F.col(id_col) * _SEGMENT_POS_BOUND + F.col("pos")
+    segs = segs.select(
+        id_col, "pos", "seg", F.md5(F.col("seg")).alias("_h"), packed.alias("_ord")
+    )
+    canon = segs.groupBy("_h").agg(F.min("_ord").alias("_first"))
+    marked = segs.join(canon, on="_h").withColumn(
+        "kept", F.col("_ord") == F.col("_first")
+    )
+    kept_segs = F.array_sort(
+        F.collect_list(F.when(F.col("kept"), F.struct("pos", "seg")))
+    )
+    return marked.groupBy(id_col).agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(kept_segs, lambda s: s["seg"]), " "
+        ).alias("dedup_text"),
+    )

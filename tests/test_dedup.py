@@ -83,3 +83,36 @@ def test_lsh_plan_is_broadcast_free_of_cartesian(spark, docs):
         pairs._jdf.queryExecution(), "formatted"
     )
     assert "CartesianProduct" not in plan
+
+
+def test_segment_dedup_keeps_first_occurrence(spark):
+    from buildkite_logs_parquet_spark.operators.dedup import segment_dedup
+
+    # doc 1 repeats its own first chunk; doc 2 repeats doc 1's chunk and
+    # adds a fresh one; doc 3 is entirely novel
+    a = "a b c"
+    b = "x y z"
+    rows = [
+        (1, f"{a} {a}"),      # 2 segments, second is a self-repeat
+        (2, f"{a} {b}"),      # first chunk already seen in doc 1
+        (3, "p q r"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in segment_dedup(df, "doc_id", "text", k=3).collect()
+    }
+    assert (out[1].n_segments, out[1].n_kept, out[1].dedup_text) == (2, 1, a)
+    assert (out[2].n_segments, out[2].n_kept, out[2].dedup_text) == (2, 1, b)
+    assert (out[3].n_segments, out[3].n_kept, out[3].dedup_text) == (1, 1, "p q r")
+
+
+def test_segment_dedup_fully_duplicated_doc_is_empty(spark):
+    from buildkite_logs_parquet_spark.operators.dedup import segment_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in segment_dedup(df, "doc_id", "text", k=3).collect()}
+    assert out[1].dedup_text == "a b c"
+    assert (out[2].n_kept, out[2].dedup_text) == (0, "")
