@@ -641,6 +641,46 @@ def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: target mixture for the corpus-mixing query — six sources, skewed
+#: toward src0; remaining sources are dropped (weight 0)
+_MIX_WEIGHTS = {"src0": 4.0, "src1": 2.0, "src2": 2.0, "src3": 1.0, "src4": 1.0, "src5": 1.0}
+
+
+def q_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted corpus mixing (operators/curation.py):
+    per-source keep rates derived from a metadata-sized count aggregate,
+    then one narrow content-hash predicate — the oracle recomputes the
+    identical rate arithmetic in SQL from the same counts."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.mix_corpora(docs, "doc_id", "source", _MIX_WEIGHTS, seed=42).select(
+        "doc_id", "source"
+    )
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality model over engineered features (seeded literal
+    weights): logit, sigmoid probability, and a logit-space keep label —
+    one narrow projection, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return TA.quality_classifier(docs, "doc_id", "text", seed=11)
+
+
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram vocabulary (count >= 5) — the counting pass of
+    tokenizer vocab induction; map-side combine bounds the shuffle by
+    vocabulary size, not token count."""
+    docs = _t(spark, sf_dir, "documents")
+    return TA.ngram_counts(docs, "text", n=2, min_count=5)
+
+
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd iteration over the embeddings (literal seed
+    centroids): per-cell membership count + old→new centroid drift, made
+    engine-exact by the decimal sum-vector representation."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.kmeans_step(emb, _ivf_centroids(), vec_col="embedding")
+
+
 def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/CCNet-style segment-level dedup: 10-word chunks deduped
     corpus-wide, first (lowest doc, lowest position) occurrence kept,
@@ -864,6 +904,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "events_asof": q_events_asof,
         "segment_dedup": q_segment_dedup,
+        "mix_corpora": q_mix_corpora,
+        "quality_classifier": q_quality_classifier,
+        "ngram_counts": q_ngram_counts,
+        "kmeans_step": q_kmeans_step,
         "split_assign": q_split_assign,
         "pii_scrub": q_pii_scrub,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -1704,6 +1748,105 @@ SELECT vec_id, {_qcos} AS cosine
 FROM a WHERE cell IN (SELECT cid FROM probe)
 ORDER BY {_qcos} DESC, vec_id
 LIMIT 10
+"""
+
+    # kmeans_step: same assignment CTE as the IVF oracle (all vectors),
+    # decimal element sums for the new centroid, drift vs the raw literal
+    _drift_cases = " ".join(
+        f"WHEN {cid} THEN list_cosine_similarity({_raw_lits[cid]}, nc)"
+        for cid in range(len(_cents))
+    )
+    sql["kmeans_step"] = f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         {_s_cols}
+  FROM embeddings
+),
+a AS (
+  SELECT vec_id, embedding, {_cell} AS cell FROM s
+),
+expl AS (
+  SELECT cell, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i FROM a
+),
+newc AS (
+  SELECT cell, list(sm ORDER BY i) AS nc FROM (
+    SELECT cell, i, CAST(sum(CAST(e AS DECIMAL(28,12))) AS DOUBLE) AS sm
+    FROM expl GROUP BY cell, i
+  ) GROUP BY cell
+),
+cnt AS (SELECT cell, count(*) AS n_assigned FROM a GROUP BY cell)
+SELECT cnt.cell AS ivf_cell, cnt.n_assigned,
+       round(CASE cnt.cell {_drift_cases} END, 4) AS centroid_drift
+FROM cnt JOIN newc ON cnt.cell = newc.cell
+"""
+
+    # mix_corpora: the rate arithmetic (normalized weights → binding
+    # source → least(1, scale·w/c)) re-expressed in SQL over the same
+    # counts; normalized-weight literals computed by the same Python
+    # division the operator performs
+    _mw_total = sum(_MIX_WEIGHTS.values())
+    _mw_rows = ",\n         ".join(
+        f"('{s}', {w / _mw_total!r})" for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    sql["mix_corpora"] = f"""
+WITH cnt AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+w(source, nw) AS (VALUES {_mw_rows}),
+sc AS (SELECT min(c / nw) AS scale FROM cnt JOIN w USING (source)),
+rates AS (
+  SELECT cnt.source, least(1.0, (SELECT scale FROM sc) * nw / c) AS rate
+  FROM cnt JOIN w USING (source)
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE {_bucket} < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
+"""
+
+    # quality_classifier: identical feature expressions to quality_score's
+    # oracle, identical literal weights, same left-associated logit chain
+    _cw, _cb = TA.classifier_weights(11)
+    _feat = {
+        "tokens_capped": "least(n_tokens / 100.0, 1.0)",
+        "alpha_ratio": "(n_alpha / CAST(greatest(n_chars, 1) AS DOUBLE))",
+        "punct_ratio": "(n_punct / CAST(greatest(n_chars, 1) AS DOUBLE))",
+        "stopword_ratio": "(stop_hits / CAST(greatest(n_tokens, 1) AS DOUBLE))",
+        "mean_len_scaled": "((n_chars / CAST(greatest(n_tokens, 1) AS DOUBLE)) / 10.0)",
+    }
+    _logit = repr(_cb) + "".join(
+        f" + {wi!r} * {_feat[nm]}"
+        for nm, wi in zip(TA.CLASSIFIER_FEATURES, _cw)
+    )
+    sql["quality_classifier"] = f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+         (len(regexp_extract_all(lower(text), '\\bthe\\b')) +
+          len(regexp_extract_all(lower(text), '\\band\\b')) +
+          len(regexp_extract_all(lower(text), '\\bof\\b')) +
+          len(regexp_extract_all(lower(text), '\\bto\\b')) +
+          len(regexp_extract_all(lower(text), '\\bis\\b'))) AS stop_hits
+  FROM documents
+),
+scored AS (SELECT doc_id, {_logit} AS logit FROM f)
+SELECT doc_id, round(logit, 4) AS logit,
+       round(1.0 / (1.0 + exp(-logit)), 4) AS prob_keep,
+       logit >= 0 AS keep
+FROM scored
+"""
+
+    sql["ngram_counts"] = """
+WITH w AS (
+  SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents
+),
+g AS (
+  SELECT array_to_string(ws[CAST(i AS INT):CAST(i + 1 AS INT)], ' ') AS gram
+  FROM (SELECT ws, unnest(range(1, greatest(len(ws) - 1, 0) + 1)) AS i FROM w)
+)
+SELECT gram, count(*) AS n_occurrences
+FROM g GROUP BY gram HAVING count(*) >= 5
 """
 
     # split_assign: same sorted-name cumulative bounds the operator builds

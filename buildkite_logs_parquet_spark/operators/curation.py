@@ -335,3 +335,53 @@ def repetition_metrics(
             round_to,
         ).alias("top_bigram_ratio"),
     )
+
+
+# -------------------------------------------------------- corpus mixing
+
+
+def mix_rates(
+    counts: dict[str, int], weights: dict[str, float]
+) -> dict[str, float]:
+    """Per-source keep rates realizing the target mixture ``weights`` at
+    the maximal achievable corpus size: the binding source (smallest
+    count/weight ratio) is kept whole and every other source is
+    downsampled to match.  Pure float arithmetic on (counts, weights) —
+    the oracle replays the identical expressions in SQL."""
+    total = sum(weights.values())
+    norm = {s: w / total for s, w in weights.items() if w > 0}
+    present = [s for s in norm if s in counts]
+    if not present:
+        return {}
+    scale = min(counts[s] / norm[s] for s in present)
+    return {s: min(1.0, scale * norm[s] / counts[s]) for s in present}
+
+
+def mix_corpora(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted corpus mixing: sample each source so the
+    output approximates the target ``weights`` mixture at the largest
+    size the corpus supports (sources with weight 0 / absent from
+    ``weights`` are dropped).
+
+    The 100 TB shape: per-source counts are a metadata-cheap aggregate
+    collected driver-side (one tiny job); the mix itself is then a single
+    narrow content-hash predicate via ``sample_stratified`` — no shuffle,
+    no window, composes with scan pruning.  An exact-count variant would
+    need a per-source global rank (a sort per source — the largest source
+    becomes one giant ordered partition); the hash-threshold form trades
+    ±binomial-noise counts for a fully parallel plan, and stays
+    layout-independent and reproducible."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col).agg(F.count("*").alias("c")).collect()
+    }
+    rates = mix_rates(counts, weights)
+    return sample_stratified(
+        df, key_col, source_col, rates, default_rate=0.0, seed=seed
+    )

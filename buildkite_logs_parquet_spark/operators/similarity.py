@@ -315,3 +315,49 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", "cosine")
         .distinct()
     )
+
+
+def kmeans_step(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """One Lloyd iteration of k-means over an embedding column: coarse
+    assignment to the nearest literal centroid (``ivf_assign``), then the
+    per-cell mean direction, reported as ``n_assigned`` and
+    ``centroid_drift`` = cosine(old centroid, new centroid).
+
+    Engine-exact despite being float-heavy: cosine is scale-invariant, so
+    the new centroid is represented by the per-cell element-wise SUM
+    vector (no /n), and each element sum runs in DECIMAL — exact and
+    order-independent, hence identical in any engine (the same trick as
+    the label-centroid query).  Plan: one narrow assignment map + one
+    groupBy keyed by cell — the canonical distributed k-means round, with
+    the |cells|-sized result driver-collectable for the next iteration's
+    literals.  Empty cells simply don't appear (their centroid is
+    unchanged).
+    """
+    assigned = ivf_assign(df, centroids, vec_col)
+    dim = len(centroids[0])
+    v = _as_double(F.col(vec_col))
+    sums = [
+        F.sum(F.element_at(v, i + 1).cast("decimal(28,12)"))
+        .cast("double")
+        .alias(f"_s_{i}")
+        for i in range(dim)
+    ]
+    agg = assigned.groupBy("ivf_cell").agg(
+        F.count("*").alias("n_assigned"), *sums
+    )
+    newc = F.array(*[F.col(f"_s_{i}") for i in range(dim)])
+    drift = None
+    for cid, c in enumerate(centroids):
+        d = cosine(_lit_vec(c), newc)
+        cond = F.col("ivf_cell") == cid
+        drift = F.when(cond, d) if drift is None else drift.when(cond, d)
+    return agg.select(
+        "ivf_cell",
+        "n_assigned",
+        F.round(drift, round_to).alias("centroid_drift"),
+    )

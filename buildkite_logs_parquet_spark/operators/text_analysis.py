@@ -225,3 +225,103 @@ def fingerprint(
         F.col(id_col),
         F.md5(F.trim(normalized)).alias("fingerprint"),
     )
+
+
+#: seeded literal weights for the quality classifier — a stand-in for a
+#: trained fasttext/logreg quality model; the operator shape (feature
+#: projection + linear scoring, one narrow map) is the 100 TB-relevant part
+CLASSIFIER_FEATURES = [
+    "tokens_capped",
+    "alpha_ratio",
+    "punct_ratio",
+    "stopword_ratio",
+    "mean_len_scaled",
+]
+
+
+def classifier_weights(seed: int = 11) -> tuple[list[float], float]:
+    """Deterministic (weights, bias) for ``quality_classifier`` — seeded
+    PRNG literals, replayed by the oracle."""
+    import random
+
+    rng = random.Random(seed)
+    return [round(rng.uniform(-2.0, 2.0), 6) for _ in CLASSIFIER_FEATURES], round(
+        rng.uniform(-1.0, 1.0), 6
+    )
+
+
+def quality_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    seed: int = 11,
+    round_to: int = 4,
+) -> DataFrame:
+    """Model-based quality scoring: engineered features → linear logit →
+    sigmoid probability → keep/drop label.  The weights here are seeded
+    literals (no model artifact in the sandbox); swapping in trained
+    coefficients changes nothing about the plan — a single narrow
+    projection over the corpus, no shuffle, no Python.
+
+    The keep label compares the LOGIT against 0 (exact in any engine)
+    rather than the sigmoid against 0.5 — same decision boundary without
+    putting a transcendental on the comparison path.
+    """
+    w, bias = classifier_weights(seed)
+    f = quality_features(F.col(text_col))
+    feats = {
+        "tokens_capped": F.least(
+            f["n_tokens"] / F.lit(100.0), F.lit(1.0)
+        ),
+        "alpha_ratio": f["alpha_ratio"],
+        "punct_ratio": f["punct_ratio"],
+        "stopword_ratio": f["stopword_ratio"],
+        "mean_len_scaled": f["avg_token_len"] / F.lit(10.0),
+    }
+    logit = F.lit(bias)
+    for name, wi in zip(CLASSIFIER_FEATURES, w):
+        logit = logit + F.lit(wi) * feats[name]
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return df.select(
+        F.col(id_col),
+        F.round(logit, round_to).alias("logit"),
+        F.round(prob, round_to).alias("prob_keep"),
+        (logit >= 0).alias("keep"),
+    )
+
+
+def ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus-wide word n-gram vocabulary with counts — the counting pass
+    of tokenizer/vocab induction (BPE-style merges rank exactly these
+    pair counts).
+
+    Plan: per-document n-gram explode → ONE global groupBy on the gram.
+    Map-side partial aggregation collapses each partition's counts before
+    the shuffle, so the shuffle volume is bounded by vocabulary size per
+    partition, not corpus token count — the property that makes corpus
+    vocab counting feasible at 100 TB.  ``min_count`` prunes the long
+    tail after aggregation (a HAVING, not a filter on the explode).
+    """
+    from buildkite_logs_parquet_spark.operators.dedup import _fan_out
+
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    sz = F.size(F.col("_ws"))
+    # guard: Spark's sequence(1, 0) DESCENDS instead of being empty, so
+    # docs shorter than n words must short-circuit to no grams
+    grams = F.when(sz >= n, F.transform(
+        F.sequence(F.lit(1), sz - (n - 1)),
+        lambda i: F.array_join(F.slice(F.col("_ws"), i, n), " "),
+    )).otherwise(F.array().cast("array<string>"))
+    exploded = _fan_out(df.select(words.alias("_ws"))).select(
+        F.explode(grams).alias("gram")
+    )
+    return (
+        exploded.groupBy("gram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= min_count)
+    )

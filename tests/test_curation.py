@@ -252,3 +252,46 @@ def test_sample_deterministic_matches_python_md5(spark, rate, seed):
         if int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16) < thr
     }
     assert got == want
+
+
+# ------------------------------------------------------- corpus mixing
+
+
+def test_mix_rates_hand_computed():
+    """counts {a:100, b:300}, equal weights: a is binding (100/.5 = 200 <
+    300/.5 = 600), so a keeps everything and b downsamples to 100."""
+    from buildkite_logs_parquet_spark.operators.curation import mix_rates
+
+    rates = mix_rates({"a": 100, "b": 300}, {"a": 1.0, "b": 1.0})
+    assert rates["a"] == 1.0
+    assert abs(rates["b"] - 100 / 300) < 1e-12
+
+
+def test_mix_rates_drops_zero_weight_and_missing_sources():
+    from buildkite_logs_parquet_spark.operators.curation import mix_rates
+
+    rates = mix_rates(
+        {"a": 50, "b": 50, "c": 50}, {"a": 1.0, "b": 0.0, "ghost": 3.0}
+    )
+    assert set(rates) == {"a"}  # b weight-0, c unweighted, ghost absent
+    assert rates["a"] == 1.0
+
+
+def test_mix_corpora_realizes_target_mixture(spark):
+    """4k src 'big' + 1k src 'small', target 1:1 — the output keeps all of
+    'small' (binding) and ~1k of 'big', and is layout-independent."""
+    from buildkite_logs_parquet_spark.operators.curation import mix_corpora
+
+    rows = [(i, "big" if i < 4000 else "small") for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mix_corpora(df, "doc_id", "source", {"big": 1.0, "small": 1.0})
+    got = out.groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in got}
+    assert by_src["small"] == 1000  # binding source kept whole
+    assert 850 < by_src["big"] < 1150  # hash-Bernoulli around 1000
+    # reproducible across partition layouts
+    out2 = mix_corpora(
+        df.repartition(13, "doc_id"), "doc_id", "source",
+        {"big": 1.0, "small": 1.0},
+    )
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in out2.collect()}

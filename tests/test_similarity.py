@@ -172,3 +172,34 @@ def test_ivf_topk_near_dups_found_with_full_probe(spark, vectors):
     assert [r["vec_id"] for r in approx] == [r["vec_id"] for r in exact]
     # the near-dup plants of vector 0 dominate
     assert {r["vec_id"] for r in approx} == {1, 2, 3}
+
+
+def test_kmeans_step_hand_computed(spark):
+    """Tiny 2-D instance: assignment to the nearest of two centroids, new
+    centroid = per-cell sum vector, drift = cosine(old, sum)."""
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (0, [2.0, 0.1]),   # cell 0
+        (1, [3.0, -0.2]),  # cell 0
+        (2, [0.1, 5.0]),   # cell 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["ivf_cell"]: r for r in S.kmeans_step(df, cents).collect()}
+    assert out[0]["n_assigned"] == 2 and out[1]["n_assigned"] == 1
+    # cell 0: sum = (5.0, -0.1); drift = cos([1,0], [5,-0.1])
+    want0 = _cos([1.0, 0.0], [5.0, -0.1])
+    assert abs(out[0]["centroid_drift"] - round(want0, 4)) < 1e-9
+    want1 = _cos([0.0, 1.0], [0.1, 5.0])
+    assert abs(out[1]["centroid_drift"] - round(want1, 4)) < 1e-9
+
+
+def test_kmeans_step_empty_cells_absent_and_layout_independent(spark):
+    cents = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]]
+    rows = [(i, [1.0 + 0.01 * i, 0.001 * i]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.kmeans_step(df, cents).collect()
+    assert {r["ivf_cell"] for r in out} == {0}  # cells 1, 2 never appear
+    assert out[0]["n_assigned"] == 50
+    # decimal sums make the drift identical under any partition layout
+    out2 = S.kmeans_step(df.repartition(7), cents).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in out2]

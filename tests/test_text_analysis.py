@@ -145,3 +145,84 @@ def test_tfidf_tie_breaks_lexicographically(spark):
     )
     # identical scores → alphabetical order decides ranks
     assert [r["term"] for r in out] == ["alpha", "zed"]
+
+
+def test_quality_classifier_decision_boundary_and_sigmoid(spark, docs):
+    """keep must equal logit >= 0, and prob_keep must be the sigmoid of
+    the (rounded) logit to within rounding noise."""
+    import math
+
+    from buildkite_logs_parquet_spark.operators.text_analysis import (
+        quality_classifier,
+    )
+
+    out = quality_classifier(docs, "doc_id", "text").collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert r["keep"] == (r["logit"] >= 0)
+        want = 1.0 / (1.0 + math.exp(-r["logit"]))
+        assert abs(r["prob_keep"] - want) < 1e-3
+
+
+def test_quality_classifier_matches_python_linear_model(spark):
+    """The Spark logit equals the same weights applied to hand-computed
+    features for a simple doc (left-associated sum, same order)."""
+    from buildkite_logs_parquet_spark.operators.text_analysis import (
+        CLASSIFIER_FEATURES,
+        classifier_weights,
+        quality_classifier,
+    )
+
+    text = "the quick brown fox is happy and the dog is not"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = quality_classifier(df, "doc_id", "text").collect()[0]
+
+    toks = text.split()
+    n_tokens, n_chars = len(toks), len(text)
+    n_alpha = sum(c.isalpha() for c in text)
+    n_punct = sum(not (c.isalnum() or c.isspace()) for c in text)
+    stop_hits = sum(t in ("the", "and", "of", "to", "is") for t in toks)
+    feats = {
+        "tokens_capped": min(n_tokens / 100.0, 1.0),
+        "alpha_ratio": n_alpha / n_chars,
+        "punct_ratio": n_punct / n_chars,
+        "stopword_ratio": stop_hits / n_tokens,
+        "mean_len_scaled": (n_chars / n_tokens) / 10.0,
+    }
+    w, bias = classifier_weights(11)
+    logit = bias
+    for name, wi in zip(CLASSIFIER_FEATURES, w):
+        logit = logit + wi * feats[name]
+    assert abs(row["logit"] - round(logit, 4)) < 1e-9
+
+
+def test_ngram_counts_hand_computed(spark):
+    from buildkite_logs_parquet_spark.operators.text_analysis import ngram_counts
+
+    rows = [
+        (1, "a b c"),        # bigrams: "a b", "b c"
+        (2, "a b"),          # "a b"
+        (3, "a b c d"),      # "a b", "b c", "c d"
+        (4, "solo"),         # 1 word, shorter than n -> no grams
+        (5, ""),             # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["gram"]: r["n_occurrences"]
+        for r in ngram_counts(df, "text", n=2, min_count=2).collect()
+    }
+    assert got == {"a b": 3, "b c": 2}  # "c d" pruned by min_count
+
+
+def test_ngram_counts_trigram_and_short_doc_guard(spark):
+    """Docs shorter than n produce no grams (the sequence(1, 0) descending
+    footgun is guarded), and trigram windows are correct."""
+    from buildkite_logs_parquet_spark.operators.text_analysis import ngram_counts
+
+    rows = [(1, "x y"), (2, "x y z w"), (3, "x y z w")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["gram"]: r["n_occurrences"]
+        for r in ngram_counts(df, "text", n=3, min_count=1).collect()
+    }
+    assert got == {"x y z": 2, "y z w": 2}
