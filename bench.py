@@ -24,7 +24,7 @@ BENCH_QUERIES = [
     "bk_list_groups",
     "bk_summary",
     "bk_filter_by_group",
-    "bk_tail",
+    "bk_seek_tail",
     # star-schema analytics
     "tpch_q1_pricing",
     "top_customers",
@@ -37,12 +37,9 @@ BENCH_QUERIES = [
     "events_percentiles",
     # training-data ops
     "dedup_exact",
-    "doc_fingerprint",
     "minhash_near_dups",
     "dedup_clusters",
-    "token_stats",
-    "lang_id",
-    "quality_score",
+    "text_profile",
     "gopher_filter",
     "repetition_metrics",
     "pack_sequences",

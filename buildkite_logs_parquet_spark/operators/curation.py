@@ -260,6 +260,95 @@ def benchmark_contamination(
     )
 
 
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    seed: int = 13,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023): score every raw
+    document by how target-like its hashed word-bigram distribution is.
+
+    ``weight(d) = Σ_g  ln( p̂_target(bucket(g)) / p̂_raw(bucket(g)) )``
+    over the document's bigram occurrences (with multiplicity), where
+    ``p̂`` are add-1-smoothed bucket frequencies.  High weight ⇒ the doc
+    looks like the target domain; resampling by these weights is the DSIR
+    selection step.
+
+    100 TB shape: the only corpus-sized shuffles are keyed by bucket
+    (bounded by ``n_buckets``) and by doc id.  The log-ratio lookup table
+    is ``n_buckets`` rows — broadcast, so corpus grams join it with NO
+    shuffle; the two totals are driver-collected scalars (metadata-sized,
+    same pattern as ``mix_corpora``).
+
+    Engine-exactness: each bucket's log-ratio is computed from exact
+    integer-valued doubles (products < 2^53) with ONE division and ONE
+    ``ln``, rounded to 9 decimals and summed in DECIMAL — so the per-doc
+    sum is order-independent and cross-engine reproducible (the ``ln``
+    itself is the only libm call, on bit-identical inputs).
+    """
+    from buildkite_logs_parquet_spark.operators.dedup import _fan_out, _hash64
+
+    def grams(df: DataFrame) -> DataFrame:
+        words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        n = F.size(words)
+        bigrams = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(words, i), F.element_at(words, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return (
+            _fan_out(df)
+            .select(F.col(id_col), F.explode(bigrams).alias("_g"))
+            .select(
+                F.col(id_col),
+                (_hash64(F.col("_g"), seed) % n_buckets).alias("_b"),
+            )
+        )
+
+    from pyspark import StorageLevel
+
+    rg = grams(raw).persist(StorageLevel.MEMORY_AND_DISK)
+    tcnt = grams(target).groupBy("_b").agg(F.count("*").alias("_ct"))
+    rcnt = rg.groupBy("_b").agg(F.count("*").alias("_cr"))
+    rcnt = rcnt.persist(StorageLevel.MEMORY_AND_DISK)
+    # totals: metadata-sized driver collects (bounded by n_buckets rows)
+    t_total = tcnt.agg(F.sum("_ct")).first()[0] or 0
+    r_total = rcnt.agg(F.sum("_cr")).first()[0] or 0
+    tb = float(t_total + n_buckets)
+    rb = float(r_total + n_buckets)
+    llr = F.round(
+        F.log(
+            ((F.coalesce(F.col("_ct"), F.lit(0)) + 1).cast("double") * F.lit(rb))
+            / ((F.col("_cr") + 1).cast("double") * F.lit(tb))
+        ),
+        9,
+    ).cast("decimal(28,9)")
+    lut = rcnt.join(tcnt, on="_b", how="left").select("_b", llr.alias("_llr"))
+    scored = rg.join(F.broadcast(lut), on="_b")
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"), F.sum("_llr").alias("_w")
+    )
+    return (
+        raw.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("_w"), F.lit(0).cast("decimal(38,9)"))
+            .cast("string")
+            .alias("dsir_logweight"),
+        )
+    )
+
+
 # ------------------------------------------------------ repetition metrics
 
 

@@ -429,11 +429,16 @@ def segment_dedup(
     ``dedup_text`` (the kept chunks rejoined in order; ``''`` when every
     chunk was seen earlier).
 
-    100 TB shape: the explode emits (id, pos, chunk) rows; the canonical
-    groupBy and the membership join are both keyed by the chunk digest, so
-    the shuffle carries 16-byte digests + packed longs, never documents.
-    A corpus-wide boilerplate chunk is a hot digest — bounded map-side by
-    partial ``min`` aggregation, and the rejoin is AQE-skew-splittable.
+    100 TB shape: the keep/drop decision is computed on a projected
+    ``(id, pos, digest, ord)`` table, so the digest-keyed shuffles (the
+    canonical ``min`` groupBy and the membership join) move 16-byte
+    digests + packed longs only — a corpus-wide boilerplate chunk is a
+    hot digest, and keeping text out of that skewed reduce partition is
+    what makes the skew survivable (partial ``min`` bounds the agg
+    map-side; the slim membership join is AQE-skew-splittable).  Text
+    moves through exactly TWO skew-free exchanges: the keep-flag rejoin
+    keyed by ``(id, pos)``, and the per-document rebuild groupBy —
+    unavoidable, since ``dedup_text`` must be reassembled somewhere.
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     n_seg = F.greatest(
@@ -447,13 +452,15 @@ def segment_dedup(
         ).alias("pos", "seg"),
     )
     packed = F.col(id_col) * _SEGMENT_POS_BOUND + F.col("pos")
-    segs = segs.select(
-        id_col, "pos", "seg", F.md5(F.col("seg")).alias("_h"), packed.alias("_ord")
+    # keep/drop decided entirely on the text-free projection
+    slim = segs.select(
+        id_col, "pos", F.md5(F.col("seg")).alias("_h"), packed.alias("_ord")
     )
-    canon = segs.groupBy("_h").agg(F.min("_ord").alias("_first"))
-    marked = segs.join(canon, on="_h").withColumn(
-        "kept", F.col("_ord") == F.col("_first")
+    canon = slim.groupBy("_h").agg(F.min("_ord").alias("_first"))
+    kept = slim.join(canon, on="_h").select(
+        id_col, "pos", (F.col("_ord") == F.col("_first")).alias("kept")
     )
+    marked = segs.join(kept, on=[id_col, "pos"])
     kept_segs = F.array_sort(
         F.collect_list(F.when(F.col("kept"), F.struct("pos", "seg")))
     )

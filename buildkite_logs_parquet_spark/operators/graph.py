@@ -23,9 +23,17 @@ Scale discipline:
   before symmetrization — the candidate-pair pipeline upstream (LSH band
   join + verification) is far too expensive to evaluate once per
   orientation, let alone once per round.
-* Lineage is truncated every round with an eager ``localCheckpoint``:
-  without it the plan doubles per iteration and Catalyst analysis time
-  dominates beyond ~10 rounds.
+* Lineage is truncated every round with an eager checkpoint: without it
+  the plan doubles per iteration and Catalyst analysis time dominates
+  beyond ~10 rounds.
+
+Durability: ``localCheckpoint`` stores blocks on executors — fast, but if
+an executor is lost mid-job the truncated lineage is unrecoverable and the
+whole job dies.  Fine for tests and short local runs; for a multi-hour
+1000-executor run pass ``checkpoint_dir`` (HDFS/S3/any shared FS) and the
+loop switches to reliable ``checkpoint()``, which survives executor loss
+at the cost of one distributed write per round.  The write is label-table
+sized (two long columns over edge-touched nodes), not corpus sized.
 """
 
 from __future__ import annotations
@@ -41,6 +49,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     id_col: str = "id",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Label every node with the smallest node id reachable from it.
 
@@ -51,6 +60,11 @@ def connected_components(
     joining singletons back afterwards (see ``dedup_clusters``) so the
     iteration only carries edge-touched nodes.
 
+    ``checkpoint_dir``: when set, per-round lineage truncation uses
+    reliable ``checkpoint()`` into that directory (survives executor
+    loss — the production option for long cluster runs); when ``None``,
+    fast executor-local ``localCheckpoint()`` (tests, local mode).
+
     Convergence is detected by the label sum, which strictly decreases
     until fixpoint — one tiny aggregate per round instead of a
     changed-rows join.  Raises ``RuntimeError`` after ``max_iter`` rounds
@@ -58,10 +72,18 @@ def connected_components(
     """
     from pyspark import StorageLevel
 
-    e0 = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .where(F.col("a") != F.col("b"))
-        .localCheckpoint(eager=True)  # evaluate the pair pipeline ONCE
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    e0 = _ckpt(  # evaluate the pair pipeline ONCE
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+            F.col("a") != F.col("b")
+        )
     )
     sym = (
         e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -84,8 +106,8 @@ def connected_components(
                 "comp"
             ),
         )
-        .localCheckpoint(eager=True)
     )
+    labels = _ckpt(labels)
 
     prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
     for _ in range(max_iter):
@@ -116,7 +138,7 @@ def connected_components(
                 "comp"
             ),
         )
-        new_labels = jumped.localCheckpoint(eager=True)
+        new_labels = _ckpt(jumped)
         cur_sum = new_labels.agg(
             F.sum(F.col("comp").cast("decimal(38,0)"))
         ).first()[0]
@@ -135,6 +157,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     pair_a: str = "id_a",
     pair_b: str = "id_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Assign every document to its near-dup cluster (smallest doc id in
     the component) and flag the canonical survivor.
@@ -144,8 +167,13 @@ def dedup_clusters(
     singleton clusters — so the per-round cost scales with the candidate
     pairs, not the corpus.  ``.where("is_canonical")`` is exactly the
     deduplicated corpus.
+
+    Pass ``checkpoint_dir`` on a real cluster — see
+    ``connected_components`` for the durability trade-off.
     """
-    comp = connected_components(pairs, src=pair_a, dst=pair_b)
+    comp = connected_components(
+        pairs, src=pair_a, dst=pair_b, checkpoint_dir=checkpoint_dir
+    )
     return (
         docs.select(F.col(id_col))
         .join(

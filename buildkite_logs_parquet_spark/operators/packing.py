@@ -134,3 +134,52 @@ def pack_sequences(
         F.min(id_col).alias("first_doc"),
         F.max(id_col).alias("last_doc"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Within-document sliding-window chunking: split each document's
+    token stream into windows of ``window`` tokens advancing by
+    ``stride`` (overlap = ``window - stride``) — the standard context
+    windowing step for training/embedding pipelines, complementary to
+    ``pack_sequences`` (which concatenates ACROSS documents).
+
+    Every token index is covered; the last window is the remainder (shorter
+    than ``window``) unless a full window already reaches the end.  A
+    document shorter than ``window`` yields exactly one chunk.
+
+    100 TB shape: a pure narrow map + explode — no shuffle at all; chunk
+    rows inherit the scan's partitioning.  Output is (id, chunk_id,
+    start_token, n_tokens, chunk_text).
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    if stride > window:
+        raise ValueError("stride > window would drop tokens")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    # number of windows: 1 + ceil(max(n - window, 0) / stride)
+    n_win = 1 + F.ceil(
+        F.greatest(n - window, F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            (i * stride).alias("start_token"),
+            F.slice(words, i * stride + 1, window).alias("_toks"),
+        ),
+    )
+    exploded = df.select(F.col(id_col), F.explode(chunks).alias("_c"))
+    return exploded.select(
+        F.col(id_col),
+        F.col("_c.chunk_id").alias("chunk_id"),
+        F.col("_c.start_token").alias("start_token"),
+        F.size("_c._toks").alias("n_tokens"),
+        F.array_join("_c._toks", " ").alias("chunk_text"),
+    )

@@ -317,6 +317,76 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    round_to: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (the cluster-then-dedup idea
+    of Abbas et al., "SemDeDup", 2023): coarse-assign every embedding to
+    its nearest literal centroid, then WITHIN each cell mark rows that
+    have a lower-id neighbor with cosine ≥ ``threshold``; the kept set
+    (``is_semantic_dup = false``) is the semantically deduplicated corpus.
+
+    100 TB shape: the pair join is an equi-join on the cell id — never
+    all-pairs.  The quadratic term is bounded per cell, and cell size is a
+    centroid-count knob (production uses 10k-100k centroids from a k-means
+    fit — ``kmeans_step`` is the fitting loop); a skewed cell is
+    AQE-splittable because the join key is the cell id.  Norms are
+    computed once per row and carried through the join; the threshold is
+    compared on the ROUNDED cosine so the keep/drop decision is
+    reproducible across engines.
+    """
+    from buildkite_logs_parquet_spark.operators.dedup import _fan_out
+    from pyspark import StorageLevel
+
+    assigned = ivf_assign(
+        _fan_out(df.select(F.col(id_col), F.col(vec_col))), centroids, vec_col
+    )
+    prepped = (
+        assigned.select(
+            F.col(id_col), "ivf_cell", _as_double(F.col(vec_col)).alias("_v")
+        )
+        .withColumn("_n", norm(F.col("_v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = prepped.select(
+        F.col(id_col).alias("id_a"),
+        "ivf_cell",
+        F.col("_v").alias("va"),
+        F.col("_n").alias("na"),
+    )
+    b = prepped.select(
+        F.col(id_col).alias("id_b"),
+        "ivf_cell",
+        F.col("_v").alias("vb"),
+        F.col("_n").alias("nb"),
+    )
+    sim = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_to
+    )
+    dups = (
+        a.join(b, "ivf_cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(sim >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        prepped.select(id_col, "ivf_cell")
+        .join(dups, on=id_col, how="left")
+        .select(
+            id_col,
+            "ivf_cell",
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("is_semantic_dup"),
+        )
+    )
+
+
 def kmeans_step(
     df: DataFrame,
     centroids: list[list[float]],

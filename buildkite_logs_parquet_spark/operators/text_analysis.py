@@ -211,19 +211,25 @@ def winnow_fingerprints(
     )
 
 
+def fingerprint_col(col: Column) -> Column:
+    """Column form of ``fingerprint``: lowercase, strip non-alphanumerics,
+    collapse whitespace, md5."""
+    normalized = F.regexp_replace(
+        F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", ""),
+        r"\s+",
+        " ",
+    )
+    return F.md5(F.trim(normalized))
+
+
 def fingerprint(
     df: DataFrame, id_col: str, text_col: str = "text"
 ) -> DataFrame:
     """Normalized-content fingerprint: lowercase, collapse whitespace,
     strip non-alphanumerics, md5.  The standard near-exact dedup key."""
-    normalized = F.regexp_replace(
-        F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""),
-        r"\s+",
-        " ",
-    )
     return df.select(
         F.col(id_col),
-        F.md5(F.trim(normalized)).alias("fingerprint"),
+        fingerprint_col(F.col(text_col)).alias("fingerprint"),
     )
 
 

@@ -295,3 +295,57 @@ def test_mix_corpora_realizes_target_mixture(spark):
         {"big": 1.0, "small": 1.0},
     )
     assert {tuple(r) for r in out.collect()} == {tuple(r) for r in out2.collect()}
+
+
+# ------------------------------------------------------------- DSIR weights
+
+
+def test_dsir_weights_hand_computed(spark):
+    from buildkite_logs_parquet_spark.operators.curation import dsir_weights
+
+    raw = _docs(
+        spark,
+        [
+            (1, "en", "the cat sat"),          # bigrams: "the cat", "cat sat"
+            (2, "en", "dogs run fast"),        # "dogs run", "run fast"
+            (3, "en", "one"),                  # no bigram
+        ],
+    )
+    target = _docs(spark, [(10, "en", "the cat sat")])
+    out = {r["doc_id"]: r for r in dsir_weights(raw, target, "doc_id").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_grams"] == 2 and out[2]["n_grams"] == 2
+    assert out[3]["n_grams"] == 0
+    # doc 1's bigrams appear in the target, doc 2's do not → doc 1 must
+    # score strictly higher; the gramless doc scores exactly 0
+    w = {k: float(v["dsir_logweight"]) for k, v in out.items()}
+    assert w[1] > w[2]
+    assert w[3] == 0.0
+    # hand-check doc 1: each of its 2 grams has ct=1, cr=1;
+    # T=2, R=4, B=4096 → per-gram llr = ln((2*(4+B)) / (2*(2+B)))
+    import math
+
+    expected = 2 * round(math.log((2 * (4 + 4096)) / (2 * (2 + 4096))), 9)
+    assert abs(w[1] - expected) < 1e-8
+
+
+def test_dsir_weights_deterministic_across_layouts(spark):
+    from buildkite_logs_parquet_spark.operators.curation import dsir_weights
+
+    rows = [
+        (i, "en", f"token{i % 7} token{(i + 1) % 5} token{i % 3} filler text")
+        for i in range(60)
+    ]
+    raw = _docs(spark, rows)
+    target = _docs(spark, rows[:10])
+    a = {
+        (r["doc_id"], r["dsir_logweight"])
+        for r in dsir_weights(raw, target, "doc_id").collect()
+    }
+    b = {
+        (r["doc_id"], r["dsir_logweight"])
+        for r in dsir_weights(
+            raw.repartition(13, "doc_id"), target, "doc_id"
+        ).collect()
+    }
+    assert a == b

@@ -71,6 +71,29 @@ def test_max_iter_raises(spark):
         connected_components(edges, max_iter=1)
 
 
+def test_reliable_checkpoint_matches_local(spark, tmp_path):
+    """checkpoint_dir (production durability path) must be semantically
+    identical to the default localCheckpoint path."""
+    rng = random.Random(11)
+    n = 120
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(100)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    nodes = spark.range(n)
+    local = {
+        r["id"]: r["comp"] for r in connected_components(df, nodes=nodes).collect()
+    }
+    reliable = {
+        r["id"]: r["comp"]
+        for r in connected_components(
+            df, nodes=nodes, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert reliable == local == _cc_reference(n, edges)
+    # the reliable path actually wrote checkpoint data to the shared dir
+    assert any((tmp_path / "ckpt").rglob("*"))
+
+
 def test_dedup_clusters_canonical_flag(spark):
     docs = spark.range(6).select(F.col("id").alias("doc_id"))
     pairs = spark.createDataFrame([(1, 4), (4, 5)], "id_a long, id_b long")

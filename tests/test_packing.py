@@ -115,3 +115,68 @@ def test_pack_sequences_matches_python_simulation(spark, weights, capacity):
             e[3] = i
         pos += w
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+# ------------------------------------------------------- document chunking
+
+
+def test_chunk_documents_hand_computed(spark):
+    from buildkite_logs_parquet_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    out = sorted(
+        chunk_documents(docs, "doc_id", window=4, stride=3).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # 10 tokens, window 4, stride 3 → windows start at 0,3,6 (covers 6..9)
+    assert [r["start_token"] for r in out] == [0, 3, 6]
+    assert [r["n_tokens"] for r in out] == [4, 4, 4]
+    assert out[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert out[2]["chunk_text"] == "t6 t7 t8 t9"
+
+
+def test_chunk_documents_covers_every_token_once_per_overlap(spark):
+    from buildkite_logs_parquet_spark.operators.packing import chunk_documents
+
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(rng.randint(1, 40))))
+        for i in range(25)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    W, S = 8, 5
+    out = chunk_documents(docs, "doc_id", window=W, stride=S).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in rows:
+        n = len(text.split())
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+        # full coverage: union of [start, start+n_tokens) == [0, n)
+        covered = set()
+        for c in chunks:
+            covered.update(range(c["start_token"], c["start_token"] + c["n_tokens"]))
+        assert covered == set(range(n)), doc_id
+        # starts advance by exactly the stride
+        assert [c["start_token"] for c in chunks] == [
+            i * S for i in range(len(chunks))
+        ]
+        # reassembling non-overlapping prefixes reproduces the document
+        reassembled = chunks[0]["chunk_text"].split()
+        for c in chunks[1:]:
+            overlap = len(reassembled) - c["start_token"]
+            reassembled += c["chunk_text"].split()[overlap:]
+        assert reassembled == text.split(), doc_id
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from buildkite_logs_parquet_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame([(7, "a b c")], "doc_id long, text string")
+    out = chunk_documents(docs, "doc_id", window=64, stride=48).collect()
+    assert len(out) == 1
+    assert out[0]["n_tokens"] == 3 and out[0]["chunk_text"] == "a b c"

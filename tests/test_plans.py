@@ -151,6 +151,31 @@ def test_no_cartesian_products_anywhere(spark):
     assert not offenders, offenders
 
 
+def test_segment_dedup_digest_shuffles_carry_no_text(spark):
+    """segment_dedup's scale contract: every digest-keyed exchange moves
+    (id, pos, digest, ord) only — a hot boilerplate digest must never drag
+    segment text into its skewed reduce partition."""
+    from buildkite_logs_parquet_spark.operators.dedup import segment_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the at-scale exchange structure is visible
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = segment_dedup(docs, "doc_id", "text", k=10)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    digest_exchanges = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning(_h" in line
+    ]
+    assert digest_exchanges, "expected digest-keyed exchanges in the plan"
+    for line in digest_exchanges:
+        assert "seg#" not in line, line
+
+
 def test_whole_stage_codegen_covers_parse(spark, entries_path):
     # the scalar pipeline (classification read + filter) must stay inside
     # whole-stage codegen over a real columnar scan

@@ -203,3 +203,47 @@ def test_kmeans_step_empty_cells_absent_and_layout_independent(spark):
     # decimal sums make the drift identical under any partition layout
     out2 = S.kmeans_step(df.repartition(7), cents).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in out2]
+
+
+# ---------------------------------------------------------------- SemDeDup
+
+
+def test_semantic_dedup_marks_in_cell_near_dups(spark, vectors):
+    df, rows = vectors
+    rng = random.Random(99)
+    centroids = [[rng.gauss(0, 1) for _ in range(DIM)] for _ in range(4)]
+    out = {
+        r["vec_id"]: r
+        for r in S.semantic_dedup(
+            df, centroids, threshold=0.98, round_to=6
+        ).collect()
+    }
+    # every input row is labeled
+    assert set(out) == set(range(N))
+    # vectors 1..3 are near-clones of 0 → same cell, cosine ~1 → dups;
+    # vector 0 (the lowest id in the clone group) is kept
+    assert not out[0]["is_semantic_dup"]
+    for i in (1, 2, 3):
+        assert out[i]["is_semantic_dup"], i
+    # a kept row's cell must host no LOWER-id kept row within threshold:
+    # verify against brute force inside each cell
+    vecs = {r["vec_id"]: r for r in df.collect()}
+    by_cell = {}
+    for vid, r in out.items():
+        by_cell.setdefault(r["ivf_cell"], []).append(vid)
+    def cos(a, b):
+        da = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return da / (na * nb)
+    for cell, ids in by_cell.items():
+        for vid in ids:
+            expect_dup = any(
+                other < vid
+                and round(
+                    cos(vecs[other]["embedding"], vecs[vid]["embedding"]), 6
+                )
+                >= 0.98
+                for other in ids
+            )
+            assert out[vid]["is_semantic_dup"] == expect_dup, (cell, vid)
