@@ -458,16 +458,70 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.winnow_fingerprints(docs, "doc_id", "text", k=8, window=4)
 
 
-def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time aggregations consolidated into one oracle row
+    (union-tagged): hourly buckets per event type, and JSON-prop bucket
+    rollups — both full-output-hashed.  (Same registry-budget rationale
+    as q_text_profile.)"""
     ev = _events(spark, sf_dir)
     hour = F.date_format(F.timestamp_millis(F.col("ts_ms")), "yyyy-MM-dd HH:00:00")
-    return (
-        ev.groupBy(hour.alias("hour"), "event_type")
+    hourly = ev.groupBy(hour.alias("_h"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        _money(F.sum(_dec(F.col("value"), 2))).alias("total_value"),
+    ).select(
+        F.lit("hourly").alias("side"),
+        F.concat_ws("|", F.col("_h"), F.col("event_type")).alias("key"),
+        "n_events",
+        "total_value",
+    )
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
+    jsonb = (
+        ev.select(k.alias("_k"), "value")
+        .groupBy((F.col("_k") % 10).alias("_kb"))
         .agg(
             F.count("*").alias("n_events"),
             _money(F.sum(_dec(F.col("value"), 2))).alias("total_value"),
         )
+        .select(
+            F.lit("json_k").alias("side"),
+            F.col("_kb").cast("string").alias("key"),
+            "n_events",
+            "total_value",
+        )
     )
+    return hourly.unionByName(jsonb)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: coarse k-means cells (literal centroids) + in-cell
+    cosine dedup — the cluster-scoped exact complement to the banded-LSH
+    near-dup path.  Threshold compared on the ROUNDED cosine so keep/drop
+    is engine-reproducible."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(
+        emb, _ivf_centroids(), threshold=_NEAR_DUP_THRESHOLD, round_to=4
+    )
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: how target-like (source = src0) each raw
+    document's hashed-bigram distribution is; broadcast log-ratio LUT, no
+    corpus-gram shuffle, decimal-summed weights (order-independent)."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.dsir_weights(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        "doc_id",
+        n_buckets=4096,
+        seed=13,
+    )
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (window 32, stride 24): the within-document
+    context windowing step; pure narrow map + explode, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return PK.chunk_documents(docs, "doc_id", "text", window=32, stride=24)
 
 
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -491,19 +545,6 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sessions"),
         F.sum("n_events").alias("n_events"),
         F.max("duration_ms").alias("max_session_ms"),
-    )
-
-
-def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
-    return (
-        ev.select(k.alias("k"), "value")
-        .groupBy((F.col("k") % 10).alias("k_bucket"))
-        .agg(
-            F.count("*").alias("n"),
-            _money(F.sum(_dec(F.col("value"), 2))).alias("total_value"),
-        )
     )
 
 
@@ -757,15 +798,6 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic train/val/test assignment — a document's split never
-    changes as the corpus grows (pure content hash, not a shuffle)."""
-    docs = _t(spark, sf_dir, "documents")
-    return CU.split_assign(
-        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
-    ).select("doc_id", "lang", "split")
-
-
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction with per-category audit counts (email/IPv4/phone),
     patterns constrained to the RE2 ∩ Java regex subset so the oracle
@@ -814,12 +846,13 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_duplicates(fps, "doc_id", max_hamming=3, bits=32)
 
 
-def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic per-language downsampling of the corpus: the kept set
-    is a pure function of (seed, doc_id), so it is identical run-to-run,
-    engine-to-engine, and layout-to-layout — the reproducibility property
-    ``df.sample`` (per-partition RNG) cannot provide.  One narrow
-    predicate; composes with scan pruning."""
+def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus selection, consolidated into one oracle row
+    (union-tagged): stratified per-language downsampling AND stable
+    train/val/test split assignment — both pure content-hash functions of
+    (seed, doc_id): identical run-to-run, engine-to-engine, and
+    layout-to-layout, which ``df.sample`` (per-partition RNG) cannot
+    provide.  Narrow predicates/projections only."""
     docs = _t(spark, sf_dir, "documents")
     sampled = CU.sample_stratified(
         docs,
@@ -828,8 +861,21 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         rates={"en": 0.3, "de": 1.0, "zh": 0.5},
         default_rate=0.1,
         seed=42,
+    ).select(
+        F.lit("sample").alias("op"),
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("string").alias("val"),
     )
-    return sampled.select("doc_id", "lang", "n_chars")
+    split = CU.split_assign(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
+    ).select(
+        F.lit("split").alias("op"),
+        "doc_id",
+        "lang",
+        F.col("split").alias("val"),
+    )
+    return sampled.unionByName(split)
 
 
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -923,9 +969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_discount_audit": q_orders_discount_audit,
         "small_quantity_revenue": q_small_quantity_revenue,
         "winnow_fingerprint": q_winnow_fingerprint,
-        "events_hourly": q_events_hourly,
+        "events_agg": q_events_agg,
         "events_sessions": q_events_sessions,
-        "events_json": q_events_json,
         "events_native_ts": q_events_native_ts,
         "events_percentiles": q_events_percentiles,
         "events_asof": q_events_asof,
@@ -942,15 +987,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "embedding_label_centroid_sim": q_embedding_label_centroid_sim,
         "kmeans_step": q_kmeans_step,
-        "sample_stratified": q_sample_stratified,
+        "semantic_dedup": q_semantic_dedup,
+        "corpus_select": q_corpus_select,
         "gopher_filter": q_gopher_filter,
         "repetition_metrics": q_repetition_metrics,
         "quality_classifier": q_quality_classifier,
         "ngram_counts": q_ngram_counts,
         "pack_sequences": q_pack_sequences,
+        "doc_chunks": q_doc_chunks,
         "contamination": q_contamination,
+        "dsir_weights": q_dsir_weights,
         "mix_corpora": q_mix_corpora,
-        "split_assign": q_split_assign,
         "pii_scrub": q_pii_scrub,
         "tfidf_top_terms": q_tfidf_top_terms,
         "curation_pipeline": q_curation_pipeline,
@@ -1231,9 +1278,16 @@ SELECT DISTINCT doc_id,
 FROM hashed
 """
 
-    sql["events_hourly"] = f"""
-SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-       event_type,
+    sql["events_agg"] = f"""
+SELECT 'hourly' AS side,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') || '|' || event_type AS key,
+       count(*) AS n_events,
+       CAST(sum({dec('value', 2)}) AS STRING) AS total_value
+FROM events
+GROUP BY 1, 2
+UNION ALL
+SELECT 'json_k' AS side,
+       CAST(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS STRING) AS key,
        count(*) AS n_events,
        CAST(sum({dec('value', 2)}) AS STRING) AS total_value
 FROM events
@@ -1264,14 +1318,6 @@ SELECT user_id, count(*) AS n_sessions,
        CAST(sum(n_events) AS BIGINT) AS n_events,
        max(duration_ms) AS max_session_ms
 FROM per_session GROUP BY user_id
-"""
-
-    sql["events_json"] = f"""
-SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
-       count(*) AS n,
-       CAST(sum({dec('value', 2)}) AS STRING) AS total_value
-FROM events
-GROUP BY 1
 """
 
     sql["events_native_ts"] = """
@@ -1561,8 +1607,8 @@ WHERE {_cos} >= {_NEAR_DUP_THRESHOLD}
         "CAST(concat('0x', substr(md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)"
     )
     _b32 = 1 << 32
-    sql["sample_stratified"] = f"""
-SELECT doc_id, lang, n_chars
+    sql["_sample_part"] = f"""
+SELECT 'sample' AS op, doc_id, lang, CAST(n_chars AS STRING) AS val
 FROM documents
 WHERE {_bucket} < CASE lang
   WHEN 'de' THEN {int(1.0 * _b32)}
@@ -1804,6 +1850,90 @@ SELECT cnt.cell AS ivf_cell, cnt.n_assigned,
 FROM cnt JOIN newc ON cnt.cell = newc.cell
 """
 
+    # semantic_dedup: same literal-centroid assignment CTE; in-cell pair
+    # scan with the threshold compared on the ROUNDED cosine (matching the
+    # Spark side) so keep/drop decisions are engine-reproducible
+    sql["semantic_dedup"] = f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         {_s_cols}
+  FROM embeddings
+),
+a AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {_cell} AS cell FROM s
+),
+dups AS (
+  SELECT DISTINCT y.vec_id
+  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE round(list_cosine_similarity(x.v, y.v), 4) >= {_NEAR_DUP_THRESHOLD}
+)
+SELECT a.vec_id, CAST(a.cell AS INT) AS ivf_cell,
+       (d.vec_id IS NOT NULL) AS is_semantic_dup
+FROM a LEFT JOIN dups d ON a.vec_id = d.vec_id
+"""
+
+    # dsir_weights: identical bucket hashing (seed 13, 15-hex md5 → mod
+    # 4096), identical smoothing arithmetic — one division + one ln on
+    # exact integer-valued doubles, rounded to 9 decimals, decimal-summed
+    sql["dsir_weights"] = """
+WITH rawd AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+tgtd AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+rg AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(concat('13:', ws[i] || ' ' || ws[i+1])), 1, 15)) AS BIGINT) % 4096 AS b
+  FROM (
+    SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws FROM rawd)
+    WHERE len(ws) >= 2
+  )
+),
+tg AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(concat('13:', ws[i] || ' ' || ws[i+1])), 1, 15)) AS BIGINT) % 4096 AS b
+  FROM (
+    SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws FROM tgtd)
+    WHERE len(ws) >= 2
+  )
+),
+tcnt AS (SELECT b, count(*) AS ct FROM tg GROUP BY b),
+rcnt AS (SELECT b, count(*) AS cr FROM rg GROUP BY b),
+tot AS (SELECT (SELECT count(*) FROM tg) AS t_total, (SELECT count(*) FROM rg) AS r_total),
+lut AS (
+  SELECT rcnt.b,
+         CAST(round(ln(((COALESCE(ct, 0) + 1) * (r_total + 4096.0))
+                       / ((cr + 1) * (t_total + 4096.0))), 9) AS DECIMAL(28,9)) AS llr
+  FROM rcnt LEFT JOIN tcnt ON rcnt.b = tcnt.b, tot
+),
+per AS (
+  SELECT doc_id, count(*) AS n_grams, sum(llr) AS w
+  FROM rg JOIN lut ON rg.b = lut.b GROUP BY doc_id
+)
+SELECT r.doc_id,
+       COALESCE(per.n_grams, 0) AS n_grams,
+       CAST(COALESCE(per.w, CAST(0 AS DECIMAL(38,9))) AS STRING) AS dsir_logweight
+FROM rawd r LEFT JOIN per ON r.doc_id = per.doc_id
+"""
+
+    # doc_chunks: same window/stride arithmetic; DuckDB list_slice clamps
+    # at the list end exactly like Spark's slice
+    sql["doc_chunks"] = """
+WITH w AS (
+  SELECT doc_id, ws,
+         unnest(range(0, 1 + CAST(ceil(greatest(len(ws) - 32, 0) / 24.0) AS BIGINT))) AS i
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents)
+),
+c AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_id, CAST(i * 24 AS INT) AS start_token,
+         list_slice(ws, CAST(i * 24 + 1 AS BIGINT), CAST(least(i * 24 + 32, len(ws)) AS BIGINT)) AS toks
+  FROM w
+)
+SELECT doc_id, chunk_id, start_token,
+       CAST(len(toks) AS INT) AS n_tokens,
+       array_to_string(toks, ' ') AS chunk_text
+FROM c
+"""
+
     # mix_corpora: the rate arithmetic (normalized weights → binding
     # source → least(1, scale·w/c)) re-expressed in SQL over the same
     # counts; normalized-weight literals computed by the same Python
@@ -1882,11 +2012,15 @@ FROM g GROUP BY gram HAVING count(*) >= 5
     for _nm in _names[:-1]:
         _acc += _sw[_nm] / sum(_sw.values())
         _cases.append(f"WHEN {_bucket} < {int(_acc * _b32)} THEN '{_nm}'")
-    sql["split_assign"] = f"""
-SELECT doc_id, lang,
-       CASE {' '.join(_cases)} ELSE '{_names[-1]}' END AS split
+    sql["corpus_select"] = (
+        sql.pop("_sample_part")
+        + f"""
+UNION ALL
+SELECT 'split' AS op, doc_id, lang,
+       CASE {' '.join(_cases)} ELSE '{_names[-1]}' END AS val
 FROM documents
 """
+    )
 
     # pii_scrub: chain generated from the SAME pattern table the operator
     # uses — count on the running text, then replace, per category

@@ -31,10 +31,10 @@ BENCH_QUERIES = [
     "revenue_by_nation",
     "part_type_stats",
     # event-time
-    "events_hourly",
+    "events_agg",
     "events_sessions",
-    "events_json",
     "events_percentiles",
+    "events_asof",
     # training-data ops
     "dedup_exact",
     "minhash_near_dups",
@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "contamination",
     "pii_scrub",
     "tfidf_top_terms",
+    "semantic_dedup",
+    "dsir_weights",
+    "doc_chunks",
+    "segment_dedup",
     "curation_pipeline",
 ]
 

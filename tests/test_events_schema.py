@@ -98,9 +98,8 @@ def test_events_queries_run_on_both_schemas(spark, two_schema_dirs):
 
     qs = E.queries()
     event_queries = [
-        "events_hourly",
+        "events_agg",
         "events_sessions",
-        "events_json",
         "events_percentiles",
         "events_asof",
     ]
