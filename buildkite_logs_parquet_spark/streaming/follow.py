@@ -275,3 +275,48 @@ def windowed_counts(entries: DataFrame, window: str = "1 minute") -> DataFrame:
             F.sum(F.col("is_progress").cast("long")).alias("progress"),
         )
     )
+
+
+def session_counts(
+    entries: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str | None = None,
+    watermark: str = "5 minutes",
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """Gap-based sessionization with Spark's native ``session_window`` —
+    works identically on a stream (watermarked, state GC'd as sessions
+    close) and on a batch DataFrame (merge-overlapping-windows semantics).
+
+    A session is a maximal run of events where consecutive gaps stay
+    under ``gap``; ``session_window`` merges overlapping candidate
+    windows in-state, which is exactly the ``lag``-based flagging the
+    batch sessionizer computes (equivalence is property-tested in
+    tests/test_streaming.py).
+
+    100 TB / streaming shape: state is one (key, open-session) row per
+    active key, GC'd when the watermark passes a session's close; batch
+    mode is one shuffle keyed by (key) with the merge running inside the
+    aggregation — no self-join, no global sort.
+    """
+    keys = [F.session_window(F.col(ts_col), gap)]
+    if key_col is not None:
+        keys.append(F.col(key_col))
+    base = entries
+    if entries.isStreaming:
+        base = base.withWatermark(ts_col, watermark)
+    out = base.groupBy(*keys).agg(
+        F.count("*").alias("n_events"),
+        F.min(ts_col).alias("first_event"),
+        F.max(ts_col).alias("last_event"),
+    )
+    cols = [
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "first_event",
+        "last_event",
+    ]
+    if key_col is not None:
+        cols.insert(0, F.col(key_col))
+    return out.select(*cols)

@@ -2,6 +2,8 @@
 
 import time
 
+from pyspark.sql import functions as F
+
 from buildkite_logs_parquet_spark.streaming.follow import (
     follow_log_dir,
     follow_with_groups,
@@ -256,3 +258,100 @@ def test_stream_dedup_keeps_same_content_in_different_files(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.sql("select * from dedup_test2").count() == 2
+
+
+def test_session_counts_batch_matches_lag_sessionizer(spark):
+    """session_window's merge semantics must equal the manual lag-gap
+    flagging used by the batch events_sessions query."""
+    import random
+
+    from buildkite_logs_parquet_spark.streaming.follow import session_counts
+
+    rng = random.Random(5)
+    rows = []
+    for user in range(6):
+        t = 1_700_000_000_000
+        for _ in range(rng.randint(3, 25)):
+            t += rng.choice([1_000, 60_000, 31 * 60 * 1000, 2 * 3600 * 1000])
+            rows.append((user, t))
+    df = spark.createDataFrame(rows, "user_id long, ts_ms long").select(
+        "user_id", F.timestamp_millis(F.col("ts_ms")).alias("event_ts"), "ts_ms"
+    )
+    got = session_counts(df, gap="30 minutes", key_col="user_id").collect()
+
+    # python ground truth: gap-based sessionization per user
+    by_user = {}
+    for user, t in rows:
+        by_user.setdefault(user, []).append(t)
+    want = []
+    GAP = 30 * 60 * 1000
+    for user, ts in by_user.items():
+        ts.sort()
+        start = prev = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if t - prev >= GAP:
+                want.append((user, start, prev, n))
+                start, n = t, 0
+            n += 1
+            prev = t
+        want.append((user, start, prev, n))
+    want_set = {(u, s, e, n) for u, s, e, n in want}
+    got_set = {
+        (
+            r["user_id"],
+            int(r["first_event"].timestamp() * 1000),
+            int(r["last_event"].timestamp() * 1000),
+            r["n_events"],
+        )
+        for r in got
+    }
+    assert got_set == want_set
+
+
+def test_session_counts_streaming_closes_sessions(spark, tmp_path):
+    """On a stream, closed sessions are emitted once the watermark passes
+    (append mode), with state GC'd — run two micro-batches through a file
+    source and check the first session surfaces."""
+    import json
+    import os
+
+    from buildkite_logs_parquet_spark.streaming.follow import session_counts
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for user, ts in rows:
+                f.write(json.dumps({"user_id": user, "ts_ms": ts}) + "\n")
+
+    base = 1_700_000_000_000
+    write_batch("b0.json", [(1, base), (1, base + 1000), (2, base + 500)])
+    # one hour later: previous sessions are far behind the watermark
+    write_batch("b1.json", [(1, base + 3_600_000), (2, base + 3_700_000)])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_ms long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .select("user_id", F.timestamp_millis(F.col("ts_ms")).alias("event_ts"))
+    )
+    sessions = session_counts(
+        stream, gap="30 minutes", key_col="user_id", watermark="1 minute"
+    )
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    done = spark.read.parquet(out_dir)
+    rows = {(r["user_id"], r["n_events"]) for r in done.collect()}
+    # the two batch-0 sessions must have closed and been emitted
+    assert (1, 2) in rows and (2, 1) in rows
