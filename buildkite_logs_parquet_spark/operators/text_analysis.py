@@ -331,3 +331,101 @@ def ngram_counts(
         .agg(F.count("*").alias("n_occurrences"))
         .where(F.col("n_occurrences") >= min_count)
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str,
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a literal query term set
+    — the lexical retrieval complement to the embedding ANN stack.
+
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))``
+    with the robust idf ``ln(1 + (N − df + 0.5)/(df + 0.5))``.
+
+    100 TB shape: the query-term filter lands BEFORE the tf aggregation,
+    so only tokens matching the (tiny, literal) query set ever shuffle;
+    document length is a narrow ``token_count`` column (no second explode
+    and no per-doc shuffle); N and avgdl are driver-side scalars
+    (metadata-sized aggregates); per-term document frequencies are a
+    |query|-row broadcast.
+    """
+    from buildkite_logs_parquet_spark.operators.dedup import _fan_out
+
+    terms = [t.lower() for t in query_terms]
+    base = _fan_out(df.select(F.col(id_col), F.col(text_col))).withColumn(
+        "_dl", token_count(F.col(text_col)).cast("double")
+    )
+    tokens = (
+        base.select(
+            F.col(id_col),
+            "_dl",
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+                "_t"
+            ),
+        )
+        .where(F.col("_t").isin(terms))  # literal IN: only query tokens survive
+    )
+    tf = tokens.groupBy(id_col, "_t").agg(
+        F.count("*").alias("_tf"), F.first("_dl").alias("_dl")
+    )
+    stats = df.select(
+        F.count("*").alias("_n"),
+    ).first()
+    n_docs = stats["_n"]
+    avgdl = (
+        base.agg(F.avg("_dl")).first()[0] or 1.0
+    )
+    docfreq = tf.groupBy("_t").agg(F.count("*").alias("_df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    scored = tf.join(F.broadcast(docfreq.withColumn("_idf", idf)), on="_t")
+    term_score = F.col("_idf") * (
+        F.col("_tf") * (k1 + 1.0)
+        / (F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.lit(float(avgdl))))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.round(F.sum(term_score), round_to).alias("bm25"),
+            F.count("*").alias("n_matched_terms"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+    )
+
+
+def url_domain_stats(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Per-domain URL statistics over the corpus (web-curation staple:
+    domain blocklists, source audits): extract ``http(s)://`` URLs, key by
+    lowercased host, count occurrences and distinct documents.
+
+    Narrow extract + explode, ONE aggregation keyed by domain (bounded by
+    the web's domain cardinality, not corpus size; a hot domain is
+    map-side-combined before it shuffles)."""
+    urls = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(r"https?://[^\s/$.?#][^\s]*"), 0
+            )
+        ).alias("_url"),
+    )
+    domain = F.lower(F.regexp_extract(F.col("_url"), r"https?://([^/\s:?#]+)", 1))
+    return (
+        urls.select(F.col(id_col), domain.alias("domain"))
+        .where(F.col("domain") != "")
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+        )
+    )

@@ -226,3 +226,68 @@ def test_ngram_counts_trigram_and_short_doc_guard(spark):
         for r in ngram_counts(df, "text", n=3, min_count=1).collect()
     }
     assert got == {"x y z": 2, "y z w": 2}
+
+
+# ------------------------------------------------------------------- BM25
+
+
+def test_bm25_matches_python_reference(spark):
+    import math
+
+    from buildkite_logs_parquet_spark.operators.text_analysis import bm25_scores
+
+    corpus = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "quick quick quick fox"),
+        (3, "nothing relevant here at all"),
+        (4, "a dog and a fox met a dog"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    q = ["quick", "fox", "dog"]
+    got = {r["doc_id"]: r for r in bm25_scores(docs, q, "doc_id").collect()}
+
+    # python reference
+    k1, b = 1.2, 0.75
+    toks = {i: t.lower().split() for i, t in corpus}
+    N = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / N
+    df_ = {t: sum(1 for d in toks.values() if t in d) for t in q}
+    want = {}
+    for i, d in toks.items():
+        s = 0.0
+        matched = 0
+        for t in q:
+            tf = d.count(t)
+            if tf == 0:
+                continue
+            matched += 1
+            idf = math.log(1.0 + (N - df_[t] + 0.5) / (df_[t] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(d) / avgdl))
+        if matched:
+            want[i] = (round(s, 4), matched)
+    assert set(got) == set(want)
+    for i, (s, m) in want.items():
+        assert got[i]["n_matched_terms"] == m
+        assert abs(got[i]["bm25"] - s) < 1e-3, i
+    # doc 3 matches nothing and must be absent
+    assert 3 not in got
+
+
+def test_url_domain_stats(spark):
+    from buildkite_logs_parquet_spark.operators.text_analysis import (
+        url_domain_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see https://Example.com/a and http://example.com/b?x=1"),
+            (2, "ref https://other.org/path plus text https://example.com"),
+            (3, "no links here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["domain"]: r for r in url_domain_stats(docs, "doc_id").collect()}
+    assert got["example.com"]["n_urls"] == 3
+    assert got["example.com"]["n_docs"] == 2
+    assert got["other.org"]["n_urls"] == 1 and got["other.org"]["n_docs"] == 1
+    assert set(got) == {"example.com", "other.org"}
