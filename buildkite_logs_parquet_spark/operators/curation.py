@@ -232,9 +232,9 @@ def benchmark_contamination(
     """
     from buildkite_logs_parquet_spark.operators.dedup import _fan_out, _hash64
 
-    def grams(df: DataFrame, alias: str) -> DataFrame:
+    def grams(df: DataFrame, alias: str, dedup: bool) -> DataFrame:
         n = F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1))
-        return (
+        out = (
             _fan_out(df)
             .select(
                 F.col(id_col).alias(alias),
@@ -246,11 +246,17 @@ def benchmark_contamination(
                 ).alias("_g"),
             )
             .select(F.col(alias), _hash64(F.col("_g"), 0, hash_fn).alias("_h"))
-            .distinct()
         )
+        # the benchmark (broadcast-build) side dedups — it is tiny and the
+        # smaller the broadcast the better; the TRAIN side must NOT: a
+        # pre-join distinct would shuffle the whole corpus gram stream,
+        # which is exactly what the broadcast join exists to avoid.  The
+        # count_distinct aggregates below absorb duplicate (id, gram) rows
+        # identically, and only post-filter (contaminated) grams shuffle.
+        return out.distinct() if dedup else out
 
-    tg = grams(train, "train_id")
-    bg = grams(benchmark, "bench_id")
+    tg = grams(train, "train_id", dedup=False)
+    bg = grams(benchmark, "bench_id", dedup=True)
     if broadcast_benchmark:
         bg = F.broadcast(bg)
     hits = tg.join(bg, on="_h")
