@@ -183,3 +183,49 @@ def test_whole_stage_codegen_covers_parse(spark, entries_path):
     plan = explain_str(df, "simple")
     # simple mode renders codegen stages as "*(n)"; formatted spells it out
     assert "*(" in plan or "WholeStageCodegen" in plan
+
+
+def test_narrow_queries_have_zero_exchanges(spark):
+    """text_profile and doc_chunks claim to be pure narrow maps — their
+    physical plans must contain no Exchange at all."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    for name in ("text_profile", "doc_chunks"):
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{name}:\n{plan[:800]}"
+
+
+def test_dsir_lut_is_broadcast(spark):
+    """dsir_weights' log-ratio lookup table must reach the corpus gram
+    stream as a broadcast — a hash-shuffled join there would move every
+    gram in the corpus."""
+    import __spark_entry__ as E
+
+    df = E.queries()["dsir_weights"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_corpus_grams_never_shuffle_before_filter(spark):
+    """The train-side gram stream must hit the broadcast benchmark filter
+    WITHOUT a preceding hash exchange (the round-3 fix: a pre-join
+    distinct used to shuffle the whole corpus gram stream)."""
+    import __spark_entry__ as E
+
+    df = E.queries()["contamination"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    # find the BroadcastHashJoin; walk its STREAMED subtree (the lines
+    # below it on the ':' spine) and assert no hashpartitioning exchange
+    # appears before the scan
+    bhj = next(i for i, l in enumerate(lines) if "BroadcastHashJoin" in l)
+    streamed = []
+    for line in lines[bhj + 1:]:
+        if "BroadcastExchange" in line:
+            break
+        streamed.append(line)
+    assert not any(
+        "Exchange hashpartitioning" in l for l in streamed
+    ), "\n".join(streamed[:10])
