@@ -116,3 +116,43 @@ def test_segment_dedup_fully_duplicated_doc_is_empty(spark):
     out = {r.doc_id: r for r in segment_dedup(df, "doc_id", "text", k=3).collect()}
     assert out[1].dedup_text == "a b c"
     assert (out[2].n_kept, out[2].dedup_text) == (0, "")
+
+
+def test_segment_dedup_corpus_invariants_random(spark):
+    """Property: across the whole corpus, every distinct chunk survives in
+    exactly ONE document's dedup_text, and each document's kept count
+    matches its contribution."""
+    import random
+
+    from buildkite_logs_parquet_spark.operators.dedup import segment_dedup
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab → many collisions
+    K = 3
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in segment_dedup(docs, "doc_id", "text", k=K).collect()}
+
+    # python ground truth
+    seen: set[str] = set()
+    for doc_id, text in sorted(rows):
+        words = text.split()
+        chunks = [
+            " ".join(words[i : i + K]) for i in range(0, len(words), K)
+        ] or [""]
+        kept = []
+        for ch in chunks:
+            if ch not in seen:
+                seen.add(ch)
+                kept.append(ch)
+        r = out[doc_id]
+        assert r["n_segments"] == len(chunks), doc_id
+        assert r["n_kept"] == len(kept), doc_id
+        assert r["dedup_text"] == " ".join(kept), doc_id
+
+    # corpus-wide: the total kept count equals the number of distinct
+    # chunks in the corpus (each survives exactly once)
+    assert sum(r["n_kept"] for r in out.values()) == len(seen)
