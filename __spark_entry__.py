@@ -158,13 +158,20 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - integral read (nanos-as-long): integer ``DIV 1_000_000`` — a double
       division at 1e18 magnitudes would lose low bits;
-    - timestamp/timestamp_ntz read: ``unix_millis`` on the UTC-cast value
-      (the session timezone is pinned to UTC, so NTZ wall-clock == instant).
+    - timestamp_ntz read: ``timestampdiff`` against the NTZ epoch literal —
+      pure wall-clock arithmetic, independent of the session timezone (the
+      oracle's ``epoch_ms`` treats naive timestamps as UTC, so a session-tz
+      cast would silently skew every event under a non-UTC session);
+    - timestamp (instant) read: ``unix_millis``, inherently tz-independent.
     """
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_dtype = dict(ev.dtypes)["ts"]
     if ts_dtype in ("bigint", "long", "int"):
         ts_ms = F.expr("CAST(ts DIV 1000000 AS BIGINT)")
+    elif ts_dtype == "timestamp_ntz":
+        ts_ms = F.expr(
+            "timestampdiff(MILLISECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        )
     else:
         ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
     return ev.withColumn("ts_ms", ts_ms)
