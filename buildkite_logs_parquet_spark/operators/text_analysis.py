@@ -429,3 +429,102 @@ def url_domain_stats(
             F.count_distinct(F.col(id_col)).alias("n_docs"),
         )
     )
+
+
+def word_symbol_table(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Distinct-word frequency table with each word as a character-symbol
+    array — the starting state of BPE vocabulary induction.  One corpus
+    token explode + one word-keyed count; the result is vocabulary-sized,
+    orders of magnitude smaller than the corpus."""
+    from buildkite_logs_parquet_spark.operators.dedup import _fan_out
+
+    tokens = _fan_out(df.select(F.col(text_col))).select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    return tokens.groupBy("word").agg(F.count("*").alias("freq")).select(
+        "word", "freq", F.split(F.col("word"), "").alias("symbols")
+    )
+
+
+def bpe_merge_step(
+    words: DataFrame,
+    symbols_col: str = "symbols",
+    freq_col: str = "freq",
+) -> tuple[DataFrame, tuple[str, str] | None, int]:
+    """ONE byte-pair-encoding merge iteration (Sennrich et al. 2016) over
+    a word/frequency symbol table: count adjacent symbol pairs weighted by
+    word frequency, pick the most frequent pair (ties broken
+    lexicographically so the learned vocab is deterministic), and merge it
+    greedily left-to-right inside every word.
+
+    Returns ``(merged_words, best_pair, pair_count)``; ``best_pair`` is
+    ``None`` when no adjacent pair remains (every word is one symbol).
+
+    100 TB shape: the state is the WORD table (vocabulary-sized — the
+    corpus itself is never touched after ``word_symbol_table``); pair
+    counting is one explode + one groupBy with map-side combine bounded by
+    the pair vocabulary; the argmax is a driver-side single row (top-1 via
+    ordered limit, a TakeOrdered merge — metadata-sized); the merge itself
+    is a narrow higher-order-function map, no shuffle.  An n-merge
+    training loop is n such steps — each step's driver traffic is ONE row.
+    """
+    pairs = words.select(
+        F.col(freq_col),
+        F.explode(
+            F.when(
+                F.size(F.col(symbols_col)) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(F.col(symbols_col)) - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col(symbols_col), i).alias("a"),
+                        F.element_at(F.col(symbols_col), i + 1).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).alias("p"),
+    )
+    top = (
+        pairs.groupBy("p")
+        .agg(F.sum(freq_col).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("p.a"), F.col("p.b"))
+        .limit(1)
+        .collect()
+    )
+    if not top:
+        return words, None, 0
+    a, b = top[0]["p"]["a"], top[0]["p"]["b"]
+    count = top[0]["n"]
+
+    # greedy left-to-right merge of (a, b) via a fold: the accumulator
+    # carries the rebuilt prefix plus one pending symbol; a pending `a`
+    # followed by `b` flushes as the merged symbol (so "aaa" with pair
+    # (a,a) becomes ["aa", "a"], matching the reference implementation)
+    merged = F.aggregate(
+        F.col(symbols_col),
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("pend"),
+        ),
+        lambda acc, s: F.when(
+            acc["pend"].isNull(),
+            F.struct(acc["out"].alias("out"), s.alias("pend")),
+        ).when(
+            (acc["pend"] == F.lit(a)) & (s == F.lit(b)),
+            F.struct(
+                F.concat(acc["out"], F.array(F.lit(a + b))).alias("out"),
+                F.lit(None).cast("string").alias("pend"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.concat(acc["out"], F.array(acc["pend"])).alias("out"),
+                s.alias("pend"),
+            )
+        ),
+        lambda acc: F.when(
+            acc["pend"].isNull(), acc["out"]
+        ).otherwise(F.concat(acc["out"], F.array(acc["pend"]))),
+    )
+    out = words.withColumn(symbols_col, merged)
+    return out, (a, b), count

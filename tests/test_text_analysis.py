@@ -291,3 +291,87 @@ def test_url_domain_stats(spark):
     assert got["example.com"]["n_docs"] == 2
     assert got["other.org"]["n_urls"] == 1 and got["other.org"]["n_docs"] == 1
     assert set(got) == {"example.com", "other.org"}
+
+
+# -------------------------------------------------------------------- BPE
+
+
+def _bpe_python(word_freqs, n_merges):
+    """Reference BPE trainer (Sennrich-style greedy merges)."""
+    vocab = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, f in word_freqs.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + f
+                )
+        if not counts:
+            break
+        # deterministic tie-break: max count, then lexicographically smallest
+        m = max(counts.values())
+        best = sorted([p for p, c in counts.items() if c == m])[0]
+        merges.append((best, m))
+        a, b = best
+        for w in vocab:
+            syms = vocab[w]
+            out, pend = [], None
+            for s in syms:
+                if pend is None:
+                    pend = s
+                elif pend == a and s == b:
+                    out.append(a + b)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = s
+            if pend is not None:
+                out.append(pend)
+            vocab[w] = out
+    return vocab, merges
+
+
+def test_bpe_merge_steps_match_python_reference(spark):
+    from buildkite_logs_parquet_spark.operators.text_analysis import (
+        bpe_merge_step,
+        word_symbol_table,
+    )
+
+    corpus = [
+        (1, "low low low lower lower newest newest newest newest widest"),
+        (2, "newest widest widest low"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    words = word_symbol_table(docs)
+
+    freqs = {}
+    for _, t in corpus:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    want_vocab, want_merges = _bpe_python(freqs, 5)
+
+    cur = words
+    got_merges = []
+    for _ in range(5):
+        cur, pair, n = bpe_merge_step(cur)
+        if pair is None:
+            break
+        got_merges.append((pair, n))
+        cur = cur.localCheckpoint(eager=True)  # keep the loop plan flat
+    assert got_merges == want_merges
+    got_vocab = {r["word"]: list(r["symbols"]) for r in cur.collect()}
+    assert got_vocab == want_vocab
+
+
+def test_bpe_merge_handles_overlapping_pairs(spark):
+    from buildkite_logs_parquet_spark.operators.text_analysis import bpe_merge_step
+
+    words = spark.createDataFrame(
+        [("aaa", 3, ["a", "a", "a"])],
+        "word string, freq long, symbols array<string>",
+    )
+    out, pair, n = bpe_merge_step(words)
+    assert pair == ("a", "a") and n == 6
+    assert out.first()["symbols"] == ["aa", "a"]
