@@ -75,3 +75,36 @@ def test_embed_media_feeds_the_ann_stack(spark, media):
     assert top[0]["cosine"] > 0.999  # the query row itself ranks first
     bucketed = S.hyperplane_buckets(emb, "embedding", dim=64, n_planes=8)
     assert bucketed.where(F.col("bucket").isNull()).count() == 0
+
+
+def test_media_to_semantic_dedup_end_to_end(spark):
+    """Full multimodal dedup path: payloads → embed_media → SemDeDup.
+    Duplicate payloads produce identical embeddings (cosine 1.0), so
+    semantic_dedup must mark every later copy a dup while distinct
+    payloads survive."""
+    import random
+
+    from buildkite_logs_parquet_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, f"payload-{i % 4}".encode(), f"file:///m{i}.png") for i in range(12)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary, uri string")
+    media = M.attach_media_meta(df, media_type="image", fmt="png", uri_col="uri")
+    emb = M.embed_media(media, dim=16)
+
+    rng = random.Random(3)
+    centroids = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(2)]
+    out = {
+        r["vec_id"]: r["is_semantic_dup"]
+        for r in semantic_dedup(
+            emb.withColumnRenamed("media_id", "vec_id"),
+            centroids,
+            threshold=0.999,
+        ).collect()
+    }
+    # ids 0..3 are the first occurrences of the 4 distinct payloads;
+    # 4..11 repeat them and must all be flagged
+    assert set(out) == set(range(12))
+    for i in range(4):
+        assert not out[i], i
+    for i in range(4, 12):
+        assert out[i], i
