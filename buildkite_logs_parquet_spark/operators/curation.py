@@ -322,9 +322,20 @@ def dsir_weights(
     from pyspark import StorageLevel
 
     rg = grams(raw).persist(StorageLevel.MEMORY_AND_DISK)
-    tcnt = grams(target).groupBy("_b").agg(F.count("*").alias("_ct"))
-    rcnt = rg.groupBy("_b").agg(F.count("*").alias("_cr"))
-    rcnt = rcnt.persist(StorageLevel.MEMORY_AND_DISK)
+    # both count tables are ≤ n_buckets rows; persisting them means each
+    # side's gram pipeline is evaluated exactly once (the totals collect
+    # below would otherwise re-run the target explode for the LUT join)
+    tcnt = (
+        grams(target)
+        .groupBy("_b")
+        .agg(F.count("*").alias("_ct"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rcnt = (
+        rg.groupBy("_b")
+        .agg(F.count("*").alias("_cr"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # totals: metadata-sized driver collects (bounded by n_buckets rows)
     t_total = tcnt.agg(F.sum("_ct")).first()[0] or 0
     r_total = rcnt.agg(F.sum("_cr")).first()[0] or 0
