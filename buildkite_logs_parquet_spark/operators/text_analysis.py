@@ -528,3 +528,61 @@ def bpe_merge_step(
     )
     out = words.withColumn(symbols_col, merged)
     return out, (a, b), count
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge list to every document — the encode side
+    of the ``word_symbol_table``/``bpe_merge_step`` trainer.
+
+    Encoding is inherently sequential per word (each merge rewrites the
+    symbol sequence the next merge scans), so this is the honest
+    Pandas-UDF case: an Arrow-batched ``mapInPandas`` with the merge
+    ranks carried in the closure (broadcast once per executor), applying
+    the standard greedy lowest-rank-first merge loop per word with a
+    per-batch word cache (corpus word frequency follows Zipf — the cache
+    hit rate is high).  No shuffle: output rows inherit the scan's
+    partitioning.
+
+    Output: ``(id, n_tokens, tokens array<string>)``.
+    """
+    from typing import Iterator
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def encode_word(word: str, cache: dict) -> list:
+        got = cache.get(word)
+        if got is not None:
+            return got
+        syms = list(word)
+        while len(syms) > 1:
+            best_rank, best_i = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_i is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        cache[word] = syms
+        return syms
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cache: dict = {}
+        for pdf in batches:
+            out = []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                toks: list = []
+                for w in str(text).lower().split():
+                    toks.extend(encode_word(w, cache))
+                out.append({id_col: rid, "n_tokens": len(toks), "tokens": toks})
+            yield pd.DataFrame(out, columns=[id_col, "n_tokens", "tokens"])
+
+    schema = f"{id_col} long, n_tokens long, tokens array<string>"
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, schema=schema)

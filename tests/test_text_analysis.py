@@ -375,3 +375,44 @@ def test_bpe_merge_handles_overlapping_pairs(spark):
     out, pair, n = bpe_merge_step(words)
     assert pair == ("a", "a") and n == 6
     assert out.first()["symbols"] == ["aa", "a"]
+
+
+def test_bpe_encode_applies_learned_merges(spark):
+    from buildkite_logs_parquet_spark.operators.text_analysis import (
+        bpe_encode,
+        bpe_merge_step,
+        word_symbol_table,
+    )
+
+    corpus = [(1, "low low low lower newest newest widest")]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+
+    # train 4 merges distributedly
+    cur = word_symbol_table(docs)
+    merges = []
+    for _ in range(4):
+        cur, pair, _n = bpe_merge_step(cur)
+        if pair is None:
+            break
+        merges.append(pair)
+        cur = cur.localCheckpoint(eager=True)
+
+    # encoding the SAME corpus must reproduce the trainer's final symbols
+    trained = {r["word"]: list(r["symbols"]) for r in cur.collect()}
+    enc = bpe_encode(docs, merges, "doc_id").first()
+    want_tokens = []
+    for w in corpus[0][1].split():
+        want_tokens.extend(trained[w])
+    assert list(enc["tokens"]) == want_tokens
+    assert enc["n_tokens"] == len(want_tokens)
+
+
+def test_bpe_encode_greedy_rank_order(spark):
+    from buildkite_logs_parquet_spark.operators.text_analysis import bpe_encode
+
+    # rank 0 merge (a,b) applies first, then rank 1 (ab,c) completes:
+    # "abc" -> [abc]; "xabc" -> [x, abc]
+    docs = spark.createDataFrame([(1, "abc xabc")], "doc_id long, text string")
+    out = bpe_encode(docs, [("a", "b"), ("ab", "c")], "doc_id").first()
+    assert list(out["tokens"]) == ["abc", "x", "abc"]
+    assert out["n_tokens"] == 3
