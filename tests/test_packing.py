@@ -180,3 +180,40 @@ def test_chunk_documents_short_doc_single_chunk(spark):
     out = chunk_documents(docs, "doc_id", window=64, stride=48).collect()
     assert len(out) == 1
     assert out[0]["n_tokens"] == 3 and out[0]["chunk_text"] == "a b c"
+
+
+def test_pack_sequences_by_bpe_token_counts(spark):
+    """Composition: encode with learned BPE merges, pack by the REAL token
+    counts — conservation must hold (sum of packed tokens == sum of doc
+    token counts)."""
+    from buildkite_logs_parquet_spark.operators.packing import pack_sequences
+    from buildkite_logs_parquet_spark.operators.text_analysis import (
+        bpe_encode,
+        bpe_merge_step,
+        word_symbol_table,
+    )
+
+    rows = [
+        (i, "low lower newest widest " * (1 + i % 3)) for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cur = word_symbol_table(docs)
+    merges = []
+    for _ in range(3):
+        cur, pair, _ = bpe_merge_step(cur)
+        if pair is None:
+            break
+        merges.append(pair)
+        cur = cur.localCheckpoint(eager=True)
+
+    encoded = bpe_encode(docs, merges, "doc_id")
+    total_tokens = encoded.agg(F.sum("n_tokens")).first()[0]
+    packed = pack_sequences(
+        encoded, "doc_id", text_col=None, weight_col="n_tokens", capacity=64
+    )
+    got = packed.agg(F.sum("n_tokens")).first()[0]
+    assert got == total_tokens
+    # every sequence except possibly the last is exactly at capacity
+    seqs = sorted(packed.collect(), key=lambda r: r["seq_id"])
+    for r in seqs[:-1]:
+        assert r["n_tokens"] == 64
