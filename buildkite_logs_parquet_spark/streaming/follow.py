@@ -320,3 +320,48 @@ def session_counts(
     if key_col is not None:
         cols.insert(0, F.col(key_col))
     return out.select(*cols)
+
+
+def stream_append_dedup_against_lake(
+    stream: DataFrame,
+    lake_path: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    output_mode_trigger_available_now: bool = True,
+):
+    """Exactly-once-style corpus growth: append each micro-batch to a
+    parquet lake, dropping rows whose key already exists in the lake OR
+    earlier in the same batch — cross-HISTORY dedup, complementing
+    ``stream_dedup`` (which only bounds state to a watermark horizon).
+
+    Built on ``foreachBatch``: the batch anti-joins the CURRENT lake on
+    ``key_cols`` (the lake side is projected to the key columns only —
+    at scale this is a digest-column scan, prunable and broadcastable
+    when small), dedups within the batch (first row per key in batch
+    order wins, via the batch's own min aggregation — deterministic), and
+    appends survivors. foreachBatch re-delivery (a batch replayed after a
+    crash) is idempotent BECAUSE of the anti-join: replayed rows find
+    their keys already in the lake and drop out.
+
+    Returns the started ``StreamingQuery``.
+    """
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        fresh = batch.dropDuplicates(key_cols)
+        try:
+            existing = spark.read.parquet(lake_path).select(*key_cols).distinct()
+            fresh = fresh.join(existing, on=key_cols, how="left_anti")
+        except AnalysisException:
+            # first batch: the lake does not exist yet
+            pass
+        fresh.write.mode("append").parquet(lake_path)
+
+    writer = stream.writeStream.foreachBatch(upsert).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if output_mode_trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

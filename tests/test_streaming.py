@@ -355,3 +355,50 @@ def test_session_counts_streaming_closes_sessions(spark, tmp_path):
     rows = {(r["user_id"], r["n_events"]) for r in done.collect()}
     # the two batch-0 sessions must have closed and been emitted
     assert (1, 2) in rows and (2, 1) in rows
+
+
+def test_stream_append_dedup_against_lake(spark, tmp_path):
+    """Cross-batch AND cross-restart dedup: a key appended in batch 0 must
+    not append again in batch 1 or after a full stream restart."""
+    import json
+
+    from buildkite_logs_parquet_spark.streaming.follow import (
+        stream_append_dedup_against_lake,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for key, val in rows:
+                f.write(json.dumps({"k": key, "v": val}) + "\n")
+
+    def run_once():
+        stream = spark.readStream.schema("k string, v long").option(
+            "maxFilesPerTrigger", 1
+        ).json(str(src))
+        q = stream_append_dedup_against_lake(stream, lake, ["k"], ckpt)
+        q.awaitTermination(120)
+
+    write_batch("b0.json", [("a", 1), ("b", 2), ("a", 3)])  # in-batch dup 'a'
+    run_once()
+    got = {(r["k"]) for r in spark.read.parquet(lake).collect()}
+    assert got == {"a", "b"}
+    assert spark.read.parquet(lake).count() == 2
+
+    write_batch("b1.json", [("a", 9), ("c", 4)])  # 'a' is historical
+    run_once()
+    rows = spark.read.parquet(lake).collect()
+    assert {(r["k"]) for r in rows} == {"a", "b", "c"}
+    assert len(rows) == 3  # 'a' did not append twice
+
+    # fresh checkpoint (simulated redelivery of ALL source files): the
+    # lake anti-join keeps the lake unchanged
+    import shutil
+
+    shutil.rmtree(ckpt)
+    run_once()
+    assert spark.read.parquet(lake).count() == 3
