@@ -1,9 +1,12 @@
 """As-of (point-in-time) join — an operator Spark's DataFrame API lacks.
 
 For every left row, attach the single right row with the greatest
-``right_ts <= left_ts`` (direction="backward", the default) or the
-smallest ``right_ts >= left_ts`` (direction="forward") within the same
-key group.  This is the classic time-series enrichment primitive (trade
+``right_ts <= left_ts`` (direction="backward", the default), the
+smallest ``right_ts >= left_ts`` (direction="forward"), or whichever of
+the two is closer (direction="nearest", ties preferring backward —
+pandas ``merge_asof`` parity, equivalence-tested) within the same key
+group.  The nearest variant runs both sweeps inside ONE hash shuffle
+(two window frames over the same partitioning — plan-asserted).  This is the classic time-series enrichment primitive (trade
 → most recent quote; purchase → last prior click) that engines like
 DuckDB/kdb expose as ``ASOF JOIN``.
 
@@ -66,8 +69,10 @@ def asof_join(
     running ``last(ignorenulls)`` → filter left rows.  No range join, no
     per-key quadratic work; scales horizontally with the number of keys.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     if payload_cols is None:
         payload_cols = [
@@ -96,6 +101,54 @@ def asof_join(
         F.col(right_ts).cast("long").alias("_r_ts"),
     )
     unioned = l_proj.unionByName(r_proj)
+
+    if direction == "nearest":
+        # BOTH sweeps in one hash shuffle: two window frames over the same
+        # partitioning (Catalyst plans one Exchange, two Sort+Window).
+        # Backward: running last over (ts asc, right-before-left at ties);
+        # forward: first following over (ts asc, left-before-right at
+        # ties) so an equal-ts right row is inclusive in both directions.
+        wb = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_ts").asc(), F.col("_side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        both = unioned.select(
+            *[F.col(c) for c in left.columns],
+            F.col("_side"),
+            F.col("_ts"),
+            *[F.last(o, ignorenulls=True).over(wb).alias(f"_b_{o}") for o in out_payload],
+            F.last("_r_ts", ignorenulls=True).over(wb).alias("_b_ts"),
+            *[F.first(o, ignorenulls=True).over(wf).alias(f"_f_{o}") for o in out_payload],
+            F.first("_r_ts", ignorenulls=True).over(wf).alias("_f_ts"),
+        ).where(F.col("_side") == 1)
+        b_dist = F.col("_ts") - F.col("_b_ts")
+        f_dist = F.col("_f_ts") - F.col("_ts")
+        if tolerance is not None:
+            b_ok = F.col("_b_ts").isNotNull() & (b_dist <= tolerance)
+            f_ok = F.col("_f_ts").isNotNull() & (f_dist <= tolerance)
+        else:
+            b_ok = F.col("_b_ts").isNotNull()
+            f_ok = F.col("_f_ts").isNotNull()
+        # ties prefer backward (pandas merge_asof(direction="nearest"))
+        use_b = b_ok & (~f_ok | (b_dist <= f_dist))
+        return both.select(
+            *[F.col(c) for c in left.columns],
+            *[
+                F.when(use_b, F.col(f"_b_{o}"))
+                .when(f_ok, F.col(f"_f_{o}"))
+                .alias(o)
+                for o in out_payload
+            ],
+            F.when(use_b, F.col("_b_ts"))
+            .when(f_ok, F.col("_f_ts"))
+            .alias("matched_ts"),
+        )
 
     asc = direction == "backward"
     order = [F.col("_ts").asc() if asc else F.col("_ts").desc(), F.col("_side").asc()]

@@ -85,3 +85,66 @@ def test_plan_is_single_shuffle_no_join(spark, trades_quotes):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_nearest_matches_pandas(spark):
+    """direction='nearest' equals pandas merge_asof(nearest) incl. the
+    tie-prefers-backward rule and tolerance."""
+    import pandas as pd
+
+    left_rows = [(1, t) for t in (5, 10, 14, 30)] + [(2, t) for t in (3, 8)]
+    right_rows = [(1, t, float(t)) for t in (4, 12, 20)] + [(2, 6, 6.0)]
+    left = spark.createDataFrame(left_rows, "k long, ts long")
+    right = spark.createDataFrame(right_rows, "k long, ts long, px double")
+
+    from buildkite_logs_parquet_spark.operators.asof import asof_join
+
+    for tol in (None, 3):
+        got = {
+            (r["k"], r["ts"]): (r["matched_ts"], r["px"])
+            for r in asof_join(
+                left, right, on="k", left_ts="ts", right_ts="ts",
+                direction="nearest", tolerance=tol,
+            ).collect()
+        }
+        lp = pd.DataFrame(left_rows, columns=["k", "ts"]).sort_values("ts")
+        rp = pd.DataFrame(right_rows, columns=["k", "ts", "px"]).sort_values("ts")
+        merged = pd.merge_asof(
+            lp, rp, on="ts", by="k", direction="nearest",
+            tolerance=tol, suffixes=("", "_r"),
+        )
+        for _, row in merged.iterrows():
+            want_px = None if pd.isna(row["px"]) else row["px"]
+            got_ts, got_px = got[(row["k"], row["ts"])]
+            assert got_px == want_px, (row["k"], row["ts"], got_px, want_px)
+            if want_px is not None:
+                assert got_ts == int(want_px)  # right ts == px by construction
+
+
+def test_asof_nearest_equal_ts_is_inclusive_both_ways(spark):
+    from buildkite_logs_parquet_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame([(1, 10, 99.0)], "k long, ts long, px double")
+    r = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", direction="nearest"
+    ).first()
+    assert r["matched_ts"] == 10 and r["px"] == 99.0
+
+
+def test_asof_nearest_single_shuffle(spark):
+    """The nearest variant must still be ONE hash exchange (two sorts over
+    the same partitioning, no second shuffle, no range join)."""
+    from buildkite_logs_parquet_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame([(1, 9, 1.0)], "k long, ts long, px double")
+    df = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", direction="nearest"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_hash_exchanges = sum(
+        1 for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    )
+    assert n_hash_exchanges == 1, plan[:1500]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
