@@ -586,3 +586,44 @@ def bpe_encode(
 
     schema = f"{id_col} long, n_tokens long, tokens array<string>"
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, schema=schema)
+
+
+def top_terms_by_group(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    k: int = 10,
+    max_items_tracked: int = 10_000,
+) -> DataFrame:
+    """Approximate per-group heavy-hitter terms via the ``approx_top_k``
+    sketch — "most common tokens per language/source" in ONE aggregation.
+
+    The exact formulation needs (group, term) counts plus a rank window —
+    two shuffles and a per-group sort.  The sketch keeps the plan at ONE
+    group-keyed shuffle of mergeable partial sketches, each bounded by
+    ``max_items_tracked``; per-partition partials merge associatively, so
+    the cost at 100 TB is the token explode (narrow) plus a
+    |groups|-sized reduce.  Accuracy: exact whenever a group's distinct
+    term count stays under ``max_items_tracked`` (tested); heavy hitters
+    under Zipf skew far beyond it.
+
+    Output: one row per (group, rank): ``term``, ``approx_count``.
+    """
+    from buildkite_logs_parquet_spark.operators.dedup import _fan_out
+
+    tokens = _fan_out(df.select(F.col(group_col), F.col(text_col))).select(
+        F.col(group_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_t"),
+    ).where(F.col("_t") != "")
+    sketched = tokens.groupBy(group_col).agg(
+        F.expr(f"approx_top_k(_t, {int(k)}, {int(max_items_tracked)})").alias("_tk")
+    )
+    return sketched.select(
+        F.col(group_col),
+        F.posexplode(F.col("_tk")).alias("rank0", "_e"),
+    ).select(
+        group_col,
+        (F.col("rank0") + 1).alias("rank"),
+        F.col("_e.item").alias("term"),
+        F.col("_e.count").alias("approx_count"),
+    )

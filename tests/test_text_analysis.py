@@ -416,3 +416,46 @@ def test_bpe_encode_greedy_rank_order(spark):
     out = bpe_encode(docs, [("a", "b"), ("ab", "c")], "doc_id").first()
     assert list(out["tokens"]) == ["abc", "x", "abc"]
     assert out["n_tokens"] == 3
+
+
+def test_top_terms_by_group_exact_under_capacity(spark):
+    """With distinct terms under the sketch capacity the result is exact:
+    verify counts and ranking against a python tally on skewed data."""
+    import random
+
+    from buildkite_logs_parquet_spark.operators.text_analysis import (
+        top_terms_by_group,
+    )
+
+    rng = random.Random(9)
+    vocab = [f"tok{i}" for i in range(30)]
+    rows = []
+    for i in range(200):
+        lang = "en" if i % 2 == 0 else "de"
+        # zipf-ish: low-index tokens much more frequent
+        words = [vocab[min(int(rng.expovariate(0.25)), 29)] for _ in range(20)]
+        rows.append((i, lang, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = top_terms_by_group(docs, "lang", k=5).collect()
+
+    from collections import Counter
+
+    tallies = {"en": Counter(), "de": Counter()}
+    for _, lang, text in rows:
+        tallies[lang].update(text.split())
+    for lang in ("en", "de"):
+        want = tallies[lang].most_common()
+        got_lang = sorted(
+            (r for r in got if r["lang"] == lang), key=lambda r: r["rank"]
+        )
+        assert len(got_lang) == 5
+        for r in got_lang:
+            assert tallies[lang][r["term"]] == r["approx_count"], (lang, r)
+        # top-1 must be the true argmax (unique by construction w.h.p.)
+        if want[0][1] != want[1][1]:
+            assert got_lang[0]["term"] == want[0][0]
+        # returned counts are the 5 largest tallies (rank order may permute
+        # equal counts)
+        assert sorted((r["approx_count"] for r in got_lang), reverse=True) == [
+            c for _, c in want[:5]
+        ]
