@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "events_sessions",
     "events_percentiles",
     "events_asof",
+    "events_native_ts",
     # training-data ops
     "dedup_exact",
     "minhash_near_dups",
@@ -52,6 +53,8 @@ BENCH_QUERIES = [
     "contamination",
     "pii_scrub",
     "tfidf_top_terms",
+    "corpus_select",
+    "orders_discount_audit",
     "semantic_dedup",
     "dsir_weights",
     "doc_chunks",
