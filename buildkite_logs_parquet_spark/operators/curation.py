@@ -266,6 +266,39 @@ def benchmark_contamination(
     )
 
 
+def hashed_bigram_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    seed: int = 13,
+) -> DataFrame:
+    """(id, bucket) rows — one per word-bigram occurrence (with
+    multiplicity), bucket = md5-hash of the bigram mod ``n_buckets``.
+    The shared feature extractor of DSIR weighting and LM perplexity."""
+    from buildkite_logs_parquet_spark.operators.dedup import _fan_out, _hash64
+
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(words)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        _fan_out(df)
+        .select(F.col(id_col), F.explode(bigrams).alias("_g"))
+        .select(
+            F.col(id_col),
+            (_hash64(F.col("_g"), seed) % n_buckets).alias("_b"),
+        )
+    )
+
+
 def dsir_weights(
     raw: DataFrame,
     target: DataFrame,
@@ -296,30 +329,10 @@ def dsir_weights(
     sum is order-independent and cross-engine reproducible (the ``ln``
     itself is the only libm call, on bit-identical inputs).
     """
-    from buildkite_logs_parquet_spark.operators.dedup import _fan_out, _hash64
+    from pyspark import StorageLevel
 
     def grams(df: DataFrame) -> DataFrame:
-        words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-        n = F.size(words)
-        bigrams = F.when(
-            n >= 2,
-            F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(words, i), F.element_at(words, i + 1)
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        return (
-            _fan_out(df)
-            .select(F.col(id_col), F.explode(bigrams).alias("_g"))
-            .select(
-                F.col(id_col),
-                (_hash64(F.col("_g"), seed) % n_buckets).alias("_b"),
-            )
-        )
-
-    from pyspark import StorageLevel
+        return hashed_bigram_buckets(df, id_col, text_col, n_buckets, seed)
 
     rg = grams(raw).persist(StorageLevel.MEMORY_AND_DISK)
     # both count tables are ≤ n_buckets rows; persisting them means each
@@ -362,6 +375,65 @@ def dsir_weights(
             F.coalesce(F.col("_w"), F.lit(0).cast("decimal(38,9)"))
             .cast("string")
             .alias("dsir_logweight"),
+        )
+    )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_buckets: int = 65536,
+    seed: int = 29,
+) -> DataFrame:
+    """Per-document perplexity under a bucketed-bigram language model fit
+    on ``reference`` — the CCNet-style perplexity signal (Wenzek et al.
+    2020 bucket Common Crawl by the perplexity of a clean-corpus LM;
+    low-perplexity ⇒ fluent/reference-like).
+
+    Model: ``p(g) = (c_g + 1) / (T + B)`` over hashed bigram buckets with
+    add-1 smoothing; ``nll = -mean_g ln p(g)``; ``ppl = exp(nll)``.
+    Documents with no bigram get null nll/ppl (no evidence either way).
+
+    100 TB shape: identical to ``dsir_weights`` — the model is an
+    ``n_buckets``-row broadcast LUT, the corpus gram stream joins it with
+    no shuffle, and only the per-document aggregation shuffles (id +
+    bucket-sized rows).  The reference-side counts are bucket-bounded.
+    """
+    import math
+
+    from pyspark import StorageLevel
+
+    ref_cnt = (
+        hashed_bigram_buckets(reference, id_col, text_col, n_buckets, seed)
+        .groupBy("_b")
+        .agg(F.count("*").alias("_c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    total = ref_cnt.agg(F.sum("_c")).first()[0] or 0
+    denom = float(total + n_buckets)
+    # ln p for seen buckets comes from the count table; unseen buckets get
+    # the smoothed floor constant at join time
+    log_p_seen = F.log((F.col("_c") + 1).cast("double") / F.lit(denom))
+    lut = ref_cnt.select("_b", log_p_seen.alias("_lp"))
+    floor_lp = F.lit(math.log(1.0 / denom))
+    dg = hashed_bigram_buckets(docs, id_col, text_col, n_buckets, seed)
+    scored = dg.join(F.broadcast(lut), on="_b", how="left").select(
+        F.col(id_col), F.coalesce(F.col("_lp"), floor_lp).alias("_lp")
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        (-F.avg("_lp")).alias("nll"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.round("nll", 6).alias("nll"),
+            F.round(F.exp("nll"), 4).alias("perplexity"),
         )
     )
 

@@ -349,3 +349,59 @@ def test_dsir_weights_deterministic_across_layouts(spark):
         ).collect()
     }
     assert a == b
+
+
+# -------------------------------------------------------- LM perplexity
+
+
+def test_lm_perplexity_hand_computed(spark):
+    import math
+
+    from buildkite_logs_parquet_spark.operators.curation import lm_perplexity
+
+    B = 4096
+    ref = _docs(spark, [(10, "en", "the cat sat"), (11, "en", "the cat ran")])
+    # ref bigrams: "the cat" x2, "cat sat", "cat ran"  → T=4
+    docs = _docs(
+        spark,
+        [
+            (1, "en", "the cat sat"),     # grams seen in ref
+            (2, "en", "dogs bark loud"),  # grams unseen
+            (3, "en", "one"),             # no bigram
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in lm_perplexity(docs, ref, "doc_id", n_buckets=B).collect()
+    }
+    T = 4
+    denom = T + B
+    p_the_cat = (2 + 1) / denom
+    p_cat_sat = (1 + 1) / denom
+    want_nll_1 = -(math.log(p_the_cat) + math.log(p_cat_sat)) / 2
+    assert abs(out[1]["nll"] - round(want_nll_1, 6)) < 1e-6
+    floor_nll = -math.log(1 / denom)
+    assert abs(out[2]["nll"] - round(floor_nll, 6)) < 1e-6
+    # fluent (reference-like) doc scores LOWER perplexity than unseen text
+    assert out[1]["perplexity"] < out[2]["perplexity"]
+    # gramless doc: no evidence
+    assert out[3]["n_grams"] == 0 and out[3]["nll"] is None
+
+
+def test_lm_perplexity_ranks_reference_like_docs_lower(spark):
+    from buildkite_logs_parquet_spark.operators.curation import lm_perplexity
+
+    ref_rows = [
+        (100 + i, "en", "the quick brown fox jumps over the lazy dog again")
+        for i in range(20)
+    ]
+    docs = _docs(
+        spark,
+        [(1, "en", "the quick brown fox jumps high")]
+        + [(2, "en", "zxq wvu tsr qpo nml kji")],
+    )
+    out = {
+        r["doc_id"]: r["perplexity"]
+        for r in lm_perplexity(docs, _docs(spark, ref_rows), "doc_id").collect()
+    }
+    assert out[1] < out[2]
