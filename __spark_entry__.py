@@ -194,14 +194,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def q_bk_parse_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _entries(spark, sf_dir)
-
-
-def q_bk_clean_content(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parsed = parse_log_lines(_lines_df(spark, sf_dir))
-    return parsed.select(
-        F.col("line_no"), F.col("clean_content"), F.col("parse_error")
+    """Full parse pipeline in ONE oracle row (union-tagged): the 'entry'
+    side hashes the canonical entries (S1/P1/P2/C1-C3/G1 + group
+    propagation); the 'clean' side hashes P2/P3 clean_content and the
+    quarantine parse_error over ALL lines INCLUDING quarantined ones
+    (scanner.go:55-58 divergence: quarantine, not abort) — the rows the
+    entry side deliberately excludes.  Merged per the 50-entry registry
+    budget (round-4 consolidation)."""
+    nstr = F.lit(None).cast("string")
+    entry = _entries(spark, sf_dir).select(
+        F.lit("entry").alias("side"),
+        "row_id",
+        "timestamp",
+        "content",
+        F.col("group"),
+        "has_timestamp",
+        "is_command",
+        "is_group",
+        "is_progress",
+        nstr.alias("clean_content"),
+        nstr.alias("parse_error"),
     )
+    nbool = F.lit(None).cast("boolean")
+    clean = parse_log_lines(_lines_df(spark, sf_dir)).select(
+        F.lit("clean").alias("side"),
+        F.col("line_no").alias("row_id"),
+        F.lit(None).cast("long").alias("timestamp"),
+        nstr.alias("content"),
+        nstr.alias("group"),
+        nbool.alias("has_timestamp"),
+        nbool.alias("is_command"),
+        nbool.alias("is_group"),
+        nbool.alias("is_progress"),
+        "clean_content",
+        "parse_error",
+    )
+    return entry.unionByName(clean)
 
 
 def q_bk_list_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,10 +495,13 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time aggregations consolidated into one oracle row
-    (union-tagged): hourly buckets per event type, and JSON-prop bucket
-    rollups — both full-output-hashed.  (Same registry-budget rationale
-    as q_text_profile.)"""
+    (union-tagged): hourly buckets per event type, JSON-prop bucket
+    rollups, AND per-type exact percentiles (round-4 merge of the former
+    events_percentiles entry) — all full-output-hashed.  Sort-based exact
+    percentiles interpolate identically across engines on the same
+    doubles, so p50/p90 travel as nullable DOUBLE columns."""
     ev = _events(spark, sf_dir)
+    ndbl = F.lit(None).cast("double")
     hour = F.date_format(F.timestamp_millis(F.col("ts_ms")), "yyyy-MM-dd HH:00:00")
     hourly = ev.groupBy(hour.alias("_h"), "event_type").agg(
         F.count("*").alias("n_events"),
@@ -480,6 +511,8 @@ def q_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", F.col("_h"), F.col("event_type")).alias("key"),
         "n_events",
         "total_value",
+        ndbl.alias("p50"),
+        ndbl.alias("p90"),
     )
     k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
     jsonb = (
@@ -494,9 +527,23 @@ def q_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_kb").cast("string").alias("key"),
             "n_events",
             "total_value",
+            ndbl.alias("p50"),
+            ndbl.alias("p90"),
         )
     )
-    return hourly.unionByName(jsonb)
+    pctl = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
+    ).select(
+        F.lit("pctl").alias("side"),
+        F.col("event_type").alias("key"),
+        "n_events",
+        F.lit(None).cast("string").alias("total_value"),
+        "p50",
+        "p90",
+    )
+    return hourly.unionByName(jsonb).unionByName(pctl)
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -579,13 +626,6 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup_stats(_t(spark, sf_dir, "documents"), ["text"])
 
 
-def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return D.minhash_near_duplicates(
-        docs, "doc_id", "text", num_perm=8, bands=4, shingle_k=8, threshold=0.25
-    )
-
-
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = D.ngram_jaccard_pairs(docs, "doc_id", "text", k=12, threshold=0.2)
@@ -593,8 +633,27 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints AND their pigeonhole-banded near-dup pairs in
+    ONE oracle row (round-4 merge of the former simhash_near_dups entry):
+    'fp' rows carry (doc_id, fingerprint), 'pair' rows carry
+    (id_a, id_b, hamming) — the pairs recompute nothing, they band the
+    same fingerprint relation."""
     docs = _t(spark, sf_dir, "documents")
-    return D.simhash(docs, "doc_id", "text", bits=32)
+    fps = D.simhash(docs, "doc_id", "text", bits=32)
+    pairs = D.simhash_near_duplicates(fps, "doc_id", max_hamming=3, bits=32)
+    fp_side = fps.select(
+        F.lit("fp").alias("side"),
+        F.col("doc_id").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        F.col("simhash").alias("val"),
+    )
+    pair_side = pairs.select(
+        F.lit("pair").alias("side"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.col("hamming").alias("val"),
+    )
+    return fp_side.unionByName(pair_side)
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -623,12 +682,21 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k AND the IVF approximate top-k in
+    ONE oracle row (round-4 merge), op-tagged: 'exact' rows are the
+    ground-truth baseline, 'ivf' rows are the 3-probe cell-pruned answer
+    — hashing both also pins the IVF recall on this corpus."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    return S.cosine_topk(
-        emb.where(F.col("vec_id") != 0), qvec, k=10, round_to=4
+    rest = emb.where(F.col("vec_id") != 0)
+    exact = S.cosine_topk(rest, qvec, k=10, round_to=4).select(
+        F.lit("exact").alias("op"), "vec_id", "cosine"
     )
+    ivf = S.ivf_topk(
+        rest, _ivf_centroids(), qvec, k=10, n_probe=3, round_to=4
+    ).select(F.lit("ivf").alias("op"), "vec_id", "cosine")
+    return exact.unionByName(ivf)
 
 
 #: threshold for the near-dup queries — sits in a wide gap of the pair-cosine
@@ -645,23 +713,6 @@ def _ivf_centroids(n: int = 8, dim: int = 64, seed: int = 7) -> list[list[float]
 
     rng = _random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n)]
-
-
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: coarse-assign every vector to its nearest
-    of 8 literal centroids, probe the query's 3 nearest cells, exact-score
-    inside them.  At scale the cell id is the partition column, so the
-    probe becomes partition pruning."""
-    emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    return S.ivf_topk(
-        emb.where(F.col("vec_id") != 0),
-        _ivf_centroids(),
-        qvec,
-        k=10,
-        n_probe=3,
-        round_to=4,
-    )
 
 
 def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -713,18 +764,6 @@ def q_embedding_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFram
         F.count("*").alias("n_vectors"),
         F.round(F.min(sim), 4).alias("min_sim"),
         F.round(F.max(sim), 4).alias("max_sim"),
-    )
-
-
-def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Median/p90 of event values per type — sort-based exact percentiles
-    interpolate identically across engines (same formula on the same
-    sorted doubles)."""
-    ev = _events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.percentile("value", F.lit(0.5)).alias("p50"),
-        F.percentile("value", F.lit(0.9)).alias("p90"),
     )
 
 
@@ -844,15 +883,6 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PK.pack_sequences(train, "doc_id", "text", capacity=64)
 
 
-def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 32-bit fingerprints, pigeonhole-banded
-    (4 bands of 8 bits — any pair within hamming 3 shares a band) so the
-    candidate join is a (band, key) equi-join, never all-pairs."""
-    docs = _t(spark, sf_dir, "documents")
-    fps = D.simhash(docs, "doc_id", "text", bits=32)
-    return D.simhash_near_duplicates(fps, "doc_id", max_hamming=3, bits=32)
-
-
 def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus selection, consolidated into one oracle row
     (union-tagged): stratified per-language downsampling AND stable
@@ -885,10 +915,15 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.unionByName(split)
 
 
-def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style rule filter with auditable per-rule fail reasons."""
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality panel in ONE oracle row (round-4 merge of the
+    former gopher_filter + repetition_metrics entries): the Gopher rule
+    filter's auditable per-rule columns joined with the within-document
+    repetition signals on doc_id.  The join exists only for oracle
+    consolidation — production callers use each operator as the narrow
+    zero-shuffle projection it is."""
     docs = _t(spark, sf_dir, "documents")
-    return CU.gopher_quality_filter(docs, "text").select(
+    gop = CU.gopher_quality_filter(docs, "text").select(
         "doc_id",
         "n_tokens",
         "mean_token_len",
@@ -897,13 +932,15 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fail_reasons",
         "passes",
     )
-
-
-def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Within-document repetition signals (dup-token / top-token /
-    top-bigram shares)."""
-    docs = _t(spark, sf_dir, "documents")
-    return CU.repetition_metrics(docs, "doc_id", "text")
+    rep = CU.repetition_metrics(docs, "doc_id", "text").select(
+        "doc_id",
+        F.col("n_tokens").alias("rep_n_tokens"),
+        "n_unique_tokens",
+        "dup_token_ratio",
+        "top_token_ratio",
+        "top_bigram_ratio",
+    )
+    return gop.join(rep, on="doc_id")
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -919,12 +956,34 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components (iterative min-label propagation) → per-document
     cluster id + canonical flag.  The oracle replays the same pair
     construction and closes it with a recursive CTE, so even the
-    *iterative* operator carries a full value-level oracle."""
+    *iterative* operator carries a full value-level oracle.
+
+    Round-4 merge: the former minhash_near_dups entry rides along as
+    'pair'-tagged rows (id_a, id_b, est_jaccard) — the exact pair relation
+    the clustering consumes — so both operators stay inside the 50-entry
+    window with zero extra pipeline."""
     docs = _t(spark, sf_dir, "documents")
     pairs = D.minhash_near_duplicates(
         docs, "doc_id", "text", num_perm=8, bands=4, shingle_k=8, threshold=0.25
-    ).select("id_a", "id_b")
-    return G.dedup_clusters(docs, pairs, id_col="doc_id")
+    )
+    clusters = G.dedup_clusters(
+        docs, pairs.select("id_a", "id_b"), id_col="doc_id"
+    )
+    pair_side = pairs.select(
+        F.lit("pair").alias("side"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.col("est_jaccard").alias("score"),
+        F.lit(None).cast("boolean").alias("flag"),
+    )
+    cluster_side = clusters.select(
+        F.lit("cluster").alias("side"),
+        F.col("doc_id").alias("a"),
+        F.col("cluster").alias("b"),
+        F.lit(None).cast("double").alias("score"),
+        F.col("is_canonical").alias("flag"),
+    )
+    return pair_side.unionByName(cluster_side)
 
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -940,6 +999,99 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         k=13,
     )
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM scoring (operators/curation.py::lm_perplexity) in
+    its oracle-grade form: bucketed-bigram model fit on the src0 slice,
+    scored over the rest, per-document Σ ln p rendered as a 9-dp decimal
+    string (order-independent — the dsir_weights discipline)."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.lm_perplexity(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        "doc_id",
+        n_buckets=4096,
+        seed=29,
+        exact_sum=True,
+    )
+
+
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-100 (operators/text_analysis.py::bm25_scores):
+    lexical retrieval against a literal query; decimal-summed per-term
+    scores, avgdl from exact integers, TakeOrderedAndProject via top_n."""
+    docs = _t(spark, sf_dir, "documents")
+    return TA.bm25_scores(
+        docs, ["spark", "query", "merge"], "doc_id", top_n=100
+    )
+
+
+#: fixed learned-merge list for the registered BPE encode — includes a
+#: 3-deep merge chain (s+p → sp+ar → spar+k) so the oracle exercises
+#: multi-character merge recursion, not just single adjacent pairs
+_BPE_MERGES = [("s", "p"), ("a", "r"), ("sp", "ar"), ("spar", "k"), ("e", "y")]
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding with a fixed literal merge list
+    (operators/text_analysis.py::bpe_encode — Arrow-batched mapInPandas,
+    greedy lowest-rank-first): per document, the token count and the
+    space-joined symbol stream.  The oracle replays the same
+    leftmost-lowest-rank merge loop as a recursive CTE over the distinct
+    word set."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TA.bpe_encode(docs, _BPE_MERGES, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_tokens", F.array_join("tokens", " ").alias("bpe_text")
+    )
+
+
+#: portable SQL that plants deterministic URLs into the documents text —
+#: same construction in Spark SQL and DuckDB (the LINES_SQL trick), since
+#: the synthetic corpus itself contains no URLs
+_URL_TEXT_SQL = """
+SELECT doc_id,
+  text
+  || CASE WHEN doc_id % 3 = 0
+       THEN ' http://site' || CAST(doc_id % 50 AS STRING) || '.example.com/p/' || CAST(doc_id AS STRING)
+       ELSE '' END
+  || CASE WHEN doc_id % 7 = 0
+       THEN ' see https://Docs.Example.ORG/x?id=' || CAST(doc_id AS STRING)
+       ELSE '' END AS text
+FROM {documents}
+"""
+
+
+def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL stats (operators/text_analysis.py::url_domain_stats)
+    over URL-planted text: extract http(s) URLs, key by lowercased host,
+    count occurrences + distinct documents."""
+    docs_ref = f"parquet.`{sf_dir}/documents.parquet`"
+    urls = spark.sql(_URL_TEXT_SQL.format(documents=docs_ref))
+    return TA.url_domain_stats(urls, "doc_id", "text")
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (operators/profiling.py::table_profile) in exact
+    mode — same one-aggregate plan shape and output schema as the
+    production sketch profile, with exact distinct/percentiles so the
+    full plumbing is oracle-checkable."""
+    from buildkite_logs_parquet_spark.operators import profiling as P
+
+    docs = _t(spark, sf_dir, "documents")
+    return P.table_profile(
+        docs, ["doc_id", "n_chars", "lang", "source"], exact=True
+    )
+
+
+def q_top_terms_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group heavy hitters
+    (operators/text_analysis.py::top_terms_by_group) in exact mode: top-5
+    tokens per language, count-desc with lexicographic tie-break —
+    driver-verifies the explode/agg/rank plumbing the sketch path shares."""
+    docs = _t(spark, sf_dir, "documents")
+    return TA.top_terms_by_group(docs, "lang", "text", k=5, exact=True)
 
 
 # --------------------------------------------------------------------------
@@ -959,7 +1111,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         "bk_parse_entries": q_bk_parse_entries,
-        "bk_clean_content": q_bk_clean_content,
         "bk_list_groups": q_bk_list_groups,
         "bk_summary": q_bk_summary,
         "bk_filter_by_group": q_bk_filter_by_group,
@@ -979,25 +1130,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_agg": q_events_agg,
         "events_sessions": q_events_sessions,
         "events_native_ts": q_events_native_ts,
-        "events_percentiles": q_events_percentiles,
         "events_asof": q_events_asof,
         "dedup_exact": q_dedup_exact,
-        "minhash_near_dups": q_minhash_near_dups,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
-        "simhash_near_dups": q_simhash_near_dups,
         "segment_dedup": q_segment_dedup,
         "dedup_clusters": q_dedup_clusters,
         "text_profile": q_text_profile,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_topk": q_ann_topk,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "embedding_label_centroid_sim": q_embedding_label_centroid_sim,
         "kmeans_step": q_kmeans_step,
         "semantic_dedup": q_semantic_dedup,
         "corpus_select": q_corpus_select,
-        "gopher_filter": q_gopher_filter,
-        "repetition_metrics": q_repetition_metrics,
+        "doc_quality": q_doc_quality,
         "quality_classifier": q_quality_classifier,
         "ngram_counts": q_ngram_counts,
         "pack_sequences": q_pack_sequences,
@@ -1008,6 +1154,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "tfidf_top_terms": q_tfidf_top_terms,
         "curation_pipeline": q_curation_pipeline,
+        "lm_perplexity": q_lm_perplexity,
+        "bm25_scores": q_bm25_scores,
+        "bpe_encode": q_bpe_encode,
+        "url_domain_stats": q_url_domain_stats,
+        "table_profile": q_table_profile,
+        "top_terms_by_group": q_top_terms_by_group,
     }
 
 
@@ -1083,26 +1235,19 @@ def oracle_sql() -> dict[str, str]:
 
     sql: dict[str, str] = {}
 
-    sql["bk_parse_entries"] = _with_entries("SELECT * FROM entries")
-
-    lines_cte = "lines AS (" + LINES_SQL.format(documents="documents") + ")"
-    sql["bk_clean_content"] = (
-        "WITH "
-        + lines_cte
-        + """,
-p AS (
-  SELECT line_no, raw,
-         (strlen(raw) >= 10 AND regexp_matches(raw, '^\\x1b_bk;t=[^\\x07]*\\x07')) AS is_osc,
-         regexp_extract(raw, '^\\x1b_bk;t=([^\\x07]*)\\x07', 1) AS ts_str
-  FROM lines
-)
-SELECT line_no,
-       regexp_replace(
-         CASE WHEN is_osc THEN regexp_replace(raw, '^\\x1b_bk;t=[^\\x07]*\\x07', '') ELSE raw END,
-         '\\x1b\\[[^A-Za-z]*[A-Za-z]?|\\[[0-9;]{0,8}[A-Za-z]', '', 'g') AS clean_content,
-       CASE WHEN is_osc AND NOT (regexp_matches(ts_str, '^[+-]?[0-9]+$') AND TRY_CAST(ts_str AS BIGINT) IS NOT NULL)
-            THEN 'invalid timestamp: ' || ts_str END AS parse_error
-FROM p
+    # entry side: canonical entries; clean side: clean_content/parse_error
+    # over ALL lines including quarantined (o_cleaned is the pre-filter CTE)
+    sql["bk_parse_entries"] = _with_entries(
+        """
+SELECT 'entry' AS side, row_id, "timestamp", content, "group",
+       has_timestamp, is_command, is_group, is_progress,
+       CAST(NULL AS STRING) AS clean_content, CAST(NULL AS STRING) AS parse_error
+FROM entries
+UNION ALL
+SELECT 'clean' AS side, line_no AS row_id, CAST(NULL AS BIGINT), CAST(NULL AS STRING),
+       CAST(NULL AS STRING), CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
+       CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN), clean_content, parse_error
+FROM o_cleaned
 """
     )
 
@@ -1289,16 +1434,25 @@ FROM hashed
 SELECT 'hourly' AS side,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') || '|' || event_type AS key,
        count(*) AS n_events,
-       CAST(sum({dec('value', 2)}) AS STRING) AS total_value
+       CAST(sum({dec('value', 2)}) AS STRING) AS total_value,
+       CAST(NULL AS DOUBLE) AS p50, CAST(NULL AS DOUBLE) AS p90
 FROM events
 GROUP BY 1, 2
 UNION ALL
 SELECT 'json_k' AS side,
        CAST(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS STRING) AS key,
        count(*) AS n_events,
-       CAST(sum({dec('value', 2)}) AS STRING) AS total_value
+       CAST(sum({dec('value', 2)}) AS STRING) AS total_value,
+       CAST(NULL AS DOUBLE) AS p50, CAST(NULL AS DOUBLE) AS p90
 FROM events
 GROUP BY 1, 2
+UNION ALL
+SELECT 'pctl' AS side, event_type AS key, count(*) AS n_events,
+       CAST(NULL AS STRING) AS total_value,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90
+FROM events
+GROUP BY event_type
 """
 
     sql["events_sessions"] = """
@@ -1347,28 +1501,6 @@ SELECT count(*) AS unique_rows,
 FROM per_key
 """
 
-    sql["minhash_near_dups"] = (
-        "WITH "
-        + _LSH_PAIRS_CTE
-        + """
-SELECT c.id_a, c.id_b,
-       (("""
-        + " + ".join(
-            f"CASE WHEN a.minhash_{p} = b.minhash_{p} THEN 1 ELSE 0 END"
-            for p in range(8)
-        )
-        + """) / 8.0) AS est_jaccard
-FROM cand c
-JOIN signatures a ON c.id_a = a.doc_id
-JOIN signatures b ON c.id_b = b.doc_id
-WHERE (("""
-        + " + ".join(
-            f"CASE WHEN a.minhash_{p} = b.minhash_{p} THEN 1 ELSE 0 END"
-            for p in range(8)
-        )
-        + ") / 8.0) >= 0.25"
-    )
-
     sql["ngram_jaccard"] = """
 WITH sh AS (
   SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 12) AS shingle
@@ -1416,32 +1548,16 @@ votes AS (
   SELECT doc_id,
          {_votes}
   FROM hashed GROUP BY doc_id
-)
-SELECT doc_id, {_pack} AS simhash FROM votes
-"""
-
-    sql["simhash_near_dups"] = f"""
-WITH toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-  FROM documents
-),
-hashed AS (
-  SELECT doc_id,
-         CAST(concat('0x', substr(md5(concat('0:', tok)), 1, 15)) AS BIGINT) AS h
-  FROM toks WHERE tok <> ''
-),
-votes AS (
-  SELECT doc_id,
-         {_votes}
-  FROM hashed GROUP BY doc_id
 ),
 fp AS (SELECT doc_id, {_pack} AS simhash FROM votes),
 banded AS (
   SELECT doc_id, simhash, j.band, (simhash >> (8 * j.band)) & 255 AS key
   FROM fp, (SELECT unnest(range(4)) AS band) j
 )
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+SELECT 'fp' AS side, doc_id AS a, CAST(NULL AS BIGINT) AS b, simhash AS val FROM fp
+UNION ALL
+SELECT DISTINCT 'pair' AS side, a.doc_id AS a, b.doc_id AS b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS val
 FROM banded a
 JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
@@ -1494,23 +1610,6 @@ SELECT doc_id, fingerprint, n_tokens, n_subword_tokens,
 FROM f
 """
 
-    sql["ann_cosine_topk"] = """
-WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
-SELECT vec_id,
-       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 4) AS cosine
-FROM embeddings
-WHERE vec_id <> 0
-ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 4) DESC, vec_id
-LIMIT 10
-"""
-
-    sql["events_percentiles"] = """
-SELECT event_type, count(*) AS n,
-       quantile_cont(value, 0.5) AS p50,
-       quantile_cont(value, 0.9) AS p90
-FROM events
-GROUP BY event_type
-"""
 
     sql["segment_dedup"] = """
 WITH words AS (
@@ -1631,7 +1730,7 @@ WHERE {_bucket} < CASE lang
         "len(regexp_extract_all(lower(text), '\\bto\\b')) + "
         "len(regexp_extract_all(lower(text), '\\bis\\b')))"
     )
-    sql["gopher_filter"] = f"""
+    sql["doc_quality"] = f"""
 WITH f AS (
   SELECT doc_id,
          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1662,12 +1761,9 @@ r AS (
            CASE WHEN sym_ratio > 0.1 THEN 'symbol_heavy' END,
            CASE WHEN NOT has_stopword THEN 'no_stopword' END) AS fail_reasons
   FROM g
-)
-SELECT *, fail_reasons = '' AS passes FROM r
-"""
-
-    sql["repetition_metrics"] = """
-WITH w AS (
+),
+gop AS (SELECT *, fail_reasons = '' AS passes FROM r),
+w AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
   FROM documents
 ),
@@ -1683,12 +1779,19 @@ bg AS (
   FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)
 ),
 bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
-bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bg, max(c) AS top_bg FROM bc GROUP BY doc_id)
-SELECT ts.doc_id AS doc_id, n_tokens, n_unique_tokens,
-       round((n_tokens - n_unique_tokens) / CAST(n_tokens AS DOUBLE), 4) AS dup_token_ratio,
-       round(top_tok / CAST(n_tokens AS DOUBLE), 4) AS top_token_ratio,
-       round(coalesce(top_bg / CAST(n_bg AS DOUBLE), 0.0), 4) AS top_bigram_ratio
-FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bg, max(c) AS top_bg FROM bc GROUP BY doc_id),
+rep AS (
+  SELECT ts.doc_id AS doc_id, n_tokens AS rep_n_tokens, n_unique_tokens,
+         round((n_tokens - n_unique_tokens) / CAST(n_tokens AS DOUBLE), 4) AS dup_token_ratio,
+         round(top_tok / CAST(n_tokens AS DOUBLE), 4) AS top_token_ratio,
+         round(coalesce(top_bg / CAST(n_bg AS DOUBLE), 0.0), 4) AS top_bigram_ratio
+  FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+)
+SELECT gop.doc_id AS doc_id, gop.n_tokens, mean_token_len, symbol_ratio,
+       has_stopword, fail_reasons, passes,
+       rep_n_tokens, n_unique_tokens, dup_token_ratio,
+       top_token_ratio, top_bigram_ratio
+FROM gop JOIN rep ON gop.doc_id = rep.doc_id
 """
 
     sql["tfidf_top_terms"] = """
@@ -1748,7 +1851,7 @@ FROM e GROUP BY seq_id
         + _LSH_PAIRS_CTE.lstrip()
         + f""",
 nd AS (
-  SELECT c.id_a, c.id_b
+  SELECT c.id_a, c.id_b, (({_agree}) / 8.0) AS est_jaccard
   FROM cand c
   JOIN signatures a ON c.id_a = a.doc_id
   JOIN signatures b ON c.id_b = b.doc_id
@@ -1764,7 +1867,12 @@ reach(id, comp) AS (
   UNION
   SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id WHERE r.comp < s.b
 )
-SELECT id AS doc_id, min(comp) AS cluster, min(comp) = id AS is_canonical
+SELECT 'pair' AS side, id_a AS a, id_b AS b, est_jaccard AS score,
+       CAST(NULL AS BOOLEAN) AS flag
+FROM nd
+UNION ALL
+SELECT 'cluster' AS side, id AS a, min(comp) AS b, CAST(NULL AS DOUBLE) AS score,
+       min(comp) = id AS flag
 FROM reach GROUP BY id
 """
     )
@@ -1803,7 +1911,7 @@ FROM reach GROUP BY id
         "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
         "(SELECT qv FROM q)), 4)"
     )
-    sql["ann_ivf_topk"] = f"""
+    sql["ann_topk"] = f"""
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
 cent(cid, c, cn) AS (
   VALUES {_cent_rows}
@@ -1821,10 +1929,21 @@ s AS (
 a AS (
   SELECT vec_id, embedding, {_cell} AS cell FROM s
 )
-SELECT vec_id, {_qcos} AS cosine
-FROM a WHERE cell IN (SELECT cid FROM probe)
-ORDER BY {_qcos} DESC, vec_id
-LIMIT 10
+SELECT 'exact' AS op, vec_id, cosine FROM (
+  SELECT vec_id,
+         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 4) AS cosine
+  FROM embeddings
+  WHERE vec_id <> 0
+  ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 4) DESC, vec_id
+  LIMIT 10
+)
+UNION ALL
+SELECT 'ivf' AS op, vec_id, cosine FROM (
+  SELECT vec_id, {_qcos} AS cosine
+  FROM a WHERE cell IN (SELECT cid FROM probe)
+  ORDER BY {_qcos} DESC, vec_id
+  LIMIT 10
+)
 """
 
     # kmeans_step: same assignment CTE as the IVF oracle (all vectors),
@@ -2127,6 +2246,195 @@ SELECT tg.doc_id AS doc_id,
        count(DISTINCT bg.doc_id) AS n_benchmark_docs
 FROM tg JOIN bg ON tg.h = bg.h
 GROUP BY tg.doc_id
+"""
+
+    # lm_perplexity (exact-sum form): same md5 bucket hashing (seed 29 →
+    # mod 4096), same add-1 smoothing arithmetic as the Spark side — each
+    # ln runs on bit-identical exact-integer-derived doubles, rounded to
+    # 9 dp and decimal-summed (the dsir_weights discipline)
+    sql["lm_perplexity"] = """
+WITH rawd AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+tgtd AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+rg AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(concat('29:', ws[i] || ' ' || ws[i+1])), 1, 15)) AS BIGINT) % 4096 AS b
+  FROM (
+    SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws FROM rawd)
+    WHERE len(ws) >= 2
+  )
+),
+tg AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(concat('29:', ws[i] || ' ' || ws[i+1])), 1, 15)) AS BIGINT) % 4096 AS b
+  FROM (
+    SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws FROM tgtd)
+    WHERE len(ws) >= 2
+  )
+),
+tcnt AS (SELECT b, count(*) AS ct FROM tg GROUP BY b),
+tot AS (SELECT count(*) AS t FROM tg),
+scored AS (
+  SELECT rg.doc_id,
+         round(coalesce(ln((ct + 1) / (t + 4096.0)), ln(1.0 / (t + 4096.0))), 9) AS lp
+  FROM rg LEFT JOIN tcnt ON rg.b = tcnt.b, tot
+),
+per AS (
+  SELECT doc_id, count(*) AS n_grams, sum(CAST(lp AS DECIMAL(28,9))) AS s
+  FROM scored GROUP BY doc_id
+)
+SELECT r.doc_id, coalesce(per.n_grams, 0) AS n_grams,
+       CAST(coalesce(per.s, CAST(0 AS DECIMAL(38,9))) AS STRING) AS sum_logp9
+FROM rawd r LEFT JOIN per ON r.doc_id = per.doc_id
+"""
+
+    # bm25: literals below are the SAME Python-evaluated doubles the Spark
+    # operator folds into its expression tree, so both engines run the
+    # identical IEEE op sequence; per-term scores are 9-dp decimal-summed
+    _k1, _b = 1.2, 0.75
+    _terms = "('spark', 'query', 'merge')"
+    sql["bm25_scores"] = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS dl
+  FROM documents
+),
+stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM base),
+tokens AS (
+  SELECT doc_id, dl, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+  FROM base
+),
+tf AS (
+  SELECT doc_id, t, count(*) AS tf, min(dl) AS dl
+  FROM tokens WHERE t IN {_terms}
+  GROUP BY doc_id, t
+),
+dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+sc AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (CAST((SELECT n FROM stats) AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5))
+         * (tf.tf * {_k1 + 1.0!r} / (tf.tf + {_k1!r} * ({1.0 - _b!r} + {_b!r} * tf.dl / (SELECT avgdl FROM stats)))) AS term_score
+  FROM tf JOIN dfq ON tf.t = dfq.t
+),
+per AS (
+  SELECT doc_id, sum(CAST(round(term_score, 9) AS DECIMAL(38,9))) AS s,
+         count(*) AS n_matched_terms
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, CAST(s AS STRING) AS bm25, n_matched_terms
+FROM (SELECT * FROM per ORDER BY s DESC, doc_id LIMIT 100)
+"""
+
+    # BPE encode: the oracle replays the encoder's leftmost-lowest-rank
+    # merge loop as a recursive CTE over the DISTINCT word set — each
+    # recursion step merges exactly one pair, argmin over (rank, position)
+    # packed as rank*10000 + i; terminal states (no applicable merge) are
+    # the encoded words
+    _bpe_cases = " ".join(
+        f"WHEN syms[i] = '{a}' AND syms[i+1] = '{b}' THEN {r * 10000} + i"
+        for r, (a, b) in enumerate(_BPE_MERGES)
+    )
+    _bpe_bk = (
+        "list_aggregate(list_transform(range(1, len(syms)), i -> "
+        f"CASE {_bpe_cases} END), 'min')"
+    )
+    sql["bpe_encode"] = f"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents
+),
+tok AS (
+  SELECT doc_id, i AS pos, ws[CAST(i AS INT)] AS word
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM w)
+  WHERE ws[CAST(i AS INT)] <> ''
+),
+words AS (SELECT DISTINCT word FROM tok),
+enc(word, syms) AS (
+  SELECT word,
+         list_transform(range(1, length(word) + 1), i -> substring(word, CAST(i AS INT), 1))
+  FROM words
+  UNION ALL
+  SELECT word,
+         list_concat(list_concat(
+           syms[1:CAST(bk % 10000 AS INT) - 1],
+           [syms[CAST(bk % 10000 AS INT)] || syms[CAST(bk % 10000 AS INT) + 1]]),
+           syms[CAST(bk % 10000 AS INT) + 2:len(syms)])
+  FROM (SELECT word, syms, {_bpe_bk} AS bk FROM enc)
+  WHERE bk IS NOT NULL
+),
+final AS (
+  SELECT word, syms
+  FROM (SELECT word, syms, {_bpe_bk} AS bk FROM enc)
+  WHERE bk IS NULL
+),
+pt AS (SELECT t.doc_id, t.pos, f.syms FROM tok t JOIN final f USING (word))
+SELECT d.doc_id,
+       CAST(coalesce(sum(len(p.syms)), 0) AS BIGINT) AS n_tokens,
+       coalesce(string_agg(array_to_string(p.syms, ' '), ' ' ORDER BY p.pos), '') AS bpe_text
+FROM documents d LEFT JOIN pt p ON d.doc_id = p.doc_id
+GROUP BY d.doc_id
+"""
+
+    sql["url_domain_stats"] = f"""
+WITH u AS ({_URL_TEXT_SQL.format(documents="documents")}),
+urls AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, 'https?://[^\\s/$.?#][^\\s]*')) AS url
+  FROM u
+),
+d AS (
+  SELECT doc_id, lower(regexp_extract(url, 'https?://([^/\\s:?#]+)', 1)) AS domain
+  FROM urls
+)
+SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+FROM d WHERE domain <> ''
+GROUP BY domain
+"""
+
+    # table_profile (exact mode): one UNION ALL branch per profiled column
+    _tp_num = """
+SELECT '{c}' AS "column",
+       (SELECT count(*) FROM documents) AS n_rows,
+       (SELECT count(*) FROM documents) - count({c}) AS n_nulls,
+       count(DISTINCT {c}) AS approx_distinct,
+       CAST(min({c}) AS DOUBLE) AS "min",
+       CAST(max({c}) AS DOUBLE) AS "max",
+       quantile_cont({c}, 0.5) AS approx_p50,
+       quantile_cont({c}, 0.95) AS approx_p95
+FROM documents
+"""
+    _tp_str = """
+SELECT '{c}' AS "column",
+       (SELECT count(*) FROM documents) AS n_rows,
+       (SELECT count(*) FROM documents) - count({c}) AS n_nulls,
+       count(DISTINCT {c}) AS approx_distinct,
+       CAST(NULL AS DOUBLE) AS "min", CAST(NULL AS DOUBLE) AS "max",
+       CAST(NULL AS DOUBLE) AS approx_p50, CAST(NULL AS DOUBLE) AS approx_p95
+FROM documents
+"""
+    sql["table_profile"] = " UNION ALL ".join(
+        [
+            _tp_num.format(c="doc_id"),
+            _tp_num.format(c="n_chars"),
+            _tp_str.format(c="lang"),
+            _tp_str.format(c="source"),
+        ]
+    )
+
+    sql["top_terms_by_group"] = """
+WITH tok AS (
+  SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+  FROM documents
+),
+c AS (SELECT lang, t, count(*) AS approx_count FROM tok WHERE t <> '' GROUP BY lang, t),
+r AS (
+  SELECT lang, t, approx_count,
+         row_number() OVER (PARTITION BY lang ORDER BY approx_count DESC, t) AS rank
+  FROM c
+)
+SELECT lang, CAST(rank AS BIGINT) AS rank, t AS term, approx_count
+FROM r WHERE rank <= 5
 """
 
     return sql

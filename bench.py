@@ -30,26 +30,23 @@ BENCH_QUERIES = [
     "top_customers",
     "revenue_by_nation",
     "part_type_stats",
-    # event-time
+    # event-time (events_agg includes the former events_percentiles side)
     "events_agg",
     "events_sessions",
-    "events_percentiles",
     "events_asof",
     "events_native_ts",
-    # training-data ops
+    # training-data ops (round-4 consolidations: dedup_clusters carries the
+    # minhash pair relation, simhash carries its near-dup pairs, ann_topk
+    # is exact+ivf, doc_quality is gopher+repetition)
     "dedup_exact",
-    "minhash_near_dups",
     "dedup_clusters",
     "text_profile",
-    "gopher_filter",
-    "repetition_metrics",
+    "doc_quality",
     "pack_sequences",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
+    "ann_topk",
     "embedding_near_dups_lsh",
     "winnow_fingerprint",
     "simhash",
-    "simhash_near_dups",
     "contamination",
     "pii_scrub",
     "tfidf_top_terms",
@@ -60,6 +57,13 @@ BENCH_QUERIES = [
     "doc_chunks",
     "segment_dedup",
     "curation_pipeline",
+    # round-3/4 LLM-pipeline tier
+    "lm_perplexity",
+    "bm25_scores",
+    "bpe_encode",
+    "url_domain_stats",
+    "table_profile",
+    "top_terms_by_group",
 ]
 
 
@@ -110,10 +114,14 @@ def main() -> None:
 
     result = {
         "metric": "headline_queries_total_wall",
-        "value": round(total, 3),
+        # a partial total is NOT comparable to a full one: on any query
+        # error the headline value goes null so trend comparisons cannot
+        # mistake a broken run for a speedup (per-query timings remain)
+        "value": round(total, 3) if not errors else None,
         "unit": "sec",
         "queries": timings,
         "n_errors": len(errors),
+        "measured_queries": len(BENCH_QUERIES) - len(errors),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(result))

@@ -386,6 +386,7 @@ def lm_perplexity(
     text_col: str = "text",
     n_buckets: int = 65536,
     seed: int = 29,
+    exact_sum: bool = False,
 ) -> DataFrame:
     """Per-document perplexity under a bucketed-bigram language model fit
     on ``reference`` — the CCNet-style perplexity signal (Wenzek et al.
@@ -396,32 +397,61 @@ def lm_perplexity(
     add-1 smoothing; ``nll = -mean_g ln p(g)``; ``ppl = exp(nll)``.
     Documents with no bigram get null nll/ppl (no evidence either way).
 
+    ``exact_sum=True`` swaps the float mean for the oracle-grade form:
+    each ``ln p`` rounded to 9 dp, decimal-summed (exact and
+    order-independent, the ``dsir_weights`` discipline) and rendered as a
+    scale-preserving string ``sum_logp9`` alongside ``n_grams`` — the
+    registered correctness-gate shape.
+
     100 TB shape: identical to ``dsir_weights`` — the model is an
     ``n_buckets``-row broadcast LUT, the corpus gram stream joins it with
     no shuffle, and only the per-document aggregation shuffles (id +
-    bucket-sized rows).  The reference-side counts are bucket-bounded.
+    bucket-sized rows).  The reference-side counts are bucket-bounded
+    (≤ ``n_buckets`` rows), so they are collected once — no persisted
+    intermediate leaks into the session cache (round-3 ADVICE fix) and
+    the model LUT ships as a literal local table.
     """
-    import math
-
-    from pyspark import StorageLevel
-
-    ref_cnt = (
+    spark = docs.sparkSession
+    counts = (
         hashed_bigram_buckets(reference, id_col, text_col, n_buckets, seed)
         .groupBy("_b")
         .agg(F.count("*").alias("_c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .collect()  # bucket-bounded: ≤ n_buckets rows, metadata-sized
     )
-    total = ref_cnt.agg(F.sum("_c")).first()[0] or 0
+    total = sum(r["_c"] for r in counts)
     denom = float(total + n_buckets)
-    # ln p for seen buckets comes from the count table; unseen buckets get
-    # the smoothed floor constant at join time
-    log_p_seen = F.log((F.col("_c") + 1).cast("double") / F.lit(denom))
-    lut = ref_cnt.select("_b", log_p_seen.alias("_lp"))
-    floor_lp = F.lit(math.log(1.0 / denom))
-    dg = hashed_bigram_buckets(docs, id_col, text_col, n_buckets, seed)
-    scored = dg.join(F.broadcast(lut), on="_b", how="left").select(
-        F.col(id_col), F.coalesce(F.col("_lp"), floor_lp).alias("_lp")
+    lut = spark.createDataFrame(
+        [(r["_b"], r["_c"]) for r in counts], "_b long, _c long"
     )
+    # ln p for seen buckets comes from the count table; unseen buckets get
+    # the smoothed floor at join time.  Both lns run engine-side on
+    # bit-identical exact-integer-derived doubles (DETERMINISM.md §5).
+    log_p_seen = F.log((F.col("_c") + 1).cast("double") / F.lit(denom))
+    floor_lp = F.log(F.lit(1.0 / denom))
+    dg = hashed_bigram_buckets(docs, id_col, text_col, n_buckets, seed)
+    scored = dg.join(
+        F.broadcast(lut.select("_b", log_p_seen.alias("_lp"))),
+        on="_b",
+        how="left",
+    ).select(F.col(id_col), F.coalesce(F.col("_lp"), floor_lp).alias("_lp"))
+    if exact_sum:
+        per_doc = scored.groupBy(id_col).agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.round("_lp", 9).cast("decimal(28,9)")).alias("_s"),
+        )
+        return (
+            docs.select(id_col)
+            .join(per_doc, on=id_col, how="left")
+            .select(
+                id_col,
+                F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+                F.coalesce(
+                    F.col("_s"), F.lit(0).cast("decimal(38,9)")
+                )
+                .cast("string")
+                .alias("sum_logp9"),
+            )
+        )
     per_doc = scored.groupBy(id_col).agg(
         F.count("*").alias("n_grams"),
         (-F.avg("_lp")).alias("nll"),

@@ -24,6 +24,7 @@ def table_profile(
     columns: list[str] | None = None,
     rsd: float = 0.05,
     quantile_accuracy: int = 10_000,
+    exact: bool = False,
 ) -> DataFrame:
     """One-row-per-column profile: rows, nulls, approx distinct, and (for
     numeric columns) min / max / approx p50 / p95.
@@ -32,6 +33,13 @@ def table_profile(
     ``quantile_accuracy`` trades quantile-summary size for error
     (err ≈ 1/accuracy of the rank).  Everything lands in ONE aggregate —
     profiling N columns costs one scan regardless of N.
+
+    ``exact=True`` swaps the sketches for exact ``count_distinct`` /
+    sort-based ``percentile`` — same plan shape, same output schema, so
+    the correctness gate can drive the full plumbing through a DuckDB
+    oracle while production keeps the mergeable-sketch cost model
+    (exact multi-column distinct EXPANDs the scan per distinct column —
+    fine at audit scale, not at 100 TB).
     """
     if columns is None:
         columns = [f.name for f in df.schema.fields]
@@ -43,21 +51,27 @@ def table_profile(
         col = F.col(c)
         aggs.append(F.count(col).alias(f"{c}__non_null"))
         aggs.append(
-            F.approx_count_distinct(col, rsd).alias(f"{c}__approx_distinct")
+            (
+                F.count_distinct(col)
+                if exact
+                else F.approx_count_distinct(col, rsd)
+            ).alias(f"{c}__approx_distinct")
         )
         if isinstance(by_name[c], NumericType):
             aggs.append(F.min(col).cast("double").alias(f"{c}__min"))
             aggs.append(F.max(col).cast("double").alias(f"{c}__max"))
-            aggs.append(
-                F.percentile_approx(col, 0.5, quantile_accuracy)
-                .cast("double")
-                .alias(f"{c}__p50")
+            p50 = (
+                F.percentile(col, F.lit(0.5))
+                if exact
+                else F.percentile_approx(col, 0.5, quantile_accuracy)
             )
-            aggs.append(
-                F.percentile_approx(col, 0.95, quantile_accuracy)
-                .cast("double")
-                .alias(f"{c}__p95")
+            p95 = (
+                F.percentile(col, F.lit(0.95))
+                if exact
+                else F.percentile_approx(col, 0.95, quantile_accuracy)
             )
+            aggs.append(p50.cast("double").alias(f"{c}__p50"))
+            aggs.append(p95.cast("double").alias(f"{c}__p95"))
     wide = df.agg(F.count("*").alias("__rows"), *aggs)
 
     # unpivot the single wide row into one tidy row per column — the wide

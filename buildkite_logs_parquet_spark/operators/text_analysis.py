@@ -340,7 +340,7 @@ def bm25_scores(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
-    round_to: int = 4,
+    top_n: int | None = None,
 ) -> DataFrame:
     """Okapi BM25 relevance of every document to a literal query term set
     — the lexical retrieval complement to the embedding ANN stack.
@@ -348,19 +348,36 @@ def bm25_scores(
     ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))``
     with the robust idf ``ln(1 + (N − df + 0.5)/(df + 0.5))``.
 
+    Returns ``(id, bm25, n_matched_terms)`` with ``bm25`` a 9-dp
+    DECIMAL rendered as string (per-term scores rounded to 9 dp then
+    decimal-summed — exact and order-independent, the ``dsir_weights``
+    discipline, DETERMINISM.md §5), descending by score with id
+    tie-break.  ``avgdl`` is derived from two exact integers
+    (Σ token_count / N) so its double value is bit-stable across engines.
+
     100 TB shape: the query-term filter lands BEFORE the tf aggregation,
     so only tokens matching the (tiny, literal) query set ever shuffle;
     document length is a narrow ``token_count`` column (no second explode
-    and no per-doc shuffle); N and avgdl are driver-side scalars
-    (metadata-sized aggregates); per-term document frequencies are a
-    |query|-row broadcast.
+    and no per-doc shuffle); N and avgdl come from ONE metadata-sized
+    driver aggregate; per-term document frequencies are a |query|-row
+    broadcast.  ``top_n`` turns the final sort into
+    TakeOrderedAndProject (per-partition heap + driver merge) instead of
+    a full corpus-sized global sort — at corpus scale always set it.
     """
     from buildkite_logs_parquet_spark.operators.dedup import _fan_out
 
     terms = [t.lower() for t in query_terms]
     base = _fan_out(df.select(F.col(id_col), F.col(text_col))).withColumn(
-        "_dl", token_count(F.col(text_col)).cast("double")
+        "_dl", token_count(F.col(text_col)).cast("long")
     )
+    # ONE combined stats job: doc count + total token count (both exact
+    # integers, so avgdl's double value is engine-independent)
+    stats = base.agg(
+        F.count("*").alias("_n"), F.sum("_dl").alias("_tot")
+    ).first()
+    n_docs = int(stats["_n"] or 0)
+    total_tokens = int(stats["_tot"] or 0)
+    avgdl = (total_tokens / n_docs) if n_docs else 1.0
     tokens = (
         base.select(
             F.col(id_col),
@@ -374,13 +391,6 @@ def bm25_scores(
     tf = tokens.groupBy(id_col, "_t").agg(
         F.count("*").alias("_tf"), F.first("_dl").alias("_dl")
     )
-    stats = df.select(
-        F.count("*").alias("_n"),
-    ).first()
-    n_docs = stats["_n"]
-    avgdl = (
-        base.agg(F.avg("_dl")).first()[0] or 1.0
-    )
     docfreq = tf.groupBy("_t").agg(F.count("*").alias("_df"))
     idf = F.log(
         F.lit(1.0)
@@ -391,13 +401,20 @@ def bm25_scores(
         F.col("_tf") * (k1 + 1.0)
         / (F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.lit(float(avgdl))))
     )
-    return (
+    ranked = (
         scored.groupBy(id_col)
         .agg(
-            F.round(F.sum(term_score), round_to).alias("bm25"),
+            F.sum(F.round(term_score, 9).cast("decimal(38,9)")).alias("_s"),
             F.count("*").alias("n_matched_terms"),
         )
-        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .orderBy(F.col("_s").desc(), F.col(id_col))
+    )
+    if top_n is not None:
+        ranked = ranked.limit(top_n)
+    return ranked.select(
+        F.col(id_col),
+        F.col("_s").cast("string").alias("bm25"),
+        "n_matched_terms",
     )
 
 
@@ -584,7 +601,8 @@ def bpe_encode(
                 out.append({id_col: rid, "n_tokens": len(toks), "tokens": toks})
             yield pd.DataFrame(out, columns=[id_col, "n_tokens", "tokens"])
 
-    schema = f"{id_col} long, n_tokens long, tokens array<string>"
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, n_tokens long, tokens array<string>"
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, schema=schema)
 
 
@@ -594,6 +612,7 @@ def top_terms_by_group(
     text_col: str = "text",
     k: int = 10,
     max_items_tracked: int = 10_000,
+    exact: bool = False,
 ) -> DataFrame:
     """Approximate per-group heavy-hitter terms via the ``approx_top_k``
     sketch — "most common tokens per language/source" in ONE aggregation.
@@ -607,6 +626,12 @@ def top_terms_by_group(
     term count stays under ``max_items_tracked`` (tested); heavy hitters
     under Zipf skew far beyond it.
 
+    ``exact=True`` swaps the sketch for the exact two-shuffle
+    formulation ((group, term) counts + rank window, count-desc with
+    lexicographic term tie-break) — deterministic and SQL-expressible,
+    so the correctness gate drives the plumbing end-to-end; production
+    keeps the one-shuffle sketch.
+
     Output: one row per (group, rank): ``term``, ``approx_count``.
     """
     from buildkite_logs_parquet_spark.operators.dedup import _fan_out
@@ -615,6 +640,25 @@ def top_terms_by_group(
         F.col(group_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_t"),
     ).where(F.col("_t") != "")
+    if exact:
+        from pyspark.sql import Window as W
+
+        counted = tokens.groupBy(group_col, "_t").agg(
+            F.count("*").alias("approx_count")
+        )
+        w = W.partitionBy(group_col).orderBy(
+            F.col("approx_count").desc(), F.col("_t")
+        )
+        return (
+            counted.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                group_col,
+                F.col("rank").cast("long").alias("rank"),
+                F.col("_t").alias("term"),
+                "approx_count",
+            )
+        )
     sketched = tokens.groupBy(group_col).agg(
         F.expr(f"approx_top_k(_t, {int(k)}, {int(max_items_tracked)})").alias("_tk")
     )

@@ -98,9 +98,8 @@ def test_events_queries_run_on_both_schemas(spark, two_schema_dirs):
 
     qs = E.queries()
     event_queries = [
-        "events_agg",
+        "events_agg",  # includes the former events_percentiles side
         "events_sessions",
-        "events_percentiles",
         "events_asof",
     ]
     for unit, d in two_schema_dirs.items():

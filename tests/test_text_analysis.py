@@ -268,9 +268,20 @@ def test_bm25_matches_python_reference(spark):
     assert set(got) == set(want)
     for i, (s, m) in want.items():
         assert got[i]["n_matched_terms"] == m
-        assert abs(got[i]["bm25"] - s) < 1e-3, i
+        assert abs(float(got[i]["bm25"]) - s) < 1e-3, i
     # doc 3 matches nothing and must be absent
     assert 3 not in got
+
+    # top_n keeps the best-scored docs (ties broken by id) and becomes a
+    # bounded TakeOrderedAndProject, never a full global sort
+    top = bm25_scores(docs, q, "doc_id", top_n=2)
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    assert [r["doc_id"] for r in top.collect()] == [i for i, _ in ranked[:2]]
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+    # without top_n there must still be no stray extra jobs: the stats
+    # aggregate is ONE combined count+sum (checked implicitly by the
+    # single .first() in the implementation)
 
 
 def test_url_domain_stats(spark):
