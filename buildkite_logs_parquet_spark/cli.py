@@ -104,8 +104,14 @@ def cmd_parse(args: argparse.Namespace) -> int:
         path = client.fetch_job_log(args.org, args.pipeline, args.build, args.job)
 
     spark = get_spark(app_name="bklog-parse")
-    lines = read_log_lines(spark, path)
-    parsed = parse_log_lines(lines, file_col="file")
+    stats: dict = {}
+    lines = read_log_lines(spark, path, stats_out=stats)
+    parsed = parse_log_lines(
+        lines,
+        file_col="file",
+        group_strategy="auto",
+        max_file_lines=max(stats.values(), default=None),
+    )
     entries = entries_view(parsed)
     if args.filter:
         entries = filter_by_type(entries, args.filter)

@@ -63,12 +63,23 @@ CANONICAL_COLUMNS = [
 ]
 
 
+#: Above this many lines in a single file, strategy="auto" abandons the
+#: one-task window for the broadcast segmented strategy.  A few million
+#: rows through a running `last()` is seconds of single-task work — fine;
+#: a 1 TB file (billions of lines) through one task is the foot-gun the
+#: auto switch removes.  The window is 3-4× faster at bench scale, so the
+#: threshold errs high.
+AUTO_WINDOW_MAX_LINES = 4_000_000
+
+
 def parse_log_lines(
     lines: DataFrame,
     raw_col: str = "raw",
     order_col: str = "line_no",
     file_col: str | None = None,
     group_strategy: str = "window",
+    max_file_lines: int | None = None,
+    auto_window_max_lines: int = AUTO_WINDOW_MAX_LINES,
 ) -> DataFrame:
     """Parse ordered raw lines into the canonical entries shape.
 
@@ -113,7 +124,12 @@ def parse_log_lines(
         .drop("_osc")
     )
     return propagate_groups(
-        parsed, order_col=order_col, file_col=file_col, strategy=group_strategy
+        parsed,
+        order_col=order_col,
+        file_col=file_col,
+        strategy=group_strategy,
+        max_file_lines=max_file_lines,
+        auto_window_max_lines=auto_window_max_lines,
     )
 
 
@@ -123,6 +139,8 @@ def propagate_groups(
     file_col: str | None = None,
     strategy: str = "window",
     bucket_size: int = 8192,
+    max_file_lines: int | None = None,
+    auto_window_max_lines: int = AUTO_WINDOW_MAX_LINES,
 ) -> DataFrame:
     """Assign the running group (parser.go:41-56) to every row.
 
@@ -130,10 +148,23 @@ def propagate_groups(
     row at or before it (the header row itself included); ``""`` before any
     header.  Quarantined rows never update group state (the reference drops
     them before its group logic runs).
+
+    ``strategy="auto"`` picks per ingest: the (faster at moderate size)
+    one-task-per-file window when the largest file's line count — known
+    for free from the reader's split-offset stats
+    (``read_log_lines(stats_out=...)``) — stays under
+    ``auto_window_max_lines``, else the broadcast segmented strategy that
+    has no single-task stage.  With no count supplied, auto stays on the
+    safe broadcast path (never silently serializes an unknown-size file).
     """
     header = F.when(
         F.col("is_group") & F.col("parse_error").isNull(), F.col("clean_content")
     )
+    if strategy == "auto":
+        small = (
+            max_file_lines is not None and max_file_lines <= auto_window_max_lines
+        )
+        strategy = "window" if small else "broadcast"
     if strategy == "window":
         w = (
             Window.partitionBy(*( [file_col] if file_col else [] ))

@@ -32,6 +32,7 @@ def read_log_lines(
     spark: SparkSession,
     path: str | list[str],
     min_partitions: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Read raw log file(s) into ``(file, line_no, raw)`` with a stable
     0-based per-file line number — entirely JVM-side.
@@ -103,6 +104,11 @@ def read_log_lines(
         for r in sorted(rows, key=lambda r: r["_bstart"]):
             bases.append((file, r["_bstart"], r["_first"], acc))
             acc += r["_cnt"]
+        if stats_out is not None:
+            # per-file line counts fall out of the offset scan for free —
+            # callers feed them to propagate_groups(strategy="auto") so the
+            # single-task window never meets a too-large file
+            stats_out[file] = acc
     base_df = spark.createDataFrame(
         bases, "file string, _bstart long, _first long, _base long"
     )

@@ -136,6 +136,56 @@ def test_strategies_equivalent_multifile(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_auto_strategy_switches_on_file_size(spark):
+    """strategy='auto' keeps the window for small files, abandons the
+    single-task Window stage once the known line count crosses the
+    threshold, stays off it when the count is unknown — and all routes
+    produce identical groups."""
+    df = _lines_df(spark, GOLDEN_SCRIPT)
+
+    def plan(max_lines, **kw):
+        out = parse_log_lines(
+            df,
+            file_col="file",
+            group_strategy="auto",
+            max_file_lines=max_lines,
+            **kw,
+        )
+        return out, out._jdf.queryExecution().executedPlan().toString()
+
+    small, small_plan = plan(len(GOLDEN_SCRIPT))
+    assert "Window" in small_plan  # under threshold → window strategy
+    big, big_plan = plan(10_000_000, auto_window_max_lines=1_000_000)
+    # over threshold → broadcast segmented: the LINES never pass through
+    # a global/per-file Window (the only window runs on the tiny bucket
+    # table); assert no single-task window over the parse stream by
+    # checking the broadcast join marker is present instead
+    assert "BroadcastHashJoin" in big_plan
+    unknown, unknown_plan = plan(None)
+    assert "BroadcastHashJoin" in unknown_plan  # unknown size → safe path
+
+    want = GOLDEN_GROUPS
+    for out in (small, big, unknown):
+        got = [r["group"] for r in out.orderBy("line_no").select("group").collect()]
+        assert got == want
+
+
+def test_reader_stats_feed_auto(spark, tmp_path):
+    """read_log_lines(stats_out=...) exposes exact per-file line counts —
+    the free input to the auto switch."""
+    from buildkite_logs_parquet_spark.sources.logs import read_log_lines
+
+    p1 = tmp_path / "a.log"
+    p1.write_text("\n".join(f"line {i}" for i in range(37)) + "\n")
+    p2 = tmp_path / "b.log"
+    p2.write_text("\n".join(f"line {i}" for i in range(11)) + "\n")
+    stats: dict = {}
+    df = read_log_lines(spark, [str(p1), str(p2)], stats_out=stats)
+    assert df.count() == 48
+    by_name = {k.rsplit("/", 1)[-1]: v for k, v in stats.items()}
+    assert by_name == {"a.log": 37, "b.log": 11}
+
+
 def test_no_headers_at_all(spark):
     lines = ["plain one", "plain two"]
     for strategy in ("window", "broadcast"):
