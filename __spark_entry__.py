@@ -800,11 +800,22 @@ def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One distributed Lloyd iteration over the embeddings (literal seed
-    centroids): per-cell membership count + old→new centroid drift, made
-    engine-exact by the decimal sum-vector representation."""
+    """TWO chained Lloyd iterations (round-4 upgrade): iter-1 runs on the
+    literal seed centroids; the centroids are then updated driver-side
+    (``kmeans_update`` — decimal sums / counts, deterministic) and iter-2
+    runs on the learned centroids.  The oracle recomputes the SAME
+    centroid update in SQL, so the *iterative* k-means loop — not just a
+    single step — is value-checked across engines."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.kmeans_step(emb, _ivf_centroids(), vec_col="embedding")
+    c0 = _ivf_centroids()
+    s1 = S.kmeans_step(emb, c0, vec_col="embedding").select(
+        F.lit(1).alias("iter"), "ivf_cell", "n_assigned", "centroid_drift"
+    )
+    c1, _counts = S.kmeans_update(emb, c0, vec_col="embedding")
+    s2 = S.kmeans_step(emb, c1, vec_col="embedding").select(
+        F.lit(2).alias("iter"), "ivf_cell", "n_assigned", "centroid_drift"
+    )
+    return s1.unionByName(s2)
 
 
 def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1952,8 +1963,18 @@ SELECT 'ivf' AS op, vec_id, cosine FROM (
         f"WHEN {cid} THEN list_cosine_similarity({_raw_lits[cid]}, nc)"
         for cid in range(len(_cents))
     )
+    # two chained Lloyd iterations: iter-1 on the c0 literals, then the
+    # centroid update (decimal sums / counts → doubles) REPLAYED IN SQL,
+    # normalization + re-assignment + iter-2 report on the learned c1 —
+    # the same arithmetic path the Spark driver runs in kmeans_update
+    _c0_rows = ",\n         ".join(
+        f"({cid}, {_raw_lits[cid]})" for cid in range(len(_cents))
+    )
     sql["kmeans_step"] = f"""
-WITH s AS (
+WITH c0(cid, c) AS (
+  VALUES {_c0_rows}
+),
+s AS (
   SELECT vec_id, embedding,
          {_s_cols}
   FROM embeddings
@@ -1964,16 +1985,55 @@ a AS (
 expl AS (
   SELECT cell, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i FROM a
 ),
+sums AS (
+  SELECT cell, i, sum(CAST(e AS DECIMAL(28,12))) AS sd
+  FROM expl GROUP BY cell, i
+),
 newc AS (
-  SELECT cell, list(sm ORDER BY i) AS nc FROM (
-    SELECT cell, i, CAST(sum(CAST(e AS DECIMAL(28,12))) AS DOUBLE) AS sm
-    FROM expl GROUP BY cell, i
+  SELECT cell, list(CAST(sd AS DOUBLE) ORDER BY i) AS nc FROM sums GROUP BY cell
+),
+cnt AS (SELECT cell, count(*) AS n_assigned FROM a GROUP BY cell),
+c1 AS (
+  SELECT c0.cid, coalesce(u.uc, c0.c) AS c
+  FROM c0 LEFT JOIN (
+    SELECT sums.cell AS cid,
+           list(CAST(sd AS DOUBLE) / n_assigned ORDER BY i) AS uc
+    FROM sums JOIN cnt ON sums.cell = cnt.cell
+    GROUP BY sums.cell, n_assigned
+  ) u ON c0.cid = u.cid
+),
+n1 AS (
+  SELECT cid, c, list_transform(c, x -> x / sqrt(list_inner_product(c, c))) AS nc
+  FROM c1
+),
+s2 AS (
+  SELECT e.vec_id, e.embedding, n1.cid,
+         list_inner_product(CAST(e.embedding AS DOUBLE[]), n1.nc) AS sc
+  FROM embeddings e CROSS JOIN n1
+),
+a2 AS (
+  SELECT vec_id, embedding, cid AS cell FROM (
+    SELECT vec_id, embedding, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid) AS rn
+    FROM s2
+  ) WHERE rn = 1
+),
+expl2 AS (
+  SELECT cell, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i FROM a2
+),
+newc2 AS (
+  SELECT cell, list(CAST(sd AS DOUBLE) ORDER BY i) AS nc FROM (
+    SELECT cell, i, sum(CAST(e AS DECIMAL(28,12))) AS sd FROM expl2 GROUP BY cell, i
   ) GROUP BY cell
 ),
-cnt AS (SELECT cell, count(*) AS n_assigned FROM a GROUP BY cell)
-SELECT cnt.cell AS ivf_cell, cnt.n_assigned,
+cnt2 AS (SELECT cell, count(*) AS n_assigned FROM a2 GROUP BY cell)
+SELECT 1 AS iter, cnt.cell AS ivf_cell, cnt.n_assigned,
        round(CASE cnt.cell {_drift_cases} END, 4) AS centroid_drift
 FROM cnt JOIN newc ON cnt.cell = newc.cell
+UNION ALL
+SELECT 2 AS iter, cnt2.cell AS ivf_cell, cnt2.n_assigned,
+       round(list_cosine_similarity(c1.c, newc2.nc), 4) AS centroid_drift
+FROM cnt2 JOIN newc2 ON cnt2.cell = newc2.cell JOIN c1 ON cnt2.cell = c1.cid
 """
 
     # semantic_dedup: same literal-centroid assignment CTE; in-cell pair

@@ -205,6 +205,63 @@ def test_kmeans_step_empty_cells_absent_and_layout_independent(spark):
     assert [tuple(r) for r in out] == [tuple(r) for r in out2]
 
 
+def test_kmeans_fit_converges_on_separated_blobs(spark):
+    """Three well-separated directional blobs, deliberately bad init:
+    kmeans_fit must converge (drift → ~0 before max_iter), put each blob
+    in its own cell, and report a monotone-ish shrinking drift."""
+    rng = random.Random(7)
+    true_dirs = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+    rows = []
+    for b, d in enumerate(true_dirs):
+        for i in range(30):
+            rows.append(
+                (b * 100 + i, [x + rng.gauss(0, 0.3) for x in d])
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    init = [[1.0, 0.5, 0.0], [0.5, 1.0, 0.0], [0.4, 0.4, 0.8]]
+    cents, hist = S.kmeans_fit(df, init, max_iter=10, tol=1e-9)
+    assert hist[-1]["max_drift"] <= 1e-9  # converged, not exhausted
+    assert len(hist) < 10
+    # each learned centroid aligns with exactly one true direction
+    aligned = set()
+    for c in cents:
+        sims = [_cos(c, d) for d in true_dirs]
+        best = max(range(3), key=lambda i: sims[i])
+        assert sims[best] > 0.99
+        aligned.add(best)
+    assert aligned == {0, 1, 2}
+    # counts at convergence: one blob per cell
+    assert sorted(hist[-1]["counts"]) == [30, 30, 30]
+
+
+def test_kmeans_fit_determinism_and_empty_cell_hold(spark):
+    """Same data, different physical layout → bit-identical centroids
+    (decimal sums + driver-side float math); a centroid that captures no
+    vectors survives unchanged."""
+    rows = [(i, [1.0 + 0.01 * i, 0.001 * i]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    init = [[1.0, 0.0], [-1.0, 0.0]]
+    c_a, h_a = S.kmeans_fit(df, init, max_iter=3, tol=0.0)
+    c_b, h_b = S.kmeans_fit(df.repartition(11), init, max_iter=3, tol=0.0)
+    assert c_a == c_b
+    assert [h["counts"] for h in h_a] == [h["counts"] for h in h_b]
+    assert c_a[1] == [-1.0, 0.0]  # empty cell kept its centroid verbatim
+
+
+def test_kmeans_fit_feeds_semantic_dedup(spark, vectors):
+    """The SemDeDup recipe end-to-end: learn centroids with kmeans_fit,
+    then semantic_dedup with the LEARNED centroids — dup pairs planted in
+    the corpus must still be flagged, and every row gets a cell."""
+    df, rows = vectors
+    rng = random.Random(31)
+    init = [[rng.gauss(0, 1) for _ in range(DIM)] for _ in range(4)]
+    cents, hist = S.kmeans_fit(df, init, max_iter=5, tol=1e-6)
+    assert len(cents) == 4 and all(len(c) == DIM for c in cents)
+    out = S.semantic_dedup(df, cents, threshold=0.9).collect()
+    assert len(out) == len(rows)
+    assert any(r["is_semantic_dup"] for r in out)
+
+
 # ---------------------------------------------------------------- SemDeDup
 
 
