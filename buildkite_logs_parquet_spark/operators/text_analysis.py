@@ -547,6 +547,43 @@ def bpe_merge_step(
     return out, (a, b), count
 
 
+def learn_bpe(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    checkpoint: bool = True,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """BPE vocabulary induction end-to-end (the loop around
+    ``word_symbol_table`` + ``bpe_merge_step``, round-3 verdict item):
+    build the word/frequency symbol table ONCE from the corpus, then run
+    ``n_merges`` merge rounds, stopping early when no adjacent pair
+    remains.  Returns ``(merges, final_word_table)`` — feed the merges to
+    ``bpe_encode``.
+
+    Lineage discipline: each round rewrites the symbols column with a
+    higher-order transform, so after N rounds the unchecked plan is an
+    N-deep expression stack that Catalyst re-analyzes per round (the same
+    failure mode as the connected-components loop, graph.py).  A lazy
+    ``localCheckpoint(eager=False)`` before each round truncates it; the
+    round's own argmax job (a 1-row TakeOrdered collect, already paid)
+    materializes the checkpoint — ONE job per merge, none extra.
+
+    100 TB shape: the corpus is touched exactly once
+    (``word_symbol_table``); every round's state is the vocabulary-sized
+    word table and its driver traffic is one row.
+    """
+    words = word_symbol_table(df, text_col)
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        if checkpoint:
+            words = words.localCheckpoint(eager=False)
+        words, pair, _count = bpe_merge_step(words)
+        if pair is None:
+            break
+        merges.append(pair)
+    return merges, words
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[tuple[str, str]],

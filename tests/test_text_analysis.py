@@ -376,6 +376,64 @@ def test_bpe_merge_steps_match_python_reference(spark):
     assert got_vocab == want_vocab
 
 
+#: committed golden vocab: the classic Sennrich corpus shape, 6 merges,
+#: hand-checkable — 'newest' is the most frequent word (5×), so its
+#: suffix pairs merge first; ties break lexicographically
+_BPE_GOLDEN_CORPUS = [
+    (1, "low low low lower lower newest newest newest newest widest"),
+    (2, "newest widest widest low"),
+]
+
+
+def test_learn_bpe_matches_reference_and_golden(spark):
+    from buildkite_logs_parquet_spark.operators.text_analysis import learn_bpe
+
+    docs = spark.createDataFrame(_BPE_GOLDEN_CORPUS, "doc_id long, text string")
+    merges, words = learn_bpe(docs, 6)
+
+    freqs = {}
+    for _, t in _BPE_GOLDEN_CORPUS:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    want_vocab, want_merges = _bpe_python(freqs, 6)
+    assert merges == [p for p, _n in want_merges]
+    got_vocab = {r["word"]: list(r["symbols"]) for r in words.collect()}
+    assert got_vocab == want_vocab
+    # committed golden literal (not just reference-relative): the first
+    # merges follow 'newest' (freq 5): e+s, es+t, then 'low' (freq 5)
+    assert merges[:3] == [("e", "s"), ("es", "t"), ("l", "o")]
+
+
+def test_learn_bpe_stops_early_when_exhausted(spark):
+    from buildkite_logs_parquet_spark.operators.text_analysis import learn_bpe
+
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    merges, words = learn_bpe(docs, 50)
+    assert merges == [("a", "b")]  # one merge possible, then exhausted
+    assert words.first()["symbols"] == ["ab"]
+
+
+def test_learn_bpe_roundtrips_through_encode(spark):
+    """learn_bpe → bpe_encode on the same corpus: token conservation
+    (concatenating a doc's tokens recovers its lowercased words) and the
+    encoder reproduces the trainer's final symbol table exactly."""
+    from buildkite_logs_parquet_spark.operators.text_analysis import (
+        bpe_encode,
+        learn_bpe,
+    )
+
+    docs = spark.createDataFrame(_BPE_GOLDEN_CORPUS, "doc_id long, text string")
+    merges, words = learn_bpe(docs, 6)
+    trained = {r["word"]: list(r["symbols"]) for r in words.collect()}
+    enc = {r["doc_id"]: r for r in bpe_encode(docs, merges, "doc_id").collect()}
+    for doc_id, text in _BPE_GOLDEN_CORPUS:
+        want = []
+        for w in text.lower().split():
+            want.extend(trained[w])
+        assert list(enc[doc_id]["tokens"]) == want
+        assert "".join(enc[doc_id]["tokens"]) == "".join(text.lower().split())
+
+
 def test_bpe_merge_handles_overlapping_pairs(spark):
     from buildkite_logs_parquet_spark.operators.text_analysis import bpe_merge_step
 
