@@ -63,11 +63,55 @@ def fake_decode(payload: bytes) -> dict:
     }
 
 
+def real_decode(payload: bytes) -> dict:
+    """Real image decode through the stdlib+numpy codec
+    (functions/image_codec.py): PNG (all five scanline filters, gray /
+    RGB / RGBA / palette) and netpbm PPM/PGM decode natively; the 8-dim
+    feature vector is computed from ACTUAL pixels (channel means, spread,
+    extremes, aspect), so identical images embed identically and
+    ``semantic_dedup`` downstream finds true visual duplicates.  Formats
+    that need external codec libraries (JPEG…) still raise
+    ``NotImplementedError`` — that seam is ``strict_decode``'s contract.
+    """
+    if payload is None:
+        return {"width": None, "height": None, "n_frames": None, "feature": None}
+    import numpy as np
+
+    from buildkite_logs_parquet_spark.functions.image_codec import decode_image
+
+    img = decode_image(bytes(payload))
+    h, w, ch = img.shape
+    px = img.astype("float64")
+    gray = px[:, :, :3].mean() if ch >= 3 else px[:, :, 0].mean()
+    if ch >= 3:
+        r, g, b = (px[:, :, i].mean() for i in range(3))
+    else:
+        r = g = b = gray
+    feature = [
+        gray / 255.0,
+        float(np.std(px)) / 255.0,
+        r / 255.0,
+        g / 255.0,
+        b / 255.0,
+        w / (w + h),
+        float(px.min()) / 255.0,
+        float(px.max()) / 255.0,
+    ]
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": 1,
+        "feature": [round(x, 6) for x in feature],
+    }
+
+
 def strict_decode(payload: bytes) -> dict:
-    """The real-codec seam: media libraries are not available here."""
+    """The hard codec seam: formats beyond PNG/PPM (JPEG, video, audio)
+    need libraries not present in this environment."""
     raise NotImplementedError(
-        "real media decoding requires codec libraries not present in this "
-        "environment; pass decode=fake_decode or your own callable"
+        "media decoding beyond PNG/PPM requires codec libraries not present "
+        "in this environment; pass decode=real_decode (PNG/PPM), "
+        "decode=fake_decode, or your own callable"
     )
 
 
