@@ -329,31 +329,28 @@ def dsir_weights(
     sum is order-independent and cross-engine reproducible (the ``ln``
     itself is the only libm call, on bit-identical inputs).
     """
-    from pyspark import StorageLevel
-
     def grams(df: DataFrame) -> DataFrame:
         return hashed_bigram_buckets(df, id_col, text_col, n_buckets, seed)
 
-    rg = grams(raw).persist(StorageLevel.MEMORY_AND_DISK)
-    # both count tables are ≤ n_buckets rows; persisting them means each
-    # side's gram pipeline is evaluated exactly once (the totals collect
-    # below would otherwise re-run the target explode for the LUT join)
-    tcnt = (
-        grams(target)
-        .groupBy("_b")
-        .agg(F.count("*").alias("_ct"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    rcnt = (
-        rg.groupBy("_b")
-        .agg(F.count("*").alias("_cr"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    # totals: metadata-sized driver collects (bounded by n_buckets rows)
-    t_total = tcnt.agg(F.sum("_ct")).first()[0] or 0
-    r_total = rcnt.agg(F.sum("_cr")).first()[0] or 0
+    # Both count tables are bounded by n_buckets rows (metadata-sized by
+    # design), so they are COLLECTED once and the log-ratio LUT ships back
+    # as a literal local table.  Round-3 ADVICE fix: the previous version
+    # persisted rg/tcnt/rcnt and never unpersisted, leaking corpus-sized
+    # cached blocks into long-lived sessions.  Cost of the trade: the raw
+    # gram pipeline is evaluated twice (once for its counts, once in the
+    # scoring join) — a narrow re-scan, vs. caching an entire gram stream.
+    spark = raw.sparkSession
+    t_rows = grams(target).groupBy("_b").agg(F.count("*").alias("_ct")).collect()
+    r_rows = grams(raw).groupBy("_b").agg(F.count("*").alias("_cr")).collect()
+    t_by = {r["_b"]: r["_ct"] for r in t_rows}
+    t_total = sum(t_by.values())
+    r_total = sum(r["_cr"] for r in r_rows)
     tb = float(t_total + n_buckets)
     rb = float(r_total + n_buckets)
+    counts = spark.createDataFrame(
+        [(r["_b"], r["_cr"], t_by.get(r["_b"])) for r in r_rows],
+        "_b long, _cr long, _ct long",
+    )
     llr = F.round(
         F.log(
             ((F.coalesce(F.col("_ct"), F.lit(0)) + 1).cast("double") * F.lit(rb))
@@ -361,8 +358,8 @@ def dsir_weights(
         ),
         9,
     ).cast("decimal(28,9)")
-    lut = rcnt.join(tcnt, on="_b", how="left").select("_b", llr.alias("_llr"))
-    scored = rg.join(F.broadcast(lut), on="_b")
+    lut = counts.select("_b", llr.alias("_llr"))
+    scored = grams(raw).join(F.broadcast(lut), on="_b")
     per_doc = scored.groupBy(id_col).agg(
         F.count("*").alias("n_grams"), F.sum("_llr").alias("_w")
     )

@@ -84,16 +84,31 @@ def connected_components(
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
+    # Reliable checkpoint() recomputes the full lineage in a SECOND job to
+    # write the checkpoint files unless the data is cached — which would
+    # break the one-job-per-round design on the durable path (round-3
+    # ADVICE).  So on that path each to-be-checkpointed frame is persisted
+    # first (the writer then reads cached blocks), and the cache is
+    # dropped as soon as the round's probe has materialized the files.
+    pinned: list[DataFrame] = []
+
     def _ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
         if checkpoint_dir is not None:
+            df.persist(StorageLevel.MEMORY_AND_DISK)
+            pinned.append(df)
             return df.checkpoint(eager=eager)
         return df.localCheckpoint(eager=eager)
+
+    def _release_pinned() -> None:
+        while pinned:
+            pinned.pop().unpersist()
 
     e0 = _ckpt(  # evaluate the pair pipeline ONCE
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
             F.col("a") != F.col("b")
         )
     )
+    _release_pinned()  # eager: files are on disk, the cache has served
     sym = e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
     if dedupe_edges:
         sym = sym.distinct()
@@ -116,13 +131,17 @@ def connected_components(
         )
     )
     # LAZY checkpoints for the per-round label tables: the convergence
-    # probe right below is the materializing action, so each round runs
-    # ONE job (materialize-and-sum) instead of two (measured ~10% off the
-    # whole query at bench scale).  The edge table stays eager — it is
-    # materialized once and must never re-evaluate the pair pipeline.
+    # probe right below is the materializing action, so on the local path
+    # each round runs ONE job (materialize-and-sum) instead of two
+    # (measured ~10% off the whole query at bench scale).  On the
+    # reliable path the checkpoint writer is an extra job by Spark's
+    # design, but it reads the pinned cache (see _ckpt) — never a lineage
+    # recompute.  The edge table stays eager — it is materialized once
+    # and must never re-evaluate the pair pipeline.
     labels = _ckpt(labels, eager=False)
 
     prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+    _release_pinned()  # the probe materialized the seed checkpoint
     for _ in range(max_iter):
         neigh_min = (
             sym.join(labels, sym.a == labels.id)
@@ -155,6 +174,7 @@ def connected_components(
         cur_sum = new_labels.agg(
             F.sum(F.col("comp").cast("decimal(38,0)"))
         ).first()[0]
+        _release_pinned()  # this round's checkpoint files exist now
         labels = new_labels
         if cur_sum == prev_sum:  # strict decrease until fixpoint
             sym.unpersist()

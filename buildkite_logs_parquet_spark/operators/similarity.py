@@ -339,6 +339,13 @@ def semantic_dedup(
     computed once per row and carried through the join; the threshold is
     compared on the ROUNDED cosine so the keep/drop decision is
     reproducible across engines.
+
+    Caching note: the prepped (id, cell, vector, norm) projection is
+    persisted so the in-cell self-join's two sides share one computation;
+    the returned plan reads it for its whole lifetime, so this operator
+    cannot unpersist it itself.  In long-lived sessions, release it with
+    ``spark.catalog.clearCache()`` once the result is consumed (the bench
+    harness does exactly that between queries).
     """
     from buildkite_logs_parquet_spark.operators.dedup import _fan_out
     from pyspark import StorageLevel

@@ -337,8 +337,11 @@ def stream_append_dedup_against_lake(
     Built on ``foreachBatch``: the batch anti-joins the CURRENT lake on
     ``key_cols`` (the lake side is projected to the key columns only —
     at scale this is a digest-column scan, prunable and broadcastable
-    when small), dedups within the batch (first row per key in batch
-    order wins, via the batch's own min aggregation — deterministic), and
+    when small), dedups within the batch with a CONTENT-deterministic
+    survivor (per key, the row whose non-key column tuple is smallest —
+    a min aggregation over a struct, so the same batch contents produce
+    the same survivor on any retry/replay or partition layout; "batch
+    order" is not a stable notion in a shuffled micro-batch), and
     appends survivors. foreachBatch re-delivery (a batch replayed after a
     crash) is idempotent BECAUSE of the anti-join: replayed rows find
     their keys already in the lake and drop out.
@@ -350,7 +353,19 @@ def stream_append_dedup_against_lake(
         spark = batch.sparkSession
         from pyspark.errors.exceptions.captured import AnalysisException
 
-        fresh = batch.dropDuplicates(key_cols)
+        other = [c for c in batch.columns if c not in key_cols]
+        if other:
+            fresh = (
+                batch.groupBy(*key_cols)
+                .agg(F.min(F.struct(*[F.col(c) for c in other])).alias("_row"))
+                .select(
+                    *key_cols,
+                    *[F.col(f"_row.{c}").alias(c) for c in other],
+                )
+                .select(*batch.columns)
+            )
+        else:
+            fresh = batch.dropDuplicates(key_cols)
         try:
             existing = spark.read.parquet(lake_path).select(*key_cols).distinct()
             fresh = fresh.join(existing, on=key_cols, how="left_anti")
