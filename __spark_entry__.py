@@ -639,7 +639,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (id_a, id_b, hamming) — the pairs recompute nothing, they band the
     same fingerprint relation."""
     docs = _t(spark, sf_dir, "documents")
-    fps = D.simhash(docs, "doc_id", "text", bits=32)
+    # lazy local checkpoint: the fingerprint table feeds its own output
+    # side AND both sides of the banded self-join — compute it once
+    fps = D.simhash(docs, "doc_id", "text", bits=32).localCheckpoint(eager=False)
     pairs = D.simhash_near_duplicates(fps, "doc_id", max_hamming=3, bits=32)
     fp_side = fps.select(
         F.lit("fp").alias("side"),
@@ -974,6 +976,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the clustering consumes — so both operators stay inside the 50-entry
     window with zero extra pipeline."""
     docs = _t(spark, sf_dir, "documents")
+    # measured dead end: localCheckpoint-sharing the pair pipeline between
+    # the clustering input and the pair side was 1.5s SLOWER at sf0.1 than
+    # recomputing it — the full-pair block write+read costs more than the
+    # (already codegen-tight) pipeline re-run
     pairs = D.minhash_near_duplicates(
         docs, "doc_id", "text", num_perm=8, bands=4, shingle_k=8, threshold=0.25
     )

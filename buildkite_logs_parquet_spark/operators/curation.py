@@ -426,15 +426,21 @@ def lm_perplexity(
     log_p_seen = F.log((F.col("_c") + 1).cast("double") / F.lit(denom))
     floor_lp = F.log(F.lit(1.0 / denom))
     dg = hashed_bigram_buckets(docs, id_col, text_col, n_buckets, seed)
-    scored = dg.join(
-        F.broadcast(lut.select("_b", log_p_seen.alias("_lp"))),
-        on="_b",
-        how="left",
-    ).select(F.col(id_col), F.coalesce(F.col("_lp"), floor_lp).alias("_lp"))
     if exact_sum:
-        per_doc = scored.groupBy(id_col).agg(
+        # round+decimal-cast on the |buckets|-row LUT (and the constant
+        # floor, which Catalyst folds), NOT per corpus gram row — the
+        # gram-side work is one coalesce + a decimal sum.  round-then-
+        # coalesce ≡ coalesce-then-round, so the oracle is unchanged.
+        lp9 = F.round(log_p_seen, 9).cast("decimal(28,9)")
+        floor9 = F.round(floor_lp, 9).cast("decimal(28,9)")
+        scored9 = dg.join(
+            F.broadcast(lut.select("_b", lp9.alias("_lp9"))),
+            on="_b",
+            how="left",
+        ).select(F.col(id_col), F.coalesce(F.col("_lp9"), floor9).alias("_lp9"))
+        per_doc = scored9.groupBy(id_col).agg(
             F.count("*").alias("n_grams"),
-            F.sum(F.round("_lp", 9).cast("decimal(28,9)")).alias("_s"),
+            F.sum("_lp9").alias("_s"),
         )
         return (
             docs.select(id_col)
@@ -449,6 +455,11 @@ def lm_perplexity(
                 .alias("sum_logp9"),
             )
         )
+    scored = dg.join(
+        F.broadcast(lut.select("_b", log_p_seen.alias("_lp"))),
+        on="_b",
+        how="left",
+    ).select(F.col(id_col), F.coalesce(F.col("_lp"), floor_lp).alias("_lp"))
     per_doc = scored.groupBy(id_col).agg(
         F.count("*").alias("n_grams"),
         (-F.avg("_lp")).alias("nll"),
