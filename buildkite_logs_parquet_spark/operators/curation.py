@@ -601,3 +601,39 @@ def mix_corpora(
     return sample_stratified(
         df, key_col, source_col, rates, default_rate=0.0, seed=seed
     )
+
+
+# ------------------------------------------------------ training-order shuffle
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    key_col: str,
+    seed: int = 42,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle for training-data export: order rows
+    by a content hash of ``(seed, key)`` — a pseudo-random permutation of
+    the corpus that is identical across runs, engines, and physical
+    layouts.  ``df.orderBy(rand())`` is neither (per-partition RNG), and
+    an unshuffled corpus trains on its crawl/source order.
+
+    100 TB shape: ONE range-partitioned sort on a uniform 32-bit hash key
+    (Spark plans ``orderBy`` as range partitioning + in-partition sort,
+    and uniform keys make the ranges skew-free by construction).  With
+    ``n_shards`` the output is exactly that many balanced files whose
+    concatenation in shard order IS the permutation — the shard layout a
+    training loader consumes.  Change ``seed`` per epoch for a fresh
+    permutation.
+
+    Adds ``shuffle_key`` so downstream stages can verify or resume the
+    order; ties (hash collisions) break on the key column itself, keeping
+    the permutation total.
+    """
+    key = hash_bucket(F.col(key_col), seed)
+    out = df.withColumn("shuffle_key", key)
+    if n_shards is not None:
+        return out.repartitionByRange(
+            int(n_shards), F.col("shuffle_key"), F.col(key_col)
+        ).sortWithinPartitions("shuffle_key", key_col)
+    return out.orderBy("shuffle_key", key_col)

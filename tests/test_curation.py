@@ -405,3 +405,53 @@ def test_lm_perplexity_ranks_reference_like_docs_lower(spark):
         for r in lm_perplexity(docs, _docs(spark, ref_rows), "doc_id").collect()
     }
     assert out[1] < out[2]
+
+
+# ------------------------------------------------------ corpus shuffle
+
+
+def test_corpus_shuffle_is_a_deterministic_permutation(spark):
+    from buildkite_logs_parquet_spark.operators.curation import corpus_shuffle
+
+    rows = [(i, f"doc {i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = [r["doc_id"] for r in corpus_shuffle(df, "doc_id", seed=42).collect()]
+    # permutation: same rows, scrambled order
+    assert sorted(a) == list(range(200))
+    assert a != list(range(200))
+    # layout-independent and run-stable
+    b = [
+        r["doc_id"]
+        for r in corpus_shuffle(df.repartition(13), "doc_id", seed=42).collect()
+    ]
+    assert a == b
+    # a different seed is a different permutation
+    c = [r["doc_id"] for r in corpus_shuffle(df, "doc_id", seed=43).collect()]
+    assert a != c and sorted(c) == list(range(200))
+
+
+def test_corpus_shuffle_shards_concatenate_to_the_permutation(spark):
+    from pyspark.sql import functions as F
+
+    from buildkite_logs_parquet_spark.operators.curation import corpus_shuffle
+
+    rows = [(i, f"doc {i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = [r["doc_id"] for r in corpus_shuffle(df, "doc_id", seed=7).collect()]
+    sharded = corpus_shuffle(df, "doc_id", seed=7, n_shards=4).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    got_rows = sharded.collect()
+    assert {r["_pid"] for r in got_rows} <= set(range(4))
+    # concatenating shards in id order reproduces the global permutation
+    got = [
+        r["doc_id"]
+        for r in sorted(got_rows, key=lambda r: (r["_pid"],))
+    ]
+    # rows within a shard keep collect order (sortWithinPartitions)
+    assert got == want
+    # shards are balanced within a reasonable factor (uniform hash ranges)
+    from collections import Counter
+
+    sizes = Counter(r["_pid"] for r in got_rows)
+    assert max(sizes.values()) < 3 * min(sizes.values())
