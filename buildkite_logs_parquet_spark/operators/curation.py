@@ -579,6 +579,8 @@ def mix_corpora(
     source_col: str,
     weights: dict[str, float],
     seed: int = 42,
+    by: str = "docs",
+    text_col: str = "text",
 ) -> DataFrame:
     """Deterministic weighted corpus mixing: sample each source so the
     output approximates the target ``weights`` mixture at the largest
@@ -592,10 +594,30 @@ def mix_corpora(
     need a per-source global rank (a sort per source — the largest source
     becomes one giant ordered partition); the hash-threshold form trades
     ±binomial-noise counts for a fully parallel plan, and stays
-    layout-independent and reproducible."""
+    layout-independent and reproducible.
+
+    ``by="tokens"`` interprets the weights over TOKEN mass instead of
+    document count — what a training-mixture spec actually means when
+    sources have very different document lengths (a 4:1 doc mix of
+    long-form web text vs. short chat turns is nowhere near 4:1 in
+    tokens).  Same plan: only the metadata-sized per-source aggregate
+    changes (Σ token_count instead of count); the keep-rate still applies
+    per document, and since the hash is independent of document length,
+    the kept token mass per source converges to rate × source tokens.
+    """
+    if by == "tokens":
+        from buildkite_logs_parquet_spark.operators.text_analysis import (
+            token_count,
+        )
+
+        mass = F.sum(token_count(F.col(text_col)).cast("long"))
+    elif by == "docs":
+        mass = F.count("*")
+    else:
+        raise ValueError(f"by must be 'docs' or 'tokens', got {by!r}")
     counts = {
         r[0]: r[1]
-        for r in df.groupBy(source_col).agg(F.count("*").alias("c")).collect()
+        for r in df.groupBy(source_col).agg(mass.alias("c")).collect()
     }
     rates = mix_rates(counts, weights)
     return sample_stratified(

@@ -455,3 +455,38 @@ def test_corpus_shuffle_shards_concatenate_to_the_permutation(spark):
 
     sizes = Counter(r["_pid"] for r in got_rows)
     assert max(sizes.values()) < 3 * min(sizes.values())
+
+
+def test_mix_corpora_by_tokens_targets_token_mass(spark):
+    """Two sources with 10x different doc lengths, 1:1 target weights:
+    by='tokens' brings the KEPT token shares near 50/50, which by='docs'
+    cannot (it equalizes doc counts, leaving tokens ~10:1)."""
+    from buildkite_logs_parquet_spark.operators.curation import mix_corpora
+
+    rows = []
+    for i in range(400):
+        rows.append((i, "long", " ".join(["w"] * 50)))       # 50 tokens
+    for i in range(400, 4400):
+        rows.append((i, "short", "a b c d e"))               # 5 tokens
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    w = {"long": 1.0, "short": 1.0}
+
+    def token_share(out):
+        got = {
+            r["source"]: r["t"]
+            for r in out.selectExpr(
+                "source", "size(split(trim(text), '\\\\s+')) AS n"
+            ).groupBy("source").sum("n").withColumnRenamed("sum(n)", "t").collect()
+        }
+        total = sum(got.values())
+        return {s: got.get(s, 0) / total for s in w}
+
+    by_tokens = token_share(mix_corpora(df, "doc_id", "source", w, by="tokens"))
+    assert abs(by_tokens["long"] - 0.5) < 0.1, by_tokens
+    by_docs = token_share(mix_corpora(df, "doc_id", "source", w, by="docs"))
+    assert by_docs["long"] > 0.8, by_docs  # doc-count mixing over-weights long docs
+
+    # determinism: same seed/mode → same selected ids
+    a = sorted(r["doc_id"] for r in mix_corpora(df, "doc_id", "source", w, by="tokens").collect())
+    b = sorted(r["doc_id"] for r in mix_corpora(df.repartition(9), "doc_id", "source", w, by="tokens").collect())
+    assert a == b
