@@ -385,8 +385,10 @@ def test_stream_append_dedup_against_lake(spark, tmp_path):
 
     write_batch("b0.json", [("a", 1), ("b", 2), ("a", 3)])  # in-batch dup 'a'
     run_once()
-    got = {(r["k"]) for r in spark.read.parquet(lake).collect()}
-    assert got == {"a", "b"}
+    got = {r["k"]: r["v"] for r in spark.read.parquet(lake).collect()}
+    # content-deterministic survivor: per key the smallest non-key tuple
+    # wins, replay-stably — NOT an arbitrary dropDuplicates row
+    assert got == {"a": 1, "b": 2}
     assert spark.read.parquet(lake).count() == 2
 
     write_batch("b1.json", [("a", 9), ("c", 4)])  # 'a' is historical
@@ -402,3 +404,48 @@ def test_stream_append_dedup_against_lake(spark, tmp_path):
     shutil.rmtree(ckpt)
     run_once()
     assert spark.read.parquet(lake).count() == 3
+
+
+def test_curation_ops_compose_with_streams(spark, tmp_path):
+    """The stateless curation tier (quality rules, PII scrub, classifier,
+    deterministic sampling) is pure narrow maps — the SAME operator calls
+    must analyze and run on a streaming DataFrame unchanged."""
+    import json
+
+    from buildkite_logs_parquet_spark.operators.curation import (
+        gopher_quality_filter,
+        pii_scrub,
+        sample_deterministic,
+    )
+    from buildkite_logs_parquet_spark.operators.text_analysis import (
+        quality_classifier,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows = [
+        (1, "the build of the data pipeline is green and the tests pass today"),
+        (2, "contact me at dev@example.com for the log files and the report"),
+        (3, "x"),  # fails the quality rules
+    ]
+    with open(src / "d.json", "w") as f:
+        for i, t in rows:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    assert stream.isStreaming
+    out = pii_scrub(gopher_quality_filter(stream).where("passes"))
+    out = sample_deterministic(out, "doc_id", rate=1.0)
+    # classifier also analyzes on a stream (narrow map — no action here)
+    quality_classifier(stream, "doc_id", "text").schema
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curated_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.sql("SELECT * FROM curated_stream").collect()}
+    assert set(got) == {1, 2}  # doc 3 failed the rules
+    assert "<EMAIL>" in got[2]["scrubbed"]
+    assert got[1]["passes"] is True
