@@ -19,7 +19,7 @@ for production — same plans, different scalar.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -469,5 +469,111 @@ def segment_dedup(
         F.sum(F.col("kept").cast("long")).alias("n_kept"),
         F.array_join(
             F.transform(kept_segs, lambda s: s["seg"]), " "
+        ).alias("dedup_text"),
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 50,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Exact duplicated-substring removal at ARBITRARY alignment (the
+    ExactSubstr recipe of Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better", reformulated for DataFrame execution):
+    every ``k``-token window occurring more than once corpus-wide is cut
+    from every occurrence EXCEPT the globally first (lowest (doc, pos)),
+    with overlapping duplicate windows merged into maximal spans before
+    cutting.
+
+    Complements ``segment_dedup`` (fixed non-overlapping chunks): a
+    duplicated paragraph shifted by one token defeats chunk alignment but
+    never the rolling window.  Lee et al. implement this with a corpus
+    suffix array — inherently single-machine; the window-hash + min-ord
+    formulation below reaches the same duplicated-span set for spans
+    ≥ k tokens using only hash-keyed shuffles.
+
+    Output: one row per document — ``n_tokens`` (original),
+    ``n_removed``, ``n_dup_spans``, ``dedup_text``.
+
+    100 TB shape: the hash-keyed shuffles (canonical-min groupBy with
+    map-side partial min, membership join) carry (id, pos, hash) longs
+    only — text never enters them (the ``segment_dedup`` skew
+    discipline).  Only DUP anchors reach the per-document interval-merge
+    window, so its cost is bounded by duplication density, not corpus
+    size; the rebuild is one per-doc aggregate of (rare) span structs
+    plus a codegen token filter.  Window hashing is O(k) per position
+    here (portable md5 of the joined window); swap ``hash_fn="xxhash64"``
+    and a polynomial rolling hash when profiling demands it.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = _fan_out(df).select(
+        F.col(id_col), F.col(text_col), toks.alias("_toks")
+    )
+    n = F.size(F.col("_toks"))
+    # gram at 0-based pos i covers tokens [i, i+k); docs shorter than k
+    # contribute no grams (sequence() descends on an empty range — guard)
+    gram_at = lambda i: F.array_join(  # noqa: E731
+        F.slice(F.col("_toks"), i + 1, k), " "
+    )
+    grams = base.where(n >= k).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), n - k), gram_at)
+        ).alias("pos", "_g"),
+    )
+    slim = grams.select(
+        id_col,
+        "pos",
+        _hash64(F.col("_g"), 1, hash_fn).alias("_h"),
+        (F.col(id_col) * _SEGMENT_POS_BOUND + F.col("pos")).alias("_ord"),
+    )
+    canon = slim.groupBy("_h").agg(
+        F.min("_ord").alias("_first"), F.count("*").alias("_cnt")
+    )
+    # removal anchors: every non-first occurrence of a duplicated window
+    anchors = (
+        slim.join(canon, on="_h")
+        .where((F.col("_cnt") >= 2) & (F.col("_ord") != F.col("_first")))
+        .select(id_col, "pos")
+    )
+    # per-document interval merge of [pos, pos+k): a window over dup
+    # anchors only (sparse), running max of span end decides continuation
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = anchors.withColumn(
+        "_new", (prev_max_end.isNull() | (F.col("pos") > prev_max_end)).cast("long")
+    )
+    span_id = F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    spans = (
+        flagged.withColumn("_sid", span_id)
+        .groupBy(id_col, "_sid")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + k).alias("e"))
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("_spans")
+    )
+    out = base.join(per_doc, on=id_col, how="left")
+    spans_col = F.coalesce(
+        F.col("_spans"), F.array().cast("array<struct<s:int,e:int>>")
+    )
+    # keep token j (0-based) unless some merged span covers it
+    kept = F.filter(
+        F.transform(F.col("_toks"), lambda t, j: F.struct(t.alias("t"), j.alias("j"))),
+        lambda p: ~F.exists(
+            spans_col, lambda sp: (p["j"] >= sp["s"]) & (p["j"] < sp["e"])
+        ),
+    )
+    return out.select(
+        F.col(id_col),
+        F.size("_toks").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).alias("n_removed"),
+        F.coalesce(F.size("_spans"), F.lit(0)).alias("n_dup_spans"),
+        F.array_join(
+            F.transform(kept, lambda p: p["t"]), " "
         ).alias("dedup_text"),
     )

@@ -156,3 +156,102 @@ def test_segment_dedup_corpus_invariants_random(spark):
     # corpus-wide: the total kept count equals the number of distinct
     # chunks in the corpus (each survives exactly once)
     assert sum(r["n_kept"] for r in out.values()) == len(seen)
+
+
+# ----------------------------------------------------- substring dedup
+
+
+def _ref_substring_dedup(corpus, k):
+    """Sequential reference: remove every non-first occurrence of any
+    duplicated k-token window, overlapping windows merged."""
+    toks = {i: t.split() for i, t in corpus}
+    occs = {}
+    for i in sorted(toks):
+        ws = toks[i]
+        for p in range(len(ws) - k + 1):
+            occs.setdefault(tuple(ws[p : p + k]), []).append((i, p))
+    removal = {i: [] for i in toks}
+    for key, lst in occs.items():
+        if len(lst) >= 2:
+            for (i, p) in sorted(lst)[1:]:
+                removal[i].append((p, p + k))
+    out = {}
+    for i, ws in toks.items():
+        ivs = sorted(removal[i])
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        keep = [
+            w
+            for j, w in enumerate(ws)
+            if not any(s <= j < e for s, e in merged)
+        ]
+        out[i] = (
+            len(ws),
+            len(ws) - len(keep),
+            len(merged),
+            " ".join(keep),
+        )
+    return out
+
+
+def test_substring_dedup_matches_reference(spark):
+    from buildkite_logs_parquet_spark.operators.dedup import substring_dedup
+
+    corpus = [
+        # cross-doc duplicate shifted by one token (defeats chunk
+        # alignment, caught by the rolling window)
+        (1, "intro one two three four five six outro"),
+        (2, "pad intro one two three four five six tail end"),
+        # within-doc repetition with overlapping occurrences
+        (3, "a b c a b c a b c unique tail here now"),
+        # shorter than k: untouched
+        (4, "tiny doc"),
+        # fully duplicated doc (every window already seen in doc 1's text)
+        (5, "intro one two three four five six outro"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    k = 4
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_removed"],
+            r["n_dup_spans"],
+            r["dedup_text"],
+        )
+        for r in substring_dedup(docs, "doc_id", k=k).collect()
+    }
+    want = _ref_substring_dedup(corpus, k)
+    assert got == want
+    # the globally-first occurrence survives verbatim
+    assert got[1][3] == corpus[0][1]
+    # the fully duplicated doc is fully removed
+    assert got[5][3] == "" and got[5][1] == got[5][0]
+    # doc 4 untouched
+    assert got[4] == (2, 0, 0, "tiny doc")
+
+
+def test_substring_dedup_layout_independent(spark):
+    import random
+
+    from buildkite_logs_parquet_spark.operators.dedup import substring_dedup
+
+    rng = random.Random(5)
+    vocab = ["w%d" % i for i in range(30)]
+    shared = " ".join(rng.choice(vocab) for _ in range(12))
+    rows = []
+    for i in range(40):
+        own = " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 25)))
+        rows.append((i, f"{own} {shared}" if i % 3 == 0 else own))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, substring_dedup(docs, "doc_id", k=6).collect()))
+    b = sorted(
+        map(tuple, substring_dedup(docs.repartition(17), "doc_id", k=6).collect())
+    )
+    assert a == b
+    want = _ref_substring_dedup(rows, 6)
+    got = {t[0]: tuple(t[1:]) for t in a}
+    assert got == want
