@@ -199,16 +199,65 @@ def ivf_topk(
     floats (|C| dot products — metadata-sized); ties rank the lower cell
     id first, deterministically.
     """
+    probes = probe_cells(centroids, query_vec, n_probe)
+    assigned = ivf_assign(df, centroids, vec_col)
+    pruned = assigned.where(F.col("ivf_cell").isin(probes))
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col, round_to=round_to)
+
+
+def probe_cells(
+    centroids: list[list[float]], query_vec: list[float], n_probe: int
+) -> list[int]:
+    """The query's ``n_probe`` nearest cells by cosine — driver-side on
+    plain floats (|C| dot products, metadata-sized); ties rank the lower
+    cell id first, deterministically."""
     qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
     scored = []
     for cid, c in enumerate(centroids):
         cn = math.sqrt(sum(x * x for x in c)) or 1.0
         sim = sum(a * b for a, b in zip(query_vec, c)) / (qn * cn)
         scored.append((-sim, cid))
-    probes = [cid for _, cid in sorted(scored)[:n_probe]]
-    assigned = ivf_assign(df, centroids, vec_col)
-    pruned = assigned.where(F.col("ivf_cell").isin(probes))
-    return cosine_topk(pruned, query_vec, k, id_col, vec_col, round_to=round_to)
+    return [cid for _, cid in sorted(scored)[:n_probe]]
+
+
+def write_ivf_lake(
+    df: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF index AT REST: assign every row to its coarse
+    cell and write the table partitioned by ``ivf_cell`` — one directory
+    per cell.  This is the 100 TB form of the index: a probe against the
+    lake is *partition pruning* (the scan never opens unprobed cells'
+    files), proven by the PartitionFilters plan assertion in
+    tests/test_similarity.py.  Use ``kmeans_fit`` to learn the centroids
+    first; keep them (driver-side literals) next to the lake for querying.
+    """
+    ivf_assign(df, centroids, vec_col).write.partitionBy("ivf_cell").mode(
+        mode
+    ).parquet(path)
+
+
+def ivf_topk_at_rest(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Approximate top-k against a ``write_ivf_lake`` layout: the cell
+    filter lands on the PARTITION column, so Spark prunes cell
+    directories before any IO — the probed fraction of the corpus is the
+    only data read.  Same scoring/ordering semantics as ``ivf_topk``."""
+    probes = probe_cells(centroids, query_vec, n_probe)
+    at_rest = spark.read.parquet(path).where(F.col("ivf_cell").isin(probes))
+    return cosine_topk(at_rest, query_vec, k, id_col, vec_col, round_to=round_to)
 
 
 def embedding_near_dup_pairs(

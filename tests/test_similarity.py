@@ -335,3 +335,23 @@ def test_ivf_cells_as_partition_column_prune_at_rest(spark, vectors, tmp_path):
     }
     got = {r["vec_id"] for r in probed.collect()}
     assert got == want and got  # non-empty probe
+
+
+def test_write_ivf_lake_and_query_at_rest(spark, vectors, tmp_path):
+    """The user-facing IVF-at-rest pair: write_ivf_lake partitions by
+    cell; ivf_topk_at_rest prunes cell directories (PartitionFilters) and
+    returns exactly the in-memory ivf_topk answer for the same probes."""
+    df, rows = vectors
+    rng = random.Random(77)
+    centroids = [[rng.gauss(0, 1) for _ in range(DIM)] for _ in range(4)]
+    lake = str(tmp_path / "lake")
+    S.write_ivf_lake(df, centroids, lake)
+
+    qvec = [float(x) for x in rows[0][1]]
+    got = S.ivf_topk_at_rest(
+        spark, lake, centroids, qvec, k=5, n_probe=2
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan
+    want = S.ivf_topk(df, centroids, qvec, k=5, n_probe=2)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
