@@ -67,6 +67,60 @@ BENCH_QUERIES = [
 ]
 
 
+def _extra_ops():
+    """At-scale timing for operators that are NOT registry queries (no
+    oracle slot / iterative drivers): each returns a DataFrame to drain
+    through the noop sink, with any driver-side loop inside the callable
+    so the measurement covers the whole algorithm."""
+
+    def substring_dedup(spark, sf_dir):
+        from buildkite_logs_parquet_spark.operators.dedup import (
+            substring_dedup as op,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return op(docs, "doc_id", k=20)
+
+    def corpus_shuffle(spark, sf_dir):
+        from buildkite_logs_parquet_spark.operators.curation import (
+            corpus_shuffle as op,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return op(docs, "doc_id", seed=42, n_shards=32).select(
+            "doc_id", "shuffle_key"
+        )
+
+    def learn_bpe8(spark, sf_dir):
+        from buildkite_logs_parquet_spark.operators.text_analysis import (
+            learn_bpe,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        merges, words = learn_bpe(docs, 8)  # 8 merge rounds incl. argmaxes
+        return words.select("word", "freq")
+
+    def kmeans_fit(spark, sf_dir):
+        import __spark_entry__ as E
+        from buildkite_logs_parquet_spark.operators.similarity import (
+            kmeans_fit as op,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents, hist = op(emb, E._ivf_centroids(), max_iter=5, tol=1e-6)
+        return spark.createDataFrame(
+            [(h["iter"], float(h["max_drift"])) for h in hist],
+            "iter int, max_drift double",
+        )
+
+    return {
+        "x_substring_dedup": substring_dedup,
+        "x_corpus_shuffle": corpus_shuffle,
+        "x_learn_bpe8": learn_bpe8,
+        "x_kmeans_fit5": kmeans_fit,
+    }
+
+
 def main() -> None:
     import __spark_entry__ as E
     from buildkite_logs_parquet_spark.session import get_spark
@@ -75,12 +129,15 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark(app_name="bklp-bench")
 
-    qs = E.queries()
+    qs = dict(E.queries())
+    extras = _extra_ops()
+    qs.update(extras)
+    bench_names = BENCH_QUERIES + sorted(extras)
     runs = int(os.environ.get("BENCH_RUNS", "2"))
     timings: dict[str, object] = {}
     errors: dict[str, str] = {}
     total = 0.0
-    for name in BENCH_QUERIES:
+    for name in bench_names:
         best = None
         # isolate queries from each other's storage pressure: cached blocks
         # left by an earlier query (persisted signatures, checkpoints) can
@@ -121,7 +178,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "n_errors": len(errors),
-        "measured_queries": len(BENCH_QUERIES) - len(errors),
+        "measured_queries": len(bench_names) - len(errors),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(result))
@@ -155,7 +212,7 @@ def main() -> None:
 
     # nonzero exit only when NOTHING could be measured; partial failures are
     # reported inside the JSON line instead
-    if errors and len(errors) == len(BENCH_QUERIES):
+    if errors and len(errors) == len(bench_names):
         sys.exit(1)
 
 
