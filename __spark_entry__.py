@@ -240,7 +240,19 @@ def q_bk_list_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bk_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return Q.processing_summary(_entries(spark, sf_dir))
+    """A3 processing summary + S6 Parquet metadata read in ONE oracle row
+    (round-4 consolidation): ``file_info`` reads only the Parquet footer
+    (row count / column count, parquet.go's metadata path) driver-side, so
+    its two scalars ride along as literal columns on the 1-row summary —
+    no join, no extra job."""
+    from buildkite_logs_parquet_spark.sources.parquet_io import file_info
+
+    info = file_info(f"{sf_dir}/lineitem.parquet")
+    return Q.processing_summary(_entries(spark, sf_dir)).select(
+        "*",
+        F.lit(int(info["row_count"])).cast("long").alias("li_row_count"),
+        F.lit(int(info["column_count"])).cast("long").alias("li_column_count"),
+    )
 
 
 def q_bk_filter_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,16 +291,6 @@ def q_bk_seek_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         "op", F.lit("tail")
     )
     return seek_rows.unionByName(tail_rows)
-
-
-def q_bk_file_info(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from buildkite_logs_parquet_spark.sources.parquet_io import file_info
-
-    info = file_info(f"{sf_dir}/lineitem.parquet")
-    return spark.createDataFrame(
-        [(info["row_count"], info["column_count"])],
-        "row_count long, column_count long",
-    )
 
 
 # --------------------------------------------------------------------------
@@ -390,19 +392,6 @@ def q_supplier_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP aggregation over order status/priority (subtotal levels the
-    reference cannot express)."""
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.rollup("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count("*").alias("n_orders"),
-            _money(F.sum(_dec(F.col("o_totalprice")))).alias("total_price"),
-        )
-    )
-
-
 def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 parts by revenue within each brand — rank window + filter."""
     from pyspark.sql import Window as W
@@ -429,10 +418,11 @@ def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_orders_discount_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi + anti join in ONE oracle row (EXISTS and NOT EXISTS shapes,
-    union-tagged): orders having at least one deep-discount line counted
-    by priority, and orders with no discounted line at all counted by
-    status with their total price."""
+    """Semi + anti join + ROLLUP in ONE oracle row (union-tagged,
+    round-4 consolidation): orders having at least one deep-discount line
+    counted by priority, orders with no discounted line at all counted by
+    status with their total price, and the ROLLUP subtotal lattice over
+    (status, priority) — grouping levels the reference cannot express."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     deep = li.where(F.col("l_discount") >= 0.08)
@@ -462,7 +452,24 @@ def q_orders_discount_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
-    return semi.unionByName(anti)
+    rollup = (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _money(F.sum(_dec(F.col("o_totalprice")))).alias("total_price"),
+        )
+        .select(
+            F.lit("rollup").alias("side"),
+            F.concat(
+                F.coalesce(F.col("o_orderstatus"), F.lit("<all>")),
+                F.lit("/"),
+                F.coalesce(F.col("o_orderpriority"), F.lit("<all>")),
+            ).alias("key"),
+            "n_orders",
+            "total_price",
+        )
+    )
+    return semi.unionByName(anti).unionByName(rollup)
 
 
 def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1111,6 +1118,33 @@ def q_top_terms_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.top_terms_by_group(docs, "lang", "text", k=5, exact=True)
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-alignment exact duplicated-span removal
+    (operators/dedup.py::substring_dedup, the ExactSubstr recipe of Lee
+    et al. 2021 reformulated as hash-keyed shuffles): every k-token
+    window occurring more than once corpus-wide is cut from all but its
+    globally-first occurrence, overlapping windows merged into maximal
+    spans.  k=20 matches the bench configuration."""
+    from buildkite_logs_parquet_spark.operators.dedup import substring_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return substring_dedup(docs, "doc_id", k=20)
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order permutation
+    (operators/curation.py::corpus_shuffle): content-hash shuffle key
+    (md5 bucket of (seed, doc_id)) + range-partitioned sort.  The oracle
+    verifies the permutation KEY arithmetic bit-exactly (the driver's
+    value hash is order-insensitive, so the key column — not physical row
+    order — is the checkable artifact; the sort itself is one
+    skew-free range exchange, asserted in test_plans)."""
+    from buildkite_logs_parquet_spark.operators.curation import corpus_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return corpus_shuffle(docs, "doc_id", seed=42)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1133,13 +1167,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bk_filter_by_group": q_bk_filter_by_group,
         "bk_filter_entries": q_bk_filter_entries,
         "bk_seek_tail": q_bk_seek_tail,
-        "bk_file_info": q_bk_file_info,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "top_customers": q_top_customers,
         "revenue_by_nation": q_revenue_by_nation,
         "part_type_stats": q_part_type_stats,
         "supplier_running_revenue": q_supplier_running_revenue,
-        "orders_rollup": q_orders_rollup,
         "top_parts_per_brand": q_top_parts_per_brand,
         "orders_discount_audit": q_orders_discount_audit,
         "small_quantity_revenue": q_small_quantity_revenue,
@@ -1152,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "segment_dedup": q_segment_dedup,
+        "substring_dedup": q_substring_dedup,
         "dedup_clusters": q_dedup_clusters,
         "text_profile": q_text_profile,
         "ann_topk": q_ann_topk,
@@ -1160,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_step": q_kmeans_step,
         "semantic_dedup": q_semantic_dedup,
         "corpus_select": q_corpus_select,
+        "corpus_shuffle": q_corpus_shuffle,
         "doc_quality": q_doc_quality,
         "quality_classifier": q_quality_classifier,
         "ngram_counts": q_ngram_counts,
@@ -1289,7 +1323,9 @@ SELECT count(*) AS total_entries,
        CAST(sum(CASE WHEN is_progress THEN 1 ELSE 0 END) AS BIGINT) AS progress,
        count(*) - CAST(sum(CASE WHEN is_command THEN 1 ELSE 0 END) AS BIGINT)
                 - CAST(sum(CASE WHEN is_group THEN 1 ELSE 0 END) AS BIGINT)
-                - CAST(sum(CASE WHEN is_progress THEN 1 ELSE 0 END) AS BIGINT) AS regular
+                - CAST(sum(CASE WHEN is_progress THEN 1 ELSE 0 END) AS BIGINT) AS regular,
+       (SELECT count(*) FROM lineitem) AS li_row_count,
+       CAST(11 AS BIGINT) AS li_column_count
 FROM entries
 """
     )
@@ -1314,10 +1350,6 @@ WHERE contains(lower(CASE WHEN "group" = '' THEN '<no group>' ELSE "group" END),
         " UNION ALL "
         "SELECT row_id, content, \"timestamp\", 'tail' AS op FROM ("
         'SELECT row_id, content, "timestamp" FROM entries ORDER BY row_id DESC LIMIT 50)'
-    )
-
-    sql["bk_file_info"] = (
-        "SELECT count(*) AS row_count, CAST(11 AS BIGINT) AS column_count FROM lineitem"
     )
 
     sql["tpch_q1_pricing"] = f"""
@@ -1376,14 +1408,6 @@ SELECT l_suppkey, l_orderkey, l_linenumber,
 FROM lineitem
 """
 
-    sql["orders_rollup"] = f"""
-SELECT o_orderstatus, o_orderpriority,
-       count(*) AS n_orders,
-       CAST(sum({dec('o_totalprice')}) AS STRING) AS total_price
-FROM orders
-GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-"""
-
     sql["top_parts_per_brand"] = f"""
 WITH per_part AS (
   SELECT p_brand, p_partkey, {rev} AS _rev
@@ -1414,6 +1438,14 @@ FROM orders
 WHERE NOT EXISTS (SELECT 1 FROM lineitem
                   WHERE l_orderkey = o_orderkey AND l_discount > 0)
 GROUP BY o_orderstatus
+UNION ALL
+SELECT 'rollup' AS side,
+       concat(coalesce(o_orderstatus, '<all>'), '/',
+              coalesce(o_orderpriority, '<all>')) AS key,
+       count(*) AS n_orders,
+       CAST(sum({dec('o_totalprice')}) AS STRING) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
     sql["small_quantity_revenue"] = f"""
@@ -1651,6 +1683,87 @@ SELECT o.doc_id,
        coalesce(string_agg(CASE WHEN o.ord = c.first_ord THEN o.seg END, ' ' ORDER BY o.pos), '') AS dedup_text
 FROM ordd o JOIN canon c USING (h)
 GROUP BY o.doc_id
+"""
+
+    # same duplicated-span semantics, independently derived: window-hash +
+    # global-min-ord + gaps-and-islands interval merge in plain SQL
+    sql["substring_dedup"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:(i+19)], ' ') AS g
+  FROM (
+    SELECT doc_id, t, unnest(range(1, len(t) - 20 + 2)) AS i
+    FROM toks WHERE len(t) >= 20
+  )
+),
+slim AS (
+  SELECT doc_id, pos,
+         CAST(concat('0x', substr(md5(concat('1:', g)), 1, 15)) AS BIGINT) AS h,
+         doc_id * 1048576 + pos AS ord
+  FROM grams
+),
+canon AS (SELECT h, min(ord) AS first_ord, count(*) AS cnt FROM slim GROUP BY h),
+anchors AS (
+  SELECT s.doc_id, s.pos
+  FROM slim s JOIN canon c USING (h)
+  WHERE c.cnt >= 2 AND s.ord <> c.first_ord
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN prev_max_end IS NULL OR pos > prev_max_end THEN 1 ELSE 0 END AS is_new
+  FROM (
+    SELECT doc_id, pos,
+           max(pos + 20) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+    FROM anchors
+  )
+),
+spans AS (
+  SELECT doc_id, sid, min(pos) AS s, max(pos) + 20 AS e
+  FROM (
+    SELECT doc_id, pos,
+           sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM flagged
+  )
+  GROUP BY doc_id, sid
+),
+tokpos AS (
+  SELECT doc_id, j - 1 AS j0, t[j] AS tok
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS j FROM toks)
+),
+kept AS (
+  SELECT tp.doc_id, tp.j0, tp.tok
+  FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans sp
+    WHERE sp.doc_id = tp.doc_id AND tp.j0 >= sp.s AND tp.j0 < sp.e
+  )
+),
+keptagg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         coalesce(string_agg(tok, ' ' ORDER BY j0), '') AS txt
+  FROM kept GROUP BY doc_id
+),
+spanc AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id)
+SELECT w.doc_id,
+       CAST(len(w.t) AS INT) AS n_tokens,
+       CAST(len(w.t) - coalesce(k.n_kept, 0) AS INT) AS n_removed,
+       CAST(coalesce(sc.n_spans, 0) AS INT) AS n_dup_spans,
+       coalesce(k.txt, '') AS dedup_text
+FROM toks w
+LEFT JOIN keptagg k USING (doc_id)
+LEFT JOIN spanc sc USING (doc_id)
+"""
+
+    # permutation-key arithmetic (hash_bucket: first 8 md5 hex digits of
+    # "seed:key") — identical integer result in both engines
+    sql["corpus_shuffle"] = """
+SELECT doc_id,
+       CAST(concat('0x', substr(md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) AS shuffle_key
+FROM documents
 """
 
     # independent implementation: DuckDB's NATIVE ASOF JOIN vs the engine's

@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "dsir_weights",
     "doc_chunks",
     "segment_dedup",
+    "substring_dedup",
+    "corpus_shuffle",
     "curation_pipeline",
     # round-3/4 LLM-pipeline tier
     "lm_perplexity",
@@ -72,24 +74,6 @@ def _extra_ops():
     oracle slot / iterative drivers): each returns a DataFrame to drain
     through the noop sink, with any driver-side loop inside the callable
     so the measurement covers the whole algorithm."""
-
-    def substring_dedup(spark, sf_dir):
-        from buildkite_logs_parquet_spark.operators.dedup import (
-            substring_dedup as op,
-        )
-
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return op(docs, "doc_id", k=20)
-
-    def corpus_shuffle(spark, sf_dir):
-        from buildkite_logs_parquet_spark.operators.curation import (
-            corpus_shuffle as op,
-        )
-
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return op(docs, "doc_id", seed=42, n_shards=32).select(
-            "doc_id", "shuffle_key"
-        )
 
     def learn_bpe8(spark, sf_dir):
         from buildkite_logs_parquet_spark.operators.text_analysis import (
@@ -114,8 +98,6 @@ def _extra_ops():
         )
 
     return {
-        "x_substring_dedup": substring_dedup,
-        "x_corpus_shuffle": corpus_shuffle,
         "x_learn_bpe8": learn_bpe8,
         "x_kmeans_fit5": kmeans_fit,
     }
