@@ -75,6 +75,24 @@ def _extra_ops():
     through the noop sink, with any driver-side loop inside the callable
     so the measurement covers the whole algorithm."""
 
+    def incremental_neardup(spark, sf_dir):
+        from buildkite_logs_parquet_spark.operators.dedup import (
+            incremental_near_dups,
+            write_signature_lake,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        hist = docs.where("doc_id % 4 != 0")
+        batch = docs.where("doc_id % 4 = 0")
+        # measures the full incremental cycle: lake (re)build + batch probe
+        write_signature_lake(
+            hist, "doc_id", "text", "bench_sig_lake", num_perm=16, bands=4
+        )
+        return incremental_near_dups(
+            batch, "doc_id", "text", "bench_sig_lake",
+            num_perm=16, bands=4, threshold=0.5,
+        )
+
     def learn_bpe8(spark, sf_dir):
         from buildkite_logs_parquet_spark.operators.text_analysis import (
             learn_bpe,
@@ -98,6 +116,7 @@ def _extra_ops():
         )
 
     return {
+        "x_incremental_neardup": incremental_neardup,
         "x_learn_bpe8": learn_bpe8,
         "x_kmeans_fit5": kmeans_fit,
     }

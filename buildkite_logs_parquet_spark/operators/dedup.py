@@ -577,3 +577,135 @@ def substring_dedup(
             F.transform(kept, lambda p: p["t"]), " "
         ).alias("dedup_text"),
     )
+
+
+# ------------------------------------------------- incremental (at-rest) LSH
+
+
+def banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 8,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(id, sig, band_key) rows — the exchange format of the signature
+    lake.  ``band_key`` packs (band index, band hash key) into ONE string
+    column so every downstream join is a single-column equi-join that a
+    single-column bucketing co-locates (Spark eliminates the bucketed
+    side's Exchange only when the join keys equal the bucket column)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, hash_fn)
+    banded = _banded(sigs, id_col, num_perm, bands, carry_signature=True)
+    return banded.select(
+        F.col(id_col),
+        "sig",
+        F.concat_ws(":", F.col("band"), F.col("key")).alias("band_key"),
+    )
+
+
+def write_signature_lake(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    table: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 8,
+    hash_fn: str = "md5",
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus's banded MinHash signatures AT REST as a
+    table bucketed (and sorted) by ``band_key``.
+
+    This is the 100 TB form of near-dup dedup: the historical corpus is
+    (min)hashed ONCE; each new crawl probes the lake with an equi-join in
+    which the lake side — the big side — is never reshuffled (bucket
+    pruning + co-location; plan-asserted in tests/test_dedup.py).  Append
+    each accepted batch with ``mode="append"`` so the lake stays current
+    without recomputation.
+    """
+    banded = banded_signatures(
+        df, id_col, text_col, num_perm, bands, shingle_k, hash_fn
+    )
+    # co-partition write tasks with the bucket function (same column, same
+    # modulus, same Murmur3 hash): each task holds exactly one bucket's
+    # rows, so the lake is n_buckets files per write — without this every
+    # task fans out to up to n_buckets tiny files (the classic bucketed
+    # small-files explosion)
+    (
+        banded.repartition(n_buckets, F.col("band_key"))
+        .write.mode(mode)
+        .bucketBy(n_buckets, "band_key")
+        .sortBy("band_key")
+        .saveAsTable(table)
+    )
+
+
+def incremental_near_dups(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lake_table: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 8,
+    threshold: float = 0.5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Near-duplicate pairs for a NEW batch against an existing
+    ``write_signature_lake`` corpus AND within the batch itself — without
+    touching the historical text.
+
+    Output: ``(id_a, id_b, est_jaccard, side)`` where ``side`` is
+    ``history`` (id_a = new doc, id_b = historical doc) or ``batch``
+    (both new, id_a < id_b).  Semantics match running
+    ``minhash_near_duplicates`` over (history ∪ batch) restricted to
+    pairs that involve the batch — equivalence-tested.
+
+    Scale shape: the batch's banded signatures are computed once and
+    persisted (id + P longs per band — tiny); the history probe shuffles
+    ONLY the batch side (the lake's bucketing satisfies the join's
+    distribution), so incremental cost is O(batch), not O(corpus).
+    """
+    spark = new_df.sparkSession
+    from pyspark import StorageLevel
+
+    fresh = banded_signatures(
+        new_df, id_col, text_col, num_perm, bands, shingle_k, hash_fn
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    agree = sum(
+        (F.col("sig_a")[p] == F.col("sig_b")[p]).cast("int")
+        for p in range(num_perm)
+    )
+    est = (agree / F.lit(num_perm)).alias("est_jaccard")
+
+    lake = spark.table(lake_table)
+    a_new = fresh.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band_key"
+    )
+    b_hist = lake.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band_key"
+    )
+    vs_history = (
+        a_new.join(b_hist, on="band_key")
+        .select("id_a", "id_b", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .distinct()
+        .select("id_a", "id_b", "est_jaccard", F.lit("history").alias("side"))
+    )
+    b_new = fresh.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band_key"
+    )
+    in_batch = (
+        a_new.join(b_new, on="band_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .distinct()
+        .select("id_a", "id_b", "est_jaccard", F.lit("batch").alias("side"))
+    )
+    return vs_history.unionByName(in_batch)

@@ -255,3 +255,113 @@ def test_substring_dedup_layout_independent(spark):
     want = _ref_substring_dedup(rows, 6)
     got = {t[0]: tuple(t[1:]) for t in a}
     assert got == want
+
+
+# ---------------------------------------------- incremental signature lake
+
+HISTORY = DOCS
+BATCH = [
+    (10, "the quick brown fox jumps over the lazy dog"),  # dup of hist 0/1
+    (11, "novel text about incremental corpus maintenance"),
+    (12, "novel text about incremental corpus maintenance!"),  # near dup of 11
+    (13, "entirely unrelated payload mentioning nothing shared"),
+]
+
+
+def _union_pairs(spark, threshold=0.5):
+    both = spark.createDataFrame(HISTORY + BATCH, "doc_id long, text string")
+    out = D.minhash_near_duplicates(
+        both, "doc_id", "text", num_perm=16, bands=8, threshold=threshold
+    ).collect()
+    batch_ids = {b[0] for b in BATCH}
+    return {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in out
+        if r["id_a"] in batch_ids or r["id_b"] in batch_ids
+    }
+
+
+def test_incremental_near_dups_equals_full_recompute(spark, tmp_path):
+    hist = spark.createDataFrame(HISTORY, "doc_id long, text string")
+    batch = spark.createDataFrame(BATCH, "doc_id long, text string")
+    D.write_signature_lake(
+        hist, "doc_id", "text", "sig_lake_t1", num_perm=16, bands=8, n_buckets=4
+    )
+    try:
+        out = D.incremental_near_dups(
+            batch, "doc_id", "text", "sig_lake_t1",
+            num_perm=16, bands=8, threshold=0.5,
+        ).collect()
+        got = {}
+        for r in out:
+            a, b = sorted((r["id_a"], r["id_b"]))
+            got[(a, b)] = r["est_jaccard"]
+            # orientation: history pairs put the NEW doc in id_a
+            if r["side"] == "history":
+                assert r["id_a"] >= 10 and r["id_b"] < 10
+            else:
+                assert r["id_a"] >= 10 and r["id_b"] >= 10 and r["id_a"] < r["id_b"]
+        assert got == _union_pairs(spark)
+        assert (0, 10) in got and (1, 10) in got  # history hits
+        assert (11, 12) in got  # in-batch pair
+        assert not any(13 in p for p in got)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sig_lake_t1")
+
+
+def test_incremental_append_grows_history(spark):
+    hist = spark.createDataFrame(HISTORY, "doc_id long, text string")
+    batch = spark.createDataFrame(BATCH, "doc_id long, text string")
+    D.write_signature_lake(
+        hist, "doc_id", "text", "sig_lake_t2", num_perm=16, bands=8, n_buckets=4
+    )
+    try:
+        D.write_signature_lake(
+            batch, "doc_id", "text", "sig_lake_t2",
+            num_perm=16, bands=8, n_buckets=4, mode="append",
+        )
+        third = spark.createDataFrame(
+            [(20, "novel text about incremental corpus maintenance?")],
+            "doc_id long, text string",
+        )  # near dup of batch doc 11 — only findable if the append landed
+        out = D.incremental_near_dups(
+            third, "doc_id", "text", "sig_lake_t2",
+            num_perm=16, bands=8, threshold=0.5,
+        ).collect()
+        hits = {r["id_b"] for r in out}
+        assert 11 in hits and 12 in hits
+        assert all(r["side"] == "history" for r in out)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sig_lake_t2")
+
+
+def test_incremental_probe_lake_side_never_reshuffles(spark, tmp_path):
+    """Differential plan assertion: the SAME probe join against a plain
+    parquet signature dump needs one more Exchange than against the
+    bucketed lake — i.e. bucketing removed the lake side's shuffle."""
+    from buildkite_logs_parquet_spark.plans.checks import explain_str
+
+    hist = spark.createDataFrame(HISTORY, "doc_id long, text string")
+    batch = spark.createDataFrame(BATCH, "doc_id long, text string")
+    D.write_signature_lake(
+        hist, "doc_id", "text", "sig_lake_t3", num_perm=16, bands=8, n_buckets=4
+    )
+    flat = str(tmp_path / "flat_sigs")
+    D.banded_signatures(hist, "doc_id", "text", num_perm=16, bands=8).write.parquet(flat)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        import re
+
+        def n_exchanges(df):
+            # formatted explain lists each node once as "(N) Exchange"
+            return len(re.findall(r"^\(\d+\) Exchange", explain_str(df), re.M))
+
+        probe = D.banded_signatures(batch, "doc_id", "text", num_perm=16, bands=8)
+        bucketed = probe.join(spark.table("sig_lake_t3"), on="band_key")
+        plain = probe.join(spark.read.parquet(flat), on="band_key")
+        n_b, n_p = n_exchanges(bucketed), n_exchanges(plain)
+        assert "SelectedBucketsCount" in explain_str(bucketed)
+        assert n_b == n_p - 1, (n_b, n_p)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS sig_lake_t3")
