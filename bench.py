@@ -75,6 +75,20 @@ def _extra_ops():
     through the noop sink, with any driver-side loop inside the callable
     so the measurement covers the whole algorithm."""
 
+    def ann_batch_join(spark, sf_dir):
+        import __spark_entry__ as E
+        from buildkite_logs_parquet_spark.operators.similarity import (
+            ivf_topk_join,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.where("vec_id % 20 = 0").select(
+            emb.vec_id.alias("query_id"), "embedding"
+        )
+        return ivf_topk_join(
+            queries, emb, E._ivf_centroids(), k=10, n_probe=2
+        )
+
     def incremental_neardup(spark, sf_dir):
         from buildkite_logs_parquet_spark.operators.dedup import (
             incremental_near_dups,
@@ -116,6 +130,7 @@ def _extra_ops():
         )
 
     return {
+        "x_ann_batch_join": ann_batch_join,
         "x_incremental_neardup": incremental_neardup,
         "x_learn_bpe8": learn_bpe8,
         "x_kmeans_fit5": kmeans_fit,

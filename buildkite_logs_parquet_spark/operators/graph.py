@@ -220,3 +220,39 @@ def dedup_clusters(
             ),
         )
     )
+
+
+def cluster_representatives(
+    labeled: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware survivor selection: within each near-dup cluster keep
+    the member with the HIGHEST ``score_col`` instead of the smallest id
+    (``dedup_clusters``'s ``is_canonical`` default — fine for exact dups,
+    wrong for near-dups where members differ in quality; real curation
+    pipelines keep the best-written copy, cf. the SemDeDup/NearDedup
+    recipes).  Ties break to the smallest id, so selection is
+    deterministic.
+
+    ``labeled`` is ``dedup_clusters`` output joined with a per-doc score
+    (e.g. ``quality_score`` / ``lm_perplexity``).  Adds
+    ``is_representative``; ``.where("is_representative")`` is the kept
+    corpus.
+
+    Scale shape: ONE cluster-keyed ``max_by`` aggregate (mergeable
+    partials, map-side combine) + a rejoin on the same key — the
+    aggregate output is one row per cluster, and AQE plans the rejoin
+    against it as broadcast when small.
+    """
+    best = labeled.groupBy(cluster_col).agg(
+        F.max_by(
+            F.col(id_col), F.struct(F.col(score_col), (-F.col(id_col)))
+        ).alias("_rep")
+    )
+    return (
+        labeled.join(best, on=cluster_col)
+        .withColumn("is_representative", F.col(id_col) == F.col("_rep"))
+        .drop("_rep")
+    )

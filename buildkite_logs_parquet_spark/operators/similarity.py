@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -533,6 +533,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     max_iter: int = 10,
     tol: float = 1e-6,
+    persist_input: bool = True,
 ) -> tuple[list[list[float]], list[dict]]:
     """Lloyd's k-means to convergence — the missing loop around
     ``kmeans_step`` (round-3 verdict item): iterate ``kmeans_update``
@@ -554,16 +555,129 @@ def kmeans_fit(
     """
     cents = [[float(x) for x in c] for c in init_centroids]
     history: list[dict] = []
-    for it in range(1, max_iter + 1):
-        new_c, counts = kmeans_update(df, cents, vec_col)
-        max_drift = 0.0
-        for old, new in zip(cents, new_c):
-            dp = sum(a * b for a, b in zip(old, new))
-            no = math.sqrt(sum(a * a for a in old)) or 1.0
-            nn = math.sqrt(sum(a * a for a in new)) or 1.0
-            max_drift = max(max_drift, 1.0 - dp / (no * nn))
-        history.append({"iter": it, "max_drift": max_drift, "counts": counts})
-        cents = new_c
-        if max_drift <= tol:
-            break
+    # the loop re-scans the SAME vectors every round: persist the parsed
+    # double projection once so rounds 2..N read cached columnar blocks
+    # instead of re-decoding parquet (``persist_input=False`` for inputs
+    # too large to be worth caching — each round is then a fresh scan,
+    # still one job)
+    base = df
+    if persist_input:
+        from pyspark import StorageLevel
+
+        base = df.select(_as_double(F.col(vec_col)).alias(vec_col)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    try:
+        for it in range(1, max_iter + 1):
+            new_c, counts = kmeans_update(base, cents, vec_col)
+            max_drift = 0.0
+            for old, new in zip(cents, new_c):
+                dp = sum(a * b for a, b in zip(old, new))
+                no = math.sqrt(sum(a * a for a in old)) or 1.0
+                nn = math.sqrt(sum(a * a for a in new)) or 1.0
+                max_drift = max(max_drift, 1.0 - dp / (no * nn))
+            history.append({"iter": it, "max_drift": max_drift, "counts": counts})
+            cents = new_c
+            if max_drift <= tol:
+                break
+    finally:
+        if persist_input:
+            base.unpersist()
     return cents, history
+
+
+def ivf_probe_assign(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed twin of ``probe_cells``: every query ROW fans out to
+    ``n_probe`` rows, one per probed cell (column ``probe_cell``).
+
+    Ranking is by dot product against unit-normalized literal centroids —
+    the same ordering as cosine (the query's own norm is constant across
+    cells), with ties resolved to the lower cell id via the struct sort.
+    Purely narrow: |C| dot products per row, no shuffle.
+
+    The |C| scores are projected as real columns BEFORE the sort (the
+    ``ivf_assign`` lesson): embedding the 64-term aggregate lambdas
+    directly inside the array-of-structs multiplies analysis/codegen cost
+    by |C| — measured 4.4s → 0.1s plan time at test scale.
+    """
+    v = _as_double(F.col(vec_col))
+    score_cols = {}
+    for cid, c in enumerate(centroids):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        score_cols[f"_pr_s_{cid}"] = dot(v, _lit_vec([x / cn for x in c]))
+    scored = queries.withColumns(score_cols)
+    entries = [
+        F.struct(
+            (-F.col(f"_pr_s_{cid}")).alias("neg"),
+            F.lit(cid).cast("int").alias("cell"),
+        )
+        for cid in range(len(centroids))
+    ]
+    ranked = F.slice(F.array_sort(F.array(*entries)), 1, n_probe)
+    return scored.withColumn(
+        "probe_cell", F.explode(F.transform(ranked, lambda s: s["cell"]))
+    ).drop(*score_cols)
+
+
+def ivf_topk_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """BATCH k-NN: top-k corpus neighbors for EVERY query row at once —
+    the retrieval shape of cross-corpus semantic dedup, embedding-based
+    decontamination, and RAG index serving (single-query ``ivf_topk``
+    does not scale to millions of queries: one driver round-trip each).
+
+    Plan: corpus rows coarse-assign to cells (narrow), queries fan out to
+    their ``n_probe`` probe cells (narrow), ONE equi-join on the cell id
+    restricts exact cosine scoring to probed cells, and a per-query
+    window keeps the top k (score desc, neighbor id tie-break —
+    deterministic under ``round_to``).
+
+    100 TB shape: the only shuffle is the cell equi-join, keyed by
+    ``|C|``-ary cell id; per-query candidate sets are cell-bounded so the
+    rank window partitions stay small.  Against an at-rest
+    ``write_ivf_lake`` layout, joining on the partition column lets
+    dynamic partition pruning skip unprobed cell directories entirely.
+
+    Output: ``(query_id, vec_id, cosine, rank)``, rank 1..k.
+    """
+    probes = ivf_probe_assign(
+        queries, centroids, n_probe, query_vec_col
+    ).select(
+        F.col(query_id_col),
+        _as_double(F.col(query_vec_col)).alias("_qv"),
+        "probe_cell",
+    )
+    assigned = ivf_assign(corpus, centroids, vec_col).select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("_cv"),
+        F.col("ivf_cell").alias("probe_cell"),
+    )
+    score = cosine(F.col("_qv"), F.col("_cv"))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    cand = probes.join(assigned, on="probe_cell").select(
+        query_id_col, id_col, score.alias("cosine")
+    )
+    w = (
+        Window.partitionBy(query_id_col)
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -104,3 +104,23 @@ def test_dedup_clusters_canonical_flag(spark):
     # the canonical set is one doc per cluster
     canon = [r for r in out if r["is_canonical"]]
     assert {r["doc_id"] for r in canon} == {0, 1, 2, 3}
+
+
+def test_cluster_representatives_picks_best_quality(spark):
+    from buildkite_logs_parquet_spark.operators.graph import (
+        cluster_representatives,
+    )
+
+    labeled = spark.createDataFrame(
+        [
+            (1, 1, 0.2),
+            (2, 1, 0.9),
+            (3, 1, 0.9),  # ties with 2 → smaller id wins
+            (4, 4, 0.1),  # singleton is its own representative
+        ],
+        "doc_id long, cluster long, quality double",
+    )
+    out = cluster_representatives(labeled, score_col="quality").collect()
+    reps = {r["doc_id"]: r["is_representative"] for r in out}
+    assert reps == {1: False, 2: True, 3: False, 4: True}
+    assert len(out) == 4  # no rows lost or duplicated by the rejoin

@@ -355,3 +355,48 @@ def test_write_ivf_lake_and_query_at_rest(spark, vectors, tmp_path):
     assert "PartitionFilters" in plan and "ivf_cell" in plan
     want = S.ivf_topk(df, centroids, qvec, k=5, n_probe=2)
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_ivf_topk_join_matches_per_query(spark, vectors):
+    """Batch k-NN equals the single-query operator run per query (same
+    centroids, same probe count) — queries supplied as float64 so both
+    paths score identical bits."""
+    df, rows = vectors
+    rng = random.Random(11)
+    centroids = [[rng.gauss(0, 1) for _ in range(DIM)] for _ in range(4)]
+    qrows = [(100 + i, [float(x) for x in rows[i][1]]) for i in range(5)]
+    queries = spark.createDataFrame(qrows, "query_id long, embedding array<double>")
+    out = S.ivf_topk_join(
+        queries, df, centroids, k=4, n_probe=2, round_to=None
+    ).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {qid for qid, _ in qrows}
+    for qid, qvec in qrows:
+        got = sorted(by_q[qid], key=lambda r: r["rank"])
+        assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+        want = S.ivf_topk(
+            df, centroids, qvec, k=4, n_probe=2, round_to=None
+        ).collect()
+        assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+        for g, w in zip(got, want):
+            assert abs(g["cosine"] - w["cosine"]) < 1e-9
+
+
+def test_ivf_topk_join_full_probe_is_exact(spark, vectors):
+    """Probing every cell recovers the exact per-query brute-force top-k."""
+    df, rows = vectors
+    rng = random.Random(12)
+    centroids = [[rng.gauss(0, 1) for _ in range(DIM)] for _ in range(3)]
+    qrows = [(0, [float(x) for x in rows[0][1]])]
+    queries = spark.createDataFrame(qrows, "query_id long, embedding array<double>")
+    got = (
+        S.ivf_topk_join(queries, df, centroids, k=4, n_probe=3, round_to=None)
+        .orderBy("rank")
+        .collect()
+    )
+    # near-dup family 0..3 tops the exact ranking (query IS vector 0;
+    # the perturbed copies' relative order is score-determined)
+    assert got[0]["vec_id"] == 0 and got[0]["rank"] == 1
+    assert {r["vec_id"] for r in got} == {0, 1, 2, 3}
