@@ -75,6 +75,20 @@ def _extra_ops():
     through the noop sink, with any driver-side loop inside the callable
     so the measurement covers the whole algorithm."""
 
+    def paragraph_dedup_bench(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from buildkite_logs_parquet_spark.operators.dedup import (
+            paragraph_dedup,
+        )
+
+        # testdata documents are single-line word streams; inject
+        # deterministic paragraph boundaries so the op has real work
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", F.regexp_replace("text", " the ", "\n").alias("text")
+        )
+        return paragraph_dedup(docs, "doc_id", min_chars=20)
+
     def ann_batch_join(spark, sf_dir):
         import __spark_entry__ as E
         from buildkite_logs_parquet_spark.operators.similarity import (
@@ -130,6 +144,7 @@ def _extra_ops():
         )
 
     return {
+        "x_paragraph_dedup": paragraph_dedup_bench,
         "x_ann_batch_join": ann_batch_join,
         "x_incremental_neardup": incremental_neardup,
         "x_learn_bpe8": learn_bpe8,

@@ -709,3 +709,73 @@ def incremental_near_dups(
         .select("id_a", "id_b", "est_jaccard", F.lit("batch").alias("side"))
     )
     return vs_history.unionByName(in_batch)
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    sep_pattern: str = r"\n+",
+    join_sep: str = "\n",
+    min_chars: int = 0,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """CCNet-style paragraph deduplication: split each document at
+    NATURAL boundaries (``sep_pattern``, default newlines) and drop every
+    non-first corpus-wide occurrence of a duplicated paragraph — the
+    boilerplate-removal step (headers, navigation, license blocks) that
+    fixed-width ``segment_dedup`` windows blur and ``substring_dedup``
+    only catches when the span reaches k tokens.
+
+    Paragraphs shorter than ``min_chars`` are exempt (always kept):
+    deduping "Yes." corpus-wide would shred unrelated documents, so short
+    interjections are below the boilerplate threshold — same rationale as
+    CCNet hashing only substantial paragraphs.
+
+    Canonical occurrence = lowest packed ``(doc, position)`` BIGINT, a
+    plain map-side-partial ``min`` (the ``segment_dedup`` discipline);
+    keep/drop is decided on a text-free ``(id, pos, digest, ord)``
+    projection so the duplicate-heavy digest shuffle never carries text.
+
+    Output: one row per document — ``n_paragraphs``, ``n_kept``,
+    ``dedup_text`` (kept paragraphs rejoined with ``join_sep``).
+    """
+    paras = _fan_out(df).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep_pattern)).alias("pos", "para"),
+    ).where(F.length(F.trim(F.col("para"))) > 0)
+    packed = F.col(id_col) * _SEGMENT_POS_BOUND + F.col("pos")
+    eligible = F.length(F.col("para")) >= min_chars
+    slim = paras.where(eligible).select(
+        id_col,
+        "pos",
+        _hash64(F.col("para"), 2, hash_fn).alias("_h"),
+        packed.alias("_ord"),
+    )
+    canon = slim.groupBy("_h").agg(F.min("_ord").alias("_first"))
+    dropped = (
+        slim.join(canon, on="_h")
+        .where(F.col("_ord") != F.col("_first"))
+        .select(id_col, "pos", F.lit(False).alias("kept"))
+    )
+    marked = paras.join(dropped, on=[id_col, "pos"], how="left").select(
+        id_col, "pos", "para", F.coalesce(F.col("kept"), F.lit(True)).alias("kept")
+    )
+    kept_paras = F.array_sort(
+        F.collect_list(F.when(F.col("kept"), F.struct("pos", "para")))
+    )
+    agg = marked.groupBy(id_col).agg(
+        F.count("*").alias("n_paragraphs"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(kept_paras, lambda s: s["para"]), join_sep
+        ).alias("dedup_text"),
+    )
+    # documents with no non-empty paragraph (empty/whitespace text) fall
+    # out of the explode — rejoin so every input row has an output row
+    return df.select(F.col(id_col)).join(agg, on=id_col, how="left").select(
+        id_col,
+        F.coalesce(F.col("n_paragraphs"), F.lit(0)).alias("n_paragraphs"),
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
+    )

@@ -365,3 +365,48 @@ def test_incremental_probe_lake_side_never_reshuffles(spark, tmp_path):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS sig_lake_t3")
+
+
+# --------------------------------------------------- paragraph-level dedup
+
+
+def test_paragraph_dedup_removes_boilerplate_keeps_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Header line\nUnique content one\nFooter line"),
+            (2, "Header line\nUnique content two\nFooter line"),
+            (3, "Header line"),  # pure boilerplate
+            (4, ""),  # empty doc still yields a row
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.paragraph_dedup(docs, "doc_id").collect()}
+    assert out[1]["dedup_text"] == "Header line\nUnique content one\nFooter line"
+    assert out[1]["n_paragraphs"] == 3 and out[1]["n_kept"] == 3
+    assert out[2]["dedup_text"] == "Unique content two"
+    assert out[2]["n_kept"] == 1
+    assert out[3]["dedup_text"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["n_paragraphs"] == 0 and out[4]["dedup_text"] == ""
+
+
+def test_paragraph_dedup_min_chars_exempts_short_paragraphs(spark):
+    docs = spark.createDataFrame(
+        [(1, "Yes\nLong enough paragraph\nYes"), (2, "Yes")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.paragraph_dedup(docs, "doc_id", min_chars=4).collect()
+    }
+    # "Yes" (3 chars) is below the threshold: duplicated but never dropped
+    assert out[1]["dedup_text"] == "Yes\nLong enough paragraph\nYes"
+    assert out[2]["dedup_text"] == "Yes"
+
+
+def test_paragraph_dedup_within_doc_duplicates(spark):
+    docs = spark.createDataFrame(
+        [(7, "AAAA\nBBBB\nAAAA\nAAAA")], "doc_id long, text string"
+    )
+    row = D.paragraph_dedup(docs, "doc_id").collect()[0]
+    assert row["dedup_text"] == "AAAA\nBBBB"
+    assert row["n_paragraphs"] == 4 and row["n_kept"] == 2
