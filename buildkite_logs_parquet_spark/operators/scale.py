@@ -111,3 +111,49 @@ def salted_join(
     replicated = small.withColumn("_salt", salts)
     out = salted_left.join(replicated, on=[key, "_salt"])
     return out.drop("_salt")
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 << 20,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` roughly equal files.
+
+    Streaming ingest (stream_to_lake, per-batch appends) accretes
+    many small files; at 100 TB the scan's task-scheduling and footer
+    overhead is dominated by file COUNT, not bytes — periodic compaction
+    is the standard lake-maintenance pass.  The file census is a
+    driver-side metadata listing (no data read); the rewrite is one job.
+
+    With ``sort_col`` the rewrite range-partitions and sorts by that
+    column, so every output file covers a disjoint value range and
+    row-group min/max stats prune scans filtered on it (the poor-man's
+    clustering / Z-order for one dimension).
+
+    Returns the number of files written.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(src)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = 0
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            total += f.getLen()
+    n_files = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(src)
+    if sort_col is not None:
+        out = df.repartitionByRange(n_files, F.col(sort_col)).sortWithinPartitions(
+            sort_col
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode(mode).parquet(dst)
+    return n_files

@@ -1,0 +1,79 @@
+"""JSONL document source/sink with corrupt-record quarantine.
+
+Real training-data pipelines ingest crawl/corpus dumps as JSON Lines.  The
+reference engine's philosophy for malformed input is quarantine-don't-abort
+(scanner.go:55-58 tags unparseable lines instead of failing the scan); this
+source applies the same policy to JSONL: schema-conforming rows flow on,
+malformed lines land in a quarantine relation with the raw text preserved
+for replay.
+
+Scale notes: ``spark.read.json`` with an EXPLICIT schema is a single
+streaming pass per file split (no schema-inference pre-scan, which would
+read the corpus twice); PERMISSIVE mode routes bad records into the
+corrupt-record column instead of killing tasks.  The good/quarantine split
+is one narrow filter each off a shared scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+#: column holding the raw line for rows that failed to parse
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+) -> tuple[DataFrame, DataFrame]:
+    """Read JSON Lines with an explicit schema; return ``(good, quarantine)``.
+
+    ``good`` has exactly the schema's columns (corrupt column dropped);
+    ``quarantine`` is one ``raw`` string column with the original line of
+    every record that failed parsing or type-coercion — write it next to
+    the output so the batch is replayable after a schema fix.
+
+    A line that parses but misses fields yields nulls (standard JSONL
+    tolerance) — quarantine is only for lines Spark could not bind to the
+    schema at all (malformed JSON, type conflicts).
+
+    Mechanics: the file is scanned as TEXT and parsed with ``from_json``
+    (PERMISSIVE + corrupt-record field) — one pass, no caching, and the
+    quarantined ``raw`` column is the byte-exact original line.  (A raw
+    ``spark.read.json`` scan cannot serve the quarantine side: Spark
+    rejects plans whose only referenced column is the internal corrupt
+    record, and the documented cache() workaround pins the whole corpus.)
+    """
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    if not isinstance(schema, StructType):
+        raise TypeError(f"schema must be a struct, got {schema}")
+    full = StructType(
+        list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)]
+    )
+    lines = spark.read.text(path).where(F.length(F.trim("value")) > 0)
+    parsed = lines.select(
+        F.col("value"),
+        F.from_json(
+            F.col("value"),
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("_j"),
+    )
+    ok = F.col(f"_j.{CORRUPT_COL}").isNull()
+    good = parsed.where(ok).select(
+        *[F.col(f"_j.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    quarantine = parsed.where(~ok).select(F.col("value").alias("raw"))
+    return good, quarantine
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write as JSON Lines (one object per row, directory of part files —
+    the shardable export format training loaders consume)."""
+    df.write.mode(mode).json(path)

@@ -70,3 +70,53 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+def test_compact_parquet_dir_reduces_file_count(spark, tmp_path):
+    import glob
+
+    from buildkite_logs_parquet_spark.operators.scale import (
+        compact_parquet_dir,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    src = str(tmp_path / "frag")
+    li.repartition(20).write.parquet(src)  # fragmented lake
+    assert len(glob.glob(f"{src}/*.parquet")) == 20
+
+    dst = str(tmp_path / "compact")
+    n = compact_parquet_dir(spark, src, dst, target_file_bytes=1 << 30)
+    assert n == 1
+    assert len(glob.glob(f"{dst}/*.parquet")) == 1
+    assert spark.read.parquet(dst).count() == li.count()
+
+
+def test_compact_parquet_dir_sorted_ranges(spark, tmp_path):
+    import glob
+
+    from buildkite_logs_parquet_spark.operators.scale import (
+        compact_parquet_dir,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    src = str(tmp_path / "frag2")
+    li.repartition(16).write.parquet(src)
+    dst = str(tmp_path / "sorted")
+    total = sum(
+        __import__("os").path.getsize(f) for f in glob.glob(f"{src}/*.parquet")
+    )
+    n = compact_parquet_dir(
+        spark, src, dst, target_file_bytes=max(total // 4, 1), sort_col="l_orderkey"
+    )
+    assert n >= 2
+    # disjoint, internally sorted ranges: every file's keys are sorted and
+    # file ranges do not overlap
+    spans = []
+    for f in sorted(glob.glob(f"{dst}/*.parquet")):
+        keys = [r["l_orderkey"] for r in spark.read.parquet(f).select("l_orderkey").collect()]
+        assert keys == sorted(keys), f
+        if keys:
+            spans.append((min(keys), max(keys)))
+    spans.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi <= b_lo
+    assert spark.read.parquet(dst).count() == li.count()
