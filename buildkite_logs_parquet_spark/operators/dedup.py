@@ -630,6 +630,20 @@ def write_signature_lake(
     banded = banded_signatures(
         df, id_col, text_col, num_perm, bands, shingle_k, hash_fn
     )
+    if mode == "overwrite":
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # an in-memory catalog forgets managed tables across sessions
+        # while the warehouse directory persists; a stale location blocks
+        # CREATE (LOCATION_ALREADY_EXISTS), so clear it after the drop
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(
+            wh.rstrip("/") + "/" + table.split(".")[-1]
+        )
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
     # co-partition write tasks with the bucket function (same column, same
     # modulus, same Murmur3 hash): each task holds exactly one bucket's
     # rows, so the lake is n_buckets files per write — without this every
