@@ -733,6 +733,7 @@ def paragraph_dedup(
     join_sep: str = "\n",
     min_chars: int = 0,
     hash_fn: str = "md5",
+    normalize: bool = False,
 ) -> DataFrame:
     """CCNet-style paragraph deduplication: split each document at
     NATURAL boundaries (``sep_pattern``, default newlines) and drop every
@@ -751,6 +752,11 @@ def paragraph_dedup(
     keep/drop is decided on a text-free ``(id, pos, digest, ord)``
     projection so the duplicate-heavy digest shuffle never carries text.
 
+    ``normalize=True`` hashes ``normalize_for_dedup`` of each paragraph
+    (case/accent/digit/punctuation-folded) so near-boilerplate that
+    differs only in dates, ids or casing still collides — the ORIGINAL
+    paragraph text is what survives in ``dedup_text``.
+
     Output: one row per document — ``n_paragraphs``, ``n_kept``,
     ``dedup_text`` (kept paragraphs rejoined with ``join_sep``).
     """
@@ -760,10 +766,13 @@ def paragraph_dedup(
     ).where(F.length(F.trim(F.col("para"))) > 0)
     packed = F.col(id_col) * _SEGMENT_POS_BOUND + F.col("pos")
     eligible = F.length(F.col("para")) >= min_chars
+    hash_key = (
+        normalize_for_dedup(F.col("para")) if normalize else F.col("para")
+    )
     slim = paras.where(eligible).select(
         id_col,
         "pos",
-        _hash64(F.col("para"), 2, hash_fn).alias("_h"),
+        _hash64(hash_key, 2, hash_fn).alias("_h"),
         packed.alias("_ord"),
     )
     canon = slim.groupBy("_h").agg(F.min("_ord").alias("_first"))
@@ -793,3 +802,45 @@ def paragraph_dedup(
         F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
         F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
     )
+
+
+# --------------------------------------------------- dedup normalization
+
+#: basic-latin accent folding table (translate is O(1) per char; full ICU
+#: normalization would need a UDF — this covers the high-frequency
+#: European accents the CCNet recipe folds)
+_ACCENT_SRC = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝ"
+_ACCENT_DST = "aaaaaaceeeeiiiinooooouuuuyyaaaaaaceeeeiiiinooooouuuuy"
+
+
+def normalize_for_dedup(
+    col: Column,
+    lower: bool = True,
+    strip_accents: bool = True,
+    collapse_digits: bool = True,
+    strip_punct: bool = True,
+) -> Column:
+    """CCNet-style text normalization applied BEFORE hashing for dedup:
+    lowercase, fold accents, map every digit to ``0`` (dates/ids differ,
+    boilerplate doesn't), strip punctuation, collapse whitespace.  Two
+    paragraphs that differ only in case/accents/numbers/punctuation then
+    hash identically, so near-boilerplate is caught by EXACT hashing —
+    the cheap precision/recall lever before reaching for MinHash.
+
+    Pure narrow column expression (translate + regexp), composable with
+    ``paragraph_dedup(normalize=True)`` / ``exact_dedup_stats`` /
+    ``segment_dedup`` inputs; the ORIGINAL text is what survives — only
+    the duplicate-detection key is normalized.
+    """
+    c = col
+    if lower:
+        c = F.lower(c)
+    if strip_accents:
+        c = F.translate(c, _ACCENT_SRC, _ACCENT_DST)
+    if collapse_digits:
+        c = F.regexp_replace(c, r"[0-9]", "0")
+    if strip_punct:
+        # punctuation becomes a SPACE (then collapses) so hyphenated /
+        # slashed words don't fuse into new tokens
+        c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    return F.regexp_replace(F.trim(c), r"\s+", " ")

@@ -655,19 +655,22 @@ def ivf_topk_join(
 
     Output: ``(query_id, vec_id, cosine, rank)``, rank 1..k.
     """
+    # norms are computed ONCE per row on each side, never per candidate
+    # pair (the embedding_near_dups lesson: two norm aggregates per pair
+    # dominate the scoring stage)
     probes = ivf_probe_assign(
         queries, centroids, n_probe, query_vec_col
     ).select(
         F.col(query_id_col),
         _as_double(F.col(query_vec_col)).alias("_qv"),
         "probe_cell",
-    )
+    ).withColumn("_qn", norm(F.col("_qv")))
     assigned = ivf_assign(corpus, centroids, vec_col).select(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("_cv"),
         F.col("ivf_cell").alias("probe_cell"),
-    )
-    score = cosine(F.col("_qv"), F.col("_cv"))
+    ).withColumn("_cn", norm(F.col("_cv")))
+    score = dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
     if round_to is not None:
         score = F.round(score, round_to)
     cand = probes.join(assigned, on="probe_cell").select(

@@ -410,3 +410,39 @@ def test_paragraph_dedup_within_doc_duplicates(spark):
     row = D.paragraph_dedup(docs, "doc_id").collect()[0]
     assert row["dedup_text"] == "AAAA\nBBBB"
     assert row["n_paragraphs"] == 4 and row["n_kept"] == 2
+
+
+def test_normalize_for_dedup_folds_case_accents_digits_punct(spark):
+    df = spark.createDataFrame(
+        [
+            ("Café, Déjà-Vu 2024!",),
+            ("cafe deja vu 0000",),
+            ("  CAFE   DEJA   VU 1999 ",),
+        ],
+        "t string",
+    )
+    vals = [
+        r["n"]
+        for r in df.select(D.normalize_for_dedup(F.col("t")).alias("n")).collect()
+    ]
+    assert vals[0] == vals[1] == vals[2] == "cafe deja vu 0000"
+
+
+def test_paragraph_dedup_normalized_catches_near_boilerplate(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Copyright 2023, Site Inc.\nreal content one"),
+            (2, "copyright 2024 SITE inc\nreal content two"),
+        ],
+        "doc_id long, text string",
+    )
+    plain = {
+        r["doc_id"]: r for r in D.paragraph_dedup(docs, "doc_id").collect()
+    }
+    assert plain[2]["n_kept"] == 2  # exact hashing misses the variant
+    norm = {
+        r["doc_id"]: r
+        for r in D.paragraph_dedup(docs, "doc_id", normalize=True).collect()
+    }
+    assert norm[2]["dedup_text"] == "real content two"  # variant collapsed
+    assert norm[1]["dedup_text"] == docs.collect()[0]["text"]  # original kept
