@@ -655,6 +655,30 @@ def ivf_topk_join(
 
     Output: ``(query_id, vec_id, cosine, rank)``, rank 1..k.
     """
+    assigned = ivf_assign(corpus, centroids, vec_col).select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("_cv"),
+        F.col("ivf_cell").alias("probe_cell"),
+    )
+    return _batch_topk(
+        queries, assigned, centroids, k, n_probe,
+        query_id_col, query_vec_col, id_col, round_to,
+    )
+
+
+def _batch_topk(
+    queries: DataFrame,
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    k: int,
+    n_probe: int,
+    query_id_col: str,
+    query_vec_col: str,
+    id_col: str,
+    round_to: int | None,
+) -> DataFrame:
+    """Shared probe→join→score→rank stage of the batch k-NN operators.
+    ``assigned`` must carry ``(id_col, _cv array<double>, probe_cell)``."""
     # norms are computed ONCE per row on each side, never per candidate
     # pair (the embedding_near_dups lesson: two norm aggregates per pair
     # dominate the scoring stage)
@@ -665,11 +689,7 @@ def ivf_topk_join(
         _as_double(F.col(query_vec_col)).alias("_qv"),
         "probe_cell",
     ).withColumn("_qn", norm(F.col("_qv")))
-    assigned = ivf_assign(corpus, centroids, vec_col).select(
-        F.col(id_col),
-        _as_double(F.col(vec_col)).alias("_cv"),
-        F.col("ivf_cell").alias("probe_cell"),
-    ).withColumn("_cn", norm(F.col("_cv")))
+    assigned = assigned.withColumn("_cn", norm(F.col("_cv")))
     score = dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
     if round_to is not None:
         score = F.round(score, round_to)
@@ -683,4 +703,52 @@ def ivf_topk_join(
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+    )
+
+
+def ivf_topk_join_at_rest(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Batch k-NN against a ``write_ivf_lake`` layout: the STORED
+    ``ivf_cell`` partition column serves the probe join (no
+    re-assignment scan), and the union of probed cells — bounded by |C|,
+    never by the query count — is collected driver-side and pushed as a
+    LITERAL partition filter, so the scan statically prunes unprobed
+    cell directories (``PartitionFilters``, plan-asserted in
+    tests/test_similarity.py).  Static literal pruning is deliberate:
+    dynamic partition pruning's benefit heuristics don't fire for an
+    unfiltered broadcast probe side, and a |C|-sized int collect is
+    cheaper than a DPP subquery anyway.  Same output contract as
+    ``ivf_topk_join``.
+    """
+    # metadata-sized: distinct probe cells over all queries ≤ |C| ints
+    cells = sorted(
+        r["probe_cell"]
+        for r in ivf_probe_assign(queries, centroids, n_probe, query_vec_col)
+        .select("probe_cell")
+        .distinct()
+        .collect()
+    )
+    corpus = (
+        spark.read.parquet(path)
+        .where(F.col("ivf_cell").isin(cells))
+        .select(
+            F.col(id_col),
+            _as_double(F.col(vec_col)).alias("_cv"),
+            F.col("ivf_cell").cast("int").alias("probe_cell"),
+        )
+    )
+    return _batch_topk(
+        queries, corpus, centroids, k, n_probe,
+        query_id_col, query_vec_col, id_col, round_to,
     )

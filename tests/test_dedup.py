@@ -446,3 +446,75 @@ def test_paragraph_dedup_normalized_catches_near_boilerplate(spark):
     }
     assert norm[2]["dedup_text"] == "real content two"  # variant collapsed
     assert norm[1]["dedup_text"] == docs.collect()[0]["text"]  # original kept
+
+
+def test_paragraph_dedup_random_corpus_matches_sequential(spark):
+    """Property: paragraph_dedup equals a sequential keep-first sweep in
+    (doc_id, position) order over a random corpus with heavy collisions."""
+    import random
+
+    rng = random.Random(23)
+    lines = [f"line {i} of shared boilerplate text" for i in range(6)]
+    rows = [
+        (
+            i,
+            "\n".join(
+                rng.choice(lines) for _ in range(rng.randint(0, 5))
+            ),
+        )
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.paragraph_dedup(docs, "doc_id").collect()}
+
+    seen: set[str] = set()
+    for doc_id, text in sorted(rows):
+        paras = [p for p in text.split("\n") if p.strip()]
+        kept = []
+        for p in paras:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        r = out[doc_id]
+        assert r["n_paragraphs"] == len(paras), doc_id
+        assert r["n_kept"] == len(kept), doc_id
+        assert r["dedup_text"] == "\n".join(kept), doc_id
+    assert sum(r["n_kept"] for r in out.values()) == len(seen)
+
+
+def test_incremental_near_dups_random_corpus(spark):
+    """Property: on a random collision-heavy corpus, the incremental
+    operator (history lake + batch probe) reproduces the full-recompute
+    pair set restricted to batch-involving pairs."""
+    import random
+
+    rng = random.Random(29)
+    vocab = [f"tok{i}" for i in range(10)]
+    mk = lambda: " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 20)))  # noqa: E731
+    hist_rows = [(i, mk()) for i in range(25)]
+    batch_rows = [(100 + i, mk()) for i in range(12)]
+    hist = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    both = spark.createDataFrame(hist_rows + batch_rows, "doc_id long, text string")
+
+    D.write_signature_lake(
+        hist, "doc_id", "text", "sig_lake_prop", num_perm=16, bands=8, n_buckets=4
+    )
+    try:
+        inc = D.incremental_near_dups(
+            batch, "doc_id", "text", "sig_lake_prop",
+            num_perm=16, bands=8, threshold=0.4,
+        ).collect()
+        got = {tuple(sorted((r["id_a"], r["id_b"]))): r["est_jaccard"] for r in inc}
+        full = D.minhash_near_duplicates(
+            both, "doc_id", "text", num_perm=16, bands=8, threshold=0.4
+        ).collect()
+        batch_ids = {i for i, _ in batch_rows}
+        want = {
+            (r["id_a"], r["id_b"]): r["est_jaccard"]
+            for r in full
+            if r["id_a"] in batch_ids or r["id_b"] in batch_ids
+        }
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sig_lake_prop")

@@ -400,3 +400,32 @@ def test_ivf_topk_join_full_probe_is_exact(spark, vectors):
     # the perturbed copies' relative order is score-determined)
     assert got[0]["vec_id"] == 0 and got[0]["rank"] == 1
     assert {r["vec_id"] for r in got} == {0, 1, 2, 3}
+
+
+def test_ivf_topk_join_at_rest_matches_and_prunes(spark, vectors, tmp_path):
+    """Batch k-NN against the at-rest lake: same answers as the in-memory
+    operator, and the scan carries a literal PartitionFilters predicate
+    over the probed cells (static directory pruning)."""
+    from buildkite_logs_parquet_spark.plans.checks import explain_str
+
+    df, rows = vectors
+    rng = random.Random(13)
+    centroids = [[rng.gauss(0, 1) for _ in range(DIM)] for _ in range(4)]
+    path = str(tmp_path / "ivf_lake_batch")
+    S.write_ivf_lake(df, centroids, path)
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in rows[i][1]]) for i in range(3)],
+        "query_id long, embedding array<double>",
+    )
+    at_rest = S.ivf_topk_join_at_rest(
+        spark, path, queries, centroids, k=5, n_probe=2, round_to=None
+    )
+    in_mem = S.ivf_topk_join(queries, df, centroids, k=5, n_probe=2, round_to=None)
+    a = sorted((r["query_id"], r["rank"], r["vec_id"]) for r in at_rest.collect())
+    b = sorted((r["query_id"], r["rank"], r["vec_id"]) for r in in_mem.collect())
+    assert a == b
+    plan = explain_str(at_rest)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ivf_cell" in m.group(1), plan[:2000]
