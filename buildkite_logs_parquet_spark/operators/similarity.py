@@ -752,3 +752,49 @@ def ivf_topk_join_at_rest(
         queries, corpus, centroids, k, n_probe,
         query_id_col, query_vec_col, id_col, round_to,
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+    bench_vec_col: str = "embedding",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Embedding-space decontamination: flag corpus rows whose nearest
+    BENCHMARK embedding is within cosine ``threshold`` — catches eval-set
+    paraphrases and translations that the 13-gram text overlap
+    (``curation.benchmark_contamination``) cannot see.  The two are
+    complementary passes over the same train split.
+
+    Built on the batch k-NN join with the roles the scale demands: the
+    (huge) corpus is the query side, the (small) benchmark is coarse-
+    assigned and broadcast; per corpus row only its nearest benchmark
+    item (k=1) survives.  Rows whose probed cells hold no benchmark
+    vectors are clean by construction and rejoin with null match columns.
+
+    Output: one row per corpus row — ``(id, nearest_bench_id,
+    bench_cosine, contaminated)``.
+    """
+    bench_assigned = ivf_assign(benchmark, centroids, bench_vec_col).select(
+        F.col(bench_id_col).alias("nearest_bench_id"),
+        _as_double(F.col(bench_vec_col)).alias("_cv"),
+        F.col("ivf_cell").alias("probe_cell"),
+    )
+    nearest = _batch_topk(
+        corpus, bench_assigned, centroids, 1, n_probe,
+        id_col, vec_col, "nearest_bench_id", round_to,
+    ).select(id_col, "nearest_bench_id", F.col("cosine").alias("bench_cosine"))
+    return corpus.select(F.col(id_col)).join(nearest, on=id_col, how="left").select(
+        id_col,
+        "nearest_bench_id",
+        "bench_cosine",
+        F.coalesce(
+            F.col("bench_cosine") >= F.lit(threshold), F.lit(False)
+        ).alias("contaminated"),
+    )

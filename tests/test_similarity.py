@@ -429,3 +429,32 @@ def test_ivf_topk_join_at_rest_matches_and_prunes(spark, vectors, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "ivf_cell" in m.group(1), plan[:2000]
+
+
+def test_semantic_contamination_flags_benchmark_neighbors(spark, vectors):
+    """Corpus rows near a benchmark embedding are flagged; unrelated rows
+    come back with null match columns and contaminated=False."""
+    df, rows = vectors
+    rng = random.Random(31)
+    centroids = [[rng.gauss(0, 1) for _ in range(DIM)] for _ in range(3)]
+    bench = spark.createDataFrame(
+        [(900, [float(x) for x in rows[0][1]])],  # the near-dup family seed
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in S.semantic_contamination(
+            df, bench, centroids, threshold=0.99,
+            n_probe=len(centroids), round_to=None,
+        ).collect()
+    }
+    assert len(out) == N  # one row per corpus row, none lost
+    for vid in (0, 1, 2, 3):  # the planted near-dups of the benchmark seed
+        assert out[vid]["contaminated"], vid
+        assert out[vid]["nearest_bench_id"] == 900
+    clean = [r for r in out.values() if not r["contaminated"]]
+    assert len(clean) == N - 4
+    # rows whose probed cells held no benchmark vector: null match, clean
+    unmatched = [r for r in out.values() if r["nearest_bench_id"] is None]
+    for r in unmatched:
+        assert not r["contaminated"] and r["bench_cosine"] is None
