@@ -77,3 +77,47 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Write as JSON Lines (one object per row, directory of part files —
     the shardable export format training loaders consume)."""
     df.write.mode(mode).json(path)
+
+
+def stream_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    max_files_per_trigger: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Streaming twin of ``read_jsonl``: follow a directory of JSON Lines
+    drops (the continuous-crawl ingest shape) and return streaming
+    ``(good, quarantine)`` DataFrames with identical schemas/semantics.
+
+    Both sides derive from ONE file stream; write the quarantine next to
+    the lake (e.g. via ``foreachBatch`` or its own sink) so malformed
+    batches stay replayable.  State: none beyond the file-source log —
+    the parse is stateless, so watermarks are the consumer's concern.
+    """
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    if not isinstance(schema, StructType):
+        raise TypeError(f"schema must be a struct, got {schema}")
+    full = StructType(
+        list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)]
+    )
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    lines = reader.text(path).where(F.length(F.trim("value")) > 0)
+    parsed = lines.select(
+        F.col("value"),
+        F.from_json(
+            F.col("value"),
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("_j"),
+    )
+    ok = F.col(f"_j.{CORRUPT_COL}").isNull()
+    good = parsed.where(ok).select(
+        *[F.col(f"_j.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    quarantine = parsed.where(~ok).select(F.col("value").alias("raw"))
+    return good, quarantine

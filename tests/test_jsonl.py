@@ -4,6 +4,7 @@ the corpus ingest format)."""
 
 from buildkite_logs_parquet_spark.sources.jsonl import (
     read_jsonl,
+    stream_jsonl,
     write_jsonl,
 )
 
@@ -54,3 +55,42 @@ def _write_fixture(tmp_path):
         '{"doc_id": 2, "text": "b", "lang": "fr"}'
     )
     return p
+
+
+def test_stream_jsonl_good_and_quarantine(spark, tmp_path):
+    import time
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    (src / "b1.jsonl").write_text(
+        '{"doc_id": 1, "text": "hello", "lang": "en"}\n'
+        "broken line\n"
+        '{"doc_id": 2, "text": "welt", "lang": "de"}'
+    )
+    good, quarantine = stream_jsonl(spark, str(src), SCHEMA)
+    assert good.isStreaming and quarantine.isStreaming
+    g_out = str(tmp_path / "good_out")
+    q_out = str(tmp_path / "q_out")
+    q1 = (
+        good.writeStream.format("parquet")
+        .option("path", g_out)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2 = (
+        quarantine.writeStream.format("parquet")
+        .option("path", q_out)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(60)
+    q2.awaitTermination(60)
+    time.sleep(0.2)
+    got = sorted(
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(g_out).collect()
+    )
+    assert got == [(1, "hello"), (2, "welt")]
+    bad = [r["raw"] for r in spark.read.parquet(q_out).collect()]
+    assert bad == ["broken line"]
