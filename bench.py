@@ -75,6 +75,29 @@ def _extra_ops():
     through the noop sink, with any driver-side loop inside the callable
     so the measurement covers the whole algorithm."""
 
+    def interval_join_bench(spark, sf_dir):
+        import __spark_entry__ as E
+        from pyspark.sql import functions as F
+
+        from buildkite_logs_parquet_spark.operators.asof import interval_join
+
+        ev = E._events(spark, sf_dir)
+        points = ev.select(
+            "event_id", "user_id",
+            F.col("ts_ms").alias("ps"), F.col("ts_ms").alias("pe"),
+        )
+        # deterministic per-user activity windows: every 10th event opens
+        # a 5-minute interval
+        ivals = ev.where(F.col("event_id") % 10 == 0).select(
+            F.col("event_id").alias("window_id"), "user_id",
+            F.col("ts_ms").alias("ws"),
+            (F.col("ts_ms") + 300_000).alias("we"),
+        )
+        return interval_join(
+            points, ivals, "ps", "pe", "ws", "we",
+            bin_width=300_000, keys=["user_id"],
+        ).select("event_id", "window_id")
+
     def paragraph_dedup_bench(spark, sf_dir):
         from pyspark.sql import functions as F
 
@@ -144,6 +167,7 @@ def _extra_ops():
         )
 
     return {
+        "x_interval_join": interval_join_bench,
         "x_paragraph_dedup": paragraph_dedup_bench,
         "x_ann_batch_join": ann_batch_join,
         "x_incremental_neardup": incremental_neardup,

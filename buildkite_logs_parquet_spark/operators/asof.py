@@ -181,3 +181,59 @@ def asof_join(
     else:
         result = result.drop("_side", "_ts")
     return result
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_width: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Overlap (range) join — pairs whose intervals intersect
+    (``l_start <= r_end AND r_start <= l_end``, closed bounds) — as an
+    EQUI-join, the primitive Spark lacks natively (a naive range join
+    plans as BroadcastNestedLoopJoin / CartesianProduct and dies at
+    scale; cf. the bin-based range-join optimization in commercial Spark
+    runtimes).
+
+    Both sides explode to the fixed-width bins their interval covers; the
+    join is keyed on (``keys``…, bin) with the exact overlap predicate as
+    a residual filter.  A pair overlapping many shared bins would match
+    once PER bin, so the match is emitted only in the FIRST shared bin
+    (``bin == greatest(floor(l_start/W), floor(r_start/W))``) — exact
+    dedup by construction, no ``distinct()`` over the pair stream.
+
+    A point table joins as zero-length intervals (start == end).
+    ``bin_width`` tunes fan-out: explode factor is interval_len/W + 1 per
+    row, candidate quality is ~W/selectivity — pick W near the typical
+    interval length.
+
+    100 TB shape: ONE hash shuffle keyed (keys…, bin); per-bin skew is
+    bounded by interval density per bin (long intervals fan out instead
+    of hot-keying one reducer); plan-asserted free of CartesianProduct /
+    BroadcastNestedLoopJoin.
+    """
+    keys = keys or []
+    w = int(bin_width)
+    if w <= 0:
+        raise ValueError("bin_width must be positive")
+
+    def binned(df: DataFrame, start: str, end: str, tag: str) -> DataFrame:
+        lo = F.floor(F.col(start) / w).cast("long")
+        hi = F.floor(F.col(end) / w).cast("long")
+        return df.withColumn(f"_{tag}_lo", lo).withColumn(
+            "_bin", F.explode(F.sequence(lo, hi))
+        )
+
+    lb = binned(left, left_start, left_end, "l")
+    rb = binned(right, right_start, right_end, "r")
+    overlap = (F.col(left_start) <= F.col(right_end)) & (
+        F.col(right_start) <= F.col(left_end)
+    )
+    first_shared = F.col("_bin") == F.greatest(F.col("_l_lo"), F.col("_r_lo"))
+    out = lb.join(rb, on=keys + ["_bin"]).where(overlap & first_shared)
+    return out.drop("_bin", "_l_lo", "_r_lo")

@@ -148,3 +148,94 @@ def test_asof_nearest_single_shuffle(spark):
     )
     assert n_hash_exchanges == 1, plan[:1500]
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# ------------------------------------------------------- interval join
+
+
+def _naive_overlap(lrows, rrows, keys=False):
+    out = set()
+    for li, (lk, ls, le) in enumerate(lrows):
+        for ri, (rk, rs, re_) in enumerate(rrows):
+            if keys and lk != rk:
+                continue
+            if ls <= re_ and rs <= le:
+                out.add((li, ri))
+    return out
+
+
+def test_interval_join_matches_naive_cross_filter(spark):
+    import random
+
+    from buildkite_logs_parquet_spark.operators.asof import interval_join
+
+    rng = random.Random(41)
+    lrows = [
+        ("k%d" % rng.randint(0, 2), s, s + rng.randint(0, 50))
+        for s in (rng.randint(0, 500) for _ in range(60))
+    ]
+    rrows = [
+        ("k%d" % rng.randint(0, 2), s, s + rng.randint(0, 50))
+        for s in (rng.randint(0, 500) for _ in range(60))
+    ]
+    left = spark.createDataFrame(
+        [(i, k, s, e) for i, (k, s, e) in enumerate(lrows)],
+        "lid long, lk string, ls long, le long",
+    )
+    right = spark.createDataFrame(
+        [(i, k, s, e) for i, (k, s, e) in enumerate(rrows)],
+        "rid long, rk string, rs long, re long",
+    )
+    for width in (7, 32, 1000):  # width far below / near / above lengths
+        got = {
+            (r["lid"], r["rid"])
+            for r in interval_join(
+                left, right, "ls", "le", "rs", "re", bin_width=width
+            ).collect()
+        }
+        assert got == _naive_overlap(lrows, rrows), width
+    # keyed variant: only same-key overlaps
+    lk = left.withColumnRenamed("lk", "k")
+    rk = right.withColumnRenamed("rk", "k")
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_join(
+            lk, rk, "ls", "le", "rs", "re", bin_width=16, keys=["k"]
+        ).collect()
+    }
+    assert got == _naive_overlap(lrows, rrows, keys=True)
+
+
+def test_interval_join_no_duplicates_and_no_cartesian(spark):
+    from buildkite_logs_parquet_spark.operators.asof import interval_join
+    from buildkite_logs_parquet_spark.plans.checks import explain_str
+
+    # two long intervals sharing MANY bins must still match exactly once
+    left = spark.createDataFrame([(1, 0, 1000)], "lid long, ls long, le long")
+    right = spark.createDataFrame([(2, 500, 1500)], "rid long, rs long, re long")
+    out = interval_join(left, right, "ls", "le", "rs", "re", bin_width=10)
+    rows = out.collect()
+    assert len(rows) == 1 and (rows[0]["lid"], rows[0]["rid"]) == (1, 2)
+    plan = explain_str(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_points_in_intervals(spark):
+    from buildkite_logs_parquet_spark.operators.asof import interval_join
+
+    points = spark.createDataFrame(
+        [(i, t, t) for i, t in enumerate([5, 15, 25, 99])],
+        "pid long, ps long, pe long",
+    )
+    ivals = spark.createDataFrame(
+        [(0, 0, 10), (1, 10, 20)], "iid long, s long, e long"
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            points, ivals, "ps", "pe", "s", "e", bin_width=8
+        ).collect()
+    )
+    # closed bounds: t=5 in [0,10]; t=15 in [10,20]; t=25, 99 nowhere
+    assert got == [(0, 0), (1, 1)]
