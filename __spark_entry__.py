@@ -854,7 +854,8 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = AS.asof_join(
         purchases, clicks, on="user_id", left_ts="ts_ms", right_ts="ts_ms"
     )
-    return out.select(
+    asof_side = out.select(
+        F.lit("asof").alias("side"),
         "event_id",
         "user_id",
         "ts_ms",
@@ -862,6 +863,32 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts_ms") - F.col("matched_ts")).alias("gap_ms"),
         F.round("click_value", 4).alias("click_value"),
     )
+    # round-4 union-tag: the INTERVAL (range) join rides the same oracle
+    # row — points = every event, windows = a 5-minute interval opened by
+    # every 10th event, matched per user via the binned equi-join; the
+    # oracle is DuckDB's native range predicate, an independent
+    # implementation of the same overlap semantics
+    points = ev.select(
+        "event_id", "user_id",
+        F.col("ts_ms").alias("ps"), F.col("ts_ms").alias("pe"),
+    )
+    ivals = ev.where(F.col("event_id") % 10 == 0).select(
+        F.col("event_id").alias("window_id"), "user_id",
+        F.col("ts_ms").alias("ws"), (F.col("ts_ms") + 300_000).alias("we"),
+    )
+    interval_side = AS.interval_join(
+        points, ivals, "ps", "pe", "ws", "we",
+        bin_width=300_000, keys=["user_id"],
+    ).select(
+        F.lit("interval").alias("side"),
+        "event_id",
+        "user_id",
+        F.col("ps").alias("ts_ms"),
+        F.col("ws").alias("click_ts_ms"),
+        F.col("window_id").alias("gap_ms"),
+        F.lit(None).cast("double").alias("click_value"),
+    )
+    return asof_side.unionByName(interval_side)
 
 
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1777,12 +1804,23 @@ purchases AS (
   SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
   FROM events WHERE event_type = 'purchase'
 )
-SELECT p.event_id, p.user_id, p.ts_ms,
+SELECT 'asof' AS side, p.event_id, p.user_id, p.ts_ms,
        c.r_ts AS click_ts_ms,
        p.ts_ms - c.r_ts AS gap_ms,
        round(c.click_value, 4) AS click_value
 FROM purchases p ASOF LEFT JOIN clicks c
   ON p.user_id = c.user_id AND p.ts_ms >= c.r_ts
+UNION ALL
+SELECT 'interval' AS side, e.event_id, e.user_id,
+       epoch_ms(e.ts) AS ts_ms,
+       epoch_ms(w.ts) AS click_ts_ms,
+       w.event_id AS gap_ms,
+       CAST(NULL AS DOUBLE) AS click_value
+FROM events e JOIN events w
+  ON e.user_id = w.user_id
+ AND w.event_id % 10 = 0
+ AND epoch_ms(e.ts) >= epoch_ms(w.ts)
+ AND epoch_ms(e.ts) <= epoch_ms(w.ts) + 300000
 """
 
     sql["embedding_label_centroid_sim"] = """
