@@ -119,6 +119,7 @@ def compact_parquet_dir(
     dst: str,
     target_file_bytes: int = 128 << 20,
     sort_col: str | None = None,
+    partition_by: list[str] | None = None,
     mode: str = "overwrite",
 ) -> int:
     """Small-file compaction: rewrite a parquet directory into
@@ -135,7 +136,14 @@ def compact_parquet_dir(
     row-group min/max stats prune scans filtered on it (the poor-man's
     clustering / Z-order for one dimension).
 
-    Returns the number of files written.
+    For a Hive-partitioned source, pass its partition columns as
+    ``partition_by`` — the rewrite keeps the directory layout (write
+    tasks are co-partitioned with the layout so each task writes into
+    one directory); omitting it would flatten the partition columns into
+    plain data columns and lose the pruning layout.
+
+    Returns the number of files written (total across partitions when
+    ``partition_by`` is set — sized by the global byte census).
     """
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(src)
@@ -149,11 +157,17 @@ def compact_parquet_dir(
             total += f.getLen()
     n_files = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(src)
-    if sort_col is not None:
-        out = df.repartitionByRange(n_files, F.col(sort_col)).sortWithinPartitions(
-            sort_col
-        )
+    if partition_by:
+        out = df.repartition(n_files, *[F.col(c) for c in partition_by])
+        if sort_col is not None:
+            out = out.sortWithinPartitions(*partition_by, sort_col)
+        out.write.mode(mode).partitionBy(*partition_by).parquet(dst)
     else:
-        out = df.repartition(n_files)
-    out.write.mode(mode).parquet(dst)
+        if sort_col is not None:
+            out = df.repartitionByRange(
+                n_files, F.col(sort_col)
+            ).sortWithinPartitions(sort_col)
+        else:
+            out = df.repartition(n_files)
+        out.write.mode(mode).parquet(dst)
     return n_files

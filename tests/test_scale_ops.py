@@ -120,3 +120,36 @@ def test_compact_parquet_dir_sorted_ranges(spark, tmp_path):
     for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
         assert a_hi <= b_lo
     assert spark.read.parquet(dst).count() == li.count()
+
+
+def test_compact_parquet_dir_preserves_partition_layout(spark, tmp_path):
+    import glob
+
+    from buildkite_logs_parquet_spark.operators.scale import (
+        compact_parquet_dir,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    src = str(tmp_path / "p_frag")
+    orders.repartition(8).write.partitionBy("o_orderstatus").parquet(src)
+    # fragmented: several files per partition directory
+    frag_files = glob.glob(f"{src}/o_orderstatus=*/*.parquet")
+    assert len(frag_files) > 3
+
+    dst = str(tmp_path / "p_compact")
+    compact_parquet_dir(
+        spark, src, dst, target_file_bytes=1 << 30,
+        partition_by=["o_orderstatus"],
+    )
+    out_dirs = sorted(
+        p.split("=")[-1] for p in glob.glob(f"{dst}/o_orderstatus=*")
+    )
+    in_dirs = sorted(
+        p.split("=")[-1] for p in glob.glob(f"{src}/o_orderstatus=*")
+    )
+    assert out_dirs == in_dirs  # layout preserved
+    for d in glob.glob(f"{dst}/o_orderstatus=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1, d  # compacted
+    back = spark.read.parquet(dst)
+    assert back.count() == orders.count()
+    assert set(back.columns) == set(orders.columns)
