@@ -573,14 +573,30 @@ def mix_rates(
     return {s: min(1.0, scale * norm[s] / counts[s]) for s in present}
 
 
+def temperature_weights(counts: dict[str, float], alpha: float) -> dict[str, float]:
+    """Temperature-based mixture weights (the multilingual-sampling recipe
+    of Conneau & Lample 2019 / mT5): target share q_i ∝ p_i^alpha where
+    p_i is the source's NATURAL share of the corpus.  ``alpha=1`` keeps
+    natural proportions; ``alpha → 0`` approaches uniform — upsampling
+    low-resource sources without hand-tuning per-source weights.  Pure
+    driver-side float arithmetic on the metadata-sized count dict."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    total = sum(counts.values()) or 1.0
+    qs = {s: (c / total) ** alpha for s, c in counts.items() if c > 0}
+    z = sum(qs.values()) or 1.0
+    return {s: q / z for s, q in qs.items()}
+
+
 def mix_corpora(
     df: DataFrame,
     key_col: str,
     source_col: str,
-    weights: dict[str, float],
+    weights: dict[str, float] | None = None,
     seed: int = 42,
     by: str = "docs",
     text_col: str = "text",
+    temperature: float | None = None,
 ) -> DataFrame:
     """Deterministic weighted corpus mixing: sample each source so the
     output approximates the target ``weights`` mixture at the largest
@@ -615,10 +631,14 @@ def mix_corpora(
         mass = F.count("*")
     else:
         raise ValueError(f"by must be 'docs' or 'tokens', got {by!r}")
+    if (weights is None) == (temperature is None):
+        raise ValueError("pass exactly one of weights / temperature")
     counts = {
         r[0]: r[1]
         for r in df.groupBy(source_col).agg(mass.alias("c")).collect()
     }
+    if temperature is not None:
+        weights = temperature_weights(counts, temperature)
     rates = mix_rates(counts, weights)
     return sample_stratified(
         df, key_col, source_col, rates, default_rate=0.0, seed=seed

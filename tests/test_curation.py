@@ -490,3 +490,38 @@ def test_mix_corpora_by_tokens_targets_token_mass(spark):
     a = sorted(r["doc_id"] for r in mix_corpora(df, "doc_id", "source", w, by="tokens").collect())
     b = sorted(r["doc_id"] for r in mix_corpora(df.repartition(9), "doc_id", "source", w, by="tokens").collect())
     assert a == b
+
+
+def test_mix_corpora_temperature_upsamples_low_resource(spark):
+    import pytest
+
+    from buildkite_logs_parquet_spark.operators.curation import (
+        mix_corpora,
+        temperature_weights,
+    )
+
+    rows = [
+        (i, "web" if i < 800 else "code", f"doc number {i}")
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    # alpha=0.5: natural (0.8, 0.2) -> shares (2/3, 1/3); the low-resource
+    # source binds at rate 1.0, web is halved
+    w = temperature_weights({"web": 800, "code": 200}, 0.5)
+    assert abs(w["web"] / w["code"] - 2.0) < 1e-9
+
+    out = mix_corpora(df, "doc_id", "source", temperature=0.5)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert counts["code"] == 200  # binding source kept whole
+    assert abs(counts["web"] - 400) < 60  # hash-thresholded ~rate 0.5
+
+    # alpha=1 keeps natural proportions -> every rate is 1.0
+    assert mix_corpora(df, "doc_id", "source", temperature=1.0).count() == 1000
+
+    with pytest.raises(ValueError):
+        mix_corpora(df, "doc_id", "source", weights={"web": 1}, temperature=0.5)
+    with pytest.raises(ValueError):
+        mix_corpora(df, "doc_id", "source")
