@@ -374,14 +374,25 @@ def q_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_supplier_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running revenue per supplier in ship order — windowed cumulative
-    aggregation (the reference's G1 running-state pattern, generalized)."""
+    aggregation (the reference's G1 running-state pattern, generalized).
+
+    The sort includes the revenue-determining columns
+    (extendedprice, discount): the synthetic testdata carries duplicate
+    (orderkey, linenumber) rows with different prices, so the natural key
+    alone is NOT a total order and a ROWS prefix sum would be
+    engine-order-dependent at the tie (found by the sf0.1 oracle sweep —
+    invisible at sf0.01).  Rows still tied after these columns contribute
+    equal addends, so every engine produces the same prefix multiset."""
     from pyspark.sql import Window as W
 
     li = _t(spark, sf_dir, "lineitem")
     rev = _dec(F.col("l_extendedprice")) * (_frac(F.lit(1)) - _frac(F.col("l_discount")))
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(
+            "l_shipdate", "l_orderkey", "l_linenumber",
+            "l_extendedprice", "l_discount",
+        )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return li.select(
@@ -1430,7 +1441,8 @@ GROUP BY p_type
 SELECT l_suppkey, l_orderkey, l_linenumber,
        CAST(sum({dec('l_extendedprice')} * ({one} - {frac('l_discount')}))
             OVER (PARTITION BY l_suppkey
-                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                           l_extendedprice, l_discount
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS STRING) AS running_revenue
 FROM lineitem
 """
