@@ -841,9 +841,33 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/CCNet-style segment-level dedup: 10-word chunks deduped
     corpus-wide, first (lowest doc, lowest position) occurrence kept,
-    documents rebuilt from their surviving chunks."""
+    documents rebuilt from their surviving chunks.
+
+    Round-4 union-tag: the natural-boundary PARAGRAPH dedup
+    (operators/dedup.py::paragraph_dedup) rides the same oracle row over
+    boundary-injected text (every " the " becomes a newline — the same
+    deterministic construction the bench uses); the oracle's paragraph
+    side groups by paragraph TEXT (hash-free — equivalent canonical
+    under collision-free hashing), an independent derivation."""
     docs = _t(spark, sf_dir, "documents")
-    return D.segment_dedup(docs, "doc_id", "text", k=10)
+    seg = D.segment_dedup(docs, "doc_id", "text", k=10).select(
+        F.lit("segment").alias("side"),
+        "doc_id",
+        F.col("n_segments").cast("long").alias("n_units"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        "dedup_text",
+    )
+    pdocs = docs.select(
+        "doc_id", F.regexp_replace("text", " the ", "\n").alias("text")
+    )
+    par = D.paragraph_dedup(pdocs, "doc_id", min_chars=20).select(
+        F.lit("paragraph").alias("side"),
+        "doc_id",
+        F.col("n_paragraphs").cast("long").alias("n_units"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        "dedup_text",
+    )
+    return seg.unionByName(par)
 
 
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1716,12 +1740,48 @@ ordd AS (
   SELECT doc_id, pos, seg, md5(seg) AS h, doc_id * 1048576 + pos AS ord FROM segs
 ),
 canon AS (SELECT h, min(ord) AS first_ord FROM ordd GROUP BY h)
-SELECT o.doc_id,
-       count(*) AS n_segments,
+SELECT 'segment' AS side, o.doc_id,
+       count(*) AS n_units,
        CAST(sum(CASE WHEN o.ord = c.first_ord THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        coalesce(string_agg(CASE WHEN o.ord = c.first_ord THEN o.seg END, ' ' ORDER BY o.pos), '') AS dedup_text
 FROM ordd o JOIN canon c USING (h)
 GROUP BY o.doc_id
+UNION ALL
+SELECT 'paragraph' AS side, d.doc_id,
+       coalesce(m.n_par, 0) AS n_units,
+       coalesce(m.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+       coalesce(m.txt, '') AS dedup_text
+FROM documents d LEFT JOIN (
+  WITH pdocs AS (
+    SELECT doc_id, regexp_replace(text, ' the ', chr(10), 'g') AS ptext
+    FROM documents
+  ),
+  paras AS (
+    SELECT doc_id, i - 1 AS pos, p[i] AS para
+    FROM (
+      SELECT doc_id, string_split(ptext, chr(10)) AS p,
+             unnest(range(1, len(string_split(ptext, chr(10))) + 1)) AS i
+      FROM pdocs
+    )
+  ),
+  nonempty AS (
+    SELECT doc_id, pos, para, doc_id * 1048576 + pos AS ord
+    FROM paras WHERE length(trim(para)) > 0
+  ),
+  pcanon AS (
+    SELECT para, min(ord) AS first_ord
+    FROM nonempty WHERE length(para) >= 20 GROUP BY para
+  ),
+  pmarked AS (
+    SELECT n.doc_id, n.pos, n.para,
+           (length(n.para) < 20) OR (n.ord = c.first_ord) AS kept
+    FROM nonempty n LEFT JOIN pcanon c ON n.para = c.para
+  )
+  SELECT doc_id, count(*) AS n_par,
+         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         coalesce(string_agg(CASE WHEN kept THEN para END, chr(10) ORDER BY pos), '') AS txt
+  FROM pmarked GROUP BY doc_id
+) m USING (doc_id)
 """
 
     # same duplicated-span semantics, independently derived: window-hash +
