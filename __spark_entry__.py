@@ -716,7 +716,21 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = S.ivf_topk(
         rest, _ivf_centroids(), qvec, k=10, n_probe=3, round_to=4
     ).select(F.lit("ivf").alias("op"), "vec_id", "cosine")
-    return exact.unionByName(ivf)
+    # round-4 union-tag: the BATCH k-NN join (ivf_topk_join — every 20th
+    # vector queries the corpus at once) rides the same row, the query id
+    # packed into the op tag; the oracle replays probe ranking and
+    # per-query windows in SQL over the same centroid literals
+    queries = emb.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = S.ivf_topk_join(
+        queries, emb, _ivf_centroids(), k=4, n_probe=2, round_to=4
+    ).select(
+        F.concat(F.lit("batch_"), F.col("query_id")).alias("op"),
+        "vec_id",
+        "cosine",
+    )
+    return exact.unionByName(ivf).unionByName(batch)
 
 
 #: threshold for the near-dup queries — sits in a wide gap of the pair-cosine
@@ -2136,6 +2150,12 @@ FROM reach GROUP BY id
     _cent_rows = ",\n         ".join(
         f"({cid}, {_raw_lits[cid]}, {_cns[cid]!r})" for cid in range(len(_cents))
     )
+    # normalized-centroid VALUES for the batch probe: ivf_probe_assign
+    # dots against PRE-normalized literals, so the oracle must replay
+    # that exact float path (raw-dot-then-divide rounds differently)
+    _ncent_rows = ",\n         ".join(
+        f"({cid}, {_norm_lits[cid]})" for cid in range(len(_cents))
+    )
     _s_cols = ",\n         ".join(
         f"list_inner_product(CAST(embedding AS DOUBLE[]), {_norm_lits[cid]}) AS s{cid}"
         for cid in range(len(_cents))
@@ -2184,7 +2204,39 @@ SELECT 'ivf' AS op, vec_id, cosine FROM (
   ORDER BY {_qcos} DESC, vec_id
   LIMIT 10
 )
+UNION ALL
+SELECT 'batch_' || qid AS op, vec_id, cosine FROM (
+  SELECT qid, vec_id, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id) AS rnk
+  FROM (
+    SELECT bq.qid, av.vec_id,
+           round(list_inner_product(bq.qv, CAST(av.embedding AS DOUBLE[])) /
+                 (sqrt(list_inner_product(bq.qv, bq.qv)) *
+                  sqrt(list_inner_product(CAST(av.embedding AS DOUBLE[]),
+                                          CAST(av.embedding AS DOUBLE[])))), 4)
+             AS cosine
+    FROM (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id % 20 = 0) bq
+    JOIN (
+      SELECT qid2, cid FROM (
+        SELECT b2.vec_id AS qid2, nc.cid,
+               row_number() OVER (PARTITION BY b2.vec_id
+                 ORDER BY list_inner_product(CAST(b2.embedding AS DOUBLE[]), nc.nc) DESC,
+                          nc.cid) AS pr
+        FROM embeddings b2, ncent nc WHERE b2.vec_id % 20 = 0
+      ) WHERE pr <= 2
+    ) pj ON pj.qid2 = bq.qid
+    JOIN (SELECT vec_id, embedding, {_cell} AS cell FROM (
+            SELECT vec_id, embedding, {_s_cols} FROM embeddings)) av
+      ON av.cell = pj.cid
+  )
+) WHERE rnk <= 4
 """
+    sql["ann_topk"] = sql["ann_topk"].replace(
+        "cent(cid, c, cn) AS (",
+        f"ncent(cid, nc) AS (\n  VALUES {_ncent_rows}\n),\ncent(cid, c, cn) AS (",
+    )
 
     # kmeans_step: same assignment CTE as the IVF oracle (all vectors),
     # decimal element sums for the new centroid, drift vs the raw literal
