@@ -50,6 +50,14 @@ def follow_log_dir(
         F.col("value").alias("raw"),
         F.input_file_name().alias("file"),
     )
+    return parse_lines_stream(lines)
+
+
+def parse_lines_stream(lines: DataFrame) -> DataFrame:
+    """Streaming-safe parse of a ``(raw, file)`` lines DataFrame — the
+    window-free core of ``follow_log_dir``, exposed so ANY lines stream
+    composes (the built-in file stream, the ``tail_text`` live-tail
+    source, a Kafka value stream after a select)."""
     raw = F.col("raw")
     osc = is_osc_line(raw)
     ts_str = osc_timestamp_str(raw)
@@ -105,9 +113,14 @@ def follow_with_groups(
     file arrive in file order within each micro-batch for that group key.
     This matches the reference's one-parser-per-file model.
     """
-    from pyspark.sql.streaming.state import GroupStateTimeout
+    return propagate_groups_stream(follow_log_dir(spark, path))
 
-    parsed = follow_log_dir(spark, path)
+
+def propagate_groups_stream(parsed: DataFrame) -> DataFrame:
+    """Stateful running-group propagation over any PARSED entry stream
+    (``follow_log_dir`` / ``parse_lines_stream`` output) — one state cell
+    per source file via ``applyInPandasWithState``."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = (
         "file string, timestamp long, content string, clean_content string, "

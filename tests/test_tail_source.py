@@ -87,3 +87,51 @@ def test_tail_text_start_at_end_skips_history(spark, tmp_path):
         assert rows == [(2, "fresh")]
     finally:
         q.stop()
+
+
+def test_tail_text_composes_with_streaming_parse_pipeline(spark, tmp_path):
+    """A live tail stream flows through the streaming OSC parse AND the
+    stateful group propagation — a build log followed in real time."""
+    from buildkite_logs_parquet_spark.sources import tail_source
+    from buildkite_logs_parquet_spark.streaming.follow import (
+        parse_lines_stream,
+        propagate_groups_stream,
+    )
+
+    log = tmp_path / "live.log"
+    log.write_text(
+        "\x1b_bk;t=1700000000000\x07echo hello\n"
+        "\x1b_bk;t=1700000001000\x07--- :package: Build\n"
+    )
+    tail_source.register(spark)
+    stream = (
+        spark.readStream.format("tail_text")
+        .option("path", str(tmp_path / "*.log"))
+        .load()
+        .select("raw", "file")
+    )
+    entries = propagate_groups_stream(parse_lines_stream(stream))
+    assert entries.isStreaming
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        entries.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        df = _wait_rows(spark, out, 2)
+        rows = {r["clean_content"]: r for r in df.collect()}
+        assert rows["echo hello"]["timestamp"] == 1700000000000
+        assert rows["--- :package: Build"]["is_group"]
+        # live append flows through parse AND keeps the running group
+        # across micro-batches (state cell per file)
+        with open(log, "a") as f:
+            f.write("\x1b_bk;t=1700000002000\x07$ make test\n")
+        df = _wait_rows(spark, out, 3)
+        rows = {r["clean_content"]: r for r in df.collect()}
+        assert rows["$ make test"]["is_command"]
+        assert rows["$ make test"]["group"] == "--- :package: Build"
+    finally:
+        q.stop()
