@@ -171,3 +171,67 @@ def compact_parquet_dir(
             out = df.repartition(n_files)
         out.write.mode(mode).parquet(dst)
     return n_files
+
+
+def zorder_key(
+    bucket_cols: list[Column], bits: int = 8
+) -> Column:
+    """Interleave the low ``bits`` of each (integer bucket) column into a
+    Z-order (Morton) key: sorting by it clusters rows that are close in
+    EVERY dimension, so per-file min/max spans shrink on all of them at
+    once — multi-dimensional data skipping from plain row-group stats.
+    """
+    z = F.lit(0).cast("long")
+    n = len(bucket_cols)
+    for bit in range(bits):
+        for j, c in enumerate(bucket_cols):
+            z = z + F.shiftleft(
+                F.shiftright(c.cast("long"), bit).bitwiseAND(F.lit(1)),
+                bit * n + j,
+            ).cast("long")
+    return z
+
+
+def write_zordered(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 32,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Rewrite ``df`` Z-ordered by ``cols`` (numeric): each column is
+    mapped to a ``2^bits``-bucket equal-width grid (one metadata-sized
+    min/max job), the Morton interleave of the grid cells is the sort
+    key, and the output is range-partitioned + sorted by it.
+
+    A filter on ANY of ``cols`` then prunes at the row-group/file level:
+    unlike a single-column sort (first column fully clustered, the rest
+    fully scattered), every Z-ordered file covers a small hyper-rectangle
+    of the key space — the one-file-per-region layout lakehouse OPTIMIZE
+    ZORDER produces, built from plain DataFrame ops.
+    """
+    stats = df.agg(
+        *[F.min(c).alias(f"_mn_{c}") for c in cols],
+        *[F.max(c).alias(f"_mx_{c}") for c in cols],
+    ).first()
+    n_buckets = 1 << bits
+    buckets = []
+    for c in cols:
+        lo = float(stats[f"_mn_{c}"])
+        hi = float(stats[f"_mx_{c}"])
+        span = (hi - lo) or 1.0
+        b = F.floor(
+            (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * n_buckets
+        )
+        buckets.append(F.least(F.greatest(b, F.lit(0)), F.lit(n_buckets - 1)))
+    zkey = zorder_key(buckets, bits)
+    (
+        df.withColumn("_zkey", zkey)
+        .repartitionByRange(n_files, F.col("_zkey"))
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -153,3 +153,55 @@ def test_compact_parquet_dir_preserves_partition_layout(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == orders.count()
     assert set(back.columns) == set(orders.columns)
+
+
+def test_write_zordered_shrinks_spans_on_both_dims(spark, tmp_path):
+    """Z-ordered files cover small hyper-rectangles: versus a layout
+    sorted on ONE column, the per-file min/max span of the OTHER column
+    must shrink substantially — that span is exactly what row-group
+    data skipping prunes on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from buildkite_logs_parquet_spark.operators.scale import write_zordered
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+
+    single = str(tmp_path / "single_sort")
+    (
+        li.repartitionByRange(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.parquet(single)
+    )
+    zpath = str(tmp_path / "zordered")
+    write_zordered(spark, li, zpath, ["l_orderkey", "l_partkey"], n_files=8)
+
+    def avg_span(path, col):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            t = pq.read_table(f, columns=[col])[col].to_pylist()
+            if t:
+                spans.append(max(t) - min(t))
+        return sum(spans) / len(spans)
+
+    # value equality first
+    assert (
+        spark.read.parquet(zpath).count()
+        == spark.read.parquet(single).count()
+        == li.count()
+    )
+    # the single-sort layout leaves l_partkey fully scattered per file;
+    # z-ordering must cut its per-file span while keeping l_orderkey
+    # spans far below the full range
+    full_part_span = avg_span(single, "l_partkey")
+    z_part_span = avg_span(zpath, "l_partkey")
+    assert z_part_span < 0.7 * full_part_span, (z_part_span, full_part_span)
+    orderkey_range = (
+        li.agg(
+            (F.max("l_orderkey") - F.min("l_orderkey")).alias("r")
+        ).first()["r"]
+    )
+    assert avg_span(zpath, "l_orderkey") < 0.7 * orderkey_range
