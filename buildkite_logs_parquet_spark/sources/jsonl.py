@@ -48,9 +48,7 @@ def read_jsonl(
     record, and the documented cache() workaround pins the whole corpus.)
     """
     if isinstance(schema, str):
-        from pyspark.sql.types import _parse_datatype_string
-
-        schema = _parse_datatype_string(schema)
+        schema = StructType.fromDDL(schema)
     if not isinstance(schema, StructType):
         raise TypeError(f"schema must be a struct, got {schema}")
     full = StructType(
@@ -95,9 +93,7 @@ def stream_jsonl(
     the parse is stateless, so watermarks are the consumer's concern.
     """
     if isinstance(schema, str):
-        from pyspark.sql.types import _parse_datatype_string
-
-        schema = _parse_datatype_string(schema)
+        schema = StructType.fromDDL(schema)
     if not isinstance(schema, StructType):
         raise TypeError(f"schema must be a struct, got {schema}")
     full = StructType(
