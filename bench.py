@@ -75,6 +75,14 @@ def _extra_ops():
     through the noop sink, with any driver-side loop inside the callable
     so the measurement covers the whole algorithm."""
 
+    def pack_documents_bench(spark, sf_dir):
+        from buildkite_logs_parquet_spark.operators.packing import (
+            pack_documents,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return pack_documents(docs, "doc_id", capacity=256, num_partitions=32)
+
     def interval_join_bench(spark, sf_dir):
         import __spark_entry__ as E
         from pyspark.sql import functions as F
@@ -167,6 +175,7 @@ def _extra_ops():
         )
 
     return {
+        "x_pack_documents": pack_documents_bench,
         "x_interval_join": interval_join_bench,
         "x_paragraph_dedup": paragraph_dedup_bench,
         "x_ann_batch_join": ann_batch_join,

@@ -183,3 +183,113 @@ def chunk_documents(
         F.size("_c._toks").alias("n_tokens"),
         F.array_join("_c._toks", " ").alias("chunk_text"),
     )
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str,
+    capacity: int = 64,
+    text_col: str = "text",
+    weight_col: str | None = None,
+    strategy: str = "ffd",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """WHOLE-document sequence packing — no document ever straddles a
+    sequence boundary (the SFT/instruction-tuning discipline, where
+    ``pack_sequences``' GPT-style concat-and-chunk boundary crossings are
+    harmful).  Here packing efficiency is a real training-cost lever:
+    unfilled positions are padding, so fewer/better-filled bins = fewer
+    wasted FLOPs.
+
+    ``strategy="ffd"`` runs first-fit-DECREASING inside each partition
+    (the classic ≤ 11/9·OPT + 1 bound); ``"ff"`` is first-fit in id
+    order, which preserves document locality at slightly worse fill.
+    Documents longer than ``capacity`` get a singleton sequence flagged
+    ``overflow`` (chunk them first with ``chunk_documents`` if that's
+    unacceptable).
+
+    100 TB shape: ONE range exchange by id into ``num_partitions``
+    deterministic groups, then an Arrow-batched per-partition pack —
+    bins never cross partitions, so the only approximation versus a
+    (inherently sequential) global greedy is one partial bin per
+    partition: waste ≤ #partitions · capacity, negligible against corpus
+    tokens.  ``seq_id`` packs (partition, local bin) so ids are globally
+    unique and deterministic (range partitioning on a unique id with a
+    FIXED partition count is layout-independent).
+
+    Output: one row per document — ``(id, n_tokens, seq_id, overflow)``;
+    aggregate with ``packing_stats`` for the utilization report.
+    """
+    if strategy not in ("ffd", "ff"):
+        raise ValueError("strategy must be 'ffd' or 'ff'")
+    from buildkite_logs_parquet_spark.operators.text_analysis import token_count
+
+    weight = (
+        F.col(weight_col) if weight_col else token_count(F.col(text_col))
+    )
+    base = df.select(
+        F.col(id_col), weight.cast("long").alias("_w")
+    ).where(F.col("_w") > 0)
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    parts = base.repartitionByRange(n, F.col(id_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, n_tokens long, seq_id long, overflow boolean"
+    )
+    cap = int(capacity)
+    decreasing = strategy == "ffd"
+
+    def pack(pdf):
+        import pandas as pd
+
+        pid = int(pdf["_pid"].iloc[0]) if len(pdf) else 0
+        order = (
+            pdf.sort_values(["_w", id_col], ascending=[False, True])
+            if decreasing
+            else pdf.sort_values([id_col])
+        )
+        remaining: list[int] = []  # bin index -> free positions
+        ids, toks, seqs, over = [], [], [], []
+        for doc, w in zip(order[id_col], order["_w"]):
+            w = int(w)
+            if w > cap:
+                remaining.append(0)  # full singleton bin
+                b = len(remaining) - 1
+                ov = True
+            else:
+                for b, free in enumerate(remaining):
+                    if free >= w:
+                        remaining[b] = free - w
+                        break
+                else:
+                    remaining.append(cap - w)
+                    b = len(remaining) - 1
+                ov = False
+            ids.append(doc)
+            toks.append(w)
+            seqs.append((pid << 40) + b)
+            over.append(ov)
+        return pd.DataFrame(
+            {id_col: ids, "n_tokens": toks, "seq_id": seqs, "overflow": over}
+        )
+
+    return parts.groupBy("_pid").applyInPandas(pack, schema=out_schema)
+
+
+def packing_stats(packed: DataFrame, capacity: int) -> DataFrame:
+    """One-row utilization report for ``pack_documents`` output: sequence
+    count, token totals, and ``utilization`` = tokens / (sequences ×
+    capacity) over the non-overflow bins — the padding-waste metric."""
+    per_seq = packed.where(~F.col("overflow")).groupBy("seq_id").agg(
+        F.sum("n_tokens").alias("_t")
+    )
+    return per_seq.agg(
+        F.count("*").alias("n_sequences"),
+        F.sum("_t").alias("total_tokens"),
+        F.round(
+            F.sum("_t") / (F.count("*") * F.lit(int(capacity))), 4
+        ).alias("utilization"),
+    )

@@ -217,3 +217,88 @@ def test_pack_sequences_by_bpe_token_counts(spark):
     seqs = sorted(packed.collect(), key=lambda r: r["seq_id"])
     for r in seqs[:-1]:
         assert r["n_tokens"] == 64
+
+
+# ------------------------------------------------ whole-document packing
+
+
+def test_pack_documents_ffd_hand_instance(spark):
+    from buildkite_logs_parquet_spark.operators.packing import (
+        pack_documents,
+        packing_stats,
+    )
+
+    lens = {1: 7, 2: 7, 3: 5, 4: 5, 5: 4, 6: 4}
+    docs = spark.createDataFrame(
+        [(i, "w " * n) for i, n in lens.items()], "doc_id long, text string"
+    )
+    out = pack_documents(docs, "doc_id", capacity=12, num_partitions=1)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 6 and not any(r["overflow"] for r in rows.values())
+    # FFD on [7,7,5,5,4,4] cap 12 -> {7,5} {7,5} {4,4}: optimal 3 bins
+    bins = {}
+    for r in rows.values():
+        bins.setdefault(r["seq_id"], []).append(r["n_tokens"])
+    assert sorted(sorted(b) for b in bins.values()) == [[4, 4], [5, 7], [5, 7]]
+    stats = packing_stats(out, 12).first()
+    assert stats["n_sequences"] == 3
+    assert stats["total_tokens"] == 32
+    assert abs(stats["utilization"] - round(32 / 36, 4)) < 1e-9
+
+
+def test_pack_documents_invariants_and_overflow(spark):
+    import random
+
+    from buildkite_logs_parquet_spark.operators.packing import pack_documents
+
+    rng = random.Random(53)
+    docs = spark.createDataFrame(
+        [(i, "t " * rng.randint(1, 40)) for i in range(200)],
+        "doc_id long, text string",
+    )
+    out = pack_documents(docs, "doc_id", capacity=32, num_partitions=4).collect()
+    assert len(out) == 200  # every doc packed exactly once
+    per_seq = {}
+    for r in out:
+        per_seq.setdefault(r["seq_id"], 0)
+        per_seq[r["seq_id"]] += r["n_tokens"]
+        if r["n_tokens"] > 32:
+            assert r["overflow"]
+    for sid, tot in per_seq.items():
+        docs_in = [r for r in out if r["seq_id"] == sid]
+        if not any(r["overflow"] for r in docs_in):
+            assert tot <= 32, sid
+    # determinism: same fixed partition count -> identical assignment
+    again = pack_documents(
+        docs.repartition(13), "doc_id", capacity=32, num_partitions=4
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_pack_documents_ffd_beats_ff_on_adversarial_order(spark):
+    from pyspark.sql import functions as F
+
+    from buildkite_logs_parquet_spark.operators.packing import (
+        pack_documents,
+        packing_stats,
+    )
+
+    # arrival order interleaves big/small so plain first-fit strands
+    # capacity; decreasing order repairs it
+    lens = [10, 2, 10, 2, 10, 2, 10, 2, 6, 6, 6, 6]
+    docs = spark.createDataFrame(
+        [(i, "w " * n) for i, n in enumerate(lens)],
+        "doc_id long, text string",
+    )
+    ffd = packing_stats(
+        pack_documents(docs, "doc_id", capacity=12, num_partitions=1), 12
+    ).first()
+    ff = packing_stats(
+        pack_documents(
+            docs, "doc_id", capacity=12, num_partitions=1, strategy="ff"
+        ),
+        12,
+    ).first()
+    assert ffd["n_sequences"] <= ff["n_sequences"]
+    assert ffd["utilization"] >= ff["utilization"]
+    assert ffd["n_sequences"] == 6  # 4x(10+2) + 2x(6+6): optimal
