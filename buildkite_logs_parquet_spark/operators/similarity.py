@@ -10,6 +10,7 @@ IVF-style partition by a coarse centroid id.
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -20,7 +21,15 @@ def _as_double(col: Column) -> Column:
 
 
 def _lit_vec(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
+    """A literal vector as ONE ``Literal(ArrayType(double))`` node.
+
+    Building it as ``F.array(*[F.lit(x) ...])`` creates dim+1 expression
+    nodes per vector; with |C| centroids inlined into assignment / probe
+    scoring the tree grows to |C|×dim nodes and Catalyst analysis +
+    codegen dominate small-batch latency (measured at bench scale:
+    ann_topk 5.3s → see BENCH_HISTORY).  A single array literal is
+    value-identical and constant-folded the same way."""
+    return F.lit([float(x) for x in vec])
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -39,6 +48,36 @@ def dot(a: Column, b: Column) -> Column:
 # that actually matter for pair scoring are: cast float→double ONCE per
 # vector (not per pair), compute each vector's norm ONCE (not two norm
 # aggregates per pair), and fan the probe side out of a one-file scan.
+
+
+@lru_cache(maxsize=64)
+def _decimal_element_sums(vec_col: str, dim: int) -> tuple[Column, ...]:
+    """``sum(cast(vec[i] as decimal(28,12))) AS _s_{i}`` for i in 0..dim-1.
+
+    Cached: Column objects are immutable unresolved expressions, reusable
+    across DataFrames, and constructing dim of these chains costs ~0.5s
+    of py4j round-trips at dim=64 — paid per k-means ITERATION before
+    caching.  (The cache holds py4j handles; they stay valid for the
+    lifetime of the process's JVM gateway, which PySpark keeps across
+    SparkSession restarts.)"""
+    v = _as_double(F.col(vec_col))
+    return tuple(
+        F.sum(F.element_at(v, i + 1).cast("decimal(28,12)")).alias(f"_s_{i}")
+        for i in range(dim)
+    )
+
+
+@lru_cache(maxsize=64)
+def _decimal_element_sums_double(vec_col: str, dim: int) -> tuple[Column, ...]:
+    """`_decimal_element_sums` with the exact decimal re-cast to double
+    (the presentation type of ``kmeans_step``'s sum-vector centroid)."""
+    v = _as_double(F.col(vec_col))
+    return tuple(
+        F.sum(F.element_at(v, i + 1).cast("decimal(28,12)"))
+        .cast("double")
+        .alias(f"_s_{i}")
+        for i in range(dim)
+    )
 
 
 def norm(a: Column) -> Column:
@@ -96,10 +135,18 @@ def hyperplane_buckets(
         [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
     ]
     v = _as_double(F.col(vec_col))
-    bucket = None
-    for i, p in enumerate(planes):
-        bit = F.when(dot(v, _lit_vec(p)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
+    # ONE plane-matrix literal + one weight literal, folded with a single
+    # zip_with/aggregate pair: the per-plane WHEN chain this replaces cost
+    # ~n_planes×4 py4j constructions per call (driver latency, not executor
+    # work).  Values are identical: same sequential dot per plane, same
+    # 2^i weights summed in plane order.
+    weights = F.lit([1 << i for i in range(n_planes)])
+    bits = F.zip_with(
+        F.lit(planes),
+        weights,
+        lambda p, w: F.when(dot(v, p) >= 0, w).otherwise(F.lit(0)),
+    )
+    bucket = F.aggregate(bits, F.lit(0), lambda acc, b: acc + b)
     return df.withColumn("bucket", bucket.cast("int"))
 
 
@@ -150,27 +197,38 @@ def ivf_assign(
     """IVF coarse assignment: nearest centroid id per row (literal
     centroids — executor work is |C| dot products, no shuffle).
 
-    The |C| scores are projected as real columns BEFORE the argmax so each
-    dot product evaluates exactly once per row; folding the running
-    best-score into nested WHEN trees re-embeds every earlier score
-    subtree at every level, and codegen then re-evaluates the 64-term
-    aggregates combinatorially (measured: 4.2s → 0.6s at bench scale for
-    8 centroids).  Ties resolve to the lowest centroid id (first argmax),
-    identical to the strictly-greater running chain.
+    The whole centroid set enters the plan as ONE array<array<double>>
+    literal and the |C| scores come out of ONE ``transform`` — an earlier
+    form projected one score column per centroid from per-centroid
+    literal vectors, which cost ~|C|×dim py4j expression constructions
+    per call: ~0.8s of pure DRIVER latency at |C|=8, dim=64, paid again
+    on every k-means iteration (measured; the executor-side work was
+    never the problem).  Two older dead ends stay documented: folding the
+    argmax into nested WHEN trees re-embeds every earlier score subtree
+    combinatorially (4.2s → 0.6s when first fixed), and unrolled scalar
+    dot chains are 5× slower than the aggregate lambda.
+
+    Ties resolve to the lowest centroid id — ``array_position`` returns
+    the FIRST index of the max, identical to the WHEN-chain argmax this
+    replaces.  (Sole divergence: a NaN score now matches itself under
+    ``array_position``'s ordering equality, where the old equality chain
+    produced a NULL cell — unreachable for finite inputs.)
     """
     v = _as_double(F.col(vec_col))
-    score_cols = {}
-    for cid, c in enumerate(centroids):
+    mat = []
+    for c in centroids:
         cn = math.sqrt(sum(x * x for x in c)) or 1.0
-        score_cols[f"_ivf_s_{cid}"] = dot(v, _lit_vec([x / cn for x in c]))
-    scored = df.withColumns(score_cols)
-    refs = [F.col(f"_ivf_s_{cid}") for cid in range(len(centroids))]
-    m = refs[0] if len(refs) == 1 else F.greatest(*refs)
-    expr = None
-    for cid in range(len(centroids)):
-        cond = refs[cid] == m
-        expr = F.when(cond, F.lit(cid)) if expr is None else expr.when(cond, F.lit(cid))
-    return scored.withColumn("ivf_cell", expr.cast("int")).drop(*score_cols)
+        mat.append([float(x) / cn for x in c])
+    scores = F.transform(F.lit(mat), lambda c: dot(v, c))
+    s = F.col("_ivf_scores")
+    return (
+        df.withColumn("_ivf_scores", scores)
+        .withColumn(
+            "ivf_cell",
+            (F.array_position(s, F.array_max(s)) - 1).cast("int"),
+        )
+        .drop("_ivf_scores")
+    )
 
 
 def ivf_topk(
@@ -466,22 +524,20 @@ def kmeans_step(
     """
     assigned = ivf_assign(df, centroids, vec_col)
     dim = len(centroids[0])
-    v = _as_double(F.col(vec_col))
-    sums = [
-        F.sum(F.element_at(v, i + 1).cast("decimal(28,12)"))
-        .cast("double")
-        .alias(f"_s_{i}")
-        for i in range(dim)
-    ]
+    sums = _decimal_element_sums_double(vec_col, dim)
     agg = assigned.groupBy("ivf_cell").agg(
         F.count("*").alias("n_assigned"), *sums
     )
     newc = F.array(*[F.col(f"_s_{i}") for i in range(dim)])
-    drift = None
-    for cid, c in enumerate(centroids):
-        d = cosine(_lit_vec(c), newc)
-        cond = F.col("ivf_cell") == cid
-        drift = F.when(cond, d) if drift is None else drift.when(cond, d)
+    # the row's OLD centroid comes out of one matrix literal by cell id —
+    # the per-cell WHEN chain this replaces built |C| cosine subtrees
+    # (≈6 py4j lambda conversions each) of pure driver latency; values
+    # are identical (same sequential dot over the same centroid)
+    oldc = F.element_at(
+        F.lit([[float(x) for x in c] for c in centroids]),
+        F.col("ivf_cell") + 1,
+    )
+    drift = cosine(oldc, newc)
     return agg.select(
         "ivf_cell",
         "n_assigned",
@@ -504,11 +560,7 @@ def kmeans_update(
     """
     assigned = ivf_assign(df, centroids, vec_col)
     dim = len(centroids[0])
-    v = _as_double(F.col(vec_col))
-    sums = [
-        F.sum(F.element_at(v, i + 1).cast("decimal(28,12)")).alias(f"_s_{i}")
-        for i in range(dim)
-    ]
+    sums = _decimal_element_sums(vec_col, dim)
     rows = assigned.groupBy("ivf_cell").agg(
         F.count("*").alias("_n"), *sums
     ).collect()
@@ -600,28 +652,32 @@ def ivf_probe_assign(
     cells), with ties resolved to the lower cell id via the struct sort.
     Purely narrow: |C| dot products per row, no shuffle.
 
-    The |C| scores are projected as real columns BEFORE the sort (the
-    ``ivf_assign`` lesson): embedding the 64-term aggregate lambdas
-    directly inside the array-of-structs multiplies analysis/codegen cost
-    by |C| — measured 4.4s → 0.1s plan time at test scale.
+    Like ``ivf_assign``, the centroid set is ONE matrix literal and the
+    scores come out of ONE ``transform`` (the per-centroid score-column
+    form cost ~|C|×dim py4j constructions of pure driver latency per
+    call).  The scores array is projected as a real column before the
+    struct sort so the aggregate lambdas are not re-embedded per struct
+    entry (the original lesson — 4.4s → 0.1s plan time — still applies,
+    just at array granularity now).
     """
     v = _as_double(F.col(vec_col))
-    score_cols = {}
-    for cid, c in enumerate(centroids):
+    mat = []
+    for c in centroids:
         cn = math.sqrt(sum(x * x for x in c)) or 1.0
-        score_cols[f"_pr_s_{cid}"] = dot(v, _lit_vec([x / cn for x in c]))
-    scored = queries.withColumns(score_cols)
-    entries = [
-        F.struct(
-            (-F.col(f"_pr_s_{cid}")).alias("neg"),
-            F.lit(cid).cast("int").alias("cell"),
+        mat.append([float(x) / cn for x in c])
+    scores = F.transform(F.lit(mat), lambda c: dot(v, c))
+    entries = F.transform(
+        F.col("_pr_scores"),
+        lambda s, i: F.struct((-s).alias("neg"), i.cast("int").alias("cell")),
+    )
+    ranked = F.slice(F.array_sort(entries), 1, n_probe)
+    return (
+        queries.withColumn("_pr_scores", scores)
+        .withColumn(
+            "probe_cell", F.explode(F.transform(ranked, lambda s: s["cell"]))
         )
-        for cid in range(len(centroids))
-    ]
-    ranked = F.slice(F.array_sort(F.array(*entries)), 1, n_probe)
-    return scored.withColumn(
-        "probe_cell", F.explode(F.transform(ranked, lambda s: s["cell"]))
-    ).drop(*score_cols)
+        .drop("_pr_scores")
+    )
 
 
 def ivf_topk_join(
