@@ -32,6 +32,7 @@ from buildkite_logs_parquet_spark.operators import dedup as D
 from buildkite_logs_parquet_spark.operators import graph as G
 from buildkite_logs_parquet_spark.operators import packing as PK
 from buildkite_logs_parquet_spark.operators import queries as Q
+from buildkite_logs_parquet_spark.operators import retrieval as R
 from buildkite_logs_parquet_spark.operators import similarity as S
 from buildkite_logs_parquet_spark.operators import text_analysis as TA
 from buildkite_logs_parquet_spark.operators.ingest import (
@@ -1120,11 +1121,50 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-100 (operators/text_analysis.py::bm25_scores):
     lexical retrieval against a literal query; decimal-summed per-term
-    scores, avgdl from exact integers, TakeOrderedAndProject via top_n."""
+    scores, avgdl from exact integers, TakeOrderedAndProject via top_n.
+
+    Round-4 union-tag: the 'rrf' leg rides the same row — hybrid
+    retrieval (operators/retrieval.py::rrf_fuse) fusing the BM25 ranking
+    with the dense cosine ranking against the vec_id=0 query vector,
+    contributions round(1/(60+rank), 9) decimal-summed so the fused
+    scores are engine-exact.  Columns: (op, doc_id, score, aux) with
+    score the leg's decimal-as-string and aux = n_matched_terms (bm25)
+    / fused rank (rrf)."""
     docs = _t(spark, sf_dir, "documents")
-    return TA.bm25_scores(
+    bm = TA.bm25_scores(
         docs, ["spark", "query", "merge"], "doc_id", top_n=100
     )
+    bm25_leg = bm.select(
+        F.lit("bm25").alias("op"),
+        "doc_id",
+        F.col("bm25").alias("score"),
+        F.col("n_matched_terms").cast("long").alias("aux"),
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    lex_ranked = R.with_rank(
+        bm.withColumn("_s", F.col("bm25").cast("decimal(38,9)")),
+        [F.col("_s").desc()],
+        "doc_id",
+    )
+    dense = S.cosine_topk(
+        emb.where(F.col("vec_id") != 0), qvec, k=100, round_to=4
+    )
+    dense_ranked = R.with_rank(
+        dense.withColumnRenamed("vec_id", "doc_id"),
+        [F.col("cosine").desc()],
+        "doc_id",
+    )
+    fused = R.rrf_fuse(
+        {"bm25": lex_ranked, "dense": dense_ranked}, id_col="doc_id"
+    )
+    rrf_leg = fused.select(
+        F.lit("rrf").alias("op"),
+        "doc_id",
+        F.col("rrf_score").cast("string").alias("score"),
+        F.col("rank").cast("long").alias("aux"),
+    )
+    return bm25_leg.unionByName(rrf_leg)
 
 
 #: fixed learned-merge list for the registered BPE encode — includes a
@@ -2663,9 +2703,37 @@ per AS (
   SELECT doc_id, sum(CAST(round(term_score, 9) AS DECIMAL(38,9))) AS s,
          count(*) AS n_matched_terms
   FROM sc GROUP BY doc_id
-)
-SELECT doc_id, CAST(s AS STRING) AS bm25, n_matched_terms
-FROM (SELECT * FROM per ORDER BY s DESC, doc_id LIMIT 100)
+),
+lex_top AS (SELECT * FROM per ORDER BY s DESC, doc_id LIMIT 100),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank
+  FROM lex_top
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+dense_top AS (
+  SELECT vec_id AS doc_id,
+         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                      (SELECT qv FROM q)), 4) AS cosine
+  FROM embeddings WHERE vec_id <> 0
+  ORDER BY cosine DESC, vec_id LIMIT 100
+),
+dense AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank
+  FROM dense_top
+),
+contrib AS (
+  SELECT doc_id, CAST(round(1.0 / (60 + rank), 9) AS DECIMAL(38,9)) AS c FROM lex
+  UNION ALL
+  SELECT doc_id, CAST(round(1.0 / (60 + rank), 9) AS DECIMAL(38,9)) AS c FROM dense
+),
+fused AS (SELECT doc_id, sum(c) AS fs FROM contrib GROUP BY doc_id)
+SELECT 'bm25' AS op, doc_id, CAST(s AS STRING) AS score,
+       CAST(n_matched_terms AS BIGINT) AS aux
+FROM lex_top
+UNION ALL
+SELECT 'rrf' AS op, doc_id, CAST(fs AS STRING) AS score,
+       CAST(row_number() OVER (ORDER BY fs DESC, doc_id) AS BIGINT) AS aux
+FROM fused
 """
 
     # BPE encode: the oracle replays the encoder's leftmost-lowest-rank

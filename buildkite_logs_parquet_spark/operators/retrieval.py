@@ -1,0 +1,119 @@
+"""Hybrid retrieval: rank fusion of lexical (BM25) and dense (embedding
+k-NN) result lists.
+
+Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+``RRF(d) = Σ_lists w_l / (k0 + rank_l(d))`` — robust to incomparable
+score scales, which is exactly the lexical-vs-cosine situation, and the
+standard first fusion baseline in hybrid search engines.
+
+Reference parity note: the reference engine (wolfeidau/
+buildkite-logs-parquet) has no retrieval surface — this module is part
+of the training-data/RAG extension tier, composing ``text_analysis.
+bm25_scores`` with ``similarity.cosine_topk`` / ``ivf_topk_join``.
+
+Determinism discipline (DETERMINISM.md): each list contributes
+``round(w/(k0+rank), round_to)`` summed as DECIMAL — order-independent
+and engine-exact, so fused scores are oracle-checkable; final ranks tie-
+break on the document id.
+
+100 TB shape: inputs are already top-``depth`` ranked lists (bounded —
+TakeOrderedAndProject on the BM25 side, per-query rank windows on the
+ANN side), so fusion is a union + one groupBy over ≤ |lists|·depth rows
+per query: metadata-sized relative to the corpus, shuffled by id key
+only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rrf_fuse(
+    sources: dict[str, DataFrame],
+    id_col: str,
+    rank_col: str = "rank",
+    k0: int = 60,
+    weights: dict[str, float] | None = None,
+    round_to: int = 9,
+) -> DataFrame:
+    """Fuse named ranked lists into one RRF-ordered list.
+
+    ``sources`` maps a list name to a DataFrame carrying ``(id_col,
+    rank_col)`` with rank 1-based; missing ids simply contribute nothing
+    (the RRF convention).  Returns ``(id_col, rrf_score DECIMAL(38,
+    round_to), n_lists, rank)`` ordered by score desc with id tie-break.
+    """
+    weights = weights or {}
+    tagged = None
+    for name, df in sources.items():
+        w = float(weights.get(name, 1.0))
+        contrib = F.round(
+            F.lit(w) / (F.lit(int(k0)) + F.col(rank_col).cast("double")),
+            round_to,
+        ).cast(f"decimal(38,{round_to})")
+        part = df.select(
+            F.col(id_col), contrib.alias("_contrib")
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    if tagged is None:
+        raise ValueError("rrf_fuse needs at least one ranked source")
+    fused = tagged.groupBy(id_col).agg(
+        F.sum("_contrib").alias("rrf_score"),
+        F.count("*").alias("n_lists"),
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    # the fused relation is ≤ Σ depth rows — the single-partition rank
+    # window is metadata-sized by construction (inputs are top-k lists)
+    return fused.withColumn("rank", F.row_number().over(w))
+
+
+def with_rank(
+    df: DataFrame, order_by: list, id_col: str, rank_col: str = "rank"
+) -> DataFrame:
+    """1-based dense ranking helper: ``row_number`` over ``order_by`` with
+    the id as the final tie-break, for feeding score-sorted top-k results
+    into ``rrf_fuse``."""
+    w = Window.orderBy(*order_by, F.col(id_col))
+    return df.withColumn(rank_col, F.row_number().over(w))
+
+
+def hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec: list[float],
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text_col: str = "text",
+    depth: int = 100,
+    k0: int = 60,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """One-query hybrid retrieval: BM25 top-``depth`` over ``docs`` fused
+    with exact cosine top-``depth`` over ``embeddings`` (ids must refer to
+    the same documents).  Returns the ``rrf_fuse`` output keyed by
+    ``doc_id_col``."""
+    from buildkite_logs_parquet_spark.operators.similarity import cosine_topk
+    from buildkite_logs_parquet_spark.operators.text_analysis import bm25_scores
+
+    lex = bm25_scores(docs, query_terms, doc_id_col, text_col, top_n=depth)
+    lex_ranked = with_rank(
+        lex.withColumn("_s", F.col("bm25").cast("decimal(38,9)")),
+        [F.col("_s").desc()],
+        doc_id_col,
+    )
+    dense = cosine_topk(
+        embeddings, query_vec, k=depth, id_col=vec_id_col, round_to=4
+    )
+    dense_ranked = with_rank(
+        dense.withColumnRenamed(vec_id_col, doc_id_col),
+        [F.col("cosine").desc()],
+        doc_id_col,
+    )
+    return rrf_fuse(
+        {"bm25": lex_ranked, "dense": dense_ranked},
+        id_col=doc_id_col,
+        k0=k0,
+        weights=weights,
+    )
