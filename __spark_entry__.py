@@ -35,6 +35,7 @@ from buildkite_logs_parquet_spark.operators import queries as Q
 from buildkite_logs_parquet_spark.operators import retrieval as R
 from buildkite_logs_parquet_spark.operators import similarity as S
 from buildkite_logs_parquet_spark.operators import text_analysis as TA
+from buildkite_logs_parquet_spark.operators import timeseries as TS
 from buildkite_logs_parquet_spark.operators.ingest import (
     entries_view,
     parse_log_lines,
@@ -562,7 +563,29 @@ def q_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50",
         "p90",
     )
-    return hourly.unionByName(jsonb).unionByName(pctl)
+    # round-4 union-tag: the hypertable-style multi-granularity rollup
+    # (operators/timeseries.py::time_rollup — native ROLLUP, one Expand +
+    # one shuffle for all four levels) rides the same row; the oracle
+    # replays it with SQL GROUP BY ROLLUP
+    roll = TS.time_rollup(
+        ev,
+        "ts_ms",
+        ["event_type"],
+        [
+            F.count("*").alias("n_events"),
+            _money(F.sum(_dec(F.col("value"), 2))).alias("total_value"),
+        ],
+    ).select(
+        F.lit("rollup").alias("side"),
+        F.concat_ws(
+            "|", F.col("level").cast("string"), "day", "hour", "event_type"
+        ).alias("key"),
+        "n_events",
+        "total_value",
+        ndbl.alias("p50"),
+        ndbl.alias("p90"),
+    )
+    return hourly.unionByName(jsonb).unionByName(pctl).unionByName(roll)
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1619,6 +1642,21 @@ SELECT 'pctl' AS side, event_type AS key, count(*) AS n_events,
        quantile_cont(value, 0.9) AS p90
 FROM events
 GROUP BY event_type
+UNION ALL
+SELECT 'rollup' AS side,
+       concat_ws('|',
+                 CAST(3 - GROUPING(d) - GROUPING(h) - GROUPING(event_type) AS STRING),
+                 d, h, event_type) AS key,
+       count(*) AS n_events,
+       CAST(sum({dec('value', 2)}) AS STRING) AS total_value,
+       CAST(NULL AS DOUBLE) AS p50, CAST(NULL AS DOUBLE) AS p90
+FROM (
+  SELECT strftime(ts, '%Y-%m-%d') AS d,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+         event_type, value
+  FROM events
+)
+GROUP BY ROLLUP(d, h, event_type)
 """
 
     sql["events_sessions"] = """

@@ -1,0 +1,87 @@
+"""Multi-granularity time rollups (operators/timeseries.py)."""
+
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from buildkite_logs_parquet_spark.operators.timeseries import (
+    time_bucket,
+    time_rollup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+HOUR_MS = 3_600_000
+
+
+def test_time_bucket_floors_to_boundary(spark):
+    df = spark.createDataFrame(
+        [(0,), (HOUR_MS - 1,), (HOUR_MS,), (3 * HOUR_MS + 17,)], "ts_ms long"
+    )
+    out = [r["b"] for r in df.select(time_bucket(F.col("ts_ms"), HOUR_MS).alias("b")).collect()]
+    assert out == [0, 0, HOUR_MS, 3 * HOUR_MS]
+
+
+def _events(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ts_dtype = dict(ev.dtypes)["ts"]
+    if ts_dtype in ("bigint", "long", "int"):
+        ts_ms = F.expr("CAST(ts DIV 1000000 AS BIGINT)")
+    elif ts_dtype == "timestamp_ntz":
+        ts_ms = F.expr(
+            "timestampdiff(MILLISECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        )
+    else:
+        ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    return ev.withColumn("ts_ms", ts_ms)
+
+
+def _aggs():
+    return [
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+    ]
+
+
+def test_rollup_levels_match_independent_groupbys(spark):
+    ev = _events(spark)
+    out = time_rollup(ev, "ts_ms", ["event_type"], _aggs())
+    got = {
+        (r["level"], r["day"], r["hour"], r["event_type"]): (
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in out.collect()
+    }
+    ts = F.timestamp_millis(F.col("ts_ms"))
+    base = ev.withColumn("_d", F.date_format(ts, "yyyy-MM-dd")).withColumn(
+        "_h", F.date_format(ts, "yyyy-MM-dd HH:00:00")
+    )
+    # level 3: (day, hour, type) — plain groupBy must agree exactly
+    lvl3 = base.groupBy("_d", "_h", "event_type").agg(*_aggs()).collect()
+    for r in lvl3:
+        assert got[(3, r["_d"], r["_h"], r["event_type"])] == (
+            r["n_events"],
+            r["total_value"],
+        )
+    # level 1: per-day totals
+    lvl1 = base.groupBy("_d").agg(*_aggs()).collect()
+    for r in lvl1:
+        assert got[(1, r["_d"], None, None)] == (r["n_events"], r["total_value"])
+    # level 0: grand total
+    tot = base.agg(*_aggs()).first()
+    assert got[(0, None, None, None)] == (tot["n_events"], tot["total_value"])
+    # every level present, and level-0 value equals the sum of any level
+    lvl2_sum = sum(
+        (v[1] for k, v in got.items() if k[0] == 2), Decimal("0")
+    )
+    assert lvl2_sum == tot["total_value"]
+
+
+def test_rollup_is_one_pass(spark):
+    ev = _events(spark)
+    out = time_rollup(ev, "ts_ms", ["event_type"], _aggs())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # native grouping sets: ONE Expand, ONE shuffle — not L scans/joins
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange") == 1
