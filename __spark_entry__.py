@@ -1060,7 +1060,16 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_token_ratio",
         "top_bigram_ratio",
     )
-    return gop.join(rep, on="doc_id")
+    # round-4 union-tag: the per-language dynamic quantile cutoff
+    # (curation.quantile_threshold_filter — |langs|-row broadcast
+    # thresholds, corpus never shuffles) rides the same row as two more
+    # audited columns; the oracle replays it with quantile_cont per lang
+    qt = CU.quantile_threshold_filter(docs, "n_chars", "lang", q=0.5).select(
+        "doc_id",
+        F.col("threshold").alias("lang_med_chars"),
+        F.col("kept").alias("above_lang_median"),
+    )
+    return gop.join(rep, on="doc_id").join(qt, on="doc_id")
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2118,12 +2127,23 @@ rep AS (
          round(top_tok / CAST(n_tokens AS DOUBLE), 4) AS top_token_ratio,
          round(coalesce(top_bg / CAST(n_bg AS DOUBLE), 0.0), 4) AS top_bigram_ratio
   FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+),
+qt AS (
+  SELECT lang, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS lang_med_chars
+  FROM documents GROUP BY lang
+),
+qtt AS (
+  SELECT d.doc_id, qt.lang_med_chars,
+         CAST(d.n_chars AS DOUBLE) >= qt.lang_med_chars AS above_lang_median
+  FROM documents d JOIN qt ON d.lang IS NOT DISTINCT FROM qt.lang
 )
 SELECT gop.doc_id AS doc_id, gop.n_tokens, mean_token_len, symbol_ratio,
        has_stopword, fail_reasons, passes,
        rep_n_tokens, n_unique_tokens, dup_token_ratio,
-       top_token_ratio, top_bigram_ratio
+       top_token_ratio, top_bigram_ratio,
+       qtt.lang_med_chars, qtt.above_lang_median
 FROM gop JOIN rep ON gop.doc_id = rep.doc_id
+JOIN qtt ON gop.doc_id = qtt.doc_id
 """
 
     sql["tfidf_top_terms"] = """

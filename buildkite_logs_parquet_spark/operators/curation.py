@@ -679,3 +679,53 @@ def corpus_shuffle(
             int(n_shards), F.col("shuffle_key"), F.col(key_col)
         ).sortWithinPartitions("shuffle_key", key_col)
     return out.orderBy("shuffle_key", key_col)
+
+
+def quantile_threshold_filter(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    q: float = 0.5,
+    keep: str = "above",
+    exact: bool = True,
+    rel_error: float = 0.001,
+) -> DataFrame:
+    """Per-group dynamic score cutoff: flag rows that clear their OWN
+    group's ``q``-quantile of ``score_col`` — the domain/language-
+    balanced form of quality filtering (one global cutoff over-prunes
+    low-resource groups whose score distribution sits lower; per-group
+    quantiles prune the same *fraction* everywhere).
+
+    Returns the input plus ``threshold`` (the group's quantile) and
+    ``kept`` (``score >= threshold`` for ``keep="above"``, ``<=`` for
+    ``"below"``); callers filter on ``kept``.  Flag-not-filter keeps the
+    decision auditable, the same discipline as ``gopher_quality_filter``.
+
+    100 TB shape: thresholds are ONE per-group aggregate — |groups| rows
+    — broadcast back onto the corpus, so the corpus itself never
+    shuffles.  ``exact=True`` uses sort-based ``percentile`` (engine-
+    exact, matches DuckDB ``quantile_cont`` interpolation — the oracle
+    gate); at extreme per-group cardinality set ``exact=False`` for the
+    mergeable ``percentile_approx`` sketch (bounded memory, rank error
+    ≤ ``rel_error``).
+    """
+    if keep not in ("above", "below"):
+        raise ValueError(f"keep must be 'above' or 'below', got {keep!r}")
+    s = F.col(score_col).cast("double")
+    agg = (
+        F.percentile(s, F.lit(float(q)))
+        if exact
+        else F.percentile_approx(s, F.lit(float(q)), F.lit(int(1.0 / rel_error)))
+    )
+    thresholds = df.groupBy(group_col).agg(agg.alias("threshold")).select(
+        F.col(group_col).alias("_qt_group"), "threshold"
+    )
+    # null-safe equality so a NULL group matches its own threshold row
+    # instead of silently passing everything
+    joined = df.join(
+        F.broadcast(thresholds),
+        on=F.col(group_col).eqNullSafe(F.col("_qt_group")),
+        how="left",
+    ).drop("_qt_group")
+    cond = s >= F.col("threshold") if keep == "above" else s <= F.col("threshold")
+    return joined.withColumn("kept", F.coalesce(cond, F.lit(True)))

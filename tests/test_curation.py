@@ -3,6 +3,7 @@ filtering, within-document repetition metrics."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from buildkite_logs_parquet_spark.operators.curation import (
@@ -525,3 +526,60 @@ def test_mix_corpora_temperature_upsamples_low_resource(spark):
         mix_corpora(df, "doc_id", "source", weights={"web": 1}, temperature=0.5)
     with pytest.raises(ValueError):
         mix_corpora(df, "doc_id", "source")
+
+
+class TestQuantileThresholdFilter:
+    def test_matches_numpy_per_group_quantile(self, spark):
+        import numpy as np
+        from buildkite_logs_parquet_spark.operators.curation import (
+            quantile_threshold_filter,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = quantile_threshold_filter(
+            docs, "n_chars", "lang", q=0.5
+        ).collect()
+        by_lang: dict = {}
+        for r in out:
+            by_lang.setdefault(r["lang"], []).append(r)
+        for lang, rows in by_lang.items():
+            want = float(np.percentile([r["n_chars"] for r in rows], 50))
+            for r in rows:
+                assert r["threshold"] == pytest.approx(want)
+                assert r["kept"] == (r["n_chars"] >= r["threshold"])
+        # per-group: roughly half kept, never none
+        for lang, rows in by_lang.items():
+            kept = sum(r["kept"] for r in rows)
+            assert kept >= len(rows) / 2
+
+    def test_keep_below_and_null_group(self, spark):
+        from buildkite_logs_parquet_spark.operators.curation import (
+            quantile_threshold_filter,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0),
+             (4, None, 5.0), (5, None, 15.0)],
+            "id long, g string, s double",
+        )
+        out = {r["id"]: r for r in quantile_threshold_filter(
+            df, "s", "g", q=0.5, keep="below"
+        ).collect()}
+        assert out[1]["kept"] and out[2]["kept"] and not out[3]["kept"]
+        # NULL group matched its own threshold row (median 10.0)
+        assert out[4]["threshold"] == pytest.approx(10.0)
+        assert out[4]["kept"] and not out[5]["kept"]
+
+    def test_approx_mode_and_bad_keep(self, spark):
+        from buildkite_logs_parquet_spark.operators.curation import (
+            quantile_threshold_filter,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = quantile_threshold_filter(
+            docs, "n_chars", "lang", q=0.5, exact=False
+        )
+        rows = out.collect()
+        assert all(r["threshold"] is not None for r in rows)
+        with pytest.raises(ValueError):
+            quantile_threshold_filter(docs, "n_chars", "lang", keep="sideways")
