@@ -161,6 +161,22 @@ def _extra_ops():
         merges, words = learn_bpe(docs, 8)  # 8 merge rounds incl. argmaxes
         return words.select("word", "freq")
 
+    def learn_unigram3(spark, sf_dir):
+        from buildkite_logs_parquet_spark.operators.unigram import (
+            learn_unigram,
+            unigram_encode,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # full train→encode cycle: 3 prune rounds of 2 EM passes each,
+        # then Viterbi-encode the corpus with the learned vocab
+        vocab, _hist = learn_unigram(
+            docs, vocab_size=256, max_piece_len=5, max_rounds=3
+        )
+        return unigram_encode(docs, vocab, "doc_id").select(
+            "doc_id", "n_tokens"
+        )
+
     def kmeans_fit(spark, sf_dir):
         import __spark_entry__ as E
         from buildkite_logs_parquet_spark.operators.similarity import (
@@ -181,6 +197,7 @@ def _extra_ops():
         "x_ann_batch_join": ann_batch_join,
         "x_incremental_neardup": incremental_neardup,
         "x_learn_bpe8": learn_bpe8,
+        "x_learn_unigram3": learn_unigram3,
         "x_kmeans_fit5": kmeans_fit,
     }
 
