@@ -227,6 +227,134 @@ def embed_media(
     return media.select("media_id", "payload").mapInPandas(run, schema=schema)
 
 
+def audio_features(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    round_to: int = 6,
+) -> DataFrame:
+    """REAL audio decode + per-clip signal features over PCM WAV payloads
+    (``functions/audio_codec.decode_wav`` — pure stdlib, the audio twin
+    of the PNG/PPM image path): sample rate, channel/sample counts,
+    duration, RMS level and zero-crossing rate of the first channel.
+
+    Undecodable payloads quarantine as NULL-feature rows (``decode_ok``
+    false) rather than failing the job — the scanner's quarantine
+    discipline applied to media.  Same Arrow-batching shape as
+    ``extract_features``: payloads never leave the executors.  Features
+    are float64 math rounded to ``round_to`` dp — deterministic per
+    payload.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from buildkite_logs_parquet_spark.functions.audio_codec import (
+            decode_wav,
+        )
+
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                row = {
+                    id_col: media_id,
+                    "decode_ok": False,
+                    "sample_rate": None,
+                    "n_channels": None,
+                    "n_samples": None,
+                    "duration_ms": None,
+                    "rms": None,
+                    "zero_crossing_rate": None,
+                }
+                try:
+                    sr, samples = decode_wav(bytes(payload))
+                    mono = samples[:, 0].astype(np.float64) / 32768.0
+                    n = len(mono)
+                    zc = (
+                        float(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                        / (n - 1)
+                        if n > 1
+                        else 0.0
+                    )
+                    row.update(
+                        decode_ok=True,
+                        sample_rate=int(sr),
+                        n_channels=int(samples.shape[1]),
+                        n_samples=int(n),
+                        duration_ms=round(1000.0 * n / sr, round_to),
+                        rms=round(float(np.sqrt(np.mean(mono**2))) if n else 0.0, round_to),
+                        zero_crossing_rate=round(zc, round_to),
+                    )
+                except Exception:
+                    pass
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    schema = (
+        f"{id_col} long, decode_ok boolean, sample_rate int, "
+        "n_channels int, n_samples long, duration_ms double, "
+        "rms double, zero_crossing_rate double"
+    )
+    return media.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def audio_frame_windows(
+    media: DataFrame,
+    window_ms: int = 25,
+    hop_ms: int = 10,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    round_to: int = 6,
+) -> DataFrame:
+    """Fixed-length analysis windows over decoded WAV payloads — the
+    audio analogue of video ``frame_sample_plan``: one row per
+    (clip, window) with the window's start offset and RMS, the framing
+    every downstream audio featurizer (filterbanks, VAD, ASR chunking)
+    starts from.
+
+    Row count multiplies by ~duration/hop — like the video explode,
+    repartition AFTER this stage, not before.  Windows shorter than
+    ``window_ms`` at the clip tail are dropped (standard framing).
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from buildkite_logs_parquet_spark.functions.audio_codec import (
+            decode_wav,
+        )
+
+        for pdf in batches:
+            ids, idxs, starts, rmss = [], [], [], []
+            for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    sr, samples = decode_wav(bytes(payload))
+                except Exception:
+                    continue
+                mono = samples[:, 0].astype(np.float64) / 32768.0
+                win = max(int(sr * window_ms / 1000), 1)
+                hop = max(int(sr * hop_ms / 1000), 1)
+                for k, s in enumerate(range(0, len(mono) - win + 1, hop)):
+                    w = mono[s : s + win]
+                    ids.append(media_id)
+                    idxs.append(k)
+                    starts.append(round(1000.0 * s / sr, round_to))
+                    rmss.append(round(float(np.sqrt(np.mean(w**2))), round_to))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "window_index": idxs,
+                    "start_ms": starts,
+                    "rms": rmss,
+                }
+            )
+
+    schema = f"{id_col} long, window_index int, start_ms double, rms double"
+    return media.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
 def frame_sample_plan(
     media: DataFrame, every_nth: int = 2
 ) -> DataFrame:

@@ -108,3 +108,73 @@ def test_media_to_semantic_dedup_end_to_end(spark):
         assert not out[i], i
     for i in range(4, 12):
         assert out[i], i
+
+
+class TestAudio:
+    def _wav_df(self, spark):
+        import numpy as np
+        from buildkite_logs_parquet_spark.functions.audio_codec import encode_wav
+
+        sr = 8000
+        t = np.arange(sr)  # 1 second
+        sine = (10000 * np.sin(2 * np.pi * 100 * t / sr)).astype(np.int16)
+        silence = np.zeros(sr // 2, dtype=np.int16)
+        stereo = np.stack([sine, sine // 2], axis=1)
+        rows = [
+            (1, bytearray(encode_wav(sine, sr))),
+            (2, bytearray(encode_wav(silence, sr))),
+            (3, bytearray(encode_wav(stereo, sr))),
+            (4, bytearray(b"not a wav")),
+        ]
+        return spark.createDataFrame(rows, "media_id long, payload binary")
+
+    def test_codec_round_trip(self):
+        import numpy as np
+        from buildkite_logs_parquet_spark.functions.audio_codec import (
+            decode_wav,
+            encode_wav,
+        )
+
+        sr = 16000
+        samples = (np.arange(-100, 100) * 50).astype(np.int16)
+        got_sr, got = decode_wav(encode_wav(samples, sr))
+        assert got_sr == sr
+        assert np.array_equal(got[:, 0], samples)
+
+    def test_audio_features(self, spark):
+        import math
+
+        from buildkite_logs_parquet_spark.operators.multimodal import (
+            audio_features,
+        )
+
+        out = {r["media_id"]: r for r in audio_features(self._wav_df(spark)).collect()}
+        sine = out[1]
+        assert sine["decode_ok"] and sine["sample_rate"] == 8000
+        assert sine["n_samples"] == 8000 and sine["n_channels"] == 1
+        assert sine["duration_ms"] == pytest.approx(1000.0)
+        # RMS of a sine = amplitude/sqrt(2); zcr = 2f/sr
+        assert sine["rms"] == pytest.approx((10000 / 32768.0) / math.sqrt(2), rel=1e-3)
+        assert sine["zero_crossing_rate"] == pytest.approx(2 * 100 / 8000, rel=1e-2)
+        assert out[2]["rms"] == 0.0
+        assert out[3]["n_channels"] == 2
+        # corrupt payload quarantines, never throws
+        assert out[4]["decode_ok"] is False and out[4]["rms"] is None
+
+    def test_audio_frame_windows(self, spark):
+        from buildkite_logs_parquet_spark.operators.multimodal import (
+            audio_frame_windows,
+        )
+
+        df = self._wav_df(spark).where("media_id = 1")
+        rows = audio_frame_windows(df, window_ms=25, hop_ms=10).orderBy(
+            "window_index"
+        ).collect()
+        # 1s clip, 25ms window, 10ms hop: floor((8000-200)/80)+1 windows
+        assert len(rows) == (8000 - 200) // 80 + 1
+        assert rows[0]["start_ms"] == 0.0
+        assert rows[1]["start_ms"] == pytest.approx(10.0)
+        assert all(r["rms"] > 0 for r in rows)
+        # determinism
+        again = audio_frame_windows(df, window_ms=25, hop_ms=10).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
