@@ -161,6 +161,24 @@ def _extra_ops():
         merges, words = learn_bpe(docs, 8)  # 8 merge rounds incl. argmaxes
         return words.select("word", "freq")
 
+    def semantic_contamination_bench(spark, sf_dir):
+        import __spark_entry__ as E
+        from buildkite_logs_parquet_spark.operators.similarity import (
+            semantic_contamination,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        from pyspark.sql import functions as F
+
+        bench_set = emb.where("vec_id % 50 = 0").select(
+            F.col("vec_id").alias("bench_id"), "embedding"
+        )
+        corpus = emb.where("vec_id % 50 != 0")
+        return semantic_contamination(
+            corpus, bench_set, E._ivf_centroids(),
+            threshold=0.9, bench_id_col="bench_id",
+        )
+
     def learn_unigram3(spark, sf_dir):
         from buildkite_logs_parquet_spark.operators.unigram import (
             learn_unigram,
@@ -198,6 +216,7 @@ def _extra_ops():
         "x_incremental_neardup": incremental_neardup,
         "x_learn_bpe8": learn_bpe8,
         "x_learn_unigram3": learn_unigram3,
+        "x_semantic_contamination": semantic_contamination_bench,
         "x_kmeans_fit5": kmeans_fit,
     }
 
@@ -214,7 +233,11 @@ def main() -> None:
     extras = _extra_ops()
     qs.update(extras)
     bench_names = BENCH_QUERIES + sorted(extras)
-    runs = int(os.environ.get("BENCH_RUNS", "2"))
+    # min-of-3 by default: this rig shows occasional ~10s external
+    # interference bursts that can capture BOTH runs of one query under
+    # min-of-2 (observed: same-code totals 63-98s); a third sample makes
+    # the min robust to a single burst at ~+50% bench wall time
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
     timings: dict[str, object] = {}
     errors: dict[str, str] = {}
     total = 0.0
