@@ -1252,9 +1252,29 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from buildkite_logs_parquet_spark.operators import profiling as P
 
     docs = _t(spark, sf_dir, "documents")
-    return P.table_profile(
+    prof = P.table_profile(
         docs, ["doc_id", "n_chars", "lang", "source"], exact=True
     )
+    # round-4 union-tag: snapshot-drift PSI (profiling.corpus_drift) rides
+    # the same row — snapshots are the doc_id parity split, buckets pack
+    # into the column name as 'drift:<col>:<bucket>', counts travel in
+    # n_rows/n_nulls, shares in min/max, the 9-dp PSI term in approx_p50
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    dr = P.corpus_drift(
+        a, b, cat_cols=["lang", "source"], num_cols=["n_chars"], n_bins=8
+    )
+    drift_leg = dr.select(
+        F.concat_ws(":", F.lit("drift"), "column", "bucket").alias("column"),
+        F.col("n_a").alias("n_rows"),
+        F.col("n_b").alias("n_nulls"),
+        F.lit(None).cast("long").alias("approx_distinct"),
+        F.col("share_a").alias("min"),
+        F.col("share_b").alias("max"),
+        F.col("psi_term").alias("approx_p50"),
+        F.lit(None).cast("double").alias("approx_p95"),
+    )
+    return prof.unionByName(drift_leg)
 
 
 def q_top_terms_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2880,12 +2900,51 @@ SELECT '{c}' AS "column",
        CAST(NULL AS DOUBLE) AS approx_p50, CAST(NULL AS DOUBLE) AS approx_p95
 FROM documents
 """
+    _tp_drift = """
+SELECT 'drift:' || col || ':' || bucket AS "column",
+       n_a AS n_rows, n_b AS n_nulls, CAST(NULL AS BIGINT) AS approx_distinct,
+       n_a / CAST(tot_a AS DOUBLE) AS "min",
+       n_b / CAST(tot_b AS DOUBLE) AS "max",
+       round((greatest(n_a / CAST(tot_a AS DOUBLE), 1e-6)
+              - greatest(n_b / CAST(tot_b AS DOUBLE), 1e-6))
+             * ln(greatest(n_a / CAST(tot_a AS DOUBLE), 1e-6)
+                  / greatest(n_b / CAST(tot_b AS DOUBLE), 1e-6)), 9) AS approx_p50,
+       CAST(NULL AS DOUBLE) AS approx_p95
+FROM (
+  SELECT col, bucket, sum(n_a) AS n_a, sum(n_b) AS n_b,
+         sum(sum(n_a)) OVER (PARTITION BY col) AS tot_a,
+         sum(sum(n_b)) OVER (PARTITION BY col) AS tot_b
+  FROM (
+    SELECT col, bucket,
+           CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS n_a,
+           CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS n_b
+    FROM (
+      SELECT doc_id, 'lang' AS col,
+             coalesce(CAST(lang AS STRING), '<null>') AS bucket FROM documents
+      UNION ALL
+      SELECT doc_id, 'source',
+             coalesce(CAST(source AS STRING), '<null>') FROM documents
+      UNION ALL
+      SELECT d.doc_id, 'n_chars',
+             coalesce(CAST(CAST(least(greatest(
+               floor((CAST(d.n_chars AS DOUBLE) - bnd.lo)
+                     / ((bnd.hi - bnd.lo) / 8)),
+               0), 7) AS BIGINT) AS STRING), '<null>')
+      FROM documents d,
+           (SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
+                   CAST(max(n_chars) AS DOUBLE) AS hi FROM documents) bnd
+    )
+  )
+  GROUP BY col, bucket
+)
+"""
     sql["table_profile"] = " UNION ALL ".join(
         [
             _tp_num.format(c="doc_id"),
             _tp_num.format(c="n_chars"),
             _tp_str.format(c="lang"),
             _tp_str.format(c="source"),
+            _tp_drift,
         ]
     )
 

@@ -92,3 +92,117 @@ def table_profile(
             )
         )
     return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+
+
+def corpus_drift(
+    a: DataFrame,
+    b: DataFrame,
+    cat_cols: list[str] | None = None,
+    num_cols: list[str] | None = None,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+    round_to: int = 9,
+) -> DataFrame:
+    """Distribution drift between two corpus snapshots, per column and
+    bucket, with Population Stability Index terms — the audit a pipeline
+    runs between crawls / after a filter change to catch silent
+    distribution shift (language mix, source mix, length profile).
+
+    Categorical columns bucket by value; numeric columns by ``n_bins``
+    equal-width bins over the COMBINED min/max (one metadata-sized
+    bounds aggregate), so both snapshots share a binning.  Output: one
+    row per (column, bucket) with counts, shares, and
+    ``psi_term = (share_a − share_b) · ln(share_a / share_b)`` (shares
+    floored at ``eps`` — the standard PSI smoothing; term rounded to
+    ``round_to`` dp).  ``Σ psi_term`` per column — see
+    ``drift_summary`` — reads on the usual scale: < 0.1 stable, > 0.25
+    shifted.
+
+    100 TB shape: each snapshot is scanned once into (column, bucket)
+    counts — ONE shuffle bounded by Σ bucket cardinalities, never corpus
+    rows; totals, the bucket join, and PSI math all run on that
+    metadata-sized relation.
+    """
+    cat_cols = list(cat_cols or [])
+    num_cols = list(num_cols or [])
+    if not cat_cols and not num_cols:
+        raise ValueError("corpus_drift needs at least one column")
+    bounds: dict[str, tuple[float, float]] = {}
+    if num_cols:
+        proj = a.select(*num_cols).unionByName(b.select(*num_cols))
+        row = proj.agg(
+            *[F.min(c).cast("double").alias(f"{c}__lo") for c in num_cols],
+            *[F.max(c).cast("double").alias(f"{c}__hi") for c in num_cols],
+        ).first()
+        for c in num_cols:
+            bounds[c] = (row[f"{c}__lo"] or 0.0, row[f"{c}__hi"] or 0.0)
+
+    def bucketed_counts(df: DataFrame, side: str) -> DataFrame:
+        entries = []
+        for c in cat_cols:
+            entries.append(
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.coalesce(F.col(c).cast("string"), F.lit("<null>")).alias(
+                        "bucket"
+                    ),
+                )
+            )
+        for c in num_cols:
+            lo, hi = bounds[c]
+            width = ((hi - lo) / n_bins) or 1.0
+            idx = F.least(
+                F.greatest(
+                    F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(width)),
+                    F.lit(0),
+                ),
+                F.lit(int(n_bins) - 1),
+            )
+            entries.append(
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.coalesce(idx.cast("string"), F.lit("<null>")).alias(
+                        "bucket"
+                    ),
+                )
+            )
+        return (
+            df.select(F.explode(F.array(*entries)).alias("e"))
+            .groupBy("e.column", "e.bucket")
+            .agg(F.count("*").alias(f"n_{side}"))
+        )
+
+    ca = bucketed_counts(a, "a")
+    cb = bucketed_counts(b, "b")
+    # totals per column: an aggregate OVER the (already metadata-sized)
+    # bucket-count relation — no second corpus scan
+    ta = ca.groupBy("column").agg(F.sum("n_a").alias("tot_a"))
+    tb = cb.groupBy("column").agg(F.sum("n_b").alias("tot_b"))
+    joined = (
+        ca.join(cb, on=["column", "bucket"], how="full_outer")
+        .na.fill({"n_a": 0, "n_b": 0})
+        .join(F.broadcast(ta), on="column")
+        .join(F.broadcast(tb), on="column")
+    )
+    pa = F.greatest(F.col("n_a") / F.col("tot_a"), F.lit(float(eps)))
+    pb = F.greatest(F.col("n_b") / F.col("tot_b"), F.lit(float(eps)))
+    return joined.select(
+        "column",
+        "bucket",
+        "n_a",
+        "n_b",
+        (F.col("n_a") / F.col("tot_a")).alias("share_a"),
+        (F.col("n_b") / F.col("tot_b")).alias("share_b"),
+        F.round((pa - pb) * F.log(pa / pb), round_to).alias("psi_term"),
+    )
+
+
+def drift_summary(drift: DataFrame, round_to: int = 9) -> DataFrame:
+    """Per-column PSI from a ``corpus_drift`` relation: the 9-dp-rounded
+    terms DECIMAL-sum (order-independent), so the headline drift number
+    is engine-exact."""
+    d = f"decimal(38,{round_to})"
+    return drift.groupBy("column").agg(
+        F.sum(F.col("psi_term").cast(d)).alias("psi"),
+        F.count("*").alias("n_buckets"),
+    )

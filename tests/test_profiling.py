@@ -55,3 +55,69 @@ def test_profile_is_one_job_one_aggregate(spark, events):
     aggs = [l for l in plan.splitlines() if "Aggregate" in l]
     # partial + final of the single global aggregate
     assert 1 <= len(aggs) <= 3, plan[:1200]
+
+
+class TestCorpusDrift:
+    def test_identical_snapshots_zero_psi(self, spark):
+        from buildkite_logs_parquet_spark.operators.profiling import (
+            corpus_drift,
+            drift_summary,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = corpus_drift(docs, docs, cat_cols=["lang"], num_cols=["n_chars"])
+        rows = out.collect()
+        assert rows and all(r["psi_term"] == 0.0 for r in rows)
+        summ = {r["column"]: float(r["psi"]) for r in drift_summary(out).collect()}
+        assert summ == {"lang": 0.0, "n_chars": 0.0}
+
+    def test_shifted_snapshot_detected(self, spark):
+        from buildkite_logs_parquet_spark.operators.profiling import (
+            corpus_drift,
+            drift_summary,
+        )
+
+        a = spark.createDataFrame(
+            [(i, "en") for i in range(90)] + [(i, "de") for i in range(10)],
+            "id long, lang string",
+        )
+        b = spark.createDataFrame(
+            [(i, "en") for i in range(50)] + [(i, "de") for i in range(50)],
+            "id long, lang string",
+        )
+        import math
+
+        out = {r["bucket"]: r for r in corpus_drift(a, b, cat_cols=["lang"]).collect()}
+        assert out["en"]["share_a"] == pytest.approx(0.9)
+        assert out["en"]["share_b"] == pytest.approx(0.5)
+        want_en = (0.9 - 0.5) * math.log(0.9 / 0.5)
+        assert out["en"]["psi_term"] == pytest.approx(want_en, abs=1e-9)
+        psi = float(drift_summary(corpus_drift(a, b, cat_cols=["lang"])).first()["psi"])
+        want = want_en + (0.1 - 0.5) * math.log(0.1 / 0.5)
+        assert psi == pytest.approx(want, abs=1e-6)
+        assert psi > 0.25  # "shifted" on the standard PSI scale
+
+    def test_disjoint_buckets_and_nulls(self, spark):
+        from buildkite_logs_parquet_spark.operators.profiling import corpus_drift
+
+        a = spark.createDataFrame([(1, "x"), (2, None)], "id long, g string")
+        b = spark.createDataFrame([(3, "y")], "id long, g string")
+        rows = {r["bucket"]: r for r in corpus_drift(a, b, cat_cols=["g"]).collect()}
+        assert rows["x"]["n_b"] == 0 and rows["y"]["n_a"] == 0
+        assert rows["<null>"]["n_a"] == 1
+        # eps smoothing keeps psi finite on one-sided buckets
+        assert all(abs(r["psi_term"]) < float("inf") for r in rows.values())
+
+    def test_numeric_binning_shared_bounds(self, spark):
+        from buildkite_logs_parquet_spark.operators.profiling import corpus_drift
+
+        a = spark.createDataFrame([(float(v),) for v in range(0, 50)], "v double")
+        b = spark.createDataFrame([(float(v),) for v in range(50, 100)], "v double")
+        rows = corpus_drift(a, b, num_cols=["v"], n_bins=10).collect()
+        # combined range [0, 99]: a fills bins 0-5, b fills 5-9 (bin 5 at 49.5 width)
+        buckets_a = {r["bucket"] for r in rows if r["n_a"] > 0}
+        buckets_b = {r["bucket"] for r in rows if r["n_b"] > 0}
+        assert buckets_a & {"0", "1", "2"} and buckets_b & {"7", "8", "9"}
+        assert not (buckets_a & {"8", "9"}) and not (buckets_b & {"0", "1"})
+        with pytest.raises(ValueError):
+            corpus_drift(a, b)
