@@ -669,9 +669,44 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact inverted-index Jaccard pairs PLUS the LSH calibration audit
+    in ONE oracle row (round-4 union-tag): 'pair' rows are the k=12
+    exact pairs; 'eval:<metric>' rows carry dedup.neardup_eval's
+    confusion counts and precision/recall of the 8-perm/4-band MinHash
+    path against exact k=8 Jaccard ground truth — the oracle replays
+    both relations and the confusion join in SQL."""
     docs = _t(spark, sf_dir, "documents")
     out = D.ngram_jaccard_pairs(docs, "doc_id", "text", k=12, threshold=0.2)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    pair_leg = out.select(
+        F.lit("pair").alias("op"),
+        "id_a",
+        "id_b",
+        F.round("jaccard", 6).alias("value"),
+    )
+    ev = D.neardup_eval(
+        docs, "doc_id", "text", threshold=0.5, num_perm=8, bands=4, shingle_k=8
+    )
+    metrics = [
+        "n_truth",
+        "n_candidates",
+        "n_predicted",
+        "candidate_hits",
+        "predicted_hits",
+        "candidate_recall",
+        "precision",
+        "recall",
+    ]
+    entries = [
+        F.struct(
+            F.lit(f"eval:{m}").alias("op"),
+            F.lit(None).cast("long").alias("id_a"),
+            F.lit(None).cast("long").alias("id_b"),
+            F.col(m).cast("double").alias("value"),
+        )
+        for m in metrics
+    ]
+    eval_leg = ev.select(F.explode(F.array(*entries)).alias("e")).select("e.*")
+    return pair_leg.unionByName(eval_leg)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1734,8 +1769,13 @@ SELECT count(*) AS unique_rows,
 FROM per_key
 """
 
-    sql["ngram_jaccard"] = """
-WITH sh AS (
+    _agree8 = " + ".join(
+        f"(CASE WHEN sa.minhash_{p} = sb.minhash_{p} THEN 1 ELSE 0 END)"
+        for p in range(8)
+    )
+    sql["ngram_jaccard"] = f"""
+WITH {_LSH_PAIRS_CTE},
+sh AS (
   SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 12) AS shingle
   FROM (
     SELECT doc_id, text,
@@ -1748,13 +1788,53 @@ inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+),
+sizes8 AS (SELECT doc_id, count(*) AS ss FROM o_shingles GROUP BY doc_id),
+inter8 AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM o_shingles a JOIN o_shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT id_a, id_b
+  FROM inter8
+  JOIN sizes8 sa ON id_a = sa.doc_id
+  JOIN sizes8 sb ON id_b = sb.doc_id
+  WHERE CAST(i AS DOUBLE) / (sa.ss + sb.ss - i) >= 0.5
+),
+pred AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN signatures sa ON c.id_a = sa.doc_id
+  JOIN signatures sb ON c.id_b = sb.doc_id
+  WHERE ({_agree8}) / 8.0 >= 0.5
+),
+cnt AS (
+  SELECT (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM cand) AS n_candidates,
+         (SELECT count(*) FROM pred) AS n_predicted,
+         (SELECT count(*) FROM cand JOIN truth USING (id_a, id_b)) AS candidate_hits,
+         (SELECT count(*) FROM pred JOIN truth USING (id_a, id_b)) AS predicted_hits
 )
-SELECT id_a, id_b,
-       round(CAST(intersection AS DOUBLE) / (sa.set_size + sb.set_size - intersection), 6) AS jaccard
+SELECT 'pair' AS op, id_a, id_b,
+       round(CAST(intersection AS DOUBLE) / (sa.set_size + sb.set_size - intersection), 6) AS value
 FROM inter
 JOIN sizes sa ON id_a = sa.doc_id
 JOIN sizes sb ON id_b = sb.doc_id
 WHERE CAST(intersection AS DOUBLE) / (sa.set_size + sb.set_size - intersection) >= 0.2
+UNION ALL
+SELECT u.op, CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b, u.value
+FROM (
+  SELECT 'eval:n_truth' AS op, CAST(n_truth AS DOUBLE) AS value FROM cnt
+  UNION ALL SELECT 'eval:n_candidates', CAST(n_candidates AS DOUBLE) FROM cnt
+  UNION ALL SELECT 'eval:n_predicted', CAST(n_predicted AS DOUBLE) FROM cnt
+  UNION ALL SELECT 'eval:candidate_hits', CAST(candidate_hits AS DOUBLE) FROM cnt
+  UNION ALL SELECT 'eval:predicted_hits', CAST(predicted_hits AS DOUBLE) FROM cnt
+  UNION ALL SELECT 'eval:candidate_recall', candidate_hits / nullif(CAST(n_truth AS DOUBLE), 0) FROM cnt
+  UNION ALL SELECT 'eval:precision', predicted_hits / nullif(CAST(n_predicted AS DOUBLE), 0) FROM cnt
+  UNION ALL SELECT 'eval:recall', predicted_hits / nullif(CAST(n_truth AS DOUBLE), 0) FROM cnt
+) u
 """
 
     # SimHash: per-bit votes over token hashes, majority packs the bit.

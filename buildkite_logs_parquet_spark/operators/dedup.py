@@ -844,3 +844,94 @@ def normalize_for_dedup(
         # slashed words don't fuse into new tokens
         c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
     return F.regexp_replace(F.trim(c), r"\s+", " ")
+
+
+def neardup_eval(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_perm: int = 8,
+    bands: int = 4,
+    shingle_k: int = 8,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Precision/recall audit of the MinHash-LSH near-dup path against
+    EXACT shingle Jaccard — the calibration step before trusting a
+    banding configuration at corpus scale (bands/rows trade recall for
+    candidate volume; this measures the trade on real data).
+
+    Three relations over the same corpus: ``truth`` = exact-Jaccard
+    pairs ≥ ``threshold`` (inverted-index join — every pair sharing ANY
+    shingle, a strict superset of what LSH can surface, so recall is
+    measured against full ground truth); ``candidates`` = banded LSH
+    pairs; ``predicted`` = candidates whose signature-agreement estimate
+    clears ``threshold``.  ONE summary row: counts (exact ints),
+    ``candidate_recall`` (how much truth the bands surface),
+    ``precision``/``recall`` of the refined predictor (NULL when a
+    denominator is empty, via ``try_divide``).
+
+    100 TB shape: no new machinery — the three relations are the
+    existing inverted-index / banded equi-joins (never all-pairs); the
+    confusion counts are one full-outer join of PAIR tables (bounded by
+    shared-shingle co-occurrence, not corpus size) into a single-row
+    aggregate.  The signature table is computed once and persisted
+    across the candidate and predicted legs.
+    """
+    from pyspark import StorageLevel
+
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_perm, shingle_k, hash_fn
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"minhash_{p}").alias(f"_a{p}") for p in range(num_perm)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"minhash_{p}").alias(f"_b{p}") for p in range(num_perm)],
+    )
+    agree = sum(
+        (F.col(f"_a{p}") == F.col(f"_b{p}")).cast("int")
+        for p in range(num_perm)
+    )
+    pred = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where((agree / F.lit(num_perm)) >= threshold)
+        .select("id_a", "id_b")
+    )
+    truth = ngram_jaccard_pairs(
+        df, id_col, text_col, k=shingle_k, threshold=threshold
+    ).select("id_a", "id_b")
+    u = (
+        truth.withColumn("in_t", F.lit(1))
+        .join(cand.withColumn("in_c", F.lit(1)), ["id_a", "id_b"], "full_outer")
+        .join(pred.withColumn("in_p", F.lit(1)), ["id_a", "id_b"], "full_outer")
+        .na.fill({"in_t": 0, "in_c": 0, "in_p": 0})
+    )
+    zero = F.lit(0).cast("long")
+    # coalesce: sum over an EMPTY pair relation is NULL, but "no pairs at
+    # all" must read as zero counts, not null ones
+    agg = u.agg(
+        F.coalesce(F.sum("in_t"), zero).alias("n_truth"),
+        F.coalesce(F.sum("in_c"), zero).alias("n_candidates"),
+        F.coalesce(F.sum("in_p"), zero).alias("n_predicted"),
+        F.coalesce(F.sum(F.col("in_t") * F.col("in_c")), zero).alias(
+            "candidate_hits"
+        ),
+        F.coalesce(F.sum(F.col("in_t") * F.col("in_p")), zero).alias(
+            "predicted_hits"
+        ),
+    )
+    return agg.select(
+        "n_truth",
+        "n_candidates",
+        "n_predicted",
+        "candidate_hits",
+        "predicted_hits",
+        F.try_divide("candidate_hits", "n_truth").alias("candidate_recall"),
+        F.try_divide("predicted_hits", "n_predicted").alias("precision"),
+        F.try_divide("predicted_hits", "n_truth").alias("recall"),
+    )

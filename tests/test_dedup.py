@@ -518,3 +518,41 @@ def test_incremental_near_dups_random_corpus(spark):
         assert got == want
     finally:
         spark.sql("DROP TABLE IF EXISTS sig_lake_prop")
+
+
+class TestNeardupEval:
+    def test_identical_docs_full_recall(self, spark):
+        from buildkite_logs_parquet_spark.operators.dedup import neardup_eval
+
+        rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(4)]
+        rows += [(10 + i, f"completely different text number {i} with unique words {i*7}") for i in range(3)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        r = neardup_eval(df, "doc_id", "text", threshold=0.5).first()
+        # the 6 identical-doc pairs are truth; identical signatures always
+        # share every band and agree on every permutation
+        assert r["n_truth"] >= 6
+        assert r["candidate_hits"] >= 6 and r["predicted_hits"] >= 6
+        assert r["candidate_recall"] >= 6 / r["n_truth"]
+        assert r["recall"] is not None and r["precision"] is not None
+        assert r["n_predicted"] <= r["n_candidates"]
+
+    def test_disjoint_docs_zero_truth_null_ratios(self, spark):
+        from buildkite_logs_parquet_spark.operators.dedup import neardup_eval
+
+        df = spark.createDataFrame(
+            [(1, "aaaaaaaaaaaaaaaaaaaaaaa"), (2, "zzzzzzzzzzzzzzzzzzzzzzz")],
+            "doc_id long, text string",
+        )
+        r = neardup_eval(df, "doc_id", "text", threshold=0.5).first()
+        assert r["n_truth"] == 0 and r["predicted_hits"] == 0
+        assert r["recall"] is None  # try_divide: no truth -> NULL, not error
+
+    def test_eval_on_testdata_is_deterministic(self, spark):
+        from buildkite_logs_parquet_spark.operators.dedup import neardup_eval
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = neardup_eval(docs, "doc_id", "text").first()
+        b = neardup_eval(docs, "doc_id", "text").first()
+        assert a == b
+        assert a["candidate_hits"] <= a["n_truth"]
+        assert a["predicted_hits"] <= a["n_predicted"]
