@@ -1002,11 +1002,19 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction with per-category audit counts (email/IPv4/phone),
     patterns constrained to the RE2 ∩ Java regex subset so the oracle
-    applies byte-identical semantics."""
+    applies byte-identical semantics.
+
+    Round-4 union-tag: the C4-style blocklist audit
+    (curation.blocklist_filter, word mode — literal term filter BEFORE
+    the per-doc count) rides the same row as two more columns."""
     docs = _t(spark, sf_dir, "documents")
-    return CU.pii_scrub(docs, "text").select(
+    scr = CU.pii_scrub(docs, "text").select(
         "doc_id", "n_email", "n_ipv4", "n_phone", "scrubbed"
     )
+    bl = CU.blocklist_filter(
+        docs, "doc_id", "text", ["merge", "query", "spark"]
+    ).select("doc_id", "n_blocklist_hits", "blocked")
+    return scr.join(bl, on="doc_id")
 
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2703,7 +2711,23 @@ FROM documents
     sql["pii_scrub"] = (
         "WITH s0 AS (SELECT doc_id, text AS cur FROM documents),\n"
         + ",\n".join(_pii_ctes)
-        + f"\nSELECT doc_id, {', '.join(_cnt_cols)}, cur AS scrubbed FROM {_prev}"
+        + """,
+bl AS (
+  SELECT doc_id, count(*) AS n_blocklist_hits
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+    FROM documents
+  )
+  WHERE t IN ('merge', 'query', 'spark')
+  GROUP BY doc_id
+)
+"""
+        + f"""
+SELECT p.doc_id AS doc_id, {', '.join(_cnt_cols)}, cur AS scrubbed,
+       coalesce(bl.n_blocklist_hits, 0) AS n_blocklist_hits,
+       coalesce(bl.n_blocklist_hits, 0) > 0 AS blocked
+FROM {_prev} p LEFT JOIN bl ON p.doc_id = bl.doc_id"""
     )
 
     # end-to-end pipeline: gopher pass → fingerprint dedup (keep min id)

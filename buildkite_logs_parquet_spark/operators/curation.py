@@ -729,3 +729,55 @@ def quantile_threshold_filter(
     ).drop("_qt_group")
     cond = s >= F.col("threshold") if keep == "above" else s <= F.col("threshold")
     return joined.withColumn("kept", F.coalesce(cond, F.lit(True)))
+
+
+def blocklist_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    blocklist: list[str],
+    mode: str = "word",
+) -> DataFrame:
+    """C4-style blocklist filtering: flag documents containing banned
+    terms, keeping the hit count for auditing (flag-not-filter, the
+    ``gopher_quality_filter`` discipline).
+
+    ``mode="word"`` matches whole lowercased whitespace tokens — the C4
+    recipe; ``mode="substring"`` counts raw substring occurrences via one
+    escaped regex alternation (catches concatenations at a higher
+    false-positive rate).  Adds ``n_blocklist_hits`` and ``blocked``.
+
+    100 TB shape: word mode filters the token explode by the LITERAL
+    term set BEFORE the per-doc count aggregate — only matching tokens
+    ever shuffle (the bm25 discipline; blocklists are thousands of
+    terms, corpora are billions of tokens); substring mode is a narrow
+    regex count, zero shuffle.
+    """
+    import re as _re
+
+    terms = sorted({t.lower() for t in blocklist})
+    if not terms:
+        raise ValueError("blocklist_filter needs at least one term")
+    if mode == "word":
+        tokens = df.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("_t"),
+        ).where(F.col("_t").isin(terms))
+        hits = tokens.groupBy(id_col).agg(
+            F.count("*").alias("n_blocklist_hits")
+        )
+        out = (
+            df.join(hits, on=id_col, how="left")
+            .na.fill({"n_blocklist_hits": 0})
+        )
+    elif mode == "substring":
+        pat = "|".join(_re.escape(t) for t in terms)
+        out = df.withColumn(
+            "n_blocklist_hits",
+            F.regexp_count(F.lower(F.col(text_col)), F.lit(pat)).cast("long"),
+        )
+    else:
+        raise ValueError(f"mode must be 'word' or 'substring', got {mode!r}")
+    return out.withColumn("blocked", F.col("n_blocklist_hits") > 0)

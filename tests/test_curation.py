@@ -583,3 +583,47 @@ class TestQuantileThresholdFilter:
         assert all(r["threshold"] is not None for r in rows)
         with pytest.raises(ValueError):
             quantile_threshold_filter(docs, "n_chars", "lang", keep="sideways")
+
+
+class TestBlocklistFilter:
+    def test_word_mode_counts_and_flags(self, spark):
+        from buildkite_logs_parquet_spark.operators.curation import (
+            blocklist_filter,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "Bad word here bad BAD"), (2, "all clean text"),
+             (3, "badge is not bad-word but badge")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in blocklist_filter(
+            df, "doc_id", "text", ["bad", "awful"]
+        ).collect()}
+        assert out[1]["n_blocklist_hits"] == 3 and out[1]["blocked"]
+        assert out[2]["n_blocklist_hits"] == 0 and not out[2]["blocked"]
+        # 'badge' and 'bad-word' are NOT whole-token matches
+        assert out[3]["n_blocklist_hits"] == 0
+
+    def test_substring_mode(self, spark):
+        from buildkite_logs_parquet_spark.operators.curation import (
+            blocklist_filter,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "badge embadded bad")], "doc_id long, text string"
+        )
+        r = blocklist_filter(
+            df, "doc_id", "text", ["bad"], mode="substring"
+        ).first()
+        assert r["n_blocklist_hits"] == 3 and r["blocked"]
+
+    def test_empty_blocklist_rejected(self, spark):
+        from buildkite_logs_parquet_spark.operators.curation import (
+            blocklist_filter,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            blocklist_filter(df, "doc_id", "text", [])
+        with pytest.raises(ValueError):
+            blocklist_filter(df, "doc_id", "text", ["x"], mode="phrase")
