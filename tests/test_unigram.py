@@ -97,3 +97,23 @@ def test_encode_token_conservation_on_testdata(spark):
     )
     for r in joined.collect():
         assert r["glued"] == r["flat"], r["doc_id"]
+
+
+def test_unigram_encode_feeds_sequence_packing(spark):
+    """Composition: unigram tokenizer output drives the packing tier with
+    token conservation end-to-end (the same contract bpe_encode proves)."""
+    from pyspark.sql import functions as F
+
+    from buildkite_logs_parquet_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+    vocab, _ = learn_unigram(docs, vocab_size=60, max_piece_len=4, max_rounds=2)
+    enc = unigram_encode(docs, vocab, "doc_id").withColumn(
+        "text", F.concat_ws(" ", "tokens")
+    )
+    total_tokens = enc.agg(F.sum("n_tokens")).first()[0]
+    packed = pack_sequences(enc, "doc_id", "text", capacity=128)
+    packed_tokens = packed.agg(F.sum("n_tokens")).first()[0]
+    assert packed_tokens == total_tokens  # every token lands exactly once
+    caps = [r["n_tokens"] for r in packed.orderBy("seq_id").collect()]
+    assert all(c == 128 for c in caps[:-1]) and 0 < caps[-1] <= 128
