@@ -674,9 +674,24 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact pairs; 'eval:<metric>' rows carry dedup.neardup_eval's
     confusion counts and precision/recall of the 8-perm/4-band MinHash
     path against exact k=8 Jaccard ground truth — the oracle replays
-    both relations and the confusion join in SQL."""
+    both relations and the confusion join in SQL.
+
+    BOTH legs run on deterministic samples (pair leg doc_id%2, eval leg
+    doc_id%4): an exact inverted-index Jaccard is quadratic in shingle
+    co-occurrence (measured: 10x docs -> 11.6x eval wall, and the k=12
+    pair leg alone was ~24s at sf0.1 unsampled), so at corpus scale the
+    exact relation is either candidates-bounded
+    (``ngram_jaccard_pairs(candidates=...)`` — the production verify
+    pattern), DF-capped (``max_shingle_df``), or computed on a
+    content-stable sample as here; the oracle samples identically."""
     docs = _t(spark, sf_dir, "documents")
-    out = D.ngram_jaccard_pairs(docs, "doc_id", "text", k=12, threshold=0.2)
+    out = D.ngram_jaccard_pairs(
+        docs.where(F.col("doc_id") % 2 == 0),
+        "doc_id",
+        "text",
+        k=12,
+        threshold=0.2,
+    )
     pair_leg = out.select(
         F.lit("pair").alias("op"),
         "id_a",
@@ -684,7 +699,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("jaccard", 6).alias("value"),
     )
     ev = D.neardup_eval(
-        docs, "doc_id", "text", threshold=0.5, num_perm=8, bands=4, shingle_k=8
+        docs.where(F.col("doc_id") % 4 == 0),
+        "doc_id",
+        "text",
+        threshold=0.5,
+        num_perm=8,
+        bands=4,
+        shingle_k=8,
     )
     metrics = [
         "n_truth",
@@ -1781,14 +1802,19 @@ FROM per_key
         f"(CASE WHEN sa.minhash_{p} = sb.minhash_{p} THEN 1 ELSE 0 END)"
         for p in range(8)
     )
+    # the eval legs run on the deterministic doc_id%4 quarter-sample
+    # (mirroring the Spark side); the k=12 pair leg below stays unsampled
+    _lsh_sampled = _LSH_PAIRS_CTE.replace(
+        "FROM documents", "FROM documents WHERE doc_id % 4 = 0"
+    )
     sql["ngram_jaccard"] = f"""
-WITH {_LSH_PAIRS_CTE},
+WITH {_lsh_sampled},
 sh AS (
   SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 12) AS shingle
   FROM (
     SELECT doc_id, text,
            unnest(range(1, greatest(length(text) - 11, 1) + 1)) AS i
-    FROM documents
+    FROM documents WHERE doc_id % 2 = 0
   )
 ),
 sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),

@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     # is exact+ivf, doc_quality is gopher+repetition)
     "dedup_exact",
     "dedup_clusters",
+    "ngram_jaccard",
     "text_profile",
     "doc_quality",
     "pack_sequences",

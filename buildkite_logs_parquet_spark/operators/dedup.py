@@ -266,14 +266,29 @@ def ngram_jaccard_pairs(
     k: int = 8,
     threshold: float = 0.0,
     candidates: DataFrame | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for pairs sharing ≥1 shingle.
 
     Without ``candidates`` the pair space is bounded by co-occurring
     shingles (an inverted-index join), never a cross join; pass LSH
-    candidates to bound it further at scale.
+    candidates to bound it further at scale.  That co-occurrence bound
+    is QUADRATIC per shingle — a boilerplate k-gram shared by D docs
+    contributes D² pairs — so at scale set ``max_shingle_df``: shingles
+    shared by more than that many documents are dropped from the shingle
+    UNIVERSE (both intersections and set sizes, so the result is a true
+    Jaccard over the capped universe — the classic DF cap of exact-
+    similarity indexes).
     """
     sh = _shingles_inline(df, id_col, text_col, k)
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= int(max_shingle_df))
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -855,6 +870,7 @@ def neardup_eval(
     bands: int = 4,
     shingle_k: int = 8,
     hash_fn: str = "md5",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Precision/recall audit of the MinHash-LSH near-dup path against
     EXACT shingle Jaccard — the calibration step before trusting a
@@ -871,12 +887,20 @@ def neardup_eval(
     ``precision``/``recall`` of the refined predictor (NULL when a
     denominator is empty, via ``try_divide``).
 
-    100 TB shape: no new machinery — the three relations are the
-    existing inverted-index / banded equi-joins (never all-pairs); the
-    confusion counts are one full-outer join of PAIR tables (bounded by
-    shared-shingle co-occurrence, not corpus size) into a single-row
-    aggregate.  The signature table is computed once and persisted
-    across the candidate and predicted legs.
+    100 TB shape: the candidates/predicted legs are LSH-bounded, but the
+    TRUTH inverted index is quadratic in shingle co-occurrence — a
+    common 8-gram shared by D documents contributes D² pairs (measured:
+    10× documents → 11.6× wall at bench scale with no cap).  Two
+    standard controls, USE THEM at scale: (1) calibrate on a
+    deterministic content-hash SAMPLE of documents (pass a pre-filtered
+    ``df`` — precision/recall are ratio estimates, a few thousand docs
+    give tight confidence); (2) ``max_shingle_df`` drops shingles shared
+    by more than that many documents from the truth index (the classic
+    DF cap; biases truth against pairs whose ONLY shared shingles are
+    boilerplate — acceptable for calibration, documented here).  The
+    confusion counts are one full-outer join of the bounded pair tables
+    into a single-row aggregate; the signature table is computed once
+    and persisted across the candidate and predicted legs.
     """
     from pyspark import StorageLevel
 
@@ -903,7 +927,12 @@ def neardup_eval(
         .select("id_a", "id_b")
     )
     truth = ngram_jaccard_pairs(
-        df, id_col, text_col, k=shingle_k, threshold=threshold
+        df,
+        id_col,
+        text_col,
+        k=shingle_k,
+        threshold=threshold,
+        max_shingle_df=max_shingle_df,
     ).select("id_a", "id_b")
     u = (
         truth.withColumn("in_t", F.lit(1))

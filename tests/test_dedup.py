@@ -556,3 +556,18 @@ class TestNeardupEval:
         assert a == b
         assert a["candidate_hits"] <= a["n_truth"]
         assert a["predicted_hits"] <= a["n_predicted"]
+
+    def test_max_shingle_df_caps_the_truth_universe(self, spark):
+        from buildkite_logs_parquet_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        # 'commonXY' 8-grams shared by ALL four docs; unique tails pair none
+        rows = [(i, f"commonboilerplate unique{i}tail{i}") for i in range(4)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        full = ngram_jaccard_pairs(df, "doc_id", "text", k=8).count()
+        capped = ngram_jaccard_pairs(
+            df, "doc_id", "text", k=8, max_shingle_df=2
+        ).count()
+        assert full == 6  # all pairs share the boilerplate shingles
+        assert capped == 0  # cap removes the boilerplate-only evidence

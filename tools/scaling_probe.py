@@ -32,6 +32,9 @@ PROBES = [
     ("corpus_shuffle", "documents", 10),
     ("substring_dedup", "documents", 10),
     ("dedup_clusters", "documents", 10),
+    ("bm25_scores", "documents⋈embeddings (rrf leg)", 10),
+    ("table_profile", "documents (profile + drift legs)", 10),
+    ("ngram_jaccard", "documents (pairs + eval legs)", 10),
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
