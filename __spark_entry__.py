@@ -1202,16 +1202,21 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM scoring (operators/curation.py::lm_perplexity) in
     its oracle-grade form: bucketed-bigram model fit on the src0 slice,
     scored over the rest, per-document Σ ln p rendered as a 9-dp decimal
-    string (order-independent — the dsir_weights discipline)."""
+    string (order-independent — the dsir_weights discipline).
+
+    Round-4 union-tag: the full CCNet head/middle/tail split
+    (curation.ccnet_buckets — per-language exact-percentile terciles of
+    nll, |langs|-row broadcast thresholds) rides the same row as three
+    more columns (lang, nll, ppl_bucket)."""
     docs = _t(spark, sf_dir, "documents")
-    return CU.lm_perplexity(
+    return CU.ccnet_buckets(
         docs.where(F.col("source") != "src0"),
         docs.where(F.col("source") == "src0"),
         "doc_id",
+        group_col="lang",
         n_buckets=4096,
         seed=29,
-        exact_sum=True,
-    )
+    ).select("doc_id", "lang", "n_grams", "sum_logp9", "nll", "ppl_bucket")
 
 
 def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2872,10 +2877,29 @@ scored AS (
 per AS (
   SELECT doc_id, count(*) AS n_grams, sum(CAST(lp AS DECIMAL(28,9))) AS s
   FROM scored GROUP BY doc_id
+),
+lmrow AS (
+  SELECT r.doc_id, d.lang, coalesce(per.n_grams, 0) AS n_grams,
+         CAST(coalesce(per.s, CAST(0 AS DECIMAL(38,9))) AS STRING) AS sum_logp9,
+         CASE WHEN coalesce(per.n_grams, 0) > 0
+              THEN -CAST(CAST(coalesce(per.s, CAST(0 AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS DOUBLE) / per.n_grams
+         END AS nll
+  FROM rawd r
+  JOIN documents d ON r.doc_id = d.doc_id
+  LEFT JOIN per ON r.doc_id = per.doc_id
+),
+lmth AS (
+  SELECT lang,
+         quantile_cont(nll, 0.3333333333333333) AS t_lo,
+         quantile_cont(nll, 0.6666666666666666) AS t_hi
+  FROM lmrow GROUP BY lang
 )
-SELECT r.doc_id, coalesce(per.n_grams, 0) AS n_grams,
-       CAST(coalesce(per.s, CAST(0 AS DECIMAL(38,9))) AS STRING) AS sum_logp9
-FROM rawd r LEFT JOIN per ON r.doc_id = per.doc_id
+SELECT lmrow.doc_id, lmrow.lang, n_grams, sum_logp9, nll,
+       CASE WHEN nll IS NULL THEN 'unscored'
+            WHEN nll <= t_lo THEN 'head'
+            WHEN nll <= t_hi THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM lmrow JOIN lmth ON lmrow.lang IS NOT DISTINCT FROM lmth.lang
 """
 
     # bm25: literals below are the SAME Python-evaluated doubles the Spark

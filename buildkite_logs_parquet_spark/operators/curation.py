@@ -781,3 +781,63 @@ def blocklist_filter(
     else:
         raise ValueError(f"mode must be 'word' or 'substring', got {mode!r}")
     return out.withColumn("blocked", F.col("n_blocklist_hits") > 0)
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    group_col: str | None = None,
+    cut_lo: float = 1.0 / 3.0,
+    cut_hi: float = 2.0 / 3.0,
+    **lm_kwargs,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): score every
+    document's perplexity under the ``reference``-fit LM, then bucket by
+    per-``group_col`` (language) quantiles — 'head' is the most
+    reference-like third of EACH group, so low-resource languages are
+    never starved by a global cutoff (the same argument as
+    ``quantile_threshold_filter``).
+
+    Pure composition: ``lm_perplexity(exact_sum=True)`` (broadcast-LUT
+    scoring, engine-exact decimal Σ ln p) → per-group exact percentile
+    thresholds (a |groups|-row aggregate, broadcast back) → label.  The
+    per-doc score is ``nll = −(Σ ln p)/n_grams`` derived from the
+    decimal sum with one division — deterministic, so bucket boundaries
+    are oracle-checkable.  Documents with no bigram land in 'unscored'.
+
+    Returns ``(id, [group], n_grams, sum_logp9, nll, ppl_bucket)``.
+    """
+    scored = lm_perplexity(
+        docs, reference, id_col, text_col, exact_sum=True, **lm_kwargs
+    )
+    keep = [id_col] + ([group_col] if group_col else [])
+    base = docs.select(*keep).join(scored, on=id_col)
+    # guard n_grams = 0: a bare double division would produce NaN, which
+    # compares false everywhere and would silently land in 'tail'
+    nll = F.when(
+        F.col("n_grams") > 0,
+        -(F.col("sum_logp9").cast("decimal(38,9)").cast("double"))
+        / F.col("n_grams"),
+    )
+    base = base.withColumn("nll", nll)
+    gb = base.groupBy(group_col) if group_col else base.groupBy()
+    th = gb.agg(
+        F.percentile("nll", F.lit(float(cut_lo))).alias("_t_lo"),
+        F.percentile("nll", F.lit(float(cut_hi))).alias("_t_hi"),
+    )
+    if group_col:
+        th = th.select(F.col(group_col).alias("_qg"), "_t_lo", "_t_hi")
+        joined = base.join(
+            F.broadcast(th), on=F.col(group_col).eqNullSafe(F.col("_qg")), how="left"
+        ).drop("_qg")
+    else:
+        joined = base.crossJoin(F.broadcast(th))  # 1-row threshold table
+    bucket = (
+        F.when(F.col("nll").isNull(), F.lit("unscored"))
+        .when(F.col("nll") <= F.col("_t_lo"), F.lit("head"))
+        .when(F.col("nll") <= F.col("_t_hi"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return joined.withColumn("ppl_bucket", bucket).drop("_t_lo", "_t_hi")

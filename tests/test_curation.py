@@ -627,3 +627,50 @@ class TestBlocklistFilter:
             blocklist_filter(df, "doc_id", "text", [])
         with pytest.raises(ValueError):
             blocklist_filter(df, "doc_id", "text", ["x"], mode="phrase")
+
+
+class TestCcnetBuckets:
+    def test_buckets_per_group_terciles(self, spark):
+        from buildkite_logs_parquet_spark.operators.curation import (
+            ccnet_buckets,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        ref = docs.where("source = 'src0'")
+        rest = docs.where("source != 'src0'")
+        out = ccnet_buckets(
+            rest, ref, "doc_id", group_col="lang", n_buckets=1024
+        ).collect()
+        assert {r["ppl_bucket"] for r in out} <= {"head", "middle", "tail", "unscored"}
+        by_lang: dict = {}
+        for r in out:
+            if r["nll"] is not None:
+                by_lang.setdefault(r["lang"], []).append(r)
+        for lang, rows in by_lang.items():
+            heads = [r for r in rows if r["ppl_bucket"] == "head"]
+            tails = [r for r in rows if r["ppl_bucket"] == "tail"]
+            if heads and tails:
+                # every head doc is more reference-like than every tail doc
+                assert max(r["nll"] for r in heads) <= min(r["nll"] for r in tails)
+            # terciles: head is roughly a third of the group
+            assert len(heads) >= len(rows) // 4
+        # determinism
+        again = ccnet_buckets(
+            rest, ref, "doc_id", group_col="lang", n_buckets=1024
+        ).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    def test_global_buckets_without_group(self, spark):
+        from buildkite_logs_parquet_spark.operators.curation import (
+            ccnet_buckets,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = ccnet_buckets(
+            docs.where("source != 'src0'"),
+            docs.where("source = 'src0'"),
+            "doc_id",
+            n_buckets=1024,
+        )
+        counts = {r["ppl_bucket"]: r["n"] for r in out.groupBy("ppl_bucket").agg(F.count("*").alias("n")).collect()}
+        assert counts.get("head", 0) > 0 and counts.get("tail", 0) > 0
