@@ -964,3 +964,55 @@ def neardup_eval(
         F.try_divide("predicted_hits", "n_predicted").alias("precision"),
         F.try_divide("predicted_hits", "n_truth").alias("recall"),
     )
+
+
+def lsh_tuning(
+    num_perm: int,
+    threshold: float,
+    candidate_bands: list[int] | None = None,
+) -> dict:
+    """Pick the band count for a MinHash-LSH config, driver-side: for
+    each divisor ``b`` of ``num_perm`` (rows per band r = num_perm/b),
+    the S-curve collision probability is ``P(s) = 1 − (1 − s^r)^b``; the
+    chosen ``b`` minimizes the sum of false-negative mass above
+    ``threshold`` and false-positive mass below it (the standard
+    datasketch criterion, integrated numerically).
+
+    Returns ``{"bands", "rows_per_band", "fn_weight", "fp_weight",
+    "curve": [(s, P(s)), ...]}`` — feed ``bands`` to
+    ``minhash_near_duplicates`` / ``write_signature_lake`` and verify
+    the choice empirically with ``neardup_eval``.  Pure arithmetic, no
+    Spark job.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    bs = candidate_bands or [
+        b for b in range(1, num_perm + 1) if num_perm % b == 0
+    ]
+    steps = 1000
+    best = None
+    for b in bs:
+        r = num_perm // b
+        fn = fp = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s**r) ** b
+            if s >= threshold:
+                fn += (1.0 - p) / steps
+            else:
+                fp += p / steps
+        score = fn + fp
+        if best is None or score < best[0]:
+            best = (score, b, r, fn, fp)
+    _, b, r, fn, fp = best
+    curve = [
+        (round(s / 20, 3), round(1.0 - (1.0 - (s / 20) ** r) ** b, 6))
+        for s in range(21)
+    ]
+    return {
+        "bands": b,
+        "rows_per_band": r,
+        "fn_weight": round(fn, 6),
+        "fp_weight": round(fp, 6),
+        "curve": curve,
+    }

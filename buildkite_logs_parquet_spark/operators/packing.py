@@ -293,3 +293,62 @@ def packing_stats(packed: DataFrame, capacity: int) -> DataFrame:
             F.sum("_t") / (F.count("*") * F.lit(int(capacity))), 4
         ).alias("utilization"),
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+    seed: int = 42,
+    token_col: str | None = None,
+) -> DataFrame:
+    """Export the corpus as ``n_shards`` content-sharded parquet
+    directories plus a per-shard MANIFEST — the handoff artifact a
+    training job verifies before consuming (row/token counts and a
+    content digest per shard, so truncated or double-written shards are
+    caught before a run, not during one).
+
+    Shard membership is ``hash_bucket(key) % n_shards`` — a pure content
+    hash, so a row's shard never changes as the corpus grows (the
+    ``split_assign`` property) and shards are balanced by hash
+    uniformity.  Rows are written sorted by (shuffle key, key) within
+    each shard: concatenating shards in order replays the
+    ``corpus_shuffle`` permutation.
+
+    The manifest is computed by READING BACK the written files — it
+    certifies the bytes on disk, not the plan that produced them:
+    ``(shard, n_rows, n_tokens, content_digest)`` with the digest an
+    order-independent DECIMAL sum of per-row content hashes.
+
+    100 TB shape: one hash-partitioned shuffle to write (skew-free by
+    uniformity), one scan of the written lake for the manifest
+    (aggregate bounded at ``n_shards`` rows).
+    """
+    from buildkite_logs_parquet_spark.operators.curation import hash_bucket
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = F.col(key_col)
+    tagged = df.withColumn(
+        "shard", (hash_bucket(key, seed) % F.lit(int(n_shards))).cast("int")
+    ).withColumn("shuffle_key", hash_bucket(key, seed + 1))
+    (
+        tagged.repartition(int(n_shards), "shard")
+        .sortWithinPartitions("shard", "shuffle_key", key_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    back = df.sparkSession.read.parquet(path)
+    digest = F.sum(
+        hash_bucket(F.col(key_col), seed + 2).cast("decimal(38,0)")
+    ).alias("content_digest")
+    toks = (
+        F.sum(F.col(token_col)).alias("n_tokens")
+        if token_col
+        else F.lit(None).cast("long").alias("n_tokens")
+    )
+    return back.groupBy("shard").agg(
+        F.count("*").alias("n_rows"), toks, digest
+    )

@@ -571,3 +571,36 @@ class TestNeardupEval:
         ).count()
         assert full == 6  # all pairs share the boilerplate shingles
         assert capped == 0  # cap removes the boilerplate-only evidence
+
+
+class TestLshTuning:
+    def test_low_threshold_prefers_many_bands(self):
+        from buildkite_logs_parquet_spark.operators.dedup import lsh_tuning
+
+        lo = lsh_tuning(16, 0.2)
+        hi = lsh_tuning(16, 0.9)
+        # low threshold -> more bands (higher recall); high -> fewer
+        assert lo["bands"] > hi["bands"]
+        assert lo["bands"] * lo["rows_per_band"] == 16
+
+    def test_curve_monotone_and_bounded(self):
+        from buildkite_logs_parquet_spark.operators.dedup import lsh_tuning
+
+        t = lsh_tuning(8, 0.5)
+        probs = [p for _, p in t["curve"]]
+        assert probs == sorted(probs)
+        assert probs[0] == 0.0 and probs[-1] == 1.0
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            lsh_tuning(8, 1.5)
+
+    def test_matches_registered_config_sanity(self):
+        from buildkite_logs_parquet_spark.operators.dedup import lsh_tuning
+
+        # the repo's 8-perm near-dup config targets ~0.5: the advisor's
+        # pick for that point collides >80% at s=0.7 and <35% at s=0.2
+        t = lsh_tuning(8, 0.5)
+        curve = dict(t["curve"])
+        assert curve[0.7] > 0.8
+        assert curve[0.2] < 0.35

@@ -302,3 +302,67 @@ def test_pack_documents_ffd_beats_ff_on_adversarial_order(spark):
     assert ffd["n_sequences"] <= ff["n_sequences"]
     assert ffd["utilization"] >= ff["utilization"]
     assert ffd["n_sequences"] == 6  # 4x(10+2) + 2x(6+6): optimal
+
+
+class TestTrainingShards:
+    def test_manifest_certifies_rows_and_is_deterministic(self, spark, tmp_path):
+        from buildkite_logs_parquet_spark.operators.packing import (
+            write_training_shards,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        p = str(tmp_path / "shards")
+        m1 = {r["shard"]: r for r in write_training_shards(
+            docs, p, "doc_id", 4, token_col="n_chars"
+        ).collect()}
+        assert set(m1) == {0, 1, 2, 3}
+        assert sum(r["n_rows"] for r in m1.values()) == docs.count()
+        total_chars = docs.agg(F.sum("n_chars")).first()[0]
+        assert sum(r["n_tokens"] for r in m1.values()) == total_chars
+        # balanced by hash uniformity: no shard more than 2x the mean
+        mean = docs.count() / 4
+        assert all(r["n_rows"] < 2 * mean for r in m1.values())
+        # rewrite -> identical manifest (content digest included)
+        m2 = {r["shard"]: r for r in write_training_shards(
+            docs, p, "doc_id", 4, token_col="n_chars"
+        ).collect()}
+        assert {k: tuple(v) for k, v in m1.items()} == {
+            k: tuple(v) for k, v in m2.items()
+        }
+
+    def test_digest_detects_content_change(self, spark, tmp_path):
+        from buildkite_logs_parquet_spark.operators.packing import (
+            write_training_shards,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        full = write_training_shards(
+            docs, str(tmp_path / "a"), "doc_id", 2
+        ).collect()
+        dropped = write_training_shards(
+            docs.where("doc_id != 0"), str(tmp_path / "b"), "doc_id", 2
+        ).collect()
+        d1 = {r["shard"]: r["content_digest"] for r in full}
+        d2 = {r["shard"]: r["content_digest"] for r in dropped}
+        assert d1 != d2  # a missing row shows up in some shard's digest
+
+    def test_shard_membership_stable_under_growth(self, spark, tmp_path):
+        from buildkite_logs_parquet_spark.operators.packing import (
+            write_training_shards,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        half = docs.where("doc_id < 50")
+        write_training_shards(half, str(tmp_path / "h"), "doc_id", 4)
+        small = {
+            r["doc_id"]: r["shard"]
+            for r in spark.read.parquet(str(tmp_path / "h"))
+            .select("doc_id", "shard").collect()
+        }
+        write_training_shards(docs, str(tmp_path / "f"), "doc_id", 4)
+        big = {
+            r["doc_id"]: r["shard"]
+            for r in spark.read.parquet(str(tmp_path / "f"))
+            .select("doc_id", "shard").collect()
+        }
+        assert all(big[k] == v for k, v in small.items())
