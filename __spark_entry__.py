@@ -685,12 +685,17 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern), DF-capped (``max_shingle_df``), or computed on a
     content-stable sample as here; the oracle samples identically."""
     docs = _t(spark, sf_dir, "documents")
+    # max_shingle_df=100 exercises the DF cap through the oracle too:
+    # at sf0.01 the capped universe yields the IDENTICAL 6 pairs and
+    # values, while at bench scale it removes the boilerplate-shingle
+    # quadratic mass
     out = D.ngram_jaccard_pairs(
         docs.where(F.col("doc_id") % 2 == 0),
         "doc_id",
         "text",
         k=12,
         threshold=0.2,
+        max_shingle_df=100,
     )
     pair_leg = out.select(
         F.lit("pair").alias("op"),
@@ -1814,13 +1819,18 @@ FROM per_key
     )
     sql["ngram_jaccard"] = f"""
 WITH {_lsh_sampled},
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 12) AS shingle
   FROM (
     SELECT doc_id, text,
            unnest(range(1, greatest(length(text) - 11, 1) + 1)) AS i
     FROM documents WHERE doc_id % 2 = 0
   )
+),
+sh AS (
+  SELECT s.* FROM sh0 s
+  JOIN (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 100) kc
+    USING (shingle)
 ),
 sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
 inter AS (
