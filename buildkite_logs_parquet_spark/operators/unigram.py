@@ -262,6 +262,38 @@ def learn_unigram(
     return vocab, history
 
 
+def _viterbi(
+    word: str, logp: dict[str, float], max_len: int
+) -> list[str] | None:
+    """Max-probability segmentation of ONE word (module-level so tests
+    can drive the exact production algorithm against brute-force
+    enumeration).  Ties prefer the smaller back-pointer j — the LONGER
+    final piece — via strict ``>``; unreachable words return None."""
+    n = len(word)
+    neg = float("-inf")
+    best = [neg] * (n + 1)
+    back = [0] * (n + 1)
+    best[0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            p = logp.get(word[j:i])
+            if p is None or best[j] == neg:
+                continue
+            s = best[j] + p
+            if s > best[i]:
+                best[i] = s
+                back[i] = j
+    if best[n] == neg:
+        return None
+    out = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    return out[::-1]
+
+
 def unigram_encode(
     df: DataFrame,
     vocab_logp: dict[str, float],
@@ -285,31 +317,7 @@ def unigram_encode(
     id_type = df.schema[id_col].dataType.simpleString()
 
     def viterbi(word: str) -> list[str] | None:
-        n = len(word)
-        neg = float("-inf")
-        best = [neg] * (n + 1)
-        back = [0] * (n + 1)
-        best[0] = 0.0
-        for i in range(1, n + 1):
-            for j in range(max(0, i - max_len), i):
-                p = lp.get(word[j:i])
-                if p is None or best[j] == neg:
-                    continue
-                s = best[j] + p
-                # strict > keeps the FIRST (smallest j = longest piece)
-                # argmax on ties — deterministic
-                if s > best[i]:
-                    best[i] = s
-                    back[i] = j
-        if best[n] == neg:
-            return None
-        out = []
-        i = n
-        while i > 0:
-            j = back[i]
-            out.append(word[j:i])
-            i = j
-        return out[::-1]
+        return _viterbi(word, lp, max_len)
 
     def gen(batches):
         for pdf in batches:

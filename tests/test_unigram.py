@@ -117,3 +117,55 @@ def test_unigram_encode_feeds_sequence_packing(spark):
     assert packed_tokens == total_tokens  # every token lands exactly once
     caps = [r["n_tokens"] for r in packed.orderBy("seq_id").collect()]
     assert all(c == 128 for c in caps[:-1]) and 0 < caps[-1] <= 128
+
+
+def test_viterbi_matches_brute_force_enumeration():
+    """Property: the PRODUCTION Viterbi (_viterbi) returns the max-score
+    segmentation over ALL enumerated segmentations, with ties resolved
+    to the longest-final-piece path, for random small vocabularies."""
+    import math
+    import random
+
+    from buildkite_logs_parquet_spark.operators.unigram import _viterbi
+
+    rng = random.Random(11)
+
+    def brute_paths(word, logp):
+        n = len(word)
+        out = []
+        for mask in range(1 << max(n - 1, 0)):
+            cuts = [0] + [i + 1 for i in range(n - 1) if mask >> i & 1] + [n]
+            pieces = [word[a:b] for a, b in zip(cuts, cuts[1:])]
+            if any(p not in logp for p in pieces):
+                continue
+            out.append((sum(logp[p] for p in pieces), pieces))
+        return out
+
+    for _ in range(120):
+        alpha = "abc"
+        pieces = set(alpha) if rng.random() < 0.8 else {"a", "b"}
+        for _ in range(rng.randint(1, 5)):
+            ln = rng.randint(2, 3)
+            pieces.add("".join(rng.choice(alpha) for _ in range(ln)))
+        logp = {p: math.log(rng.uniform(0.05, 0.5)) for p in pieces}
+        word = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 7)))
+        maxlen = max(len(p) for p in logp)
+        got = _viterbi(word, logp, maxlen)
+        paths = brute_paths(word, logp)
+        if not paths:
+            assert got is None
+            continue
+        best_score = max(s for s, _ in paths)
+        got_score = sum(logp[p] for p in got)
+        assert got_score == pytest.approx(best_score, abs=1e-9)
+
+
+def test_viterbi_exact_tie_takes_longer_final_piece():
+    import math
+
+    from buildkite_logs_parquet_spark.operators.unigram import _viterbi
+
+    # p(ab) == p(a)*p(b) exactly: construct in log space so the tie is exact
+    logp = {"a": math.log(0.25), "b": math.log(0.25),
+            "ab": math.log(0.25) + math.log(0.25)}
+    assert _viterbi("ab", logp, 2) == ["ab"]
