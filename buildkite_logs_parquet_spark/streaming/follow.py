@@ -393,3 +393,60 @@ def stream_append_dedup_against_lake(
     if output_mode_trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_drift_monitor(
+    stream_df: DataFrame,
+    reference: DataFrame,
+    metrics_path: str,
+    checkpoint: str,
+    cat_cols: list[str] | None = None,
+    num_cols: list[str] | None = None,
+    n_bins: int = 10,
+    available_now: bool = True,
+):
+    """Streaming corpus-quality monitor: for every arriving micro-batch,
+    compute its Population Stability Index against a FIXED reference
+    snapshot (``profiling.corpus_drift``) and append per-column summary
+    rows to a metrics lake — the watchdog a pipeline runs while a new
+    crawl lands, catching language-mix or length-profile shift batch by
+    batch instead of after the fact.
+
+    Per batch the work is bucket-count sized (the drift op never
+    shuffles corpus rows), so the monitor adds negligible load to the
+    ingest it watches.  Replay-safe: each batch overwrites its OWN
+    ``batch_id`` partition via dynamic partition overwrite, so
+    at-least-once redelivery converges (the ``stream_to_lake``
+    discipline).  Empty micro-batches write nothing.
+    """
+    from buildkite_logs_parquet_spark.operators.profiling import (
+        corpus_drift,
+        drift_summary,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        drift = corpus_drift(
+            batch_df, reference, cat_cols=cat_cols, num_cols=num_cols,
+            n_bins=n_bins,
+        )
+        out = drift_summary(drift).select(
+            F.lit(int(batch_id)).alias("batch_id"),
+            "column",
+            F.col("psi").cast("double").alias("psi"),
+            "n_buckets",
+        )
+        out.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(metrics_path)
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    trigger = (
+        {"availableNow": True}
+        if available_now
+        else {"processingTime": "30 seconds"}
+    )
+    return writer.trigger(**trigger).start()

@@ -449,3 +449,48 @@ def test_curation_ops_compose_with_streams(spark, tmp_path):
     assert set(got) == {1, 2}  # doc 3 failed the rules
     assert "<EMAIL>" in got[2]["scrubbed"]
     assert got[1]["passes"] is True
+
+
+def test_stream_drift_monitor_flags_shifted_batches(spark, tmp_path):
+    from buildkite_logs_parquet_spark.streaming.follow import (
+        stream_drift_monitor,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "en" if i % 10 else "de", 100 + i % 7) for i in range(200)],
+        "doc_id long, lang string, n_chars long",
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    # batch A: same mix as the reference; batch B: all-German, longer docs
+    ref.where("doc_id < 100").coalesce(1).write.parquet(str(src / "a"))
+    spark.createDataFrame(
+        [(1000 + i, "de", 400 + i % 5) for i in range(100)],
+        "doc_id long, lang string, n_chars long",
+    ).coalesce(1).write.parquet(str(src / "b"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = stream_drift_monitor(
+        stream,
+        ref,
+        str(tmp_path / "metrics"),
+        str(tmp_path / "ckpt"),
+        cat_cols=["lang"],
+        num_cols=["n_chars"],
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(tmp_path / "metrics")).collect()
+    assert {r["column"] for r in rows} == {"lang", "n_chars"}
+    by_batch: dict = {}
+    for r in rows:
+        by_batch.setdefault(r["batch_id"], {})[r["column"]] = r["psi"]
+    assert len(by_batch) == 2
+    psis = sorted(
+        (max(cols.values()) for cols in by_batch.values())
+    )
+    # the matching batch sits well under the shifted one, which screams
+    assert psis[0] < 0.25 < psis[1]
