@@ -711,6 +711,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_perm=8,
         bands=4,
         shingle_k=8,
+        max_shingle_df=100,
     )
     metrics = [
         "n_truth",
@@ -1838,10 +1839,15 @@ inter AS (
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
-sizes8 AS (SELECT doc_id, count(*) AS ss FROM o_shingles GROUP BY doc_id),
+o_sh_cap AS (
+  SELECT s.* FROM o_shingles s
+  JOIN (SELECT shingle FROM o_shingles GROUP BY shingle HAVING count(*) <= 100) kc
+    USING (shingle)
+),
+sizes8 AS (SELECT doc_id, count(*) AS ss FROM o_sh_cap GROUP BY doc_id),
 inter8 AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-  FROM o_shingles a JOIN o_shingles b
+  FROM o_sh_cap a JOIN o_sh_cap b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
