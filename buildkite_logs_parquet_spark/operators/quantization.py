@@ -1,0 +1,441 @@
+"""Embedding quantization: int8 scalar quantization (SQ) and Product
+Quantization (PQ/IVF-PQ) for approximate nearest-neighbor search over
+compressed codes.
+
+The 100 TB problem these solve is MEMORY, not CPU: a 64-dim float32
+embedding is 256 bytes/row; int8 SQ stores 64 bytes (4x) and PQ with
+m=8 subspaces stores 8 bytes (32x), so a corpus whose raw vectors
+overflow the cluster's aggregate RAM scans entirely from compressed
+codes.  This is the Jégou/Douze/Schmid PQ recipe (the design Faiss
+ships as ``IVFPQ``), re-expressed Spark-first:
+
+* **Encode is a zero-shuffle, whole-stage-codegen map.**  Codebooks are
+  metadata-sized (m·k·d_sub doubles) and enter the plan as ONE nested
+  array literal; per-row argmin runs in ``transform``/``aggregate``
+  lambdas — no Python UDF, no explode, no join, no shuffle
+  (plan-asserted in tests/test_quantization.py).
+* **Search is a compressed scan + TakeOrderedAndProject.**  The
+  query-dependent ADC lookup table is computed driver-side (m·k
+  doubles), broadcast as a literal, and each row's approximate distance
+  is an m-term table lookup — the scan reads ONLY the code column
+  (column pruning drops the raw vectors), and ``orderBy().limit(k)``
+  collapses to a per-partition top-k merge, never a global sort.
+* **Training is sample-based**, as in every production PQ system
+  (Faiss trains codebooks on ~10-100k vectors regardless of corpus
+  size): a seeded sample is collected to the driver and Lloyd's k-means
+  runs per subspace in numpy.  The corpus itself is never shuffled for
+  training.
+* **Engine-exact scoring discipline** (DETERMINISM.md): SQ distances
+  are INTEGER dot products — exact, order-independent, bit-comparable
+  across engines.  PQ distances fold squared differences in sequential
+  order (Spark ``aggregate`` = left fold; the DuckDB oracle and the
+  driver-side LUT builder replay the identical left-associated sum), so
+  codes and ADC scores hash-match the oracle.
+
+Reference scope note: the reference engine (wolfeidau/
+buildkite-logs-parquet) has no vector search; this module is part of
+the training-data-pipeline extension tier (SURVEY.md §7) alongside
+operators/similarity.py, which holds the uncompressed exact/IVF/LSH
+paths these codes approximate.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from buildkite_logs_parquet_spark.operators.similarity import (
+    _as_double,
+    ivf_assign,
+    probe_cells,
+)
+
+__all__ = [
+    "sq_max_abs",
+    "sq_encode",
+    "sq_quantize_vec",
+    "sq_topk",
+    "seeded_codebooks",
+    "pq_train",
+    "pq_encode",
+    "adc_lut",
+    "pq_adc_dist",
+    "pq_adc_topk",
+    "ivf_pq_encode",
+    "ivf_pq_topk",
+]
+
+
+# --------------------------------------------------------------- int8 SQ
+
+
+def sq_max_abs(df: DataFrame, vec_col: str = "embedding") -> float:
+    """Global max-|x| over the corpus — the symmetric int8 scale anchor.
+
+    ONE mergeable ``max`` aggregate (no sums, so the result is the exact
+    float maximum regardless of partitioning — deterministic in any
+    engine); the collected value is a single scalar.  At 100 TB this is
+    a metadata-sized statistics pass, the same shape as a column-stats
+    scan; cache it with the codebook artifacts rather than recomputing.
+    """
+    v = _as_double(F.col(vec_col))
+    row = df.select(
+        F.max(F.array_max(F.transform(v, lambda x: F.abs(x)))).alias("m")
+    ).first()
+    m = row["m"]
+    if m is None or m == 0.0:
+        return 1.0
+    return float(m)
+
+
+def _sq_expr(v: Column, max_abs: float) -> Column:
+    """``round-half-up(x * 127/max_abs)`` clamped to [-127, 127], as
+    tinyint.  ``floor(x*s + 0.5)`` instead of ``round()`` because both
+    engines define floor identically while round's half-case mode
+    differs (HALF_UP vs HALF_EVEN) — the formula is the determinism
+    carrier (DETERMINISM.md)."""
+    s = 127.0 / float(max_abs)
+    return F.transform(
+        v,
+        lambda x: F.least(
+            F.greatest(F.floor(x * F.lit(s) + F.lit(0.5)), F.lit(-127.0)),
+            F.lit(127.0),
+        ).cast("tinyint"),
+    )
+
+
+def sq_encode(
+    df: DataFrame,
+    max_abs: float,
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+) -> DataFrame:
+    """int8-quantize an embedding column: ``array<float>`` →
+    ``array<tinyint>`` (4x smaller at rest and in memory).  Pure
+    per-row expression — zero shuffle, whole-stage codegen."""
+    return df.withColumn(out_col, _sq_expr(_as_double(F.col(vec_col)), max_abs))
+
+
+def sq_quantize_vec(vec: list[float], max_abs: float) -> list[int]:
+    """Driver-side twin of ``_sq_expr`` for query vectors — identical
+    formula and clamping so query codes match what ``sq_encode`` would
+    produce for the same floats."""
+    s = 127.0 / float(max_abs)
+    out = []
+    for x in vec:
+        q = math.floor(float(x) * s + 0.5)
+        out.append(int(min(max(q, -127.0), 127.0)))
+    return out
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product (sequential fold in LONG — no overflow
+    below 2^63/127² ≈ 5.7e14 dims, no float rounding at all)."""
+    return F.aggregate(
+        F.zip_with(
+            a.cast("array<long>"), b.cast("array<long>"), lambda x, y: x * y
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def sq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    max_abs: float,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "qvec",
+) -> DataFrame:
+    """Top-k by EXACT integer dot product over int8 codes.
+
+    The score is an integer (bit-identical in every engine — int8 SQ is
+    the rare ANN path with no float in the hot loop); ``int_dot``
+    divided by ``(127/max_abs)²`` estimates the true float dot.  Ties
+    break on ``id_col``.  Plan: code-column-only scan →
+    TakeOrderedAndProject.
+    """
+    q = sq_quantize_vec(query_vec, max_abs)
+    score = _int_dot(F.col(code_col), F.lit(q))
+    s = 127.0 / float(max_abs)
+    return (
+        df.select(
+            F.col(id_col),
+            score.alias("int_dot"),
+            (score / F.lit(s * s)).alias("approx_dot"),
+        )
+        .orderBy(F.col("int_dot").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ------------------------------------------------------------------- PQ
+
+
+def seeded_codebooks(
+    m: int = 8,
+    k: int = 16,
+    d_sub: int = 8,
+    seed: int = 11,
+    scale: float = 0.15,
+) -> list[list[list[float]]]:
+    """Deterministic untrained codebooks (seeded PRNG) — the literal,
+    reproducible starting point the oracle replays; ``pq_train`` refines
+    them on data.  ``scale`` roughly matches unit-ish embedding
+    component magnitudes so even untrained codes split the space."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    return [
+        [[rng.gauss(0.0, 1.0) * scale for _ in range(d_sub)] for _ in range(k)]
+        for _ in range(m)
+    ]
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 16384,
+    seed: int = 11,
+    iters: int = 12,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: per-subspace Lloyd's k-means on a seeded
+    SAMPLE collected to the driver (numpy).
+
+    Sample-based training is the production norm (Faiss trains on
+    10-100k vectors however large the index): the corpus is scanned
+    once with a seeded bernoulli sample — no shuffle, no iteration over
+    distributed data; all iteration happens on the driver against a
+    ≤``sample_rows``×dim float array.  Returns ``m`` codebooks of ``k``
+    centroids each, ready for ``pq_encode``'s literal plan.
+    """
+    import numpy as np
+
+    n = df.count()
+    frac = min(1.0, (sample_rows * 1.25) / max(n, 1))
+    rows = (
+        df.select(_as_double(F.col(vec_col)).alias("v"))
+        .sample(fraction=frac, seed=seed)
+        .limit(sample_rows)
+        .collect()
+    )
+    x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    if x.ndim != 2 or x.shape[0] < k:
+        raise ValueError(
+            f"pq_train needs at least k={k} sampled vectors, got {x.shape}"
+        )
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d_sub = dim // m
+    rng = np.random.default_rng(seed)
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        sub = x[:, s * d_sub : (s + 1) * d_sub]
+        # init: k distinct sampled subvectors (deterministic given seed)
+        init_idx = rng.choice(sub.shape[0], size=k, replace=False)
+        cents = sub[init_idx].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(k):
+                mask = assign == j
+                if mask.any():
+                    cents[j] = sub[mask].mean(axis=0)
+        books.append([[float(v) for v in c] for c in cents])
+    return books
+
+
+def _sqdist(c: Column, sub: Column) -> Column:
+    """Sequential-fold squared L2 distance — the PQ determinism carrier:
+    ``((0 + t1) + t2) + …`` with ``t_i = (c_i - v_i)²``; ``0 + t1 == t1``
+    exactly (squares are non-negative), so the fold is bit-identical to
+    the left-associated ``t1 + t2 + …`` the oracle SQL and ``adc_lut``
+    write out."""
+    return F.aggregate(
+        F.zip_with(c, sub, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Encode vectors to PQ codes: ``array<float>[dim]`` →
+    ``array<int>[m]`` (byte-sized codes for k ≤ 256; 32x at m=8,dim=64).
+
+    Zero-shuffle whole-stage-codegen map: each subspace's codebook is a
+    ``k × d_sub`` array literal; distances come out of ONE ``transform``
+    per subspace and the argmin is ``array_position(min)`` — first
+    minimal index, ties to the lower code deterministically (same
+    convention as ``ivf_assign``).
+    """
+    v = _as_double(F.col(vec_col))
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+
+    # single-arg lambda built per subspace: a default-arg closure would
+    # make the callable arity-2 and F.transform would bind the second
+    # parameter to the element INDEX lambda variable
+    def _dists(sub: Column, cb: Column) -> Column:
+        return F.transform(cb, lambda c: _sqdist(c, sub))
+
+    codes = []
+    for s in range(m):
+        sub = F.slice(v, s * d_sub + 1, d_sub)
+        cb = F.lit([[float(x) for x in c] for c in codebooks[s]])
+        dists = _dists(sub, cb)
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def adc_lut(
+    query_vec: list[float], codebooks: list[list[list[float]]]
+) -> list[list[float]]:
+    """Asymmetric-distance lookup table: ``lut[s][j]`` = squared L2
+    between the query's s-th subvector and codebook s's j-th centroid.
+    Driver-side on plain floats (m·k·d_sub flops — metadata-sized), in
+    the SAME left-fold order as ``_sqdist`` so the literal the plan
+    broadcasts is bit-identical to what the engines would compute."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    lut: list[list[float]] = []
+    for s in range(m):
+        qs = [float(x) for x in query_vec[s * d_sub : (s + 1) * d_sub]]
+        row = []
+        for c in codebooks[s]:
+            acc = 0.0
+            for a, b in zip(c, qs):
+                acc = acc + (float(a) - b) * (float(a) - b)
+            row.append(acc)
+        lut.append(row)
+    return lut
+
+
+def pq_adc_dist(code_col: Column, lut: list[list[float]]) -> Column:
+    """Approximate squared distance from PQ codes: an m-term sequential
+    fold of LUT lookups — ``element_at`` is 1-based, codes are 0-based."""
+    return F.aggregate(
+        F.zip_with(
+            code_col,
+            F.lit([[float(x) for x in r] for r in lut]),
+            lambda code, row: F.element_at(row, code + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k nearest by ADC over PQ codes: compressed-scan + per-partition
+    top-k merge (TakeOrderedAndProject — never a global sort).  The scan
+    touches ONLY ``(id_col, code_col)`` — at 100 TB that is the whole
+    point: the raw vector column stays on disk.  Ascending distance,
+    ties broken on ``id_col``; distances rounded for stable display and
+    cross-engine comparison."""
+    lut = adc_lut(query_vec, codebooks)
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(pq_adc_dist(F.col(code_col), lut), round_to).alias(
+                "adc_dist"
+            ),
+        )
+        .orderBy(F.col("adc_dist"), F.col(id_col))
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------- IVF-PQ
+
+
+def ivf_pq_encode(
+    df: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """IVF-PQ encode: coarse cell assignment (``ivf_assign`` — cosine to
+    literal centroids, consistent with the module's IVF search paths)
+    plus PQ codes of the RESIDUAL ``v − coarse[cell]`` — residual
+    magnitudes are smaller than raw vectors, so the same codebook bits
+    carry more precision (the classic IVF-PQ win).  Still a zero-shuffle
+    map: the centroid matrix is one literal, the residual one
+    ``zip_with``.  Partition/sort the output by ``cell_col`` (e.g. via
+    ``similarity.write_ivf_lake``) and probes become partition pruning.
+    """
+    assigned = ivf_assign(df, coarse_centroids, vec_col)
+    cmat = F.lit([[float(x) for x in c] for c in coarse_centroids])
+    v = _as_double(F.col(vec_col))
+    resid = F.zip_with(
+        v, F.element_at(cmat, F.col(cell_col) + 1), lambda a, b: a - b
+    )
+    out = pq_encode(
+        assigned.withColumn("_resid", resid), codebooks, "_resid", code_col
+    )
+    return out.drop("_resid")
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+    code_col: str = "pq_code",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-PQ search: probe the query's ``n_probe`` nearest cells, score
+    each probed cell's codes against that CELL's residual-query LUT
+    (``q − coarse[cell]``), merge, top-k.
+
+    Per-cell work is a filtered compressed scan (on a cell-partitioned
+    lake: partition pruning — only probed cells are read at all) + the
+    same m-term LUT fold as flat PQ; the probe legs union into one
+    TakeOrderedAndProject.  ``n_probe`` is small by construction, so the
+    union width is bounded and driver-side LUT cost is n_probe·m·k.
+    """
+    probes = probe_cells(coarse_centroids, query_vec, n_probe)
+    legs = []
+    for cid in probes:
+        qres = [
+            float(q) - float(c)
+            for q, c in zip(query_vec, coarse_centroids[cid])
+        ]
+        lut = adc_lut(qres, codebooks)
+        legs.append(
+            df.where(F.col(cell_col) == cid).select(
+                F.col(id_col),
+                F.round(pq_adc_dist(F.col(code_col), lut), round_to).alias(
+                    "adc_dist"
+                ),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy(F.col("adc_dist"), F.col(id_col)).limit(k)

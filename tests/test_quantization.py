@@ -1,0 +1,266 @@
+"""int8 scalar quantization and PQ/IVF-PQ tests: numpy ground truth,
+recall vs the exact scan, and plan-shape assertions (zero-shuffle
+encode, TakeOrderedAndProject search)."""
+
+import math
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from buildkite_logs_parquet_spark.operators import quantization as Q
+from buildkite_logs_parquet_spark.operators import similarity as S
+
+DIM = 32
+N = 120
+M_SUB = 4
+K_CODES = 8
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # clustered, like real embeddings: 8 centers + small noise.  Pure
+    # random gaussians are PQ's pathological case (nothing for the
+    # codebooks to learn); recall claims here are about structured data.
+    rng = random.Random(3)
+    centers = [[rng.gauss(0, 1) for _ in range(DIM)] for _ in range(8)]
+    rows = []
+    for i in range(N):
+        c = centers[i % 8]
+        v = [x + rng.gauss(0, 0.2) for x in c]
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df.cache(), rows
+
+
+def _exact_top(rows, q, k):
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    return [
+        i
+        for i, _ in sorted(
+            ((i, cos(v, q)) for i, v in rows), key=lambda t: (-t[1], t[0])
+        )[:k]
+    ]
+
+
+# --------------------------------------------------------------- int8 SQ
+
+
+def test_sq_max_abs_matches_python(spark, vectors):
+    df, rows = vectors
+    want = max(abs(x) for _, v in rows for x in v)
+    got = Q.sq_max_abs(df)
+    assert got == pytest.approx(want, abs=1e-6)
+
+
+def test_sq_encode_matches_python_formula(spark, vectors):
+    df, rows = vectors
+    ma = Q.sq_max_abs(df)
+    got = {
+        r["vec_id"]: list(r["qvec"])
+        for r in Q.sq_encode(df, ma).select("vec_id", "qvec").collect()
+    }
+    for i, v in rows:
+        # float32 storage: quantize the float32-rounded values
+        v32 = [float(np.float32(x)) for x in v]
+        assert got[i] == Q.sq_quantize_vec(v32, ma), i
+
+
+def test_sq_int_dot_is_exact(spark, vectors):
+    df, rows = vectors
+    ma = Q.sq_max_abs(df)
+    enc = Q.sq_encode(df, ma)
+    q = [float(x) for x in rows[0][1]]
+    got = Q.sq_topk(enc, q, ma, k=5).collect()
+    qq = np.asarray(Q.sq_quantize_vec(q, ma), dtype=np.int64)
+    codes = {
+        r["vec_id"]: np.asarray(list(r["qvec"]), dtype=np.int64)
+        for r in enc.select("vec_id", "qvec").collect()
+    }
+    want = sorted(
+        ((i, int(codes[i] @ qq)) for i in codes), key=lambda t: (-t[1], t[0])
+    )[:5]
+    assert [(r["vec_id"], r["int_dot"]) for r in got] == want
+
+
+def test_sq_topk_recall_vs_exact(spark, vectors):
+    df, rows = vectors
+    ma = Q.sq_max_abs(df)
+    enc = Q.sq_encode(df, ma).cache()
+    hits = 0
+    for qid in (0, 7, 33):
+        q = [float(x) for x in rows[qid][1]]
+        approx = {
+            r["vec_id"] for r in Q.sq_topk(enc, q, ma, k=10).collect()
+        }
+        # sq_topk ranks by DOT product — compare against exact-by-dot
+        exact = {
+            i
+            for i, _ in sorted(
+                (
+                    (i, sum(x * y for x, y in zip(v, q)))
+                    for i, v in rows
+                ),
+                key=lambda t: (-t[1], t[0]),
+            )[:10]
+        }
+        hits += len(approx & exact)
+    # int8 is near-lossless on the dot-product ranking; clustered data
+    # has near-ties among same-cluster members, so allow a couple of
+    # boundary swaps
+    assert hits >= 26
+
+
+# ------------------------------------------------------------------- PQ
+
+
+def test_pq_encode_matches_numpy_argmin(spark, vectors):
+    df, rows = vectors
+    books = Q.seeded_codebooks(m=M_SUB, k=K_CODES, d_sub=DIM // M_SUB, seed=5)
+    got = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in Q.pq_encode(df, books).select("vec_id", "pq_code").collect()
+    }
+    cb = np.asarray(books)  # (m, k, d_sub)
+    for i, v in rows:
+        x = np.asarray([float(np.float32(t)) for t in v]).reshape(M_SUB, -1)
+        d2 = ((cb - x[:, None, :]) ** 2).sum(axis=2)  # (m, k)
+        assert got[i] == list(d2.argmin(axis=1)), i
+
+
+def test_pq_adc_topk_matches_numpy(spark, vectors):
+    df, rows = vectors
+    books = Q.seeded_codebooks(m=M_SUB, k=K_CODES, d_sub=DIM // M_SUB, seed=5)
+    enc = Q.pq_encode(df, books)
+    q = [float(x) for x in rows[2][1]]
+    got = Q.pq_adc_topk(enc, q, books, k=8).collect()
+    cb = np.asarray(books)
+    lut = np.asarray(Q.adc_lut(q, books))  # (m, k)
+    codes = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in enc.select("vec_id", "pq_code").collect()
+    }
+    want = sorted(
+        (
+            (i, round(float(sum(lut[s][c] for s, c in enumerate(cs))), 6))
+            for i, cs in codes.items()
+        ),
+        key=lambda t: (t[1], t[0]),
+    )[:8]
+    assert [(r["vec_id"], r["adc_dist"]) for r in got] == [
+        (i, pytest.approx(d, abs=1e-9)) for i, d in want
+    ]
+
+
+def test_pq_train_improves_recall_over_seeded(spark, vectors):
+    df, rows = vectors
+
+    def recall(books):
+        enc = Q.pq_encode(df, books)
+        hits = 0
+        for qid in (0, 11, 42, 77):
+            q = [float(x) for x in rows[qid][1]]
+            approx = [
+                r["vec_id"]
+                for r in Q.pq_adc_topk(enc, q, books, k=10).collect()
+            ]
+            hits += len(set(approx) & set(_exact_top(rows, q, 10)))
+        return hits
+
+    seeded = Q.seeded_codebooks(
+        m=M_SUB, k=K_CODES, d_sub=DIM // M_SUB, seed=5
+    )
+    trained = Q.pq_train(df, m=M_SUB, k=K_CODES, sample_rows=N, seed=5)
+    r_seeded, r_trained = recall(seeded), recall(trained)
+    assert r_trained >= r_seeded
+    assert r_trained >= 20  # ≥50% avg recall@10 with 4x8-code books
+
+
+def test_pq_train_is_deterministic(spark, vectors):
+    df, _ = vectors
+    a = Q.pq_train(df, m=M_SUB, k=K_CODES, sample_rows=64, seed=9)
+    b = Q.pq_train(df, m=M_SUB, k=K_CODES, sample_rows=64, seed=9)
+    assert a == b
+
+
+# --------------------------------------------------------------- IVF-PQ
+
+
+def test_ivf_pq_topk_recall(spark, vectors):
+    df, rows = vectors
+    rng = random.Random(17)
+    coarse = [[rng.gauss(0, 1) for _ in range(DIM)] for _ in range(4)]
+    books = Q.pq_train(df, m=M_SUB, k=K_CODES, sample_rows=N, seed=5)
+    enc = Q.ivf_pq_encode(df, coarse, books).cache()
+    # encode keeps every row and every cell id is valid
+    cells = [r["ivf_cell"] for r in enc.select("ivf_cell").collect()]
+    assert len(cells) == N and all(0 <= c < 4 for c in cells)
+    hits = probed = 0
+    for qid in (0, 11, 42):
+        q = [float(x) for x in rows[qid][1]]
+        got = Q.ivf_pq_topk(enc, coarse, books, q, k=10, n_probe=2).collect()
+        ids = [r["vec_id"] for r in got]
+        assert len(ids) == len(set(ids)) == 10
+        # every returned row must come from a probed cell
+        pc = set(S.probe_cells(coarse, q, 2))
+        cell_of = {
+            r["vec_id"]: r["ivf_cell"]
+            for r in enc.select("vec_id", "ivf_cell").collect()
+        }
+        assert all(cell_of[i] in pc for i in ids)
+        exact_in_probe = [
+            i for i in _exact_top(rows, q, 10) if cell_of[i] in pc
+        ]
+        probed += len(exact_in_probe)
+        hits += len(set(ids) & set(exact_in_probe))
+    # within the probed cells, PQ should recover most of the exact top-k
+    assert probed > 0 and hits >= probed * 0.6
+
+
+# ----------------------------------------------------------------- plans
+
+
+def test_pq_encode_plan_has_no_exchange(spark, vectors):
+    df, _ = vectors
+    books = Q.seeded_codebooks(m=M_SUB, k=K_CODES, d_sub=DIM // M_SUB, seed=5)
+    plan = Q.pq_encode(df, books)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pq_topk_plan_is_take_ordered(spark, vectors):
+    df, rows = vectors
+    books = Q.seeded_codebooks(m=M_SUB, k=K_CODES, d_sub=DIM // M_SUB, seed=5)
+    enc = Q.pq_encode(df, books)
+    q = [float(x) for x in rows[0][1]]
+    plan = (
+        Q.pq_adc_topk(enc, q, books, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort stage
+
+
+def test_pq_scan_prunes_to_code_column(spark, tmp_path, vectors):
+    """On a real parquet lake the ADC scan must read ONLY (id, code):
+    the raw embedding column stays on disk — the 32x memory win."""
+    df, rows = vectors
+    books = Q.seeded_codebooks(m=M_SUB, k=K_CODES, d_sub=DIM // M_SUB, seed=5)
+    path = str(tmp_path / "pq_lake")
+    Q.pq_encode(df, books).write.parquet(path)
+    lake = spark.read.parquet(path)
+    q = [float(x) for x in rows[0][1]]
+    plan = (
+        Q.pq_adc_topk(lake, q, books, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "embedding" not in plan.split("ReadSchema")[1][:200]
