@@ -31,6 +31,7 @@ from buildkite_logs_parquet_spark.operators import curation as CU
 from buildkite_logs_parquet_spark.operators import dedup as D
 from buildkite_logs_parquet_spark.operators import graph as G
 from buildkite_logs_parquet_spark.operators import packing as PK
+from buildkite_logs_parquet_spark.operators import quantization as QZ
 from buildkite_logs_parquet_spark.operators import queries as Q
 from buildkite_logs_parquet_spark.operators import retrieval as R
 from buildkite_logs_parquet_spark.operators import similarity as S
@@ -792,16 +793,28 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-k AND the IVF approximate top-k in
     ONE oracle row (round-4 merge), op-tagged: 'exact' rows are the
     ground-truth baseline, 'ivf' rows are the 3-probe cell-pruned answer
-    — hashing both also pins the IVF recall on this corpus."""
+    — hashing both also pins the IVF recall on this corpus.
+
+    The compressed-code tier (operators/quantization.py) rides the same
+    row: 'sq' is the int8 scalar-quantized top-10 by EXACT integer dot
+    (no float in the hot loop — the score column is the integer), 'sqall'
+    digests every row's int8 codes through the same integer dot (full
+    sq_encode coverage, not just the winners), 'pq' is the ADC top-10
+    over 8x16 seeded-literal product-quantization codebooks, and
+    'pqcode' packs every row's 8 PQ codes into one base-16 integer (full
+    pq_encode coverage).  The oracle replays quantization, argmin code
+    assignment, the in-SQL ADC lookup table, and both rankings from the
+    same literals; all float folds are sequential-order (DETERMINISM.md).
+    """
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     rest = emb.where(F.col("vec_id") != 0)
     exact = S.cosine_topk(rest, qvec, k=10, round_to=4).select(
-        F.lit("exact").alias("op"), "vec_id", "cosine"
+        F.lit("exact").alias("op"), "vec_id", F.col("cosine").alias("score")
     )
     ivf = S.ivf_topk(
         rest, _ivf_centroids(), qvec, k=10, n_probe=3, round_to=4
-    ).select(F.lit("ivf").alias("op"), "vec_id", "cosine")
+    ).select(F.lit("ivf").alias("op"), "vec_id", F.col("cosine").alias("score"))
     # round-4 union-tag: the BATCH k-NN join (ivf_topk_join — every 20th
     # vector queries the corpus at once) rides the same row, the query id
     # packed into the op tag; the oracle replays probe ranking and
@@ -814,9 +827,60 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.concat(F.lit("batch_"), F.col("query_id")).alias("op"),
         "vec_id",
-        "cosine",
+        F.col("cosine").alias("score"),
     )
-    return exact.unionByName(ivf).unionByName(batch)
+    # int8 SQ: global max-abs anchor over the WHOLE table (matches the
+    # oracle's scalar subquery), integer-dot ranking over codes
+    ma = QZ.sq_max_abs(emb)
+    enc = QZ.sq_encode(rest, ma)
+    sq = QZ.sq_topk(enc, qvec, ma, k=10).select(
+        F.lit("sq").alias("op"),
+        "vec_id",
+        F.col("int_dot").cast("double").alias("score"),
+    )
+    qcodes = QZ.sq_quantize_vec(qvec, ma)
+    sqall = enc.select(
+        F.lit("sqall").alias("op"),
+        "vec_id",
+        QZ._int_dot(F.col("qvec"), F.lit(qcodes)).cast("double").alias("score"),
+    )
+    # PQ: seeded literal codebooks (the oracle inlines the same values),
+    # ADC against the vec_id=0 query
+    books = _pq_codebooks()
+    penc = QZ.pq_encode(rest, books)
+    pq = QZ.pq_adc_topk(penc, qvec, books, k=10, round_to=6).select(
+        F.lit("pq").alias("op"), "vec_id", F.col("adc_dist").alias("score")
+    )
+    powers = [float(16**s) for s in range(len(books))]
+    pqcode = penc.select(
+        F.lit("pqcode").alias("op"),
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                F.col("pq_code").cast("array<double>"),
+                F.lit(powers),
+                lambda c, p: c * p,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("score"),
+    )
+    out = exact.unionByName(ivf).unionByName(batch)
+    for leg in (sq, sqall, pq, pqcode):
+        out = out.unionByName(leg)
+    return out
+
+
+def _pq_codebooks() -> list[list[list[float]]]:
+    """Seeded literal PQ codebooks for the oracle leg (8 subspaces x 16
+    codes x 8 dims) — deterministic, so code assignment and ADC are
+    reproducible and oracle-checkable; ``pq_train`` refines codebooks on
+    data in production (pytest-covered)."""
+    from buildkite_logs_parquet_spark.operators.quantization import (
+        seeded_codebooks,
+    )
+
+    return seeded_codebooks(m=8, k=16, d_sub=8, seed=11, scale=0.15)
 
 
 #: threshold for the near-dup queries — sits in a wide gap of the pair-cosine
@@ -2442,7 +2506,7 @@ s AS (
 a AS (
   SELECT vec_id, embedding, {_cell} AS cell FROM s
 )
-SELECT 'exact' AS op, vec_id, cosine FROM (
+SELECT 'exact' AS op, vec_id, cosine AS score FROM (
   SELECT vec_id,
          round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 4) AS cosine
   FROM embeddings
@@ -2451,14 +2515,14 @@ SELECT 'exact' AS op, vec_id, cosine FROM (
   LIMIT 10
 )
 UNION ALL
-SELECT 'ivf' AS op, vec_id, cosine FROM (
+SELECT 'ivf' AS op, vec_id, cosine AS score FROM (
   SELECT vec_id, {_qcos} AS cosine
   FROM a WHERE cell IN (SELECT cid FROM probe)
   ORDER BY {_qcos} DESC, vec_id
   LIMIT 10
 )
 UNION ALL
-SELECT 'batch_' || qid AS op, vec_id, cosine FROM (
+SELECT 'batch_' || qid AS op, vec_id, cosine AS score FROM (
   SELECT qid, vec_id, cosine,
          row_number() OVER (PARTITION BY qid
                             ORDER BY cosine DESC, vec_id) AS rnk
@@ -2490,6 +2554,87 @@ SELECT 'batch_' || qid AS op, vec_id, cosine FROM (
         "cent(cid, c, cn) AS (",
         f"ncent(cid, nc) AS (\n  VALUES {_ncent_rows}\n),\ncent(cid, c, cn) AS (",
     )
+
+    # Compressed-code legs (operators/quantization.py).  int8 SQ replays
+    # the exact quantization formula (floor half-up, clamp) against the
+    # same global max-abs scalar, and scores are EXACT integer dots; PQ
+    # replays per-subspace argmin code assignment and the ADC lookup
+    # table from the same seeded codebook literals — every float fold is
+    # a left-associated sequential sum, matching Spark's ``aggregate``.
+    _books = _pq_codebooks()
+    _pm, _pk = len(_books), len(_books[0])
+    _cb_rows = ",\n         ".join(
+        f"({s}, {j}, [{', '.join(repr(float(x)) for x in _books[s][j])}])"
+        for s in range(_pm)
+        for j in range(_pk)
+    )
+    # DuckDB disallows subqueries inside lambdas — ``ma`` is cross-joined
+    # into the quantizing CTEs so ``sc`` is a plain column
+    _sqz = (
+        "list_transform(CAST(embedding AS DOUBLE[]), "
+        "x -> least(greatest(floor(x * sc + 0.5), -127.0), 127.0))"
+    )
+    _pq_terms = " + ".join(
+        f"(v[8*cs + {i+1}] - c[{i+1}]) * (v[8*cs + {i+1}] - c[{i+1}])"
+        for i in range(8)
+    )
+    _lut_terms = " + ".join(
+        f"(qv[8*cs + {i+1}] - c[{i+1}]) * (qv[8*cs + {i+1}] - c[{i+1}])"
+        for i in range(8)
+    )
+    _piv_cols = ",\n            ".join(
+        [f"max(CASE WHEN cs = {s} THEN d END) AS l{s}" for s in range(_pm)]
+        + [f"max(CASE WHEN cs = {s} THEN code END) AS c{s}" for s in range(_pm)]
+    )
+    _adc_sum = " + ".join(f"l{s}" for s in range(_pm))
+    # double literals: 16^7 * code overflows INT32; exact in doubles
+    _code_pack = " + ".join(f"{16**s}.0 * c{s}" for s in range(_pm))
+    _qz_ctes = f"""ma AS (
+  SELECT 127.0 / max(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max')) AS sc
+  FROM embeddings
+),
+sqe AS (SELECT vec_id, {_sqz} AS dv FROM embeddings, ma WHERE vec_id <> 0),
+sqq AS (
+  SELECT list_transform(qv, x -> least(greatest(floor(x * sc + 0.5), -127.0), 127.0)) AS qz
+  FROM q, ma
+),
+cbv(cs, code, c) AS (
+  VALUES {_cb_rows}
+),
+pqv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
+pqd AS (SELECT vec_id, cs, code, {_pq_terms} AS d FROM pqv, cbv),
+pqc AS (
+  SELECT vec_id, cs, code FROM (
+    SELECT vec_id, cs, code,
+           row_number() OVER (PARTITION BY vec_id, cs ORDER BY d, code) AS rn
+    FROM pqd
+  ) WHERE rn = 1
+),
+pqlut AS (SELECT cs, code, {_lut_terms} AS d FROM cbv, q),
+pqpiv AS (
+  SELECT vec_id,
+            {_piv_cols}
+  FROM pqc JOIN pqlut USING (cs, code) GROUP BY vec_id
+),
+"""
+    _qz_legs = f"""UNION ALL
+SELECT 'sq' AS op, vec_id, score FROM (
+  SELECT vec_id, list_inner_product(dv, (SELECT qz FROM sqq)) AS score FROM sqe
+  ORDER BY score DESC, vec_id LIMIT 10
+)
+UNION ALL
+SELECT 'sqall' AS op, vec_id, list_inner_product(dv, (SELECT qz FROM sqq)) AS score FROM sqe
+UNION ALL
+SELECT 'pq' AS op, vec_id, score FROM (
+  SELECT vec_id, round({_adc_sum}, 6) AS score FROM pqpiv
+  ORDER BY score, vec_id LIMIT 10
+)
+UNION ALL
+SELECT 'pqcode' AS op, vec_id, CAST({_code_pack} AS DOUBLE) AS score FROM pqpiv"""
+    sql["ann_topk"] = sql["ann_topk"].replace(
+        "ncent(cid, nc) AS (", _qz_ctes + "ncent(cid, nc) AS ("
+    )
+    sql["ann_topk"] = sql["ann_topk"].rstrip() + "\n" + _qz_legs + "\n"
 
     # kmeans_step: same assignment CTE as the IVF oracle (all vectors),
     # decimal element sums for the new centroid, drift vs the raw literal

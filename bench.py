@@ -209,7 +209,41 @@ def _extra_ops():
             "iter int, max_drift double",
         )
 
+    def pq_pipeline(spark, sf_dir):
+        from buildkite_logs_parquet_spark.operators import quantization as QZ
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # full PQ cycle: sample-train codebooks, encode the corpus
+        # (zero-shuffle map), ADC top-10 for one query off the compressed
+        # codes — the 32x-memory ANN path end to end
+        books = QZ.pq_train(emb, m=8, k=16, sample_rows=1024, seed=11)
+        q = [
+            float(x)
+            for x in emb.where("vec_id = 0").first()["embedding"]
+        ]
+        enc = QZ.pq_encode(emb.where("vec_id != 0"), books)
+        return QZ.pq_adc_topk(enc, q, books, k=10)
+
+    def ivfpq_topk(spark, sf_dir):
+        import __spark_entry__ as E
+        from buildkite_logs_parquet_spark.operators import quantization as QZ
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        books = E._pq_codebooks()
+        q = [
+            float(x)
+            for x in emb.where("vec_id = 0").first()["embedding"]
+        ]
+        enc = QZ.ivf_pq_encode(
+            emb.where("vec_id != 0"), E._ivf_centroids(), books
+        )
+        return QZ.ivf_pq_topk(
+            enc, E._ivf_centroids(), books, q, k=10, n_probe=2
+        )
+
     return {
+        "x_pq_pipeline": pq_pipeline,
+        "x_ivfpq_topk": ivfpq_topk,
         "x_pack_documents": pack_documents_bench,
         "x_interval_join": interval_join_bench,
         "x_paragraph_dedup": paragraph_dedup_bench,
