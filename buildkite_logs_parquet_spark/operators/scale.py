@@ -235,3 +235,47 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_with_bloom(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    ndv: int = 100_000,
+    mode: str = "overwrite",
+    sort_col: str | None = None,
+) -> None:
+    """Write parquet with per-column BLOOM FILTERS for the given columns
+    (``parquet.bloom.filter.enabled#col`` writer options).
+
+    Min/max row-group stats prune RANGE predicates but are useless for
+    point lookups on high-cardinality unsorted columns (every row group
+    spans most of the value domain); a bloom filter answers "is this key
+    possibly in this row group" in O(1) footer-metadata space, so
+    ``key = 'x'`` / ``key IN (...)`` scans skip row groups without
+    reading data pages.  At 100 TB this is the difference between a
+    point lookup touching kilobytes of footers vs terabytes of pages —
+    the standard lake pattern for digest/id probe columns (dedup keys,
+    URL hashes, document ids).
+
+    ``ndv`` sizes the filter (expected distinct values per row group —
+    Parquet derives bits from it; oversizing wastes footer bytes,
+    undersizing raises the false-positive rate).  With ``sort_col`` the
+    write also range-partitions+sorts so min/max stats stay useful for
+    that column alongside the bloom columns.
+
+    Note Spark's vectorized reader applies bloom row-group filtering at
+    scan time transparently; nothing special is needed on the read path.
+    """
+    w = df
+    if sort_col is not None:
+        w = df.repartitionByRange(F.col(sort_col)).sortWithinPartitions(
+            sort_col
+        )
+    writer = w.write.mode(mode)
+    for c in bloom_cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        writer = writer.option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(int(ndv))
+        )
+    writer.parquet(path)

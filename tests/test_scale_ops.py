@@ -205,3 +205,54 @@ def test_write_zordered_shrinks_spans_on_both_dims(spark, tmp_path):
         ).first()["r"]
     )
     assert avg_span(zpath, "l_orderkey") < 0.7 * orderkey_range
+
+
+def test_write_with_bloom_writes_filters_and_round_trips(spark, tmp_path):
+    import glob
+
+    from buildkite_logs_parquet_spark.operators.scale import write_with_bloom
+
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("digest"),
+        (F.col("id") % 7).alias("bucket"),
+    )
+    path = str(tmp_path / "bloom_lake")
+    write_with_bloom(docs, path, ["digest"], ndv=2000)
+
+    # the footer must carry a bloom filter for digest and NOT for the
+    # other columns (pyarrow 16 doesn't expose bloom offsets — read the
+    # footer through the JVM parquet-mr API)
+    files = [
+        f
+        for f in glob.glob(f"{path}/*.parquet")
+        if not f.rsplit("/", 1)[-1].startswith("_")
+    ]
+    assert files
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    saw_bloom = False
+    for f in files:
+        hif = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            jvm.org.apache.hadoop.fs.Path(f), conf
+        )
+        reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(hif)
+        try:
+            for block in reader.getFooter().getBlocks():
+                for col in block.getColumns():
+                    name = col.getPath().toDotString()
+                    off = col.getBloomFilterOffset()
+                    if name == "digest":
+                        assert off >= 0, "digest missing bloom filter"
+                        saw_bloom = True
+                    else:
+                        assert off < 0, name
+        finally:
+            reader.close()
+    assert saw_bloom
+
+    # value equality + point lookup through the spark reader
+    back = spark.read.parquet(path)
+    assert back.count() == 2000
+    probe = docs.where("doc_id = 77").first()["digest"]
+    assert back.where(F.col("digest") == probe).count() == 1
