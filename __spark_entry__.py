@@ -1166,7 +1166,18 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.col("split").alias("val"),
     )
-    return sampled.unionByName(split)
+    # round-5 union-tag: Efraimidis–Spirakis weighted sampling WITHOUT
+    # replacement (curation.weighted_sample — ln(u)/w content-hash keys,
+    # TakeOrderedAndProject top-n); the oracle replays the md5-uniform,
+    # the log-domain key, and the (key DESC, id) ranking in SQL.  val
+    # re-casts the weight column so the selected SET is what's hashed.
+    ws = CU.weighted_sample(docs, "doc_id", "n_chars", n=200, seed=7).select(
+        F.lit("wsample").alias("op"),
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("string").alias("val"),
+    )
+    return sampled.unionByName(split).unionByName(ws)
 
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2884,6 +2895,15 @@ UNION ALL
 SELECT 'split' AS op, doc_id, lang,
        CASE {' '.join(_cases)} ELSE '{_names[-1]}' END AS val
 FROM documents
+UNION ALL
+SELECT 'wsample' AS op, doc_id, lang, CAST(n_chars AS VARCHAR) AS val
+FROM (
+  SELECT doc_id, lang, n_chars,
+         round(ln((CAST(concat('0x', substr(md5(concat('7:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) + 1) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE), 12) AS es_key
+  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+  ORDER BY es_key DESC, doc_id LIMIT 200
+)
 """
     )
 

@@ -841,3 +841,44 @@ def ccnet_buckets(
         .otherwise(F.lit("tail"))
     )
     return joined.withColumn("ppl_bucket", bucket).drop("_t_lo", "_t_hi")
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    seed: int = 42,
+    round_to: int = 12,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    keep the ``n`` rows with the largest ``ln(u)/w`` where ``u`` is a
+    content-hash uniform in (0, 1] and ``w = weight_col > 0`` — the
+    log-domain form of the classic ``u^(1/w)`` key (same ranking, no
+    ``pow`` whose libm varies across engines).
+
+    Inclusion probabilities follow the weights exactly as in the A-ES
+    paper, and the chosen SET is a pure content function of
+    ``(seed, key)``: reproducible across runs, engines, and physical
+    layouts — ``df.sample`` and ``rand()``-keyed top-n are neither.
+    This is the primitive behind quality-weighted corpus selection
+    ("sample 10M docs proportional to quality score").
+
+    Plan shape: one scan with a narrow key expression, then top-n via
+    TakeOrderedAndProject (per-partition heads merged on the driver's
+    single final partition) — no global sort, no shuffle of the corpus.
+    Rows with non-positive weight are excluded (they have probability 0
+    in A-ES).  The key is rounded (rule 4, DETERMINISM.md) and ties
+    break on ``key_col``; the selection key survives as ``es_key`` for
+    audit.
+    """
+    u = (hash_bucket(F.col(key_col), seed) + 1).cast("double") / F.lit(
+        float(_BUCKETS)
+    )
+    k = F.round(F.log(u) / F.col(weight_col).cast("double"), round_to)
+    return (
+        df.where(F.col(weight_col).cast("double") > 0)
+        .withColumn("es_key", k)
+        .orderBy(F.col("es_key").desc(), F.col(key_col))
+        .limit(n)
+    )

@@ -674,3 +674,81 @@ class TestCcnetBuckets:
         )
         counts = {r["ppl_bucket"]: r["n"] for r in out.groupBy("ppl_bucket").agg(F.count("*").alias("n")).collect()}
         assert counts.get("head", 0) > 0 and counts.get("tail", 0) > 0
+
+
+def test_weighted_sample_matches_python_ground_truth(spark):
+    import hashlib
+    import math
+
+    from buildkite_logs_parquet_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    rows = [(i, float(1 + (i % 7))) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, "doc_id", "w", n=40, seed=9)
+    got_ids = [r["doc_id"] for r in got.collect()]
+
+    def key(i, w):
+        h = hashlib.md5(f"9:{i}".encode()).hexdigest()[:8]
+        u = (int(h, 16) + 1) / float(1 << 32)
+        return round(math.log(u) / w, 12)
+
+    want = sorted(rows, key=lambda t: (-key(*t), t[0]))[:40]
+    assert sorted(got_ids) == sorted(i for i, _ in want)
+
+
+def test_weighted_sample_is_layout_independent(spark):
+    from buildkite_logs_parquet_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    rows = [(i, float(1 + (i * 13) % 5)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    a = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 60).collect()}
+    b = {
+        r["doc_id"]
+        for r in weighted_sample(
+            df.repartition(7, "w"), "doc_id", "w", 60
+        ).collect()
+    }
+    assert a == b
+
+
+def test_weighted_sample_prefers_heavy_rows_and_drops_nonpositive(spark):
+    from buildkite_logs_parquet_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    # one heavy row vs light rows, plus excluded zero/negative weights
+    rows = [(0, 10_000.0)] + [(i, 1.0) for i in range(1, 400)]
+    rows += [(1000, 0.0), (1001, -5.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    included = 0
+    for seed in range(8):
+        ids = {
+            r["doc_id"]
+            for r in weighted_sample(df, "doc_id", "w", 40, seed=seed).collect()
+        }
+        assert 1000 not in ids and 1001 not in ids
+        included += 0 in ids
+    # P(include heavy) ≈ 1 − (1 − 10000/10399)^40 ≈ 1
+    assert included == 8
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    from buildkite_logs_parquet_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 9 + 1).alias("w")
+    )
+    plan = (
+        weighted_sample(df, "doc_id", "w", 25)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
