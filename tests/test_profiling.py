@@ -121,3 +121,46 @@ class TestCorpusDrift:
         assert not (buckets_a & {"8", "9"}) and not (buckets_b & {"0", "1"})
         with pytest.raises(ValueError):
             corpus_drift(a, b)
+
+
+def test_incremental_distinct_sketches(spark, tmp_path):
+    from buildkite_logs_parquet_spark.operators.profiling import (
+        build_distinct_sketches,
+        merge_distinct_sketches,
+    )
+
+    # 3 "days" with overlapping user populations
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 3).alias("day"),
+        (F.col("id") % 700).alias("user_id"),
+        (F.col("id") % 40).alias("url"),
+    )
+    sk = build_distinct_sketches(df, ["user_id", "url"], by=["day"])
+    assert sk.count() == 3
+
+    # sketch rows survive a parquet round-trip (the at-rest state table)
+    path = str(tmp_path / "sketches")
+    sk.write.parquet(path)
+    stored = spark.read.parquet(path)
+
+    # merged estimate over all days ≈ exact distinct over the union
+    merged = merge_distinct_sketches(stored, ["user_id", "url"]).first()
+    assert merged["n_rows"] == 3000
+    exact_users = df.select("user_id").distinct().count()
+    exact_urls = df.select("url").distinct().count()
+    assert abs(merged["approx_distinct_user_id"] - exact_users) <= 0.05 * exact_users
+    assert abs(merged["approx_distinct_url"] - exact_urls) <= max(2, 0.05 * exact_urls)
+
+    # incremental property: merging stored per-day sketches equals
+    # sketching the whole corpus in one pass (register-exact merge)
+    direct = merge_distinct_sketches(
+        build_distinct_sketches(df, ["user_id"]), ["user_id"]
+    ).first()
+    assert merged["approx_distinct_user_id"] == direct["approx_distinct_user_id"]
+
+    # per-day rollup keeps the group column
+    per_day = merge_distinct_sketches(stored, ["user_id"], roll_to=["day"])
+    assert per_day.count() == 3
+    for r in per_day.collect():
+        want = df.where(F.col("day") == r["day"]).select("user_id").distinct().count()
+        assert abs(r["approx_distinct_user_id"] - want) <= 0.05 * want
