@@ -854,3 +854,39 @@ def semantic_contamination(
             F.col("bench_cosine") >= F.lit(threshold), F.lit(False)
         ).alias("contaminated"),
     )
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out_dim: int = 16,
+    seed: int = 23,
+    out_col: str = "rp_vec",
+) -> DataFrame:
+    """Johnson–Lindenstrauss Gaussian random projection:
+    ``out[j] = dot(v, g_j)/sqrt(out_dim)`` with seeded literal Gaussian
+    rows ``g_j`` — pairwise Euclidean distances are preserved within
+    ``1 ± ε`` for ``out_dim = O(ln n / ε²)``, independent of the input
+    dimension.
+
+    The 100 TB use: shrink the embedding column BEFORE the expensive
+    stages — a 4x narrower vector means 4x fewer bytes through every
+    downstream shuffle (k-means assignment, near-dup pair scoring,
+    semantic dedup), at a bounded, data-independent distortion.  Like
+    ``hyperplane_buckets`` the projection matrix enters the plan as ONE
+    literal and the row work is ``out_dim`` codegen'd dot products —
+    zero shuffle, no training, reproducible from the seed alone.
+    """
+    import random
+
+    rng = random.Random(seed)
+    scale = 1.0 / math.sqrt(out_dim)
+    mat = [
+        [rng.gauss(0.0, 1.0) * scale for _ in range(dim)]
+        for _ in range(out_dim)
+    ]
+    v = _as_double(F.col(vec_col))
+    return df.withColumn(
+        out_col, F.transform(F.lit(mat), lambda g: dot(v, g))
+    )

@@ -458,3 +458,42 @@ def test_semantic_contamination_flags_benchmark_neighbors(spark, vectors):
     unmatched = [r for r in out.values() if r["nearest_bench_id"] is None]
     for r in unmatched:
         assert not r["contaminated"] and r["bench_cosine"] is None
+
+
+def test_random_projection_preserves_distances(spark, vectors):
+    import math as m
+
+    df, rows = vectors
+    out = S.random_projection(df, dim=DIM, out_dim=12, seed=23)
+    got = {r["vec_id"]: list(r["rp_vec"]) for r in out.collect()}
+    assert all(len(v) == 12 for v in got.values())
+
+    # deterministic: same seed → identical values
+    again = {
+        r["vec_id"]: list(r["rp_vec"])
+        for r in S.random_projection(df, dim=DIM, out_dim=12, seed=23).collect()
+    }
+    assert got == again
+
+    def d(a, b):
+        return m.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    base = {i: [float(x) for x in v] for i, v in rows}
+    # median pairwise distance ratio concentrates near 1 (JL); individual
+    # pairs can deviate at out_dim=12, the MEDIAN is a stable check
+    ratios = []
+    for i in range(0, 30, 3):
+        for j in range(i + 1, 30, 7):
+            orig = d(base[i], base[j])
+            if orig > 1e-9:
+                ratios.append(d(got[i], got[j]) / orig)
+    ratios.sort()
+    med = ratios[len(ratios) // 2]
+    assert 0.7 < med < 1.3, med
+
+    # near-dup structure survives: vector 0's planted near-dups (1..3)
+    # stay its nearest neighbors in the projected space
+    dists = sorted(
+        (d(got[0], got[i]), i) for i in range(1, N)
+    )
+    assert {i for _, i in dists[:3]} == {1, 2, 3}
