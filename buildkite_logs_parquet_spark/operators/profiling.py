@@ -268,3 +268,66 @@ def merge_distinct_sketches(
         for c in cols
     ]
     return sketch_df.groupBy(*[F.col(c) for c in roll_to]).agg(*aggs)
+
+
+# ------------------------------------------------- incremental frequencies
+
+
+def build_freq_sketches(
+    df: DataFrame,
+    key_col: str,
+    by: list[str] | None = None,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group mergeable Count-Min sketches: one row per ``by`` group
+    with a binary CMS over ``key_col`` plus the group's row count — the
+    frequency twin of ``build_distinct_sketches``.
+
+    Same incremental pattern: sketch each new partition ONCE into a row
+    of ``O(depth·width)`` counters (~``2/eps`` wide), append to a state
+    table; any-range frequency queries merge the matching rows instead
+    of rescanning raw data.  ALL groups must share ``eps``/``confidence``
+    /``seed`` — CMS merge requires identical geometry (enforced by
+    calling this with the same parameters; ``estimate_frequencies``
+    rejects mismatched sketch sizes at merge time).
+    """
+    by = by or []
+    return df.groupBy(*[F.col(c) for c in by]).agg(
+        F.count("*").alias("n_rows"),
+        F.count_min_sketch(
+            F.col(key_col).cast("string"),
+            F.lit(float(eps)),
+            F.lit(float(confidence)),
+            F.lit(int(seed)),
+        ).alias("cms"),
+    )
+
+
+def estimate_frequencies(
+    sketch_df: DataFrame, keys: list[str]
+) -> list[tuple[str, int]]:
+    """Merge stored CMS rows and estimate the frequency of each key over
+    the merged range; returns ``[(key, estimate), ...]``.
+
+    The merge runs DRIVER-side through the JVM CountMinSketch (state
+    rows are metadata-sized by construction — days × KB; collecting them
+    is the point of the pattern).  Counter merge is exact addition, so
+    merging per-day sketches equals sketching the union.  Estimates
+    overcount by at most ``eps · total`` with the built confidence.
+    Filter ``sketch_df`` (e.g. to a date range) before calling.
+    """
+    spark = sketch_df.sparkSession
+    jvm = spark._jvm
+    CMS = jvm.org.apache.spark.util.sketch.CountMinSketch
+    merged = None
+    for row in sketch_df.select("cms").collect():
+        s = CMS.readFrom(jvm.java.io.ByteArrayInputStream(bytes(row["cms"])))
+        if merged is None:
+            merged = s
+        else:
+            merged.mergeInPlace(s)
+    if merged is None:
+        return [(k, 0) for k in keys]
+    return [(k, int(merged.estimateCount(str(k)))) for k in keys]

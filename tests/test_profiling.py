@@ -164,3 +164,42 @@ def test_incremental_distinct_sketches(spark, tmp_path):
     for r in per_day.collect():
         want = df.where(F.col("day") == r["day"]).select("user_id").distinct().count()
         assert abs(r["approx_distinct_user_id"] - want) <= 0.05 * want
+
+
+def test_incremental_frequency_sketches(spark, tmp_path):
+    from buildkite_logs_parquet_spark.operators.profiling import (
+        build_freq_sketches,
+        estimate_frequencies,
+    )
+
+    # zipf-ish: key k appears ~3000/(k+1) times, split over 3 days
+    rows = []
+    for k in range(30):
+        rows += [(i % 3, f"key{k}") for i in range(3000 // (k + 1))]
+    df = spark.createDataFrame(rows, "day int, url string")
+    sk = build_freq_sketches(df, "url", by=["day"], eps=0.0005)
+    assert sk.count() == 3
+
+    path = str(tmp_path / "cms")
+    sk.write.parquet(path)
+    stored = spark.read.parquet(path)
+
+    total = len(rows)
+    got = dict(estimate_frequencies(stored, ["key0", "key5", "key29", "nope"]))
+    exact = {
+        k: sum(1 for _, u in rows if u == k)
+        for k in ("key0", "key5", "key29", "nope")
+    }
+    for k in exact:
+        assert exact[k] <= got[k] <= exact[k] + 0.001 * total, (k, got[k])
+
+    # merged-per-day == one-pass (counter addition is exact)
+    direct = dict(
+        estimate_frequencies(build_freq_sketches(df, "url"), ["key0", "key5"])
+    )
+    assert got["key0"] == direct["key0"] and got["key5"] == direct["key5"]
+
+    # empty state
+    assert estimate_frequencies(stored.where("day = 99"), ["key0"]) == [
+        ("key0", 0)
+    ]
