@@ -26,7 +26,7 @@ carries document text unless the semantics require it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: sampling buckets span [0, 2^32): the first 8 hex digits of an md5.
@@ -881,4 +881,40 @@ def weighted_sample(
         .withColumn("es_key", k)
         .orderBy(F.col("es_key").desc(), F.col(key_col))
         .limit(n)
+    )
+
+
+def domain_token_budget(
+    df: DataFrame,
+    key_col: str,
+    token_col: str,
+    budget: int,
+    order_col: str,
+) -> DataFrame:
+    """Cap each key's (domain's, source's) contribution to the corpus at
+    ``budget`` tokens — the standard diversity / anti-spam rule in
+    dataset construction ("at most N tokens per domain").
+
+    Prefix-sum admission: rows are ordered by ``order_col`` (must be a
+    total order within a key for determinism — rule 6) and a row is
+    admitted iff the INCLUSIVE running token total is still within
+    budget.  The running sum counts every prior row, admitted or not, so
+    the rule is a pure function of the ordered prefix — engine- and
+    layout-independent, and exactly the rule the streaming twin
+    (``streaming.follow.stream_token_budget``) applies across batches.
+
+    Plan: one key-partitioned window — the single shuffle is keyed by
+    ``key_col``; skewed keys (one giant domain) are exactly the rows the
+    budget discards, and AQE skew splitting handles the window's sort.
+    Returns all rows with ``cum_tokens`` and ``admitted``; filter
+    ``admitted`` to apply the cap.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum(F.col(token_col).cast("long")).over(w)
+    return df.withColumn("cum_tokens", run).withColumn(
+        "admitted", F.col("cum_tokens") <= F.lit(int(budget))
     )

@@ -450,3 +450,65 @@ def stream_drift_monitor(
         else {"processingTime": "30 seconds"}
     )
     return writer.trigger(**trigger).start()
+
+
+def stream_token_budget(
+    stream: DataFrame,
+    key_col: str,
+    token_col: str,
+    budget: int,
+    order_col: str,
+):
+    """Streaming per-key token-budget admission — a custom stateful
+    operator on ``applyInPandasWithState``.
+
+    State per key is ONE long: the total token mass seen so far.  Each
+    micro-batch sorts its rows by ``order_col`` (total order within a
+    key — within-batch determinism), adds the carried total, and admits
+    a row iff the inclusive running total stays within ``budget`` — the
+    SAME prefix-sum rule as the batch twin
+    (``curation.domain_token_budget``), so a stream processed in any
+    batch split equals the batch result on the concatenation (tested).
+    Cross-batch arrival order is the stream's order, as with any
+    streaming quota.
+
+    100 TB shape: state is 8 bytes per key (domains, not documents),
+    rows flow through Arrow batches, and emitted output is only the
+    admitted rows with their running totals.  Returns a DataFrame to
+    start with ``writeStream`` (append mode).
+
+    (Spark 4's ``transformWithStateInPandas`` would be the natural API
+    here, but its driver worker needs protobuf, absent in this
+    environment — the ``applyInPandasWithState`` form is semantically
+    identical for a single value state.)
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    in_schema = stream.schema
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in in_schema.fields
+    )
+    out_schema = f"{out_fields}, cum_tokens bigint"
+    cols = [f.name for f in in_schema.fields]
+
+    def admit(key, pdfs, state):
+        (base,) = state.get if state.exists else (0,)
+        base = int(base)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(order_col, kind="mergesort")
+        cum = base + batch[token_col].astype("int64").cumsum()
+        batch = batch.assign(cum_tokens=cum)
+        state.update((int(cum.iloc[-1]) if len(cum) else base,))
+        out = batch[batch["cum_tokens"] <= int(budget)]
+        if len(out):
+            yield out[cols + ["cum_tokens"]]
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        admit,
+        outputStructType=out_schema,
+        stateStructType="seen bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

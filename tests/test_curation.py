@@ -752,3 +752,55 @@ def test_weighted_sample_plan_is_take_ordered(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_domain_token_budget_prefix_rule(spark):
+    from buildkite_logs_parquet_spark.operators.curation import (
+        domain_token_budget,
+    )
+
+    rows = [
+        # (doc_id, domain, tokens): a = 40+40+30+10 -> 30 rejected AND the
+        # later 10 rejected too (prefix rule counts rejected mass)
+        (0, "a", 40),
+        (1, "a", 40),
+        (2, "a", 30),
+        (3, "a", 10),
+        (4, "b", 120),  # first row alone overflows
+        (5, "c", 100),  # exactly at budget
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, n_tokens long")
+    out = {
+        r["doc_id"]: (r["cum_tokens"], r["admitted"])
+        for r in domain_token_budget(
+            df, "domain", "n_tokens", budget=100, order_col="doc_id"
+        ).collect()
+    }
+    assert out[0] == (40, True)
+    assert out[1] == (80, True)
+    assert out[2] == (110, False)
+    assert out[3] == (120, False)  # prefix rule: rejected mass still counts
+    assert out[4] == (120, False)
+    assert out[5] == (100, True)
+
+
+def test_domain_token_budget_layout_independent(spark):
+    from buildkite_logs_parquet_spark.operators.curation import (
+        domain_token_budget,
+    )
+
+    rows = [(i, f"d{i % 11}", 7 + (i * 13) % 90) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, n_tokens long")
+    a = {
+        (r["doc_id"], r["admitted"])
+        for r in domain_token_budget(
+            df, "domain", "n_tokens", 500, "doc_id"
+        ).collect()
+    }
+    b = {
+        (r["doc_id"], r["admitted"])
+        for r in domain_token_budget(
+            df.repartition(13), "domain", "n_tokens", 500, "doc_id"
+        ).collect()
+    }
+    assert a == b

@@ -494,3 +494,66 @@ def test_stream_drift_monitor_flags_shifted_batches(spark, tmp_path):
     )
     # the matching batch sits well under the shifted one, which screams
     assert psis[0] < 0.25 < psis[1]
+
+
+def test_stream_token_budget_matches_batch_twin(spark, tmp_path):
+    """Cross-batch stateful quota: the stream over two micro-batches must
+    equal domain_token_budget on the concatenation (same prefix rule,
+    state carried across batches)."""
+    import json
+
+    from buildkite_logs_parquet_spark.operators.curation import (
+        domain_token_budget,
+    )
+    from buildkite_logs_parquet_spark.streaming.follow import (
+        stream_token_budget,
+    )
+
+    rows_b1 = [(0, "a", 40), (1, "a", 40), (2, "b", 10)]
+    rows_b2 = [(10, "a", 30), (11, "b", 50), (12, "a", 15)]
+    src = tmp_path / "in"
+    src.mkdir()
+    for name, rows in (("b1.json", rows_b1), ("b2.json", rows_b2)):
+        with open(src / name, "w") as f:
+            for i, dom, tok in rows:
+                f.write(
+                    json.dumps(
+                        {"doc_id": i, "domain": dom, "n_tokens": tok}
+                    )
+                    + "\n"
+                )
+    stream = (
+        spark.readStream.schema("doc_id long, domain string, n_tokens long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = stream_token_budget(
+        stream, "domain", "n_tokens", budget=100, order_col="doc_id"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("token_budget")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in spark.sql("select * from token_budget").collect()
+    }
+
+    batch = spark.createDataFrame(
+        rows_b1 + rows_b2, "doc_id long, domain string, n_tokens long"
+    )
+    want = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in domain_token_budget(
+            batch, "domain", "n_tokens", 100, "doc_id"
+        ).collect()
+        if r["admitted"]
+    }
+    assert got == want
+    # spot-check the cross-batch rejection: a consumed 80 in batch 1, so
+    # the 30-token doc 10 must be absent while b's 50-token doc 11 lands
+    assert 10 not in got and got[11] == 60
