@@ -1177,7 +1177,22 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.col("n_chars").cast("string").alias("val"),
     )
-    return sampled.unionByName(split).unionByName(ws)
+    # round-5 union-tag #2: the per-domain token-budget diversity cap
+    # (curation.domain_token_budget — prefix-sum admission over a
+    # source-partitioned window; every row carries its inclusive running
+    # char total so both admitted and rejected rows are hashed).  The
+    # oracle replays the window sum; exact integer arithmetic end to end.
+    tb = CU.domain_token_budget(
+        docs, "source", "n_chars", budget=100_000, order_col="doc_id"
+    ).select(
+        F.concat(
+            F.lit("budget:"), F.col("admitted").cast("string")
+        ).alias("op"),
+        "doc_id",
+        "lang",
+        F.col("cum_tokens").cast("string").alias("val"),
+    )
+    return sampled.unionByName(split).unionByName(ws).unionByName(tb)
 
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2903,6 +2918,15 @@ FROM (
                / CAST(n_chars AS DOUBLE), 12) AS es_key
   FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
   ORDER BY es_key DESC, doc_id LIMIT 200
+)
+UNION ALL
+SELECT 'budget:' || CAST(cum <= 100000 AS VARCHAR) AS op, doc_id, lang,
+       CAST(cum AS VARCHAR) AS val
+FROM (
+  SELECT doc_id, lang,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents
 )
 """
     )
