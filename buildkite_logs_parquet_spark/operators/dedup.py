@@ -1016,3 +1016,83 @@ def lsh_tuning(
         "fp_weight": round(fp, 6),
         "curve": curve,
     }
+
+
+# ----------------------------------------------- exact dedup vs history
+
+
+def content_digest(cols: list[str]) -> Column:
+    """md5 digest of the key columns (\\x1f-joined) — the at-rest exact
+    dedup key (same construction as ``exact_dedup_stats``)."""
+    return F.md5(F.concat_ws("\x1f", *[F.col(c) for c in cols]))
+
+
+def write_digest_lake(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    mode: str = "append",
+    ndv: int = 1_000_000,
+) -> None:
+    """Append the batch's distinct content digests to the exact-dedup
+    history lake — a digest-only table with a parquet BLOOM FILTER on
+    the digest column (``scale.write_with_bloom``), so point probes skip
+    row groups without reading pages."""
+    from buildkite_logs_parquet_spark.operators.scale import write_with_bloom
+
+    write_with_bloom(
+        df.select(content_digest(cols).alias("digest")).distinct(),
+        path,
+        ["digest"],
+        ndv=ndv,
+        mode=mode,
+    )
+
+
+def exact_dedup_against_lake(
+    batch: DataFrame,
+    lake_path: str,
+    cols: list[str],
+    max_probe_inlist: int = 10_000,
+) -> DataFrame:
+    """Drop batch rows whose content digest already exists in the history
+    lake — exact cross-history dedup for batch ingestion (the batch twin
+    of ``streaming.follow.stream_append_dedup_against_lake``).
+
+    Two probe strategies by batch size, both leaving the LAKE unshuffled:
+
+    * small batch (≤ ``max_probe_inlist`` distinct digests): collect the
+      digest list to the driver and scan the lake with ``digest IN
+      (...)`` — the predicate pushes into the parquet scan where the
+      ``write_digest_lake`` bloom filters + dictionary pages skip nearly
+      every row group; the (tiny) hit set comes back and the batch is
+      filtered with a broadcast anti-join.  History IO is O(matching row
+      groups), not O(lake).
+    * large batch: plain ``left_anti`` join against the lake's digest
+      column (digest-keyed shuffle of batch + lake digests — the
+      classic shape).
+
+    New digests are NOT written back here — call ``write_digest_lake``
+    with the survivors after downstream filters accept them.
+    """
+    spark = batch.sparkSession
+    d = content_digest(cols).alias("_digest")
+    withd = batch.withColumn("_digest", d)
+    try:
+        lake = spark.read.parquet(lake_path).select("digest")
+    except Exception:
+        return batch  # no history yet
+    n = withd.select("_digest").distinct().count()
+    if n <= max_probe_inlist:
+        probe = [r["_digest"] for r in withd.select("_digest").distinct().collect()]
+        hits = lake.where(F.col("digest").isin(probe)).distinct()
+        out = withd.join(
+            F.broadcast(hits),
+            withd["_digest"] == hits["digest"],
+            "left_anti",
+        )
+    else:
+        out = withd.join(
+            lake, withd["_digest"] == lake["digest"], "left_anti"
+        )
+    return out.drop("_digest")

@@ -604,3 +604,54 @@ class TestLshTuning:
         curve = dict(t["curve"])
         assert curve[0.7] > 0.8
         assert curve[0.2] < 0.35
+
+
+def test_exact_dedup_against_lake_both_paths(spark, tmp_path):
+    from buildkite_logs_parquet_spark.operators.dedup import (
+        exact_dedup_against_lake,
+        write_digest_lake,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(500)], "doc_id long, text string"
+    )
+    lake = str(tmp_path / "digests")
+    write_digest_lake(hist, lake, ["text"], mode="overwrite")
+
+    # batch: 30 known dups + 20 fresh docs
+    batch = spark.createDataFrame(
+        [(1000 + i, f"text-{i}") for i in range(30)]
+        + [(2000 + i, f"fresh-{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    small = exact_dedup_against_lake(batch, lake, ["text"])
+    assert sorted(r["doc_id"] for r in small.collect()) == [
+        2000 + i for i in range(20)
+    ]
+    assert small.columns == ["doc_id", "text"]
+
+    # large-batch path (force the anti-join) gives the identical result
+    big = exact_dedup_against_lake(batch, lake, ["text"], max_probe_inlist=5)
+    assert sorted(r["doc_id"] for r in big.collect()) == sorted(
+        r["doc_id"] for r in small.collect()
+    )
+
+    # the IN-list probe pushes into the lake scan
+    from buildkite_logs_parquet_spark.operators.dedup import content_digest
+    from pyspark.sql import functions as F2
+
+    digs = [
+        r["_digest"]
+        for r in batch.limit(3)
+        .withColumn("_digest", content_digest(["text"]))
+        .collect()
+    ]
+    scan = spark.read.parquet(lake).where(F2.col("digest").isin(digs))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(digest" in plan
+
+    # no lake yet → batch passes through
+    assert (
+        exact_dedup_against_lake(batch, str(tmp_path / "missing"), ["text"]).count()
+        == batch.count()
+    )
