@@ -865,8 +865,19 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         ).alias("score"),
     )
+    # residual IVF-PQ: coarse cell via the shared literal centroids, PQ
+    # codes of v − coarse[cell], 2-probe ADC search with per-cell
+    # residual-query LUTs — the full Faiss-style composition, replayed
+    # relationally by the oracle (probe ranking, residual argmin encode,
+    # per-cell LUT join)
+    ienc = QZ.ivf_pq_encode(rest, _ivf_centroids(), books)
+    ivfpq = QZ.ivf_pq_topk(
+        ienc, _ivf_centroids(), books, qvec, k=10, n_probe=2
+    ).select(
+        F.lit("ivfpq").alias("op"), "vec_id", F.col("adc_dist").alias("score")
+    )
     out = exact.unionByName(ivf).unionByName(batch)
-    for leg in (sq, sqall, pq, pqcode):
+    for leg in (sq, sqall, pq, pqcode, ivfpq):
         out = out.unionByName(leg)
     return out
 
@@ -2657,10 +2668,65 @@ SELECT 'pq' AS op, vec_id, score FROM (
 )
 UNION ALL
 SELECT 'pqcode' AS op, vec_id, CAST({_code_pack} AS DOUBLE) AS score FROM pqpiv"""
-    sql["ann_topk"] = sql["ann_topk"].replace(
-        "ncent(cid, nc) AS (", _qz_ctes + "ncent(cid, nc) AS ("
+    # Residual IVF-PQ leg: codes are per-subspace argmins of
+    # (codeword − (v − coarse[cell])); search probes the query's 2
+    # nearest cells (same ranking formula as the 'ivf' probe) and joins
+    # each probed cell's residual-query LUT.  Every subtraction and the
+    # 8-term folds are left-associated to match the Spark/Python order.
+    _r_terms = " + ".join(
+        f"(c[{i+1}] - (v[8*cs + {i+1}] - ccv[8*cs + {i+1}])) * "
+        f"(c[{i+1}] - (v[8*cs + {i+1}] - ccv[8*cs + {i+1}]))"
+        for i in range(8)
     )
-    sql["ann_topk"] = sql["ann_topk"].rstrip() + "\n" + _qz_legs + "\n"
+    _rl_terms = " + ".join(
+        f"(c[{i+1}] - (qv[8*cs + {i+1}] - ccv[8*cs + {i+1}])) * "
+        f"(c[{i+1}] - (qv[8*cs + {i+1}] - ccv[8*cs + {i+1}]))"
+        for i in range(8)
+    )
+    _rpiv_cols = ",\n            ".join(
+        f"max(CASE WHEN r.cs = {s} THEN l.d END) AS l{s}" for s in range(_pm)
+    )
+    _rq_ctes = f"""ctv AS (SELECT cid, c AS ccv FROM cent),
+probe2 AS (
+  SELECT cid FROM cent, q
+  ORDER BY list_inner_product(qv, c) / (sqrt(list_inner_product(qv, qv)) * cn) DESC, cid
+  LIMIT 2
+),
+rpqd AS (
+  SELECT p.vec_id, av.cell, cs, code, {_r_terms} AS d
+  FROM pqv p JOIN a av ON av.vec_id = p.vec_id
+  JOIN ctv ON ctv.cid = av.cell, cbv
+),
+rpq AS (
+  SELECT vec_id, cell, cs, code FROM (
+    SELECT vec_id, cell, cs, code,
+           row_number() OVER (PARTITION BY vec_id, cs ORDER BY d, code) AS rn
+    FROM rpqd
+  ) WHERE rn = 1
+),
+rlut AS (
+  SELECT ctv.cid AS cell, cs, code, {_rl_terms} AS d
+  FROM ctv, cbv, q WHERE ctv.cid IN (SELECT cid FROM probe2)
+),
+"""
+    _rq_leg = f"""
+UNION ALL
+SELECT 'ivfpq' AS op, vec_id, score FROM (
+  SELECT vec_id, round({_adc_sum}, 6) AS score FROM (
+    SELECT r.vec_id,
+            {_rpiv_cols}
+    FROM rpq r JOIN rlut l ON l.cell = r.cell AND l.cs = r.cs AND l.code = r.code
+    WHERE r.cell IN (SELECT cid FROM probe2)
+    GROUP BY r.vec_id
+  )
+  ORDER BY score, vec_id LIMIT 10
+)"""
+    sql["ann_topk"] = sql["ann_topk"].replace(
+        "ncent(cid, nc) AS (", _qz_ctes + _rq_ctes + "ncent(cid, nc) AS ("
+    )
+    sql["ann_topk"] = (
+        sql["ann_topk"].rstrip() + "\n" + _qz_legs + _rq_leg + "\n"
+    )
 
     # kmeans_step: same assignment CTE as the IVF oracle (all vectors),
     # decimal element sums for the new centroid, drift vs the raw literal
