@@ -1096,3 +1096,66 @@ def exact_dedup_against_lake(
             lake, withd["_digest"] == lake["digest"], "left_anti"
         )
     return out.drop("_digest")
+
+
+# --------------------------------------------------- split leakage audit
+
+
+def split_leakage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 8,
+    threshold: float = 0.5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Near-duplicate pairs that CROSS a train/val/test boundary — the
+    eval-leakage audit every split must pass before a benchmark number
+    is trusted (a test doc near-duplicating a train doc inflates eval).
+
+    Runs the standard MinHash-LSH near-dup pipeline over the WHOLE
+    corpus (banded equi-join, never all-pairs), joins each side's split
+    assignment (an id→split projection — narrow), and keeps pairs whose
+    splits differ.  Returns (id_a, split_a, id_b, split_b, est_jaccard);
+    roll up with ``split_leakage_summary`` for the gate number.  Fix
+    leaks by MOVING whole near-dup clusters (graph.dedup_clusters) into
+    one split, not by dropping single offenders — pairs are symptoms,
+    clusters are the unit.
+    """
+    pairs = minhash_near_duplicates(
+        df,
+        id_col,
+        text_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        threshold=threshold,
+        hash_fn=hash_fn,
+    )
+    sp = df.select(F.col(id_col), F.col(split_col))
+    sa = sp.select(
+        F.col(id_col).alias("id_a"), F.col(split_col).alias("split_a")
+    )
+    sb = sp.select(
+        F.col(id_col).alias("id_b"), F.col(split_col).alias("split_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "split_a", "id_b", "split_b", "est_jaccard")
+    )
+
+
+def split_leakage_summary(leaks: DataFrame) -> DataFrame:
+    """Count leaking pairs per ordered split boundary (split_a < split_b
+    canonicalized so train↔test and test↔train collapse)."""
+    lo = F.least(F.col("split_a"), F.col("split_b"))
+    hi = F.greatest(F.col("split_a"), F.col("split_b"))
+    return (
+        leaks.groupBy(lo.alias("split_lo"), hi.alias("split_hi"))
+        .agg(F.count("*").alias("n_pairs"))
+    )

@@ -331,3 +331,60 @@ def estimate_frequencies(
     if merged is None:
         return [(k, 0) for k in keys]
     return [(k, int(merged.estimateCount(str(k)))) for k in keys]
+
+
+# --------------------------------------------------------- snapshot diff
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    content_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two corpus snapshots keyed by ``key_cols``:
+    one row per changed key, ``change ∈ {added, removed, modified}``
+    (``modified`` only when ``content_cols`` are given — compared by md5
+    digest so wide text columns never shuffle).
+
+    The audit between pipeline versions ("what did the new filter drop?
+    what did the crawl add?").  Plan: both sides project to
+    (key, digest) — narrow — then ONE full-outer join keyed on the key
+    columns; unchanged keys drop out before anything wide moves.
+    Compose with ``corpus_drift`` (distributional) and
+    ``drift_summary`` for the full regression-audit story.
+    """
+    def slim(df: DataFrame, tag: str) -> DataFrame:
+        cols = [F.col(c) for c in key_cols]
+        if content_cols:
+            digest = F.md5(
+                F.concat_ws(
+                    "\x1f", *[F.col(c).cast("string") for c in content_cols]
+                )
+            )
+        else:
+            digest = F.lit("")
+        return df.select(*cols, digest.alias(f"_d_{tag}")).withColumn(
+            f"_in_{tag}", F.lit(1)
+        )
+
+    o = slim(old, "old")
+    n = slim(new, "new")
+    j = o.join(n, on=key_cols, how="full_outer")
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("_d_old") != F.col("_d_new"), F.lit("modified"))
+        .otherwise(F.lit(None))
+    )
+    return (
+        j.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select(*key_cols, "change")
+    )
+
+
+def snapshot_diff_summary(diff: DataFrame) -> DataFrame:
+    """One row per change kind with counts — the metadata-sized rollup of
+    ``snapshot_diff`` for dashboards/gates."""
+    return diff.groupBy("change").agg(F.count("*").alias("n"))

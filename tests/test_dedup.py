@@ -655,3 +655,40 @@ def test_exact_dedup_against_lake_both_paths(spark, tmp_path):
         exact_dedup_against_lake(batch, str(tmp_path / "missing"), ["text"]).count()
         == batch.count()
     )
+
+
+def test_split_leakage_flags_cross_split_near_dups(spark):
+    from buildkite_logs_parquet_spark.operators.dedup import (
+        split_leakage,
+        split_leakage_summary,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest to hide from the loud hunters"
+    )
+    rows = [
+        (0, base, "train"),
+        (1, base + " extra tail words", "test"),   # cross-split near-dup
+        (2, base + " extra tail words!", "train"), # in-split near-dup of 1? no: 1 is test -> crosses
+        (3, "completely different text about spark query planning and shuffles everywhere", "test"),
+        (4, base + " extra tail word", "train"),   # near-dup family
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    leaks = split_leakage(
+        df, "doc_id", "text", "split", num_perm=16, bands=8, threshold=0.5
+    )
+    got = {(r["id_a"], r["id_b"]) for r in leaks.collect()}
+    # every flagged pair crosses the boundary and involves the dup family
+    sp = dict((i, s) for i, _, s in rows)
+    assert got, "expected at least one cross-split near-dup"
+    for a, b in got:
+        assert sp[a] != sp[b]
+        assert {a, b} <= {0, 1, 2, 4}
+    # doc 3 never appears
+    assert all(3 not in p for p in got)
+
+    summary = split_leakage_summary(leaks).collect()
+    assert len(summary) == 1
+    assert summary[0]["split_lo"] == "test" and summary[0]["split_hi"] == "train"
+    assert summary[0]["n_pairs"] == len(got)

@@ -203,3 +203,41 @@ def test_incremental_frequency_sketches(spark, tmp_path):
     assert estimate_frequencies(stored.where("day = 99"), ["key0"]) == [
         ("key0", 0)
     ]
+
+
+def test_snapshot_diff_and_summary(spark):
+    from buildkite_logs_parquet_spark.operators.profiling import (
+        snapshot_diff,
+        snapshot_diff_summary,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "doc_id long, text string, score long",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "c2", 30), (4, "d", 99), (5, "e", 50)],
+        "doc_id long, text string, score long",
+    )
+    got = {
+        r["doc_id"]: r["change"]
+        for r in snapshot_diff(
+            old, new, ["doc_id"], content_cols=["text", "score"]
+        ).collect()
+    }
+    assert got == {1: "removed", 3: "modified", 4: "modified", 5: "added"}
+
+    summary = {
+        r["change"]: r["n"]
+        for r in snapshot_diff_summary(
+            snapshot_diff(old, new, ["doc_id"], ["text", "score"])
+        ).collect()
+    }
+    assert summary == {"removed": 1, "modified": 2, "added": 1}
+
+    # key-only mode: modifications are invisible, adds/removes remain
+    keys_only = {
+        r["doc_id"]: r["change"]
+        for r in snapshot_diff(old, new, ["doc_id"]).collect()
+    }
+    assert keys_only == {1: "removed", 5: "added"}
