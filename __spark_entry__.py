@@ -807,7 +807,24 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same literals; all float folds are sequential-order (DETERMINISM.md).
     """
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    # ONE driver job fetches both scalars the legs need: the query vector
+    # (vec_id=0's embedding) and the corpus max-|x| SQ anchor — instead
+    # of a .first() per leg
+    hdr = emb.agg(
+        F.any_value(
+            F.when(F.col("vec_id") == 0, F.col("embedding")), True
+        ).alias("q"),
+        F.max(
+            F.array_max(
+                F.transform(
+                    F.col("embedding").cast("array<double>"),
+                    lambda x: F.abs(x),
+                )
+            )
+        ).alias("ma"),
+    ).first()
+    qvec = [float(x) for x in hdr["q"]]
+    ma = float(hdr["ma"])
     rest = emb.where(F.col("vec_id") != 0)
     exact = S.cosine_topk(rest, qvec, k=10, round_to=4).select(
         F.lit("exact").alias("op"), "vec_id", F.col("cosine").alias("score")
@@ -831,7 +848,6 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # int8 SQ: global max-abs anchor over the WHOLE table (matches the
     # oracle's scalar subquery), integer-dot ranking over codes
-    ma = QZ.sq_max_abs(emb)
     enc = QZ.sq_encode(rest, ma)
     sq = QZ.sq_topk(enc, qvec, ma, k=10).select(
         F.lit("sq").alias("op"),

@@ -65,6 +65,8 @@ __all__ = [
     "pq_adc_topk",
     "ivf_pq_encode",
     "ivf_pq_topk",
+    "write_ivfpq_lake",
+    "ivf_pq_topk_at_rest",
 ]
 
 
@@ -439,3 +441,61 @@ def ivf_pq_topk(
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.orderBy(F.col("adc_dist"), F.col(id_col)).limit(k)
+
+
+def write_ivfpq_lake(
+    df: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+    keep_vectors: bool = False,
+) -> None:
+    """Materialize the IVF-PQ index AT REST: residual-encode
+    (``ivf_pq_encode``) and write partitioned by ``ivf_cell`` — one
+    directory per coarse cell, rows carrying only ``(id, pq_code)``
+    unless ``keep_vectors``.
+
+    This is the full Faiss-at-rest analog: the index is 8 bytes/vector
+    of codes (m=8) plus directory structure; a probed search
+    (``ivf_pq_topk_at_rest``) reads ONLY the probed cells' directories
+    (partition pruning — plan-asserted in tests) and ONLY the code
+    column.  Keep the coarse centroids + codebooks (driver-side, KB)
+    beside the lake as the query-time artifacts.
+    """
+    enc = ivf_pq_encode(df, coarse_centroids, codebooks, vec_col)
+    cols = [id_col, "ivf_cell", "pq_code"] + (
+        [vec_col] if keep_vectors else []
+    )
+    enc.select(*cols).write.partitionBy("ivf_cell").mode(mode).parquet(path)
+
+
+def ivf_pq_topk_at_rest(
+    spark,
+    path: str,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-PQ search against a ``write_ivfpq_lake`` layout: the probed
+    cells enter the scan as partition-column equality filters, so the
+    read is pruned to n_probe directories BEFORE any IO (PartitionFilters
+    — the plan assertion in tests), and each probed cell scores its
+    residual-query ADC LUT exactly as the in-memory form."""
+    df = spark.read.parquet(path)
+    return ivf_pq_topk(
+        df,
+        coarse_centroids,
+        codebooks,
+        query_vec,
+        k=k,
+        n_probe=n_probe,
+        id_col=id_col,
+        round_to=round_to,
+    )

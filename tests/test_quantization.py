@@ -264,3 +264,29 @@ def test_pq_scan_prunes_to_code_column(spark, tmp_path, vectors):
         .toString()
     )
     assert "embedding" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_ivfpq_lake_prunes_partitions_and_matches_in_memory(spark, tmp_path, vectors):
+    df, rows = vectors
+    rng = random.Random(29)
+    coarse = [[rng.gauss(0, 1) for _ in range(DIM)] for _ in range(4)]
+    books = Q.seeded_codebooks(m=M_SUB, k=K_CODES, d_sub=DIM // M_SUB, seed=5)
+    path = str(tmp_path / "ivfpq_lake")
+    Q.write_ivfpq_lake(df, coarse, books, path, id_col="vec_id")
+
+    q = [float(x) for x in rows[4][1]]
+    at_rest = Q.ivf_pq_topk_at_rest(spark, path, coarse, books, q, k=8, n_probe=2)
+    in_mem = Q.ivf_pq_topk(
+        Q.ivf_pq_encode(df, coarse, books), coarse, books, q, k=8, n_probe=2
+    )
+    assert [(r["vec_id"], r["adc_dist"]) for r in at_rest.collect()] == [
+        (r["vec_id"], r["adc_dist"]) for r in in_mem.collect()
+    ]
+
+    # probe = partition pruning: the scan carries PartitionFilters on
+    # ivf_cell and reads only the code column
+    plan = at_rest._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
+    assert "embedding" not in plan.split("ReadSchema")[1][:200]
