@@ -1,0 +1,89 @@
+"""WARC/WET source tests: synthetic files, gzip, quarantine."""
+
+import gzip
+
+
+def _record(uri, text, wtype="conversion"):
+    payload = text.encode()
+    # each header line ends with CRLF; ONE extra CRLF forms the blank
+    # line, then Content-Length payload bytes, then the CRLF CRLF
+    # record separator (ISO 28500 framing)
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {wtype}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: 2026-08-14T00:00:00Z\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+    ).encode()
+    return head + b"\r\n" + payload + b"\r\n\r\n"
+
+
+def test_read_warc_wet_plain_and_gzip(spark, tmp_path):
+    from buildkite_logs_parquet_spark.sources.warc import read_warc_wet
+
+    wet = (
+        _record("http://a.example/", "hello world document one")
+        + _record("http://b.example/", "second doc\nwith two lines")
+        + _record("warcinfo", "software: test", wtype="warcinfo")
+    )
+    (tmp_path / "f1.warc.wet").write_bytes(wet)
+    (tmp_path / "f2.warc.wet.gz").write_bytes(gzip.compress(wet))
+
+    df = read_warc_wet(spark, str(tmp_path)).cache()
+    rows = df.collect()
+    assert len(rows) == 6  # 3 records x 2 files
+    assert all(r["error"] is None for r in rows)
+
+    conv = df.where("warc_type = 'conversion'").collect()
+    assert len(conv) == 4
+    by_uri = {(r["file"].rsplit("/", 1)[-1], r["target_uri"]): r for r in conv}
+    r = by_uri[("f1.warc.wet", "http://a.example/")]
+    assert r["text"] == "hello world document one"
+    assert r["content_length"] == len("hello world document one")
+    assert r["warc_date"] == "2026-08-14T00:00:00Z"
+    gz = by_uri[("f2.warc.wet.gz", "http://b.example/")]
+    assert gz["text"] == "second doc\nwith two lines"
+
+
+def test_read_warc_wet_quarantines_broken_tail(spark, tmp_path):
+    from buildkite_logs_parquet_spark.sources.warc import read_warc_wet
+
+    good = _record("http://ok.example/", "fine document")
+    broken = b"WARC/1.0\r\nContent-Length: 99999\r\n\r\nshort tail bytes"
+    (tmp_path / "broken.wet").write_bytes(good + broken)
+
+    df = read_warc_wet(spark, str(tmp_path))
+    rows = sorted(df.collect(), key=lambda r: r["record_idx"])
+    assert len(rows) == 2
+    assert rows[0]["error"] is None and rows[0]["text"] == "fine document"
+    assert rows[1]["error"] is not None and "truncated" in rows[1]["error"]
+    assert rows[1]["text"] is None
+
+
+def test_read_warc_wet_feeds_curation(spark, tmp_path):
+    """Composition: WET records flow straight into the documents-shaped
+    pipeline (text profile over conversion records)."""
+    from pyspark.sql import functions as F
+
+    from buildkite_logs_parquet_spark.operators.text_analysis import (
+        token_count,
+    )
+    from buildkite_logs_parquet_spark.sources.warc import read_warc_wet
+
+    wet = b"".join(
+        _record(f"http://site{i}.example/", f"doc number {i} with some words")
+        for i in range(5)
+    )
+    (tmp_path / "c.wet").write_bytes(wet)
+    docs = (
+        read_warc_wet(spark, str(tmp_path))
+        .where("warc_type = 'conversion'")
+        .select(
+            F.col("record_idx").cast("long").alias("doc_id"), "text"
+        )
+    )
+    prof = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    ).collect()
+    assert len(prof) == 5
+    assert all(r["n_tokens"] == 6 for r in prof)
