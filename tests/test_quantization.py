@@ -290,3 +290,42 @@ def test_ivfpq_lake_prunes_partitions_and_matches_in_memory(spark, tmp_path, vec
         "PartitionFilters"
     )[1][:120]
     assert "embedding" not in plan.split("ReadSchema")[1][:200]
+
+
+# ---------------------------------------------------------- 1-bit binary
+
+
+def test_bq_encode_matches_python_packing(spark, vectors):
+    df, rows = vectors
+    got = {
+        r["vec_id"]: list(r["bq_bits"])
+        for r in Q.bq_encode(df).select("vec_id", "bq_bits").collect()
+    }
+    for i, v in rows:
+        v32 = [float(np.float32(x)) for x in v]
+        assert got[i] == Q.bq_quantize_vec(v32), i
+        assert len(got[i]) == -(-DIM // 63)
+
+
+def test_bq_hamming_topk_exact_and_useful(spark, vectors):
+    df, rows = vectors
+    enc = Q.bq_encode(df).cache()
+    q = [float(x) for x in rows[0][1]]
+    got = Q.bq_hamming_topk(enc, q, k=20).collect()
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    qb = Q.bq_quantize_vec(q)
+    codes = {
+        r["vec_id"]: list(r["bq_bits"])
+        for r in enc.select("vec_id", "bq_bits").collect()
+    }
+    want = sorted(
+        ((i, ham(codes[i], qb)) for i in codes), key=lambda t: (t[1], t[0])
+    )[:20]
+    assert [(r["vec_id"], r["hamming"]) for r in got] == want
+    # candidate quality: the exact top-3 of query 0's cluster appear in
+    # the 20 binary candidates (rerank recipe viability)
+    exact3 = set(_exact_top(rows, q, 3))
+    assert exact3 <= {r["vec_id"] for r in got}
