@@ -241,7 +241,20 @@ def _extra_ops():
             enc, E._ivf_centroids(), books, q, k=10, n_probe=2
         )
 
+    def bq_rerank(spark, sf_dir):
+        from buildkite_logs_parquet_spark.operators import quantization as QZ
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = [
+            float(x)
+            for x in emb.where("vec_id = 0").first()["embedding"]
+        ]
+        # full ladder: 1-bit encode, Hamming coarse scan, exact rerank
+        enc = QZ.bq_encode(emb.where("vec_id != 0"))
+        return QZ.bq_rerank_topk(enc, q, k=10, prefilter_k=100)
+
     return {
+        "x_bq_rerank": bq_rerank,
         "x_pq_pipeline": pq_pipeline,
         "x_ivfpq_topk": ivfpq_topk,
         "x_pack_documents": pack_documents_bench,

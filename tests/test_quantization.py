@@ -329,3 +329,16 @@ def test_bq_hamming_topk_exact_and_useful(spark, vectors):
     # the 20 binary candidates (rerank recipe viability)
     exact3 = set(_exact_top(rows, q, 3))
     assert exact3 <= {r["vec_id"] for r in got}
+
+
+def test_bq_rerank_recovers_exact_topk(spark, vectors):
+    df, rows = vectors
+    enc = Q.bq_encode(df)
+    q = [float(x) for x in rows[7][1]]
+    got = [
+        r["vec_id"]
+        for r in Q.bq_rerank_topk(enc, q, k=5, prefilter_k=40).collect()
+    ]
+    # generous prefilter on clustered data: the rerank recovers the
+    # exact top-5 (cosine ties broken by id in both)
+    assert got == _exact_top(rows, q, 5)
