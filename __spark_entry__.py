@@ -1219,7 +1219,45 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.col("cum_tokens").cast("string").alias("val"),
     )
-    return sampled.unionByName(split).unionByName(ws).unionByName(tb)
+    # round-5 union-tag #3: row-level snapshot diff
+    # (profiling.snapshot_diff) between the corpus and a deterministic
+    # derived "next version": every 97th doc dropped (→ removed), every
+    # 53rd doc's text rewritten (→ modified), three synthetic docs added.
+    # The oracle rebuilds the same derived snapshot and replays the
+    # (key, digest) full-outer comparison in SQL.
+    from buildkite_logs_parquet_spark.operators.profiling import snapshot_diff
+
+    new_snap = (
+        docs.where(F.col("doc_id") % 97 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 53 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            spark.range(3).select(
+                (F.col("id") + 1_000_000).alias("doc_id"),
+                F.lit("new doc").alias("text"),
+            )
+        )
+    )
+    diff = snapshot_diff(
+        docs.select("doc_id", "text"), new_snap, ["doc_id"], ["text"]
+    ).select(
+        F.concat(F.lit("diff:"), F.col("change")).alias("op"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.col("change").alias("val"),
+    )
+    return (
+        sampled.unionByName(split)
+        .unionByName(ws)
+        .unionByName(tb)
+        .unionByName(diff)
+    )
 
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3010,6 +3048,23 @@ FROM (
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM documents
 )
+UNION ALL
+SELECT 'diff:' || change AS op, doc_id, CAST(NULL AS VARCHAR) AS lang,
+       change AS val
+FROM (
+  SELECT coalesce(o.doc_id, nw.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN nw.doc_id IS NULL THEN 'removed'
+              WHEN md5(o.text) <> md5(nw.text) THEN 'modified' END AS change
+  FROM (SELECT doc_id, text FROM documents) o
+  FULL OUTER JOIN (
+    SELECT doc_id,
+           CASE WHEN doc_id % 53 = 0 THEN text || ' v2' ELSE text END AS text
+    FROM documents WHERE doc_id % 97 <> 0
+    UNION ALL
+    SELECT 1000000 + r AS doc_id, 'new doc' AS text FROM range(0, 3) t(r)
+  ) nw ON o.doc_id = nw.doc_id
+) WHERE change IS NOT NULL
 """
     )
 

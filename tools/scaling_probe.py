@@ -35,6 +35,8 @@ PROBES = [
     ("bm25_scores", "documents⋈embeddings (rrf leg)", 10),
     ("table_profile", "documents (profile + drift legs)", 10),
     ("ngram_jaccard", "documents (pairs + eval legs)", 10),
+    ("ann_topk", "embeddings (exact+ivf+batch+sq+pq+ivfpq legs)", 10),
+    ("corpus_select", "documents (sample+split+wsample+budget legs)", 10),
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
@@ -85,6 +87,16 @@ def main() -> None:
             f"| {name} | {tables} | {mult}× | {t[0]} | {t[1]} | {t[2]} | {ratio:.1f}× |"
         )
     lines.append("")
+    # preserve hand-written analysis sections (e.g. measured dead ends)
+    # appended after the generated table: everything from the first
+    # second-level heading onward survives regeneration
+    try:
+        old = open("/root/repo/SCALING.md").read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            lines.append(old[idx + 1 :])
+    except FileNotFoundError:
+        pass
     with open("/root/repo/SCALING.md", "w") as f:
         f.write("\n".join(lines))
     print("wrote SCALING.md")
