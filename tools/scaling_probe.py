@@ -36,7 +36,7 @@ PROBES = [
     ("table_profile", "documents (profile + drift legs)", 10),
     ("ngram_jaccard", "documents (pairs + eval legs)", 10),
     ("ann_topk", "embeddings (exact+ivf+batch+sq+pq+ivfpq legs)", 10),
-    ("corpus_select", "documents (sample+split+wsample+budget legs)", 10),
+    ("corpus_select", "documents (sample+split+wsample+budget+diff legs)", 10),
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
