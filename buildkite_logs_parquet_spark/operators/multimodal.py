@@ -372,3 +372,101 @@ def frame_sample_plan(
             )
         ).alias("frame_index"),
     )
+
+
+def video_frames(
+    media: DataFrame,
+    every_nth: int = 2,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    as_png: bool = True,
+) -> DataFrame:
+    """REAL video decode + frame sampling over Y4M payloads
+    (``functions/video_codec`` — pure stdlib+numpy, the video twin of
+    the PNG and WAV paths): every Nth luma frame comes out as its own
+    row, re-encoded as a PNG payload by default so sampled frames flow
+    STRAIGHT into the image pipeline (``embed_media`` → semantic dedup /
+    ANN — one code path for stills and video frames).
+
+    The codec walk skips unselected frames by pointer arithmetic
+    (frame sizes are known from the header), so sampling cost is
+    O(selected frames) copies.  Arrow-batched ``mapInPandas``; payloads
+    never leave the executors; rows multiply by ``n_frames/every_nth``,
+    so repartition AFTER this operator, not before (same rule as the
+    audio framing op).  Undecodable payloads quarantine as one
+    ``decode_ok=false`` row.  Compressed containers (mp4/webm) remain
+    the ``strict_decode`` seam.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from buildkite_logs_parquet_spark.functions.image_codec import (
+            encode_png,
+        )
+        from buildkite_logs_parquet_spark.functions.video_codec import (
+            decode_y4m,
+            parse_y4m_header,
+        )
+
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                try:
+                    hdr = parse_y4m_header(raw)
+                    # count frames cheaply, then decode only the sample
+                    hdr2, _ = decode_y4m(raw, frame_indices=[])
+                    picks = list(range(0, hdr2["n_frames"], every_nth))
+                    _, frames = decode_y4m(raw, frame_indices=picks)
+                    for fi, luma in zip(picks, frames):
+                        out.append(
+                            {
+                                id_col: media_id,
+                                "decode_ok": True,
+                                "frame_index": fi,
+                                "n_frames": hdr2["n_frames"],
+                                "height": int(luma.shape[0]),
+                                "width": int(luma.shape[1]),
+                                "mean_luma": round(
+                                    float(np.mean(luma)), 6
+                                ),
+                                "frame_payload": (
+                                    encode_png(luma) if as_png else luma.tobytes()
+                                ),
+                            }
+                        )
+                except Exception:
+                    out.append(
+                        {
+                            id_col: media_id,
+                            "decode_ok": False,
+                            "frame_index": None,
+                            "n_frames": None,
+                            "height": None,
+                            "width": None,
+                            "mean_luma": None,
+                            "frame_payload": None,
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    id_col,
+                    "decode_ok",
+                    "frame_index",
+                    "n_frames",
+                    "height",
+                    "width",
+                    "mean_luma",
+                    "frame_payload",
+                ],
+            )
+
+    schema = (
+        f"{id_col} long, decode_ok boolean, frame_index int, "
+        "n_frames int, height int, width int, mean_luma double, "
+        "frame_payload binary"
+    )
+    return media.select(id_col, payload_col).mapInPandas(run, schema=schema)

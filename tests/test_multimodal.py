@@ -178,3 +178,59 @@ class TestAudio:
         # determinism
         again = audio_frame_windows(df, window_ms=25, hop_ms=10).collect()
         assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_video_codec_round_trip():
+    import numpy as np
+
+    from buildkite_logs_parquet_spark.functions.video_codec import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    rng = np.random.default_rng(5)
+    frames = [
+        rng.integers(0, 256, size=(8, 12), dtype=np.uint8) for _ in range(5)
+    ]
+    data = encode_y4m(frames, fps=(30, 1))
+    hdr, back = decode_y4m(data)
+    assert hdr["width"] == 12 and hdr["height"] == 8
+    assert hdr["n_frames"] == 5 and hdr["fps_num"] == 30
+    assert all((a == b).all() for a, b in zip(frames, back))
+
+    # selective decode returns exactly the requested frames
+    hdr2, some = decode_y4m(data, frame_indices=[0, 3])
+    assert hdr2["n_frames"] == 5
+    assert (some[0] == frames[0]).all() and (some[1] == frames[3]).all()
+
+
+def test_video_frames_samples_and_feeds_image_pipeline(spark):
+    import numpy as np
+
+    from buildkite_logs_parquet_spark.functions.image_codec import decode_image
+    from buildkite_logs_parquet_spark.functions.video_codec import encode_y4m
+    from buildkite_logs_parquet_spark.operators.multimodal import video_frames
+
+    rng = np.random.default_rng(9)
+    vids = []
+    for mid, n in ((1, 6), (2, 3)):
+        frames = [
+            np.full((4, 6), 10 * mid + i, dtype=np.uint8) for i in range(n)
+        ]
+        vids.append((mid, bytearray(encode_y4m(frames))))
+    vids.append((3, bytearray(b"not a video")))
+    media = spark.createDataFrame(vids, "media_id long, payload binary")
+
+    out = video_frames(media, every_nth=2).collect()
+    rows = [(r["media_id"], r["frame_index"]) for r in out if r["decode_ok"]]
+    assert sorted(rows) == [(1, 0), (1, 2), (1, 4), (2, 0), (2, 2)]
+    bad = [r for r in out if not r["decode_ok"]]
+    assert len(bad) == 1 and bad[0]["media_id"] == 3
+
+    # frame payloads are REAL PNGs the image codec decodes back
+    by = {(r["media_id"], r["frame_index"]): r for r in out if r["decode_ok"]}
+    r = by[(1, 2)]
+    img = decode_image(bytes(r["frame_payload"]))
+    assert img.shape[:2] == (4, 6)
+    assert int(img.reshape(-1)[0]) == 12  # frame value = 10*mid + index
+    assert r["mean_luma"] == 12.0 and r["n_frames"] == 6
