@@ -59,6 +59,7 @@ __all__ = [
     "sq_topk",
     "seeded_codebooks",
     "pq_train",
+    "pq_train_distributed",
     "pq_encode",
     "adc_lut",
     "pq_adc_dist",
@@ -621,3 +622,101 @@ def bq_rerank_topk(
         shortlist, query_vec, k=k, id_col=id_col, vec_col=vec_col,
         round_to=round_to,
     )
+
+
+def pq_train_distributed(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    init_codebooks: list[list[list[float]]] | None = None,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+    seed: int = 11,
+) -> tuple[list[list[list[float]]], list[dict]]:
+    """Full-corpus PQ codebook training — the distributed complement to
+    the sample-based ``pq_train`` for corpora whose tail matters (a
+    driver sample can underfit rare-but-important subspace regions).
+
+    Same driver-resolved Lloyd shape as ``similarity.kmeans_fit``: the
+    state is the m·k·d_sub codebook matrix, re-entering every round as
+    ONE nested array literal.  Each round is a single job: explode each
+    vector into its m (subspace, subvector) rows — the honest m× row
+    cost of full-corpus training — assign each to its subspace's nearest
+    codeword (``element_at`` of the codebook literal by subspace id, so
+    one expression serves all subspaces), and reduce to per-(subspace,
+    code) DECIMAL element sums + counts: a ≤ m·k-row mergeable
+    aggregate, deterministic in any engine and under any partitioning.
+    Empty codewords keep their previous centroid.  Returns
+    ``(codebooks, history)`` with per-round max centroid drift (L2).
+    """
+    import math as _math
+
+    v = _as_double(F.col(vec_col))
+    if init_codebooks is None:
+        # seed from the data dimension
+        dim = len(df.select(v.alias("v")).first()["v"])
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        books = seeded_codebooks(m=m, k=k, d_sub=dim // m, seed=seed)
+    else:
+        books = [[list(map(float, c)) for c in b] for b in init_codebooks]
+    d_sub = len(books[0][0])
+
+    sub_rows = df.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.cast("int").alias("s"),
+                    F.slice(v, s * F.lit(d_sub) + F.lit(1), d_sub).alias(
+                        "sub"
+                    ),
+                ),
+            )
+        ).alias("e")
+    ).select("e.s", "e.sub")
+
+    sums = tuple(
+        F.sum(F.element_at(F.col("sub"), i + 1).cast("decimal(28,12)")).alias(
+            f"_s_{i}"
+        )
+        for i in range(d_sub)
+    )
+    history: list[dict] = []
+    for it in range(1, max_iter + 1):
+        cb_lit = F.lit(books)  # m x k x d_sub nested literal
+        dists = F.transform(
+            F.element_at(cb_lit, F.col("s") + 1),
+            lambda c: _sqdist(c, F.col("sub")),
+        )
+        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        rows = (
+            sub_rows.withColumn("code", code)
+            .groupBy("s", "code")
+            .agg(F.count("*").alias("_n"), *sums)
+            .collect()
+        )
+        by_key = {(r["s"], r["code"]): r for r in rows}
+        new_books = []
+        max_drift = 0.0
+        for s in range(m):
+            nb = []
+            for j in range(k):
+                r = by_key.get((s, j))
+                if r is None:
+                    nb.append(list(books[s][j]))
+                    continue
+                n = r["_n"]
+                cent = [float(r[f"_s_{i}"]) / n for i in range(d_sub)]
+                drift = _math.sqrt(
+                    sum((a - b) ** 2 for a, b in zip(cent, books[s][j]))
+                )
+                max_drift = max(max_drift, drift)
+                nb.append(cent)
+            new_books.append(nb)
+        books = new_books
+        history.append({"iter": it, "max_drift": max_drift})
+        if max_drift <= tol:
+            break
+    return books, history

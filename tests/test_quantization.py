@@ -342,3 +342,38 @@ def test_bq_rerank_recovers_exact_topk(spark, vectors):
     # generous prefilter on clustered data: the rerank recovers the
     # exact top-5 (cosine ties broken by id in both)
     assert got == _exact_top(rows, q, 5)
+
+
+def test_pq_train_distributed_converges_and_improves(spark, vectors):
+    df, rows = vectors
+    seeded = Q.seeded_codebooks(
+        m=M_SUB, k=K_CODES, d_sub=DIM // M_SUB, seed=5
+    )
+    books, hist = Q.pq_train_distributed(
+        df, m=M_SUB, k=K_CODES, init_codebooks=seeded, max_iter=6, tol=1e-9
+    )
+    assert len(hist) >= 2
+    # drift decreases overall (Lloyd monotonicity up to empty-cell jumps)
+    assert hist[-1]["max_drift"] < hist[0]["max_drift"]
+
+    def quant_error(bks):
+        import numpy as np
+
+        cb = np.asarray(bks)
+        tot = 0.0
+        for _, v in rows:
+            x = np.asarray(
+                [float(np.float32(t)) for t in v]
+            ).reshape(M_SUB, -1)
+            d2 = ((cb - x[:, None, :]) ** 2).sum(axis=2)
+            tot += float(d2.min(axis=1).sum())
+        return tot
+
+    assert quant_error(books) < quant_error(seeded)
+
+    # deterministic under repartition (decimal sums, literal re-entry)
+    books2, _ = Q.pq_train_distributed(
+        df.repartition(7), m=M_SUB, k=K_CODES,
+        init_codebooks=seeded, max_iter=6, tol=1e-9,
+    )
+    assert books == books2
