@@ -253,7 +253,54 @@ def _extra_ops():
         enc = QZ.bq_encode(emb.where("vec_id != 0"))
         return QZ.bq_rerank_topk(enc, q, k=10, prefilter_k=100)
 
+    def warc_ingest(spark, sf_dir):
+        import gzip
+        import os
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from buildkite_logs_parquet_spark.operators.text_analysis import (
+            token_count,
+        )
+        from buildkite_logs_parquet_spark.sources.warc import read_warc_wet
+
+        # synthesize a WET corpus from the documents table once per
+        # bench process (8 gzip members so the binaryFile scan has
+        # file-level parallelism), then measure the full parse+profile
+        wet_dir = "bench_wet"
+        if not os.path.isdir(wet_dir):
+            os.makedirs(wet_dir, exist_ok=True)
+            try:
+                docs = spark.read.parquet(
+                    f"{sf_dir}/documents.parquet"
+                ).select("doc_id", "text").collect()
+                for shard in range(8):
+                    buf = bytearray()
+                    for r in docs:
+                        if r["doc_id"] % 8 != shard:
+                            continue
+                        payload = r["text"].encode()
+                        head = (
+                            "WARC/1.0\r\nWARC-Type: conversion\r\n"
+                            f"WARC-Target-URI: http://d{r['doc_id']}.example/\r\n"
+                            f"Content-Length: {len(payload)}\r\n"
+                        ).encode()
+                        buf += head + b"\r\n" + payload + b"\r\n\r\n"
+                    with open(f"{wet_dir}/part{shard}.warc.wet.gz", "wb") as f:
+                        f.write(gzip.compress(bytes(buf)))
+            except BaseException:
+                shutil.rmtree(wet_dir, ignore_errors=True)
+                raise
+        recs = read_warc_wet(spark, wet_dir).where(
+            "warc_type = 'conversion'"
+        )
+        return recs.select(
+            "target_uri", token_count(F.col("text")).alias("n_tokens")
+        )
+
     return {
+        "x_warc_ingest": warc_ingest,
         "x_bq_rerank": bq_rerank,
         "x_pq_pipeline": pq_pipeline,
         "x_ivfpq_topk": ivfpq_topk,

@@ -234,3 +234,43 @@ def test_video_frames_samples_and_feeds_image_pipeline(spark):
     assert img.shape[:2] == (4, 6)
     assert int(img.reshape(-1)[0]) == 12  # frame value = 10*mid + index
     assert r["mean_luma"] == 12.0 and r["n_frames"] == 6
+
+
+def test_video_to_embedding_dedup_pipeline(spark):
+    """End-to-end multimodal composition: Y4M video → sampled frames
+    (real PNGs) → embed_media → near-identical frames collapse.  Two
+    videos share an identical frame; its two PNG payloads are
+    byte-identical, so their (payload-deterministic) embeddings match
+    exactly and the dedup pair surfaces."""
+    import numpy as np
+
+    from buildkite_logs_parquet_spark.functions.video_codec import encode_y4m
+    from buildkite_logs_parquet_spark.operators import multimodal as M
+    from buildkite_logs_parquet_spark.operators.multimodal import video_frames
+    from buildkite_logs_parquet_spark.operators.similarity import cosine_topk
+
+    shared = np.full((4, 6), 200, dtype=np.uint8)
+    vids = [
+        (1, bytearray(encode_y4m([shared, np.zeros((4, 6), np.uint8)]))),
+        (2, bytearray(encode_y4m([np.full((4, 6), 7, np.uint8), shared]))),
+    ]
+    media = spark.createDataFrame(vids, "media_id long, payload binary")
+    frames = video_frames(media, every_nth=1).where("decode_ok")
+    # frame rows become media rows: composite id, PNG payload
+    as_media = frames.selectExpr(
+        "media_id * 100 + frame_index as media_id",
+        "frame_payload as payload",
+    )
+    emb = M.embed_media(as_media)
+    assert emb.count() == 4
+    by = {r["media_id"]: list(r["embedding"]) for r in emb.collect()}
+    # the shared frame (video1 frame0 = id 100, video2 frame1 = id 201)
+    # embeds identically; the others differ
+    assert by[100] == by[201]
+    assert by[100] != by[101]
+
+    # and the ANN stack finds it: top-1 neighbor of id 100 is 201
+    got = cosine_topk(
+        emb.where("media_id != 100"), by[100], k=1, id_col="media_id"
+    ).first()
+    assert got["media_id"] == 201
