@@ -299,8 +299,42 @@ def _extra_ops():
             "target_uri", token_count(F.col("text")).alias("n_tokens")
         )
 
+    def split_leakage_bench(spark, sf_dir):
+        from buildkite_logs_parquet_spark.operators.curation import (
+            split_assign,
+        )
+        from buildkite_logs_parquet_spark.operators.dedup import (
+            split_leakage,
+            split_leakage_summary,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sp = split_assign(
+            docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+        )
+        leaks = split_leakage(
+            sp, "doc_id", "text", "split", num_perm=16, bands=4,
+            threshold=0.5,
+        )
+        return split_leakage_summary(leaks)
+
+    def sketch_state(spark, sf_dir):
+        from buildkite_logs_parquet_spark.operators.profiling import (
+            build_distinct_sketches,
+            merge_distinct_sketches,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # full incremental cycle: per-type sketch build + global merge
+        sk = build_distinct_sketches(
+            ev, ["user_id", "event_id"], by=["event_type"]
+        )
+        return merge_distinct_sketches(sk, ["user_id", "event_id"])
+
     return {
         "x_warc_ingest": warc_ingest,
+        "x_split_leakage": split_leakage_bench,
+        "x_sketch_state": sketch_state,
         "x_bq_rerank": bq_rerank,
         "x_pq_pipeline": pq_pipeline,
         "x_ivfpq_topk": ivfpq_topk,
