@@ -331,10 +331,23 @@ def _extra_ops():
         )
         return merge_distinct_sketches(sk, ["user_id", "event_id"])
 
+    def log_templates_bench(spark, sf_dir):
+        import __spark_entry__ as E
+        from buildkite_logs_parquet_spark.operators.queries import (
+            log_templates,
+        )
+
+        # the canonical 7-column frame carries `content` (clean_content
+        # is an ingest-side intermediate)
+        return log_templates(
+            E._entries(spark, sf_dir), content_col="content", min_count=2
+        )
+
     return {
         "x_warc_ingest": warc_ingest,
         "x_split_leakage": split_leakage_bench,
         "x_sketch_state": sketch_state,
+        "x_log_templates": log_templates_bench,
         "x_bq_rerank": bq_rerank,
         "x_pq_pipeline": pq_pipeline,
         "x_ivfpq_topk": ivfpq_topk,

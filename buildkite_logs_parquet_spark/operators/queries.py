@@ -136,3 +136,74 @@ def by_group_stats(entries: DataFrame, pattern: str, limit: int = 0) -> DataFram
     """
     matched = filter_by_group(entries, pattern)
     return matched.limit(limit) if limit > 0 else matched
+
+
+#: variable-masking rules for log template mining, applied in order —
+#: most-specific first so a UUID is not half-eaten by the number rule.
+#: Patterns live in the RE2 ∩ Java-regex subset (the pii_scrub
+#: discipline) so the chain replays identically in other engines.
+TEMPLATE_MASKS: list[tuple[str, str]] = [
+    # UUIDs
+    (
+        r"\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+        r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\b",
+        "<uuid>",
+    ),
+    # long hex ids (commit SHAs, build hashes)
+    (r"\b[0-9a-f]{7,40}\b", "<hex>"),
+    # durations and sizes with units
+    (r"\b\d+(\.\d+)?(ms|s|m|h)\b", "<dur>"),
+    (r"\b\d+(\.\d+)?\s?(B|KB|MB|GB|KiB|MiB|GiB)\b", "<size>"),
+    # bare numbers (line numbers, counts, ports)
+    (r"\b\d+(\.\d+)?\b", "<n>"),
+]
+
+
+def template_of(content: Column) -> Column:
+    """Mask the variable parts of a log line, leaving its TEMPLATE — the
+    Drain-style normalization that makes 'retry 3 of 5 after 120ms' and
+    'retry 4 of 5 after 95ms' the same line class."""
+    out = content
+    for pat, repl in TEMPLATE_MASKS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def log_templates(
+    entries: DataFrame,
+    content_col: str = "clean_content",
+    min_count: int = 1,
+) -> DataFrame:
+    """Mine line TEMPLATES from a log corpus: mask variables
+    (``template_of``), group, and report per-template frequency, spread
+    (distinct groups), first/last timestamps, and a deterministic
+    example line (the lexicographic minimum of the originals).
+
+    This is the "what is this CI actually printing" query — the top
+    templates ARE the log's vocabulary, and a template whose count
+    explodes between builds is the regression signal.  One narrow
+    masking projection + ONE template-keyed aggregate; at 100 TB the
+    shuffle carries (template, partial stats), bounded by template
+    cardinality (log vocabularies are tiny relative to line counts).
+    Filter with ``min_count`` to drop one-off lines.
+    """
+    t = template_of(F.col(content_col)).alias("template")
+    agg = (
+        entries.select(
+            t,
+            F.col(content_col).alias("_orig"),
+            "timestamp",
+            _group_name().alias("_grp"),
+        )
+        .groupBy("template")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.countDistinct("_grp").alias("n_groups"),
+            F.min("timestamp").alias("first_ts"),
+            F.max("timestamp").alias("last_ts"),
+            F.min("_orig").alias("example"),
+        )
+    )
+    if min_count > 1:
+        agg = agg.where(F.col("n_lines") >= min_count)
+    return agg.orderBy(F.col("n_lines").desc(), F.col("template"))

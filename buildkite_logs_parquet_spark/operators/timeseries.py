@@ -67,3 +67,62 @@ def time_rollup(
     # grouping() is only resolvable inside the rollup's own aggregate
     # projection — it reads the grouping-set bitmask, not a data column
     return base.rollup(*keys).agg(depth.cast("int").alias("level"), *aggs)
+
+
+def lttb_downsample(
+    df: DataFrame,
+    series_cols: list[str],
+    ts_col: str,
+    val_col: str,
+    n_out: int = 200,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling per series — the
+    dashboard-grade reduction (the algorithm Grafana/observability
+    stacks use): keep ``n_out`` points per series that preserve the
+    visual shape (peaks, troughs) far better than striding or bucket
+    means.
+
+    LTTB is inherently sequential WITHIN a series (each pick depends on
+    the previous), but series are independent — so this is
+    ``applyInPandas`` keyed by ``series_cols``: one shuffle to co-locate
+    each series, then a numpy pass per group.  Series at or under
+    ``n_out`` points pass through unchanged.  State per task is one
+    series — bounded by the longest series, the operator's documented
+    skew axis (split pathological series by time range first if one
+    series dominates the corpus).
+    """
+
+    def run(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        n = len(pdf)
+        if n <= n_out:
+            return pdf
+        x = pdf[ts_col].to_numpy(dtype=np.float64)
+        y = pdf[val_col].to_numpy(dtype=np.float64)
+        # classic LTTB: first/last pinned; n_out-2 interior buckets
+        idx = [0]
+        n_buckets = n_out - 2
+        edges = np.linspace(1, n - 1, n_buckets + 1).astype(np.int64)
+        a = 0
+        for b in range(n_buckets):
+            lo, hi = edges[b], edges[b + 1]
+            nlo, nhi = (edges[b + 1], edges[b + 2]) if b + 1 < n_buckets else (
+                n - 1,
+                n,
+            )
+            avg_x = x[nlo:nhi].mean() if nhi > nlo else x[n - 1]
+            avg_y = y[nlo:nhi].mean() if nhi > nlo else y[n - 1]
+            seg_x, seg_y = x[lo:hi], y[lo:hi]
+            area = np.abs(
+                (x[a] - avg_x) * (seg_y - y[a]) - (x[a] - seg_x) * (avg_y - y[a])
+            )
+            pick = lo + int(area.argmax())
+            idx.append(pick)
+            a = pick
+        idx.append(n - 1)
+        return pdf.iloc[idx]
+
+    return df.groupBy(*series_cols).applyInPandas(run, schema=df.schema)

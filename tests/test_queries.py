@@ -93,3 +93,39 @@ def test_tail(spark, entries):
 def test_by_group_stats_limit(spark, entries):
     assert Q.by_group_stats(entries, "environment", limit=2).count() == 2
     assert Q.by_group_stats(entries, "environment").count() == 3
+
+
+def test_log_templates_masks_variables_and_counts(spark):
+    from buildkite_logs_parquet_spark.operators.queries import (
+        log_templates,
+        template_of,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1000, "retry 3 of 5 after 120ms", "setup"),
+        (2000, "retry 4 of 5 after 95ms", "setup"),
+        (3000, "retry 1 of 5 after 7ms", "tests"),
+        (4000, "built sha 0d1f2a3b4c5d in 2.5s", "build"),
+        (5000, "built sha aabbccddeeff in 1.1s", "build"),
+        (6000, "unique line with no variables", "tests"),
+    ]
+    df = spark.createDataFrame(
+        rows, "timestamp long, clean_content string, group string"
+    )
+    out = {r["template"]: r for r in log_templates(df).collect()}
+    retry = out["retry <n> of <n> after <dur>"]
+    assert retry["n_lines"] == 3 and retry["n_groups"] == 2
+    assert (retry["first_ts"], retry["last_ts"]) == (1000, 3000)
+    assert retry["example"] == "retry 1 of 5 after 7ms"
+    built = out["built sha <hex> in <dur>"]
+    assert built["n_lines"] == 2 and built["n_groups"] == 1
+    assert out["unique line with no variables"]["n_lines"] == 1
+
+    # masking order: a uuid is one token, not shredded by the hex/number rules
+    one = spark.createDataFrame(
+        [(1, "job 123e4567-e89b-12d3-a456-426614174000 took 3s", "g")],
+        "timestamp long, clean_content string, group string",
+    )
+    got = one.select(template_of(F.col("clean_content")).alias("t")).first()["t"]
+    assert got == "job <uuid> took <dur>"

@@ -85,3 +85,42 @@ def test_rollup_is_one_pass(spark):
     # native grouping sets: ONE Expand, ONE shuffle — not L scans/joins
     assert plan.count("Expand") == 1
     assert plan.count("Exchange") == 1
+
+
+def test_lttb_downsample_shape_preserving(spark):
+    import math
+
+    from buildkite_logs_parquet_spark.operators.timeseries import (
+        lttb_downsample,
+    )
+
+    # two series: a sine with one sharp spike, and a short passthrough
+    rows = []
+    for i in range(1000):
+        v = math.sin(i / 25.0)
+        if i == 500:
+            v = 40.0  # spike LTTB must keep
+        rows.append(("s1", i * 1000, v))
+    rows += [("s2", i * 1000, float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+
+    out = lttb_downsample(df, ["series"], "ts", "value", n_out=50)
+    by = {}
+    for r in out.collect():
+        by.setdefault(r["series"], []).append((r["ts"], r["value"]))
+    s1 = sorted(by["s1"])
+    assert len(s1) == 50
+    # endpoints pinned, spike preserved
+    assert s1[0][0] == 0 and s1[-1][0] == 999000
+    assert any(v == 40.0 for _, v in s1)
+    # short series passes through untouched
+    assert len(by["s2"]) == 20
+
+    # deterministic under repartition
+    again = lttb_downsample(
+        df.repartition(7), ["series"], "ts", "value", n_out=50
+    )
+    a1 = sorted(
+        (r["ts"], r["value"]) for r in again.collect() if r["series"] == "s1"
+    )
+    assert a1 == s1
