@@ -117,3 +117,78 @@ def hybrid_search(
         k0=k0,
         weights=weights,
     )
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    round_to: int = 9,
+) -> DataFrame:
+    """Per-query retrieval quality at cutoff ``k``: hits, recall,
+    precision, reciprocal rank (MRR contribution), and binary-relevance
+    NDCG — the evaluation half every retrieval stack needs next to the
+    search half (BM25 / dense / fused).
+
+    ``results`` carries ranked lists (1-based ``rank_col``; the shape
+    ``with_rank``/``rrf_fuse`` emit), ``qrels`` the relevant
+    ``(query, doc)`` pairs.  One ranked-side filter to ``rank ≤ k``, one
+    broadcast-friendly equi-join onto the qrels, one query-keyed
+    aggregate; a metadata-sized second join adds each query's total
+    relevant count for the recall denominator.  All per-rank terms are
+    rounded then DECIMAL-summed (DETERMINISM.md rule 5), so the metrics
+    are engine-exact and oracle-checkable; queries with no relevant
+    docs are excluded (their recall is undefined), and queries whose
+    relevant docs were never retrieved still appear with zero metrics
+    via the qrels-side grouping.
+    """
+    import math as _math
+
+    topk = results.where(F.col(rank_col) <= k).select(
+        F.col(query_col), F.col(doc_col), F.col(rank_col)
+    )
+    rel = qrels.select(query_col, doc_col).distinct()
+    n_rel = rel.groupBy(query_col).agg(F.count("*").alias("n_relevant"))
+    hits = topk.join(rel, [query_col, doc_col])
+    # per-hit contributions, rounded then decimal-summed
+    rr = F.round(1.0 / F.col(rank_col), round_to).cast("decimal(28,12)")
+    dcg = F.round(
+        1.0 / F.log2(F.col(rank_col) + F.lit(1.0)), round_to
+    ).cast("decimal(28,12)")
+    per_q = hits.groupBy(query_col).agg(
+        F.count("*").alias("n_hits"),
+        F.max(rr).cast("double").alias("reciprocal_rank"),
+        F.sum(dcg).cast("double").alias("dcg"),
+    )
+    # ideal DCG for binary relevance: the first min(k, n_relevant) ranks
+    idcg_terms = [round(1.0 / _math.log2(r + 1.0), round_to) for r in range(1, k + 1)]
+    idcg_prefix = []
+    acc = 0.0
+    for t in idcg_terms:
+        acc = round(acc + t, round_to)
+        idcg_prefix.append(acc)
+    idcg = F.element_at(
+        F.lit(idcg_prefix), F.least(F.lit(k), F.col("n_relevant")).cast("int")
+    )
+    out = (
+        n_rel.join(per_q, query_col, "left")
+        .na.fill({"n_hits": 0, "reciprocal_rank": 0.0, "dcg": 0.0})
+        .select(
+            query_col,
+            "n_relevant",
+            "n_hits",
+            F.round(
+                F.col("n_hits") / F.least(F.lit(k), F.col("n_relevant")),
+                round_to,
+            ).alias("recall_at_k"),
+            F.round(F.col("n_hits") / F.lit(float(k)), round_to).alias(
+                "precision_at_k"
+            ),
+            F.col("reciprocal_rank"),
+            F.round(F.col("dcg") / idcg, round_to).alias("ndcg_at_k"),
+        )
+    )
+    return out

@@ -88,3 +88,53 @@ def test_hybrid_search_composes_on_testdata(spark):
     # determinism: a second run is value-identical
     again = hybrid_search(docs, emb, ["spark", "merge"], qvec, depth=20)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    import math
+
+    from buildkite_logs_parquet_spark.operators.retrieval import (
+        retrieval_metrics,
+    )
+
+    # q1: rel docs {10, 11, 12}; retrieved ranks: 10@1, 99@2, 11@4
+    # q2: rel docs {20}; never retrieved
+    # q3: no qrels -> excluded entirely
+    results = spark.createDataFrame(
+        [
+            (1, 10, 1), (1, 99, 2), (1, 50, 3), (1, 11, 4), (1, 51, 5),
+            (2, 70, 1), (2, 71, 2),
+            (3, 80, 1),
+        ],
+        "query_id long, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20)], "query_id long, doc_id long"
+    )
+    out = {
+        r["query_id"]: r
+        for r in retrieval_metrics(results, qrels, k=5).collect()
+    }
+    assert set(out) == {1, 2}
+
+    q1 = out[1]
+    assert q1["n_relevant"] == 3 and q1["n_hits"] == 2
+    assert q1["recall_at_k"] == round(2 / 3, 9)
+    assert q1["precision_at_k"] == round(2 / 5, 9)
+    assert q1["reciprocal_rank"] == 1.0
+    dcg = round(1 / math.log2(2), 9) + round(1 / math.log2(5), 9)
+    idcg = round(
+        round(1 / math.log2(2), 9)
+        + round(round(1 / math.log2(3), 9) + round(1 / math.log2(4), 9), 9),
+        9,
+    )
+    # recompute with the operator's sequential prefix rounding
+    t = [round(1 / math.log2(r + 1), 9) for r in (1, 2, 3)]
+    acc = 0.0
+    for x in t:
+        acc = round(acc + x, 9)
+    assert q1["ndcg_at_k"] == round(dcg / acc, 9)
+
+    q2 = out[2]
+    assert (q2["n_hits"], q2["recall_at_k"], q2["reciprocal_rank"]) == (0, 0.0, 0.0)
+    assert q2["ndcg_at_k"] == 0.0
