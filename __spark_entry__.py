@@ -1460,6 +1460,11 @@ SELECT doc_id,
        ELSE '' END
   || CASE WHEN doc_id % 7 = 0
        THEN ' see https://Docs.Example.ORG/x?id=' || CAST(doc_id AS STRING)
+       ELSE '' END
+  || CASE WHEN doc_id % 5 = 0
+       THEN ' http://Tracked.example.NET:80/a/' || CAST(doc_id % 20 AS STRING)
+            || '/?utm_source=s' || CAST(doc_id % 4 AS STRING)
+            || '&q=' || CAST(doc_id % 20 AS STRING) || '#f' || CAST(doc_id AS STRING)
        ELSE '' END AS text
 FROM {documents}
 """
@@ -1468,10 +1473,38 @@ FROM {documents}
 def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain URL stats (operators/text_analysis.py::url_domain_stats)
     over URL-planted text: extract http(s) URLs, key by lowercased host,
-    count occurrences + distinct documents."""
+    count occurrences + distinct documents.
+
+    Round-5 union-tag: URL CANONICALIZATION dedup stats ride the same
+    row as 'canon:<canonical_url>' rows — the planted tracked/ported/
+    fragmented variants (doc_id%5 leg of the planting) collapse through
+    ``canonical_url``'s lookaround-free regexp chain, which the oracle
+    replays verbatim in DuckDB (RE2-compatible by construction)."""
     docs_ref = f"parquet.`{sf_dir}/documents.parquet`"
     urls = spark.sql(_URL_TEXT_SQL.format(documents=docs_ref))
-    return TA.url_domain_stats(urls, "doc_id", "text")
+    base = TA.url_domain_stats(urls, "doc_id", "text")
+    raw = urls.select(
+        F.col("doc_id"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"https?://[^\s/$.?#][^\s]*"), 0
+            )
+        ).alias("_url"),
+    )
+    canon = (
+        raw.select("doc_id", TA.canonical_url(F.col("_url")).alias("cu"))
+        .groupBy("cu")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .select(
+            F.concat(F.lit("canon:"), F.col("cu")).alias("domain"),
+            "n_urls",
+            "n_docs",
+        )
+    )
+    return base.unionByName(canon)
 
 
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3369,10 +3402,36 @@ urls AS (
 d AS (
   SELECT doc_id, lower(regexp_extract(url, 'https?://([^/\\s:?#]+)', 1)) AS domain
   FROM urls
+),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(
+         regexp_replace(
+         regexp_replace(
+         regexp_replace(
+         regexp_replace(
+         regexp_replace(
+         regexp_replace(
+         regexp_replace(
+           lower(regexp_extract(url, '^(?i)(https?://[^/?#]*)', 1))
+             || regexp_replace(url, '^(?i)https?://[^/?#]*', '')
+         , '#.*$', '')
+         , '([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)=[^&#]*', '\\1', 'g')
+         , '\\?&+', '?')
+         , '&&+', '&')
+         , '[?&]+$', '')
+         , '^(http://[^/:?#]+):80([/?#].*)?$', '\\1\\2')
+         , '^(https://[^/:?#]+):443([/?#].*)?$', '\\1\\2')
+         , '^(https?://[^/?#]+/[^?#]*[^/?#])/([?#].*)?$', '\\1\\2') AS cu
+  FROM urls
 )
 SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
 FROM d WHERE domain <> ''
 GROUP BY domain
+UNION ALL
+SELECT 'canon:' || cu AS domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+FROM canon
+GROUP BY cu
 """
 
     # table_profile (exact mode): one UNION ALL branch per profiled column

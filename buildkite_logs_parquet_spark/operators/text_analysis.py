@@ -708,3 +708,48 @@ def top_terms_by_group(
         F.col("_e.item").alias("term"),
         F.col("_e.count").alias("approx_count"),
     )
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonicalize a URL for dedup keys — the first-stage dedup every
+    crawl pipeline runs BEFORE content hashing (the same page arrives
+    under utm-tagged, fragment-bearing, default-port variants):
+
+    1. lowercase scheme+host (path case is significant, kept),
+    2. drop the fragment (``#…``),
+    3. drop tracking query parameters (``utm_*``, ``gclid``, ``fbclid``,
+       ``ref``) while keeping meaningful ones, removing a ``?`` left
+       empty,
+    4. drop explicit default ports (``:80`` for http, ``:443`` for
+       https),
+    5. drop ONE trailing slash on a non-root path.
+
+    Pure regexp_replace chain in the RE2 ∩ Java subset (the pii_scrub
+    discipline) — zero shuffle, engine-replayable, so downstream
+    ``exact_dedup`` on the canonical key stays oracle-checkable.
+    """
+    u = url
+    # 1. lowercase scheme://host[:port] only (scheme may arrive in any case)
+    head = F.lower(F.regexp_extract(u, r"(?i)^(https?://[^/?#]*)", 1))
+    rest = F.regexp_replace(u, r"(?i)^https?://[^/?#]*", "")
+    u = F.concat(head, rest)
+    # 2. fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # 3. tracking params: each `?`/`&`-prefixed blocked name=value
+    # collapses to its separator, then separator debris is tidied —
+    # NO lookaround anywhere (RE2 has none), so DuckDB replays the chain
+    u = F.regexp_replace(
+        u, r"([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)=[^&#]*", "$1"
+    )
+    u = F.regexp_replace(u, r"\?&+", "?")
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    # 4. default ports (optional tail group re-appended; an absent group
+    # substitutes as empty in both Java and RE2)
+    u = F.regexp_replace(u, r"^(http://[^/:?#]+):80([/?#].*)?$", "$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]+):443([/?#].*)?$", "$1$2")
+    # 5. one trailing slash on a non-root path (the bare host's "/" stays)
+    u = F.regexp_replace(
+        u, r"^(https?://[^/?#]+/[^?#]*[^/?#])/([?#].*)?$", "$1$2"
+    )
+    return u

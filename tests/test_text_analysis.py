@@ -528,3 +528,41 @@ def test_top_terms_by_group_exact_under_capacity(spark):
         assert sorted((r["approx_count"] for r in got_lang), reverse=True) == [
             c for _, c in want[:5]
         ]
+
+
+def test_canonical_url_rules(spark):
+    from pyspark.sql import functions as F
+
+    from buildkite_logs_parquet_spark.operators.text_analysis import (
+        canonical_url,
+    )
+
+    cases = [
+        # case-folded scheme+host, default port, tracking, fragment,
+        # trailing slash — all at once
+        (
+            "HTTP://Example.COM:80/Path/?utm_source=x&q=1#frag",
+            "http://example.com/Path?q=1",
+        ),
+        ("https://A.example:443/", "https://a.example/"),  # root "/" kept
+        ("https://a.example/p/?utm_campaign=c", "https://a.example/p"),
+        (
+            "https://a.example/p?ref=tw&keep=1&utm_medium=m",
+            "https://a.example/p?keep=1",
+        ),
+        ("https://a.example/x/", "https://a.example/x"),
+        ("https://a.example/x", "https://a.example/x"),
+        ("https://a.example:8443/x", "https://a.example:8443/x"),  # real port
+        ("https://a.example/?gclid=abc", "https://a.example/"),
+        ("https://a.example/p?utm_a=1&utm_b=2&q=3", "https://a.example/p?q=3"),
+        ("https://a.example/p?a=1&utm_x=0&b=2", "https://a.example/p?a=1&b=2"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i])
