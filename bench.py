@@ -343,7 +343,25 @@ def _extra_ops():
             E._entries(spark, sf_dir), content_col="content", min_count=2
         )
 
+    def lttb_bench(spark, sf_dir):
+        import __spark_entry__ as E
+        from buildkite_logs_parquet_spark.operators.timeseries import (
+            lttb_downsample,
+        )
+
+        ev = E._events(spark, sf_dir)
+        # one series per user over the whole event stream, reduced to
+        # 100 shape-preserving points each
+        return lttb_downsample(
+            ev.select("user_id", "ts_ms", "value"),
+            ["user_id"],
+            "ts_ms",
+            "value",
+            n_out=100,
+        )
+
     return {
+        "x_lttb_downsample": lttb_bench,
         "x_warc_ingest": warc_ingest,
         "x_split_leakage": split_leakage_bench,
         "x_sketch_state": sketch_state,
