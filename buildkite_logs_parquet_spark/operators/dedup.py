@@ -19,6 +19,7 @@ for production — same plans, different scalar.
 
 from __future__ import annotations
 
+from pyspark.errors.exceptions.captured import AnalysisException
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1080,8 +1081,11 @@ def exact_dedup_against_lake(
     withd = batch.withColumn("_digest", d)
     try:
         lake = spark.read.parquet(lake_path).select("digest")
-    except Exception:
-        return batch  # no history yet
+    except AnalysisException:
+        # ONLY the missing-lake case passes the batch through; any other
+        # read failure (corrupt files, transient storage errors) must
+        # surface — silently skipping dedup would poison the corpus
+        return batch
     n = withd.select("_digest").distinct().count()
     if n <= max_probe_inlist:
         probe = [r["_digest"] for r in withd.select("_digest").distinct().collect()]
