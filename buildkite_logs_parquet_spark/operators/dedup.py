@@ -1080,12 +1080,21 @@ def exact_dedup_against_lake(
     d = content_digest(cols).alias("_digest")
     withd = batch.withColumn("_digest", d)
     try:
-        lake = spark.read.parquet(lake_path).select("digest")
-    except AnalysisException:
+        lake_raw = spark.read.parquet(lake_path)
+    except AnalysisException as e:
         # ONLY the missing-lake case passes the batch through; any other
-        # read failure (corrupt files, transient storage errors) must
-        # surface — silently skipping dedup would poison the corpus
+        # read failure (corrupt files, transient storage errors, a lake
+        # missing the digest column) must surface — silently skipping
+        # dedup would poison the corpus
+        cond = (
+            e.getCondition() if hasattr(e, "getCondition") else e.getErrorClass()
+        )
+        if (cond or "") != "PATH_NOT_FOUND":
+            raise
         return batch
+    # outside the try: a schema problem (no `digest` column — wrong table?)
+    # raises instead of being swallowed as "no lake yet"
+    lake = lake_raw.select("digest")
     n = withd.select("_digest").distinct().count()
     if n <= max_probe_inlist:
         probe = [r["_digest"] for r in withd.select("_digest").distinct().collect()]

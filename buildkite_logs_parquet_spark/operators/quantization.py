@@ -393,6 +393,8 @@ def ivf_pq_encode(
     ``similarity.write_ivf_lake``) and probes become partition pruning.
     """
     assigned = ivf_assign(df, coarse_centroids, vec_col)
+    if cell_col != "ivf_cell":
+        assigned = assigned.withColumnRenamed("ivf_cell", cell_col)
     cmat = F.lit([[float(x) for x in c] for c in coarse_centroids])
     v = _as_double(F.col(vec_col))
     resid = F.zip_with(
@@ -516,34 +518,38 @@ def bq_encode(
 ) -> DataFrame:
     """1-bit binary quantization: the sign bit of every component packed
     into ``ceil(dim/63)`` longs (63 bits per word keeps every weight and
-    partial sum positive and integer-exact in the fold) — ~256x smaller
-    than float32, the coarsest rung of the SQ→PQ→binary compression
-    ladder (the rerank recipe: binary scan → PQ refine → exact rerank).
+    partial sum positive in a signed long) — ~256x smaller than float32,
+    the coarsest rung of the SQ→PQ→binary compression ladder (the
+    rerank recipe: binary scan → PQ refine → exact rerank).
 
     Bit i of word w = (v[63w + i] ≥ 0).  Pure per-row expression: each
-    word is a weighted fold with the bit weights as ONE literal array,
-    zero shuffle, codegen'd; the last word's missing components read as
-    0 bits (zip_with null-pads).  Hamming distance over these codes
-    approximates angular distance (the same sign-sketch as
+    word is a weighted fold with the bit weights as ONE literal
+    ``array<long>`` and a LONG accumulator — doubles are integer-exact
+    only to 2^53, so a double fold silently drops low bits once a word
+    spans >53 positions; the integer fold is exact for all 63.  Zero
+    shuffle, codegen'd; the last word's missing components read as 0
+    bits (zip_with null-pads → otherwise(0)).  Hamming distance over
+    these codes approximates angular distance (the same sign-sketch as
     ``hyperplane_buckets``, but over the identity basis and packed for
     arithmetic rather than bucketing).
     """
     v = _as_double(F.col(vec_col))
-    # 63 bits per word: weights stay positive in signed longs and every
-    # partial sum is an exact integer in the double fold (< 2^63)
-    weights = F.lit([float(2**i) for i in range(63)])
+    # 63 bits per word: weights stay positive in signed longs; the fold
+    # runs entirely in long space so every bit position 0..62 is exact
+    weights = F.lit([2**i for i in range(63)]).cast("array<long>")
     n_words = F.ceil(F.size(v) / F.lit(63)).cast("int")
+    zero = F.lit(0).cast("long")
     words = F.transform(
         F.sequence(F.lit(0), n_words - 1),
         lambda wi: F.aggregate(
             F.zip_with(
                 F.slice(v, wi * F.lit(63) + F.lit(1), 63),
                 F.slice(weights, 1, 63),
-                lambda x, w: F.when(x >= 0, w).otherwise(F.lit(0.0)),
+                lambda x, w: F.when(x >= 0, w).otherwise(zero),
             ),
-            F.lit(0.0),
+            zero,
             lambda acc, b: acc + b,
-        ).cast("long"),
+        ),
     )
     return df.withColumn(out_col, words)
 

@@ -180,10 +180,16 @@ def retrieval_metrics(
             query_col,
             "n_relevant",
             "n_hits",
+            # standard recall@k divides by the query's TOTAL relevant
+            # count; the capped (R-capped) variant divides by min(k, R)
+            # so a query with more relevant docs than k can still reach 1
+            F.round(
+                F.col("n_hits") / F.col("n_relevant"), round_to
+            ).alias("recall_at_k"),
             F.round(
                 F.col("n_hits") / F.least(F.lit(k), F.col("n_relevant")),
                 round_to,
-            ).alias("recall_at_k"),
+            ).alias("capped_recall_at_k"),
             F.round(F.col("n_hits") / F.lit(float(k)), round_to).alias(
                 "precision_at_k"
             ),

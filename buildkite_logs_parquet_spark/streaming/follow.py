@@ -380,11 +380,21 @@ def stream_append_dedup_against_lake(
         else:
             fresh = batch.dropDuplicates(key_cols)
         try:
-            existing = spark.read.parquet(lake_path).select(*key_cols).distinct()
+            lake_raw = spark.read.parquet(lake_path)
+        except AnalysisException as e:
+            # first batch: the lake does not exist yet — ONLY that case
+            # skips the anti-join; schema/storage errors must surface
+            cond = (
+                e.getCondition()
+                if hasattr(e, "getCondition")
+                else e.getErrorClass()
+            )
+            if (cond or "") != "PATH_NOT_FOUND":
+                raise
+            lake_raw = None
+        if lake_raw is not None:
+            existing = lake_raw.select(*key_cols).distinct()
             fresh = fresh.join(existing, on=key_cols, how="left_anti")
-        except AnalysisException:
-            # first batch: the lake does not exist yet
-            pass
         fresh.write.mode("append").parquet(lake_path)
 
     writer = stream.writeStream.foreachBatch(upsert).option(

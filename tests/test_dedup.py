@@ -656,6 +656,16 @@ def test_exact_dedup_against_lake_both_paths(spark, tmp_path):
         == batch.count()
     )
 
+    # a lake WITHOUT a digest column (wrong table) must raise, not
+    # silently skip dedup — only the missing-path case passes through
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    wrong = str(tmp_path / "wrong_table")
+    hist.write.parquet(wrong)
+    with _pytest.raises(AnalysisException):
+        exact_dedup_against_lake(batch, wrong, ["text"]).count()
+
 
 def test_split_leakage_flags_cross_split_near_dups(spark):
     from buildkite_logs_parquet_spark.operators.dedup import (

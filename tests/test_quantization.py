@@ -307,6 +307,41 @@ def test_bq_encode_matches_python_packing(spark, vectors):
         assert len(got[i]) == -(-DIM // 63)
 
 
+def test_bq_encode_exact_beyond_53_bits(spark):
+    # doubles are integer-exact only to 2^53 — a double-space fold packs
+    # bits {0, 53} as 2^53 instead of 2^53+1.  96 dims force word 0 to
+    # span all 63 positions and word 1 another 33; the long-space fold
+    # must bit-match the driver-side packer on every pattern, including
+    # the adversarial {0,53}, all-63-set, and random sign patterns.
+    import random
+
+    rng = random.Random(47)
+    dim = 96
+    rows = []
+    # bit {0, 53} adversarial pattern
+    v = [-1.0] * dim
+    v[0] = 1.0
+    v[53] = 1.0
+    rows.append((0, v))
+    # all-positive (word 0 = 2^63 - 1, the max 63-bit value)
+    rows.append((1, [1.0] * dim))
+    # alternating + random
+    rows.append((2, [1.0 if i % 2 == 0 else -1.0 for i in range(dim)]))
+    for i in range(3, 20):
+        rows.append((i, [rng.choice([-1.0, 1.0]) for _ in range(dim)]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: list(r["bq_bits"])
+        for r in Q.bq_encode(df).select("vec_id", "bq_bits").collect()
+    }
+    for i, v in rows:
+        assert got[i] == Q.bq_quantize_vec(v), i
+    assert got[0][0] == (1 << 53) | 1
+    assert got[1][0] == (1 << 63) - 1
+
+
 def test_bq_hamming_topk_exact_and_useful(spark, vectors):
     df, rows = vectors
     enc = Q.bq_encode(df).cache()

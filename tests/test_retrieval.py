@@ -100,26 +100,39 @@ def test_retrieval_metrics_hand_computed(spark):
     # q1: rel docs {10, 11, 12}; retrieved ranks: 10@1, 99@2, 11@4
     # q2: rel docs {20}; never retrieved
     # q3: no qrels -> excluded entirely
+    # q4: 7 rel docs, all 5 retrieved ranks hit -> recall 5/7, capped 1
     results = spark.createDataFrame(
         [
             (1, 10, 1), (1, 99, 2), (1, 50, 3), (1, 11, 4), (1, 51, 5),
             (2, 70, 1), (2, 71, 2),
             (3, 80, 1),
+            (4, 40, 1), (4, 41, 2), (4, 42, 3), (4, 43, 4), (4, 44, 5),
         ],
         "query_id long, doc_id long, rank int",
     )
     qrels = spark.createDataFrame(
-        [(1, 10), (1, 11), (1, 12), (2, 20)], "query_id long, doc_id long"
+        [(1, 10), (1, 11), (1, 12), (2, 20)]
+        + [(4, d) for d in (40, 41, 42, 43, 44, 45, 46)],
+        "query_id long, doc_id long",
     )
     out = {
         r["query_id"]: r
         for r in retrieval_metrics(results, qrels, k=5).collect()
     }
-    assert set(out) == {1, 2}
+    assert set(out) == {1, 2, 4}
 
     q1 = out[1]
     assert q1["n_relevant"] == 3 and q1["n_hits"] == 2
     assert q1["recall_at_k"] == round(2 / 3, 9)
+    # n_relevant < k: capped recall == standard recall
+    assert q1["capped_recall_at_k"] == round(2 / 3, 9)
+
+    # n_relevant > k: standard recall divides by ALL relevant docs,
+    # capped recall by min(k, n_relevant)
+    q4 = out[4]
+    assert q4["n_relevant"] == 7 and q4["n_hits"] == 5
+    assert q4["recall_at_k"] == round(5 / 7, 9)
+    assert q4["capped_recall_at_k"] == 1.0
     assert q1["precision_at_k"] == round(2 / 5, 9)
     assert q1["reciprocal_rank"] == 1.0
     dcg = round(1 / math.log2(2), 9) + round(1 / math.log2(5), 9)
