@@ -1537,7 +1537,25 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("psi_term").alias("approx_p50"),
         F.lit(None).cast("double").alias("approx_p95"),
     )
-    return prof.unionByName(drift_leg)
+    out = prof.unionByName(drift_leg)
+
+    # DETERMINISM §1: every float-bearing column rides out as a 9-dp
+    # DECIMAL rendered as a scale-preserving STRING (the `_money`
+    # discipline) — raw doubles (drift shares, percentile interpolation)
+    # are hash-hostile across engine versions / driver float formatting
+    def _d9(c):
+        return F.round(c, 9).cast("decimal(38,9)").cast("string")
+
+    return out.select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        "approx_distinct",
+        _d9(F.col("min")).alias("min"),
+        _d9(F.col("max")).alias("max"),
+        _d9(F.col("approx_p50")).alias("approx_p50"),
+        _d9(F.col("approx_p95")).alias("approx_p95"),
+    )
 
 
 def q_top_terms_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3493,7 +3511,9 @@ FROM (
   GROUP BY col, bucket
 )
 """
-    sql["table_profile"] = " UNION ALL ".join(
+    # outer wrapper: 9-dp decimal-as-string rendering of every float
+    # column (mirror of the Spark side's _d9 — see q_table_profile)
+    _tp_union = " UNION ALL ".join(
         [
             _tp_num.format(c="doc_id"),
             _tp_num.format(c="n_chars"),
@@ -3502,6 +3522,14 @@ FROM (
             _tp_drift,
         ]
     )
+    sql["table_profile"] = f"""
+SELECT "column", n_rows, n_nulls, approx_distinct,
+       CAST(CAST(round("min", 9) AS DECIMAL(38,9)) AS VARCHAR) AS "min",
+       CAST(CAST(round("max", 9) AS DECIMAL(38,9)) AS VARCHAR) AS "max",
+       CAST(CAST(round(approx_p50, 9) AS DECIMAL(38,9)) AS VARCHAR) AS approx_p50,
+       CAST(CAST(round(approx_p95, 9) AS DECIMAL(38,9)) AS VARCHAR) AS approx_p95
+FROM ({_tp_union})
+"""
 
     sql["top_terms_by_group"] = """
 WITH tok AS (
