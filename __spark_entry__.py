@@ -21,6 +21,7 @@ Float discipline (cross-engine hash-stability):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1380,6 +1381,18 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_grams", "sum_logp9", "nll", "ppl_bucket")
 
 
+#: metric legs riding q_bm25_scores — order is the union order in both
+#: the Spark query and the oracle
+_RM_METRICS = (
+    "n_hits",
+    "recall_at_k",
+    "capped_recall_at_k",
+    "precision_at_k",
+    "reciprocal_rank",
+    "ndcg_at_k",
+)
+
+
 def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-100 (operators/text_analysis.py::bm25_scores):
     lexical retrieval against a literal query; decimal-summed per-term
@@ -1426,7 +1439,57 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rrf_score").cast("string").alias("score"),
         F.col("rank").cast("long").alias("aux"),
     )
-    return bm25_leg.unionByName(rrf_leg)
+    out = bm25_leg.unionByName(rrf_leg)
+
+    # round-5 union-tag: 'metric:*' legs drive retrieval_metrics
+    # (operators/retrieval.py::retrieval_metrics) through the gate — the
+    # fused ranking evaluated at k=10 against three relevance sets chosen
+    # to exercise partial hits (term containment: 'window', 'hash' — 8/10
+    # at sf0.01) and the zero-hit left-join path (doc_id % 97 == 5, no
+    # top-10 overlap); one row per (metric, query) with doc_id =
+    # query_id, score = 9-dp decimal-as-string, aux = n_relevant
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    qparts = [
+        docs.where(F.array_contains(toks, "window")).select(
+            F.lit(1).alias("query_id"), F.col("doc_id")
+        ),
+        docs.where(F.array_contains(toks, "hash")).select(
+            F.lit(2).alias("query_id"), F.col("doc_id")
+        ),
+        docs.where(F.col("doc_id") % 97 == 5).select(
+            F.lit(3).alias("query_id"), F.col("doc_id")
+        ),
+    ]
+    qrels = None
+    for part in qparts:
+        qrels = part if qrels is None else qrels.unionByName(part)
+    results = None
+    for qid in (1, 2, 3):
+        part = fused.select(
+            F.lit(qid).alias("query_id"), F.col("doc_id"), F.col("rank")
+        )
+        results = part if results is None else results.unionByName(part)
+    met = R.retrieval_metrics(results, qrels, k=10)
+    metric_leg = met.select(
+        F.col("query_id").cast("long").alias("doc_id"),
+        F.col("n_relevant").cast("long").alias("aux"),
+        F.col("n_hits").cast("double").alias("n_hits"),
+        "recall_at_k",
+        "capped_recall_at_k",
+        "precision_at_k",
+        "reciprocal_rank",
+        "ndcg_at_k",
+    )
+    for mname in _RM_METRICS:
+        out = out.unionByName(
+            metric_leg.select(
+                F.lit(f"metric:{mname}").alias("op"),
+                "doc_id",
+                F.col(mname).cast("decimal(38,9)").cast("string").alias("score"),
+                "aux",
+            )
+        )
+    return out
 
 
 #: fixed learned-merge list for the registered BPE encode — includes a
@@ -3300,6 +3363,15 @@ FROM lmrow JOIN lmth ON lmrow.lang IS NOT DISTINCT FROM lmth.lang
     # identical IEEE op sequence; per-term scores are 9-dp decimal-summed
     _k1, _b = 1.2, 0.75
     _terms = "('spark', 'query', 'merge')"
+    # ideal-DCG prefix for the metric legs: the SAME iteratively-rounded
+    # Python floats retrieval_metrics folds into its expression tree
+    _rm_k = 10
+    _idcg_prefix = []
+    _acc = 0.0
+    for _r in range(1, _rm_k + 1):
+        _acc = round(_acc + round(1.0 / math.log2(_r + 1.0), 9), 9)
+        _idcg_prefix.append(_acc)
+    _idcg_list = "[" + ", ".join(repr(x) for x in _idcg_prefix) + "]"
     sql["bm25_scores"] = f"""
 WITH base AS (
   SELECT doc_id, text,
@@ -3351,7 +3423,49 @@ contrib AS (
   UNION ALL
   SELECT doc_id, CAST(round(1.0 / (60 + rank), 9) AS DECIMAL(38,9)) AS c FROM dense
 ),
-fused AS (SELECT doc_id, sum(c) AS fs FROM contrib GROUP BY doc_id)
+fused AS (SELECT doc_id, sum(c) AS fs FROM contrib GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY fs DESC, doc_id) AS rank FROM fused
+),
+qrels AS (
+  SELECT 1 AS query_id, doc_id FROM base
+  WHERE list_contains(regexp_split_to_array(lower(trim(text)), '\\s+'), 'window')
+  UNION ALL
+  SELECT 2 AS query_id, doc_id FROM base
+  WHERE list_contains(regexp_split_to_array(lower(trim(text)), '\\s+'), 'hash')
+  UNION ALL
+  SELECT 3 AS query_id, doc_id FROM base WHERE doc_id % 97 = 5
+),
+nrel AS (SELECT query_id, count(DISTINCT doc_id) AS n_relevant FROM qrels GROUP BY query_id),
+res AS (
+  SELECT q.query_id, r.doc_id, r.rank
+  FROM ranked r CROSS JOIN (
+    SELECT 1 AS query_id UNION ALL SELECT 2 UNION ALL SELECT 3) q
+),
+hitsq AS (
+  SELECT res.query_id, res.rank
+  FROM res JOIN (SELECT DISTINCT query_id, doc_id FROM qrels) rel
+    ON res.query_id = rel.query_id AND res.doc_id = rel.doc_id
+  WHERE res.rank <= {_rm_k}
+),
+perq AS (
+  SELECT query_id, count(*) AS n_hits,
+         CAST(max(CAST(round(1.0 / rank, 9) AS DECIMAL(28,12))) AS DOUBLE) AS rr,
+         CAST(sum(CAST(round(1.0 / log2(rank + 1.0), 9) AS DECIMAL(28,12))) AS DOUBLE) AS dcg
+  FROM hitsq GROUP BY query_id
+),
+rm AS (
+  SELECT n.query_id, n.n_relevant,
+         coalesce(p.n_hits, 0) AS n_hits,
+         coalesce(p.rr, 0.0) AS reciprocal_rank,
+         round(coalesce(p.dcg, 0.0)
+               / ({_idcg_list})[least({_rm_k}, n.n_relevant)], 9) AS ndcg_at_k,
+         round(coalesce(p.n_hits, 0) / CAST(n.n_relevant AS DOUBLE), 9) AS recall_at_k,
+         round(coalesce(p.n_hits, 0)
+               / CAST(least({_rm_k}, n.n_relevant) AS DOUBLE), 9) AS capped_recall_at_k,
+         round(coalesce(p.n_hits, 0) / {float(_rm_k)!r}, 9) AS precision_at_k
+  FROM nrel n LEFT JOIN perq p ON n.query_id = p.query_id
+)
 SELECT 'bm25' AS op, doc_id, CAST(s AS STRING) AS score,
        CAST(n_matched_terms AS BIGINT) AS aux
 FROM lex_top
@@ -3359,6 +3473,30 @@ UNION ALL
 SELECT 'rrf' AS op, doc_id, CAST(fs AS STRING) AS score,
        CAST(row_number() OVER (ORDER BY fs DESC, doc_id) AS BIGINT) AS aux
 FROM fused
+UNION ALL
+SELECT 'metric:n_hits', CAST(query_id AS BIGINT),
+       CAST(CAST(CAST(n_hits AS DOUBLE) AS DECIMAL(38,9)) AS VARCHAR),
+       CAST(n_relevant AS BIGINT) FROM rm
+UNION ALL
+SELECT 'metric:recall_at_k', CAST(query_id AS BIGINT),
+       CAST(CAST(recall_at_k AS DECIMAL(38,9)) AS VARCHAR),
+       CAST(n_relevant AS BIGINT) FROM rm
+UNION ALL
+SELECT 'metric:capped_recall_at_k', CAST(query_id AS BIGINT),
+       CAST(CAST(capped_recall_at_k AS DECIMAL(38,9)) AS VARCHAR),
+       CAST(n_relevant AS BIGINT) FROM rm
+UNION ALL
+SELECT 'metric:precision_at_k', CAST(query_id AS BIGINT),
+       CAST(CAST(precision_at_k AS DECIMAL(38,9)) AS VARCHAR),
+       CAST(n_relevant AS BIGINT) FROM rm
+UNION ALL
+SELECT 'metric:reciprocal_rank', CAST(query_id AS BIGINT),
+       CAST(CAST(reciprocal_rank AS DECIMAL(38,9)) AS VARCHAR),
+       CAST(n_relevant AS BIGINT) FROM rm
+UNION ALL
+SELECT 'metric:ndcg_at_k', CAST(query_id AS BIGINT),
+       CAST(CAST(ndcg_at_k AS DECIMAL(38,9)) AS VARCHAR),
+       CAST(n_relevant AS BIGINT) FROM rm
 """
 
     # BPE encode: the oracle replays the encoder's leftmost-lowest-rank
