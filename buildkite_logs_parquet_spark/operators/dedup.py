@@ -489,12 +489,62 @@ def segment_dedup(
     )
 
 
+def _rolling_window_hashes(id_col: str, id_type: str, k: int):
+    """mapInPandas generator + schema for Buzhash (cyclic-polynomial)
+    k-window hashes over per-token hash arrays: ``H_i = XOR_j
+    rotl(h_{i+j}, k-1-j)`` — rolling, position-shift-invariant, and O(n)
+    FULLY VECTORIZED per document (prefix-XOR via ``np.bitwise_xor.
+    accumulate`` after de-rotating each token hash by its absolute
+    position; no per-token Python loop).  Token hashing itself stays
+    JVM-side (``xxhash64`` inside ``transform`` — codegen'd), so the
+    Arrow boundary ships long arrays only, never text."""
+    import numpy as np
+    import pandas as pd
+
+    mask = np.uint64(63)
+    full = np.uint64(64)
+
+    def _rotl(x, s):
+        s = s & mask
+        return np.where(s == 0, x, (x << s) | (x >> (full - s)))
+
+    def gen(batches):
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            for did, th in zip(pdf[id_col], pdf["_th"]):
+                h = np.asarray(th, dtype=np.int64).view(np.uint64)
+                nn = h.shape[0]
+                if nn < k:
+                    continue
+                m = np.arange(nn, dtype=np.uint64)
+                # de-rotate by absolute position: g_m = rotr(h_m, m)
+                g = _rotl(h, (full - (m & mask)) & mask)
+                G = np.zeros(nn + 1, dtype=np.uint64)
+                G[1:] = np.bitwise_xor.accumulate(g)
+                win = G[k:] ^ G[: nn + 1 - k]
+                i = np.arange(nn - k + 1, dtype=np.uint64)
+                H = _rotl(win, np.uint64(k - 1) + i)
+                ids.append(np.full(nn - k + 1, did))
+                poss.append(i.astype(np.int32))
+                hs.append(H.view(np.int64))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(ids),
+                        "pos": np.concatenate(poss),
+                        "_h": np.concatenate(hs),
+                    }
+                )
+
+    return gen, f"{id_col} {id_type}, pos int, _h long"
+
+
 def substring_dedup(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     k: int = 50,
-    hash_fn: str = "md5",
+    hash_fn: str = "rolling",
 ) -> DataFrame:
     """Exact duplicated-substring removal at ARBITRARY alignment (the
     ExactSubstr recipe of Lee et al. 2021, "Deduplicating Training Data
@@ -520,32 +570,52 @@ def substring_dedup(
     discipline).  Only DUP anchors reach the per-document interval-merge
     window, so its cost is bounded by duplication density, not corpus
     size; the rebuild is one per-doc aggregate of (rare) span structs
-    plus a codegen token filter.  Window hashing is O(k) per position
-    here (portable md5 of the joined window); swap ``hash_fn="xxhash64"``
-    and a polynomial rolling hash when profiling demands it.
+    plus a codegen token filter.  Window hashing is O(n) with the
+    default ``hash_fn="rolling"``: tokens hash JVM-side (``xxhash64``
+    inside ``transform``), then one Arrow-batched numpy pass computes
+    all k-window Buzhash values (``_rolling_window_hashes``) — no
+    O(n·k) gram-text materialization.  ``hash_fn="md5"`` keeps the
+    portable per-gram path (the test oracle; O(k) text bytes per
+    position), ``"xxhash64"`` its JVM twin; all three produce identical
+    dedup output absent hash collisions (property-tested).
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     base = _fan_out(df).select(
         F.col(id_col), F.col(text_col), toks.alias("_toks")
     )
     n = F.size(F.col("_toks"))
-    # gram at 0-based pos i covers tokens [i, i+k); docs shorter than k
-    # contribute no grams (sequence() descends on an empty range — guard)
-    gram_at = lambda i: F.array_join(  # noqa: E731
-        F.slice(F.col("_toks"), i + 1, k), " "
-    )
-    grams = base.where(n >= k).select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(F.sequence(F.lit(0), n - k), gram_at)
-        ).alias("pos", "_g"),
-    )
-    slim = grams.select(
-        id_col,
-        "pos",
-        _hash64(F.col("_g"), 1, hash_fn).alias("_h"),
-        (F.col(id_col) * _SEGMENT_POS_BOUND + F.col("pos")).alias("_ord"),
-    )
+    if hash_fn == "rolling":
+        hashed = base.where(n >= k).select(
+            F.col(id_col),
+            F.transform(F.col("_toks"), lambda t: F.xxhash64(t)).alias("_th"),
+        )
+        gen, schema = _rolling_window_hashes(
+            id_col, df.schema[id_col].dataType.simpleString(), k
+        )
+        slim = hashed.mapInPandas(gen, schema=schema).select(
+            id_col,
+            "pos",
+            "_h",
+            (F.col(id_col) * _SEGMENT_POS_BOUND + F.col("pos")).alias("_ord"),
+        )
+    else:
+        # gram at 0-based pos i covers tokens [i, i+k); docs shorter than
+        # k contribute no grams (sequence() descends on empty — guard)
+        gram_at = lambda i: F.array_join(  # noqa: E731
+            F.slice(F.col("_toks"), i + 1, k), " "
+        )
+        grams = base.where(n >= k).select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(F.sequence(F.lit(0), n - k), gram_at)
+            ).alias("pos", "_g"),
+        )
+        slim = grams.select(
+            id_col,
+            "pos",
+            _hash64(F.col("_g"), 1, hash_fn).alias("_h"),
+            (F.col(id_col) * _SEGMENT_POS_BOUND + F.col("pos")).alias("_ord"),
+        )
     canon = slim.groupBy("_h").agg(
         F.min("_ord").alias("_first"), F.count("*").alias("_cnt")
     )

@@ -257,6 +257,40 @@ def test_substring_dedup_layout_independent(spark):
     assert got == want
 
 
+def test_substring_dedup_rolling_matches_md5_path(spark):
+    # the O(n) Buzhash rolling path and the O(n·k) gram-text md5 path
+    # must select the identical duplicated-span set — window hashing is
+    # an implementation detail, not a semantic one.  Random corpus with
+    # planted shifted duplicates, repeated tokens, and near-misses.
+    import random
+
+    from buildkite_logs_parquet_spark.operators.dedup import substring_dedup
+
+    rng = random.Random(11)
+    vocab = ["t%d" % i for i in range(40)]
+    shared = " ".join(rng.choice(vocab) for _ in range(15))
+    rows = []
+    for i in range(60):
+        own = " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30)))
+        if i % 4 == 0:
+            rows.append((i, f"{own} {shared}"))
+        elif i % 4 == 1:
+            rows.append((i, f"{shared} {own}"))
+        else:
+            rows.append((i, own))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (4, 7):
+        a = sorted(
+            map(tuple, substring_dedup(docs, "doc_id", k=k, hash_fn="rolling").collect())
+        )
+        b = sorted(
+            map(tuple, substring_dedup(docs, "doc_id", k=k, hash_fn="md5").collect())
+        )
+        assert a == b, k
+        want = _ref_substring_dedup(rows, k)
+        assert {t[0]: tuple(t[1:]) for t in a} == want
+
+
 # ---------------------------------------------- incremental signature lake
 
 HISTORY = DOCS
