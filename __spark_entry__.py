@@ -123,9 +123,12 @@ def _entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategy (equivalence-tested, see ingest._propagate_groups_broadcast)
     trades THREE scans of the parse pipeline for the elimination of the
     single-task window — measured 3-4× slower at bench scale where the
-    window covers only thousands of rows; it is the escape hatch for a
-    single file too large for a one-task window, not the default."""
-    return entries_view(parse_log_lines(_lines_df(spark, sf_dir)))
+    window covers only thousands of rows.  The library default is the
+    scale-safe "auto" (→ broadcast when the size is unknown); here the
+    synthetic log's size is known ≤ ~500k lines, so window is forced."""
+    return entries_view(
+        parse_log_lines(_lines_df(spark, sf_dir), group_strategy="window")
+    )
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -220,7 +223,9 @@ def q_bk_parse_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         nstr.alias("parse_error"),
     )
     nbool = F.lit(None).cast("boolean")
-    clean = parse_log_lines(_lines_df(spark, sf_dir)).select(
+    clean = parse_log_lines(
+        _lines_df(spark, sf_dir), group_strategy="window"
+    ).select(
         F.lit("clean").alias("side"),
         F.col("line_no").alias("row_id"),
         F.lit(None).cast("long").alias("timestamp"),

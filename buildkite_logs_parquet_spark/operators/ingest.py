@@ -77,7 +77,7 @@ def parse_log_lines(
     raw_col: str = "raw",
     order_col: str = "line_no",
     file_col: str | None = None,
-    group_strategy: str = "window",
+    group_strategy: str = "auto",
     max_file_lines: int | None = None,
     auto_window_max_lines: int = AUTO_WINDOW_MAX_LINES,
 ) -> DataFrame:
@@ -91,6 +91,15 @@ def parse_log_lines(
     Output columns: ``line_no``(= order_col), canonical 7 (CANONICAL_COLUMNS),
     plus ``clean_content`` and nullable ``parse_error``.  All expressions are
     built-in (whole-stage codegen); no Python UDFs.
+
+    The DEFAULT ``group_strategy="auto"`` is scale-safe: it takes the
+    (faster at moderate size) one-task-per-file window only when
+    ``max_file_lines`` — free from ``read_log_lines(stats_out=...)`` —
+    proves every file fits under ``auto_window_max_lines``, and the
+    no-single-task broadcast segmented strategy otherwise, INCLUDING
+    when no count was supplied (an unknown-size file is exactly the
+    single-giant-file foot-gun).  Pass ``group_strategy="window"`` to
+    force the fast path for known-small inputs without counting.
     """
     raw = F.col(raw_col)
     osc = is_osc_line(raw)
@@ -137,7 +146,7 @@ def propagate_groups(
     parsed: DataFrame,
     order_col: str = "line_no",
     file_col: str | None = None,
-    strategy: str = "window",
+    strategy: str = "auto",
     bucket_size: int = 8192,
     max_file_lines: int | None = None,
     auto_window_max_lines: int = AUTO_WINDOW_MAX_LINES,

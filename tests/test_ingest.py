@@ -170,6 +170,31 @@ def test_auto_strategy_switches_on_file_size(spark):
         assert got == want
 
 
+def test_default_strategy_is_scale_safe_auto(spark):
+    """With NO strategy argument, parse_log_lines routes through auto:
+    a known-small count engages the fast window, a count above the
+    threshold OR an unknown size engages the broadcast segmented
+    strategy — the single-giant-file foot-gun is off by default."""
+    df = _lines_df(spark, GOLDEN_SCRIPT)
+
+    def plan(**kw):
+        out = parse_log_lines(df, file_col="file", **kw)
+        return out, out._jdf.queryExecution().executedPlan().toString()
+
+    small, small_plan = plan(max_file_lines=len(GOLDEN_SCRIPT))
+    assert "Window" in small_plan
+    big, big_plan = plan(
+        max_file_lines=10_000_000, auto_window_max_lines=1_000_000
+    )
+    assert "BroadcastHashJoin" in big_plan
+    unknown, unknown_plan = plan()
+    assert "BroadcastHashJoin" in unknown_plan
+    want = GOLDEN_GROUPS
+    for out in (small, big, unknown):
+        got = [r["group"] for r in out.orderBy("line_no").select("group").collect()]
+        assert got == want
+
+
 def test_reader_stats_feed_auto(spark, tmp_path):
     """read_log_lines(stats_out=...) exposes exact per-file line counts —
     the free input to the auto switch."""
