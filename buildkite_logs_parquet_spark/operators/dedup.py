@@ -754,6 +754,7 @@ def incremental_near_dups(
     shingle_k: int = 8,
     threshold: float = 0.5,
     hash_fn: str = "md5",
+    n_salts: int = 1,
 ) -> DataFrame:
     """Near-duplicate pairs for a NEW batch against an existing
     ``write_signature_lake`` corpus AND within the batch itself — without
@@ -769,6 +770,19 @@ def incremental_near_dups(
     persisted (id + P longs per band — tiny); the history probe shuffles
     ONLY the batch side (the lake's bucketing satisfies the join's
     distribution), so incremental cost is O(batch), not O(corpus).
+
+    ``n_salts > 1`` is the skew hatch for a hot ``band_key`` (band keys
+    follow data skew — a boilerplate-heavy corpus concentrates history
+    rows on few keys, and every probe of such a key lands on one
+    reducer).  The history probe becomes a standard salted join: history
+    rows get a deterministic salt ``pmod(xxhash64(id), S)``, the (small)
+    batch side replicates S ways, and the key grows to (band_key, salt)
+    — trading the lake's bucketed zero-Exchange co-location for an S-way
+    split of hot keys, which is the right trade exactly when a key is
+    hot.  The in-batch self-join uses triangular salting (blocks
+    (i ≤ j), pair normalized after the join — see
+    ``similarity.embedding_near_dup_pairs``).  Output is bit-equal to
+    the unsalted path (equivalence-tested).
     """
     spark = new_df.sparkSession
     from pyspark import StorageLevel
@@ -790,9 +804,19 @@ def incremental_near_dups(
     b_hist = lake.select(
         F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band_key"
     )
+    if n_salts > 1:
+        S = int(n_salts)
+        hist_salted = b_hist.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("id_b")), S).cast("int")
+        )
+        batch_rep = a_new.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
+        )
+        hist_joined = batch_rep.join(hist_salted, on=["band_key", "_salt"])
+    else:
+        hist_joined = a_new.join(b_hist, on="band_key")
     vs_history = (
-        a_new.join(b_hist, on="band_key")
-        .select("id_a", "id_b", est)
+        hist_joined.select("id_a", "id_b", est)
         .where(F.col("est_jaccard") >= threshold)
         .distinct()
         .select("id_a", "id_b", "est_jaccard", F.lit("history").alias("side"))
@@ -800,10 +824,34 @@ def incremental_near_dups(
     b_new = fresh.select(
         F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band_key"
     )
+    if n_salts > 1:
+        S = int(n_salts)
+        ga = F.pmod(F.xxhash64(F.col("id_a")), S).cast("int")
+        gb = F.pmod(F.xxhash64(F.col("id_b")), S).cast("int")
+        a_tri = a_new.withColumn("_bi", ga).withColumn(
+            "_bj", F.explode(F.sequence(F.col("_bi"), F.lit(S - 1)))
+        )
+        b_tri = b_new.withColumn("_bj", gb).withColumn(
+            "_bi", F.explode(F.sequence(F.lit(0), F.col("_bj")))
+        )
+        # est_jaccard is symmetric in (sig_a, sig_b): normalize the pair
+        # after the join; distinct collapses the same-salt double emission
+        batch_joined = (
+            a_tri.join(b_tri, on=["band_key", "_bi", "_bj"])
+            .where(F.col("id_a") != F.col("id_b"))
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+                "sig_a",
+                "sig_b",
+            )
+        )
+    else:
+        batch_joined = a_new.join(b_new, on="band_key").where(
+            F.col("id_a") < F.col("id_b")
+        )
     in_batch = (
-        a_new.join(b_new, on="band_key")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", est)
+        batch_joined.select("id_a", "id_b", est)
         .where(F.col("est_jaccard") >= threshold)
         .distinct()
         .select("id_a", "id_b", "est_jaccard", F.lit("batch").alias("side"))

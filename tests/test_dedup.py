@@ -343,6 +343,36 @@ def test_incremental_near_dups_equals_full_recompute(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS sig_lake_t1")
 
 
+def test_incremental_near_dups_salted_bit_equal(spark):
+    """n_salts>1 (skew hatch) must produce the identical pair set: the
+    history probe becomes a (band_key, salt) join, the in-batch self-join
+    goes triangular — and the plan actually carries the salt."""
+    hist = spark.createDataFrame(HISTORY, "doc_id long, text string")
+    batch = spark.createDataFrame(BATCH, "doc_id long, text string")
+    D.write_signature_lake(
+        hist, "doc_id", "text", "sig_lake_salt", num_perm=16, bands=8, n_buckets=4
+    )
+    try:
+        plain = sorted(
+            map(
+                tuple,
+                D.incremental_near_dups(
+                    batch, "doc_id", "text", "sig_lake_salt",
+                    num_perm=16, bands=8, threshold=0.5,
+                ).collect(),
+            )
+        )
+        salted_df = D.incremental_near_dups(
+            batch, "doc_id", "text", "sig_lake_salt",
+            num_perm=16, bands=8, threshold=0.5, n_salts=4,
+        )
+        assert "pmod" in salted_df._jdf.queryExecution().executedPlan().toString()
+        salted = sorted(map(tuple, salted_df.collect()))
+        assert salted == plain and len(plain) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sig_lake_salt")
+
+
 def test_incremental_append_grows_history(spark):
     hist = spark.createDataFrame(HISTORY, "doc_id long, text string")
     batch = spark.createDataFrame(BATCH, "doc_id long, text string")

@@ -100,6 +100,27 @@ def test_banded_lsh_subset_of_brute(spark, vectors):
     assert out.count() == out.select("id_a", "id_b").distinct().count()
 
 
+def test_near_dup_pairs_salted_bit_equal(spark, vectors):
+    """Triangular salting (the hot-bucket skew hatch) is a pure physical
+    rewrite: pair set AND cosines bit-equal to the unsalted band join,
+    and the salt actually reaches the executed plan."""
+    df, _ = vectors
+    plain = sorted(
+        map(
+            tuple,
+            S.embedding_near_dup_pairs(
+                df, threshold=0.9, dim=DIM, n_planes=8, bands=4
+            ).collect(),
+        )
+    )
+    salted_df = S.embedding_near_dup_pairs(
+        df, threshold=0.9, dim=DIM, n_planes=8, bands=4, n_salts=4
+    )
+    assert "pmod" in salted_df._jdf.queryExecution().executedPlan().toString()
+    salted = sorted(map(tuple, salted_df.collect()))
+    assert salted == plain and len(plain) >= 6
+
+
 def test_ivf_assign_partitions_all_rows(spark, vectors):
     df, rows = vectors
     centroids = [rows[0][1], rows[10][1], rows[20][1]]
