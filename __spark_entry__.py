@@ -898,8 +898,35 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("ivfpq").alias("op"), "vec_id", F.col("adc_dist").alias("score")
     )
+    # round-5 union-tag: 'pqtrain' drives the DISTRIBUTED PQ trainer
+    # (quantization.pq_train_distributed) through the gate — two full
+    # Lloyd rounds over the corpus from the seeded codebooks (decimal
+    # element sums, float(sum)/n centroids), digested as one row per
+    # (subspace, code): vec_id = s*16+code, score = the decimal sum of
+    # the trained codeword's 9-dp-rounded components.  The oracle
+    # replays both rounds relationally (assign → decimal sums → update →
+    # re-assign → update) from the same literals.
+    from decimal import Decimal
+
+    books2, _hist = QZ.pq_train_distributed(
+        rest,
+        m=8,
+        k=16,
+        vec_col="embedding",
+        init_codebooks=books,
+        max_iter=2,
+        tol=-1.0,
+    )
+    train_rows = []
+    for s in range(8):
+        for j in range(16):
+            dig = sum(Decimal(repr(round(x, 9))) for x in books2[s][j])
+            train_rows.append(("pqtrain", s * 16 + j, float(dig)))
+    pqtrain = spark.createDataFrame(
+        train_rows, "op string, vec_id long, score double"
+    )
     out = exact.unionByName(ivf).unionByName(batch)
-    for leg in (sq, sqall, pq, pqcode, ivfpq):
+    for leg in (sq, sqall, pq, pqcode, ivfpq, pqtrain):
         out = out.unionByName(leg)
     return out
 
@@ -2894,11 +2921,57 @@ SELECT 'ivfpq' AS op, vec_id, score FROM (
   )
   ORDER BY score, vec_id LIMIT 10
 )"""
+    # Distributed-PQ-training leg: two Lloyd rounds replayed relationally.
+    # Round 1 reuses pqc (assignment to the seed codebooks); updates are
+    # DECIMAL(28,12) element sums / counts cast to double — the exact
+    # arithmetic path pq_train_distributed runs — with empty codewords
+    # keeping their previous centroid (coalesce).
+    _tr_ctes = """tsum1 AS (
+  SELECT cs, code, i.i AS i,
+         sum(CAST(v[8*cs + i.i] AS DECIMAL(28,12))) AS sd, count(*) AS n
+  FROM pqc JOIN pqv USING (vec_id), generate_series(1, 8) i(i)
+  GROUP BY cs, code, i.i
+),
+tb1 AS (
+  SELECT cbv.cs, cbv.code, coalesce(u.c, cbv.c) AS c
+  FROM cbv LEFT JOIN (
+    SELECT cs, code, list(CAST(sd AS DOUBLE) / n ORDER BY i) AS c
+    FROM tsum1 GROUP BY cs, code
+  ) u USING (cs, code)
+),
+td2 AS (SELECT vec_id, cs, code, {pq_terms} AS d FROM pqv, tb1),
+tc2 AS (
+  SELECT vec_id, cs, code FROM (
+    SELECT vec_id, cs, code,
+           row_number() OVER (PARTITION BY vec_id, cs ORDER BY d, code) AS rn
+    FROM td2
+  ) WHERE rn = 1
+),
+tsum2 AS (
+  SELECT cs, code, i.i AS i,
+         sum(CAST(v[8*cs + i.i] AS DECIMAL(28,12))) AS sd, count(*) AS n
+  FROM tc2 JOIN pqv USING (vec_id), generate_series(1, 8) i(i)
+  GROUP BY cs, code, i.i
+),
+tb2 AS (
+  SELECT tb1.cs, tb1.code, coalesce(u.c, tb1.c) AS c
+  FROM tb1 LEFT JOIN (
+    SELECT cs, code, list(CAST(sd AS DOUBLE) / n ORDER BY i) AS c
+    FROM tsum2 GROUP BY cs, code
+  ) u USING (cs, code)
+),
+""".format(pq_terms=_pq_terms.replace("c[", "tb1.c["))
+    _tr_leg = """
+UNION ALL
+SELECT 'pqtrain' AS op, CAST(cs*16 + code AS BIGINT) AS vec_id,
+       CAST(sum(CAST(round(e, 9) AS DECIMAL(28,12))) AS DOUBLE) AS score
+FROM (SELECT cs, code, unnest(c) AS e FROM tb2) GROUP BY cs, code"""
     sql["ann_topk"] = sql["ann_topk"].replace(
-        "ncent(cid, nc) AS (", _qz_ctes + _rq_ctes + "ncent(cid, nc) AS ("
+        "ncent(cid, nc) AS (",
+        _qz_ctes + _rq_ctes + _tr_ctes + "ncent(cid, nc) AS (",
     )
     sql["ann_topk"] = (
-        sql["ann_topk"].rstrip() + "\n" + _qz_legs + _rq_leg + "\n"
+        sql["ann_topk"].rstrip() + "\n" + _qz_legs + _rq_leg + _tr_leg + "\n"
     )
 
     # kmeans_step: same assignment CTE as the IVF oracle (all vectors),
