@@ -94,6 +94,54 @@ def table_profile(
     return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
 
 
+def _bucket_counts(
+    df: DataFrame,
+    cat_cols: list[str],
+    num_cols: list[str],
+    bounds: dict[str, tuple[float, float]],
+    n_bins: int,
+    side: str,
+) -> DataFrame:
+    """One scan → (column, bucket, n_<side>) counts: categorical columns
+    bucket by value, numeric columns by ``n_bins`` equal-width bins over
+    the supplied ``bounds`` (out-of-range values clamp to the edge
+    bins).  Shared by ``corpus_drift`` (combined bounds) and the frozen
+    drift-reference state path (reference-only bounds)."""
+    entries = []
+    for c in cat_cols:
+        entries.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.coalesce(F.col(c).cast("string"), F.lit("<null>")).alias(
+                    "bucket"
+                ),
+            )
+        )
+    for c in num_cols:
+        lo, hi = bounds[c]
+        width = ((hi - lo) / n_bins) or 1.0
+        idx = F.least(
+            F.greatest(
+                F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(width)),
+                F.lit(0),
+            ),
+            F.lit(int(n_bins) - 1),
+        )
+        entries.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.coalesce(idx.cast("string"), F.lit("<null>")).alias(
+                    "bucket"
+                ),
+            )
+        )
+    return (
+        df.select(F.explode(F.array(*entries)).alias("e"))
+        .groupBy("e.column", "e.bucket")
+        .agg(F.count("*").alias(f"n_{side}"))
+    )
+
+
 def corpus_drift(
     a: DataFrame,
     b: DataFrame,
@@ -138,39 +186,7 @@ def corpus_drift(
             bounds[c] = (row[f"{c}__lo"] or 0.0, row[f"{c}__hi"] or 0.0)
 
     def bucketed_counts(df: DataFrame, side: str) -> DataFrame:
-        entries = []
-        for c in cat_cols:
-            entries.append(
-                F.struct(
-                    F.lit(c).alias("column"),
-                    F.coalesce(F.col(c).cast("string"), F.lit("<null>")).alias(
-                        "bucket"
-                    ),
-                )
-            )
-        for c in num_cols:
-            lo, hi = bounds[c]
-            width = ((hi - lo) / n_bins) or 1.0
-            idx = F.least(
-                F.greatest(
-                    F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(width)),
-                    F.lit(0),
-                ),
-                F.lit(int(n_bins) - 1),
-            )
-            entries.append(
-                F.struct(
-                    F.lit(c).alias("column"),
-                    F.coalesce(idx.cast("string"), F.lit("<null>")).alias(
-                        "bucket"
-                    ),
-                )
-            )
-        return (
-            df.select(F.explode(F.array(*entries)).alias("e"))
-            .groupBy("e.column", "e.bucket")
-            .agg(F.count("*").alias(f"n_{side}"))
-        )
+        return _bucket_counts(df, cat_cols, num_cols, bounds, n_bins, side)
 
     ca = bucketed_counts(a, "a")
     cb = bucketed_counts(b, "b")
@@ -205,6 +221,129 @@ def drift_summary(drift: DataFrame, round_to: int = 9) -> DataFrame:
     return drift.groupBy("column").agg(
         F.sum(F.col("psi_term").cast(d)).alias("psi"),
         F.count("*").alias("n_buckets"),
+    )
+
+
+# --------------------------------------------------- frozen drift reference
+
+#: bucket label reserved for the per-numeric-column bounds row in a
+#: drift-reference state table
+DRIFT_BOUNDS_BUCKET = "__bounds__"
+
+
+def build_drift_reference(
+    reference: DataFrame,
+    cat_cols: list[str] | None = None,
+    num_cols: list[str] | None = None,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Freeze a reference snapshot into a metadata-sized drift STATE
+    table: one (column, bucket, n_ref) row per observed bucket plus one
+    ``__bounds__`` row per numeric column carrying the frozen (lo, hi,
+    n_bins) binning — everything a later PSI needs, so drift checks
+    never rescan (or even retain) the reference corpus.
+
+    Same incremental pattern as the HLL/CMS state tables
+    (``build_distinct_sketches`` / ``build_freq_sketches``): sketch the
+    big thing ONCE into O(buckets) rows, query the rows forever.  PSI
+    gets EXACT counts rather than sketch estimates because its key space
+    is already bounded (Σ bucket cardinalities) — the "sketch" is just
+    the bucket-count relation itself, and counts are mergeable by
+    addition, so appending a new reference increment and summing
+    per (column, bucket) equals rebuilding from the union.  CMS stays
+    the tool for UNBOUNDED key spaces (per-token frequencies); bucket
+    shares are not that.
+
+    Binning note: the state freezes reference-only bounds (the batch is
+    unknown at freeze time); ``corpus_drift`` proper bins over combined
+    bounds.  Within-range batches produce identical PSI
+    (equivalence-tested); out-of-range batch values clamp to edge bins.
+    """
+    cat_cols = list(cat_cols or [])
+    num_cols = list(num_cols or [])
+    if not cat_cols and not num_cols:
+        raise ValueError("build_drift_reference needs at least one column")
+    bounds: dict[str, tuple[float, float]] = {}
+    if num_cols:
+        row = reference.agg(
+            *[F.min(c).cast("double").alias(f"{c}__lo") for c in num_cols],
+            *[F.max(c).cast("double").alias(f"{c}__hi") for c in num_cols],
+        ).first()
+        for c in num_cols:
+            bounds[c] = (row[f"{c}__lo"] or 0.0, row[f"{c}__hi"] or 0.0)
+    counts = _bucket_counts(
+        reference, cat_cols, num_cols, bounds, n_bins, "ref"
+    ).select(
+        "column",
+        "bucket",
+        "n_ref",
+        F.lit(None).cast("double").alias("lo"),
+        F.lit(None).cast("double").alias("hi"),
+        F.lit(None).cast("int").alias("n_bins"),
+    )
+    spark = reference.sparkSession
+    brows = [
+        (c, DRIFT_BOUNDS_BUCKET, 0, bounds[c][0], bounds[c][1], int(n_bins))
+        for c in num_cols
+    ]
+    if brows:
+        bdf = spark.createDataFrame(
+            brows,
+            "column string, bucket string, n_ref long, lo double, hi double, n_bins int",
+        )
+        counts = counts.unionByName(bdf)
+    return counts
+
+
+def corpus_drift_from_state(
+    batch: DataFrame,
+    state: DataFrame,
+    cat_cols: list[str] | None = None,
+    num_cols: list[str] | None = None,
+    eps: float = 1e-6,
+    round_to: int = 9,
+) -> DataFrame:
+    """``corpus_drift`` against a frozen ``build_drift_reference`` state
+    table instead of the live reference: ONE scan of the batch into
+    bucket counts (frozen binning read from the state's ``__bounds__``
+    rows — a metadata-sized collect), then the same full-outer share /
+    PSI math against the state's (column, bucket, n_ref) rows.  Output
+    schema matches ``corpus_drift`` (n_a = batch, n_b = reference), so
+    ``drift_summary`` composes unchanged."""
+    cat_cols = list(cat_cols or [])
+    num_cols = list(num_cols or [])
+    brows = (
+        state.where(F.col("bucket") == DRIFT_BOUNDS_BUCKET)
+        .select("column", "lo", "hi", "n_bins")
+        .collect()  # bounded: one row per numeric column
+    )
+    bounds = {r["column"]: (r["lo"], r["hi"]) for r in brows}
+    n_bins = brows[0]["n_bins"] if brows else 1
+    missing = [c for c in num_cols if c not in bounds]
+    if missing:
+        raise ValueError(f"state has no __bounds__ rows for: {missing}")
+    ca = _bucket_counts(batch, cat_cols, num_cols, bounds, n_bins, "a")
+    cb = state.where(F.col("bucket") != DRIFT_BOUNDS_BUCKET).groupBy(
+        "column", "bucket"
+    ).agg(F.sum("n_ref").alias("n_b"))
+    ta = ca.groupBy("column").agg(F.sum("n_a").alias("tot_a"))
+    tb = cb.groupBy("column").agg(F.sum("n_b").alias("tot_b"))
+    joined = (
+        ca.join(cb, on=["column", "bucket"], how="full_outer")
+        .na.fill({"n_a": 0, "n_b": 0})
+        .join(F.broadcast(ta), on="column")
+        .join(F.broadcast(tb), on="column")
+    )
+    pa = F.greatest(F.col("n_a") / F.col("tot_a"), F.lit(float(eps)))
+    pb = F.greatest(F.col("n_b") / F.col("tot_b"), F.lit(float(eps)))
+    return joined.select(
+        "column",
+        "bucket",
+        "n_a",
+        "n_b",
+        (F.col("n_a") / F.col("tot_a")).alias("share_a"),
+        (F.col("n_b") / F.col("tot_b")).alias("share_b"),
+        F.round((pa - pb) * F.log(pa / pb), round_to).alias("psi_term"),
     )
 
 

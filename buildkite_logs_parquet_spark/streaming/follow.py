@@ -407,13 +407,14 @@ def stream_append_dedup_against_lake(
 
 def stream_drift_monitor(
     stream_df: DataFrame,
-    reference: DataFrame,
+    reference: DataFrame | None,
     metrics_path: str,
     checkpoint: str,
     cat_cols: list[str] | None = None,
     num_cols: list[str] | None = None,
     n_bins: int = 10,
     available_now: bool = True,
+    reference_state: str | None = None,
 ):
     """Streaming corpus-quality monitor: for every arriving micro-batch,
     compute its Population Stability Index against a FIXED reference
@@ -428,19 +429,39 @@ def stream_drift_monitor(
     ``batch_id`` partition via dynamic partition overwrite, so
     at-least-once redelivery converges (the ``stream_to_lake``
     discipline).  Empty micro-batches write nothing.
+
+    Prefer ``reference_state`` (path of a ``profiling.
+    build_drift_reference`` table): the watchdog then reads the
+    metadata-sized state rows per batch — frozen binning included — and
+    the reference corpus itself is never rescanned and may be deleted
+    once frozen.  Passing the live ``reference`` DataFrame instead
+    recomputes its bucket counts EVERY batch (and re-derives combined
+    bounds, so binning can shift batch to batch) — kept for ad-hoc use.
     """
     from buildkite_logs_parquet_spark.operators.profiling import (
         corpus_drift,
+        corpus_drift_from_state,
         drift_summary,
     )
+
+    if (reference is None) == (reference_state is None):
+        raise ValueError(
+            "pass exactly one of reference / reference_state"
+        )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        drift = corpus_drift(
-            batch_df, reference, cat_cols=cat_cols, num_cols=num_cols,
-            n_bins=n_bins,
-        )
+        if reference_state is not None:
+            state = batch_df.sparkSession.read.parquet(reference_state)
+            drift = corpus_drift_from_state(
+                batch_df, state, cat_cols=cat_cols, num_cols=num_cols
+            )
+        else:
+            drift = corpus_drift(
+                batch_df, reference, cat_cols=cat_cols, num_cols=num_cols,
+                n_bins=n_bins,
+            )
         out = drift_summary(drift).select(
             F.lit(int(batch_id)).alias("batch_id"),
             "column",

@@ -108,6 +108,61 @@ class TestCorpusDrift:
         # eps smoothing keeps psi finite on one-sided buckets
         assert all(abs(r["psi_term"]) < float("inf") for r in rows.values())
 
+    def test_state_based_drift_equals_live_for_in_range_batch(
+        self, spark, tmp_path
+    ):
+        """For a batch whose numeric values stay inside the reference's
+        range, the frozen-state path must produce the IDENTICAL drift
+        relation as corpus_drift against the live reference (combined
+        bounds == reference bounds there), surviving a parquet
+        round-trip of the state."""
+        from buildkite_logs_parquet_spark.operators.profiling import (
+            build_drift_reference,
+            corpus_drift,
+            corpus_drift_from_state,
+        )
+
+        ref = spark.createDataFrame(
+            [(i, "en" if i % 3 else "de", 100 + i % 50) for i in range(120)],
+            "id long, lang string, n long",
+        )
+        batch = spark.createDataFrame(
+            [(1000 + i, "de" if i % 2 else "en", 110 + i % 30) for i in range(40)],
+            "id long, lang string, n long",
+        )
+        live = sorted(
+            map(
+                tuple,
+                corpus_drift(
+                    batch, ref, cat_cols=["lang"], num_cols=["n"], n_bins=8
+                ).collect(),
+            )
+        )
+        p = str(tmp_path / "state")
+        build_drift_reference(
+            ref, cat_cols=["lang"], num_cols=["n"], n_bins=8
+        ).write.parquet(p)
+        state = spark.read.parquet(p)
+        frozen = sorted(
+            map(
+                tuple,
+                corpus_drift_from_state(
+                    batch, state, cat_cols=["lang"], num_cols=["n"]
+                ).collect(),
+            )
+        )
+        assert frozen == live and len(live) > 0
+        # missing bounds rows must be refused, not silently mis-binned
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            corpus_drift_from_state(
+                batch,
+                state.where("bucket <> '__bounds__'"),
+                cat_cols=["lang"],
+                num_cols=["n"],
+            ).collect()
+
     def test_numeric_binning_shared_bounds(self, spark):
         from buildkite_logs_parquet_spark.operators.profiling import corpus_drift
 

@@ -496,6 +496,70 @@ def test_stream_drift_monitor_flags_shifted_batches(spark, tmp_path):
     assert psis[0] < 0.25 < psis[1]
 
 
+def test_stream_drift_monitor_reads_state_after_reference_deleted(
+    spark, tmp_path
+):
+    """The watchdog with reference_state must run entirely off the frozen
+    build_drift_reference table: the reference parquet is DELETED before
+    the stream starts, and the shifted batch still screams."""
+    import shutil
+
+    from buildkite_logs_parquet_spark.operators.profiling import (
+        build_drift_reference,
+    )
+    from buildkite_logs_parquet_spark.streaming.follow import (
+        stream_drift_monitor,
+    )
+
+    ref_path = tmp_path / "ref"
+    spark.createDataFrame(
+        [(i, "en" if i % 10 else "de", 100 + i % 7) for i in range(200)],
+        "doc_id long, lang string, n_chars long",
+    ).write.parquet(str(ref_path))
+    state_path = tmp_path / "drift_state"
+    build_drift_reference(
+        spark.read.parquet(str(ref_path)),
+        cat_cols=["lang"],
+        num_cols=["n_chars"],
+        n_bins=10,
+    ).write.parquet(str(state_path))
+    shutil.rmtree(ref_path)  # the corpus is gone; only the state remains
+
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(
+        [(i, "en" if i % 10 else "de", 100 + i % 7) for i in range(100)],
+        "doc_id long, lang string, n_chars long",
+    ).coalesce(1).write.parquet(str(src / "a"))
+    spark.createDataFrame(
+        [(1000 + i, "de", 400 + i % 5) for i in range(100)],
+        "doc_id long, lang string, n_chars long",
+    ).coalesce(1).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = stream_drift_monitor(
+        stream,
+        None,
+        str(tmp_path / "metrics"),
+        str(tmp_path / "ckpt"),
+        cat_cols=["lang"],
+        num_cols=["n_chars"],
+        reference_state=str(state_path),
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(tmp_path / "metrics")).collect()
+    assert {r["column"] for r in rows} == {"lang", "n_chars"}
+    by_batch: dict = {}
+    for r in rows:
+        by_batch.setdefault(r["batch_id"], {})[r["column"]] = r["psi"]
+    assert len(by_batch) == 2
+    psis = sorted(max(cols.values()) for cols in by_batch.values())
+    assert psis[0] < 0.25 < psis[1]
+
+
 def test_stream_token_budget_matches_batch_twin(spark, tmp_path):
     """Cross-batch stateful quota: the stream over two micro-batches must
     equal domain_token_budget on the concatenation (same prefix rule,
