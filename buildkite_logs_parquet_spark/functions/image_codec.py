@@ -11,10 +11,13 @@ public format specifications alone:
   A matching encoder (any per-row filter choice) exists so tests can
   round-trip bit-exactly through every unfilter path.
 * **PPM/PGM** (netpbm P6/P5, maxval 255).
+* **JPEG** (baseline sequential DCT, T.81) — full decoder + test
+  encoder in the sibling ``jpeg_codec`` module; ``decode_image`` sniffs
+  the SOI marker and dispatches.
 
-Anything else (JPEG and friends need a DCT stack) still raises
-``NotImplementedError`` — the honest codec seam remains for formats that
-genuinely require external libraries.
+Anything else (progressive JPEG, WebP, AVIF, …) still raises
+``NotImplementedError`` — the honest codec seam remains for formats
+this repo has not implemented from spec.
 
 This is a reference-grade decoder: per-scanline Python loops for the
 sequential filters (Sub/Average/Paeth are inherently serial per byte).
@@ -226,12 +229,20 @@ def decode_ppm(data: bytes) -> np.ndarray:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Sniff + decode: PNG or PPM/PGM → uint8 (H, W, channels)."""
+    """Sniff + decode: PNG, baseline JPEG, or PPM/PGM → uint8
+    (H, W, channels)."""
     if data[:8] == PNG_SIGNATURE:
         return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        from buildkite_logs_parquet_spark.functions.jpeg_codec import (
+            decode_jpeg,
+        )
+
+        return decode_jpeg(data)
     if data[:2] in (b"P6", b"P5"):
         return decode_ppm(data)
     raise NotImplementedError(
-        "unsupported image format (PNG and PPM/PGM decode natively; other "
-        "formats need codec libraries not present in this environment)"
+        "unsupported image format (PNG, baseline JPEG, and PPM/PGM decode "
+        "natively; other formats need codec libraries not present in this "
+        "environment)"
     )

@@ -1,0 +1,546 @@
+"""Pure-stdlib+numpy baseline JPEG codec for the multimodal decode seam.
+
+The container ships no media libraries (no PIL/libjpeg/ffmpeg), and real
+crawl media is overwhelmingly JPEG — so the decoder is implemented here
+from the public specification alone (ITU-T T.81 / ISO 10918-1, baseline
+sequential DCT):
+
+* marker segment walk (APPn/COM skipped, DQT 8- and 16-bit precision,
+  SOF0, DHT, DRI, SOS, EOI); progressive (SOF2) and the other SOF
+  variants raise ``NotImplementedError`` — the honest remaining seam,
+* canonical Huffman decode (T.81 Annex C code construction; F.12
+  ``EXTEND`` sign extension; F.2.2.x DC-predictor + AC run/size loop),
+* entropy stream handling: 0xFF00 byte-unstuffing and DRI/RSTn restart
+  intervals (predictor reset + bit realignment per restart),
+* dequantization in zigzag order, 8x8 inverse DCT via the orthonormal
+  DCT-matrix form (``T.T @ F @ T``, vectorized over all blocks with one
+  einsum), level shift and clip,
+* sampling-factor layout (any h,v in {1,2}: 4:4:4, 4:2:2, 4:4:0, 4:2:0),
+  nearest-neighbour chroma upsampling, CCIR 601 YCbCr -> RGB.
+
+A matching baseline encoder (grayscale / 4:4:4 / 4:2:0, quality-scaled
+Annex-K quantization, single-length canonical Huffman tables — valid by
+construction) exists so tests can round-trip; spec-level correctness is
+pinned separately by hand-crafted byte streams and real-world fixture
+files in tests/test_image_codec.py.
+
+Reference-grade performance: the Huffman loop is per-symbol Python, the
+IDCT/upsample/color math is vectorized numpy.  At 100 TB the per-image
+cost rides inside the Arrow-batched ``mapInPandas`` decode stage
+(operators/multimodal.py), so throughput scales with executors; swap a
+C-backed codec into the same seam for raw speed.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: entry k -> (row, col); diagonal walk, up-right on
+# even diagonals, down-left on odd (T.81 Figure 5)
+ZIGZAG: list[tuple[int, int]] = sorted(
+    ((r, c) for r in range(8) for c in range(8)),
+    key=lambda p: (p[0] + p[1], p[0] if (p[0] + p[1]) % 2 else -p[0]),
+)
+
+# orthonormal 8-point DCT matrix: T[u, x] = 0.5 * C(u) * cos((2x+1)u pi/16)
+_T = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _c = (0.5 / np.sqrt(2.0)) if _u == 0 else 0.5
+        _T[_u, _x] = _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+class _HuffTable:
+    """Canonical Huffman table from a DHT segment's (bits, huffval):
+    T.81 Annex C code assignment, decoded by (length, code) lookup."""
+
+    def __init__(self, bits: list[int], huffval: list[int]):
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lookup[(length, code)] = huffval[k]
+                k += 1
+                code += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over a de-stuffed entropy segment."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG: entropy stream truncated")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode(self, table: _HuffTable) -> int:
+        length = 0
+        code = 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("JPEG: invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.12: map the s received bits to the signed coefficient."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _split_entropy(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """Entropy-coded bytes from ``start`` to the next non-RST marker,
+    de-stuffed (FF00 -> FF) and split into restart segments at RSTn."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = start
+    while i < len(data):
+        b = data[i]
+        if b == 0xFF:
+            nxt = data[i + 1] if i + 1 < len(data) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # real marker: end of scan
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+    return segments, i
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → uint8 array (H, W, channels in {1, 3}).
+
+    Raises ``ValueError`` on a malformed stream, ``NotImplementedError``
+    for progressive / extended / lossless / arithmetic variants.
+    """
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    qtables: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, _HuffTable] = {}
+    ac_tables: dict[int, _HuffTable] = {}
+    frame = None  # (h, w, [(cid, hs, vs, tq)])
+    restart_interval = 0
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at offset {i}")
+        marker = data[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[i + 2 : i + 4])
+        seg = data[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            p = 0
+            while p < len(seg):
+                prec, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if prec == 0:
+                    vals = np.frombuffer(seg[p : p + 64], np.uint8).astype(np.int32)
+                    p += 64
+                else:
+                    vals = np.frombuffer(seg[p : p + 128], ">u2").astype(np.int32)
+                    p += 128
+                q = np.zeros((8, 8), np.int32)
+                for k, (r, c) in enumerate(ZIGZAG):
+                    q[r, c] = vals[k]
+                qtables[tq] = q
+        elif marker == 0xC4:  # DHT — possibly several tables per segment
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                huffval = list(seg[p + 17 : p + 17 + n])
+                p += 17 + n
+                table = _HuffTable(bits, huffval)
+                (dc_tables if tc == 0 else ac_tables)[th] = table
+        elif marker == 0xC0:  # SOF0 baseline
+            if seg[0] != 8:
+                raise NotImplementedError("JPEG: only 8-bit precision")
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid = seg[6 + 3 * c]
+                hv = seg[7 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, seg[8 + 3 * c]))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG: SOF{marker - 0xC0} (non-baseline) not supported"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF")
+            ns = seg[0]
+            scan_sel = []  # (component index in frame, dc table, ac table)
+            for s in range(ns):
+                cs = seg[1 + 2 * s]
+                td, ta = seg[2 + 2 * s] >> 4, seg[2 + 2 * s] & 15
+                idx = next(
+                    j for j, c in enumerate(frame[2]) if c[0] == cs
+                )
+                scan_sel.append((idx, td, ta))
+            segments, _end = _split_entropy(data, i + 2 + seglen)
+            return _decode_scan(
+                frame, scan_sel, segments, qtables, dc_tables, ac_tables,
+                restart_interval,
+            )
+        i += 2 + seglen
+    raise ValueError("JPEG: no scan data found")
+
+
+def _decode_scan(frame, scan_sel, segments, qtables, dc_tables, ac_tables,
+                 restart_interval) -> np.ndarray:
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+    # per component: blocks-per-MCU grid and coefficient storage
+    blocks: list[np.ndarray] = []
+    for cid, hs, vs, tq in comps:
+        blocks.append(
+            np.zeros((mcus_y * vs, mcus_x * hs, 8, 8), np.int32)
+        )
+    preds = [0] * len(comps)
+    seg_iter = iter(segments)
+    reader = _BitReader(next(seg_iter))
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            reader = _BitReader(next(seg_iter))
+            preds = [0] * len(comps)
+        my, mx = divmod(m, mcus_x)
+        for idx, td, ta in scan_sel:
+            _, hs, vs, tq = comps[idx]
+            dct = dc_tables[td]
+            act = ac_tables[ta]
+            for by in range(vs):
+                for bx in range(hs):
+                    coef = np.zeros(64, np.int32)
+                    s = reader.decode(dct)
+                    diff = _extend(reader.receive(s), s)
+                    preds[idx] += diff
+                    coef[0] = preds[idx]
+                    k = 0
+                    while k < 63:
+                        rs = reader.decode(act)
+                        r, size = rs >> 4, rs & 15
+                        if size == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r + 1
+                        if k > 63:
+                            raise ValueError("JPEG: AC run past block end")
+                        coef[k] = _extend(reader.receive(size), size)
+                    block = np.zeros((8, 8), np.int32)
+                    for k2, (r2, c2) in enumerate(ZIGZAG):
+                        block[r2, c2] = coef[k2]
+                    blocks[idx][my * vs + by, mx * hs + bx] = block
+    # dequantize + IDCT + layout per component, then upsample and stack
+    planes = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        bgrid = blocks[ci].astype(np.float64) * qtables[tq][None, None]
+        by, bx = bgrid.shape[:2]
+        flat = bgrid.reshape(-1, 8, 8)
+        # IDCT: f = T.T @ F @ T, i.e. f[x,y] = sum_uv T[u,x] F[u,v] T[v,y]
+        spatial = np.einsum("ux,nuv,vy->nxy", _T, flat, _T)
+        plane = (
+            spatial.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
+        plane = np.clip(np.round(plane) + 128, 0, 255).astype(np.uint8)
+        # nearest-neighbour upsample to full resolution, crop to (h, w)
+        ry, rx = vmax // vs, hmax // hs
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return planes[0][:, :, None]
+    if len(planes) == 3:
+        y = planes[0].astype(np.float64)
+        cb = planes[1].astype(np.float64) - 128.0
+        cr = planes[2].astype(np.float64) - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = np.stack([r, g, b], axis=-1)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    raise NotImplementedError(
+        f"JPEG: {len(planes)}-component images not supported"
+    )
+
+
+# ------------------------------------------------------------- encoder
+
+#: Annex K.1 luminance quantization table (natural order)
+_Q_LUM = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    np.int32,
+)
+
+#: Annex K.2 chrominance quantization table (natural order)
+_Q_CHROM = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    np.int32,
+)
+
+
+def _scaled_qtable(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-compatible quality scaling, clamped to [1, 255]."""
+    quality = max(1, min(100, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (base * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+class _SimpleHuffEncoder:
+    """Valid-by-construction canonical Huffman table: every symbol at one
+    fixed code length L (complete prefix set as long as count < 2^L and
+    the all-ones code stays unused).  Suboptimal size, trivially correct
+    — the tables ship in the file, so any valid table decodes."""
+
+    def __init__(self, symbols: list[int], length: int):
+        if len(symbols) >= (1 << length):
+            raise ValueError("too many symbols for fixed code length")
+        self.length = length
+        self.codes = {sym: i for i, sym in enumerate(symbols)}
+        self.bits = [0] * 16
+        self.bits[length - 1] = len(symbols)
+        self.huffval = list(symbols)
+
+    def dht_payload(self, tc: int, th: int) -> bytes:
+        return bytes([tc << 4 | th] + self.bits + self.huffval)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        for k in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> k) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        while self.nbits:
+            self.write(1, 1)  # pad with 1-bits (T.81 F.1.2.3)
+
+
+def _csize(v: int) -> int:
+    s = 0
+    v = abs(v)
+    while v:
+        s += 1
+        v >>= 1
+    return s
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 (H, W) / (H, W, 1) grayscale or (H, W, 3) RGB → baseline
+    JPEG bytes (4:4:4, or 4:2:0 with ``subsample=True``).
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (predictors reset, stream re-aligned) — the
+    error-resilience feature real encoders use, here mainly to exercise
+    the decoder's restart path."""
+    arr = np.asarray(img, np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    if nc not in (1, 3):
+        raise ValueError("encode_jpeg needs 1 or 3 channels")
+    qlum = _scaled_qtable(_Q_LUM, quality)
+    qchr = _scaled_qtable(_Q_CHROM, quality)
+
+    if nc == 3:
+        rgb = arr.astype(np.float64)
+        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
+        cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
+        planes = [y, cb, cr]
+    else:
+        planes = [arr[:, :, 0].astype(np.float64)]
+
+    if nc == 3 and subsample:
+        hv = [(2, 2), (1, 1), (1, 1)]
+    else:
+        hv = [(1, 1)] * nc
+    hmax = max(x for x, _ in hv)
+    vmax = max(v for _, v in hv)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    comp_blocks = []  # per component: (by, bx, 8, 8) quantized ints
+    for ci, plane in enumerate(planes):
+        hs, vs = hv[ci]
+        cw = -(-w * hs // hmax)
+        ch = -(-h * vs // vmax)
+        if (hs, vs) != (hmax, vmax):
+            # box-average downsample by the sampling ratio
+            ry, rx = vmax // vs, hmax // hs
+            ph = -(-h // ry) * ry
+            pw = -(-w // rx) * rx
+            padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+            plane = padded.reshape(ph // ry, ry, pw // rx, rx).mean(axis=(1, 3))
+            plane = plane[:ch, :cw]
+        bh = mcus_y * vs * 8
+        bw = mcus_x * hs * 8
+        padded = np.pad(
+            plane,
+            ((0, bh - plane.shape[0]), (0, bw - plane.shape[1])),
+            mode="edge",
+        )
+        shifted = padded - 128.0
+        by, bx = bh // 8, bw // 8
+        blocked = shifted.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+        # forward DCT: F = T @ f @ T.T, i.e. F[u,v] = sum_xy T[u,x] f[x,y] T[v,y]
+        flat = blocked.reshape(-1, 8, 8)
+        coeffs = np.einsum("ux,nxy,vy->nuv", _T, flat, _T)
+        q = qlum if ci == 0 else qchr
+        quant = np.round(coeffs / q[None]).astype(np.int32)
+        comp_blocks.append(quant.reshape(by, bx, 8, 8))
+
+    # one fixed-length Huffman table pair shared by all components
+    dc_enc = _SimpleHuffEncoder(list(range(12)), 5)
+    ac_syms = sorted({(r << 4) | s for r in range(16) for s in range(11)} | {0x00, 0xF0})
+    ac_enc = _SimpleHuffEncoder(ac_syms, 9)
+
+    writer = _BitWriter()
+    entropy = bytearray()
+    preds = [0] * nc
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            writer.flush()
+            entropy += writer.out
+            entropy += bytes([0xFF, 0xD0 + (m // restart_interval - 1) % 8])
+            writer = _BitWriter()
+            preds = [0] * nc
+        my, mx = divmod(m, mcus_x)
+        for ci in range(nc):
+            hs, vs = hv[ci]
+            for byy in range(vs):
+                for bxx in range(hs):
+                    block = comp_blocks[ci][my * vs + byy, mx * hs + bxx]
+                    zz = np.array([block[r, c] for r, c in ZIGZAG], np.int32)
+                    diff = int(zz[0]) - preds[ci]
+                    preds[ci] = int(zz[0])
+                    s = _csize(diff)
+                    writer.write(dc_enc.codes[s], dc_enc.length)
+                    if s:
+                        writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                    run = 0
+                    for k in range(1, 64):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            writer.write(ac_enc.codes[0xF0], ac_enc.length)
+                            run -= 16
+                        s = _csize(v)
+                        writer.write(ac_enc.codes[(run << 4) | s], ac_enc.length)
+                        writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+                        run = 0
+                    if run:
+                        writer.write(ac_enc.codes[0x00], ac_enc.length)
+    writer.flush()
+    entropy += writer.out
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def dqt(tq: int, table: np.ndarray) -> bytes:
+        zz = bytes(int(table[r, c]) for r, c in ZIGZAG)
+        return seg(0xDB, bytes([tq]) + zz)
+
+    out = bytearray(b"\xff\xd8")
+    out += dqt(0, qlum)
+    if nc == 3:
+        out += dqt(1, qchr)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        hs, vs = hv[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, dc_enc.dht_payload(0, 0))
+    out += seg(0xC4, ac_enc.dht_payload(1, 0))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)

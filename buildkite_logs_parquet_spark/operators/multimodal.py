@@ -64,14 +64,17 @@ def fake_decode(payload: bytes) -> dict:
 
 
 def real_decode(payload: bytes) -> dict:
-    """Real image decode through the stdlib+numpy codec
-    (functions/image_codec.py): PNG (all five scanline filters, gray /
-    RGB / RGBA / palette) and netpbm PPM/PGM decode natively; the 8-dim
-    feature vector is computed from ACTUAL pixels (channel means, spread,
-    extremes, aspect), so identical images embed identically and
-    ``semantic_dedup`` downstream finds true visual duplicates.  Formats
-    that need external codec libraries (JPEG…) still raise
-    ``NotImplementedError`` — that seam is ``strict_decode``'s contract.
+    """Real image decode through the stdlib+numpy codecs
+    (functions/image_codec.py, functions/jpeg_codec.py): PNG (all five
+    scanline filters, gray / RGB / RGBA / palette), baseline JPEG
+    (Huffman + IDCT + 4:2:0 upsampling, incl. restart markers), and
+    netpbm PPM/PGM decode natively; the 8-dim feature vector is computed
+    from ACTUAL pixels (channel means, spread, extremes, aspect), so
+    identical images embed identically and ``semantic_dedup`` downstream
+    finds true visual duplicates.  Formats that still need external
+    codec libraries (progressive JPEG, WebP, video, audio beyond WAV…)
+    raise ``NotImplementedError`` — that seam is ``strict_decode``'s
+    contract.
     """
     if payload is None:
         return {"width": None, "height": None, "n_frames": None, "feature": None}
@@ -106,12 +109,13 @@ def real_decode(payload: bytes) -> dict:
 
 
 def strict_decode(payload: bytes) -> dict:
-    """The hard codec seam: formats beyond PNG/PPM (JPEG, video, audio)
-    need libraries not present in this environment."""
+    """The hard codec seam: formats beyond PNG/baseline-JPEG/PPM
+    (progressive JPEG, WebP, video, compressed audio) need libraries not
+    present in this environment."""
     raise NotImplementedError(
-        "media decoding beyond PNG/PPM requires codec libraries not present "
-        "in this environment; pass decode=real_decode (PNG/PPM), "
-        "decode=fake_decode, or your own callable"
+        "media decoding beyond PNG/baseline-JPEG/PPM requires codec "
+        "libraries not present in this environment; pass "
+        "decode=real_decode, decode=fake_decode, or your own callable"
     )
 
 

@@ -88,8 +88,133 @@ def test_golden_netpbm_fixtures():
 
 
 def test_unknown_format_keeps_the_honest_seam():
+    # container formats this repo has not implemented from spec
     with pytest.raises(NotImplementedError, match="codec"):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    # a JPEG header now DISPATCHES (no longer the seam) — malformed
+    # streams fail loudly as ValueError, not silently
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 JFIF jpeg bytes")
+
+
+# ------------------------------------------------------------------ JPEG
+
+
+def test_jpeg_handcrafted_spec_stream_decodes_exactly():
+    """Ground truth with NO shared code with the encoder: a minimal
+    baseline JPEG built byte-by-byte from T.81 — 8x8 grayscale, flat
+    quant table of 8s, one-symbol Huffman tables, a single DC
+    coefficient of 72 (category 7, bits 1001000) and an EOB.  Dequant
+    gives 576; a DC-only IDCT is 576/8 = 72; level shift +128 = a solid
+    200 image, exact in every pixel."""
+    from buildkite_logs_parquet_spark.functions.jpeg_codec import decode_jpeg
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker, (len(payload) + 2) >> 8, (len(payload) + 2) & 0xFF]) + payload
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([8] * 64))
+    sof = seg(0xC0, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    dht_dc = seg(0xC4, bytes([0x00, 1] + [0] * 15 + [7]))
+    dht_ac = seg(0xC4, bytes([0x10, 1] + [0] * 15 + [0x00]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    # bits: huff(DC cat 7)='0', 72 as 7 bits='1001000', huff(EOB)='0',
+    # then 1-padding -> 0b01001000 0b01111111
+    entropy = bytes([0b01001000, 0b01111111])
+    stream = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + entropy + b"\xff\xd9"
+    img = decode_jpeg(stream)
+    assert img.shape == (8, 8, 1)
+    assert (img == 200).all()
+
+
+def test_jpeg_fixture_grayscale():
+    """Real-world fixture (IPython test suite's 2x2.jpg, BSD-licensed):
+    baseline grayscale, standard Annex-K Huffman tables — decodes to a
+    solid mid-gray 2x2."""
+    img = decode_image(_fixture("gray_2x2.jpg"))
+    assert img.shape == (2, 2, 1)
+    assert (img == 128).all()
+
+
+def test_jpeg_fixture_color_420():
+    """Real-world fixture (CPython test suite's python.jpg, PSF-licensed):
+    16x16 baseline YCbCr 4:2:0 (luma 2x2, chroma 1x1 sampling) — the
+    Python logo at stamp size.  Structural + semantic pins: the center
+    carries the logo's yellow (R,G both high, B low), the corners are
+    near-black, and the exact pixel digest is pinned for regression."""
+    import hashlib
+
+    img = decode_image(_fixture("logo_16x16.jpg"))
+    assert img.shape == (16, 16, 3)
+    r, g, b = (int(x) for x in img[8, 8])
+    assert r > 200 and g > 180 and b < 120  # logo yellow at center
+    assert img[0, 0].max() < 30 and img[15, 15].max() < 30
+    assert (
+        hashlib.sha256(img.tobytes()).hexdigest()[:16] == "7ee70c76b4f78c9a"
+    )
+
+
+def test_jpeg_roundtrip_gray_and_color():
+    from buildkite_logs_parquet_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    gray = np.tile(np.arange(64, dtype=np.uint8)[None, :] * 3, (32, 1))
+    rt = decode_jpeg(encode_jpeg(gray, quality=95))
+    assert rt.shape == (32, 64, 1)
+    assert np.abs(rt[:, :, 0].astype(int) - gray.astype(int)).max() <= 2
+
+    rgb = np.zeros((24, 40, 3), np.uint8)
+    rgb[:, :, 0] = np.linspace(0, 255, 40, dtype=np.uint8)[None, :]
+    rgb[:, :, 1] = np.linspace(255, 0, 24, dtype=np.uint8)[:, None]
+    rgb[:, :, 2] = 77
+    rt = decode_jpeg(encode_jpeg(rgb, quality=95))
+    assert np.abs(rt.astype(int) - rgb.astype(int)).max() <= 8
+    # 4:2:0: chroma smoothing allowed, structure preserved
+    rt420 = decode_jpeg(encode_jpeg(rgb, quality=95, subsample=True))
+    assert rt420.shape == rgb.shape
+    assert np.abs(rt420.astype(int) - rgb.astype(int)).mean() < 4
+
+    solid = np.full((16, 16, 3), [200, 100, 50], np.uint8)
+    assert (decode_jpeg(encode_jpeg(solid, quality=90)) == solid).all()
+
+
+def test_jpeg_restart_markers_are_transparent():
+    """DRI/RSTn (predictor reset + realignment) must not change decoded
+    pixels: the same image encoded with restart intervals 0/1/3 decodes
+    bit-identically."""
+    from buildkite_logs_parquet_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (40, 56, 3)).astype(float)
+    for _ in range(3):
+        rgb = (
+            rgb
+            + np.roll(rgb, 1, 0)
+            + np.roll(rgb, 1, 1)
+            + np.roll(rgb, -1, 0)
+            + np.roll(rgb, -1, 1)
+        ) / 5
+    rgb = rgb.astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(rgb, quality=95, subsample=True))
+    for ri in (1, 3):
+        enc = encode_jpeg(rgb, quality=95, subsample=True, restart_interval=ri)
+        assert b"\xff\xdd" in enc  # DRI segment present
+        assert (decode_jpeg(enc) == base).all()
+
+
+def test_jpeg_progressive_stays_behind_the_seam():
+    from buildkite_logs_parquet_spark.functions.jpeg_codec import decode_jpeg
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker, (len(payload) + 2) >> 8, (len(payload) + 2) & 0xFF]) + payload
+
+    sof2 = seg(0xC2, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg(b"\xff\xd8" + sof2 + b"\xff\xd9")
 
 
 # ------------------------------------------- real_decode through the stage

@@ -236,6 +236,55 @@ def test_video_frames_samples_and_feeds_image_pipeline(spark):
     assert r["mean_luma"] == 12.0 and r["n_frames"] == 6
 
 
+def test_jpeg_ingest_through_real_decoder(spark):
+    """The multimodal stage ingests actual JPEGs: the committed 4:2:0
+    fixture plus encoder-produced JPEGs flow through the Arrow-batched
+    mapInPandas stage with the pure-stdlib baseline decoder — dimensions
+    and features come from true pixels, and a JPEG and a PNG of the SAME
+    image land on near-identical features (lossy-but-close), so JPEG
+    crawl media feeds the same dedup/similarity stack as everything
+    else."""
+    import os
+
+    import numpy as np
+
+    from buildkite_logs_parquet_spark.functions.image_codec import encode_png
+    from buildkite_logs_parquet_spark.functions.jpeg_codec import encode_jpeg
+    from buildkite_logs_parquet_spark.operators.multimodal import real_decode
+
+    fixture = open(
+        os.path.join(os.path.dirname(__file__), "fixtures", "logo_16x16.jpg"),
+        "rb",
+    ).read()
+    img = np.zeros((12, 20, 3), np.uint8)
+    img[:, :, 0] = np.linspace(20, 240, 20, dtype=np.uint8)[None, :]
+    img[:, :, 1] = 90
+    img[:, :, 2] = np.linspace(240, 20, 12, dtype=np.uint8)[:, None]
+    rows = [
+        (0, bytearray(fixture)),
+        (1, bytearray(encode_jpeg(img, quality=95, subsample=True))),
+        (2, bytearray(encode_png(img))),
+    ]
+    media = M.attach_media_meta(
+        spark.createDataFrame(rows, "media_id long, payload binary"),
+        media_type="image",
+        fmt="jpeg",
+    )
+    out = {
+        r["media_id"]: r
+        for r in M.extract_features(media, decode=real_decode).collect()
+    }
+    assert (out[0]["width"], out[0]["height"]) == (16, 16)
+    assert (out[1]["width"], out[1]["height"]) == (20, 12)
+    fj = np.array(out[1]["feature"])
+    fp = np.array(out[2]["feature"])
+    assert np.abs(fj - fp).max() < 0.02
+    # the embedding bridge runs over the same JPEG payloads
+    emb = M.embed_media(media)
+    assert emb.count() == 3
+    assert len(emb.first()["embedding"]) == 64
+
+
 def test_video_to_embedding_dedup_pipeline(spark):
     """End-to-end multimodal composition: Y4M video → sampled frames
     (real PNGs) → embed_media → near-identical frames collapse.  Two
