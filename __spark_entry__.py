@@ -925,8 +925,25 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pqtrain = spark.createDataFrame(
         train_rows, "op string, vec_id long, score double"
     )
+    # round-5 union-tag: the 1-bit binary-quantization rung — 'bq' is the
+    # Hamming top-10 over packed sign bits (bq_encode's long-space fold;
+    # the score IS the integer distance), 'bqrerank' the coarse-scan →
+    # exact-cosine rerank recipe (prefilter 50 by Hamming, final 10 by
+    # round-4 cosine).  The oracle repacks sign bits with shifted BIGINTs
+    # and replays xor/bit_count and both rankings.
+    bqe = QZ.bq_encode(rest)
+    bq = QZ.bq_hamming_topk(bqe, qvec, k=10).select(
+        F.lit("bq").alias("op"),
+        "vec_id",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    bqr = QZ.bq_rerank_topk(bqe, qvec, k=10, prefilter_k=50).select(
+        F.lit("bqrerank").alias("op"),
+        "vec_id",
+        F.col("cosine").alias("score"),
+    )
     out = exact.unionByName(ivf).unionByName(batch)
-    for leg in (sq, sqall, pq, pqcode, ivfpq, pqtrain):
+    for leg in (sq, sqall, pq, pqcode, ivfpq, pqtrain, bq, bqr):
         out = out.unionByName(leg)
     return out
 
@@ -2966,12 +2983,58 @@ UNION ALL
 SELECT 'pqtrain' AS op, CAST(cs*16 + code AS BIGINT) AS vec_id,
        CAST(sum(CAST(round(e, 9) AS DECIMAL(28,12))) AS DOUBLE) AS score
 FROM (SELECT cs, code, unnest(c) AS e FROM tb2) GROUP BY cs, code"""
+    # 1-bit BQ: pack bit i of word w as (v[63w+i] >= 0) << i with shifted
+    # BIGINTs (exact — the same integer-space fold bq_encode runs), query
+    # words from the vec_id=0 row, Hamming via xor + bit_count
+    _bq_ctes = """bqe AS (
+  SELECT vec_id,
+         sum(CASE WHEN i.i <= 63 AND v[i.i] >= 0
+                  THEN (CAST(1 AS BIGINT) << (i.i - 1)) ELSE 0 END) AS w0,
+         sum(CASE WHEN i.i = 64 AND v[i.i] >= 0
+                  THEN CAST(1 AS BIGINT) ELSE 0 END) AS w1
+  FROM pqv, generate_series(1, 64) i(i) GROUP BY vec_id
+),
+bqq AS (
+  SELECT sum(CASE WHEN i.i <= 63 AND qv[i.i] >= 0
+                  THEN (CAST(1 AS BIGINT) << (i.i - 1)) ELSE 0 END) AS qw0,
+         sum(CASE WHEN i.i = 64 AND qv[i.i] >= 0
+                  THEN CAST(1 AS BIGINT) ELSE 0 END) AS qw1
+  FROM q, generate_series(1, 64) i(i)
+),
+bqh AS (
+  SELECT vec_id,
+         bit_count(xor(w0, (SELECT qw0 FROM bqq)))
+         + bit_count(xor(w1, (SELECT qw1 FROM bqq))) AS ham
+  FROM bqe
+),
+"""
+    _bq_leg = """
+UNION ALL
+SELECT 'bq' AS op, vec_id, CAST(ham AS DOUBLE) AS score FROM (
+  SELECT vec_id, ham FROM bqh ORDER BY ham, vec_id LIMIT 10
+)
+UNION ALL
+SELECT 'bqrerank' AS op, vec_id, cosine AS score FROM (
+  SELECT s.vec_id,
+         round(list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+                                      (SELECT qv FROM q)), 4) AS cosine
+  FROM embeddings s
+  JOIN (SELECT vec_id FROM bqh ORDER BY ham, vec_id LIMIT 50) c
+    ON c.vec_id = s.vec_id
+  ORDER BY cosine DESC, s.vec_id LIMIT 10
+)"""
     sql["ann_topk"] = sql["ann_topk"].replace(
         "ncent(cid, nc) AS (",
-        _qz_ctes + _rq_ctes + _tr_ctes + "ncent(cid, nc) AS (",
+        _qz_ctes + _rq_ctes + _tr_ctes + _bq_ctes + "ncent(cid, nc) AS (",
     )
     sql["ann_topk"] = (
-        sql["ann_topk"].rstrip() + "\n" + _qz_legs + _rq_leg + _tr_leg + "\n"
+        sql["ann_topk"].rstrip()
+        + "\n"
+        + _qz_legs
+        + _rq_leg
+        + _tr_leg
+        + _bq_leg
+        + "\n"
     )
 
     # kmeans_step: same assignment CTE as the IVF oracle (all vectors),
