@@ -1453,11 +1453,22 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributions round(1/(60+rank), 9) decimal-summed so the fused
     scores are engine-exact.  Columns: (op, doc_id, score, aux) with
     score the leg's decimal-as-string and aux = n_matched_terms (bm25)
-    / fused rank (rrf)."""
+    / fused rank (rrf) / n_relevant (metric:*).
+
+    Round-5 union-tag: 'metric:*' legs drive retrieval_metrics
+    (operators/retrieval.py) through the gate — recall / capped recall /
+    precision / MRR / NDCG of the fused ranking at k=10 against three
+    relevance sets (two partial-overlap term sets, one zero-overlap
+    arithmetic set), one row per (metric, query)."""
+    from pyspark import StorageLevel
+
     docs = _t(spark, sf_dir, "documents")
+    # bm (top-100 rows) feeds three branches (bm25 leg, the rrf lex
+    # ranking, and through fused the metric legs) — persist the tiny
+    # result so the corpus tokenize/tf scan runs once, not per branch
     bm = TA.bm25_scores(
         docs, ["spark", "query", "merge"], "doc_id", top_n=100
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bm25_leg = bm.select(
         F.lit("bm25").alias("op"),
         "doc_id",
@@ -1479,9 +1490,10 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("cosine").desc()],
         "doc_id",
     )
+    # fused (≤200 rows) feeds the rrf leg AND the metric-leg ranking
     fused = R.rrf_fuse(
         {"bm25": lex_ranked, "dense": dense_ranked}, id_col="doc_id"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     rrf_leg = fused.select(
         F.lit("rrf").alias("op"),
         "doc_id",
@@ -1512,33 +1524,40 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrels = None
     for part in qparts:
         qrels = part if qrels is None else qrels.unionByName(part)
-    results = None
-    for qid in (1, 2, 3):
-        part = fused.select(
-            F.lit(qid).alias("query_id"), F.col("doc_id"), F.col("rank")
-        )
-        results = part if results is None else results.unionByName(part)
+    # replicate the ranking per query via ONE explode (a per-query union
+    # of selects would recompute the fused subtree once per branch)
+    results = fused.select(
+        F.explode(F.array(*[F.lit(q) for q in (1, 2, 3)])).alias("query_id"),
+        F.col("doc_id"),
+        F.col("rank"),
+    )
     met = R.retrieval_metrics(results, qrels, k=10)
+    # unpivot the six metrics in ONE branch — a union per metric would
+    # recompute the whole metrics chain six times (measured 1.4s -> 4.5s)
+    mvals = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.col(m)
+                .cast("double")
+                .cast("decimal(38,9)")
+                .cast("string")
+                .alias("v"),
+            )
+            for m in _RM_METRICS
+        ]
+    )
     metric_leg = met.select(
         F.col("query_id").cast("long").alias("doc_id"),
         F.col("n_relevant").cast("long").alias("aux"),
-        F.col("n_hits").cast("double").alias("n_hits"),
-        "recall_at_k",
-        "capped_recall_at_k",
-        "precision_at_k",
-        "reciprocal_rank",
-        "ndcg_at_k",
+        F.explode(mvals).alias("mv"),
+    ).select(
+        F.concat(F.lit("metric:"), F.col("mv.m")).alias("op"),
+        "doc_id",
+        F.col("mv.v").alias("score"),
+        "aux",
     )
-    for mname in _RM_METRICS:
-        out = out.unionByName(
-            metric_leg.select(
-                F.lit(f"metric:{mname}").alias("op"),
-                "doc_id",
-                F.col(mname).cast("decimal(38,9)").cast("string").alias("score"),
-                "aux",
-            )
-        )
-    return out
+    return out.unionByName(metric_leg)
 
 
 #: fixed learned-merge list for the registered BPE encode — includes a

@@ -76,6 +76,78 @@ def _extra_ops():
     through the noop sink, with any driver-side loop inside the callable
     so the measurement covers the whole algorithm."""
 
+    def jpeg_ingest_bench(spark, sf_dir):
+        """Multimodal JPEG ingest throughput: ~64 distinct baseline
+        4:2:0 JPEGs (driver-encoded once — encode is the test tool, not
+        the measured path) replicated across the embeddings table's ids,
+        decoded through the Arrow-batched stage with the pure-stdlib
+        decoder.  Measures the honest per-image Python codec cost inside
+        mapInPandas."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from buildkite_logs_parquet_spark.functions.jpeg_codec import (
+            encode_jpeg,
+        )
+        from buildkite_logs_parquet_spark.operators import multimodal as M
+
+        rng = np.random.default_rng(5)
+        payloads = []
+        for j in range(64):
+            img = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+            payloads.append(
+                (j, bytearray(encode_jpeg(img, quality=85, subsample=True)))
+            )
+        pal = spark.createDataFrame(payloads, "k long, payload binary")
+        ids = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            F.col("vec_id").alias("media_id"), (F.col("vec_id") % 64).alias("k")
+        )
+        media = ids.join(F.broadcast(pal), "k").select("media_id", "payload")
+        return M.extract_features(media, decode=M.real_decode)
+
+    def salted_neardup_bench(spark, sf_dir):
+        """The triangular-salted LSH band self-join (skew hatch) at the
+        same configuration as the registered embedding_near_dups_lsh leg
+        — its overhead vs the unsalted row is the price of the S-way hot
+        bucket split."""
+        import __spark_entry__ as E
+        from buildkite_logs_parquet_spark.operators.similarity import (
+            embedding_near_dup_pairs,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return embedding_near_dup_pairs(
+            emb, threshold=E._NEAR_DUP_THRESHOLD, n_planes=8, bands=4,
+            n_salts=4,
+        )
+
+    def drift_state_bench(spark, sf_dir):
+        """Freeze + probe cycle of the drift-state pattern: reference
+        half of documents into a state table, PSI of the other half read
+        from state rows only (what the streaming watchdog runs per
+        batch)."""
+        import tempfile
+
+        from buildkite_logs_parquet_spark.operators.profiling import (
+            build_drift_reference,
+            corpus_drift_from_state,
+            drift_summary,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ref = docs.where("doc_id % 2 = 0")
+        batch = docs.where("doc_id % 2 = 1")
+        path = tempfile.mkdtemp(prefix="bench_drift_state_")
+        build_drift_reference(
+            ref, cat_cols=["lang", "source"], num_cols=["n_chars"], n_bins=16
+        ).write.mode("overwrite").parquet(path)
+        state = spark.read.parquet(path)
+        return drift_summary(
+            corpus_drift_from_state(
+                batch, state, cat_cols=["lang", "source"], num_cols=["n_chars"]
+            )
+        )
+
     def pack_documents_bench(spark, sf_dir):
         from buildkite_logs_parquet_spark.operators.packing import (
             pack_documents,
@@ -378,6 +450,9 @@ def _extra_ops():
         "x_learn_unigram3": learn_unigram3,
         "x_semantic_contamination": semantic_contamination_bench,
         "x_kmeans_fit5": kmeans_fit,
+        "x_jpeg_ingest": jpeg_ingest_bench,
+        "x_salted_neardup": salted_neardup_bench,
+        "x_drift_state": drift_state_bench,
     }
 
 
