@@ -11,11 +11,13 @@ public format specifications alone:
   A matching encoder (any per-row filter choice) exists so tests can
   round-trip bit-exactly through every unfilter path.
 * **PPM/PGM** (netpbm P6/P5, maxval 255).
+* **GIF** (87a/89a incl. animation) — full decoder + test encoder in the
+  sibling ``gif_codec`` module; ``decode_image`` returns frame 0.
 * **JPEG** (baseline sequential DCT, T.81) — full decoder + test
   encoder in the sibling ``jpeg_codec`` module; ``decode_image`` sniffs
   the SOI marker and dispatches.
 
-Anything else (progressive JPEG, WebP, AVIF, …) still raises
+Anything else (WebP, AVIF, TIFF, …) still raises
 ``NotImplementedError`` — the honest codec seam remains for formats
 this repo has not implemented from spec.
 
@@ -241,8 +243,15 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_jpeg(data)
     if data[:2] in (b"P6", b"P5"):
         return decode_ppm(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from buildkite_logs_parquet_spark.functions.gif_codec import (
+            decode_gif,
+        )
+
+        _info, frames = decode_gif(data, frame_indices=[0])
+        return frames[0]
     raise NotImplementedError(
-        "unsupported image format (PNG, baseline JPEG, and PPM/PGM decode "
+        "unsupported image format (PNG, JPEG, GIF, and PPM/PGM decode "
         "natively; other formats need codec libraries not present in this "
         "environment)"
     )

@@ -6,8 +6,12 @@ from the public specification alone (ITU-T T.81 / ISO 10918-1, baseline
 sequential DCT):
 
 * marker segment walk (APPn/COM skipped, DQT 8- and 16-bit precision,
-  SOF0, DHT, DRI, SOS, EOI); progressive (SOF2) and the other SOF
-  variants raise ``NotImplementedError`` — the honest remaining seam,
+  SOF0/SOF1/SOF2, DHT, DRI, SOS, EOI); hierarchical / lossless /
+  arithmetic-coded SOF variants raise ``NotImplementedError`` — the
+  honest remaining seam,
+* progressive (SOF2) decoding per T.81 Annex G: spectral selection,
+  successive approximation (DC + AC first and refinement scans),
+  EOBn end-of-band runs, per-scan restart handling,
 * canonical Huffman decode (T.81 Annex C code construction; F.12
   ``EXTEND`` sign extension; F.2.2.x DC-predictor + AC run/size loop),
 * entropy stream handling: 0xFF00 byte-unstuffing and DRI/RSTn restart
@@ -18,11 +22,15 @@ sequential DCT):
 * sampling-factor layout (any h,v in {1,2}: 4:4:4, 4:2:2, 4:4:0, 4:2:0),
   nearest-neighbour chroma upsampling, CCIR 601 YCbCr -> RGB.
 
-A matching baseline encoder (grayscale / 4:4:4 / 4:2:0, quality-scaled
-Annex-K quantization, single-length canonical Huffman tables — valid by
-construction) exists so tests can round-trip; spec-level correctness is
-pinned separately by hand-crafted byte streams and real-world fixture
-files in tests/test_image_codec.py.
+A matching encoder (grayscale / 4:4:4 / 4:2:0, quality-scaled Annex-K
+quantization, single-length canonical Huffman tables — valid by
+construction; baseline single-scan or a libjpeg-style progressive scan
+script with ``progressive=True``) exists so tests can round-trip; the
+progressive coefficient coding is lossless, so progressive and baseline
+encodings of the same image must decode bit-identically — the round-trip
+tests pin exactly that.  Spec-level correctness is pinned separately by
+hand-crafted byte streams and real-world fixture files in
+tests/test_image_codec.py.
 
 Reference-grade performance: the Huffman loop is per-symbol Python, the
 IDCT/upsample/color math is vectorized numpy.  At 100 TB the per-image
@@ -138,10 +146,11 @@ def _split_entropy(data: bytes, start: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → uint8 array (H, W, channels in {1, 3}).
+    """Baseline (SOF0/SOF1) or progressive (SOF2) JPEG bytes → uint8
+    array (H, W, channels in {1, 3}).
 
     Raises ``ValueError`` on a malformed stream, ``NotImplementedError``
-    for progressive / extended / lossless / arithmetic variants.
+    for hierarchical / lossless / arithmetic-coded / 12-bit variants.
     """
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
@@ -149,6 +158,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     dc_tables: dict[int, _HuffTable] = {}
     ac_tables: dict[int, _HuffTable] = {}
     frame = None  # (h, w, [(cid, hs, vs, tq)])
+    progressive = False
+    scans_done = 0
+    blocks: list[np.ndarray] | None = None
     restart_interval = 0
     i = 2
     while i + 4 <= len(data):
@@ -187,9 +199,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 p += 17 + n
                 table = _HuffTable(bits, huffval)
                 (dc_tables if tc == 0 else ac_tables)[th] = table
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             if seg[0] != 8:
                 raise NotImplementedError("JPEG: only 8-bit precision")
+            progressive = marker == 0xC2
             h, w = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             comps = []
@@ -198,14 +211,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 hv = seg[7 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, seg[8 + 3 * c]))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            blocks = _alloc_blocks(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG: SOF{marker - 0xC0} (non-baseline) not supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
-            if frame is None:
+            if frame is None or blocks is None:
                 raise ValueError("JPEG: SOS before SOF")
             ns = seg[0]
             scan_sel = []  # (component index in frame, dc table, ac table)
@@ -216,29 +230,51 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     j for j, c in enumerate(frame[2]) if c[0] == cs
                 )
                 scan_sel.append((idx, td, ta))
-            segments, _end = _split_entropy(data, i + 2 + seglen)
-            return _decode_scan(
-                frame, scan_sel, segments, qtables, dc_tables, ac_tables,
-                restart_interval,
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            segments, end = _split_entropy(data, i + 2 + seglen)
+            if progressive:
+                _decode_progressive_scan(
+                    frame, scan_sel, segments, dc_tables, ac_tables,
+                    restart_interval, blocks, ss, se, ah, al,
+                )
+                scans_done += 1
+                i = end
+                continue
+            _decode_baseline_scan(
+                frame, scan_sel, segments, dc_tables, ac_tables,
+                restart_interval, blocks,
             )
+            return _finish(frame, blocks, qtables)
         i += 2 + seglen
+    if progressive and blocks is not None and scans_done:
+        return _finish(frame, blocks, qtables)
     raise ValueError("JPEG: no scan data found")
 
 
-def _decode_scan(frame, scan_sel, segments, qtables, dc_tables, ac_tables,
-                 restart_interval) -> np.ndarray:
+def _alloc_blocks(frame) -> list[np.ndarray]:
+    """Per-component coefficient storage sized to the interleaved-MCU
+    grid (≥ the component's own block grid)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    return [
+        np.zeros((mcus_y * vs, mcus_x * hs, 8, 8), np.int32)
+        for _cid, hs, vs, _tq in comps
+    ]
+
+
+def _decode_baseline_scan(frame, scan_sel, segments, dc_tables, ac_tables,
+                          restart_interval, blocks) -> None:
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     n_mcus = mcus_x * mcus_y
-    # per component: blocks-per-MCU grid and coefficient storage
-    blocks: list[np.ndarray] = []
-    for cid, hs, vs, tq in comps:
-        blocks.append(
-            np.zeros((mcus_y * vs, mcus_x * hs, 8, 8), np.int32)
-        )
     preds = [0] * len(comps)
     seg_iter = iter(segments)
     reader = _BitReader(next(seg_iter))
@@ -275,6 +311,162 @@ def _decode_scan(frame, scan_sel, segments, qtables, dc_tables, ac_tables,
                     for k2, (r2, c2) in enumerate(ZIGZAG):
                         block[r2, c2] = coef[k2]
                     blocks[idx][my * vs + by, mx * hs + bx] = block
+
+
+#: zigzag index k → flat (row*8 + col) position, for 1-D block views
+_ZIG_FLAT = [r * 8 + c for r, c in ZIGZAG]
+
+
+def _decode_progressive_scan(frame, scan_sel, segments, dc_tables, ac_tables,
+                             restart_interval, blocks, ss, se, ah, al) -> None:
+    """One SOF2 scan (T.81 §G.2): DC scans may be interleaved and walk
+    the MCU grid; AC scans are single-component and walk the component's
+    OWN block grid in raster order.  First scans (Ah=0) decode new
+    coefficient values shifted left by Al; refinement scans (Ah>0) add
+    one magnitude bit per coefficient.  End-of-band runs (EOBn) span
+    blocks and reset at restart markers, like the DC predictors."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    seg_iter = iter(segments)
+    reader = _BitReader(next(seg_iter))
+
+    def _comp_block_grid(idx):
+        _, hs, vs, _tq = comps[idx]
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        return -(-cw // 8), -(-ch // 8)
+
+    if ss == 0:  # DC scan (Se must be 0)
+        if se != 0:
+            raise ValueError("JPEG: progressive DC scan with Se != 0")
+        if len(scan_sel) == 1 and len(comps) > 1:
+            # non-interleaved DC scan: walk the component's own grid
+            idx, td, _ta = scan_sel[0]
+            bw, bh = _comp_block_grid(idx)
+            pred = 0
+            for m in range(bw * bh):
+                if restart_interval and m and m % restart_interval == 0:
+                    reader = _BitReader(next(seg_iter))
+                    pred = 0
+                by, bx = divmod(m, bw)
+                blk = blocks[idx][by, bx]
+                if ah == 0:
+                    s = reader.decode(dc_tables[td])
+                    pred += _extend(reader.receive(s), s)
+                    blk[0, 0] = pred << al
+                elif reader.read_bit():
+                    blk[0, 0] |= 1 << al
+            return
+        preds = [0] * len(comps)
+        for m in range(mcus_x * mcus_y):
+            if restart_interval and m and m % restart_interval == 0:
+                reader = _BitReader(next(seg_iter))
+                preds = [0] * len(comps)
+            my, mx = divmod(m, mcus_x)
+            for idx, td, _ta in scan_sel:
+                _, hs, vs, _tq = comps[idx]
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = blocks[idx][my * vs + by, mx * hs + bx]
+                        if ah == 0:
+                            s = reader.decode(dc_tables[td])
+                            diff = _extend(reader.receive(s), s)
+                            preds[idx] += diff
+                            blk[0, 0] = preds[idx] << al
+                        elif reader.read_bit():
+                            blk[0, 0] |= 1 << al
+        return
+
+    # AC scan: exactly one component, non-interleaved block raster walk
+    if len(scan_sel) != 1:
+        raise ValueError("JPEG: progressive AC scan must be single-component")
+    idx, _td, ta = scan_sel[0]
+    bw, bh = _comp_block_grid(idx)
+    act = ac_tables[ta]
+    eobrun = 0
+    for m in range(bw * bh):
+        if restart_interval and m and m % restart_interval == 0:
+            reader = _BitReader(next(seg_iter))
+            eobrun = 0
+        by, bx = divmod(m, bw)
+        blk = blocks[idx][by, bx].reshape(64)
+        if ah == 0:
+            # ---- first AC scan (G.1.2.2) with EOB runs
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = reader.decode(act)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("JPEG: AC run past band end")
+                blk[_ZIG_FLAT[k]] = _extend(reader.receive(s), s) << al
+                k += 1
+        else:
+            # ---- AC refinement (G.1.2.3 / libjpeg decode_mcu_AC_refine)
+            p1 = 1 << al
+            m1 = -1 << al
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.decode(act)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r)
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+                        newval = 0  # ZRL: skip 16 zero-history coeffs
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "JPEG: refinement size must be 1"
+                            )
+                        newval = p1 if reader.read_bit() else m1
+                    # advance past r zero-history coefficients, applying
+                    # correction bits to nonzero ones along the way
+                    while k <= se:
+                        v = int(blk[_ZIG_FLAT[k]])
+                        if v != 0:
+                            if reader.read_bit() and (abs(v) & p1) == 0:
+                                blk[_ZIG_FLAT[k]] = v + (p1 if v > 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if s and k <= se:
+                        blk[_ZIG_FLAT[k]] = newval
+                    k += 1
+            if eobrun > 0:
+                # remaining coefficients get correction bits only
+                while k <= se:
+                    v = int(blk[_ZIG_FLAT[k]])
+                    if v != 0:
+                        if reader.read_bit() and (abs(v) & p1) == 0:
+                            blk[_ZIG_FLAT[k]] = v + (p1 if v > 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+
+def _finish(frame, blocks, qtables) -> np.ndarray:
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     # dequantize + IDCT + layout per component, then upsample and stack
     planes = []
     for ci, (cid, hs, vs, tq) in enumerate(comps):
@@ -406,13 +598,18 @@ def encode_jpeg(
     quality: int = 90,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """uint8 (H, W) / (H, W, 1) grayscale or (H, W, 3) RGB → baseline
-    JPEG bytes (4:4:4, or 4:2:0 with ``subsample=True``).
+    """uint8 (H, W) / (H, W, 1) grayscale or (H, W, 3) RGB → JPEG bytes
+    (4:4:4, or 4:2:0 with ``subsample=True``).
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
     that many MCUs (predictors reset, stream re-aligned) — the
     error-resilience feature real encoders use, here mainly to exercise
-    the decoder's restart path."""
+    the decoder's restart path.
+    ``progressive=True`` emits SOF2 with a libjpeg-style scan script
+    (interleaved DC first scan, per-component spectral-selection AC first
+    scans, successive-approximation refinement down to full precision),
+    exercising every T.81 Annex G coding mode the decoder implements."""
     arr = np.asarray(img, np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -475,6 +672,47 @@ def encode_jpeg(
     ac_syms = sorted({(r << 4) | s for r in range(16) for s in range(11)} | {0x00, 0xF0})
     ac_enc = _SimpleHuffEncoder(ac_syms, 9)
 
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def dqt(tq: int, table: np.ndarray) -> bytes:
+        zz = bytes(int(table[r, c]) for r, c in ZIGZAG)
+        return seg(0xDB, bytes([tq]) + zz)
+
+    out = bytearray(b"\xff\xd8")
+    out += dqt(0, qlum)
+    if nc == 3:
+        out += dqt(1, qchr)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        hs, vs = hv[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+    out += seg(0xC2 if progressive else 0xC0, sof)
+    out += seg(0xC4, dc_enc.dht_payload(0, 0))
+    out += seg(0xC4, ac_enc.dht_payload(1, 0))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    if progressive:
+        geom = (h, w, hv, hmax, vmax, mcus_x, mcus_y)
+        for sel, ss, se, ah, al in _prog_script(nc):
+            sos = bytes([len(sel)])
+            for ci in sel:
+                sos += bytes([ci + 1, 0x00])
+            sos += bytes([ss, se, (ah << 4) | al])
+            out += seg(0xDA, sos)
+            if ss == 0:
+                out += _enc_dc_scan(
+                    comp_blocks, geom, sel, dc_enc, ah, al, restart_interval
+                )
+            else:
+                out += _enc_ac_scan(
+                    comp_blocks, geom, sel[0], ac_enc, ss, se, ah, al,
+                    restart_interval,
+                )
+        out += b"\xff\xd9"
+        return bytes(out)
+
     writer = _BitWriter()
     entropy = bytearray()
     preds = [0] * nc
@@ -516,26 +754,6 @@ def encode_jpeg(
     writer.flush()
     entropy += writer.out
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
-
-    def dqt(tq: int, table: np.ndarray) -> bytes:
-        zz = bytes(int(table[r, c]) for r, c in ZIGZAG)
-        return seg(0xDB, bytes([tq]) + zz)
-
-    out = bytearray(b"\xff\xd8")
-    out += dqt(0, qlum)
-    if nc == 3:
-        out += dqt(1, qchr)
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
-    for ci in range(nc):
-        hs, vs = hv[ci]
-        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
-    out += seg(0xC0, sof)
-    out += seg(0xC4, dc_enc.dht_payload(0, 0))
-    out += seg(0xC4, ac_enc.dht_payload(1, 0))
-    if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([nc])
     for ci in range(nc):
         sos += bytes([ci + 1, 0x00])
@@ -544,3 +762,208 @@ def encode_jpeg(
     out += entropy
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def _prog_script(nc: int) -> list[tuple[tuple[int, ...], int, int, int, int]]:
+    """libjpeg-style progressive scan script: (components, Ss, Se, Ah, Al).
+    Interleaved DC first scan at Al=1, spectral-selection AC first scans
+    (luma band split 1-5 / 6-63 at Al=2, chroma 1-63 at Al=1), then
+    successive-approximation refinements down to Al=0 — the DC refines
+    non-interleaved to exercise the decoder's own-grid DC walk."""
+    if nc == 1:
+        return [
+            ((0,), 0, 0, 0, 1),
+            ((0,), 1, 5, 0, 2),
+            ((0,), 6, 63, 0, 2),
+            ((0,), 1, 63, 2, 1),
+            ((0,), 0, 0, 1, 0),
+            ((0,), 1, 63, 1, 0),
+        ]
+    return [
+        ((0, 1, 2), 0, 0, 0, 1),
+        ((0,), 1, 5, 0, 2),
+        ((1,), 1, 63, 0, 1),
+        ((2,), 1, 63, 0, 1),
+        ((0,), 6, 63, 0, 2),
+        ((0,), 1, 63, 2, 1),
+        ((0,), 0, 0, 1, 0),
+        ((1,), 0, 0, 1, 0),
+        ((2,), 0, 0, 1, 0),
+        ((0,), 1, 63, 1, 0),
+        ((1,), 1, 63, 1, 0),
+        ((2,), 1, 63, 1, 0),
+    ]
+
+
+class _ScanOut:
+    """Entropy bytes for one scan, with RSTn restart segmentation."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.writer = _BitWriter()
+        self._rst = 0
+
+    def restart(self) -> None:
+        self.writer.flush()
+        self.buf += self.writer.out
+        self.buf += bytes([0xFF, 0xD0 + self._rst % 8])
+        self._rst += 1
+        self.writer = _BitWriter()
+
+    def done(self) -> bytes:
+        self.writer.flush()
+        self.buf += self.writer.out
+        return bytes(self.buf)
+
+
+def _comp_block_dims(geom, ci) -> tuple[int, int]:
+    """The component's OWN block grid (bw, bx) — what non-interleaved
+    scans walk; smaller than the padded MCU grid when sampling pads."""
+    h, w, hv, hmax, vmax, _mx, _my = geom
+    hs, vs = hv[ci]
+    cw = -(-(w * hs) // hmax)
+    ch = -(-(h * vs) // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _enc_dc_scan(comp_blocks, geom, sel, dc_enc, ah, al, ri) -> bytes:
+    h, w, hv, hmax, vmax, mcus_x, mcus_y = geom
+    nc = len(hv)
+    eo = _ScanOut()
+    if len(sel) == 1 and nc > 1:
+        # non-interleaved: walk the component's own block grid
+        ci = sel[0]
+        bw, bh = _comp_block_dims(geom, ci)
+        pred = 0
+        for m in range(bw * bh):
+            if ri and m and m % ri == 0:
+                eo.restart()
+                pred = 0
+            by, bx = divmod(m, bw)
+            v = int(comp_blocks[ci][by, bx][0, 0]) >> al
+            if ah == 0:
+                diff = v - pred
+                pred = v
+                s = _csize(diff)
+                eo.writer.write(dc_enc.codes[s], dc_enc.length)
+                if s:
+                    eo.writer.write(
+                        diff if diff >= 0 else diff + (1 << s) - 1, s
+                    )
+            else:
+                eo.writer.write(v & 1, 1)
+        return eo.done()
+    preds = {ci: 0 for ci in sel}
+    for m in range(mcus_x * mcus_y):
+        if ri and m and m % ri == 0:
+            eo.restart()
+            preds = {ci: 0 for ci in sel}
+        my, mx = divmod(m, mcus_x)
+        for ci in sel:
+            hs, vs = hv[ci]
+            for by in range(vs):
+                for bx in range(hs):
+                    v = int(comp_blocks[ci][my * vs + by, mx * hs + bx][0, 0])
+                    v >>= al  # DC point transform: arithmetic shift
+                    if ah == 0:
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        s = _csize(diff)
+                        eo.writer.write(dc_enc.codes[s], dc_enc.length)
+                        if s:
+                            eo.writer.write(
+                                diff if diff >= 0 else diff + (1 << s) - 1, s
+                            )
+                    else:
+                        eo.writer.write(v & 1, 1)
+    return eo.done()
+
+
+def _enc_ac_scan(comp_blocks, geom, ci, ac_enc, ss, se, ah, al, ri) -> bytes:
+    """One progressive AC scan (T.81 G.1.2.2/G.1.2.3, mirroring libjpeg's
+    jcphuff encode_mcu_AC_first/_refine): EOBn runs span blocks; in
+    refinement scans, correction bits for already-nonzero coefficients are
+    buffered and emitted after the symbol (ZRL / run-1 / EOBn) whose
+    decoder-side advance consumes them."""
+    bw, bh = _comp_block_dims(geom, ci)
+    eo = _ScanOut()
+    eobrun = 0
+    pend: list[int] = []  # correction bits owed to the next EOBn symbol
+
+    def flush_eob() -> None:
+        nonlocal eobrun, pend
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            eo.writer.write(ac_enc.codes[nbits << 4], ac_enc.length)
+            if nbits:
+                eo.writer.write(eobrun & ((1 << nbits) - 1), nbits)
+            eobrun = 0
+            for b in pend:
+                eo.writer.write(b, 1)
+            pend = []
+
+    for m in range(bw * bh):
+        if ri and m and m % ri == 0:
+            flush_eob()
+            eo.restart()
+        by, bx = divmod(m, bw)
+        zz = comp_blocks[ci][by, bx].reshape(64)
+        if ah == 0:
+            # ---- first scan for this band
+            r = 0
+            for k in range(ss, se + 1):
+                t = int(zz[_ZIG_FLAT[k]])
+                t = -((-t) >> al) if t < 0 else t >> al
+                if t == 0:
+                    r += 1
+                    continue
+                flush_eob()
+                while r > 15:
+                    eo.writer.write(ac_enc.codes[0xF0], ac_enc.length)
+                    r -= 16
+                s = _csize(t)
+                eo.writer.write(ac_enc.codes[(r << 4) | s], ac_enc.length)
+                eo.writer.write(t if t >= 0 else t + (1 << s) - 1, s)
+                r = 0
+            if r > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+            continue
+        # ---- refinement scan
+        absv = [abs(int(zz[_ZIG_FLAT[k]])) >> al for k in range(ss, se + 1)]
+        eob_pos = ss - 1
+        for k in range(ss, se + 1):
+            if absv[k - ss] == 1:
+                eob_pos = k  # last NEWLY-nonzero coefficient
+        r = 0
+        br: list[int] = []  # correction bits since the last symbol
+        for k in range(ss, se + 1):
+            t = absv[k - ss]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob_pos:
+                flush_eob()
+                eo.writer.write(ac_enc.codes[0xF0], ac_enc.length)
+                r -= 16
+                for b in br:
+                    eo.writer.write(b, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)  # history coefficient: one more bit
+                continue
+            flush_eob()
+            eo.writer.write(ac_enc.codes[(r << 4) | 1], ac_enc.length)
+            eo.writer.write(1 if int(zz[_ZIG_FLAT[k]]) > 0 else 0, 1)
+            for b in br:
+                eo.writer.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pend += br
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return eo.done()

@@ -72,7 +72,7 @@ def real_decode(payload: bytes) -> dict:
     from ACTUAL pixels (channel means, spread, extremes, aspect), so
     identical images embed identically and ``semantic_dedup`` downstream
     finds true visual duplicates.  Formats that still need external
-    codec libraries (progressive JPEG, WebP, video, audio beyond WAV…)
+    codec libraries (WebP, video beyond Y4M, audio beyond WAV…)
     raise ``NotImplementedError`` — that seam is ``strict_decode``'s
     contract.
     """
@@ -82,7 +82,16 @@ def real_decode(payload: bytes) -> dict:
 
     from buildkite_logs_parquet_spark.functions.image_codec import decode_image
 
-    img = decode_image(bytes(payload))
+    raw = bytes(payload)
+    n_frames = 1
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        from buildkite_logs_parquet_spark.functions.gif_codec import decode_gif
+
+        info, frames = decode_gif(raw, frame_indices=[0])
+        img = frames[0]
+        n_frames = info["n_frames"]
+    else:
+        img = decode_image(raw)
     h, w, ch = img.shape
     px = img.astype("float64")
     gray = px[:, :, :3].mean() if ch >= 3 else px[:, :, 0].mean()
@@ -103,14 +112,14 @@ def real_decode(payload: bytes) -> dict:
     return {
         "width": w,
         "height": h,
-        "n_frames": 1,
+        "n_frames": n_frames,
         "feature": [round(x, 6) for x in feature],
     }
 
 
 def strict_decode(payload: bytes) -> dict:
     """The hard codec seam: formats beyond PNG/baseline-JPEG/PPM
-    (progressive JPEG, WebP, video, compressed audio) need libraries not
+    (WebP, compressed video, compressed audio) need libraries not
     present in this environment."""
     raise NotImplementedError(
         "media decoding beyond PNG/baseline-JPEG/PPM requires codec "
@@ -386,8 +395,9 @@ def video_frames(
     as_png: bool = True,
 ) -> DataFrame:
     """REAL video decode + frame sampling over Y4M payloads
-    (``functions/video_codec`` — pure stdlib+numpy, the video twin of
-    the PNG and WAV paths): every Nth luma frame comes out as its own
+    (``functions/video_codec``) and animated GIFs
+    (``functions/gif_codec``) — pure stdlib+numpy, the video twin of
+    the PNG and WAV paths: every Nth luma frame comes out as its own
     row, re-encoded as a PNG payload by default so sampled frames flow
     STRAIGHT into the image pipeline (``embed_media`` → semantic dedup /
     ANN — one code path for stills and video frames).
@@ -419,18 +429,41 @@ def video_frames(
             for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload)
                 try:
-                    hdr = parse_y4m_header(raw)
-                    # count frames cheaply, then decode only the sample
-                    hdr2, _ = decode_y4m(raw, frame_indices=[])
-                    picks = list(range(0, hdr2["n_frames"], every_nth))
-                    _, frames = decode_y4m(raw, frame_indices=picks)
+                    if raw[:6] in (b"GIF87a", b"GIF89a"):
+                        # animated GIF rides the same video path: frames
+                        # are DELTAS, so the walk is sequential, but only
+                        # sampled composites are materialized
+                        from buildkite_logs_parquet_spark.functions.gif_codec import (  # noqa: E501
+                            decode_gif,
+                        )
+
+                        ginfo, _ = decode_gif(raw, frame_indices=[])
+                        picks = list(range(0, ginfo["n_frames"], every_nth))
+                        _, rgb_frames = decode_gif(raw, frame_indices=picks)
+                        gframes = [
+                            (
+                                0.299 * f[:, :, 0]
+                                + 0.587 * f[:, :, 1]
+                                + 0.114 * f[:, :, 2]
+                            ).astype(np.uint8)
+                            for f in rgb_frames
+                        ]
+                        n_total = ginfo["n_frames"]
+                        frames = gframes
+                    else:
+                        hdr = parse_y4m_header(raw)
+                        # count frames cheaply, then decode only the sample
+                        hdr2, _ = decode_y4m(raw, frame_indices=[])
+                        n_total = hdr2["n_frames"]
+                        picks = list(range(0, n_total, every_nth))
+                        _, frames = decode_y4m(raw, frame_indices=picks)
                     for fi, luma in zip(picks, frames):
                         out.append(
                             {
                                 id_col: media_id,
                                 "decode_ok": True,
                                 "frame_index": fi,
-                                "n_frames": hdr2["n_frames"],
+                                "n_frames": n_total,
                                 "height": int(luma.shape[0]),
                                 "width": int(luma.shape[1]),
                                 "mean_luma": round(

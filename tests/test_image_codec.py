@@ -206,14 +206,96 @@ def test_jpeg_restart_markers_are_transparent():
         assert (decode_jpeg(enc) == base).all()
 
 
-def test_jpeg_progressive_stays_behind_the_seam():
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    """Progressive coefficient coding is lossless: the same image encoded
+    baseline and progressive (same quality) must decode BIT-IDENTICALLY —
+    across gray, 4:4:4, 4:2:0, restart intervals, and odd dimensions
+    (where the non-interleaved scans walk a smaller grid than the padded
+    MCU grid)."""
+    from buildkite_logs_parquet_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(3)
+    gray = np.tile(np.arange(64, dtype=np.uint8)[None, :] * 3, (32, 1))
+    assert (
+        decode_jpeg(encode_jpeg(gray, quality=95))
+        == decode_jpeg(encode_jpeg(gray, quality=95, progressive=True))
+    ).all()
+
+    rgb = rng.integers(0, 256, (40, 56, 3)).astype(np.uint8)
+    for kw in ({}, {"subsample": True}):
+        base = decode_jpeg(encode_jpeg(rgb, quality=90, **kw))
+        prog = encode_jpeg(rgb, quality=90, progressive=True, **kw)
+        assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog
+        assert (base == decode_jpeg(prog)).all()
+
+    # RSTn inside progressive scans: EOB runs and predictors reset
+    base = decode_jpeg(encode_jpeg(rgb, quality=90, subsample=True))
+    ri = encode_jpeg(
+        rgb, quality=90, subsample=True, progressive=True, restart_interval=3
+    )
+    assert b"\xff\xd0" in ri
+    assert (base == decode_jpeg(ri)).all()
+
+    odd = rng.integers(0, 256, (17, 23, 3)).astype(np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg(odd, quality=85, subsample=True))
+        == decode_jpeg(
+            encode_jpeg(odd, quality=85, subsample=True, progressive=True)
+        )
+    ).all()
+
+
+def test_jpeg_progressive_handpinned_stream():
+    """Hand-crafted SOF2 stream, independent of our encoder: one 8x8 gray
+    block, flat quant table of 1s, three scans — DC first (Al=1, value 5
+    -> coefficient 10), DC refinement (Ah=1, bit 1 -> 11), AC first with
+    an immediate EOB.  DC-only block of 11 -> IDCT 11/8 -> round(1.375)
+    + 128 = 129 in every pixel."""
     from buildkite_logs_parquet_spark.functions.jpeg_codec import decode_jpeg
 
     def seg(marker, payload):
-        return bytes([0xFF, marker, (len(payload) + 2) >> 8, (len(payload) + 2) & 0xFF]) + payload
+        n = len(payload) + 2
+        return bytes([0xFF, marker, n >> 8, n & 0xFF]) + payload
 
+    dqt = seg(0xDB, bytes([0]) + bytes([1] * 64))
     sof2 = seg(0xC2, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
-    with pytest.raises(NotImplementedError, match="SOF2"):
+    # DC table 0: single symbol 3 at code length 1 (code '0')
+    dht_dc = seg(0xC4, bytes([0x00] + [1] + [0] * 15 + [3]))
+    # AC table 0: single symbol 0x00 (EOB0) at code length 1
+    dht_ac = seg(0xC4, bytes([0x10] + [1] + [0] * 15 + [0x00]))
+    # scan 1: DC first, Al=1 — '0' (size 3) + '101' (5), 1-padded = 0x5F
+    sos_dc1 = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + b"\x5f"
+    # scan 2: DC refine, Ah=1 Al=0 — raw bit 1, padded = 0xFF (stuffed)
+    sos_dc2 = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + b"\xff\x00"
+    # scan 3: AC first 1-63 — EOB0 = '0', padded = 0x7F
+    sos_ac = seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + b"\x7f"
+    data = (
+        b"\xff\xd8" + dqt + sof2 + dht_dc + dht_ac
+        + sos_dc1 + sos_dc2 + sos_ac + b"\xff\xd9"
+    )
+    img = decode_jpeg(data)
+    assert img.shape == (8, 8, 1)
+    assert (img == 129).all()
+
+
+def test_jpeg_sof_variants_stay_behind_the_seam():
+    from buildkite_logs_parquet_spark.functions.jpeg_codec import decode_jpeg
+
+    def seg(marker, payload):
+        n = len(payload) + 2
+        return bytes([0xFF, marker, n >> 8, n & 0xFF]) + payload
+
+    # SOF3 (lossless) and SOF9 (arithmetic) stay honest NotImplementedError
+    for m, name in ((0xC3, "SOF3"), (0xC9, "SOF9")):
+        sof = seg(m, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+        with pytest.raises(NotImplementedError, match=name):
+            decode_jpeg(b"\xff\xd8" + sof + b"\xff\xd9")
+    # SOF2 with zero scans is malformed, not silently black
+    sof2 = seg(0xC2, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    with pytest.raises(ValueError, match="no scan data"):
         decode_jpeg(b"\xff\xd8" + sof2 + b"\xff\xd9")
 
 
