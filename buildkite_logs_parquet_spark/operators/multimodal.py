@@ -395,9 +395,10 @@ def video_frames(
     as_png: bool = True,
 ) -> DataFrame:
     """REAL video decode + frame sampling over Y4M payloads
-    (``functions/video_codec``) and animated GIFs
-    (``functions/gif_codec``) — pure stdlib+numpy, the video twin of
-    the PNG and WAV paths: every Nth luma frame comes out as its own
+    (``functions/video_codec``), MJPEG AVI (``functions/avi_codec`` —
+    a genuinely COMPRESSED container, JPEG per frame), and animated
+    GIFs (``functions/gif_codec``) — pure stdlib+numpy, the video twin
+    of the PNG and WAV paths: every Nth luma frame comes out as its own
     row, re-encoded as a PNG payload by default so sampled frames flow
     STRAIGHT into the image pipeline (``embed_media`` → semantic dedup /
     ANN — one code path for stills and video frames).
@@ -429,7 +430,30 @@ def video_frames(
             for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload)
                 try:
-                    if raw[:6] in (b"GIF87a", b"GIF89a"):
+                    if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                        # MJPEG AVI: frames are independent JPEGs, so
+                        # only the sampled frames are decoded at all
+                        from buildkite_logs_parquet_spark.functions.avi_codec import (  # noqa: E501
+                            decode_avi_mjpeg,
+                        )
+
+                        ainfo, _ = decode_avi_mjpeg(raw, frame_indices=[])
+                        picks = list(range(0, ainfo["n_frames"], every_nth))
+                        _, rgb_frames = decode_avi_mjpeg(
+                            raw, frame_indices=picks
+                        )
+                        frames = [
+                            (
+                                0.299 * f[:, :, 0]
+                                + 0.587 * f[:, :, 1]
+                                + 0.114 * f[:, :, 2]
+                            ).astype(np.uint8)
+                            if f.shape[2] >= 3
+                            else f[:, :, 0]
+                            for f in rgb_frames
+                        ]
+                        n_total = ainfo["n_frames"]
+                    elif raw[:6] in (b"GIF87a", b"GIF89a"):
                         # animated GIF rides the same video path: frames
                         # are DELTAS, so the walk is sequential, but only
                         # sampled composites are materialized

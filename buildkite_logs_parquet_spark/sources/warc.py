@@ -152,3 +152,86 @@ def read_warc_wet(spark: SparkSession, path: str) -> DataFrame:
         return base
 
     return binary.select("path", "content").mapInPandas(parse, WET_SCHEMA)
+
+
+#: output schema of the raw-crawl reader — one row per HTTP response
+#: record, body already extracted to text.
+HTML_SCHEMA = (
+    "file string, record_idx int, target_uri string, warc_date string, "
+    "http_status int, content_type string, title string, text string, "
+    "n_links int, error string"
+)
+
+
+def read_warc_html(spark: SparkSession, path: str) -> DataFrame:
+    """Read RAW crawl WARCs (``response`` records: HTTP envelope + HTML
+    body) into one extracted-text row per page — the step WET files
+    have already had applied, done here natively so the pipeline can
+    start from an actual crawl instead of someone else's extraction.
+
+    Same distribution contract as :func:`read_warc_wet` (one task per
+    gzip file, Arrow-batched executor-side parse, quarantine rows on
+    framing damage).  Non-``response`` records and non-HTML content
+    types are skipped; chunked transfer-encoding and charset handling
+    live in ``functions/html_text.py``.
+    """
+    import pandas as pd
+
+    from buildkite_logs_parquet_spark.functions.html_text import (
+        extract_html_text,
+        parse_http_response,
+    )
+
+    binary = spark.read.format("binaryFile").load(path)
+    cols = [
+        "file", "record_idx", "target_uri", "warc_date", "http_status",
+        "content_type", "title", "text", "n_links", "error",
+    ]
+
+    def blank(fname, idx, **kw):
+        base = dict.fromkeys(cols)
+        base.update(file=fname, record_idx=idx, **kw)
+        return base
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: list[dict] = []
+            for fname, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                if fname.endswith(".gz") or raw[:2] == b"\x1f\x8b":
+                    try:
+                        raw = gzip.GzipFile(fileobj=io.BytesIO(raw)).read()
+                    except OSError as e:
+                        out.append(blank(fname, -1, error=f"gzip: {e}"))
+                        continue
+                idx = 0
+                try:
+                    for headers, payload in _iter_warc_records(raw):
+                        if headers.get("warc-type") != "response":
+                            idx += 1
+                            continue
+                        http = parse_http_response(payload)
+                        ctype = (http["content_type"] or "").lower()
+                        if ctype and "html" not in ctype:
+                            idx += 1
+                            continue
+                        doc = extract_html_text(http["body"])
+                        out.append(
+                            blank(
+                                fname,
+                                idx,
+                                target_uri=headers.get("warc-target-uri"),
+                                warc_date=headers.get("warc-date"),
+                                http_status=http["status"],
+                                content_type=http["content_type"],
+                                title=doc["title"],
+                                text=doc["text"],
+                                n_links=doc["n_links"],
+                            )
+                        )
+                        idx += 1
+                except ValueError as e:
+                    out.append(blank(fname, idx, error=str(e)))
+            yield pd.DataFrame(out, columns=cols)
+
+    return binary.select("path", "content").mapInPandas(parse, HTML_SCHEMA)

@@ -87,3 +87,70 @@ def test_read_warc_wet_feeds_curation(spark, tmp_path):
     ).collect()
     assert len(prof) == 5
     assert all(r["n_tokens"] == 6 for r in prof)
+
+
+def _response_record(uri, html, ctype="text/html; charset=utf-8",
+                     status=200, chunked=False):
+    body = html.encode()
+    if chunked:
+        body = f"{len(body):x}".encode() + b"\r\n" + body + b"\r\n0\r\n\r\n"
+    http = (
+        f"HTTP/1.1 {status} OK\r\n"
+        f"Content-Type: {ctype}\r\n"
+        + ("Transfer-Encoding: chunked\r\n" if chunked else "")
+        + "\r\n"
+    ).encode() + body
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: response\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: 2026-08-14T00:00:00Z\r\n"
+        f"Content-Length: {len(http)}\r\n"
+    ).encode()
+    return head + b"\r\n" + http + b"\r\n\r\n"
+
+
+def test_read_warc_html_extracts_responses(spark, tmp_path):
+    """Raw-crawl path: response records (HTTP + HTML) come out as
+    extracted text rows; non-response and non-HTML records are skipped."""
+    from buildkite_logs_parquet_spark.sources.warc import read_warc_html
+
+    warc = (
+        _record("http://meta.example/", "warcinfo-ish", wtype="warcinfo")
+        + _response_record(
+            "http://a.example/",
+            "<html><head><title>Page A</title></head><body>"
+            "<p>hello   crawl</p><a href='/x'>x</a><a href='/y'>y</a>"
+            "<script>skip()</script></body></html>",
+        )
+        + _response_record(
+            "http://img.example/p.png", "PNGBYTES", ctype="image/png"
+        )
+        + _response_record(
+            "http://b.example/", "<p>chunked body</p>", chunked=True
+        )
+    )
+    (tmp_path / "crawl.warc").write_bytes(warc)
+    rows = {r["target_uri"]: r for r in read_warc_html(spark, str(tmp_path)).collect()}
+    assert set(rows) == {"http://a.example/", "http://b.example/"}
+    a = rows["http://a.example/"]
+    assert a["title"] == "Page A"
+    assert a["text"] == "hello crawl\nx\ny" or "hello crawl" in a["text"]
+    assert "skip()" not in a["text"]
+    assert a["n_links"] == 2
+    assert a["http_status"] == 200
+    b = rows["http://b.example/"]
+    assert b["text"] == "chunked body"
+
+
+def test_read_warc_html_quarantines_broken_tail(spark, tmp_path):
+    from buildkite_logs_parquet_spark.sources.warc import read_warc_html
+
+    good = _response_record("http://ok.example/", "<p>fine</p>")
+    broken = b"WARC/1.0\r\nContent-Length: 99999\r\n\r\nshort"
+    (tmp_path / "broken.warc").write_bytes(good + broken)
+    rows = read_warc_html(spark, str(tmp_path)).collect()
+    ok = [r for r in rows if r["error"] is None]
+    bad = [r for r in rows if r["error"] is not None]
+    assert len(ok) == 1 and ok[0]["text"] == "fine"
+    assert len(bad) == 1 and "truncated" in bad[0]["error"]
