@@ -1,46 +1,155 @@
-"""Pure-stdlib WAV (RIFF PCM) codec — the audio twin of
+"""Pure-stdlib WAV codec (PCM + IMA ADPCM) — the audio twin of
 ``image_codec`` (PNG/PPM): a REAL decode path behind the multimodal
-seam built only from public, always-available pieces (``wave`` +
-numpy), so the Spark-side plumbing can be exercised on genuine media
-bytes without external codec libraries.
+seam built only from public, always-available pieces (bytes + numpy),
+so the Spark-side plumbing can be exercised on genuine media bytes
+without external codec libraries.
 
-Formats beyond PCM WAV (MP3, FLAC, Ogg…) remain the honest
-``strict_decode`` seam in ``operators/multimodal``.
+Two encodings are handled natively:
+
+* **PCM** (format tag 0x0001): 16-bit signed and 8-bit unsigned
+  (rescaled to int16) — lossless.
+* **IMA ADPCM** (format tag 0x0011, a.k.a. DVI ADPCM): a real
+  COMPRESSED audio format — 4 bits/sample, per-block predictor +
+  step-index header, the standard IMA step/index tables.  Mono only
+  (stereo ADPCM interleaves 4-byte groups per channel; raises
+  ``NotImplementedError``).  The matching encoder exists so tests can
+  round-trip; ADPCM is lossy, so round-trips assert reconstruction
+  error bounds plus exact decode of hand-pinned nibble streams.
+
+The stdlib ``wave`` module only reads PCM, so the RIFF/WAVE chunk walk
+is implemented directly (same RIFF rules as ``avi_codec``).  Formats
+beyond these (MP3, FLAC, Ogg…) remain the honest ``strict_decode``
+seam in ``operators/multimodal``.
 """
 
 from __future__ import annotations
 
 import io
+import struct
 import wave
 
 import numpy as np
 
+#: IMA ADPCM step-size table (89 entries) and index-adjust table — from
+#: the IMA Recommended Practices for Enhancing Digital Audio (public).
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _parse_riff_wave(data: bytes) -> tuple[dict, bytes]:
+    """RIFF/WAVE chunk walk → (fmt fields, data-chunk bytes)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV stream (bad RIFF/WAVE header)")
+    fmt: dict | None = None
+    body: bytes | None = None
+    pos = 12
+    end = min(len(data), 8 + struct.unpack("<I", data[4:8])[0])
+    while pos + 8 <= end:
+        cc = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        payload = data[pos + 8 : pos + 8 + size]
+        if cc == b"fmt " and size >= 16:
+            tag, ch, sr, _abps, balign, bits = struct.unpack(
+                "<HHIIHH", payload[:16]
+            )
+            fmt = {
+                "tag": tag,
+                "channels": ch,
+                "rate": sr,
+                "block_align": balign,
+                "bits": bits,
+            }
+            if size >= 20:
+                (fmt["samples_per_block"],) = struct.unpack(
+                    "<H", payload[18:20]
+                )
+        elif cc == b"fact" and size >= 4:
+            if fmt is not None:
+                (fmt["n_samples"],) = struct.unpack("<I", payload[:4])
+        elif cc == b"data":
+            body = payload
+        pos += 8 + size + (size & 1)
+    if fmt is None or body is None:
+        raise ValueError("WAV: missing fmt or data chunk")
+    return fmt, body
+
+
+def _ima_decode_block(block: bytes, n_samples: int) -> np.ndarray:
+    """One mono IMA ADPCM block: 4-byte header (int16 predictor, step
+    index, reserved) then two 4-bit samples per byte, low nibble first."""
+    pred, index, _res = struct.unpack("<hBB", block[:4])
+    index = min(max(index, 0), 88)
+    out = np.empty(n_samples, np.int16)
+    out[0] = pred
+    k = 1
+    for byte in block[4:]:
+        for nib in (byte & 0x0F, byte >> 4):
+            if k >= n_samples:
+                break
+            step = _IMA_STEPS[index]
+            diff = step >> 3
+            if nib & 4:
+                diff += step
+            if nib & 2:
+                diff += step >> 1
+            if nib & 1:
+                diff += step >> 2
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = min(32767, max(-32768, pred))
+            index = min(88, max(0, index + _IMA_INDEX[nib & 7]))
+            out[k] = pred
+            k += 1
+    return out[:k]
+
 
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
-    """Decode a PCM WAV payload to ``(sample_rate, samples)`` with
+    """Decode a WAV payload to ``(sample_rate, samples)`` with
     ``samples`` shaped ``(n_frames, n_channels)`` as int16.
 
-    Supports the two PCM widths the ``wave`` module emits losslessly:
-    16-bit signed and 8-bit unsigned (rescaled to int16).  Anything else
-    raises ``ValueError`` — the caller's codec seam decides whether to
-    quarantine or fail.
+    PCM (16-bit signed, 8-bit unsigned) and mono IMA ADPCM decode
+    natively; anything else raises — the caller's codec seam decides
+    whether to quarantine or fail.
     """
-    with wave.open(io.BytesIO(data), "rb") as w:
-        sr = w.getframerate()
-        ch = w.getnchannels()
-        sw = w.getsampwidth()
-        raw = w.readframes(w.getnframes())
-    if sw == 2:
-        arr = np.frombuffer(raw, dtype="<i2").astype(np.int16)
-    elif sw == 1:
-        arr = (
-            (np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128) << 8
-        ).astype(np.int16)
-    else:
-        raise ValueError(f"unsupported PCM sample width: {sw} bytes")
+    fmt, raw = _parse_riff_wave(data)
+    ch = fmt["channels"]
     if ch <= 0:
         raise ValueError("invalid channel count")
-    return sr, arr.reshape(-1, ch)
+    if fmt["tag"] == 0x0001:  # PCM
+        sw = fmt["bits"] // 8
+        if sw == 2:
+            arr = np.frombuffer(raw, dtype="<i2").astype(np.int16)
+        elif sw == 1:
+            arr = (
+                (np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128)
+                << 8
+            ).astype(np.int16)
+        else:
+            raise ValueError(f"unsupported PCM sample width: {sw} bytes")
+        return fmt["rate"], arr.reshape(-1, ch)
+    if fmt["tag"] == 0x0011:  # IMA ADPCM
+        if ch != 1:
+            raise NotImplementedError("IMA ADPCM: mono only")
+        balign = fmt["block_align"]
+        spb = fmt.get("samples_per_block", (balign - 4) * 2 + 1)
+        chunks = [
+            _ima_decode_block(raw[i : i + balign], spb)
+            for i in range(0, len(raw) - 3, balign)
+        ]
+        samples = np.concatenate(chunks)
+        # `fact` chunk carries the true sample count (final-block pad)
+        n = fmt.get("n_samples")
+        if n is not None:
+            samples = samples[:n]
+        return fmt["rate"], samples[:, None]
+    raise ValueError(f"unsupported WAV format tag 0x{fmt['tag']:04x}")
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
@@ -57,3 +166,70 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
         w.setframerate(int(sample_rate))
         w.writeframes(arr.astype("<i2").tobytes())
     return buf.getvalue()
+
+
+def encode_wav_ima_adpcm(
+    samples: np.ndarray, sample_rate: int, block_align: int = 256
+) -> bytes:
+    """Encode mono int16 samples as IMA ADPCM WAV (format tag 0x0011),
+    the standard greedy nibble quantizer with the same state update as
+    the decoder — so decode(encode(x)) tracks x within ADPCM error."""
+    arr = np.asarray(samples, dtype=np.int16).reshape(-1)
+    spb = (block_align - 4) * 2 + 1
+    pred = 0
+    index = 0
+    blocks = bytearray()
+    n_blocks = 0
+    for start in range(0, len(arr), spb):
+        chunk = arr[start : start + spb]
+        pred = int(chunk[0])
+        blocks += struct.pack("<hBB", pred, index, 0)
+        nibbles: list[int] = []
+        for s in chunk[1:]:
+            step = _IMA_STEPS[index]
+            delta = int(s) - pred
+            nib = 8 if delta < 0 else 0
+            if delta < 0:
+                delta = -delta
+            if delta >= step:
+                nib |= 4
+                delta -= step
+            if delta >= step >> 1:
+                nib |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                nib |= 1
+            # reconstruct exactly as the decoder will
+            diff = step >> 3
+            if nib & 4:
+                diff += step
+            if nib & 2:
+                diff += step >> 1
+            if nib & 1:
+                diff += step >> 2
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = min(32767, max(-32768, pred))
+            index = min(88, max(0, index + _IMA_INDEX[nib & 7]))
+            nibbles.append(nib)
+        nibbles += [0] * (spb - 1 - len(nibbles))  # pad the final block
+        for i in range(0, len(nibbles), 2):
+            blocks.append(nibbles[i] | (nibbles[i + 1] << 4))
+        n_blocks += 1
+
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x0011,  # wFormatTag
+        1,  # channels
+        int(sample_rate),
+        int(sample_rate) * block_align // spb,  # avg bytes/sec (approx)
+        block_align,
+        4,  # bits per sample
+        2,  # cbSize
+        spb,
+    )
+    out = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"fact" + struct.pack("<II", 4, len(arr))
+    out += b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    if len(blocks) & 1:
+        out += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WAVE" + out

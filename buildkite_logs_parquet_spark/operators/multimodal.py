@@ -65,14 +65,15 @@ def fake_decode(payload: bytes) -> dict:
 
 def real_decode(payload: bytes) -> dict:
     """Real image decode through the stdlib+numpy codecs
-    (functions/image_codec.py, functions/jpeg_codec.py): PNG (all five
-    scanline filters, gray / RGB / RGBA / palette), baseline JPEG
-    (Huffman + IDCT + 4:2:0 upsampling, incl. restart markers), and
+    (functions/image_codec.py, jpeg_codec.py, gif_codec.py): PNG (all
+    five scanline filters, gray / RGB / RGBA / palette), JPEG (baseline
+    + progressive, Huffman + IDCT + 4:2:0 upsampling, restart markers),
+    GIF (frame 0, with the TRUE animation frame count reported), and
     netpbm PPM/PGM decode natively; the 8-dim feature vector is computed
     from ACTUAL pixels (channel means, spread, extremes, aspect), so
     identical images embed identically and ``semantic_dedup`` downstream
     finds true visual duplicates.  Formats that still need external
-    codec libraries (WebP, video beyond Y4M, audio beyond WAV…)
+    codec libraries (WebP, inter-frame video, MP3/FLAC/Ogg audio…)
     raise ``NotImplementedError`` — that seam is ``strict_decode``'s
     contract.
     """
@@ -118,13 +119,14 @@ def real_decode(payload: bytes) -> dict:
 
 
 def strict_decode(payload: bytes) -> dict:
-    """The hard codec seam: formats beyond PNG/baseline-JPEG/PPM
-    (WebP, compressed video, compressed audio) need libraries not
+    """The hard codec seam: formats beyond the native set
+    (PNG/JPEG/GIF/PPM images, Y4M/MJPEG-AVI video, PCM/ADPCM WAV audio)
+    — WebP, inter-frame video codecs, MP3/FLAC/Ogg — need libraries not
     present in this environment."""
     raise NotImplementedError(
-        "media decoding beyond PNG/baseline-JPEG/PPM requires codec "
-        "libraries not present in this environment; pass "
-        "decode=real_decode, decode=fake_decode, or your own callable"
+        "media decoding beyond the native codec set requires libraries "
+        "not present in this environment; pass decode=real_decode, "
+        "decode=fake_decode, or your own callable"
     )
 
 
@@ -246,7 +248,7 @@ def audio_features(
     payload_col: str = "payload",
     round_to: int = 6,
 ) -> DataFrame:
-    """REAL audio decode + per-clip signal features over PCM WAV payloads
+    """REAL audio decode + per-clip signal features over WAV payloads (PCM or IMA ADPCM)
     (``functions/audio_codec.decode_wav`` — pure stdlib, the audio twin
     of the PNG/PPM image path): sample rate, channel/sample counts,
     duration, RMS level and zero-crossing rate of the first channel.

@@ -323,3 +323,105 @@ def test_video_to_embedding_dedup_pipeline(spark):
         emb.where("media_id != 100"), by[100], k=1, id_col="media_id"
     ).first()
     assert got["media_id"] == 201
+
+
+class TestImaAdpcm:
+    """IMA ADPCM (format 0x0011) — the compressed-audio rung of the
+    codec ladder.  Lossy: round-trips assert error bounds; exactness is
+    pinned by hand-computed nibble decodes."""
+
+    def test_adpcm_roundtrip_tracks_signal(self):
+        import numpy as np
+
+        from buildkite_logs_parquet_spark.functions.audio_codec import (
+            decode_wav,
+            encode_wav,
+            encode_wav_ima_adpcm,
+        )
+
+        t = np.arange(5000)
+        sig = (6000 * np.sin(2 * np.pi * 220 * t / 16000)).astype(np.int16)
+        payload = encode_wav_ima_adpcm(sig, 16000)
+        sr, got = decode_wav(payload)
+        assert sr == 16000
+        assert got.shape == (5000, 1)  # fact chunk trims final-block pad
+        err = np.abs(got[:, 0].astype(int) - sig.astype(int))
+        # steady-state tracking well under 2% of amplitude on average
+        assert err.mean() < 0.02 * 6000
+        # genuinely compressed vs 16-bit PCM (4 bits/sample ≈ 3.5-4x)
+        assert len(encode_wav(sig, 16000)) / len(payload) > 3
+
+    def test_adpcm_handpinned_block(self):
+        import struct
+
+        from buildkite_logs_parquet_spark.functions.audio_codec import (
+            _ima_decode_block,
+        )
+
+        # predictor 100, index 0 (step 7); nibble 4: +step -> 107,
+        # index +2 (step 9); nibble 1: +(9>>3)+(9>>2)=3 -> 110, index 1
+        blk = struct.pack("<hBB", 100, 0, 0) + bytes([0x14])
+        assert _ima_decode_block(blk, 3).tolist() == [100, 107, 110]
+        # sign bit: nibble 0xC = 8|4 -> -step
+        blk = struct.pack("<hBB", 100, 0, 0) + bytes([0x0C])
+        assert _ima_decode_block(blk, 2).tolist() == [100, 93]
+
+    def test_adpcm_block_boundaries_reset_predictor(self):
+        import numpy as np
+
+        from buildkite_logs_parquet_spark.functions.audio_codec import (
+            decode_wav,
+            encode_wav_ima_adpcm,
+        )
+
+        # a step function straddling many small blocks: the per-block
+        # header predictor resyncs exactly at every block start
+        sig = np.repeat(
+            np.array([-20000, 20000, -15000, 15000], np.int16), 600
+        )
+        sr, got = decode_wav(encode_wav_ima_adpcm(sig, 8000, block_align=64))
+        spb = (64 - 4) * 2 + 1
+        starts = np.arange(0, len(sig), spb)
+        assert (got[starts, 0] == sig[starts]).all()
+
+    def test_adpcm_flows_through_audio_features(self, spark):
+        import math
+
+        import numpy as np
+
+        from buildkite_logs_parquet_spark.functions.audio_codec import (
+            encode_wav_ima_adpcm,
+        )
+        from buildkite_logs_parquet_spark.operators.multimodal import (
+            audio_features,
+        )
+
+        t = np.arange(8000)
+        sine = (10000 * np.sin(2 * np.pi * 100 * t / 8000)).astype(np.int16)
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_wav_ima_adpcm(sine, 8000)))],
+            "media_id long, payload binary",
+        )
+        row = audio_features(df).collect()[0]
+        assert row["decode_ok"] and row["sample_rate"] == 8000
+        assert row["n_samples"] == 8000
+        assert row["rms"] == pytest.approx(
+            (10000 / 32768.0) / math.sqrt(2), rel=2e-2
+        )
+
+    def test_adpcm_stereo_stays_behind_the_seam(self):
+        import numpy as np
+        import struct
+
+        from buildkite_logs_parquet_spark.functions.audio_codec import (
+            decode_wav,
+            encode_wav_ima_adpcm,
+        )
+
+        payload = bytearray(
+            encode_wav_ima_adpcm(np.zeros(100, np.int16), 8000)
+        )
+        pos = payload.find(b"fmt ") + 8
+        payload[pos + 2 : pos + 4] = struct.pack("<H", 2)  # channels = 2
+        with pytest.raises(NotImplementedError, match="mono only"):
+            decode_wav(bytes(payload))
