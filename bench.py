@@ -325,6 +325,130 @@ def _extra_ops():
         enc = QZ.bq_encode(emb.where("vec_id != 0"))
         return QZ.bq_rerank_topk(enc, q, k=10, prefilter_k=100)
 
+    def html_extract_bench(spark, sf_dir):
+        """Raw-crawl extraction throughput: documents wrapped as HTML
+        pages inside WARC response records (HTTP envelope, title, split
+        paragraphs, nav links, script noise), 8 gzip shards — measures
+        read_warc_html end-to-end (record walk + HTTP parse + tag-aware
+        text extraction), the step WET corpora have pre-applied."""
+        import gzip
+        import os
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from buildkite_logs_parquet_spark.operators.text_analysis import (
+            token_count,
+        )
+        from buildkite_logs_parquet_spark.sources.warc import read_warc_html
+
+        warc_dir = "bench_warc_html"
+        if not os.path.isdir(warc_dir):
+            os.makedirs(warc_dir, exist_ok=True)
+            try:
+                docs = spark.read.parquet(
+                    f"{sf_dir}/documents.parquet"
+                ).select("doc_id", "text").collect()
+                for shard in range(8):
+                    buf = bytearray()
+                    for r in docs:
+                        if r["doc_id"] % 8 != shard:
+                            continue
+                        words = r["text"].split()
+                        mid = max(1, len(words) // 2)
+                        html = (
+                            f"<html><head><title>Doc {r['doc_id']}</title>"
+                            "<style>p{margin:0}</style>"
+                            "<script>track();</script></head><body>"
+                            "<nav><a href='/a'>a</a><a href='/b'>b</a></nav>"
+                            f"<p>{' '.join(words[:mid])}</p>"
+                            f"<p>{' '.join(words[mid:])}</p>"
+                            "</body></html>"
+                        )
+                        body = html.encode()
+                        http = (
+                            "HTTP/1.1 200 OK\r\n"
+                            "Content-Type: text/html; charset=utf-8\r\n\r\n"
+                        ).encode() + body
+                        head = (
+                            "WARC/1.0\r\nWARC-Type: response\r\n"
+                            f"WARC-Target-URI: http://d{r['doc_id']}.example/\r\n"
+                            f"Content-Length: {len(http)}\r\n"
+                        ).encode()
+                        buf += head + b"\r\n" + http + b"\r\n\r\n"
+                    with open(f"{warc_dir}/part{shard}.warc.gz", "wb") as f:
+                        f.write(gzip.compress(bytes(buf)))
+            except BaseException:
+                shutil.rmtree(warc_dir, ignore_errors=True)
+                raise
+        pages = read_warc_html(spark, warc_dir).where("error IS NULL")
+        return pages.select(
+            "target_uri",
+            "title",
+            "n_links",
+            token_count(F.col("text")).alias("n_tokens"),
+        )
+
+    def video_frames_bench(spark, sf_dir):
+        """Mixed-container frame sampling: MJPEG AVI (independent JPEG
+        frames — only sampled frames decode), animated GIF (delta
+        frames — sequential walk, sampled composites materialize), and
+        raw Y4M through ONE video_frames operator; driver-encoded
+        payload pool replicated across ids like x_jpeg_ingest."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from buildkite_logs_parquet_spark.functions.avi_codec import (
+            encode_avi_mjpeg,
+        )
+        from buildkite_logs_parquet_spark.functions.gif_codec import (
+            encode_gif,
+        )
+        from buildkite_logs_parquet_spark.functions.jpeg_codec import (
+            encode_jpeg,
+        )
+        from buildkite_logs_parquet_spark.functions.video_codec import (
+            encode_y4m,
+        )
+        from buildkite_logs_parquet_spark.operators import multimodal as M
+
+        rng = np.random.default_rng(7)
+        pool = []
+        for j in range(8):
+            frames = [
+                rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+                for _ in range(6)
+            ]
+            avi = encode_avi_mjpeg(
+                [encode_jpeg(f, quality=85, subsample=True) for f in frames],
+                16,
+                16,
+            )
+            pal = np.unique(
+                np.concatenate([f.reshape(-1, 3) for f in frames[:2]]), axis=0
+            )[:64]
+            gif_frames = [
+                pal[rng.integers(0, len(pal), (16, 16))] for _ in range(6)
+            ]
+            y4m = encode_y4m(
+                [
+                    rng.integers(0, 256, (16, 16)).astype(np.uint8)
+                    for _ in range(6)
+                ]
+            )
+            pool.append((3 * j, bytearray(avi)))
+            pool.append((3 * j + 1, bytearray(encode_gif(gif_frames))))
+            pool.append((3 * j + 2, bytearray(y4m)))
+        pal_df = spark.createDataFrame(pool, "k long, payload binary")
+        ids = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            F.col("vec_id").alias("media_id"),
+            (F.col("vec_id") % 24).alias("k"),
+        )
+        media = ids.join(F.broadcast(pal_df), "k").select(
+            "media_id", "payload"
+        )
+        return M.video_frames(media, every_nth=3)
+
     def warc_ingest(spark, sf_dir):
         import gzip
         import os
@@ -435,6 +559,8 @@ def _extra_ops():
     return {
         "x_lttb_downsample": lttb_bench,
         "x_warc_ingest": warc_ingest,
+        "x_html_extract": html_extract_bench,
+        "x_video_frames": video_frames_bench,
         "x_split_leakage": split_leakage_bench,
         "x_sketch_state": sketch_state,
         "x_log_templates": log_templates_bench,
