@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from buildkite_logs_parquet_spark.operators import asof as AS
+from buildkite_logs_parquet_spark.operators import classifier as CL
 from buildkite_logs_parquet_spark.operators import curation as CU
 from buildkite_logs_parquet_spark.operators import dedup as D
 from buildkite_logs_parquet_spark.operators import graph as G
@@ -607,16 +608,68 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR importance weights: how target-like (source = src0) each raw
-    document's hashed-bigram distribution is; broadcast log-ratio LUT, no
-    corpus-gram shuffle, decimal-summed weights (order-independent)."""
+    """DSIR importance weights + the trained-quality-classifier legs,
+    side-tagged into one generic (side, id, n, val) row shape.
+
+    ``dsir``: how target-like (source = src0) each raw document's
+    hashed-bigram distribution is; broadcast log-ratio LUT, no
+    corpus-gram shuffle, decimal-summed weights (order-independent).
+
+    Round-5 union-tag legs — hashed-feature logistic regression
+    (operators/classifier.py), the GPT-3/CCNet-style quality filter,
+    trained by TWO exact full-batch GD steps against the weak label
+    "document contains ' the '": ``lrw1``/``lrw2`` are the complete
+    weight vectors after steps 1 and 2 (the oracle replays BOTH steps'
+    gradient arithmetic in SQL — decimal margins, 6-dp sigmoid grid),
+    and ``lrsc`` scores every document under the step-2 model
+    (value-checking lr_score's broadcast-join aggregate too).  The
+    between-step driver round-trip is ≤ dim rows (the model), the same
+    literals-re-enter pattern as q_kmeans_step."""
     docs = _t(spark, sf_dir, "documents")
-    return CU.dsir_weights(
+    dsir = CU.dsir_weights(
         docs.where(F.col("source") != "src0"),
         docs.where(F.col("source") == "src0"),
         "doc_id",
         n_buckets=4096,
         seed=13,
+    ).select(
+        F.lit("dsir").alias("side"),
+        F.col("doc_id").alias("id"),
+        F.col("n_grams").cast("long").alias("n"),
+        F.col("dsir_logweight").cast("string").alias("val"),
+    )
+
+    feats = CL.hashed_features(docs, dim=64, seed=0)
+    labels = docs.select(
+        "doc_id", F.col("text").contains(" the ").cast("int").alias("label")
+    )
+    n_docs = labels.count()  # driver scalar: the batch size
+    w0 = spark.createDataFrame([], "feat long, w double")
+    w1 = CL.lr_step(feats, labels, w0, n_docs, lr=0.5)
+    w1_rows = [(int(r["feat"]), float(r["w"])) for r in w1.collect()]
+    w1_df = spark.createDataFrame(w1_rows, "feat long, w double")
+    w2 = CL.lr_step(feats, labels, w1_df, n_docs, lr=0.5)
+    w2_rows = [(int(r["feat"]), float(r["w"])) for r in w2.collect()]
+    w2_df = spark.createDataFrame(w2_rows, "feat long, w double")
+
+    def _wleg(tag: str, wdf: DataFrame) -> DataFrame:
+        return wdf.select(
+            F.lit(tag).alias("side"),
+            F.col("feat").alias("id"),
+            F.lit(0).cast("long").alias("n"),
+            F.col("w").cast("decimal(28,9)").cast("string").alias("val"),
+        )
+
+    scores = CL.lr_score(feats, w2_df).select(
+        F.lit("lrsc").alias("side"),
+        F.col("doc_id").alias("id"),
+        F.lit(0).cast("long").alias("n"),
+        F.col("score").cast("decimal(16,6)").cast("string").alias("val"),
+    )
+    return (
+        dsir.unionByName(_wleg("lrw1", w1_df))
+        .unionByName(_wleg("lrw2", w2_df))
+        .unionByName(scores)
     )
 
 
@@ -3193,11 +3246,79 @@ lut AS (
 per AS (
   SELECT doc_id, count(*) AS n_grams, sum(llr) AS w
   FROM rg JOIN lut ON rg.b = lut.b GROUP BY doc_id
+),
+-- -------- hashed-feature logistic regression legs (2 exact GD steps)
+f AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(concat('0:', lower(tok))), 1, 15)) AS BIGINT) % 64 AS feat,
+         count(*) AS cnt
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents
+  )
+  WHERE tok <> ''
+  GROUP BY doc_id, feat
+),
+lab AS (
+  SELECT doc_id,
+         CASE WHEN position(' the ' IN text) > 0 THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+nn AS (SELECT count(*) AS nd FROM lab),
+-- step 1 from the zero model: margin 0 everywhere, p = 0.5 exactly
+g1 AS (
+  SELECT feat, sum((CAST(0.5 AS DECIMAL(16,6)) - y) * cnt) AS grad
+  FROM f JOIN lab USING (doc_id) GROUP BY feat
+),
+w1 AS (
+  SELECT feat, round(0 - 0.5 * CAST(grad AS DOUBLE) / nd, 9) AS w
+  FROM g1, nn
+  WHERE round(0 - 0.5 * CAST(grad AS DOUBLE) / nd, 9) <> 0
+),
+-- step 2: decimal-exact margins under w1, sigmoid on the 6-dp grid
+m2 AS (
+  SELECT f.doc_id,
+         sum(CAST(cnt AS DECIMAL(38,9)) * CAST(COALESCE(w1.w, 0) AS DECIMAL(20,9))) AS margin
+  FROM f LEFT JOIN w1 USING (feat) GROUP BY f.doc_id
+),
+p2 AS (
+  -- hard sigmoid, all decimal: clamp(0.5 + margin/4, 0, 1) on a 6-dp grid
+  SELECT doc_id,
+         CAST(round(0.5 + 0.25 * greatest(CAST(-2 AS DECIMAL(38,9)),
+                                          least(CAST(2 AS DECIMAL(38,9)), margin)), 6)
+              AS DECIMAL(16,6)) AS p
+  FROM m2
+),
+g2 AS (
+  SELECT feat, sum((p - y) * cnt) AS grad
+  FROM f JOIN p2 USING (doc_id) JOIN lab USING (doc_id) GROUP BY feat
+),
+w2 AS (
+  SELECT COALESCE(w1.feat, g2.feat) AS feat,
+         round(COALESCE(w1.w, 0) - 0.5 * CAST(COALESCE(g2.grad, 0) AS DOUBLE) / nd, 9) AS w
+  FROM w1 FULL JOIN g2 ON w1.feat = g2.feat, nn
+  WHERE round(COALESCE(w1.w, 0) - 0.5 * CAST(COALESCE(g2.grad, 0) AS DOUBLE) / nd, 9) <> 0
+),
+-- scores under the step-2 model (lr_score's broadcast-join aggregate)
+m3 AS (
+  SELECT f.doc_id,
+         sum(CAST(cnt AS DECIMAL(38,9)) * CAST(COALESCE(w2.w, 0) AS DECIMAL(20,9))) AS margin
+  FROM f LEFT JOIN w2 USING (feat) GROUP BY f.doc_id
 )
-SELECT r.doc_id,
-       COALESCE(per.n_grams, 0) AS n_grams,
-       CAST(COALESCE(per.w, CAST(0 AS DECIMAL(38,9))) AS STRING) AS dsir_logweight
+SELECT 'dsir' AS side, r.doc_id AS id,
+       COALESCE(per.n_grams, 0) AS n,
+       CAST(COALESCE(per.w, CAST(0 AS DECIMAL(38,9))) AS STRING) AS val
 FROM rawd r LEFT JOIN per ON r.doc_id = per.doc_id
+UNION ALL
+SELECT 'lrw1', feat, 0, CAST(CAST(w AS DECIMAL(28,9)) AS STRING) FROM w1
+UNION ALL
+SELECT 'lrw2', feat, 0, CAST(CAST(w AS DECIMAL(28,9)) AS STRING) FROM w2
+UNION ALL
+SELECT 'lrsc', doc_id, 0,
+       CAST(CAST(round(0.5 + 0.25 * greatest(CAST(-2 AS DECIMAL(38,9)),
+                                             least(CAST(2 AS DECIMAL(38,9)), margin)), 6)
+                 AS DECIMAL(16,6)) AS STRING)
+FROM m3
 """
 
     # doc_chunks: same window/stride arithmetic; DuckDB list_slice clamps

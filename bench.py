@@ -325,6 +325,40 @@ def _extra_ops():
         enc = QZ.bq_encode(emb.where("vec_id != 0"))
         return QZ.bq_rerank_topk(enc, q, k=10, prefilter_k=100)
 
+    def lr_train_bench(spark, sf_dir):
+        """Quality-classifier training at scale: hashed features over
+        the full documents table, 3 exact full-batch GD epochs (the
+        per-doc aggregate and residual join reuse one cached
+        partitioning; the only per-epoch shuffle is the ≤ dim-group
+        gradient aggregate), then score the corpus under the learned
+        model — the GPT-3-style quality-filter loop end-to-end.  Wall
+        time here is Spark job-scheduling floor × epochs, not data
+        volume: at 100 TB the same plan amortizes the fixed cost over
+        real partitions."""
+        from pyspark.sql import functions as F
+
+        from buildkite_logs_parquet_spark.operators import classifier as C
+
+        from pyspark import StorageLevel
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # one persisted doc-partitioned feature table shared by every
+        # epoch AND the final scoring pass (the bench harness clears the
+        # cache between queries)
+        feats = (
+            C.hashed_features(docs, dim=4096)
+            .repartition("doc_id")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        labels = docs.select(
+            "doc_id",
+            F.col("text").contains(" the ").cast("int").alias("label"),
+        )
+        w = C.lr_train(
+            feats, labels, spark, epochs=3, lr=0.5, persist_input=False
+        )
+        return C.lr_score(feats, w)
+
     def html_extract_bench(spark, sf_dir):
         """Raw-crawl extraction throughput: documents wrapped as HTML
         pages inside WARC response records (HTTP envelope, title, split
@@ -561,6 +595,7 @@ def _extra_ops():
         "x_warc_ingest": warc_ingest,
         "x_html_extract": html_extract_bench,
         "x_video_frames": video_frames_bench,
+        "x_lr_train3": lr_train_bench,
         "x_split_leakage": split_leakage_bench,
         "x_sketch_state": sketch_state,
         "x_log_templates": log_templates_bench,
