@@ -549,17 +549,53 @@ def _extra_ops():
         return split_leakage_summary(leaks)
 
     def sketch_state(spark, sf_dir):
+        from pyspark.sql import functions as F
+
         from buildkite_logs_parquet_spark.operators.profiling import (
             build_distinct_sketches,
+            build_quantile_sketches,
+            build_set_sketches,
             merge_distinct_sketches,
+            merge_quantile_sketches,
+            set_overlap,
         )
 
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-        # full incremental cycle: per-type sketch build + global merge
-        sk = build_distinct_sketches(
-            ev, ["user_id", "event_id"], by=["event_type"]
+        # full incremental cycles for the whole sketch suite: HLL
+        # distinct, KLL quantiles, and the theta set-overlap audit —
+        # per-type build + global merge each, coerced into one tagged row
+        # shape for the single noop drain
+        hll = merge_distinct_sketches(
+            build_distinct_sketches(
+                ev, ["user_id", "event_id"], by=["event_type"]
+            ),
+            ["user_id", "event_id"],
+        ).select(
+            F.lit("hll").alias("leg"),
+            F.col("approx_distinct_user_id").cast("double").alias("v1"),
+            F.col("approx_distinct_event_id").cast("double").alias("v2"),
         )
-        return merge_distinct_sketches(sk, ["user_id", "event_id"])
+        kll = merge_quantile_sketches(
+            build_quantile_sketches(ev, ["value"], by=["event_type"]),
+            ["value"],
+            [0.5, 0.95],
+        ).select(
+            F.lit("kll").alias("leg"),
+            F.col("value_q5").alias("v1"),
+            F.col("value_q95").alias("v2"),
+        )
+        halves = ev.select(
+            F.when(F.col("event_id") % 3 == 0, "a").otherwise("b").alias("g"),
+            "user_id",
+        )
+        theta = set_overlap(
+            build_set_sketches(halves, "user_id", by=["g"]), "g", "a", "b"
+        ).select(
+            F.lit("theta").alias("leg"),
+            F.col("distinct_union").alias("v1"),
+            F.col("distinct_intersection").alias("v2"),
+        )
+        return hll.unionByName(kll).unionByName(theta)
 
     def log_templates_bench(spark, sf_dir):
         import __spark_entry__ as E

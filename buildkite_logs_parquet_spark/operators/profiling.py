@@ -472,6 +472,142 @@ def estimate_frequencies(
     return [(k, int(merged.estimateCount(str(k)))) for k in keys]
 
 
+# ------------------------------------------------- incremental quantiles
+
+
+def build_quantile_sketches(
+    df: DataFrame,
+    cols: list[str],
+    by: list[str] | None = None,
+    k: int = 200,
+) -> DataFrame:
+    """Per-group mergeable KLL quantile sketches (Apache DataSketches
+    via ``kll_sketch_agg_double``): one row per ``by`` group carrying a
+    row count and one binary sketch per numeric column — the QUANTILE
+    third of the incremental-profiling trio (HLL distinct, CMS
+    frequency, KLL quantiles).
+
+    Same state-table pattern: each new partition aggregates ONCE into a
+    KB-sized sketch row; "p95 latency over any date range" then merges
+    the matching rows (``merge_quantile_sketches``) instead of
+    rescanning the raw corpus.  ``k`` trades size for rank error
+    (~1.65% at k=200, the DataSketches default).
+    """
+    by = by or []
+    aggs = [F.count("*").alias("n_rows")] + [
+        F.kll_sketch_agg_double(
+            F.col(c).cast("double"), F.lit(int(k))
+        ).alias(f"kll_{c}")
+        for c in cols
+    ]
+    return df.groupBy(*[F.col(c) for c in by]).agg(*aggs)
+
+
+def merge_quantile_sketches(
+    sketch_df: DataFrame,
+    cols: list[str],
+    quantiles: list[float],
+    roll_to: list[str] | None = None,
+) -> DataFrame:
+    """Merge stored KLL rows into quantile estimates at the requested
+    ranks, optionally rolled up to a coarser grouping — the query half.
+    ``kll_merge_agg_double`` is a mergeable aggregate (partial merges
+    distribute); one output column ``<col>_q<pct>`` per (col, quantile).
+    """
+    roll_to = roll_to or []
+    aggs: list = [F.sum("n_rows").alias("n_rows")]
+    for c in cols:
+        merged = F.kll_merge_agg_double(F.col(f"kll_{c}"))
+        for q in quantiles:
+            tag = str(q).replace("0.", "q").replace(".", "_")
+            aggs.append(
+                F.kll_sketch_get_quantile_double(
+                    merged, F.lit(float(q))
+                ).alias(f"{c}_{tag}")
+            )
+    return sketch_df.groupBy(*[F.col(c) for c in roll_to]).agg(*aggs)
+
+
+# ---------------------------------------------- set-overlap (theta) audit
+
+
+def build_set_sketches(
+    df: DataFrame,
+    key_col: str,
+    by: list[str] | None = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-group Theta sketches over ``key_col`` — unlike HLL these
+    support INTERSECTION and DIFFERENCE, so stored rows answer
+    "how many document digests does crawl B share with crawl A" without
+    rescanning either crawl.  Below ~2^lg_k distinct keys the sketch is
+    EXACT (it is still the full hash sample), so small-group audits are
+    not estimates at all."""
+    by = by or []
+    return df.groupBy(*[F.col(c) for c in by]).agg(
+        F.count("*").alias("n_rows"),
+        F.theta_sketch_agg(
+            F.col(key_col).cast("string"), F.lit(int(lg_k))
+        ).alias("theta"),
+    )
+
+
+def set_overlap(
+    sketch_df: DataFrame,
+    group_col: str,
+    left: str,
+    right: str,
+) -> DataFrame:
+    """Overlap audit between two stored sketch groups: one row with the
+    estimated distinct counts of left, right, their union, intersection,
+    and each side's exclusive remainder — the cross-crawl dedup-impact
+    estimate, computed entirely from state rows.
+
+    Multiple rows per side merge first (``theta_union_agg``), so the
+    operands can each span a date range of appended sketch rows.
+    """
+    sides = (
+        sketch_df.where(F.col(group_col).isin([left, right]))
+        .groupBy(group_col)
+        .agg(F.theta_union_agg(F.col("theta")).alias("theta"))
+    )
+    l = sides.where(F.col(group_col) == left).select(
+        F.col("theta").alias("tl")
+    )
+    r = sides.where(F.col(group_col) == right).select(
+        F.col("theta").alias("tr")
+    )
+    # 1x1 cross join of two single-row sketch frames — metadata-sized
+    both = l.crossJoin(r)
+    return both.select(
+        F.lit(left).alias("left_group"),
+        F.lit(right).alias("right_group"),
+        F.round(F.theta_sketch_estimate(F.col("tl")), 1).alias("distinct_left"),
+        F.round(F.theta_sketch_estimate(F.col("tr")), 1).alias("distinct_right"),
+        F.round(
+            F.theta_sketch_estimate(F.theta_union(F.col("tl"), F.col("tr"))), 1
+        ).alias("distinct_union"),
+        F.round(
+            F.theta_sketch_estimate(
+                F.theta_intersection(F.col("tl"), F.col("tr"))
+            ),
+            1,
+        ).alias("distinct_intersection"),
+        F.round(
+            F.theta_sketch_estimate(
+                F.theta_difference(F.col("tl"), F.col("tr"))
+            ),
+            1,
+        ).alias("left_only"),
+        F.round(
+            F.theta_sketch_estimate(
+                F.theta_difference(F.col("tr"), F.col("tl"))
+            ),
+            1,
+        ).alias("right_only"),
+    )
+
+
 # --------------------------------------------------------- snapshot diff
 
 

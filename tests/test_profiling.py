@@ -296,3 +296,91 @@ def test_snapshot_diff_and_summary(spark):
         for r in snapshot_diff(old, new, ["doc_id"]).collect()
     }
     assert keys_only == {1: "removed", 5: "added"}
+
+
+def test_incremental_quantile_sketches(spark, tmp_path):
+    from buildkite_logs_parquet_spark.operators.profiling import (
+        build_quantile_sketches,
+        merge_quantile_sketches,
+    )
+
+    # 3 "days" of a known distribution: values 0..2999 → exact quantiles
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 3).alias("day"),
+        F.col("id").cast("double").alias("latency"),
+    )
+    sk = build_quantile_sketches(df, ["latency"], by=["day"])
+    assert sk.count() == 3
+
+    # state table round-trip (binary KLL columns on parquet)
+    path = str(tmp_path / "kll")
+    sk.write.parquet(path)
+    stored = spark.read.parquet(path)
+
+    merged = merge_quantile_sketches(
+        stored, ["latency"], [0.1, 0.5, 0.9]
+    ).first()
+    assert merged["n_rows"] == 3000
+    # KLL rank error at k=200 is ~1.65%: |est_rank - true_rank| bounded
+    for q, col in ((0.1, "latency_q1"), (0.5, "latency_q5"), (0.9, "latency_q9")):
+        est = merged[col]
+        true_rank = q
+        est_rank = est / 2999.0
+        assert abs(est_rank - true_rank) < 0.03, (q, est)
+
+    # rollup keeps groups; per-day values interleave mod 3 so per-day
+    # medians all sit near the global median
+    per_day = merge_quantile_sketches(
+        stored, ["latency"], [0.5], roll_to=["day"]
+    )
+    assert per_day.count() == 3
+    for r in per_day.collect():
+        assert abs(r["latency_q5"] / 2999.0 - 0.5) < 0.03
+
+
+def test_theta_set_overlap_exact_below_capacity(spark, tmp_path):
+    """Below 2^lg_k distinct keys a theta sketch is the full hash sample,
+    so the cross-crawl overlap audit returns EXACT counts here."""
+    from buildkite_logs_parquet_spark.operators.profiling import (
+        build_set_sketches,
+        set_overlap,
+    )
+
+    a = spark.range(0, 300).select(F.lit("crawlA").alias("g"), F.col("id"))
+    b = spark.range(200, 500).select(F.lit("crawlB").alias("g"), F.col("id"))
+    sk = build_set_sketches(a.unionByName(b), "id", by=["g"])
+
+    path = str(tmp_path / "theta")
+    sk.write.parquet(path)
+    stored = spark.read.parquet(path)
+
+    row = set_overlap(stored, "g", "crawlA", "crawlB").first()
+    assert row["distinct_left"] == 300.0
+    assert row["distinct_right"] == 300.0
+    assert row["distinct_union"] == 500.0
+    assert row["distinct_intersection"] == 100.0
+    assert row["left_only"] == 200.0
+    assert row["right_only"] == 200.0
+
+
+def test_theta_overlap_merges_multiple_state_rows_per_side(spark):
+    """Each operand can span several appended sketch rows (date ranges):
+    per-day rows for the same crawl union before the overlap math."""
+    from buildkite_logs_parquet_spark.operators.profiling import (
+        build_set_sketches,
+        set_overlap,
+    )
+
+    # crawlA arrives as two daily batches covering 0..299
+    a1 = spark.range(0, 150).select(F.lit("crawlA").alias("g"), F.col("id"))
+    a2 = spark.range(150, 300).select(F.lit("crawlA").alias("g"), F.col("id"))
+    b = spark.range(250, 400).select(F.lit("crawlB").alias("g"), F.col("id"))
+    sk = (
+        build_set_sketches(a1, "id", by=["g"])
+        .unionByName(build_set_sketches(a2, "id", by=["g"]))
+        .unionByName(build_set_sketches(b, "id", by=["g"]))
+    )
+    row = set_overlap(sk, "g", "crawlA", "crawlB").first()
+    assert row["distinct_left"] == 300.0
+    assert row["distinct_intersection"] == 50.0
+    assert row["distinct_union"] == 400.0
