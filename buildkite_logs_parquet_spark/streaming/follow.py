@@ -483,6 +483,78 @@ def stream_drift_monitor(
     return writer.trigger(**trigger).start()
 
 
+def stream_sketch_state(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    distinct_cols: list[str] | None = None,
+    quantile_cols: list[str] | None = None,
+    set_key: str | None = None,
+    lg_k: int = 12,
+    kll_k: int = 200,
+    available_now: bool = True,
+):
+    """Streaming writer for the mergeable-sketch state tables: every
+    micro-batch aggregates ONCE into a single KB-sized row — HLL
+    sketches for ``distinct_cols``, KLL quantile sketches for
+    ``quantile_cols``, a theta set sketch over ``set_key`` — tagged with
+    its ``batch_id`` and appended to the state lake.
+
+    This is the streaming half of the incremental-profiling pattern
+    (profiling.build_*_sketches): the raw stream is never stored, yet
+    any-range distinct counts / percentiles / set overlaps over the
+    ingest history remain answerable from O(batches·KB) of state via the
+    ``merge_*`` / ``set_overlap`` query halves.  Replay-safe the same
+    way as ``stream_drift_monitor``: each batch overwrites its OWN
+    ``batch_id`` partition, so at-least-once redelivery converges.
+    """
+    from pyspark.sql import functions as SF
+
+    distinct_cols = distinct_cols or []
+    quantile_cols = quantile_cols or []
+    if not (distinct_cols or quantile_cols or set_key):
+        raise ValueError("nothing to sketch")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        aggs = [SF.count("*").alias("n_rows")]
+        for c in distinct_cols:
+            aggs.append(
+                SF.hll_sketch_agg(
+                    SF.col(c).cast("string"), SF.lit(int(lg_k))
+                ).alias(f"sketch_{c}")
+            )
+        for c in quantile_cols:
+            aggs.append(
+                SF.kll_sketch_agg_double(
+                    SF.col(c).cast("double"), SF.lit(int(kll_k))
+                ).alias(f"kll_{c}")
+            )
+        if set_key is not None:
+            aggs.append(
+                SF.theta_sketch_agg(
+                    SF.col(set_key).cast("string"), SF.lit(int(lg_k))
+                ).alias("theta")
+            )
+        row = batch_df.agg(*aggs).select(
+            SF.lit(int(batch_id)).alias("batch_id"), "*"
+        )
+        row.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(state_path)
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    trigger = (
+        {"availableNow": True}
+        if available_now
+        else {"processingTime": "30 seconds"}
+    )
+    return writer.trigger(**trigger).start()
+
+
 def stream_token_budget(
     stream: DataFrame,
     key_col: str,

@@ -621,3 +621,95 @@ def test_stream_token_budget_matches_batch_twin(spark, tmp_path):
     # spot-check the cross-batch rejection: a consumed 80 in batch 1, so
     # the 30-token doc 10 must be absent while b's 50-token doc 11 lands
     assert 10 not in got and got[11] == 60
+
+
+def test_stream_sketch_state_answers_range_queries(spark, tmp_path):
+    """Micro-batches sketch into KB-sized state rows; distinct counts,
+    percentiles, and set overlaps over the WHOLE ingest come from the
+    merge halves — the raw stream is never stored."""
+    from pyspark.sql import functions as F
+
+    from buildkite_logs_parquet_spark.operators.profiling import (
+        merge_distinct_sketches,
+        merge_quantile_sketches,
+    )
+    from buildkite_logs_parquet_spark.streaming.follow import (
+        stream_sketch_state,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # two batches with overlapping users and a known value distribution
+    spark.createDataFrame(
+        [(i, i % 60, float(i)) for i in range(100)],
+        "event_id long, user_id long, value double",
+    ).coalesce(1).write.parquet(str(src / "a"))
+    spark.createDataFrame(
+        [(100 + i, 40 + i % 60, float(100 + i)) for i in range(100)],
+        "event_id long, user_id long, value double",
+    ).coalesce(1).write.parquet(str(src / "b"))
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = stream_sketch_state(
+        stream,
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        distinct_cols=["user_id"],
+        quantile_cols=["value"],
+    )
+    q.awaitTermination(120)
+
+    state = spark.read.parquet(str(tmp_path / "state"))
+    assert state.count() == 2  # one KB-sized row per batch
+    merged = merge_distinct_sketches(state, ["user_id"]).first()
+    assert merged["n_rows"] == 200
+    # users are 0..99 exactly (batch A: 0-59, batch B: 40-99)
+    assert abs(merged["approx_distinct_user_id"] - 100) <= 5
+    # values are 0..199 uniformly: the merged median sits near 99.5
+    med = merge_quantile_sketches(state, ["value"], [0.5]).first()["value_q5"]
+    assert abs(med - 99.5) <= 10
+
+    # range query: one batch's row alone answers for just that range
+    one = merge_distinct_sketches(
+        state.where("batch_id = 0"), ["user_id"]
+    ).first()
+    assert one["n_rows"] == 100
+
+
+def test_stream_sketch_state_set_overlap_between_batches(spark, tmp_path):
+    from buildkite_logs_parquet_spark.operators.profiling import set_overlap
+    from buildkite_logs_parquet_spark.streaming.follow import (
+        stream_sketch_state,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(
+        [(i,) for i in range(300)], "digest long"
+    ).coalesce(1).write.parquet(str(src / "a"))
+    spark.createDataFrame(
+        [(i,) for i in range(200, 500)], "digest long"
+    ).coalesce(1).write.parquet(str(src / "b"))
+
+    stream = (
+        spark.readStream.schema("digest long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = stream_sketch_state(
+        stream,
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        set_key="digest",
+    )
+    q.awaitTermination(120)
+
+    state = spark.read.parquet(str(tmp_path / "state"))
+    row = set_overlap(state, "batch_id", 0, 1).first()
+    # exact below sketch capacity: batches share digests 200-299
+    assert row["distinct_intersection"] == 100.0
+    assert row["distinct_union"] == 500.0
