@@ -376,7 +376,10 @@ def _extra_ops():
         )
         from buildkite_logs_parquet_spark.sources.warc import read_warc_html
 
-        warc_dir = "bench_warc_html"
+        import os as _os
+
+        # per-SF corpus so scale probes measure the right input size
+        warc_dir = f"bench_warc_html_{_os.path.basename(sf_dir.rstrip('/'))}"
         if not os.path.isdir(warc_dir):
             os.makedirs(warc_dir, exist_ok=True)
             try:
@@ -498,7 +501,7 @@ def _extra_ops():
         # synthesize a WET corpus from the documents table once per
         # bench process (8 gzip members so the binaryFile scan has
         # file-level parallelism), then measure the full parse+profile
-        wet_dir = "bench_wet"
+        wet_dir = f"bench_wet_{os.path.basename(sf_dir.rstrip('/'))}"
         if not os.path.isdir(wet_dir):
             os.makedirs(wet_dir, exist_ok=True)
             try:

@@ -918,3 +918,76 @@ def domain_token_budget(
     return df.withColumn("cum_tokens", run).withColumn(
         "admitted", F.col("cum_tokens") <= F.lit(int(budget))
     )
+
+
+def robots_filter(
+    urls: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    agent: str = "*",
+    respect_crawl_delay: bool = True,
+) -> DataFrame:
+    """Robots.txt compliance audit: for every URL, whether ``agent`` may
+    fetch it under its domain's robots.txt — the crawl-politeness filter
+    every responsible corpus pipeline applies before (or when auditing)
+    ingestion.
+
+    ``robots`` is ``(domain, robots_txt)`` — the at-rest table a crawler
+    maintains.  The join is a plain shuffle equi-join on domain (the
+    robots side is per-domain small but the DOMAIN COUNT is web-scale,
+    so no broadcast by default); parsing uses the stdlib
+    ``urllib.robotparser`` inside an Arrow-batched ``mapInPandas``,
+    with a per-batch parser cache so each domain's rules compile once
+    per batch rather than once per URL.  URLs whose domain has no
+    robots row are ALLOWED (the crawl convention: no robots.txt means
+    no restrictions).
+
+    Output: the URL rows + ``domain``, ``allowed`` boolean, and
+    ``crawl_delay`` (seconds, null when unspecified or disabled).
+    """
+    from collections.abc import Iterator as _Iterator
+
+    dom = F.lower(
+        F.regexp_extract(F.col(url_col), r"https?://([^/\s:?#]+)", 1)
+    )
+    keyed = urls.withColumn("domain", dom)
+    joined = keyed.join(robots, on="domain", how="left")
+
+    def run(batches: _Iterator) -> _Iterator:
+        import urllib.robotparser
+
+        import pandas as pd
+
+        for pdf in batches:
+            parsers: dict[str, object] = {}
+            allowed = []
+            delays = []
+            for url, txt in zip(pdf[url_col], pdf["robots_txt"]):
+                if txt is None or not isinstance(txt, str):
+                    allowed.append(True)
+                    delays.append(None)
+                    continue
+                rp = parsers.get(txt)
+                if rp is None:
+                    rp = urllib.robotparser.RobotFileParser()
+                    rp.parse(txt.splitlines())
+                    parsers[txt] = rp
+                allowed.append(bool(rp.can_fetch(agent, url)))
+                if respect_crawl_delay:
+                    d = rp.crawl_delay(agent)
+                    delays.append(float(d) if d is not None else None)
+                else:
+                    delays.append(None)
+            out = pdf.drop(columns=["robots_txt"])
+            out["allowed"] = pd.Series(allowed, dtype="boolean")
+            out["crawl_delay"] = pd.Series(delays, dtype="float64")
+            yield out
+
+    fields = [
+        f for f in joined.schema.fields if f.name != "robots_txt"
+    ]
+    schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+        + ", allowed boolean, crawl_delay double"
+    )
+    return joined.mapInPandas(run, schema)

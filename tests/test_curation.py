@@ -804,3 +804,84 @@ def test_domain_token_budget_layout_independent(spark):
         ).collect()
     }
     assert a == b
+
+
+class TestRobotsFilter:
+    """Crawl-politeness audit via stdlib robotparser inside the
+    Arrow-batched stage."""
+
+    def _tables(self, spark):
+        urls = spark.createDataFrame(
+            [
+                (1, "https://a.example/private/page"),
+                (2, "https://a.example/public/page"),
+                (3, "https://b.example/anything"),
+                (4, "https://norobots.example/x"),
+                (5, "https://A.EXAMPLE/private/sub/deep"),  # domain casefold
+            ],
+            "id long, url string",
+        )
+        robots = spark.createDataFrame(
+            [
+                (
+                    "a.example",
+                    "User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n",
+                ),
+                ("b.example", "User-agent: *\nDisallow: /\n"),
+            ],
+            "domain string, robots_txt string",
+        )
+        return urls, robots
+
+    def test_rules_delays_and_missing_robots(self, spark):
+        from buildkite_logs_parquet_spark.operators.curation import (
+            robots_filter,
+        )
+
+        urls, robots = self._tables(spark)
+        rows = {r["id"]: r for r in robots_filter(urls, robots).collect()}
+        assert rows[1]["allowed"] is False  # /private/ disallowed
+        assert rows[2]["allowed"] is True
+        assert rows[1]["crawl_delay"] == 2.0
+        assert rows[3]["allowed"] is False  # blanket Disallow: /
+        assert rows[4]["allowed"] is True  # no robots row -> allowed
+        assert rows[4]["crawl_delay"] is None
+        assert rows[5]["allowed"] is False  # upper-case domain matches
+
+    def test_agent_specific_rules(self, spark):
+        from buildkite_logs_parquet_spark.operators.curation import (
+            robots_filter,
+        )
+
+        urls = spark.createDataFrame(
+            [(1, "https://x.example/data")], "id long, url string"
+        )
+        robots = spark.createDataFrame(
+            [
+                (
+                    "x.example",
+                    "User-agent: badbot\nDisallow: /\n\n"
+                    "User-agent: *\nAllow: /\n",
+                )
+            ],
+            "domain string, robots_txt string",
+        )
+        ok = robots_filter(urls, robots, agent="goodbot").first()
+        bad = robots_filter(urls, robots, agent="badbot").first()
+        assert ok["allowed"] is True and bad["allowed"] is False
+
+    def test_join_is_shuffle_not_broadcast_by_default(self, spark):
+        """Web-scale domain counts: the robots side must NOT broadcast
+        unless the caller opts in."""
+        from buildkite_logs_parquet_spark.operators.curation import (
+            robots_filter,
+        )
+
+        urls, robots = self._tables(spark)
+        plan = (
+            robots_filter(urls, robots)
+            ._jdf.queryExecution()
+            .analyzed()
+            .toString()
+        )
+        assert "ResolvedHint" not in plan
