@@ -10,7 +10,8 @@ public format specifications alone:
   2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced.
   A matching encoder (any per-row filter choice) exists so tests can
   round-trip bit-exactly through every unfilter path.
-* **PPM/PGM** (netpbm P6/P5, maxval 255).
+* **PPM/PGM** (netpbm P6/P5, maxval 255); **BMP** (BI_RGB 8/24/32-bit,
+  bottom-up/top-down, palette).
 * **GIF** (87a/89a incl. animation) — full decoder + test encoder in the
   sibling ``gif_codec`` module; ``decode_image`` returns frame 0.
 * **JPEG** (baseline sequential DCT, T.81) — full decoder + test
@@ -230,6 +231,64 @@ def decode_ppm(data: bytes) -> np.ndarray:
     return pixels.reshape(height, width, channels).copy()
 
 
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Windows BMP (BITMAPINFOHEADER, uncompressed BI_RGB) → uint8
+    (H, W, 3): 24/32-bit truecolor (BGR[A] to RGB) and 8-bit palette;
+    bottom-up or top-down row order, 4-byte row padding."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP stream (missing BM magic)")
+    (offset,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    if hdr_size < 40:
+        raise NotImplementedError("BMP: pre-BITMAPINFOHEADER cores")
+    w, h = struct.unpack("<ii", data[18:26])
+    planes, bits = struct.unpack("<HH", data[26:30])
+    (compression,) = struct.unpack("<I", data[30:34])
+    if compression != 0:
+        raise NotImplementedError(f"BMP: compression {compression}")
+    top_down = h < 0
+    h = abs(h)
+    if bits == 8:
+        (used,) = struct.unpack("<I", data[46:50])
+        n_pal = used or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            data[pal_off : pal_off + 4 * n_pal], np.uint8
+        ).reshape(-1, 4)[:, 2::-1]  # BGRA -> RGB
+        stride = (w + 3) & ~3
+        rows = np.frombuffer(
+            data[offset : offset + stride * h], np.uint8
+        ).reshape(h, stride)[:, :w]
+        img = pal[rows]
+    elif bits in (24, 32):
+        ch = bits // 8
+        stride = (w * ch + 3) & ~3
+        rows = np.frombuffer(
+            data[offset : offset + stride * h], np.uint8
+        ).reshape(h, stride)[:, : w * ch].reshape(h, w, ch)
+        img = rows[:, :, 2::-1]  # BGR(A) -> RGB
+    else:
+        raise NotImplementedError(f"BMP: {bits}-bit pixels")
+    if not top_down:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """uint8 (H, W, 3) RGB → 24-bit bottom-up BMP bytes (test twin)."""
+    arr = np.asarray(img, np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_bmp needs (H, W, 3) RGB")
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), np.uint8)
+    body[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # RGB->BGR, flip
+    pixels = body.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    head = b"BM" + struct.pack("<IHHI", 14 + 40 + len(pixels), 0, 0, 54)
+    return head + info + pixels
+
+
 def decode_image(data: bytes) -> np.ndarray:
     """Sniff + decode: PNG, baseline JPEG, or PPM/PGM → uint8
     (H, W, channels)."""
@@ -243,6 +302,8 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_jpeg(data)
     if data[:2] in (b"P6", b"P5"):
         return decode_ppm(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         from buildkite_logs_parquet_spark.functions.gif_codec import (
             decode_gif,

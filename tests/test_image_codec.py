@@ -340,3 +340,80 @@ def test_extract_features_with_real_decoder_on_spark(spark):
     assert list(out[0]["feature"]) == list(out[1]["feature"])  # pixel-equal
     assert list(out[0]["feature"]) != list(out[2]["feature"])
     assert (out[2]["width"], out[2]["height"]) == (2, 3)
+
+
+# --------------------------------------------------------------- BMP
+
+
+def test_bmp_roundtrip_and_dispatch():
+    from buildkite_logs_parquet_spark.functions.image_codec import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(31)
+    # odd width exercises the 4-byte row padding
+    img = rng.integers(0, 256, (13, 21, 3)).astype(np.uint8)
+    data = encode_bmp(img)
+    assert (decode_bmp(data) == img).all()
+    assert (decode_image(data) == img).all()
+
+
+def test_bmp_handpinned_2x2_and_variants():
+    """Hand-built streams (no encoder): 24-bit bottom-up with padding,
+    top-down (negative height), and 8-bit palette."""
+    import struct
+
+    from buildkite_logs_parquet_spark.functions.image_codec import decode_bmp
+
+    def bmp24(pixels_bgr_rows, w, h):
+        stride = (w * 3 + 3) & ~3
+        body = b"".join(
+            row + b"\x00" * (stride - len(row)) for row in pixels_bgr_rows
+        )
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0
+        )
+        return b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54) + info + body
+
+    # bottom-up: file row 0 is the BOTTOM image row
+    data = bmp24(
+        [b"\xff\x00\x00" + b"\x00\xff\x00",  # blue, green (bottom row)
+         b"\x00\x00\xff" + b"\xff\xff\xff"],  # red, white (top row)
+        2, 2,
+    )
+    img = decode_bmp(data)
+    assert tuple(img[0, 0]) == (255, 0, 0) and tuple(img[0, 1]) == (255, 255, 255)
+    assert tuple(img[1, 0]) == (0, 0, 255) and tuple(img[1, 1]) == (0, 255, 0)
+
+    # top-down (h < 0): file order IS image order
+    data = bmp24(
+        [b"\x00\x00\xff" + b"\xff\xff\xff", b"\xff\x00\x00" + b"\x00\xff\x00"],
+        2, -2,
+    )
+    img2 = decode_bmp(data)
+    assert (img2 == img).all()
+
+    # 8-bit palette: two entries, 2x1 image
+    pal = b"\x00\x00\xff\x00" + b"\x00\xff\x00\x00"  # BGRA: red, green
+    row = b"\x00\x01\x00\x00"  # indices + pad to 4
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 8, 0, 4, 0, 0, 2, 0)
+    data = (
+        b"BM" + struct.pack("<IHHI", 14 + 40 + 8 + 4, 0, 0, 14 + 40 + 8)
+        + info + pal + row
+    )
+    img3 = decode_bmp(data)
+    assert tuple(img3[0, 0]) == (255, 0, 0) and tuple(img3[0, 1]) == (0, 255, 0)
+
+
+def test_bmp_unsupported_variants_raise():
+    import struct
+
+    from buildkite_logs_parquet_spark.functions.image_codec import decode_bmp
+
+    with pytest.raises(ValueError, match="BM magic"):
+        decode_bmp(b"XX" + b"\x00" * 60)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 1, 0, 0, 0, 0, 0)  # RLE
+    data = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + info
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_bmp(data)

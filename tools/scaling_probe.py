@@ -37,6 +37,11 @@ PROBES = [
     ("ngram_jaccard", "documents (pairs + eval legs)", 10),
     ("ann_topk", "embeddings (exact+ivf+batch+sq+pq+ivfpq legs)", 10),
     ("corpus_select", "documents (sample+split+wsample+budget+diff legs)", 10),
+    ("dsir_weights", "documents (dsir + 2-step LR train + score legs)", 10),
+    ("x_lr_train3", "documents (hashed feats, 3 GD epochs + score)", 10),
+    ("x_html_extract", "documents as WARC-response HTML (8 gz shards)", 10),
+    ("x_video_frames", "embeddings ids x AVI/GIF/Y4M pool", 10),
+    ("x_sketch_state", "events (HLL+KLL+theta build/merge cycles)", 100),
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
@@ -48,7 +53,10 @@ def main() -> None:
 
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     spark = get_spark(app_name="scaling-probe")
-    qs = E.queries()
+    import bench as B
+
+    qs = dict(E.queries())
+    qs.update(B._extra_ops())
     results: dict[str, list[float]] = {}
     for name, _tables, _mult in PROBES:
         times = []
