@@ -35,6 +35,26 @@ WET_SCHEMA = (
     "warc_date string, content_length long, text string, error string"
 )
 
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+
+
+def _decompress(fname: str, raw: bytes) -> bytes:
+    """gzip or zstd (Common Crawl ships both; ``.warc.zst`` streams via
+    pyarrow's CompressedInputStream — no decompressed-size needed);
+    plain bytes pass through.  Raises OSError on damage."""
+    if fname.endswith(".gz") or raw[:2] == b"\x1f\x8b":
+        return gzip.GzipFile(fileobj=io.BytesIO(raw)).read()
+    if fname.endswith(".zst") or raw[:4] == _ZSTD_MAGIC:
+        import pyarrow as pa
+
+        try:
+            return pa.input_stream(
+                pa.BufferReader(raw), compression="zstd"
+            ).read()
+        except pa.lib.ArrowInvalid as e:
+            raise OSError(f"zstd: {e}") from e
+    return raw
+
 
 def _iter_warc_records(raw: bytes):
     """Yield ``(headers: dict, payload: bytes)`` from concatenated WARC
@@ -77,7 +97,8 @@ def _iter_warc_records(raw: bytes):
 
 
 def read_warc_wet(spark: SparkSession, path: str) -> DataFrame:
-    """Read WET/WARC files (plain or ``.gz``) into one row per record.
+    """Read WET/WARC files (plain, ``.gz``, or ``.zst``) into one row
+    per record.
 
     ``binaryFile`` scan (one task per file — the natural gzip
     parallelism unit) → executor-side decompress + record walk in
@@ -95,15 +116,11 @@ def read_warc_wet(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             out: list[dict] = []
             for fname, content in zip(pdf["path"], pdf["content"]):
-                raw = bytes(content)
-                if fname.endswith(".gz") or raw[:2] == b"\x1f\x8b":
-                    try:
-                        raw = gzip.GzipFile(fileobj=io.BytesIO(raw)).read()
-                    except OSError as e:
-                        out.append(
-                            _row(fname, -1, error=f"gzip: {e}")
-                        )
-                        continue
+                try:
+                    raw = _decompress(fname, bytes(content))
+                except OSError as e:
+                    out.append(_row(fname, -1, error=str(e)))
+                    continue
                 idx = 0
                 try:
                     for headers, payload in _iter_warc_records(raw):
@@ -197,13 +214,11 @@ def read_warc_html(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             out: list[dict] = []
             for fname, content in zip(pdf["path"], pdf["content"]):
-                raw = bytes(content)
-                if fname.endswith(".gz") or raw[:2] == b"\x1f\x8b":
-                    try:
-                        raw = gzip.GzipFile(fileobj=io.BytesIO(raw)).read()
-                    except OSError as e:
-                        out.append(blank(fname, -1, error=f"gzip: {e}"))
-                        continue
+                try:
+                    raw = _decompress(fname, bytes(content))
+                except OSError as e:
+                    out.append(blank(fname, -1, error=str(e)))
+                    continue
                 idx = 0
                 try:
                     for headers, payload in _iter_warc_records(raw):

@@ -154,3 +154,35 @@ def test_read_warc_html_quarantines_broken_tail(spark, tmp_path):
     bad = [r for r in rows if r["error"] is not None]
     assert len(ok) == 1 and ok[0]["text"] == "fine"
     assert len(bad) == 1 and "truncated" in bad[0]["error"]
+
+
+def test_read_warc_zstd_compressed(spark, tmp_path):
+    """Common Crawl's other wire format: .warc.zst streams through
+    pyarrow's zstd codec (no decompressed-size hint available or
+    needed); damaged zstd quarantines like damaged gzip."""
+    import pyarrow as pa
+
+    from buildkite_logs_parquet_spark.sources.warc import (
+        read_warc_html,
+        read_warc_wet,
+    )
+
+    wet = _record("http://z.example/", "zstd wet document")
+    comp = bytes(pa.Codec("zstd").compress(wet))
+    (tmp_path / "a.warc.wet.zst").write_bytes(comp)
+    rows = read_warc_wet(spark, str(tmp_path)).collect()
+    assert len(rows) == 1 and rows[0]["text"] == "zstd wet document"
+
+    html_rec = _response_record("http://z.example/", "<p>zstd html</p>")
+    (tmp_path / "a.warc.wet.zst").unlink()
+    (tmp_path / "b.warc.zst").write_bytes(
+        bytes(pa.Codec("zstd").compress(html_rec))
+    )
+    hrows = read_warc_html(spark, str(tmp_path)).collect()
+    assert len(hrows) == 1 and hrows[0]["text"] == "zstd html"
+
+    # corrupt zstd body -> quarantine row, job survives
+    (tmp_path / "b.warc.zst").unlink()
+    (tmp_path / "broken.warc.zst").write_bytes(comp[:8] + b"\x00garbage")
+    q = read_warc_wet(spark, str(tmp_path)).collect()
+    assert len(q) == 1 and q[0]["error"] is not None
