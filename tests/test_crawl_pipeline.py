@@ -1,0 +1,142 @@
+"""End-to-end crawl-to-training-corpus composition: a zstd raw crawl
+(WARC response records, HTML bodies, one page disallowed by robots, one
+near-duplicate pair) flows through extraction → robots compliance →
+quality → dedup → quality-classifier scoring → sequence packing, using
+only the public operator surface — the "a user could run their whole
+pipeline here" claim, executed."""
+
+from __future__ import annotations
+
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _http_html(title: str, body_paras: list[str]) -> bytes:
+    html = (
+        f"<html><head><title>{title}</title><script>x()</script></head>"
+        "<body><nav><a href='/l1'>1</a><a href='/l2'>2</a></nav>"
+        + "".join(f"<p>{p}</p>" for p in body_paras)
+        + "</body></html>"
+    )
+    body = html.encode()
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+        + body
+    )
+
+
+def _warc_response(uri: str, http: bytes) -> bytes:
+    head = (
+        f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {uri}\r\n"
+        f"Content-Length: {len(http)}\r\n"
+    ).encode()
+    return head + b"\r\n" + http + b"\r\n\r\n"
+
+
+@pytest.fixture()
+def crawl_dir(tmp_path):
+    import pyarrow as pa
+
+    para_a = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet field while the morning settles in softly"
+    )
+    para_b = (
+        "an entirely different document about distributed query engines "
+        "that shuffle partition and aggregate columnar batches at scale"
+    )
+    records = (
+        _warc_response("https://ok.example/a", _http_html("Page A", [para_a]))
+        + _warc_response(
+            "https://ok.example/dup",
+            _http_html("Page A copy", [para_a]),  # near-dup of /a
+        )
+        + _warc_response("https://ok.example/b", _http_html("Page B", [para_b]))
+        + _warc_response(
+            "https://blocked.example/secret",
+            _http_html("Hidden", ["should never reach the corpus"]),
+        )
+        + _warc_response(
+            "https://ok.example/tiny", _http_html("Tiny", ["too short"])
+        )
+    )
+    comp = bytes(pa.Codec("zstd").compress(records))
+    (tmp_path / "crawl-000.warc.zst").write_bytes(comp)
+    return str(tmp_path)
+
+
+def test_crawl_to_training_corpus(spark, crawl_dir):
+    from buildkite_logs_parquet_spark.operators import classifier as C
+    from buildkite_logs_parquet_spark.operators.curation import robots_filter
+    from buildkite_logs_parquet_spark.operators.dedup import exact_dedup
+    from buildkite_logs_parquet_spark.operators.packing import pack_sequences
+    from buildkite_logs_parquet_spark.operators.text_analysis import (
+        token_count,
+    )
+    from buildkite_logs_parquet_spark.sources.warc import read_warc_html
+
+    # 1. extraction: 5 pages, titles + script-free text + link counts
+    pages = read_warc_html(spark, crawl_dir).where("error IS NULL")
+    assert pages.count() == 5
+    assert pages.where("n_links = 2").count() == 5
+    assert pages.where("text LIKE '%x()%'").count() == 0
+
+    # 2. robots compliance: blocked.example disallows everything
+    robots = spark.createDataFrame(
+        [("blocked.example", "User-agent: *\nDisallow: /\n")],
+        "domain string, robots_txt string",
+    )
+    compliant = robots_filter(
+        pages.select(F.col("target_uri").alias("url"), "title", "text"),
+        robots,
+    ).where("allowed")
+    assert compliant.count() == 4
+
+    # 3. quality floor: drop the too-short page
+    docs = (
+        compliant.select(
+            F.abs(F.hash("url")).cast("long").alias("doc_id"),
+            "url",
+            "text",
+        )
+        .withColumn("n_tokens", token_count(F.col("text")))
+        .where("n_tokens >= 10")
+    )
+    assert docs.count() == 3  # a, dup, b
+
+    # 4. exact dedup on normalized text: /a and /dup collapse
+    deduped = exact_dedup(docs, ["text"])
+    assert deduped.count() == 2
+    kept_urls = {r["url"] for r in deduped.collect()}
+    assert "https://ok.example/b" in kept_urls
+    assert len({u for u in kept_urls if u.endswith(("/a", "/dup"))}) == 1
+
+    # 5. classifier scoring under a trained model (weak label: contains
+    #    'the') — scores are valid probabilities and the 'the'-rich doc
+    #    scores at least as high
+    feats = C.hashed_features(deduped, dim=128)
+    labels = deduped.select(
+        "doc_id", F.col("text").contains(" the ").cast("int").alias("label")
+    )
+    model = C.lr_train(feats, labels, spark, epochs=4, lr=1.0)
+    scored = {
+        r["doc_id"]: r["score"]
+        for r in C.lr_score(feats, model).collect()
+    }
+    assert all(0.0 <= s <= 1.0 for s in scored.values())
+    by_label = {
+        r["doc_id"]: r["label"] for r in labels.collect()
+    }
+    pos = [s for d, s in scored.items() if by_label[d] == 1]
+    neg = [s for d, s in scored.items() if by_label[d] == 0]
+    assert min(pos) > max(neg)
+
+    # 6. pack the surviving corpus into training sequences
+    packed = pack_sequences(deduped, "doc_id", "text", capacity=16)
+    rows = packed.collect()
+    assert len(rows) >= 2  # both docs exceed one 16-token window
+    total_tokens = deduped.select(
+        F.sum(token_count(F.col("text")))
+    ).first()[0]
+    assert sum(r["n_tokens"] for r in rows) == total_tokens
