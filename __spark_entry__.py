@@ -1663,7 +1663,16 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     row as 'canon:<canonical_url>' rows — the planted tracked/ported/
     fragmented variants (doc_id%5 leg of the planting) collapse through
     ``canonical_url``'s lookaround-free regexp chain, which the oracle
-    replays verbatim in DuckDB (RE2-compatible by construction)."""
+    replays verbatim in DuckDB (RE2-compatible by construction).
+
+    'robots:' leg — the crawl-compliance audit
+    (curation.robots_filter, stdlib robotparser inside the Arrow stage)
+    against a LITERAL rule table: even-numbered site domains disallow
+    /p/ for all agents, odd ones have no robots row (allowed by the
+    crawl convention).  The planted site URLs are clean path-prefix
+    cases, so the oracle can restate the allow/deny decision as pure
+    modulo arithmetic — value-checking the domain join + decision
+    plumbing while the robotparser edge semantics stay pytest-pinned."""
     docs_ref = f"parquet.`{sf_dir}/documents.parquet`"
     urls = spark.sql(_URL_TEXT_SQL.format(documents=docs_ref))
     base = TA.url_domain_stats(urls, "doc_id", "text")
@@ -1688,7 +1697,33 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
         )
     )
-    return base.unionByName(canon)
+    robots = spark.createDataFrame(
+        [
+            (f"site{n}.example.com", "User-agent: *\nDisallow: /p/\n")
+            for n in range(0, 50, 2)
+        ],
+        "domain string, robots_txt string",
+    )
+    site_urls = raw.where(F.col("_url").startswith("http://site"))
+    audited = CU.robots_filter(site_urls, robots, url_col="_url")
+    robots_leg = (
+        audited.groupBy("domain", "allowed")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .select(
+            F.concat(
+                F.lit("robots:"),
+                F.col("domain"),
+                F.lit(":"),
+                F.col("allowed").cast("string"),
+            ).alias("domain"),
+            "n_urls",
+            "n_docs",
+        )
+    )
+    return base.unionByName(canon).unionByName(robots_leg)
 
 
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3869,6 +3904,17 @@ UNION ALL
 SELECT 'canon:' || cu AS domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
 FROM canon
 GROUP BY cu
+UNION ALL
+-- robots leg: even site numbers disallow /p/ -> denied; odd sites have
+-- no robots row -> allowed.  Pure arithmetic restatement of the
+-- literal rule table the Spark side feeds through robots_filter.
+SELECT 'robots:site' || CAST(doc_id % 50 AS STRING) || '.example.com:'
+         || CAST(NOT ((doc_id % 50) % 2 = 0) AS STRING) AS domain,
+       count(*) AS n_urls,
+       count(DISTINCT doc_id) AS n_docs
+FROM documents
+WHERE doc_id % 3 = 0
+GROUP BY doc_id % 50
 """
 
     # table_profile (exact mode): one UNION ALL branch per profiled column
