@@ -533,3 +533,89 @@ def video_frames(
         "frame_payload binary"
     )
     return media.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def _dhash64(img) -> int:
+    """dHash: gray → 8x9 area-average grid → horizontal gradient sign
+    bits, MSB-first row-major → signed 64-bit int (Spark LongType)."""
+    import numpy as np
+
+    px = img.astype("float64")
+    gray = px[:, :, :3].mean(axis=2) if px.shape[2] >= 3 else px[:, :, 0]
+    h, w = gray.shape
+    rb = [(r * h) // 8 for r in range(9)]
+    cb = [(c * w) // 9 for c in range(10)]
+    cells = np.empty((8, 9))
+    for r in range(8):
+        r0, r1 = rb[r], max(rb[r] + 1, rb[r + 1])
+        for c in range(9):
+            c0, c1 = cb[c], max(cb[c] + 1, cb[c + 1])
+            cells[r, c] = gray[r0:r1, c0:c1].mean()
+    bits = (cells[:, :-1] > cells[:, 1:]).reshape(-1)
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def perceptual_hash(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual (difference) hash over DECODED pixels: unlike the
+    byte-digest exact dedup, two images that differ only by lossy
+    re-encoding (the dominant duplication mode in image crawls — same
+    picture saved at different JPEG qualities or converted PNG↔JPEG)
+    land within a few bits of each other.  Arrow-batched ``mapInPandas``
+    through the native codec set; undecodable payloads come out with a
+    null hash (the quarantine convention).  Output:
+    ``(id, phash long, decode_ok boolean)``."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from buildkite_logs_parquet_spark.functions.image_codec import (
+            decode_image,
+        )
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    h = _dhash64(decode_image(bytes(payload)))
+                    out.append({id_col: mid, "phash": h, "decode_ok": True})
+                except Exception:
+                    out.append(
+                        {id_col: mid, "phash": None, "decode_ok": False}
+                    )
+            yield pd.DataFrame(out, columns=[id_col, "phash", "decode_ok"])
+
+    return media.select(id_col, payload_col).mapInPandas(
+        run, f"{id_col} long, phash long, decode_ok boolean"
+    )
+
+
+def image_near_dups(
+    media: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Visual near-duplicate pairs: dHash fingerprints through the SAME
+    pigeonhole band join as text SimHash (dedup.simhash_near_duplicates
+    at 64 bits) — banded equi-join, never all-pairs, so the pair space
+    scales like the text path.  Pairs carry the bit distance; feed them
+    into graph.dedup_clusters exactly like text near-dup pairs."""
+    from buildkite_logs_parquet_spark.operators.dedup import (
+        simhash_near_duplicates,
+    )
+
+    prints = (
+        perceptual_hash(media, id_col, payload_col)
+        .where("decode_ok")
+        .select(F.col(id_col), F.col("phash").alias("simhash"))
+    )
+    return simhash_near_duplicates(
+        prints, id_col, max_hamming=max_hamming, bits=64
+    )

@@ -425,3 +425,79 @@ class TestImaAdpcm:
         payload[pos + 2 : pos + 4] = struct.pack("<H", 2)  # channels = 2
         with pytest.raises(NotImplementedError, match="mono only"):
             decode_wav(bytes(payload))
+
+
+class TestPerceptualHash:
+    """dHash visual dedup: robust to lossy re-encoding, discriminative
+    across different images, banded pairs through the SimHash join."""
+
+    def _media(self, spark):
+        import numpy as np
+
+        from buildkite_logs_parquet_spark.functions.image_codec import (
+            encode_png,
+        )
+        from buildkite_logs_parquet_spark.functions.jpeg_codec import (
+            encode_jpeg,
+        )
+
+        rng = np.random.default_rng(6)
+        base = rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)
+        for _ in range(4):  # smooth: recompression stays visually equal
+            base = (
+                (
+                    base.astype(int)
+                    + np.roll(base, 1, 0)
+                    + np.roll(base, 1, 1)
+                    + np.roll(base, -1, 0)
+                    + np.roll(base, -1, 1)
+                )
+                // 5
+            ).astype(np.uint8)
+        other = rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)
+        rows = [
+            (1, bytearray(encode_png(base))),
+            (2, bytearray(encode_jpeg(base, quality=90))),
+            (3, bytearray(encode_png(other))),
+            (4, bytearray(b"not an image")),
+        ]
+        return spark.createDataFrame(rows, "media_id long, payload binary")
+
+    def test_hash_invariance_and_discrimination(self, spark):
+        from buildkite_logs_parquet_spark.operators.multimodal import (
+            perceptual_hash,
+        )
+
+        ph = {
+            r["media_id"]: r
+            for r in perceptual_hash(self._media(spark)).collect()
+        }
+        assert ph[4]["decode_ok"] is False and ph[4]["phash"] is None
+        same = bin(ph[1]["phash"] ^ ph[2]["phash"]).count("1")
+        diff = bin(ph[1]["phash"] ^ ph[3]["phash"]).count("1")
+        assert same <= 6  # lossy re-encode: a few gradient flips at most
+        assert diff >= 16  # unrelated image: far in hash space
+
+    def test_image_near_dups_pairs_only_the_recompression(self, spark):
+        from buildkite_logs_parquet_spark.operators.multimodal import (
+            image_near_dups,
+        )
+
+        pairs = image_near_dups(self._media(spark), max_hamming=6).collect()
+        assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+        assert pairs[0]["hamming"] <= 6
+
+    def test_dhash_handpinned_gradients(self):
+        """Exact bit semantics on a constructed 8x9 image: strictly
+        increasing rows → every left-pixel < right-pixel → all bits 0;
+        strictly decreasing → all bits 1 → hash -1 as signed 64-bit."""
+        import numpy as np
+
+        from buildkite_logs_parquet_spark.operators.multimodal import _dhash64
+
+        inc = np.tile(
+            (np.arange(9, dtype=np.uint8) * 20)[None, :, None], (8, 1, 3)
+        )
+        assert _dhash64(inc) == 0
+        dec = inc[:, ::-1]
+        assert _dhash64(dec) == -1  # all 64 bits set, two's complement
