@@ -325,6 +325,67 @@ def _extra_ops():
         enc = QZ.bq_encode(emb.where("vec_id != 0"))
         return QZ.bq_rerank_topk(enc, q, k=10, prefilter_k=100)
 
+    def image_neardup_bench(spark, sf_dir):
+        """Visual near-dup throughput: a driver-encoded pool of 32 base
+        images, each also present as a quality-85 JPEG recompression
+        (the planted visual duplicate), replicated across embeddings
+        ids; measures decode + dHash + the banded hamming pair join."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from buildkite_logs_parquet_spark.functions.image_codec import (
+            encode_png,
+        )
+        from buildkite_logs_parquet_spark.functions.jpeg_codec import (
+            encode_jpeg,
+        )
+        from buildkite_logs_parquet_spark.operators.multimodal import (
+            image_near_dups,
+        )
+
+        rng = np.random.default_rng(11)
+        pool = []
+        for j in range(32):
+            img = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+            for _ in range(3):
+                img = (
+                    (
+                        img.astype(int)
+                        + np.roll(img, 1, 0)
+                        + np.roll(img, 1, 1)
+                        + np.roll(img, -1, 0)
+                        + np.roll(img, -1, 1)
+                    )
+                    // 5
+                ).astype(np.uint8)
+            pool.append((2 * j, bytearray(encode_png(img))))
+            pool.append(
+                (2 * j + 1, bytearray(encode_jpeg(img, quality=85)))
+            )
+        pal = spark.createDataFrame(pool, "k long, payload binary")
+        # cap the corpus: replicated payloads share EXACT hashes, so an
+        # unbounded replication makes the within-group pair count (the
+        # OUTPUT, not the join) quadratic — 2048 rows keeps the planted
+        # duplicate groups realistic while still measuring decode + hash
+        # + band join end-to-end
+        ids = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .where("vec_id < 2048")
+            .select(
+                F.col("vec_id").alias("media_id"),
+                (F.col("vec_id") % 64).alias("k"),
+            )
+        )
+        # the pruned id scan collapses to one row-group partition —
+        # spread the decode stage across cores (the extract_features
+        # "repartition upstream" rule)
+        media = (
+            ids.join(F.broadcast(pal), "k")
+            .select("media_id", "payload")
+            .repartition(32)
+        )
+        return image_near_dups(media, max_hamming=6)
+
     def lr_train_bench(spark, sf_dir):
         """Quality-classifier training at scale: hashed features over
         the full documents table, 3 exact full-batch GD epochs (the
@@ -635,6 +696,7 @@ def _extra_ops():
         "x_html_extract": html_extract_bench,
         "x_video_frames": video_frames_bench,
         "x_lr_train3": lr_train_bench,
+        "x_image_neardup": image_neardup_bench,
         "x_split_leakage": split_leakage_bench,
         "x_sketch_state": sketch_state,
         "x_log_templates": log_templates_bench,
