@@ -44,10 +44,12 @@ _WS = re.compile(r"\s+")
 class _TextExtractor(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.parts: list[str] = []  # text runs; "\n" marks block breaks
+        # text runs as (text, in_link); "\n" sentinel marks block breaks
+        self.parts: list[tuple[str, bool] | str] = []
         self.title_parts: list[str] = []
         self.n_links = 0
         self._skip_depth = 0
+        self._link_depth = 0
         self._in_title = False
 
     def handle_starttag(self, tag: str, attrs) -> None:
@@ -56,8 +58,10 @@ class _TextExtractor(HTMLParser):
             return
         if tag == "title":
             self._in_title = True
-        if tag == "a" and any(k == "href" for k, _ in attrs):
-            self.n_links += 1
+        if tag == "a":
+            self._link_depth += 1
+            if any(k == "href" for k, _ in attrs):
+                self.n_links += 1
         if tag in _BLOCK_TAGS:
             self.parts.append("\n")
 
@@ -67,12 +71,16 @@ class _TextExtractor(HTMLParser):
             return
         if tag == "title":
             self._in_title = False
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
         if tag in _BLOCK_TAGS:
             self.parts.append("\n")
 
     # void elements (<br/>, <hr/>) arrive here in XHTML-style markup
     def handle_startendtag(self, tag: str, attrs) -> None:
         self.handle_starttag(tag, attrs)
+        if tag == "a":  # self-closed anchor opens nothing
+            self._link_depth = max(0, self._link_depth - 1)
 
     def handle_data(self, data: str) -> None:
         if self._skip_depth:
@@ -81,7 +89,65 @@ class _TextExtractor(HTMLParser):
             self.title_parts.append(data)
             return
         if data:
-            self.parts.append(data)
+            self.parts.append((data, self._link_depth > 0))
+
+
+def extract_html_blocks(html: str) -> dict:
+    """Block-level extraction: ``{"title", "n_links", "blocks"}`` where
+    each block is ``{"text", "n_words", "link_density"}`` —
+    ``link_density`` is the fraction of the block's characters that sit
+    inside ``<a>`` subtrees, the jusText/boilerpipe signal that
+    separates navigation chrome from prose.  Malformed markup never
+    raises (``html.parser`` is tolerant by design)."""
+    p = _TextExtractor()
+    p.feed(html)
+    p.close()
+    blocks: list[dict] = []
+    cur: list[str] = []
+    link_chars = 0
+
+    def flush() -> None:
+        nonlocal cur, link_chars
+        joined = _WS.sub(" ", " ".join(cur)).strip()
+        if joined:
+            total = sum(len(_WS.sub(" ", t).strip()) for t in cur) or 1
+            blocks.append(
+                {
+                    "text": joined,
+                    "n_words": len(joined.split()),
+                    "link_density": min(1.0, link_chars / total),
+                }
+            )
+        cur = []
+        link_chars = 0
+
+    for part in p.parts:
+        if part == "\n":
+            flush()
+        else:
+            text, in_link = part
+            cur.append(text)
+            if in_link:
+                link_chars += len(_WS.sub(" ", text).strip())
+    flush()
+    title = _WS.sub(" ", " ".join(p.title_parts)).strip() or None
+    return {"title": title, "n_links": p.n_links, "blocks": blocks}
+
+
+def main_content(
+    blocks: list[dict],
+    min_words: int = 4,
+    max_link_density: float = 0.5,
+) -> str:
+    """Boilerplate-dropped text: keep blocks with enough words and a low
+    link density (the classic jusText-style thresholds) — navigation
+    bars, footers, and tag clouds are short and link-saturated, prose is
+    neither."""
+    return "\n".join(
+        b["text"]
+        for b in blocks
+        if b["n_words"] >= min_words and b["link_density"] <= max_link_density
+    )
 
 
 def extract_html_text(html: str) -> dict:
@@ -89,31 +155,15 @@ def extract_html_text(html: str) -> dict:
 
     ``text`` is newline-separated paragraphs (block tags break
     paragraphs, whitespace collapsed within each); ``title`` is the
-    collapsed <title> content or None.  Malformed markup never raises —
-    ``html.parser`` is tolerant by design, matching the
-    quarantine-don't-abort policy of the WARC source.
+    collapsed <title> content or None.  ALL blocks are kept — use
+    :func:`extract_html_blocks` + :func:`main_content` for the
+    boilerplate-dropped variant.
     """
-    p = _TextExtractor()
-    p.feed(html)
-    p.close()
-    paragraphs: list[str] = []
-    cur: list[str] = []
-    for part in p.parts:
-        if part == "\n":
-            joined = _WS.sub(" ", " ".join(cur)).strip()
-            if joined:
-                paragraphs.append(joined)
-            cur = []
-        else:
-            cur.append(part)
-    joined = _WS.sub(" ", " ".join(cur)).strip()
-    if joined:
-        paragraphs.append(joined)
-    title = _WS.sub(" ", " ".join(p.title_parts)).strip() or None
+    doc = extract_html_blocks(html)
     return {
-        "title": title,
-        "text": "\n".join(paragraphs),
-        "n_links": p.n_links,
+        "title": doc["title"],
+        "text": "\n".join(b["text"] for b in doc["blocks"]),
+        "n_links": doc["n_links"],
     }
 
 

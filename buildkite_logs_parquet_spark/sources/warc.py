@@ -176,7 +176,7 @@ def read_warc_wet(spark: SparkSession, path: str) -> DataFrame:
 HTML_SCHEMA = (
     "file string, record_idx int, target_uri string, warc_date string, "
     "http_status int, content_type string, title string, text string, "
-    "n_links int, error string"
+    "main_text string, n_links int, error string"
 )
 
 
@@ -190,19 +190,22 @@ def read_warc_html(spark: SparkSession, path: str) -> DataFrame:
     gzip file, Arrow-batched executor-side parse, quarantine rows on
     framing damage).  Non-``response`` records and non-HTML content
     types are skipped; chunked transfer-encoding and charset handling
-    live in ``functions/html_text.py``.
+    live in ``functions/html_text.py``.  ``text`` keeps every block;
+    ``main_text`` drops boilerplate (short and/or link-saturated blocks
+    per the jusText-style density rule in ``main_content``).
     """
     import pandas as pd
 
     from buildkite_logs_parquet_spark.functions.html_text import (
-        extract_html_text,
+        extract_html_blocks,
+        main_content,
         parse_http_response,
     )
 
     binary = spark.read.format("binaryFile").load(path)
     cols = [
         "file", "record_idx", "target_uri", "warc_date", "http_status",
-        "content_type", "title", "text", "n_links", "error",
+        "content_type", "title", "text", "main_text", "n_links", "error",
     ]
 
     def blank(fname, idx, **kw):
@@ -230,7 +233,7 @@ def read_warc_html(spark: SparkSession, path: str) -> DataFrame:
                         if ctype and "html" not in ctype:
                             idx += 1
                             continue
-                        doc = extract_html_text(http["body"])
+                        doc = extract_html_blocks(http["body"])
                         out.append(
                             blank(
                                 fname,
@@ -240,7 +243,10 @@ def read_warc_html(spark: SparkSession, path: str) -> DataFrame:
                                 http_status=http["status"],
                                 content_type=http["content_type"],
                                 title=doc["title"],
-                                text=doc["text"],
+                                text="\n".join(
+                                    b["text"] for b in doc["blocks"]
+                                ),
+                                main_text=main_content(doc["blocks"]),
                                 n_links=doc["n_links"],
                             )
                         )

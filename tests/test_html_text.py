@@ -81,3 +81,58 @@ def test_parse_http_response_unknown_charset_falls_back():
         b"ok"
     )
     assert parse_http_response(payload)["body"] == "ok"
+
+
+def test_blocks_link_density_and_main_content():
+    from buildkite_logs_parquet_spark.functions.html_text import (
+        extract_html_blocks,
+        main_content,
+    )
+
+    html = (
+        "<body>"
+        "<nav><a href='/a'>Home</a> <a href='/b'>About</a> "
+        "<a href='/c'>Contact</a></nav>"
+        "<p>This is a real paragraph of prose with plenty of words and "
+        "just one <a href='/ref'>reference</a> inside it.</p>"
+        "<div><a href='/t1'>tag</a> <a href='/t2'>cloud</a></div>"
+        "<footer>© example</footer>"
+        "</body>"
+    )
+    doc = extract_html_blocks(html)
+    by_text = {b["text"]: b for b in doc["blocks"]}
+    nav = by_text["Home About Contact"]
+    assert nav["link_density"] > 0.9
+    prose = next(b for b in doc["blocks"] if "real paragraph" in b["text"])
+    assert prose["link_density"] < 0.2
+    assert prose["n_words"] > 10
+
+    main = main_content(doc["blocks"])
+    assert "real paragraph" in main
+    assert "Home About" not in main  # link-saturated nav dropped
+    assert "tag cloud" not in main
+    assert "© example" not in main  # too short
+
+
+def test_main_text_flows_through_warc_reader(spark, tmp_path):
+    from buildkite_logs_parquet_spark.sources.warc import read_warc_html
+
+    html = (
+        "<title>T</title><nav><a href='/a'>x</a> <a href='/b'>y</a></nav>"
+        "<p>genuine article content with a good number of words here</p>"
+    )
+    body = html.encode()
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    )
+    rec = (
+        f"WARC/1.0\r\nWARC-Type: response\r\n"
+        f"WARC-Target-URI: http://m.example/\r\n"
+        f"Content-Length: {len(http)}\r\n"
+    ).encode() + b"\r\n" + http + b"\r\n\r\n"
+    (tmp_path / "m.warc").write_bytes(rec)
+    row = read_warc_html(spark, str(tmp_path)).first()
+    assert "x y" in row["text"]  # full text keeps the nav
+    assert row["main_text"] == (
+        "genuine article content with a good number of words here"
+    )
