@@ -180,20 +180,10 @@ HTML_SCHEMA = (
 )
 
 
-def read_warc_html(spark: SparkSession, path: str) -> DataFrame:
-    """Read RAW crawl WARCs (``response`` records: HTTP envelope + HTML
-    body) into one extracted-text row per page — the step WET files
-    have already had applied, done here natively so the pipeline can
-    start from an actual crawl instead of someone else's extraction.
-
-    Same distribution contract as :func:`read_warc_wet` (one task per
-    gzip file, Arrow-batched executor-side parse, quarantine rows on
-    framing damage).  Non-``response`` records and non-HTML content
-    types are skipped; chunked transfer-encoding and charset handling
-    live in ``functions/html_text.py``.  ``text`` keeps every block;
-    ``main_text`` drops boilerplate (short and/or link-saturated blocks
-    per the jusText-style density rule in ``main_content``).
-    """
+def _html_rows(binary: DataFrame) -> DataFrame:
+    """The shared extraction stage: (path, content) rows → HTML_SCHEMA
+    rows; works identically on a batch ``binaryFile`` scan and a
+    streaming one (``follow_warc_dir``)."""
     import pandas as pd
 
     from buildkite_logs_parquet_spark.functions.html_text import (
@@ -202,7 +192,6 @@ def read_warc_html(spark: SparkSession, path: str) -> DataFrame:
         parse_http_response,
     )
 
-    binary = spark.read.format("binaryFile").load(path)
     cols = [
         "file", "record_idx", "target_uri", "warc_date", "http_status",
         "content_type", "title", "text", "main_text", "n_links", "error",
@@ -256,3 +245,53 @@ def read_warc_html(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(out, columns=cols)
 
     return binary.select("path", "content").mapInPandas(parse, HTML_SCHEMA)
+
+
+def read_warc_html(spark: SparkSession, path: str) -> DataFrame:
+    """Read RAW crawl WARCs (``response`` records: HTTP envelope + HTML
+    body) into one extracted-text row per page — the step WET files
+    have already had applied, done here natively so the pipeline can
+    start from an actual crawl instead of someone else's extraction.
+
+    Same distribution contract as :func:`read_warc_wet` (one task per
+    gzip file, Arrow-batched executor-side parse, quarantine rows on
+    framing damage).  Non-``response`` records and non-HTML content
+    types are skipped; chunked transfer-encoding and charset handling
+    live in ``functions/html_text.py``.  ``text`` keeps every block;
+    ``main_text`` drops boilerplate (short and/or link-saturated blocks
+    per the jusText-style density rule in ``main_content``).
+    """
+    return _html_rows(spark.read.format("binaryFile").load(path))
+
+
+def follow_warc_dir(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """STREAMING raw-crawl intake: the same extraction as
+    :func:`read_warc_html` over WARC files AS THEY LAND in a directory
+    (Structured Streaming ``binaryFile`` source — each micro-batch picks
+    up newly arrived files, at most ``max_files_per_trigger`` per
+    trigger so one giant drop cannot stall a trigger interval).
+
+    Returns a streaming DataFrame in ``HTML_SCHEMA``; compose with the
+    existing sinks — ``streaming.follow.stream_to_lake`` for a document
+    lake, ``stream_append_dedup_against_lake`` for arrival-time dedup,
+    ``stream_sketch_state`` to keep the ingest profiled — exactly like
+    the log-tail sources.  Quarantine rows flow in-stream (``error IS
+    NOT NULL``), so damaged files surface in the lake, not in a dead
+    executor.
+    """
+    binary = (
+        spark.readStream.format("binaryFile")
+        # streaming sources need the schema up front — binaryFile's is
+        # fixed by the format
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("maxFilesPerTrigger", int(max_files_per_trigger))
+        .load(path)
+    )
+    return _html_rows(binary)

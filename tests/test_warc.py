@@ -186,3 +186,62 @@ def test_read_warc_zstd_compressed(spark, tmp_path):
     (tmp_path / "broken.warc.zst").write_bytes(comp[:8] + b"\x00garbage")
     q = read_warc_wet(spark, str(tmp_path)).collect()
     assert len(q) == 1 and q[0]["error"] is not None
+
+
+def test_follow_warc_dir_streams_arrivals(spark, tmp_path):
+    """Streaming raw-crawl intake: files dropped into the directory come
+    out as extracted-text rows through the SAME stage as the batch
+    reader, micro-batch by micro-batch."""
+    src = tmp_path / "landing"
+    src.mkdir()
+    (src / "a.warc").write_bytes(
+        _response_record(
+            "http://s1.example/",
+            "<title>S1</title><p>first streamed page with words</p>",
+        )
+    )
+    (src / "b.warc").write_bytes(
+        _response_record(
+            "http://s2.example/",
+            "<title>S2</title><p>second streamed page with words</p>",
+        )
+    )
+
+    from buildkite_logs_parquet_spark.sources.warc import follow_warc_dir
+
+    stream = follow_warc_dir(spark, str(src), max_files_per_trigger=1)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(tmp_path / "lake"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["target_uri"]: r
+        for r in spark.read.parquet(str(tmp_path / "lake")).collect()
+    }
+    assert set(rows) == {"http://s1.example/", "http://s2.example/"}
+    assert rows["http://s1.example/"]["title"] == "S1"
+    assert "first streamed page" in rows["http://s1.example/"]["main_text"]
+
+    # restart with a NEW file: only the arrival is processed (offsets)
+    (src / "c.warc").write_bytes(
+        _response_record(
+            "http://s3.example/",
+            "<title>S3</title><p>late arrival page with words</p>",
+        )
+    )
+    q2 = (
+        follow_warc_dir(spark, str(src))
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "lake"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    lake = spark.read.parquet(str(tmp_path / "lake"))
+    assert lake.count() == 3  # no reprocessing of a/b
