@@ -102,7 +102,13 @@ def _extra_ops():
         ids = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
             F.col("vec_id").alias("media_id"), (F.col("vec_id") % 64).alias("k")
         )
-        media = ids.join(F.broadcast(pal), "k").select("media_id", "payload")
+        # embeddings is a single small partition: spread the decode
+        # stage across cores (extract_features' "repartition upstream")
+        media = (
+            ids.join(F.broadcast(pal), "k")
+            .select("media_id", "payload")
+            .repartition(32)
+        )
         return M.extract_features(media, decode=M.real_decode)
 
     def salted_neardup_bench(spark, sf_dir):
@@ -542,8 +548,10 @@ def _extra_ops():
             F.col("vec_id").alias("media_id"),
             (F.col("vec_id") % 24).alias("k"),
         )
-        media = ids.join(F.broadcast(pal_df), "k").select(
-            "media_id", "payload"
+        media = (
+            ids.join(F.broadcast(pal_df), "k")
+            .select("media_id", "payload")
+            .repartition(32)
         )
         return M.video_frames(media, every_nth=3)
 
