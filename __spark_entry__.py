@@ -32,6 +32,7 @@ from buildkite_logs_parquet_spark.operators import classifier as CL
 from buildkite_logs_parquet_spark.operators import curation as CU
 from buildkite_logs_parquet_spark.operators import dedup as D
 from buildkite_logs_parquet_spark.operators import graph as G
+from buildkite_logs_parquet_spark.operators import normalize as NM
 from buildkite_logs_parquet_spark.operators import packing as PK
 from buildkite_logs_parquet_spark.operators import quantization as QZ
 from buildkite_logs_parquet_spark.operators import queries as Q
@@ -47,6 +48,13 @@ from buildkite_logs_parquet_spark.operators.ingest import (
 # --------------------------------------------------------------------------
 # synthetic log lines: portable SQL, identical text in Spark SQL and DuckDB
 # --------------------------------------------------------------------------
+
+# Non-ASCII probe appended to each doc before the normalization digest
+# legs on pii_scrub: decomposed e+acute (NFC composes), fi ligature
+# (NFC keeps, accents keep), mojibake-shaped Ã© (passes through both),
+# Hangul syllable (NFD is algorithmic — recomposition parity).  Embedded
+# verbatim in both the Spark literal and the DuckDB SQL text.
+NORM_PROBE = " café ﬁ Ã© 한"
 
 LINES_SQL = """
 SELECT
@@ -1227,7 +1235,15 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Round-4 union-tag: the C4-style blocklist audit
     (curation.blocklist_filter, word mode — literal term filter BEFORE
-    the per-doc count) rides the same row as two more columns."""
+    the per-doc count) rides the same row as two more columns.
+
+    Round-5 columns: Unicode normalization (operators/normalize.py) —
+    each doc's text augmented with a fixed non-ASCII probe (decomposed
+    e+acute, fi ligature, mojibake-ish Ã©, Hangul) so the NFC compose
+    and accent-fold paths do real work even on an ASCII corpus, then
+    md5-digested; the oracle replays both through DuckDB's utf8proc
+    (`nfc_normalize`, `strip_accents`), pinning cross-library Unicode
+    parity in the gate."""
     docs = _t(spark, sf_dir, "documents")
     scr = CU.pii_scrub(docs, "text").select(
         "doc_id", "n_email", "n_ipv4", "n_phone", "scrubbed"
@@ -1235,7 +1251,13 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     bl = CU.blocklist_filter(
         docs, "doc_id", "text", ["merge", "query", "spark"]
     ).select("doc_id", "n_blocklist_hits", "blocked")
-    return scr.join(bl, on="doc_id")
+    aug = F.concat(F.col("text"), F.lit(NORM_PROBE))
+    nrm = docs.select(
+        "doc_id",
+        F.md5(NM.unicode_normalize_col(aug, "NFC")).alias("nfc_digest"),
+        F.md5(NM.strip_accents_col(aug)).alias("folded_digest"),
+    )
+    return scr.join(bl, on="doc_id").join(nrm, on="doc_id")
 
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3524,13 +3546,26 @@ bl AS (
   )
   WHERE t IN ('merge', 'query', 'spark')
   GROUP BY doc_id
+),
+nrm AS (
+  SELECT doc_id,
+         md5(nfc_normalize(text || '"""
+        + NORM_PROBE
+        + """')) AS nfc_digest,
+         md5(strip_accents(text || '"""
+        + NORM_PROBE
+        + """')) AS folded_digest
+  FROM documents
 )
 """
         + f"""
 SELECT p.doc_id AS doc_id, {', '.join(_cnt_cols)}, cur AS scrubbed,
        coalesce(bl.n_blocklist_hits, 0) AS n_blocklist_hits,
-       coalesce(bl.n_blocklist_hits, 0) > 0 AS blocked
-FROM {_prev} p LEFT JOIN bl ON p.doc_id = bl.doc_id"""
+       coalesce(bl.n_blocklist_hits, 0) > 0 AS blocked,
+       nrm.nfc_digest AS nfc_digest, nrm.folded_digest AS folded_digest
+FROM {_prev} p
+LEFT JOIN bl ON p.doc_id = bl.doc_id
+JOIN nrm ON p.doc_id = nrm.doc_id"""
     )
 
     # end-to-end pipeline: gopher pass → fingerprint dedup (keep min id)

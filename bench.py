@@ -698,7 +698,23 @@ def _extra_ops():
             n_out=100,
         )
 
+    def text_normalize_bench(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from buildkite_logs_parquet_spark.operators.normalize import (
+            normalize_text,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # the full curation pass (mojibake repair + control strip + NFKC
+        # + whitespace collapse), digested so every normalized byte is
+        # materialized
+        return normalize_text(docs, "text", form="NFKC").select(
+            "doc_id", F.md5(F.col("norm_text")).alias("digest")
+        )
+
     return {
+        "x_text_normalize": text_normalize_bench,
         "x_lttb_downsample": lttb_bench,
         "x_warc_ingest": warc_ingest,
         "x_html_extract": html_extract_bench,
