@@ -93,6 +93,16 @@ def real_decode(payload: bytes) -> dict:
         n_frames = info["n_frames"]
     else:
         img = decode_image(raw)
+    return _pixel_features(img, n_frames)
+
+
+def _pixel_features(img, n_frames: int = 1) -> dict:
+    """Shared pixel→features step: 8-dim vector (channel means, spread,
+    extremes, aspect) from an HxWxC uint8 array — identical whichever
+    codec produced the pixels, so native and external decodes of the
+    same image embed identically."""
+    import numpy as np
+
     h, w, ch = img.shape
     px = img.astype("float64")
     gray = px[:, :, :3].mean() if ch >= 3 else px[:, :, 0].mean()
@@ -126,8 +136,76 @@ def strict_decode(payload: bytes) -> dict:
     raise NotImplementedError(
         "media decoding beyond the native codec set requires libraries "
         "not present in this environment; pass decode=real_decode, "
-        "decode=fake_decode, or your own callable"
+        "decode=fake_decode, decode=auto_decode, or your own callable"
     )
+
+
+# ---------------------------------------------- executor-side dependency
+# policy for compressed formats beyond the native codecs
+#
+# The native decoders (stdlib+numpy) are hermetic and version-pinned by
+# the repo itself — they are the DEFAULT because a codec bump must never
+# silently change features mid-corpus.  For formats outside the native
+# set (WebP, HEIC, MP3/Ogg audio, inter-frame video) the supported
+# deployment is an executor-side optional dependency, probed at runtime
+# ON the executor (never the driver — driver-side probing lies on
+# heterogeneous clusters):
+#
+# * images → Pillow (``pip install Pillow`` in the executor image)
+# * audio/video → left raising; wire your own callable via ``decode=``
+#
+# ``auto_decode`` implements the policy: native first (deterministic),
+# external only where native has no decoder, NotImplementedError with
+# the install hint where neither applies.  The probe result is cached
+# per executor process.
+
+_PIL_CACHE: list = []  # [module-or-None], memoized per python worker
+
+
+def _pil():
+    if not _PIL_CACHE:
+        try:
+            from PIL import Image  # type: ignore
+
+            _PIL_CACHE.append(Image)
+        except ImportError:
+            _PIL_CACHE.append(None)
+    return _PIL_CACHE[0]
+
+
+def external_image_decode(payload: bytes) -> dict:
+    """Decode through Pillow, if importable on this executor: any format
+    PIL knows (WebP, HEIC-with-plugin, TIFF…) → the same 8-dim pixel
+    feature vector as ``real_decode``.  Raises ``NotImplementedError``
+    with the dependency hint when Pillow is absent."""
+    if payload is None:
+        return {"width": None, "height": None, "n_frames": None, "feature": None}
+    Image = _pil()
+    if Image is None:
+        raise NotImplementedError(
+            "external image decode needs Pillow on the executors "
+            "(add 'Pillow' to the executor image / --py-files env)"
+        )
+    import io
+
+    import numpy as np
+
+    with Image.open(io.BytesIO(bytes(payload))) as im:
+        n_frames = int(getattr(im, "n_frames", 1))
+        rgb = im.convert("RGB")
+        arr = np.asarray(rgb, dtype="uint8")
+    return _pixel_features(arr, n_frames)
+
+
+def auto_decode(payload: bytes) -> dict:
+    """The policy decoder: native codecs first; for formats the native
+    set can't parse, the optional executor-side library; otherwise the
+    dependency-hint error.  Use as ``decode=auto_decode`` when the
+    corpus mixes native-decodable and exotic formats."""
+    try:
+        return real_decode(payload)
+    except NotImplementedError:
+        return external_image_decode(payload)
 
 
 def attach_media_meta(

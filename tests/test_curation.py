@@ -885,3 +885,57 @@ class TestRobotsFilter:
             .toString()
         )
         assert "ResolvedHint" not in plan
+
+
+class TestCompressionRatio:
+    def _df(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_repetitive_text_compresses_harder(self, spark):
+        from buildkite_logs_parquet_spark.operators.curation import (
+            compression_ratio,
+        )
+
+        import random
+
+        rng = random.Random(7)
+        natural = " ".join(
+            "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(6))
+            for _ in range(200)
+        )
+        spammy = "buy now click here " * 60
+        rows = {
+            r["doc_id"]: r["compress_ratio"]
+            for r in compression_ratio(
+                self._df(spark, [natural, spammy]), "doc_id"
+            ).collect()
+        }
+        assert rows[1] < rows[0]  # repetition compresses much harder
+        assert rows[1] < 0.1 and 0.3 < rows[0] <= 1.1
+
+    def test_empty_and_null_are_null(self, spark):
+        from buildkite_logs_parquet_spark.operators.curation import (
+            compression_ratio,
+        )
+
+        df = spark.createDataFrame(
+            [(0, ""), (1, None)], "doc_id long, text string"
+        )
+        rows = compression_ratio(df, "doc_id").collect()
+        assert all(r["compress_ratio"] is None for r in rows)
+
+    def test_deterministic_across_layout(self, spark):
+        from buildkite_logs_parquet_spark.operators.curation import (
+            compression_ratio,
+        )
+
+        texts = [f"doc {i} " + "pad " * (i % 17) for i in range(40)]
+        a = compression_ratio(self._df(spark, texts), "doc_id")
+        b = compression_ratio(
+            self._df(spark, texts).repartition(7), "doc_id"
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )

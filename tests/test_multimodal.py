@@ -501,3 +501,71 @@ class TestPerceptualHash:
         assert _dhash64(inc) == 0
         dec = inc[:, ::-1]
         assert _dhash64(dec) == -1  # all 64 bits set, two's complement
+
+
+class TestDecoderDependencyPolicy:
+    """auto_decode: native codecs first, optional executor-side Pillow
+    for formats outside the native set, dependency-hint error otherwise."""
+
+    def _png(self):
+        import numpy as np
+
+        from buildkite_logs_parquet_spark.functions.image_codec import (
+            encode_png,
+        )
+
+        img = np.zeros((4, 6, 3), dtype="uint8")
+        img[:, :, 0] = 200
+        return encode_png(img), img
+
+    def test_native_formats_bypass_external(self):
+        from buildkite_logs_parquet_spark.operators import multimodal as M
+
+        payload, _ = self._png()
+        assert M.auto_decode(payload) == M.real_decode(payload)
+
+    def test_exotic_format_without_pil_raises_hint(self, monkeypatch):
+        from buildkite_logs_parquet_spark.operators import multimodal as M
+
+        monkeypatch.setattr(M, "_PIL_CACHE", [])
+        webp = b"RIFF\x00\x00\x00\x00WEBPVP8 "
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            M.auto_decode(webp)
+
+    def test_exotic_format_routes_to_injected_pil(self, monkeypatch):
+        import numpy as np
+
+        from buildkite_logs_parquet_spark.operators import multimodal as M
+
+        arr = np.full((4, 6, 3), 100, dtype="uint8")
+
+        class FakeImage:
+            n_frames = 3
+
+            def convert(self, mode):
+                assert mode == "RGB"
+                return arr
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        class FakeImageModule:
+            @staticmethod
+            def open(fh):
+                return FakeImage()
+
+        monkeypatch.setattr(M, "_PIL_CACHE", [FakeImageModule])
+        got = M.auto_decode(b"RIFF....WEBPVP8 ")
+        assert (got["width"], got["height"], got["n_frames"]) == (6, 4, 3)
+        # same feature pipeline as the native path: identical pixels ⇒
+        # identical embedding regardless of which codec produced them
+        want = M._pixel_features(arr, 3)
+        assert got == want
+
+    def test_none_payload_is_null_row(self):
+        from buildkite_logs_parquet_spark.operators import multimodal as M
+
+        assert M.external_image_decode(None)["feature"] is None
