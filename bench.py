@@ -780,7 +780,18 @@ def main() -> None:
                     )
     except Exception:  # no history yet — guard simply stays off
         hist_best = {}
+    # keys whose registered workload intentionally GREW (new union-tag
+    # legs riding the same row): the trailing-min guard would misread the
+    # one-time jump as a burst until the trend log accumulates 5
+    # post-change entries.  List them here with the cause; prune entries
+    # once the history window has caught up.
+    workload_grew = {
+        "dsir_weights": "quality-classifier GD legs (ae33fc6)",
+        "url_domain_stats": "robots compliance legs (9376216)",
+        "pii_scrub": "unicode normalization digests (5186bef)",
+    }
     burst_suspects: list[str] = []
+    workload_changed: list[str] = []
     timings: dict[str, object] = {}
     errors: dict[str, str] = {}
     total = 0.0
@@ -814,6 +825,11 @@ def main() -> None:
             print(f"bench: {name} FAILED: {msg[:200]}", file=sys.stderr)
             continue
         ref = hist_best.get(name)
+        if name in workload_grew and ref is not None and best > 2.0 * ref:
+            # known intentional growth — don't burn extra samples, don't
+            # cry burst; record separately so the artifact stays honest
+            workload_changed.append(name)
+            ref = None
         extra = 0
         while ref is not None and best > 2.0 * ref and extra < 2:
             t0 = time.monotonic()
@@ -842,6 +858,7 @@ def main() -> None:
         "n_errors": len(errors),
         "measured_queries": len(bench_names) - len(errors),
         "burst_suspects": burst_suspects,
+        "workload_changed": workload_changed,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(result))
