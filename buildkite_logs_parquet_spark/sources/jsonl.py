@@ -24,6 +24,50 @@ from pyspark.sql.types import StringType, StructField, StructType
 CORRUPT_COL = "_corrupt_record"
 
 
+def _zst_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Line scan for ``.jsonl.zst`` dumps (the Pile/Dolma wire format —
+    Hadoop's text source has no pure-Java zstd codec, so ``spark.read.
+    text`` cannot serve these).  Same distribution model as the WARC
+    source: ``binaryFile`` scan (one task per compressed file — the
+    natural parallelism unit for whole-stream compression) + pyarrow
+    streaming decompress executor-side, Arrow-batched.  A file whose
+    container is damaged quarantines as ONE tagged row instead of
+    killing the scan (quarantine-don't-abort, scanner.go:55-58 policy).
+
+    Output: ``(value string, bad string)`` — ``bad`` is null for real
+    lines and carries ``<path>: <error>`` for undecompressable files.
+    """
+    from collections.abc import Iterator
+
+    binary = spark.read.format("binaryFile").load(path)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from buildkite_logs_parquet_spark.sources.warc import _decompress
+
+        for pdf in batches:
+            vals: list[str | None] = []
+            bads: list[str | None] = []
+            for fpath, raw in zip(pdf["path"], pdf["content"]):
+                try:
+                    data = _decompress(str(fpath), bytes(raw))
+                except OSError as e:
+                    vals.append(None)
+                    bads.append(f"{fpath}: {e}")
+                    continue
+                for ln in data.decode("utf-8", errors="replace").split("\n"):
+                    ln = ln.rstrip("\r")
+                    if ln.strip():
+                        vals.append(ln)
+                        bads.append(None)
+            yield pd.DataFrame({"value": vals, "bad": bads})
+
+    return binary.select("path", "content").mapInPandas(
+        run, schema="value string, bad string"
+    )
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,
@@ -46,15 +90,39 @@ def read_jsonl(
     ``spark.read.json`` scan cannot serve the quarantine side: Spark
     rejects plans whose only referenced column is the internal corrupt
     record, and the documented cache() workaround pins the whole corpus.)
+
+    Compression: plain and ``.jsonl.gz`` ride the text scan directly
+    (Hadoop's gzip codec is pure-Java); ``.jsonl.zst`` paths route
+    through the ``binaryFile``+pyarrow scan (``_zst_lines``) — damaged
+    zstd containers surface in the quarantine as one ``<path>: zstd:…``
+    row rather than aborting the batch.
     """
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
     if not isinstance(schema, StructType):
         raise TypeError(f"schema must be a struct, got {schema}")
+    if str(path).endswith(".zst"):
+        raw_lines = _zst_lines(spark, path)
+        file_quar = raw_lines.where(F.col("bad").isNotNull()).select(
+            F.col("bad").alias("raw")
+        )
+        lines = raw_lines.where(F.col("bad").isNull()).select("value")
+    else:
+        file_quar = None
+        lines = spark.read.text(path).where(F.length(F.trim("value")) > 0)
+    good, quarantine = _split_parsed(lines, schema)
+    if file_quar is not None:
+        quarantine = quarantine.unionByName(file_quar)
+    return good, quarantine
+
+
+def _split_parsed(
+    lines: DataFrame, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Shared parse stage: ``value`` lines → (good, quarantine)."""
     full = StructType(
         list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)]
     )
-    lines = spark.read.text(path).where(F.length(F.trim("value")) > 0)
     parsed = lines.select(
         F.col("value"),
         F.from_json(
@@ -96,24 +164,8 @@ def stream_jsonl(
         schema = StructType.fromDDL(schema)
     if not isinstance(schema, StructType):
         raise TypeError(f"schema must be a struct, got {schema}")
-    full = StructType(
-        list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)]
-    )
     reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     lines = reader.text(path).where(F.length(F.trim("value")) > 0)
-    parsed = lines.select(
-        F.col("value"),
-        F.from_json(
-            F.col("value"),
-            full,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
-        ).alias("_j"),
-    )
-    ok = F.col(f"_j.{CORRUPT_COL}").isNull()
-    good = parsed.where(ok).select(
-        *[F.col(f"_j.{f.name}").alias(f.name) for f in schema.fields]
-    )
-    quarantine = parsed.where(~ok).select(F.col("value").alias("raw"))
-    return good, quarantine
+    return _split_parsed(lines, schema)

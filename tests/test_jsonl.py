@@ -94,3 +94,62 @@ def test_stream_jsonl_good_and_quarantine(spark, tmp_path):
     assert got == [(1, "hello"), (2, "welt")]
     bad = [r["raw"] for r in spark.read.parquet(q_out).collect()]
     assert bad == ["broken line"]
+
+
+def _zst_bytes(text: str) -> bytes:
+    import pyarrow as pa
+
+    buf = pa.BufferOutputStream()
+    with pa.output_stream(buf, compression="zstd") as z:
+        z.write(text.encode("utf-8"))
+    return buf.getvalue().to_pybytes()
+
+
+def test_read_jsonl_gz(spark, tmp_path):
+    import gzip
+
+    from buildkite_logs_parquet_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "d.jsonl.gz"
+    with gzip.open(p, "wt") as f:
+        f.write('{"doc_id": 1, "text": "a"}\n{"doc_id": 2, "text": "b"}\n')
+    good, quar = read_jsonl(spark, str(p), "doc_id long, text string")
+    assert sorted((r["doc_id"], r["text"]) for r in good.collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    assert quar.count() == 0
+
+
+def test_read_jsonl_zst(spark, tmp_path):
+    from buildkite_logs_parquet_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "d.jsonl.zst"
+    p.write_bytes(
+        _zst_bytes(
+            '{"doc_id": 1, "text": "a"}\r\n'
+            "broken\n"
+            '{"doc_id": 2, "text": "b"}\n'
+        )
+    )
+    good, quar = read_jsonl(spark, str(p), "doc_id long, text string")
+    assert sorted((r["doc_id"], r["text"]) for r in good.collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    assert [r["raw"] for r in quar.collect()] == ["broken"]
+
+
+def test_read_jsonl_zst_corrupt_container_quarantines_file(spark, tmp_path):
+    from buildkite_logs_parquet_spark.sources.jsonl import read_jsonl
+
+    okf = tmp_path / "ok.jsonl.zst"
+    okf.write_bytes(_zst_bytes('{"doc_id": 3, "text": "c"}\n'))
+    bad = tmp_path / "bad.jsonl.zst"
+    bad.write_bytes(b"\x28\xb5\x2f\xfd" + b"\x00garbage-truncated")
+    good, quar = read_jsonl(
+        spark, str(tmp_path) + "/*.jsonl.zst", "doc_id long, text string"
+    )
+    assert [(r["doc_id"], r["text"]) for r in good.collect()] == [(3, "c")]
+    q = [r["raw"] for r in quar.collect()]
+    assert len(q) == 1 and "bad.jsonl.zst" in q[0] and "zstd" in q[0].lower()
