@@ -233,3 +233,30 @@ def encode_wav_ima_adpcm(
     if len(blocks) & 1:
         out += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WAVE" + out
+
+
+def decode_audio(data: bytes) -> tuple[int, np.ndarray]:
+    """Format-sniffing audio decode — the single entry the multimodal
+    stage calls: RIFF/WAVE → ``decode_wav`` (PCM / IMA ADPCM), ``fLaC``
+    → ``flac_codec.decode_flac`` (the archival format speech corpora
+    actually ship).  Returns ``(sample_rate, samples int16 (n, ch))``;
+    FLAC depths ≠ 16 are rescaled to the int16 grid (feature extraction
+    is scale-normalized anyway).  Unknown magics raise ValueError — the
+    caller's quarantine seam."""
+    raw = bytes(data)
+    if raw[:4] == b"fLaC":
+        from buildkite_logs_parquet_spark.functions.flac_codec import (
+            _read_streaminfo,
+            decode_flac,
+        )
+
+        bps = _read_streaminfo(raw)[0]["bits_per_sample"]
+        sr, arr = decode_flac(raw)
+        if bps > 16:
+            arr = arr >> (bps - 16)
+        elif bps < 16:
+            arr = arr << (16 - bps)
+        return sr, arr.astype(np.int16)
+    if raw[:4] == b"RIFF":
+        return decode_wav(raw)
+    raise ValueError("unsupported audio container (WAV and FLAC decode natively)")

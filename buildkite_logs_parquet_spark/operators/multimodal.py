@@ -73,7 +73,7 @@ def real_decode(payload: bytes) -> dict:
     from ACTUAL pixels (channel means, spread, extremes, aspect), so
     identical images embed identically and ``semantic_dedup`` downstream
     finds true visual duplicates.  Formats that still need external
-    codec libraries (WebP, inter-frame video, MP3/FLAC/Ogg audio…)
+    codec libraries (WebP, inter-frame video, MP3/Ogg audio…)
     raise ``NotImplementedError`` — that seam is ``strict_decode``'s
     contract.
     """
@@ -130,8 +130,8 @@ def _pixel_features(img, n_frames: int = 1) -> dict:
 
 def strict_decode(payload: bytes) -> dict:
     """The hard codec seam: formats beyond the native set
-    (PNG/JPEG/GIF/PPM images, Y4M/MJPEG-AVI video, PCM/ADPCM WAV audio)
-    — WebP, inter-frame video codecs, MP3/FLAC/Ogg — need libraries not
+    (PNG/JPEG/GIF/PPM images, Y4M/MJPEG-AVI video, WAV/FLAC audio)
+    — WebP, inter-frame video codecs, MP3/Ogg — need libraries not
     present in this environment."""
     raise NotImplementedError(
         "media decoding beyond the native codec set requires libraries "
@@ -326,9 +326,9 @@ def audio_features(
     payload_col: str = "payload",
     round_to: int = 6,
 ) -> DataFrame:
-    """REAL audio decode + per-clip signal features over WAV payloads (PCM or IMA ADPCM)
-    (``functions/audio_codec.decode_wav`` — pure stdlib, the audio twin
-    of the PNG/PPM image path): sample rate, channel/sample counts,
+    """REAL audio decode + per-clip signal features over WAV (PCM or IMA
+    ADPCM) and FLAC payloads (``functions/audio_codec.decode_audio`` —
+    pure stdlib format sniff, the audio twin of the PNG/PPM image path): sample rate, channel/sample counts,
     duration, RMS level and zero-crossing rate of the first channel.
 
     Undecodable payloads quarantine as NULL-feature rows (``decode_ok``
@@ -344,7 +344,7 @@ def audio_features(
         import pandas as pd
 
         from buildkite_logs_parquet_spark.functions.audio_codec import (
-            decode_wav,
+            decode_audio,
         )
 
         for pdf in batches:
@@ -361,7 +361,7 @@ def audio_features(
                     "zero_crossing_rate": None,
                 }
                 try:
-                    sr, samples = decode_wav(bytes(payload))
+                    sr, samples = decode_audio(bytes(payload))
                     mono = samples[:, 0].astype(np.float64) / 32768.0
                     n = len(mono)
                     zc = (
@@ -416,14 +416,14 @@ def audio_frame_windows(
         import pandas as pd
 
         from buildkite_logs_parquet_spark.functions.audio_codec import (
-            decode_wav,
+            decode_audio,
         )
 
         for pdf in batches:
             ids, idxs, starts, rmss = [], [], [], []
             for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    sr, samples = decode_wav(bytes(payload))
+                    sr, samples = decode_audio(bytes(payload))
                 except Exception:
                     continue
                 mono = samples[:, 0].astype(np.float64) / 32768.0
