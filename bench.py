@@ -111,6 +111,47 @@ def _extra_ops():
         )
         return M.extract_features(media, decode=M.real_decode)
 
+    _flac_fixture: dict = {}
+
+    def flac_ingest_bench(spark, sf_dir):
+        """Audio FLAC ingest throughput: ~32 distinct half-second 16 kHz
+        clips (driver-encoded ONCE per process with fixed-predictor Rice
+        residuals — the encode is the fixture, not the measured path, so
+        it is cached across the min-of-N runs) replicated across the
+        embeddings ids and decoded through audio_features' Arrow-batched
+        stage — the honest per-clip Python codec cost."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from buildkite_logs_parquet_spark.functions.flac_codec import (
+            encode_flac,
+        )
+        from buildkite_logs_parquet_spark.operators import multimodal as M
+
+        if "payloads" not in _flac_fixture:
+            rng = np.random.default_rng(9)
+            payloads = []
+            for j in range(32):
+                x = np.clip(
+                    np.cumsum(rng.integers(-60, 61, size=8000)), -3000, 3000
+                )
+                payloads.append(
+                    (j, bytearray(encode_flac(x, 16000, subframe="fixed2")))
+                )
+            _flac_fixture["payloads"] = payloads
+        pal = spark.createDataFrame(
+            _flac_fixture["payloads"], "k long, payload binary"
+        )
+        ids = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            F.col("vec_id").alias("media_id"), (F.col("vec_id") % 32).alias("k")
+        )
+        media = (
+            ids.join(F.broadcast(pal), "k")
+            .select("media_id", "payload")
+            .repartition(32)
+        )
+        return M.audio_features(media)
+
     def salted_neardup_bench(spark, sf_dir):
         """The triangular-salted LSH band self-join (skew hatch) at the
         same configuration as the registered embedding_near_dups_lsh leg
@@ -737,6 +778,7 @@ def _extra_ops():
         "x_semantic_contamination": semantic_contamination_bench,
         "x_kmeans_fit5": kmeans_fit,
         "x_jpeg_ingest": jpeg_ingest_bench,
+        "x_flac_ingest": flac_ingest_bench,
         "x_salted_neardup": salted_neardup_bench,
         "x_drift_state": drift_state_bench,
     }

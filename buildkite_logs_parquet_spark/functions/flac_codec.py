@@ -92,19 +92,16 @@ class _Bits:
         return self.pos >= len(self.data)
 
     def read(self, n: int) -> int:
-        out = 0
-        while n > 0:
-            if self.pos >= len(self.data):
-                raise ValueError("FLAC: truncated stream")
-            avail = 8 - self.bit
-            take = min(n, avail)
-            byte = self.data[self.pos]
-            out = (out << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
-            self.bit += take
-            n -= take
-            if self.bit == 8:
-                self.bit = 0
-                self.pos += 1
+        # one slice + big-int conversion per call (decode hot path)
+        nbytes = (self.bit + n + 7) >> 3
+        chunk = self.data[self.pos : self.pos + nbytes]
+        if len(chunk) < nbytes:
+            raise ValueError("FLAC: truncated stream")
+        shift = (nbytes << 3) - self.bit - n
+        out = (int.from_bytes(chunk, "big") >> shift) & ((1 << n) - 1)
+        nb = self.bit + n
+        self.pos += nb >> 3
+        self.bit = nb & 7
         return out
 
     def read_signed(self, n: int) -> int:
@@ -112,10 +109,24 @@ class _Bits:
         return v - (1 << n) if v >= (1 << (n - 1)) else v
 
     def read_unary(self) -> int:
+        # scan whole bytes for the terminating 1-bit instead of reading
+        # bit-by-bit (Rice quotients dominate the residual decode)
         q = 0
-        while self.read(1) == 0:
-            q += 1
-        return q
+        while True:
+            if self.pos >= len(self.data):
+                raise ValueError("FLAC: truncated stream")
+            rest = self.data[self.pos] & ((1 << (8 - self.bit)) - 1)
+            if rest == 0:
+                q += 8 - self.bit
+                self.bit = 0
+                self.pos += 1
+                continue
+            zeros = (8 - self.bit) - rest.bit_length()
+            q += zeros
+            nb = self.bit + zeros + 1
+            self.pos += nb >> 3
+            self.bit = nb & 7
+            return q
 
     def align(self) -> None:
         if self.bit:
