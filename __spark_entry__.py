@@ -1243,10 +1243,24 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     and accent-fold paths do real work even on an ASCII corpus, then
     md5-digested; the oracle replays both through DuckDB's utf8proc
     (`nfc_normalize`, `strip_accents`), pinning cross-library Unicode
-    parity in the gate."""
+    parity in the gate.
+
+    'card' legs (round 5): a Luhn-checked payment-card category — every
+    third doc gets a planted VALID 16-digit number, every third+1 an
+    invalid same-shape run; ``n_card`` counts card-shaped redactions
+    (both plants), ``n_card_valid`` the checksum survivors (valid plant
+    only).  The oracle replays the Luhn sum with DuckDB list lambdas —
+    integer-only, no float anywhere."""
     docs = _t(spark, sf_dir, "documents")
-    scr = CU.pii_scrub(docs, "text").select(
-        "doc_id", "n_email", "n_ipv4", "n_phone", "scrubbed"
+    probe = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" 4532015112830366 "))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" 4532015112830367 "))
+        .otherwise(F.lit(""))
+    )
+    planted = docs.withColumn("text", F.concat(F.col("text"), probe))
+    scr = CU.pii_scrub(planted, "text").select(
+        "doc_id", "n_email", "n_ipv4", "n_card", "n_card_valid", "n_phone",
+        "scrubbed",
     )
     bl = CU.blocklist_filter(
         docs, "doc_id", "text", ["merge", "query", "spark"]
@@ -3533,8 +3547,27 @@ FROM (
         )
         _cnt_cols.append(f"n_{_nm}")
         _prev = f"p{_i}"
+    # card probe: same planting expression as the Spark side
+    _cprobe = (
+        "text || CASE WHEN doc_id % 3 = 0 THEN ' 4532015112830366 ' "
+        "WHEN doc_id % 3 = 1 THEN ' 4532015112830367 ' ELSE '' END"
+    )
+    _luhn_cte = f"""
+luhn AS (
+  SELECT doc_id,
+         CAST(len(list_filter(
+           regexp_extract_all({_cprobe}, '{CU.CARD_PATTERN}'),
+           c -> list_sum(list_transform(range(1, length(c) + 1), i ->
+                  CASE WHEN (i - 1) % 2 = 1 THEN
+                    CASE WHEN 2 * CAST(substr(reverse(c), i, 1) AS INT) > 9
+                         THEN 2 * CAST(substr(reverse(c), i, 1) AS INT) - 9
+                         ELSE 2 * CAST(substr(reverse(c), i, 1) AS INT) END
+                  ELSE CAST(substr(reverse(c), i, 1) AS INT) END)) % 10 = 0
+         )) AS INT) AS n_card_valid
+  FROM documents
+)"""
     sql["pii_scrub"] = (
-        "WITH s0 AS (SELECT doc_id, text AS cur FROM documents),\n"
+        f"WITH s0 AS (SELECT doc_id, {_cprobe} AS cur FROM documents),\n"
         + ",\n".join(_pii_ctes)
         + """,
 bl AS (
@@ -3556,16 +3589,19 @@ nrm AS (
         + NORM_PROBE
         + """')) AS folded_digest
   FROM documents
-)
+),
 """
+        + _luhn_cte
         + f"""
 SELECT p.doc_id AS doc_id, {', '.join(_cnt_cols)}, cur AS scrubbed,
        coalesce(bl.n_blocklist_hits, 0) AS n_blocklist_hits,
        coalesce(bl.n_blocklist_hits, 0) > 0 AS blocked,
-       nrm.nfc_digest AS nfc_digest, nrm.folded_digest AS folded_digest
+       nrm.nfc_digest AS nfc_digest, nrm.folded_digest AS folded_digest,
+       luhn.n_card_valid AS n_card_valid
 FROM {_prev} p
 LEFT JOIN bl ON p.doc_id = bl.doc_id
-JOIN nrm ON p.doc_id = nrm.doc_id"""
+JOIN nrm ON p.doc_id = nrm.doc_id
+JOIN luhn ON p.doc_id = luhn.doc_id"""
     )
 
     # end-to-end pipeline: gopher pass → fingerprint dedup (keep min id)

@@ -110,24 +110,58 @@ def split_assign(
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    # card BEFORE phone: a bare 13-19-digit run also matches the
+    # phone shape, and the card category must claim it first
+    ("card", r"\b[0-9]{13,19}\b", "<CARD>"),
     ("phone", r"\+?[0-9][0-9() .-]{7,}[0-9]", "<PHONE>"),
 ]
+
+#: the card-shaped-run pattern (kept in sync with PII_PATTERNS)
+CARD_PATTERN = PII_PATTERNS[2][1]
+
+
+def luhn_valid(col: Column) -> Column:
+    """Luhn checksum over a digit string — TRUE iff the mod-10 check
+    passes (the payment-card validity test; Dolma-class PII scrubbers
+    use it to separate real card numbers from arbitrary digit runs).
+    Pure Spark expression (split → indexed transform → aggregate), no
+    UDF; the oracle restates it with DuckDB list lambdas."""
+    digits = F.split(F.reverse(col), "")
+    terms = F.transform(
+        digits,
+        lambda c, i: F.when(
+            i % 2 == 1,
+            F.when(c.cast("int") * 2 > 9, c.cast("int") * 2 - 9).otherwise(
+                c.cast("int") * 2
+            ),
+        ).otherwise(c.cast("int")),
+    )
+    return F.aggregate(terms, F.lit(0), lambda a, b: a + b) % 10 == 0
 
 
 def pii_scrub(
     df: DataFrame, text_col: str = "text", out_col: str = "scrubbed"
 ) -> DataFrame:
-    """Redact emails / IPv4s / phone-shaped numbers, keeping per-category
-    match counts for auditing.  A narrow map — each pattern is counted on
-    and then replaced in the running text, so counts reflect what was
-    actually redacted (an IP inside an already-redacted email is not
-    double-counted).  Patterns stay in the RE2 ∩ Java regex subset so the
-    same semantics run on any engine."""
+    """Redact emails / IPv4s / card-shaped runs / phone-shaped numbers,
+    keeping per-category match counts for auditing.  A narrow map — each
+    pattern is counted on and then replaced in the running text, so
+    counts reflect what was actually redacted (an IP inside an
+    already-redacted email is not double-counted).  Patterns stay in the
+    RE2 ∩ Java regex subset so the same semantics run on any engine.
+
+    ``n_card`` counts every card-SHAPED run (all are redacted — shape
+    alone is enough to scrub); ``n_card_valid`` additionally applies the
+    Luhn checksum to the original text's runs, separating real card
+    numbers from arbitrary digit sequences in the audit."""
     cur = F.col(text_col)
     out = df
     for name, pat, repl in PII_PATTERNS:
         out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)))
         cur = F.regexp_replace(cur, pat, repl)
+    cands = F.regexp_extract_all(F.col(text_col), F.lit(CARD_PATTERN), 0)
+    out = out.withColumn(
+        "n_card_valid", F.size(F.filter(cands, luhn_valid))
+    )
     return out.withColumn(out_col, cur)
 
 

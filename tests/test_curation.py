@@ -939,3 +939,26 @@ class TestCompressionRatio:
         assert sorted(map(tuple, a.collect())) == sorted(
             map(tuple, b.collect())
         )
+
+
+def test_pii_card_luhn(spark):
+    from buildkite_logs_parquet_spark.operators.curation import pii_scrub
+
+    rows = [
+        (0, "pay 4532015112830366 now"),  # Luhn-valid 16-digit
+        (1, "ref 4532015112830367 code"),  # same shape, bad checksum
+        (2, "short 123456789012 run"),  # 12 digits: not card-shaped
+        (3, "call +1 555-123-4567"),  # separated digits stay phone
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in pii_scrub(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[0]["n_card"] == 1 and out[0]["n_card_valid"] == 1
+    assert out[0]["scrubbed"] == "pay <CARD> now"
+    assert out[1]["n_card"] == 1 and out[1]["n_card_valid"] == 0
+    assert out[1]["scrubbed"] == "ref <CARD> code"
+    assert out[2]["n_card"] == 0 and out[2]["n_card_valid"] == 0
+    assert out[3]["n_card"] == 0 and "<PHONE>" in out[3]["scrubbed"]
