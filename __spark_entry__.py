@@ -40,6 +40,7 @@ from buildkite_logs_parquet_spark.operators import retrieval as R
 from buildkite_logs_parquet_spark.operators import similarity as S
 from buildkite_logs_parquet_spark.operators import text_analysis as TA
 from buildkite_logs_parquet_spark.operators import timeseries as TS
+from buildkite_logs_parquet_spark.operators import wordpiece as WPM
 from buildkite_logs_parquet_spark.operators.ingest import (
     entries_view,
     parse_log_lines,
@@ -1654,6 +1655,18 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: multi-character merge recursion, not just single adjacent pairs
 _BPE_MERGES = [("s", "p"), ("a", "r"), ("sp", "ar"), ("spar", "k"), ("e", "y")]
 
+#: fixed literal WordPiece vocabulary for the wp legs on bpe_encode:
+#: full lowercase+digit alphabet in both positions (so clean words never
+#: UNK) plus multi-char units exercising longest-match; words carrying
+#: punctuation fall to whole-word [UNK] — the BERT semantics, and the
+#: deliberate UNK-path coverage
+_WP_VOCAB = (
+    [c for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
+    + ["##" + c for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
+    + ["th", "the", "##he", "##er", "##ing", "##ed", "##es", "an",
+       "##an", "in", "##in", "re", "##re", "on", "##on", "##ion", "spark"]
+)
+
 
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE encoding with a fixed literal merge list
@@ -1661,12 +1674,24 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy lowest-rank-first): per document, the token count and the
     space-joined symbol stream.  The oracle replays the same
     leftmost-lowest-rank merge loop as a recursive CTE over the distinct
-    word set."""
+    word set.
+
+    Round-5 'wp' columns: WordPiece greedy LONGEST-match encode
+    (operators/wordpiece.py::wordpiece_encode) against the _WP_VOCAB
+    literal — the defining semantic difference from BPE's merge-order
+    replay, including whole-word [UNK] on unmatchable positions.  The
+    oracle replays it as a position-based recursive CTE picking the
+    longest vocabulary hit per step with DuckDB list lambdas."""
     docs = _t(spark, sf_dir, "documents")
     out = TA.bpe_encode(docs, _BPE_MERGES, "doc_id", "text")
+    wp = WPM.wordpiece_encode(docs, _WP_VOCAB, "doc_id", "text").select(
+        "doc_id",
+        F.col("n_tokens").alias("wp_n_tokens"),
+        F.array_join("tokens", " ").alias("wp_text"),
+    )
     return out.select(
         "doc_id", "n_tokens", F.array_join("tokens", " ").alias("bpe_text")
-    )
+    ).join(wp, on="doc_id")
 
 
 #: portable SQL that plants deterministic URLs into the documents text —
@@ -3899,6 +3924,7 @@ SELECT 'metric:ndcg_at_k', CAST(query_id AS BIGINT),
         "list_aggregate(list_transform(range(1, len(syms)), i -> "
         f"CASE {_bpe_cases} END), 'min')"
     )
+    _wp_vocab_sql = "[" + ", ".join("'" + v + "'" for v in _WP_VOCAB) + "]"
     sql["bpe_encode"] = f"""
 WITH RECURSIVE w AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents
@@ -3927,12 +3953,46 @@ final AS (
   FROM (SELECT word, syms, {_bpe_bk} AS bk FROM enc)
   WHERE bk IS NULL
 ),
-pt AS (SELECT t.doc_id, t.pos, f.syms FROM tok t JOIN final f USING (word))
-SELECT d.doc_id,
-       CAST(coalesce(sum(len(p.syms)), 0) AS BIGINT) AS n_tokens,
-       coalesce(string_agg(array_to_string(p.syms, ' '), ' ' ORDER BY p.pos), '') AS bpe_text
-FROM documents d LEFT JOIN pt p ON d.doc_id = p.doc_id
-GROUP BY d.doc_id
+pt AS (SELECT t.doc_id, t.pos, f.syms FROM tok t JOIN final f USING (word)),
+bagg AS (
+  SELECT d.doc_id,
+         CAST(coalesce(sum(len(p.syms)), 0) AS BIGINT) AS n_tokens,
+         coalesce(string_agg(array_to_string(p.syms, ' '), ' ' ORDER BY p.pos), '') AS bpe_text
+  FROM documents d LEFT JOIN pt p ON d.doc_id = p.doc_id
+  GROUP BY d.doc_id
+),
+wpe(word, pos, toks) AS (
+  SELECT word, 1, CAST([] AS VARCHAR[]) FROM words
+  UNION ALL
+  SELECT word,
+         CASE WHEN best IS NULL THEN length(word) + 1
+              ELSE pos + length(best) - CASE WHEN pos > 1 THEN 2 ELSE 0 END END,
+         CASE WHEN best IS NULL THEN ['[UNK]'] ELSE list_append(toks, best) END
+  FROM (
+    SELECT word, pos, toks,
+           list_filter(cands, v -> length(v) = list_max(list_transform(cands, x -> length(x))))[1] AS best
+    FROM (
+      SELECT word, pos, toks,
+             list_filter({_wp_vocab_sql}, v ->
+               CASE WHEN pos = 1 THEN substr(word, 1, length(v)) = v
+                    ELSE v LIKE '##%' AND length(v) > 2
+                         AND substr(word, CAST(pos AS INT), length(v) - 2) = substr(v, 3) END) AS cands
+      FROM wpe WHERE pos <= length(word)
+    )
+  )
+),
+wpdone AS (SELECT word, toks FROM wpe WHERE pos > length(word)),
+wpagg AS (
+  SELECT t.doc_id,
+         CAST(sum(len(w2.toks)) AS BIGINT) AS wp_n_tokens,
+         string_agg(array_to_string(w2.toks, ' '), ' ' ORDER BY t.pos) AS wp_text
+  FROM tok t JOIN wpdone w2 USING (word)
+  GROUP BY t.doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.bpe_text,
+       coalesce(wa.wp_n_tokens, 0) AS wp_n_tokens,
+       coalesce(wa.wp_text, '') AS wp_text
+FROM bagg b LEFT JOIN wpagg wa ON b.doc_id = wa.doc_id
 """
 
     sql["url_domain_stats"] = f"""

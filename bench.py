@@ -281,6 +281,17 @@ def _extra_ops():
         merges, words = learn_bpe(docs, 8)  # 8 merge rounds incl. argmaxes
         return words.select("word", "freq")
 
+    def learn_wordpiece6(spark, sf_dir):
+        from buildkite_logs_parquet_spark.operators.wordpiece import (
+            learn_wordpiece,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # 6 likelihood-scored rounds: each is a pair-count + symbol-count
+        # aggregation over the vocabulary-sized word table + one argmax
+        vocab, words = learn_wordpiece(docs, 6)
+        return words.select("word", "freq")
+
     def semantic_contamination_bench(spark, sf_dir):
         import __spark_entry__ as E
         from buildkite_logs_parquet_spark.operators.similarity import (
@@ -774,6 +785,7 @@ def _extra_ops():
         "x_ann_batch_join": ann_batch_join,
         "x_incremental_neardup": incremental_neardup,
         "x_learn_bpe8": learn_bpe8,
+        "x_learn_wordpiece6": learn_wordpiece6,
         "x_learn_unigram3": learn_unigram3,
         "x_semantic_contamination": semantic_contamination_bench,
         "x_kmeans_fit5": kmeans_fit,
