@@ -42,6 +42,10 @@ PROBES = [
     ("x_html_extract", "documents as WARC-response HTML (8 gz shards)", 10),
     ("x_video_frames", "embeddings ids x AVI/GIF/Y4M pool", 10),
     ("x_sketch_state", "events (HLL+KLL+theta build/merge cycles)", 100),
+    ("pii_scrub", "documents (pii chain + Luhn + blocklist + norm digests)", 10),
+    ("x_text_normalize", "documents (mojibake+NFKC+collapse, digested)", 10),
+    ("bpe_encode", "documents (bpe + wordpiece longest-match legs)", 10),
+    ("x_flac_ingest", "embeddings ids x 32 FLAC clips (fixed2+rice)", 10),
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
