@@ -281,6 +281,14 @@ def _extra_ops():
         merges, words = learn_bpe(docs, 8)  # 8 merge rounds incl. argmaxes
         return words.select("word", "freq")
 
+    def cdc_dedup_bench(spark, sf_dir):
+        from buildkite_logs_parquet_spark.operators.dedup import (
+            cdc_segment_dedup,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return cdc_segment_dedup(docs, "doc_id")
+
     def learn_wordpiece6(spark, sf_dir):
         from buildkite_logs_parquet_spark.operators.wordpiece import (
             learn_wordpiece,
@@ -786,6 +794,7 @@ def _extra_ops():
         "x_incremental_neardup": incremental_neardup,
         "x_learn_bpe8": learn_bpe8,
         "x_learn_wordpiece6": learn_wordpiece6,
+        "x_cdc_dedup": cdc_dedup_bench,
         "x_learn_unigram3": learn_unigram3,
         "x_semantic_contamination": semantic_contamination_bench,
         "x_kmeans_fit5": kmeans_fit,

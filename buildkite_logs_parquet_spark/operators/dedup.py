@@ -1290,3 +1290,187 @@ def split_leakage_summary(leaks: DataFrame) -> DataFrame:
         leaks.groupBy(lo.alias("split_lo"), hi.alias("split_hi"))
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+def _cdc_spans(id_col: str, id_type: str, window: int, divisor: int,
+               min_len: int, max_len: int):
+    """mapInPandas generator + schema for content-defined chunk spans:
+    a chunk boundary falls after token ``i`` when the Buzhash of the
+    ``window`` tokens ending at ``i`` is ``0 (mod divisor)`` — subject
+    to ``min_len``/``max_len`` (a forced cut at ``max_len`` bounds the
+    worst case; candidates inside ``min_len`` are skipped).  Span
+    digests are two independent position-sensitive 64-bit folds over
+    the token hashes (the window-hash prefix trick evaluates ANY span
+    in O(1)), so the dedup key never carries text; the pair is
+    collision-safe to ~2^64 segments, far past any real corpus.
+    """
+    import numpy as np
+    import pandas as pd
+
+    mask = np.uint64(63)
+    full = np.uint64(64)
+    mult2 = np.uint64(0x9E3779B97F4A7C15)  # odd -> bijective remix
+
+    def _rotl(x, s):
+        s = s & mask
+        return np.where(s == 0, x, (x << s) | (x >> (full - s)))
+
+    def _prefix(h):
+        m = np.arange(h.shape[0], dtype=np.uint64)
+        g = _rotl(h, (full - (m & mask)) & mask)
+        G = np.zeros(h.shape[0] + 1, dtype=np.uint64)
+        G[1:] = np.bitwise_xor.accumulate(g)
+        return G
+
+    def _span_hash(G, start, length):
+        win = G[start + length] ^ G[start]
+        return _rotl(win, np.uint64((length - 1) + start) & mask)
+
+    def gen(batches):
+        for pdf in batches:
+            out_id, out_seg, out_start, out_len, out_h1, out_h2 = (
+                [], [], [], [], [], [],
+            )
+            for did, th in zip(pdf[id_col], pdf["_th"]):
+                h = np.asarray(th, dtype=np.int64).view(np.uint64)
+                nn = h.shape[0]
+                if nn == 0:
+                    continue
+                # boundary candidates: window-hash % divisor == 0, at
+                # token index (window-1)..(nn-1); short docs have none
+                cuts = []
+                if nn >= window:
+                    m = np.arange(nn, dtype=np.uint64)
+                    g = _rotl(h, (full - (m & mask)) & mask)
+                    G0 = np.zeros(nn + 1, dtype=np.uint64)
+                    G0[1:] = np.bitwise_xor.accumulate(g)
+                    win = G0[window:] ^ G0[: nn + 1 - window]
+                    i = np.arange(nn - window + 1, dtype=np.uint64)
+                    wh = _rotl(win, np.uint64(window - 1) + i)
+                    # candidate END positions (inclusive token index)
+                    cand = np.nonzero(wh % np.uint64(divisor) == 0)[0] + (
+                        window - 1
+                    )
+                    cuts = cand.tolist()
+                # min/max walk over sparse candidates + forced cuts
+                bounds = []
+                start = 0
+                ci = 0
+                while start < nn:
+                    end = min(start + max_len, nn)  # exclusive forced end
+                    while ci < len(cuts) and cuts[ci] < start + min_len - 1:
+                        ci += 1
+                    if ci < len(cuts) and cuts[ci] < end - 1:
+                        end = cuts[ci] + 1
+                        ci += 1
+                    bounds.append((start, end - start))
+                    start = end
+                G1 = _prefix(h)
+                G2 = _prefix(h * mult2)
+                for si, (s0, ln) in enumerate(bounds):
+                    out_id.append(did)
+                    out_seg.append(si)
+                    out_start.append(s0)
+                    out_len.append(ln)
+                    out_h1.append(np.int64(_span_hash(G1, s0, ln)))
+                    out_h2.append(np.int64(_span_hash(G2, s0, ln)))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(out_id),
+                    "pos": pd.Series(out_start, dtype="int32"),
+                    "seg_idx": pd.Series(out_seg, dtype="int32"),
+                    "seg_len": pd.Series(out_len, dtype="int32"),
+                    "_h1": pd.Series(out_h1, dtype="int64"),
+                    "_h2": pd.Series(out_h2, dtype="int64"),
+                }
+            )
+
+    schema = (
+        f"{id_col} {id_type}, pos int, seg_idx int, seg_len int, "
+        "_h1 long, _h2 long"
+    )
+    return gen, schema
+
+
+def cdc_segment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    window: int = 4,
+    divisor: int = 16,
+    min_len: int = 4,
+    max_len: int = 64,
+) -> DataFrame:
+    """Segment dedup over CONTENT-DEFINED chunks (the rsync/LBFS cut
+    rule applied to token streams): boundaries fall where a small
+    rolling Buzhash window hits ``0 (mod divisor)``, so an insertion or
+    deletion only perturbs the chunks that overlap the edit — the
+    chunking re-synchronizes at the next content-defined cut.  Fixed
+    ``k``-chunk ``segment_dedup`` loses EVERY chunk after a one-token
+    shift; this variant loses only the edited one (asserted in tests).
+
+    Same keep-first discipline and skew story as ``segment_dedup``:
+    canonical = min packed ``(doc, seg_idx)``; the canonical groupBy and
+    membership join move only (id, positions, two 64-bit span digests)
+    — never text (digests are position-sensitive folds of the JVM-side
+    ``xxhash64`` token hashes; the Arrow stage ships long arrays only).
+    Text moves through exactly two exchanges: the span join keyed by id
+    for the rebuild slice, and the per-document rebuild groupBy.
+
+    Output: one row per document — ``n_segments``, ``n_kept``,
+    ``dedup_text`` (kept chunks rejoined in order).
+    """
+    if not (1 <= min_len <= max_len):
+        raise ValueError("need 1 <= min_len <= max_len")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = _fan_out(df).select(
+        F.col(id_col),
+        F.filter(words, lambda w: w != "").alias("_toks"),
+    ).where(F.size("_toks") > 0)
+    hashed = base.select(
+        F.col(id_col),
+        F.transform(F.col("_toks"), lambda t: F.xxhash64(t)).alias("_th"),
+    )
+    gen, schema = _cdc_spans(
+        id_col,
+        df.schema[id_col].dataType.simpleString(),
+        window,
+        divisor,
+        min_len,
+        max_len,
+    )
+    spans = hashed.mapInPandas(gen, schema=schema)
+    packed = F.col(id_col) * _SEGMENT_POS_BOUND + F.col("seg_idx")
+    slim = spans.select(
+        id_col, "seg_idx", "_h1", "_h2", packed.alias("_ord")
+    )
+    canon = slim.groupBy("_h1", "_h2").agg(F.min("_ord").alias("_first"))
+    kept = slim.join(canon, on=["_h1", "_h2"]).select(
+        id_col, "seg_idx", (F.col("_ord") == F.col("_first")).alias("kept")
+    )
+    marked = (
+        spans.select(id_col, "seg_idx", "pos", "seg_len")
+        .join(kept, on=[id_col, "seg_idx"])
+        .join(base, on=id_col)
+    )
+    seg_text = F.array_join(
+        F.slice(F.col("_toks"), F.col("pos") + 1, F.col("seg_len")), " "
+    )
+    with_text = marked.select(
+        id_col,
+        "seg_idx",
+        "kept",
+        F.when(F.col("kept"), seg_text).alias("_seg"),
+    )
+    kept_segs = F.array_sort(
+        F.collect_list(
+            F.when(F.col("kept"), F.struct("seg_idx", "_seg"))
+        )
+    )
+    return with_text.groupBy(id_col).agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(kept_segs, lambda s: s["_seg"]), " "
+        ).alias("dedup_text"),
+    )

@@ -766,3 +766,98 @@ def test_split_leakage_flags_cross_split_near_dups(spark):
     assert len(summary) == 1
     assert summary[0]["split_lo"] == "test" and summary[0]["split_hi"] == "train"
     assert summary[0]["n_pairs"] == len(got)
+
+
+class TestCDCSegmentDedup:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    @staticmethod
+    def _words(seed, n):
+        import random
+
+        rng = random.Random(seed)
+        return " ".join(
+            "".join(rng.choice("abcdefghij") for _ in range(5))
+            for _ in range(n)
+        )
+
+    def test_exact_duplicate_fully_deduped(self, spark):
+        from buildkite_logs_parquet_spark.operators.dedup import (
+            cdc_segment_dedup,
+        )
+
+        t = self._words(1, 200)
+        out = {
+            r["doc_id"]: r
+            for r in cdc_segment_dedup(
+                self._df(spark, [(0, t), (1, t)]), "doc_id"
+            ).collect()
+        }
+        assert out[0]["n_kept"] == out[0]["n_segments"]
+        assert out[0]["dedup_text"] == t
+        assert out[1]["n_kept"] == 0 and out[1]["dedup_text"] == ""
+        assert out[1]["n_segments"] == out[0]["n_segments"]
+
+    def test_insertion_robustness_beats_fixed_chunks(self, spark):
+        """THE content-defined property: prepending one token must only
+        cost the chunks overlapping the edit, where fixed-k chunking
+        loses alignment for the whole document."""
+        from buildkite_logs_parquet_spark.operators.dedup import (
+            cdc_segment_dedup,
+            segment_dedup,
+        )
+
+        t = self._words(2, 300)
+        shifted = "zzzzz " + t
+        df = self._df(spark, [(0, t), (1, shifted)])
+        cdc = {
+            r["doc_id"]: r for r in cdc_segment_dedup(df, "doc_id").collect()
+        }
+        fixed = {
+            r["doc_id"]: r
+            for r in segment_dedup(df, "doc_id", "text", k=10).collect()
+        }
+        # fixed chunking: nearly every chunk of the shifted doc survives
+        # (misaligned -> novel); CDC: only the chunk(s) at the edit do
+        assert fixed[1]["n_kept"] >= fixed[1]["n_segments"] - 1
+        assert cdc[1]["n_kept"] <= max(3, cdc[1]["n_segments"] // 4)
+
+    def test_span_length_bounds(self):
+        import numpy as np
+        import pandas as pd
+
+        from buildkite_logs_parquet_spark.operators.dedup import _cdc_spans
+
+        gen, _schema = _cdc_spans("doc_id", "bigint", 4, 16, 4, 64)
+        rng = np.random.default_rng(5)
+        th = rng.integers(-(2**62), 2**62, size=500).tolist()
+        pdf = pd.DataFrame({"doc_id": [7], "_th": [th]})
+        out = pd.concat(list(gen(iter([pdf]))))
+        lens = out["seg_len"].to_numpy()
+        # every span within [min,max] except a possibly-short tail
+        assert (lens <= 64).all()
+        assert (lens[:-1] >= 4).all()
+        assert lens.sum() == 500
+        starts = out["pos"].to_numpy()
+        assert starts[0] == 0
+        assert ((starts[1:] - starts[:-1]) == lens[:-1]).all()
+
+    def test_layout_deterministic(self, spark):
+        from buildkite_logs_parquet_spark.operators.dedup import (
+            cdc_segment_dedup,
+        )
+
+        rows = [(i, self._words(i, 80)) for i in range(20)]
+        a = sorted(
+            map(tuple, cdc_segment_dedup(self._df(spark, rows), "doc_id").collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                cdc_segment_dedup(
+                    self._df(spark, rows).repartition(7), "doc_id"
+                ).collect(),
+            )
+        )
+        assert a == b
