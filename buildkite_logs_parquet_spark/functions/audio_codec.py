@@ -44,6 +44,33 @@ _IMA_STEPS = [
 _IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
 
 
+def _g711_tables() -> tuple["np.ndarray", "np.ndarray"]:
+    """256-entry byte→int16 decode tables for G.711 mu-law and A-law
+    (ITU-T G.711, the telephony companding pair — 8 kHz speech corpora
+    and call-center dumps ship WAV tags 0x0007/0x0006).  Built from the
+    classic segment/mantissa formulas (Sun g711.c semantics, public
+    domain); parity with CPython's audioop is asserted in tests."""
+    ulaw = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        ulaw[b] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    alaw = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        seg = (a & 0x70) >> 4
+        t = (a & 0x0F) << 4
+        if seg == 0:
+            t += 8
+        else:
+            t = (t + 0x108) << (seg - 1)
+        alaw[b] = t if (a & 0x80) else -t
+    return ulaw, alaw
+
+
+_ULAW_TABLE, _ALAW_TABLE = _g711_tables()
+
+
 def _parse_riff_wave(data: bytes) -> tuple[dict, bytes]:
     """RIFF/WAVE chunk walk → (fmt fields, data-chunk bytes)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -133,6 +160,10 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
             ).astype(np.int16)
         else:
             raise ValueError(f"unsupported PCM sample width: {sw} bytes")
+        return fmt["rate"], arr.reshape(-1, ch)
+    if fmt["tag"] in (0x0006, 0x0007):  # G.711 A-law / mu-law
+        lut = _ALAW_TABLE if fmt["tag"] == 0x0006 else _ULAW_TABLE
+        arr = lut[np.frombuffer(raw, dtype=np.uint8)]
         return fmt["rate"], arr.reshape(-1, ch)
     if fmt["tag"] == 0x0011:  # IMA ADPCM
         if ch != 1:

@@ -569,3 +569,84 @@ class TestDecoderDependencyPolicy:
         from buildkite_logs_parquet_spark.operators import multimodal as M
 
         assert M.external_image_decode(None)["feature"] is None
+
+
+class TestG711:
+    """G.711 mu-law / A-law WAV decode — parity with CPython's audioop
+    (an independent implementation of the same ITU tables)."""
+
+    @staticmethod
+    def _riff(tag, ch, rate, body):
+        import struct
+
+        fmt = struct.pack("<HHIIHH", tag, ch, rate, rate * ch, ch, 8)
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(body)) + body
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    def test_tables_match_audioop(self):
+        import warnings
+
+        import numpy as np
+
+        from buildkite_logs_parquet_spark.functions.audio_codec import (
+            _ALAW_TABLE,
+            _ULAW_TABLE,
+        )
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            import audioop
+        allb = bytes(range(256))
+        want_u = np.frombuffer(audioop.ulaw2lin(allb, 2), dtype="<i2")
+        want_a = np.frombuffer(audioop.alaw2lin(allb, 2), dtype="<i2")
+        np.testing.assert_array_equal(_ULAW_TABLE, want_u)
+        np.testing.assert_array_equal(_ALAW_TABLE, want_a)
+
+    def test_decode_wav_mulaw_and_alaw(self):
+        import warnings
+
+        import numpy as np
+
+        from buildkite_logs_parquet_spark.functions.audio_codec import (
+            decode_wav,
+        )
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            import audioop
+
+        pcm = (
+            (np.sin(np.linspace(0, 20, 400)) * 20000).astype("<i2").tobytes()
+        )
+        for tag, enc, dec in (
+            (0x0007, audioop.lin2ulaw, audioop.ulaw2lin),
+            (0x0006, audioop.lin2alaw, audioop.alaw2lin),
+        ):
+            body = enc(pcm, 2)
+            sr, got = decode_wav(self._riff(tag, 1, 8000, body))
+            want = np.frombuffer(dec(body, 2), dtype="<i2")
+            assert sr == 8000 and got.shape == (400, 1)
+            np.testing.assert_array_equal(got[:, 0], want)
+
+    def test_stereo_interleave(self):
+        import warnings
+
+        import numpy as np
+
+        from buildkite_logs_parquet_spark.functions.audio_codec import (
+            decode_wav,
+        )
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            import audioop
+
+        left = (np.arange(100, dtype="<i2") * 50).tobytes()
+        body = audioop.lin2ulaw(left, 2)
+        inter = bytes(
+            b for pair in zip(body, body) for b in pair
+        )  # L==R per frame
+        _, got = decode_wav(self._riff(0x0007, 2, 8000, inter))
+        assert got.shape == (100, 2)
+        np.testing.assert_array_equal(got[:, 0], got[:, 1])
