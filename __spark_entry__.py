@@ -837,9 +837,23 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized fingerprint, token counting (whitespace + BPE-ish),
     language ID (marker scores + argmax), and the quality heuristic.
     Merged so all stay inside the driver's 50-entry correctness window;
-    each remains individually tested in tests/test_text_analysis.py."""
+    each remains individually tested in tests/test_text_analysis.py.
+
+    Round-5 'script' columns: Unicode script detection
+    (text_analysis.script_counts/dominant_script) over a per-doc planted
+    script probe (Cyrillic / Han / Arabic by doc_id%4, plain ASCII for
+    the rest) — pure integer regexp counts + a greatest/CASE argmax, so
+    the legs add zero float-hash risk; the oracle uses the RE2 script
+    spellings, whose parity with Java's is pinned in tests."""
     docs = _t(spark, sf_dir, "documents")
     prof = TA.quality_score(TA.language_id(docs, "text"), "text")
+    sprobe = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" кот"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" 汉字"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" مرحبا"))
+        .otherwise(F.lit(""))
+    )
+    scounts = TA.script_counts(F.concat(F.col("text"), sprobe))
     return prof.select(
         "doc_id",
         TA.fingerprint_col(F.col("text")).alias("fingerprint"),
@@ -854,6 +868,8 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "punct_ratio",
         "stopword_ratio",
         "quality_score",
+        *[c.alias(n) for n, c in scounts.items()],
+        TA.dominant_script(scounts).alias("dominant_script"),
     )
 
 
@@ -2428,6 +2444,21 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     # English marker list.  The language argmax iterates ascending with
     # strict-improvement overwrite, so the winner is the alphabetically-
     # first language holding the (positive) max score; all-zero → 'und'.
+    _sprobe = (
+        "text || CASE WHEN doc_id % 4 = 0 THEN ' \u043a\u043e\u0442' "
+        "WHEN doc_id % 4 = 1 THEN ' \u6c49\u5b57' "
+        "WHEN doc_id % 4 = 2 THEN ' \u0645\u0631\u062d\u0628\u0627' "
+        "ELSE '' END"
+    )
+    _script_cols = ",\n         ".join(
+        f"CAST(len(regexp_extract_all({_sprobe}, '{re2}')) AS INT) AS n_{nm}"
+        for nm, _java, re2 in TA.SCRIPTS
+    )
+    _script_sel = ", ".join(f"n_{nm}" for nm, _j, _r in TA.SCRIPTS)
+    _script_top = "greatest(" + ", ".join(f"n_{nm}" for nm, _j, _r in TA.SCRIPTS) + ")"
+    _script_cases = " ".join(
+        f"WHEN n_{nm} = {_script_top} THEN '{nm}'" for nm, _j, _r in TA.SCRIPTS
+    )
     sql["text_profile"] = f"""
 WITH f AS (
   SELECT doc_id,
@@ -2440,7 +2471,8 @@ WITH f AS (
          len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
          CAST({_mk(TA.LANG_MARKERS['en'])} AS INT) AS score_en,
          CAST({_mk(TA.LANG_MARKERS['de'])} AS INT) AS score_de,
-         CAST({_mk(TA.LANG_MARKERS['es'])} AS INT) AS score_es
+         CAST({_mk(TA.LANG_MARKERS['es'])} AS INT) AS score_es,
+         {_script_cols}
   FROM documents
 )
 SELECT doc_id, fingerprint, n_tokens, n_subword_tokens,
@@ -2460,7 +2492,11 @@ SELECT doc_id, fingerprint, n_tokens, n_subword_tokens,
          + (n_alpha / CAST(greatest(n_chars, 1) AS DOUBLE)) * 0.4
          + least((score_en / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 5.0, 1.0) * 0.2
          + (1.0 - least((n_punct / CAST(greatest(n_chars, 1) AS DOUBLE)) * 5.0, 1.0)) * 0.1,
-       4) AS quality_score
+       4) AS quality_score,
+       {_script_sel},
+       CASE WHEN {_script_top} = 0 THEN 'none'
+            {_script_cases}
+            ELSE 'none' END AS dominant_script
 FROM f
 """
 

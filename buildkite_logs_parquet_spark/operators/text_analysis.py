@@ -70,6 +70,43 @@ def language_id(
     return scored.withColumn("detected_lang", best)
 
 
+#: Unicode scripts profiled by ``script_counts``: (name, Java regex
+#: spelling, RE2/DuckDB spelling) — parity across both engines verified
+#: in tests; declared order is the dominant-script tie-break order.
+SCRIPTS: list[tuple[str, str, str]] = [
+    ("latin", r"\p{IsLatin}", r"\p{Latin}"),
+    ("cyrillic", r"\p{IsCyrillic}", r"\p{Cyrillic}"),
+    ("han", r"\p{IsHan}", r"\p{Han}"),
+    ("arabic", r"\p{IsArabic}", r"\p{Arabic}"),
+    ("devanagari", r"\p{IsDevanagari}", r"\p{Devanagari}"),
+]
+
+
+def script_counts(col: Column) -> dict[str, Column]:
+    """Per-script character counts (Latin/Cyrillic/Han/Arabic/
+    Devanagari) — the script-detection signal multilingual curation
+    filters on (language ID by stopword markers is useless across
+    scripts; a CJK document in an English corpus is caught here first).
+    Pure JVM ``regexp_count`` per script: narrow, codegen'd, zero
+    Python."""
+    return {
+        f"n_{name}": F.regexp_count(col, F.lit(java_pat))
+        for name, java_pat, _re2 in SCRIPTS
+    }
+
+
+def dominant_script(counts: dict[str, Column]) -> Column:
+    """First script (in ``SCRIPTS`` order) holding the maximum count;
+    ``'none'`` when no profiled-script character occurs.  The fixed
+    order makes ties deterministic and the expression a portable
+    greatest+CASE chain (the oracle restates it verbatim)."""
+    top = F.greatest(*counts.values())
+    expr = F.lit("none")
+    for name, _j, _r in reversed(SCRIPTS):
+        expr = F.when(counts[f"n_{name}"] == top, F.lit(name)).otherwise(expr)
+    return F.when(top == 0, F.lit("none")).otherwise(expr)
+
+
 def quality_features(col: Column) -> dict[str, Column]:
     """Deterministic quality components (all portable scalars)."""
     n_chars = F.length(col)

@@ -566,3 +566,56 @@ def test_canonical_url_rules(spark):
     }
     for i, (u, want) in enumerate(cases):
         assert got[i] == want, (u, got[i])
+
+
+class TestScriptDetection:
+    def test_counts_match_duckdb_re2(self, spark):
+        import duckdb
+        from pyspark.sql import functions as F
+
+        from buildkite_logs_parquet_spark.operators.text_analysis import (
+            SCRIPTS,
+            script_counts,
+        )
+
+        s = "abc АБв 汉字漢 العرب देवनागरी mixed"
+        got = (
+            spark.createDataFrame([(s,)], "t string")
+            .select(
+                *[
+                    c.alias(n)
+                    for n, c in script_counts(F.col("t")).items()
+                ]
+            )
+            .first()
+        )
+        for name, _java, re2 in SCRIPTS:
+            want = duckdb.sql(
+                f"select len(regexp_extract_all(?, '{re2}'))", params=[s]
+            ).fetchone()[0]
+            assert got[f"n_{name}"] == want, name
+
+    def test_dominant_script_and_ties(self, spark):
+        from pyspark.sql import functions as F
+
+        from buildkite_logs_parquet_spark.operators.text_analysis import (
+            dominant_script,
+            script_counts,
+        )
+
+        rows = [
+            (0, "hello world"),  # latin
+            (1, "汉字 漢字"),  # han
+            (2, "ab АБ"),  # tie latin/cyrillic -> latin (declared order)
+            (3, "1234 !?"),  # no profiled script
+            (4, "مرحبا بالعالم الواسع x"),  # arabic dominant
+        ]
+        df = spark.createDataFrame(rows, "id long, t string")
+        sc = script_counts(F.col("t"))
+        got = {
+            r["id"]: r["dom"]
+            for r in df.select(
+                "id", dominant_script(sc).alias("dom")
+            ).collect()
+        }
+        assert got == {0: "latin", 1: "han", 2: "latin", 3: "none", 4: "arabic"}
