@@ -193,3 +193,33 @@ class TestAdvancedPaths:
             encode_flac(x, 44100, subframe="lpc2", stereo_mode="left-side")
         )
         np.testing.assert_array_equal(got, x)
+
+
+class TestFuzz:
+    def test_random_bytes_never_crash_only_valueerror(self):
+        """Quarantine contract: arbitrary bytes must raise ValueError
+        (or decode, for a miracle), never hang or throw anything else."""
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        for n in (0, 1, 3, 8, 64, 512):
+            for _ in range(20):
+                blob = bytes(rng.integers(0, 256, size=n, dtype=np.uint8))
+                try:
+                    decode_flac(blob)
+                except ValueError:
+                    pass
+
+    def test_mutated_valid_stream_never_crashes(self):
+        import numpy as np
+
+        good = bytearray(encode_flac(_signal(400), 8000))
+        rng = np.random.default_rng(1)
+        for _ in range(60):
+            raw = bytearray(good)
+            i = int(rng.integers(0, len(raw)))
+            raw[i] ^= int(rng.integers(1, 256))
+            try:
+                decode_flac(bytes(raw))
+            except ValueError:
+                pass
