@@ -851,7 +851,8 @@ def main() -> None:
     workload_grew = {
         "dsir_weights": "quality-classifier GD legs (ae33fc6)",
         "url_domain_stats": "robots compliance legs (9376216)",
-        "pii_scrub": "unicode normalization digests (5186bef)",
+        "pii_scrub": "unicode normalization digests + Luhn (5186bef)",
+        "bpe_encode": "wordpiece longest-match legs (04b789b)",
     }
     burst_suspects: list[str] = []
     workload_changed: list[str] = []

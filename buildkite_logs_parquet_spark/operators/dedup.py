@@ -1418,7 +1418,9 @@ def cdc_segment_dedup(
     for the rebuild slice, and the per-document rebuild groupBy.
 
     Output: one row per document — ``n_segments``, ``n_kept``,
-    ``dedup_text`` (kept chunks rejoined in order).
+    ``dedup_text`` (kept chunks rejoined in order).  Documents with no
+    tokens have no chunks and emit NO row (join back on id if the
+    pipeline must keep them).
     """
     if not (1 <= min_len <= max_len):
         raise ValueError("need 1 <= min_len <= max_len")
