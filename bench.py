@@ -281,6 +281,49 @@ def _extra_ops():
         merges, words = learn_bpe(docs, 8)  # 8 merge rounds incl. argmaxes
         return words.select("word", "freq")
 
+    _pdf_fixture: dict = {}
+
+    def pdf_ingest_bench(spark, sf_dir):
+        """Document-corpus PDF intake: ~32 distinct multi-page Flate
+        PDFs (fixture-built once per process) replicated across the
+        embeddings ids and text-extracted through the Arrow-batched
+        stage — the honest per-document object-scan + inflate +
+        text-operator cost."""
+        from pyspark.sql import functions as F
+
+        from buildkite_logs_parquet_spark.functions.pdf_text import (
+            make_simple_pdf,
+        )
+        from buildkite_logs_parquet_spark.operators import multimodal as M
+
+        if "payloads" not in _pdf_fixture:
+            _pdf_fixture["payloads"] = [
+                (
+                    j,
+                    bytearray(
+                        make_simple_pdf(
+                            [
+                                f"page {p} of doc {j} " + ("lorem ipsum " * 40)
+                                for p in range(4)
+                            ]
+                        )
+                    ),
+                )
+                for j in range(32)
+            ]
+        pal = spark.createDataFrame(
+            _pdf_fixture["payloads"], "k long, payload binary"
+        )
+        ids = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            F.col("vec_id").alias("media_id"), (F.col("vec_id") % 32).alias("k")
+        )
+        media = (
+            ids.join(F.broadcast(pal), "k")
+            .select("media_id", "payload")
+            .repartition(32)
+        )
+        return M.pdf_text_features(media)
+
     def cdc_dedup_bench(spark, sf_dir):
         from buildkite_logs_parquet_spark.operators.dedup import (
             cdc_segment_dedup,
@@ -800,6 +843,7 @@ def _extra_ops():
         "x_kmeans_fit5": kmeans_fit,
         "x_jpeg_ingest": jpeg_ingest_bench,
         "x_flac_ingest": flac_ingest_bench,
+        "x_pdf_ingest": pdf_ingest_bench,
         "x_salted_neardup": salted_neardup_bench,
         "x_drift_state": drift_state_bench,
     }

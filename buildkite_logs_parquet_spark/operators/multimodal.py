@@ -697,3 +697,65 @@ def image_near_dups(
     return simhash_near_duplicates(
         prints, id_col, max_hamming=max_hamming, bits=64
     )
+
+
+def pdf_text_features(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_text_chars: int = 1_000_000,
+) -> DataFrame:
+    """REAL PDF text extraction over binary payloads
+    (``functions/pdf_text.extract_pdf_text`` — pure stdlib object scan
+    + Flate decode + text-operator walk): per document the extracted
+    ``text`` (form-feed page joins, capped at ``max_text_chars``),
+    ``n_pages``, ``n_chars`` (uncapped count), and the quarantine flag.
+
+    Undecodable payloads (not a PDF, damaged Flate) and encrypted files
+    quarantine as ``decode_ok`` false rows — the scanner discipline.
+    Same Arrow-batched shape as the other media stages: payloads never
+    leave the executors; downstream the ``text`` column feeds the whole
+    text-curation surface (normalize → quality → dedup → pack).
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from buildkite_logs_parquet_spark.functions.pdf_text import (
+            extract_pdf_text,
+        )
+
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                row = {
+                    id_col: media_id,
+                    "decode_ok": False,
+                    "n_pages": None,
+                    "n_chars": None,
+                    "text": None,
+                }
+                try:
+                    text, n_pages = extract_pdf_text(bytes(payload))
+                    row.update(
+                        decode_ok=True,
+                        n_pages=n_pages,
+                        n_chars=len(text),
+                        text=text[:max_text_chars],
+                    )
+                except (ValueError, NotImplementedError):
+                    pass
+                out.append(row)
+            yield pd.DataFrame(
+                out,
+                columns=[id_col, "decode_ok", "n_pages", "n_chars", "text"],
+            )
+
+    id_type = media.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, decode_ok boolean, n_pages int, "
+        "n_chars long, text string"
+    )
+    return media.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=schema
+    )
