@@ -704,6 +704,7 @@ def pdf_text_features(
     id_col: str = "media_id",
     payload_col: str = "payload",
     max_text_chars: int = 1_000_000,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """REAL PDF text extraction over binary payloads
     (``functions/pdf_text.extract_pdf_text`` — pure stdlib object scan
@@ -718,6 +719,8 @@ def pdf_text_features(
     text-curation surface (normalize → quality → dedup → pack).
     """
 
+    carry = list(carry_cols or [])
+
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
@@ -725,18 +728,20 @@ def pdf_text_features(
             extract_pdf_text,
         )
 
+        cols = [id_col, *carry, "decode_ok", "n_pages", "n_chars", "text"]
         for pdf in batches:
             out = []
-            for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
+            for _, rec in pdf.iterrows():
                 row = {
-                    id_col: media_id,
+                    id_col: rec[id_col],
+                    **{c: rec[c] for c in carry},
                     "decode_ok": False,
                     "n_pages": None,
                     "n_chars": None,
                     "text": None,
                 }
                 try:
-                    text, n_pages = extract_pdf_text(bytes(payload))
+                    text, n_pages = extract_pdf_text(bytes(rec[payload_col]))
                     row.update(
                         decode_ok=True,
                         n_pages=n_pages,
@@ -746,16 +751,53 @@ def pdf_text_features(
                 except (ValueError, NotImplementedError):
                     pass
                 out.append(row)
-            yield pd.DataFrame(
-                out,
-                columns=[id_col, "decode_ok", "n_pages", "n_chars", "text"],
-            )
+            yield pd.DataFrame(out, columns=cols)
 
     id_type = media.schema[id_col].dataType.simpleString()
+    carry_schema = "".join(
+        f", {c} {media.schema[c].dataType.simpleString()}" for c in carry
+    )
     schema = (
-        f"{id_col} {id_type}, decode_ok boolean, n_pages int, "
-        "n_chars long, text string"
+        f"{id_col} {id_type}{carry_schema}, decode_ok boolean, "
+        "n_pages int, n_chars long, text string"
     )
-    return media.select(F.col(id_col), F.col(payload_col)).mapInPandas(
-        run, schema=schema
+    return media.select(
+        F.col(id_col), *[F.col(c) for c in carry], F.col(payload_col)
+    ).mapInPandas(run, schema=schema)
+
+
+def follow_document_dir(
+    spark,
+    path: str,
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """STREAMING document intake: PDF files AS THEY LAND in a drop
+    directory (Structured Streaming ``binaryFile`` source, the
+    ``follow_warc_dir`` shape) → the same ``pdf_text_features``
+    extraction per micro-batch.  ``media_id`` is derived from the file
+    path (stable across restarts — replaying a batch reproduces the
+    same ids, so downstream ``stream_append_dedup_against_lake``
+    idempotence holds); undecodable files flow in-stream as
+    ``decode_ok`` false rows with their path, never a dead executor.
+
+    Compose with the existing streaming sinks exactly like the crawl
+    and log-tail sources; the ``text`` column feeds the same curation
+    surface the batch path uses."""
+    binary = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("maxFilesPerTrigger", int(max_files_per_trigger))
+        .option("pathGlobFilter", "*.pdf")
+        .load(path)
     )
+    media = binary.select(
+        F.xxhash64(F.col("path")).alias("media_id"),
+        F.col("path"),
+        F.col("content").alias("payload"),
+    )
+    # path rides THROUGH the Arrow stage (carry_cols) — a stream-stream
+    # self-join to re-attach it would build needless join state
+    return pdf_text_features(media, carry_cols=["path"])
