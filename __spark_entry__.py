@@ -1524,16 +1524,34 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round-4 union-tag: the full CCNet head/middle/tail split
     (curation.ccnet_buckets — per-language exact-percentile terciles of
     nll, |langs|-row broadcast thresholds) rides the same row as three
-    more columns (lang, nll, ppl_bucket)."""
+    more columns (lang, nll, ppl_bucket).
+
+    Round-5 'kn' columns: a REAL interpolated Kneser-Ney bigram LM
+    (curation.train_kn_bigram_lm / kn_score — the KenLM model family
+    CCNet-class filters actually ship) trained on the same src0
+    reference and scored over the same docs; every ratio is a
+    precision-18 decimal division rounded to 9 dp, so the oracle can
+    replay the whole model in scaled-HUGEINT integer arithmetic with
+    explicit half-up division — bit-exact by construction."""
     docs = _t(spark, sf_dir, "documents")
-    return CU.ccnet_buckets(
-        docs.where(F.col("source") != "src0"),
-        docs.where(F.col("source") == "src0"),
+    scored = docs.where(F.col("source") != "src0")
+    ref = docs.where(F.col("source") == "src0")
+    base = CU.ccnet_buckets(
+        scored,
+        ref,
         "doc_id",
         group_col="lang",
         n_buckets=4096,
         seed=29,
     ).select("doc_id", "lang", "n_grams", "sum_logp9", "nll", "ppl_bucket")
+    kn = CU.kn_score(
+        scored, CU.train_kn_bigram_lm(ref, "doc_id"), "doc_id"
+    ).select(
+        "doc_id",
+        F.col("n_grams").alias("kn_n_grams"),
+        "kn_sum_logp9",
+    )
+    return base.join(kn, on="doc_id", how="left")
 
 
 #: metric legs riding q_bm25_scores — order is the union order in both
@@ -3797,13 +3815,74 @@ lmth AS (
          quantile_cont(nll, 0.3333333333333333) AS t_lo,
          quantile_cont(nll, 0.6666666666666666) AS t_hi
   FROM lmrow GROUP BY lang
+),
+-- interpolated Kneser-Ney bigram LM, replayed in scaled integers:
+-- every 9-dp decimal x becomes the HUGEINT round(x*1e9) via the
+-- half-up division hu(a,b) = (2a+b)//(2b), so the replay is exact by
+-- construction (no float until the final ln, which both engines run
+-- on the identical nearest-double of p9/1e9)
+knb AS (
+  SELECT ws[CAST(i AS INT)] AS v, ws[CAST(i AS INT)+1] AS w, count(*) AS c
+  FROM (
+    SELECT ws, unnest(range(1, len(ws))) AS i
+    FROM (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS ws FROM tgtd)
+    WHERE len(ws) >= 2
+  )
+  GROUP BY v, w
+),
+knc AS (SELECT v, sum(c) AS cv, count(*) AS n1v FROM knb GROUP BY v),
+knw AS (SELECT w, count(*) AS n1w FROM knb GROUP BY w),
+knt AS (SELECT count(*) AS nt FROM knb),
+kng AS (
+  SELECT doc_id, ws[CAST(i AS INT)] AS v, ws[CAST(i AS INT)+1] AS w
+  FROM (
+    SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws FROM rawd)
+    WHERE len(ws) >= 2
+  )
+),
+knj AS (
+  SELECT g.doc_id, b.c, ctx.cv, ctx.n1v, wd.n1w, knt.nt,
+         coalesce(
+           (2*CAST(wd.n1w AS HUGEINT)*1000000000 + knt.nt) // (2*knt.nt),
+           (2*CAST(1000000000 AS HUGEINT) + 2*knt.nt) // (4*knt.nt)
+         ) AS pc9,
+         CASE WHEN b.c IS NOT NULL THEN
+           (2*(4*CAST(b.c AS HUGEINT)-3)*1000000000 + 4*ctx.cv) // (8*ctx.cv)
+         END AS t19,
+         CASE WHEN ctx.cv IS NOT NULL THEN
+           (2*3*CAST(ctx.n1v AS HUGEINT)*1000000000 + 4*ctx.cv) // (8*ctx.cv)
+         END AS lam9
+  FROM kng g
+  LEFT JOIN knb b ON g.v = b.v AND g.w = b.w
+  LEFT JOIN knc ctx ON g.v = ctx.v
+  LEFT JOIN knw wd ON g.w = wd.w, knt
+),
+knp AS (
+  SELECT doc_id,
+         CASE
+           WHEN cv IS NULL THEN pc9
+           WHEN c IS NOT NULL THEN
+             (2*(t19*1000000000 + lam9*pc9) + 1000000000) // 2000000000
+           ELSE (2*lam9*pc9 + 1000000000) // 2000000000
+         END AS p9
+  FROM knj
+),
+knper AS (
+  SELECT doc_id, count(*) AS kn_n_grams,
+         sum(CAST(round(ln(CAST(p9 AS DOUBLE) / 1000000000.0), 9) AS DECIMAL(28,9))) AS kns
+  FROM knp GROUP BY doc_id
 )
 SELECT lmrow.doc_id, lmrow.lang, n_grams, sum_logp9, nll,
        CASE WHEN nll IS NULL THEN 'unscored'
             WHEN nll <= t_lo THEN 'head'
             WHEN nll <= t_hi THEN 'middle'
-            ELSE 'tail' END AS ppl_bucket
-FROM lmrow JOIN lmth ON lmrow.lang IS NOT DISTINCT FROM lmth.lang
+            ELSE 'tail' END AS ppl_bucket,
+       knper.kn_n_grams AS kn_n_grams,
+       CAST(knper.kns AS STRING) AS kn_sum_logp9
+FROM lmrow
+JOIN lmth ON lmrow.lang IS NOT DISTINCT FROM lmth.lang
+LEFT JOIN knper ON lmrow.doc_id = knper.doc_id
 """
 
     # bm25: literals below are the SAME Python-evaluated doubles the Spark

@@ -897,6 +897,8 @@ def main() -> None:
         "url_domain_stats": "robots compliance legs (9376216)",
         "pii_scrub": "unicode normalization digests + Luhn (5186bef)",
         "bpe_encode": "wordpiece longest-match legs (04b789b)",
+        "lm_perplexity": "Kneser-Ney train+score legs",
+        "text_profile": "script detection columns",
     }
     burst_suspects: list[str] = []
     workload_changed: list[str] = []

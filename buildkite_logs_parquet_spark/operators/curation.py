@@ -630,6 +630,155 @@ def compression_ratio(
     return df.withColumn(out_col, _ratio(F.col(text_col)))
 
 
+def _bigram_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, v, w) word-bigram stream — the repetition_metrics shift-zip,
+    shared by the KN trainer and scorer."""
+    words = _words(text_col)
+    n = F.size(words)
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("v"), b.alias("w")),
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.v").alias("v"), F.col("g.w").alias("w"))
+
+
+def train_kn_bigram_lm(
+    reference: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+) -> dict:
+    """Train an interpolated Kneser-Ney bigram LM (Kneser & Ney 1995;
+    Chen & Goodman 1998) from a reference corpus — the model family
+    behind the KenLM filters CCNet-class pipelines actually ship, here
+    in its bigram form with a fixed discount.
+
+    Everything derives from ONE corpus scan: the bigram count table
+    ``c(v,w)``; per-context totals ``c(v)`` and distinct-successor
+    counts ``N1+(v·)``; continuation counts ``N1+(·w)`` (distinct left
+    contexts — the KN novelty: how many contexts a word CONTINUES, not
+    how often it occurs); and the bigram-type total ``N1+(··)``.
+
+    100 TB shape: the corpus shuffles once (bigram groupBy with
+    map-side combine); every derived table is an aggregation OF the
+    count table, which is bigram-type-bounded (Zipf — orders of
+    magnitude below corpus size).  Only ``n_types`` (one row) reaches
+    the driver.
+
+    Returns ``{"bigram", "context", "continuation", "n_types"}`` for
+    :func:`kn_score`.
+    """
+    bi = (
+        _bigram_pairs(reference, id_col, text_col)
+        .groupBy("v", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    ctx = bi.groupBy("v").agg(
+        F.sum("c").alias("cv"), F.count("*").alias("n1v")
+    )
+    cont = bi.groupBy("w").agg(F.count("*").alias("n1w"))
+    n_types = bi.count()
+    return {"bigram": bi, "context": ctx, "continuation": cont, "n_types": n_types}
+
+
+def kn_score(
+    docs: DataFrame,
+    model: dict,
+    id_col: str,
+    text_col: str = "text",
+    discount: str = "0.75",
+    round_to: int = 9,
+) -> DataFrame:
+    """Per-document log-probability under the interpolated-KN bigram
+    model: ``p(w|v) = max(c(vw)−D,0)/c(v) + λ(v)·P_cont(w)`` with
+    ``λ(v) = D·N1+(v·)/c(v)`` and ``P_cont(w) = N1+(·w)/N1+(··)``;
+    unseen context backs off to ``P_cont(w)``, unseen word to the
+    ``1/(2·N1+(··))`` floor.
+
+    Determinism (the lm_perplexity discipline): every ratio is a
+    DECIMAL division of exact integers rounded to ``round_to`` dp,
+    the interpolation product is exact decimal arithmetic re-rounded,
+    and only then does ``ln`` run — on bit-identical decimal-derived
+    doubles — with the per-gram 9-dp rounding decimal-summed, so the
+    result is order-independent and engine-exact.
+
+    Output: ``(id, n_grams, kn_sum_logp9 string)``; docs with no
+    bigram emit no row (left-join on ids to keep them).
+
+    100 TB shape: the gram stream joins count tables keyed by (v,w) /
+    v / w — the heavy join side carries short grams; the model tables
+    are type-bounded.  Per-doc aggregation shuffles by id.
+    """
+    D = F.lit(discount).cast("decimal(10,4)")
+    dg = _bigram_pairs(docs, id_col, text_col)
+    n_types = int(model["n_types"])
+    scored = (
+        dg.join(model["bigram"], on=["v", "w"], how="left")
+        .join(model["context"], on="v", how="left")
+        .join(model["continuation"], on="w", how="left")
+    )
+    # operands stay at precision 18 so decimal PRODUCTS fit in Spark's
+    # 38-digit budget exactly (38,9 x 38,9 would overflow and silently
+    # truncate scale — measured as a 7th-decimal drift vs the exact twin)
+    dec = f"decimal(18,{round_to})"
+    # every ratio is one division with precision-18 operands: result
+    # precision <= 38, so Spark keeps >= 19 exact fractional digits and
+    # the 9-dp round sees the true quotient (at (38,0) the division
+    # overflows precision and Spark silently truncates the result scale
+    # to SIX digits — measured as a 1e-6 drift vs the exact twin)
+    def _i18(c):
+        return c.cast("decimal(18,0)")
+
+    pcont = F.round(
+        _i18(F.col("n1w")) / F.lit(n_types).cast("decimal(18,0)"), round_to
+    ).cast(dec)
+    floor = F.round(
+        F.lit(1).cast("decimal(18,0)")
+        / F.lit(2 * n_types).cast("decimal(18,0)"),
+        round_to,
+    ).cast(dec)
+    pc = F.coalesce(pcont, floor)
+    term1 = F.round(
+        (F.col("c").cast("decimal(19,4)") - D).cast("decimal(18,4)")
+        / _i18(F.col("cv")),
+        round_to,
+    ).cast(dec)
+    lam = F.round(
+        (D * _i18(F.col("n1v"))).cast("decimal(18,4)") / _i18(F.col("cv")),
+        round_to,
+    ).cast(dec)
+    p = (
+        F.when(
+            F.col("cv").isNull(), pc  # unseen context: pure continuation
+        )
+        .when(
+            F.col("c").isNotNull(),
+            F.round((term1 + lam * pc).cast("decimal(38,18)"), round_to).cast(dec),
+        )
+        .otherwise(
+            F.round((lam * pc).cast("decimal(38,18)"), round_to).cast(dec)
+        )
+    )
+    lp9 = F.round(F.log(p.cast("double")), round_to).cast(f"decimal(28,{round_to})")
+    return (
+        scored.select(F.col(id_col), lp9.alias("_lp9"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("_lp9").alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.col("_s").cast("string").alias("kn_sum_logp9"),
+        )
+    )
+
+
 # -------------------------------------------------------- corpus mixing
 
 

@@ -962,3 +962,124 @@ def test_pii_card_luhn(spark):
     assert out[1]["scrubbed"] == "ref <CARD> code"
     assert out[2]["n_card"] == 0 and out[2]["n_card_valid"] == 0
     assert out[3]["n_card"] == 0 and "<PHONE>" in out[3]["scrubbed"]
+
+
+class TestKneserNey:
+    REF = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat ran and the dog sat"),
+        (2, "a dog sat on a mat"),
+    ]
+    DOCS = [
+        (10, "the cat sat"),       # all-seen bigrams
+        (11, "the zebra sat"),      # unseen word mid-context
+        (12, "zebra the cat"),      # unseen context start
+        (13, "single"),             # no bigram -> no row
+    ]
+
+    @staticmethod
+    def _py_kn(ref_texts, doc_text, r=9):
+        """Exact-decimal sequential twin of train+score."""
+        from collections import Counter, defaultdict
+        from decimal import ROUND_HALF_UP, Decimal
+        import math
+
+        def rnd(x, n=r):
+            return Decimal(x).quantize(
+                Decimal(1).scaleb(-n), rounding=ROUND_HALF_UP
+            )
+
+        bi = Counter()
+        for t in ref_texts:
+            ws = t.lower().split()
+            for v, w in zip(ws, ws[1:]):
+                bi[(v, w)] += 1
+        cv = Counter()
+        n1v = Counter()
+        n1w = Counter()
+        for (v, w), c in bi.items():
+            cv[v] += c
+            n1v[v] += 1
+            n1w[w] += 1
+        nt = len(bi)
+        D = Decimal("0.75")
+        total = Decimal(0)
+        ws = doc_text.lower().split()
+        n_grams = 0
+        for v, w in zip(ws, ws[1:]):
+            n_grams += 1
+            floor = rnd(Decimal(1) / Decimal(2 * nt))
+            pc = rnd(Decimal(n1w[w]) / Decimal(nt)) if w in n1w else floor
+            if v not in cv:
+                p = pc
+            else:
+                lam = rnd(D * Decimal(n1v[v]) / Decimal(cv[v]))
+                if (v, w) in bi:
+                    t1 = rnd((Decimal(bi[(v, w)]) - D) / Decimal(cv[v]))
+                    p = rnd(t1 + lam * pc)
+                else:
+                    p = rnd(lam * pc)
+            total += rnd(Decimal(repr(math.log(float(p)))))
+        return n_grams, total
+
+    def test_matches_exact_decimal_twin(self, spark):
+        from buildkite_logs_parquet_spark.operators.curation import (
+            kn_score,
+            train_kn_bigram_lm,
+        )
+
+        ref = spark.createDataFrame(self.REF, "doc_id long, text string")
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        model = train_kn_bigram_lm(ref, "doc_id")
+        got = {
+            r["doc_id"]: r for r in kn_score(docs, model, "doc_id").collect()
+        }
+        assert 13 not in got  # no bigram -> no row
+        from decimal import Decimal
+
+        for did, text in self.DOCS[:3]:
+            n, total = self._py_kn([t for _, t in self.REF], text)
+            assert got[did]["n_grams"] == n, did
+            assert Decimal(got[did]["kn_sum_logp9"]) == total, (did, text)
+
+    def test_seen_context_probabilities_sum_to_one(self, spark):
+        """Interpolated-KN normalization: for a seen context v, summing
+        p(w|v) over the continuation vocabulary gives 1 (up to the 9-dp
+        per-term rounding)."""
+        from decimal import Decimal
+
+        from buildkite_logs_parquet_spark.operators.curation import (
+            kn_score,
+            train_kn_bigram_lm,
+        )
+
+        ref = spark.createDataFrame(self.REF, "doc_id long, text string")
+        model = train_kn_bigram_lm(ref, "doc_id")
+        vocab = sorted({r["w"] for r in model["continuation"].collect()})
+        probes = spark.createDataFrame(
+            [(i, f"the {w}") for i, w in enumerate(vocab)],
+            "doc_id long, text string",
+        )
+        import math
+
+        got = kn_score(probes, model, "doc_id").collect()
+        total = sum(
+            Decimal(repr(math.exp(float(r["kn_sum_logp9"])))) for r in got
+        )
+        assert abs(total - 1) < Decimal("0.0001")
+
+    def test_layout_deterministic(self, spark):
+        from buildkite_logs_parquet_spark.operators.curation import (
+            kn_score,
+            train_kn_bigram_lm,
+        )
+
+        ref = spark.createDataFrame(self.REF, "doc_id long, text string")
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        a = kn_score(docs, train_kn_bigram_lm(ref, "doc_id"), "doc_id")
+        b = kn_score(
+            docs.repartition(5),
+            train_kn_bigram_lm(ref.repartition(3), "doc_id"),
+            "doc_id",
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
