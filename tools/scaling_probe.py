@@ -46,6 +46,9 @@ PROBES = [
     ("x_text_normalize", "documents (mojibake+NFKC+collapse, digested)", 10),
     ("bpe_encode", "documents (bpe + wordpiece longest-match legs)", 10),
     ("x_flac_ingest", "embeddings ids x 32 FLAC clips (fixed2+rice)", 10),
+    ("lm_perplexity", "documents (bucket LM + CCNet split + KN train/score)", 10),
+    ("x_cdc_dedup", "documents (content-defined chunk dedup)", 10),
+    ("x_pdf_ingest", "embeddings ids x 32 four-page Flate PDFs", 10),
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
