@@ -684,9 +684,94 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking (window 32, stride 24): the within-document
-    context windowing step; pure narrow map + explode, zero shuffle."""
+    context windowing step; pure narrow map + explode, zero shuffle.
+
+    Round-5 union-tag: the SFT CONVERSATION ops (operators/chat.py) ride
+    the same row.  Conversations are built deterministically from each
+    document's text (modular-arithmetic turn plants, including an
+    unanswered-user plant at doc_id%7 and a double-user alternation break
+    at doc_id%11), then the REAL operators run:
+
+    * 'chat:stats:' rows — conversation_stats (turn counts, first/last
+      role, alternation validity; content_chars travels in n_tokens);
+    * 'chat:render:<text>' rows — render_chat_template's full ChatML-
+      style render, hashed verbatim against the oracle's string_agg;
+    * 'chat:span' rows — assistant_spans char offsets (start_token =
+      span_start, n_tokens = span length), the loss-mask arithmetic the
+      oracle replays with a windowed running piece-length sum.
+
+    All legs are expression-only narrow maps like the base chunker —
+    zero shuffle, no UDF."""
+    from buildkite_logs_parquet_spark.operators import chat as CH
+
     docs = _t(spark, sf_dir, "documents")
-    return PK.chunk_documents(docs, "doc_id", "text", window=32, stride=24)
+    base = PK.chunk_documents(docs, "doc_id", "text", window=32, stride=24)
+
+    def _st(role, content):
+        return F.struct(F.lit(role).alias("role"), content.alias("content"))
+
+    def _sub(a, n):
+        return F.substring(F.col("text"), a, n)
+
+    d = F.col("doc_id")
+    slots = F.array(
+        F.when(d % 5 == 0, _st("system", F.lit("be concise"))),
+        F.when(F.lit(True), _st("user", _sub(1, 40))),
+        F.when(F.lit(True), _st("assistant", _sub(41, 60))),
+        F.when(d % 3 == 0, _st("user", _sub(101, 30))),
+        F.when(d % 3 == 0, _st("assistant", _sub(131, 50))),
+        F.when(
+            (d % 7 == 0) | (d % 11 == 0),
+            _st("user", F.concat(F.lit("unanswered "), d.cast("string"))),
+        ),
+        F.when(d % 11 == 0, _st("user", F.lit("double user"))),
+    )
+    conv = docs.select(
+        "doc_id", F.filter(slots, lambda x: x.isNotNull()).alias("turns")
+    )
+    conv = CH.assistant_spans(
+        CH.render_chat_template(CH.conversation_stats(conv), out_col="_r")
+    )
+    stats_leg = conv.select(
+        "doc_id",
+        F.lit(-1).cast("int").alias("chunk_id"),
+        F.col("n_turns").cast("int").alias("start_token"),
+        F.col("content_chars").cast("int").alias("n_tokens"),
+        F.concat_ws(
+            ":",
+            F.lit("chat"),
+            F.lit("stats"),
+            F.col("n_user").cast("string"),
+            F.col("n_assistant").cast("string"),
+            F.col("n_system").cast("string"),
+            F.col("first_role"),
+            F.col("last_role"),
+            F.col("valid_alternation").cast("string"),
+        ).alias("chunk_text"),
+    )
+    render_leg = conv.select(
+        "doc_id",
+        F.lit(-2).cast("int").alias("chunk_id"),
+        F.lit(0).cast("int").alias("start_token"),
+        F.length("_r").cast("int").alias("n_tokens"),
+        F.concat(F.lit("chat:render:"), F.col("_r")).alias("chunk_text"),
+    )
+    span_leg = conv.select(
+        "doc_id", F.posexplode("assistant_spans").alias("_i", "_s")
+    ).select(
+        "doc_id",
+        F.col("_i").cast("int").alias("chunk_id"),
+        F.col("_s")["span_start"].cast("int").alias("start_token"),
+        (F.col("_s")["span_end"] - F.col("_s")["span_start"])
+        .cast("int")
+        .alias("n_tokens"),
+        F.lit("chat:span").alias("chunk_text"),
+    )
+    return (
+        base.unionByName(stats_leg)
+        .unionByName(render_leg)
+        .unionByName(span_leg)
+    )
 
 
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3488,6 +3573,82 @@ SELECT doc_id, chunk_id, start_token,
        CAST(len(toks) AS INT) AS n_tokens,
        array_to_string(toks, ' ') AS chunk_text
 FROM c
+
+UNION ALL
+-- chat legs (operators/chat.py): the same deterministic turn plants as
+-- the Spark side, then stats / render / assistant-span semantics replayed
+-- in ANSI SQL (window functions over the per-turn relation)
+SELECT * FROM (
+WITH ct AS (
+  SELECT doc_id, 0 AS idx, 'system' AS role, 'be concise' AS content
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, 1, 'user', substr(text, 1, 40) FROM documents
+  UNION ALL
+  SELECT doc_id, 2, 'assistant', substr(text, 41, 60) FROM documents
+  UNION ALL
+  SELECT doc_id, 3, 'user', substr(text, 101, 30)
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, 4, 'assistant', substr(text, 131, 50)
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, 5, 'user', 'unanswered ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 7 = 0 OR doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id, 6, 'user', 'double user' FROM documents WHERE doc_id % 11 = 0
+),
+cp AS (
+  SELECT doc_id, idx, role, content,
+         '<|' || role || '|>' || content || '<|end|>' AS piece,
+         2 + length(role) + 2 + length(content) + 7 AS piece_len,
+         lag(role) OVER (PARTITION BY doc_id ORDER BY idx) AS prev_role
+  FROM ct
+),
+cstats AS (
+  SELECT doc_id,
+         count(*) AS n_turns,
+         sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
+         sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant,
+         sum(CASE WHEN role = 'system' THEN 1 ELSE 0 END) AS n_system,
+         sum(length(content)) AS content_chars,
+         bool_and(CASE WHEN idx >= 2 AND role <> 'system'
+                       THEN role <> prev_role ELSE TRUE END) AS alternates
+  FROM cp GROUP BY doc_id
+)
+SELECT doc_id, CAST(-1 AS INT) AS chunk_id,
+       CAST(n_turns AS INT) AS start_token,
+       CAST(content_chars AS INT) AS n_tokens,
+       'chat:stats:' || CAST(n_user AS VARCHAR) || ':'
+         || CAST(n_assistant AS VARCHAR) || ':' || CAST(n_system AS VARCHAR)
+         || ':' || CASE WHEN doc_id % 5 = 0 THEN 'system' ELSE 'user' END
+         || ':' || CASE WHEN doc_id % 7 = 0 OR doc_id % 11 = 0
+                        THEN 'user' ELSE 'assistant' END
+         || ':' || CAST(alternates AND NOT (doc_id % 11 = 0) AS VARCHAR)
+         AS chunk_text
+FROM cstats
+UNION ALL
+SELECT doc_id, CAST(-2 AS INT), CAST(0 AS INT),
+       CAST(length(r) AS INT), 'chat:render:' || r
+FROM (
+  SELECT doc_id, string_agg(piece, '' ORDER BY idx) AS r
+  FROM cp GROUP BY doc_id
+)
+UNION ALL
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY idx) - 1 AS INT),
+       CAST(off + 2 + length(role) + 2 AS INT),
+       CAST(length(content) AS INT),
+       'chat:span'
+FROM (
+  SELECT doc_id, idx, role, content,
+         coalesce(sum(piece_len) OVER (
+           PARTITION BY doc_id ORDER BY idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM cp
+)
+WHERE role = 'assistant'
+)
 """
 
     # mix_corpora: the rate arithmetic (normalized weights → binding
