@@ -1903,7 +1903,50 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
         )
     )
-    return base.unionByName(canon).unionByName(robots_leg)
+    # round-5 union-tag #2: BITEXT URL-correspondence mining
+    # (operators/bitext.py::bitext_url_candidates) — translation-pair
+    # candidates from language-marked URLs.  Plant: every doc_id%4 doc
+    # gets a language-pathed URL sharing a page slot with other langs
+    # (page = doc_id div 4 mod 25); the operator strips the marker,
+    # joins on the stripped key under the hot-key cap, orients pairs
+    # lang_a<lang_b, and applies the 2x length-ratio gate.  The oracle
+    # replays the regexp strip + join + gate in SQL.  One row per kept
+    # pair: ids/langs in `domain`, the two lengths in n_urls/n_docs.
+    from buildkite_logs_parquet_spark.operators import bitext as BX
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.where(F.col("doc_id") % 4 == 0).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.concat(
+            F.lit("https://www.example.com/"),
+            F.col("lang"),
+            F.lit("/page"),
+            F.expr("doc_id DIV 4 % 25").cast("string"),
+        ).alias("url"),
+    )
+    bt = BX.bitext_url_candidates(planted, max_docs_per_key=64)
+    bitext_leg = bt.select(
+        F.concat_ws(
+            ":",
+            F.lit("bitext"),
+            F.col("url_key"),
+            F.concat(
+                F.col("id_a").cast("string"),
+                F.lit(">"),
+                F.col("id_b").cast("string"),
+            ),
+            F.concat(F.col("lang_a"), F.lit(">"), F.col("lang_b")),
+        ).alias("domain"),
+        F.col("len_a").alias("n_urls"),
+        F.col("len_b").alias("n_docs"),
+    )
+    return (
+        base.unionByName(canon)
+        .unionByName(robots_leg)
+        .unionByName(bitext_leg)
+    )
 
 
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4322,6 +4365,46 @@ SELECT 'robots:site' || CAST(doc_id % 50 AS STRING) || '.example.com:'
 FROM documents
 WHERE doc_id % 3 = 0
 GROUP BY doc_id % 50
+UNION ALL
+-- bitext leg (operators/bitext.py): replay the language-marker strip,
+-- the hot-key cap, the lang_a<lang_b orientation, and the 2x
+-- length-ratio gate over the same planted URLs
+SELECT 'bitext:' || url_key || ':'
+         || CAST(id_a AS VARCHAR) || '>' || CAST(id_b AS VARCHAR) || ':'
+         || lang_a || '>' || lang_b AS domain,
+       len_a AS n_urls, len_b AS n_docs
+FROM (
+  WITH bplant AS (
+    SELECT doc_id AS id, lang, CAST(n_chars AS BIGINT) AS len,
+           'https://www.example.com/' || lang || '/page'
+             || CAST((doc_id // 4) % 25 AS VARCHAR) AS url
+    FROM documents WHERE doc_id % 4 = 0
+  ),
+  bkeyed AS (
+    SELECT id, lang, len,
+           regexp_replace(
+           regexp_replace(
+           regexp_replace(
+           regexp_replace(
+             lower(url)
+           , '^https?://', '')
+           , '^(en|de|fr|es|it|pt|ru|zh|ja|ko)\\.', '')
+           , '^([^/]*)/(en|de|fr|es|it|pt|ru|zh|ja|ko)/', '\\1/')
+           , '/(en|de|fr|es|it|pt|ru|zh|ja|ko)$', '') AS url_key
+    FROM bplant
+  ),
+  bok AS (
+    SELECT url_key FROM bkeyed GROUP BY url_key HAVING count(*) <= 64
+  ),
+  bb AS (SELECT k.* FROM bkeyed k JOIN bok USING (url_key))
+  SELECT a.url_key, a.id AS id_a, b.id AS id_b,
+         a.lang AS lang_a, b.lang AS lang_b,
+         a.len AS len_a, b.len AS len_b
+  FROM bb a JOIN bb b USING (url_key)
+  WHERE a.lang < b.lang
+    AND greatest(a.len, b.len) <= least(a.len, b.len) * 2.0
+    AND least(a.len, b.len) > 0
+)
 """
 
     # table_profile (exact mode): one UNION ALL branch per profiled column
