@@ -291,3 +291,107 @@ def decode_audio(data: bytes) -> tuple[int, np.ndarray]:
     if raw[:4] == b"RIFF":
         return decode_wav(raw)
     raise ValueError("unsupported audio container (WAV and FLAC decode natively)")
+
+
+# ------------------------------------------------------------------ MP3 triage
+
+#: MPEG audio bitrate tables (kbps), index 1..14 — ISO/IEC 11172-3 /
+#: 13818-3 public tables.  Keyed by (version_group, layer): version_group
+#: 'v1' = MPEG1, 'v2' = MPEG2/2.5 (which share a table).
+_MP3_BITRATES = {
+    ("v1", 1): [32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    ("v1", 2): [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    ("v1", 3): [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    ("v2", 1): [32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    ("v2", 2): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    ("v2", 3): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
+
+
+def _id3v2_size(data: bytes) -> int:
+    """Byte length of a leading ID3v2 tag (0 if absent) — syncsafe size
+    field per the public id3.org spec, +10 header (+10 footer if flagged)."""
+    if len(data) < 10 or data[:3] != b"ID3":
+        return 0
+    flags = data[5]
+    size = (
+        ((data[6] & 0x7F) << 21)
+        | ((data[7] & 0x7F) << 14)
+        | ((data[8] & 0x7F) << 7)
+        | (data[9] & 0x7F)
+    )
+    return 10 + size + (10 if flags & 0x10 else 0)
+
+
+def mp3_info(data: bytes) -> dict:
+    """Metadata-only MP3 triage: walk MPEG audio frame headers (no
+    decode) and return container stats — the cheap first pass an audio
+    crawl runs to estimate duration/bitrate and route clips BEFORE any
+    expensive transcode.  Handles a leading ID3v2 tag and a trailing
+    ID3v1 block; tolerates junk between frames by resyncing on 0xFFE.
+
+    Returns ``{n_frames, duration_ms, sample_rate, bitrate_kbps (mean),
+    vbr, layer, mpeg_version, has_id3v2, id3v2_bytes}``.  Raises
+    ``ValueError`` when no valid frame is found (quarantine seam).
+    Full Layer-III DECODE stays behind the honest ``strict_decode``
+    seam — this parser reads only the public header fields.
+    """
+    raw = bytes(data)
+    pos = _id3v2_size(raw)
+    has_id3 = pos > 0
+    end = len(raw)
+    if end >= 128 and raw[end - 128 : end - 125] == b"TAG":
+        end -= 128  # ID3v1 trailer
+    n_frames = 0
+    samples = 0
+    sr_seen = None
+    layer_seen = None
+    ver_seen = None
+    bitrates = []
+    while pos + 4 <= end:
+        b0, b1, b2, _ = raw[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            pos += 1  # resync
+            continue
+        ver = (b1 >> 3) & 0x3  # 0=2.5, 2=MPEG2, 3=MPEG1
+        layer_code = (b1 >> 1) & 0x3  # 3=Layer I, 2=II, 1=III
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        padding = (b2 >> 1) & 0x1
+        if ver == 1 or layer_code == 0 or br_idx in (0, 15) or sr_idx == 3:
+            pos += 1
+            continue
+        layer = 4 - layer_code  # 1, 2, 3
+        vgroup = "v1" if ver == 3 else "v2"
+        bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx - 1] * 1000
+        sr = _MP3_RATES[ver][sr_idx]
+        if layer == 1:
+            frame_len = (12 * bitrate // sr + padding) * 4
+            spf = 384
+        else:
+            spf = 1152 if (layer == 2 or ver == 3) else 576
+            frame_len = (spf // 8) * bitrate // sr + padding
+        if frame_len < 4:
+            pos += 1
+            continue
+        n_frames += 1
+        samples += spf
+        bitrates.append(bitrate)
+        sr_seen = sr
+        layer_seen = layer
+        ver_seen = {3: "1", 2: "2", 0: "2.5"}[ver]
+        pos += frame_len
+    if n_frames == 0:
+        raise ValueError("no MPEG audio frames found")
+    return {
+        "n_frames": n_frames,
+        "duration_ms": round(1000.0 * samples / sr_seen, 3),
+        "sample_rate": sr_seen,
+        "bitrate_kbps": round(sum(bitrates) / len(bitrates) / 1000.0, 3),
+        "vbr": len(set(bitrates)) > 1,
+        "layer": layer_seen,
+        "mpeg_version": ver_seen,
+        "has_id3v2": has_id3,
+        "id3v2_bytes": _id3v2_size(raw),
+    }

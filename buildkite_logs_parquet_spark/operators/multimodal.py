@@ -801,3 +801,218 @@ def follow_document_dir(
     # path rides THROUGH the Arrow stage (carry_cols) — a stream-stream
     # self-join to re-attach it would build needless join state
     return pdf_text_features(media, carry_cols=["path"])
+
+
+def mp3_triage(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Metadata-only MP3 frame-walk (``audio_codec.mp3_info`` — headers,
+    never samples): duration/bitrate/layer stats for routing an audio
+    crawl before any decode.  Arrow-batched; unparseable payloads
+    quarantine as ``parse_ok = false`` rows.  At 100 TB this is the
+    cheap full-corpus pass — bytes stay executor-local and the walk is
+    O(frames), no DCT/huffman work (full MP3 decode remains the honest
+    ``strict_decode`` seam)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from buildkite_logs_parquet_spark.functions.audio_codec import mp3_info
+
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                row = {
+                    id_col: media_id,
+                    "parse_ok": False,
+                    "n_frames": None,
+                    "duration_ms": None,
+                    "sample_rate": None,
+                    "bitrate_kbps": None,
+                    "vbr": None,
+                    "layer": None,
+                    "mpeg_version": None,
+                    "has_id3v2": None,
+                }
+                try:
+                    info = mp3_info(bytes(payload))
+                    row.update(parse_ok=True, **{
+                        k: info[k]
+                        for k in (
+                            "n_frames", "duration_ms", "sample_rate",
+                            "bitrate_kbps", "vbr", "layer", "mpeg_version",
+                            "has_id3v2",
+                        )
+                    })
+                except Exception:
+                    pass
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    schema = (
+        f"{id_col} long, parse_ok boolean, n_frames int, duration_ms double, "
+        "sample_rate int, bitrate_kbps double, vbr boolean, layer int, "
+        "mpeg_version string, has_id3v2 boolean"
+    )
+    return media.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def audio_fingerprint(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    n_fft: int = 1024,
+    hop: int = 512,
+    n_bands: int = 33,
+    fmin: float = 300.0,
+    fmax: float = 3000.0,
+) -> DataFrame:
+    """Haitsma–Kalker (Philips) audio fingerprint: per analysis frame, a
+    32-bit sub-fingerprint whose bit ``b`` is the sign of the
+    time-and-band energy difference
+    ``(E[t,b]-E[t,b+1]) - (E[t-1,b]-E[t-1,b+1])`` over ``n_bands``
+    log-spaced bands — the published robust-hash recipe (Haitsma &
+    Kalker, "A Highly Robust Audio Fingerprinting System", ISMIR 2002).
+    Invariant to global gain (signs of energy *differences*), robust to
+    mild EQ/codec noise.
+
+    Output: one row per frame ``(id, frame_idx, fp)`` with ``fp`` the
+    packed 32-bit word as a long.  Decode + windowed rFFT batch inside
+    Arrow (numpy stride-tricks framing, vectorized ``rfft`` per clip);
+    payloads never reach the driver.  Undecodable clips yield no rows
+    (quarantine by absence — pair with ``audio_features.decode_ok`` for
+    the audit).  Downstream near-dup join: ``audio_fingerprint_near_dups``.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from buildkite_logs_parquet_spark.functions.audio_codec import (
+            decode_audio,
+        )
+
+        for pdf in batches:
+            ids, idxs, fps = [], [], []
+            for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    sr, samples = decode_audio(bytes(payload))
+                except Exception:
+                    continue
+                mono = samples[:, 0].astype(np.float64)
+                if len(mono) < n_fft + hop:
+                    continue
+                n_frames = 1 + (len(mono) - n_fft) // hop
+                frames = np.lib.stride_tricks.as_strided(
+                    mono,
+                    shape=(n_frames, n_fft),
+                    strides=(mono.strides[0] * hop, mono.strides[0]),
+                )
+                win = np.hanning(n_fft)
+                spec = np.abs(np.fft.rfft(frames * win, axis=1)) ** 2
+                freqs = np.fft.rfftfreq(n_fft, 1.0 / sr)
+                hi = min(fmax, sr / 2.0 - 1.0)
+                edges = np.geomspace(fmin, hi, n_bands + 1)
+                bins = np.searchsorted(freqs, edges)
+                energies = np.empty((n_frames, n_bands))
+                for b in range(n_bands):
+                    lo_b, hi_b = bins[b], max(bins[b + 1], bins[b] + 1)
+                    energies[:, b] = spec[:, lo_b:hi_b].sum(axis=1)
+                d = energies[:, :-1] - energies[:, 1:]   # band deltas
+                dd = d[1:] - d[:-1]                      # time deltas
+                bits = (dd > 0).astype(np.uint64)
+                words = np.zeros(len(bits), dtype=np.uint64)
+                for b in range(bits.shape[1]):
+                    words |= bits[:, b] << np.uint64(b)
+                ids.extend([media_id] * len(words))
+                idxs.extend(range(len(words)))
+                fps.extend(int(w) for w in words)
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "fp": fps})
+
+    schema = f"{id_col} long, frame_idx int, fp long"
+    return media.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def audio_fingerprint_near_dups(
+    fp_df: DataFrame,
+    id_col: str = "media_id",
+    max_ber: float = 0.25,
+    min_frames: int = 4,
+    max_band_df: int = 64,
+) -> DataFrame:
+    """Near-duplicate audio by fingerprint bit-error-rate (the
+    Haitsma–Kalker match criterion): candidate pairs come from a banded
+    inverted index — each 32-bit sub-fingerprint splits into four 8-bit
+    bands, and two clips sharing ANY (frame_idx, band, byte) key become
+    candidates (the simhash pigeonhole trick per frame; across a clip's
+    many frames the chance a true near-dup never lands a clean band is
+    negligible) — then each candidate pair is scored by the mean
+    per-aligned-frame Hamming distance / 32 (``bit_count(xor)``,
+    JVM-side), keeping pairs with BER <= ``max_ber`` over at least
+    ``min_frames`` aligned frames.
+
+    ``max_band_df`` drops band keys shared by more than that many clips
+    (silence frames are the audio boilerplate) before the pair join —
+    the standard DF cap on the slim projection; scoring joins are plain
+    equi-joins on (id, frame_idx).  Never all-pairs.  Output:
+    ``(id_a, id_b, n_frames, ber)`` with ``id_a < id_b``.
+    """
+    fp = fp_df.select(F.col(id_col).alias("id"), "frame_idx", "fp")
+    bands = fp.select(
+        "id",
+        "frame_idx",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("fp", 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("byte"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "id", "frame_idx", F.col("bk")["band"].alias("band"), F.col("bk")["byte"].alias("byte")
+    )
+    hot = (
+        bands.groupBy("frame_idx", "band", "byte")
+        .agg(F.count_distinct("id").alias("_d"))
+        .where(F.col("_d") > max_band_df)
+        .select("frame_idx", "band", "byte")
+    )
+    bounded = bands.join(
+        F.broadcast(hot), ["frame_idx", "band", "byte"], "left_anti"
+    )
+    ca = bounded.select(F.col("id").alias("id_a"), "frame_idx", "band", "byte")
+    cb = bounded.select(F.col("id").alias("id_b"), "frame_idx", "band", "byte")
+    cands = (
+        ca.join(cb, ["frame_idx", "band", "byte"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = fp.select(
+        F.col("id").alias("id_a"), "frame_idx", F.col("fp").alias("fp_a")
+    )
+    fb = fp.select(
+        F.col("id").alias("id_b"), "frame_idx", F.col("fp").alias("fp_b")
+    )
+    scored = (
+        cands.join(fa, "id_a")
+        .join(fb, ["id_b", "frame_idx"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.round(
+                F.avg(F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))) / 32.0,
+                6,
+            ).alias("ber"),
+        )
+        .where((F.col("n_frames") >= min_frames) & (F.col("ber") <= max_ber))
+    )
+    return scored.select("id_a", "id_b", "n_frames", "ber")
