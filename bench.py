@@ -112,6 +112,120 @@ def _extra_ops():
         return M.extract_features(media, decode=M.real_decode)
 
     _flac_fixture: dict = {}
+    _wav_fixture: dict = {}
+
+    def audio_fingerprint_bench(spark, sf_dir):
+        """Haitsma-Kalker fingerprint + BER near-dup join: 24 distinct
+        half-second 8 kHz WAV tone-mix clips (driver-encoded once, the
+        fixture not the measured path) replicated across embeddings ids
+        with three gain variants each, so the banded candidate join and
+        the aligned-frame BER scoring both do real work."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from buildkite_logs_parquet_spark.functions.audio_codec import (
+            encode_wav,
+        )
+        from buildkite_logs_parquet_spark.operators import multimodal as M
+
+        if "payloads" not in _wav_fixture:
+            rng = np.random.default_rng(17)
+            payloads = []
+            t = np.arange(4000) / 8000.0
+            for j in range(24):
+                freqs = rng.integers(350, 2800, size=3)
+                sig = sum(
+                    np.sin(2 * np.pi * f * t) * (1 + 0.4 * np.sin(2 * np.pi * (k + 1) * t))
+                    for k, f in enumerate(freqs)
+                )
+                for g, gain in enumerate((0.5, 0.35, 0.2)):
+                    x = (gain * sig / np.max(np.abs(sig)) * 32767).astype(np.int16)
+                    payloads.append((j * 3 + g, encode_wav(x.reshape(-1, 1), 8000)))
+            _wav_fixture["payloads"] = payloads
+        pal = spark.createDataFrame(
+            _wav_fixture["payloads"], "k long, payload binary"
+        )
+        ids = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            F.col("vec_id").alias("media_id"), (F.col("vec_id") % 72).alias("k")
+        )
+        media = (
+            ids.join(F.broadcast(pal), "k")
+            .select("media_id", "payload")
+            .repartition(32)
+        )
+        fps = M.audio_fingerprint(media)
+        # replicated clips make every band key hot on purpose; raise the
+        # cap so the scoring join is exercised, and floor min_frames
+        return M.audio_fingerprint_near_dups(
+            fps, max_ber=0.2, min_frames=3, max_band_df=5000
+        )
+
+    def chat_pipeline_bench(spark, sf_dir):
+        """The full SFT conversation pass at corpus scale: build turns
+        from every document (same plant as the doc_chunks chat legs),
+        stats + validity gate + render + assistant spans, digested so
+        every rendered byte materializes."""
+        from pyspark.sql import functions as F
+
+        from buildkite_logs_parquet_spark.operators import chat as CH
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        d = F.col("doc_id")
+
+        def _st(role, content):
+            return F.struct(F.lit(role).alias("role"), content.alias("content"))
+
+        def _sub(a, n):
+            return F.substring(F.col("text"), a, n)
+
+        slots = F.array(
+            F.when(d % 5 == 0, _st("system", F.lit("be concise"))),
+            F.when(F.lit(True), _st("user", _sub(1, 200))),
+            F.when(F.lit(True), _st("assistant", _sub(201, 400))),
+            F.when(d % 3 == 0, _st("user", _sub(601, 200))),
+            F.when(d % 3 == 0, _st("assistant", _sub(801, 300))),
+            F.when(d % 7 == 0, _st("user", F.lit("unanswered"))),
+        )
+        conv = docs.select(
+            "doc_id", F.filter(slots, lambda x: x.isNotNull()).alias("turns")
+        )
+        conv = CH.filter_conversations(CH.conversation_stats(conv))
+        conv = CH.assistant_spans(CH.render_chat_template(conv))
+        return conv.select(
+            "doc_id",
+            F.md5("text").alias("digest"),
+            F.size("assistant_spans").alias("n_spans"),
+        )
+
+    def bitext_mine_bench(spark, sf_dir):
+        """URL-correspondence bitext mining + positional segment
+        alignment over the whole documents table (every doc planted
+        with a language-pathed URL; page slots sized so keys carry
+        realistic fan-out at sf0.1)."""
+        from pyspark.sql import functions as F
+
+        from buildkite_logs_parquet_spark.operators import bitext as BX
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        planted = docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "text",
+            F.concat(
+                F.lit("https://www.example.com/"),
+                F.col("lang"),
+                F.lit("/page"),
+                F.expr("doc_id % 97").cast("string"),
+            ).alias("url"),
+        )
+        pairs = BX.bitext_url_candidates(planted, max_docs_per_key=64)
+        segs = BX.align_segments_by_position(
+            pairs, planted.select("doc_id", F.col("text")), sep=r"\. "
+        )
+        return segs.select(
+            "id_a", "id_b", "seg_idx", F.md5("seg_a").alias("da"), F.md5("seg_b").alias("db")
+        )
 
     def flac_ingest_bench(spark, sf_dir):
         """Audio FLAC ingest throughput: ~32 distinct half-second 16 kHz
@@ -846,6 +960,9 @@ def _extra_ops():
         "x_pdf_ingest": pdf_ingest_bench,
         "x_salted_neardup": salted_neardup_bench,
         "x_drift_state": drift_state_bench,
+        "x_audio_fingerprint": audio_fingerprint_bench,
+        "x_chat_pipeline": chat_pipeline_bench,
+        "x_bitext_mine": bitext_mine_bench,
     }
 
 
@@ -894,11 +1011,12 @@ def main() -> None:
     # once the history window has caught up.
     workload_grew = {
         "dsir_weights": "quality-classifier GD legs (ae33fc6)",
-        "url_domain_stats": "robots compliance legs (9376216)",
         "pii_scrub": "unicode normalization digests + Luhn (5186bef)",
         "bpe_encode": "wordpiece longest-match legs (04b789b)",
         "lm_perplexity": "Kneser-Ney train+score legs",
         "text_profile": "script detection columns",
+        "doc_chunks": "SFT chat stats/render/span legs (round 5)",
+        "url_domain_stats": "robots legs (9376216) + bitext legs (round 5)",
     }
     burst_suspects: list[str] = []
     workload_changed: list[str] = []

@@ -944,11 +944,14 @@ def audio_fingerprint_near_dups(
 ) -> DataFrame:
     """Near-duplicate audio by fingerprint bit-error-rate (the
     Haitsma–Kalker match criterion): candidate pairs come from a banded
-    inverted index — each 32-bit sub-fingerprint splits into four 8-bit
-    bands, and two clips sharing ANY (frame_idx, band, byte) key become
-    candidates (the simhash pigeonhole trick per frame; across a clip's
-    many frames the chance a true near-dup never lands a clean band is
-    negligible) — then each candidate pair is scored by the mean
+    inverted index — each 32-bit sub-fingerprint splits into two 16-bit
+    bands, and two clips sharing ANY (frame_idx, band, half-word) key
+    become candidates (the simhash pigeonhole trick per frame — a frame
+    with <2 flipped bits always lands a clean band, and across a clip's
+    many frames the chance a true near-dup never lands one is
+    negligible; 2^16 buckets keep chance collisions rare, unlike byte
+    bands whose 256 buckets drift toward all-pairs at fleet scale) —
+    then each candidate pair is scored by the mean
     per-aligned-frame Hamming distance / 32 (``bit_count(xor)``,
     JVM-side), keeping pairs with BER <= ``max_ber`` over at least
     ``min_frames`` aligned frames.
@@ -968,11 +971,11 @@ def audio_fingerprint_near_dups(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("fp", 8 * b)
-                        .bitwiseAND(F.lit(255))
+                        F.shiftright("fp", 16 * b)
+                        .bitwiseAND(F.lit(65535))
                         .alias("byte"),
                     )
-                    for b in range(4)
+                    for b in range(2)
                 ]
             )
         ).alias("bk"),
