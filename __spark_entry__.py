@@ -1960,44 +1960,130 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof = P.table_profile(
         docs, ["doc_id", "n_chars", "lang", "source"], exact=True
     )
-    # round-4 union-tag: snapshot-drift PSI (profiling.corpus_drift) rides
-    # the same row — snapshots are the doc_id parity split, buckets pack
-    # into the column name as 'drift:<col>:<bucket>', counts travel in
-    # n_rows/n_nulls, shares in min/max, the 9-dp PSI term in approx_p50
+
+    # DETERMINISM §1 (hardened after the round-4 driver hash-mismatch):
+    # the hashed artifact must contain ONLY arithmetic-exact values.
+    # Two engine-float-sensitive computations were in the round-4 row:
+    #   (a) percentile interpolation — DuckDB's quantile_cont changed its
+    #       interior float formula across releases, and Spark's exact
+    #       `percentile` interpolates in double, so the two engines can
+    #       disagree in the last ulp and a 9-dp round flips a digit;
+    #   (b) the drift leg's psi_term — ln() differs between JVM Math.log
+    #       and libm in the last ulp.
+    # Fix: p50/p95 recomputed below in pure BIGINT scaled arithmetic
+    # (position = ((n-1)*q) div/mod 100; interpolation in value*100
+    # space; the 9-dp decimal string is CONCATENATED, never a float), and
+    # the drift leg replaces psi_term with a decimal-exact share gap.
+    # The operators themselves (table_profile, corpus_drift) keep their
+    # float percentiles / real PSI — only the oracle-hashed rendering is
+    # integer-exact.  Assumes non-negative integer-valued columns (holds
+    # for doc_id / n_chars; asserted by the lpad rendering).
+    num_cols = ["doc_id", "n_chars"]
+    aggs = []
+    for c in num_cols:
+        aggs.append(
+            F.sort_array(F.collect_list(F.col(c).cast("long"))).alias(
+                f"{c}__arr"
+            )
+        )
+        aggs.append(F.count(F.col(c)).alias(f"{c}__cnt"))
+    pw = docs.agg(*aggs)  # oracle-scale only: exact mode collects the col
+    for c in num_cols:
+        for qn in (50, 95):
+            pw = (
+                pw.withColumn(
+                    f"{c}__k{qn}",
+                    F.expr(f"(({c}__cnt - 1) * {qn}) div 100"),
+                )
+                .withColumn(
+                    f"{c}__rem{qn}",
+                    F.expr(f"(({c}__cnt - 1) * {qn}) % 100"),
+                )
+                .withColumn(
+                    f"{c}__ps{qn}",
+                    F.expr(
+                        f"element_at({c}__arr, cast({c}__k{qn} + 1 as int)) * 100"
+                        f" + (element_at({c}__arr, cast(least({c}__k{qn} + 2, {c}__cnt) as int))"
+                        f"    - element_at({c}__arr, cast({c}__k{qn} + 1 as int)))"
+                        f"   * {c}__rem{qn}"
+                    ),
+                )
+                .withColumn(
+                    f"{c}__pstr{qn}",
+                    F.expr(
+                        f"concat(cast({c}__ps{qn} div 100 as string), '.',"
+                        f" lpad(cast({c}__ps{qn} % 100 as string), 2, '0'),"
+                        f" '0000000')"
+                    ),
+                )
+            )
+    pcts = pw.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"{c}__pstr50").alias("p50s"),
+                        F.col(f"{c}__pstr95").alias("p95s"),
+                    )
+                    for c in num_cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+
+    def _d9(c):
+        return F.round(c, 9).cast("decimal(38,9)").cast("string")
+
+    base = (
+        prof.join(F.broadcast(pcts), on="column", how="left")
+        .select(
+            "column",
+            "n_rows",
+            "n_nulls",
+            "approx_distinct",
+            _d9(F.col("min")).alias("min"),
+            _d9(F.col("max")).alias("max"),
+            F.coalesce(F.col("p50s"), _d9(F.col("approx_p50"))).alias(
+                "approx_p50"
+            ),
+            F.coalesce(F.col("p95s"), _d9(F.col("approx_p95"))).alias(
+                "approx_p95"
+            ),
+        )
+    )
+
+    # drift leg: snapshot-drift (profiling.corpus_drift) rides the same
+    # row — snapshots are the doc_id parity split, buckets pack into the
+    # column name as 'drift:<col>:<bucket>', counts in n_rows/n_nulls,
+    # shares in min/max (IEEE-exact division + 9-dp decimal render), and
+    # approx_p50 carries the DECIMAL-EXACT share gap (round-to-9dp then
+    # decimal subtract) instead of the ln-based psi_term, which stays in
+    # the operator but out of the cross-engine hash.
     a = docs.where(F.col("doc_id") % 2 == 0)
     b = docs.where(F.col("doc_id") % 2 == 1)
     dr = P.corpus_drift(
         a, b, cat_cols=["lang", "source"], num_cols=["n_chars"], n_bins=8
+    )
+    gap = (
+        (
+            F.round(F.col("share_a"), 9).cast("decimal(38,9)")
+            - F.round(F.col("share_b"), 9).cast("decimal(38,9)")
+        )
+        .cast("decimal(38,9)")  # pin scale: engines differ on sub widening
+        .cast("string")
     )
     drift_leg = dr.select(
         F.concat_ws(":", F.lit("drift"), "column", "bucket").alias("column"),
         F.col("n_a").alias("n_rows"),
         F.col("n_b").alias("n_nulls"),
         F.lit(None).cast("long").alias("approx_distinct"),
-        F.col("share_a").alias("min"),
-        F.col("share_b").alias("max"),
-        F.col("psi_term").alias("approx_p50"),
-        F.lit(None).cast("double").alias("approx_p95"),
+        _d9(F.col("share_a")).alias("min"),
+        _d9(F.col("share_b")).alias("max"),
+        gap.alias("approx_p50"),
+        F.lit(None).cast("string").alias("approx_p95"),
     )
-    out = prof.unionByName(drift_leg)
-
-    # DETERMINISM §1: every float-bearing column rides out as a 9-dp
-    # DECIMAL rendered as a scale-preserving STRING (the `_money`
-    # discipline) — raw doubles (drift shares, percentile interpolation)
-    # are hash-hostile across engine versions / driver float formatting
-    def _d9(c):
-        return F.round(c, 9).cast("decimal(38,9)").cast("string")
-
-    return out.select(
-        "column",
-        "n_rows",
-        "n_nulls",
-        "approx_distinct",
-        _d9(F.col("min")).alias("min"),
-        _d9(F.col("max")).alias("max"),
-        _d9(F.col("approx_p50")).alias("approx_p50"),
-        _d9(F.col("approx_p95")).alias("approx_p95"),
-    )
+    return base.unionByName(drift_leg)
 
 
 def q_top_terms_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4407,37 +4493,63 @@ FROM (
 )
 """
 
-    # table_profile (exact mode): one UNION ALL branch per profiled column
-    _tp_num = """
+    # table_profile (exact mode): one UNION ALL branch per profiled
+    # column.  DETERMINISM (mirror of q_table_profile's hardening): the
+    # hashed artifact carries ONLY arithmetic-exact values — percentiles
+    # via pure BIGINT scaled interpolation (lo*100 + (hi-lo)*rem, string
+    # concatenated, never a float — quantile_cont's interior float math
+    # changed across DuckDB releases and diverges from Spark's double
+    # interpolation in the last ulp), and the drift leg's psi slot is a
+    # decimal-exact share gap (ln differs between JVM and libm).
+    def _tp_pct_sql(c: str, q: int) -> str:
+        return f"""(
+      SELECT CAST(ps // 100 AS VARCHAR) || '.'
+             || lpad(CAST(ps % 100 AS VARCHAR), 2, '0') || '0000000'
+      FROM (
+        SELECT lo.v * 100 + (hi.v - lo.v) * (((cnt - 1) * {q}) % 100) AS ps
+        FROM (SELECT count(*) AS cnt FROM documents WHERE {c} IS NOT NULL) n,
+             (SELECT CAST({c} AS BIGINT) AS v,
+                     row_number() OVER (ORDER BY {c}) - 1 AS r
+              FROM documents WHERE {c} IS NOT NULL) lo,
+             (SELECT CAST({c} AS BIGINT) AS v,
+                     row_number() OVER (ORDER BY {c}) - 1 AS r
+              FROM documents WHERE {c} IS NOT NULL) hi
+        WHERE lo.r = ((cnt - 1) * {q}) // 100
+          AND hi.r = least(((cnt - 1) * {q}) // 100 + 1, cnt - 1)
+      )
+    )"""
+
+    def _tp_num(c: str) -> str:
+        return f"""
 SELECT '{c}' AS "column",
        (SELECT count(*) FROM documents) AS n_rows,
        (SELECT count(*) FROM documents) - count({c}) AS n_nulls,
        count(DISTINCT {c}) AS approx_distinct,
-       CAST(min({c}) AS DOUBLE) AS "min",
-       CAST(max({c}) AS DOUBLE) AS "max",
-       quantile_cont({c}, 0.5) AS approx_p50,
-       quantile_cont({c}, 0.95) AS approx_p95
+       CAST(CAST(round(CAST(min({c}) AS DOUBLE), 9) AS DECIMAL(38,9)) AS VARCHAR) AS "min",
+       CAST(CAST(round(CAST(max({c}) AS DOUBLE), 9) AS DECIMAL(38,9)) AS VARCHAR) AS "max",
+       {_tp_pct_sql(c, 50)} AS approx_p50,
+       {_tp_pct_sql(c, 95)} AS approx_p95
 FROM documents
 """
+
     _tp_str = """
 SELECT '{c}' AS "column",
        (SELECT count(*) FROM documents) AS n_rows,
        (SELECT count(*) FROM documents) - count({c}) AS n_nulls,
        count(DISTINCT {c}) AS approx_distinct,
-       CAST(NULL AS DOUBLE) AS "min", CAST(NULL AS DOUBLE) AS "max",
-       CAST(NULL AS DOUBLE) AS approx_p50, CAST(NULL AS DOUBLE) AS approx_p95
+       CAST(NULL AS VARCHAR) AS "min", CAST(NULL AS VARCHAR) AS "max",
+       CAST(NULL AS VARCHAR) AS approx_p50, CAST(NULL AS VARCHAR) AS approx_p95
 FROM documents
 """
     _tp_drift = """
 SELECT 'drift:' || col || ':' || bucket AS "column",
        n_a AS n_rows, n_b AS n_nulls, CAST(NULL AS BIGINT) AS approx_distinct,
-       n_a / CAST(tot_a AS DOUBLE) AS "min",
-       n_b / CAST(tot_b AS DOUBLE) AS "max",
-       round((greatest(n_a / CAST(tot_a AS DOUBLE), 1e-6)
-              - greatest(n_b / CAST(tot_b AS DOUBLE), 1e-6))
-             * ln(greatest(n_a / CAST(tot_a AS DOUBLE), 1e-6)
-                  / greatest(n_b / CAST(tot_b AS DOUBLE), 1e-6)), 9) AS approx_p50,
-       CAST(NULL AS DOUBLE) AS approx_p95
+       CAST(CAST(round(n_a / CAST(tot_a AS DOUBLE), 9) AS DECIMAL(38,9)) AS VARCHAR) AS "min",
+       CAST(CAST(round(n_b / CAST(tot_b AS DOUBLE), 9) AS DECIMAL(38,9)) AS VARCHAR) AS "max",
+       CAST(CAST(CAST(round(n_a / CAST(tot_a AS DOUBLE), 9) AS DECIMAL(38,9))
+                 - CAST(round(n_b / CAST(tot_b AS DOUBLE), 9) AS DECIMAL(38,9))
+            AS DECIMAL(38,9)) AS VARCHAR) AS approx_p50,
+       CAST(NULL AS VARCHAR) AS approx_p95
 FROM (
   SELECT col, bucket, sum(n_a) AS n_a, sum(n_b) AS n_b,
          sum(sum(n_a)) OVER (PARTITION BY col) AS tot_a,
@@ -4466,25 +4578,15 @@ FROM (
   GROUP BY col, bucket
 )
 """
-    # outer wrapper: 9-dp decimal-as-string rendering of every float
-    # column (mirror of the Spark side's _d9 — see q_table_profile)
-    _tp_union = " UNION ALL ".join(
+    sql["table_profile"] = " UNION ALL ".join(
         [
-            _tp_num.format(c="doc_id"),
-            _tp_num.format(c="n_chars"),
+            _tp_num("doc_id"),
+            _tp_num("n_chars"),
             _tp_str.format(c="lang"),
             _tp_str.format(c="source"),
             _tp_drift,
         ]
     )
-    sql["table_profile"] = f"""
-SELECT "column", n_rows, n_nulls, approx_distinct,
-       CAST(CAST(round("min", 9) AS DECIMAL(38,9)) AS VARCHAR) AS "min",
-       CAST(CAST(round("max", 9) AS DECIMAL(38,9)) AS VARCHAR) AS "max",
-       CAST(CAST(round(approx_p50, 9) AS DECIMAL(38,9)) AS VARCHAR) AS approx_p50,
-       CAST(CAST(round(approx_p95, 9) AS DECIMAL(38,9)) AS VARCHAR) AS approx_p95
-FROM ({_tp_union})
-"""
 
     sql["top_terms_by_group"] = """
 WITH tok AS (
