@@ -534,11 +534,22 @@ def q_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time aggregations consolidated into one oracle row
     (union-tagged): hourly buckets per event type, JSON-prop bucket
     rollups, AND per-type exact percentiles (round-4 merge of the former
-    events_percentiles entry) — all full-output-hashed.  Sort-based exact
-    percentiles interpolate identically across engines on the same
-    doubles, so p50/p90 travel as nullable DOUBLE columns."""
+    events_percentiles entry) — all full-output-hashed.
+
+    DETERMINISM (round-5 hardening, same lesson as q_table_profile):
+    percentile INTERPOLATION is engine-float-sensitive — DuckDB's
+    quantile_cont interior formula has changed across releases, so raw
+    interpolated doubles are a latent driver-hash hazard even while the
+    current engines agree.  ``value`` is exactly 2-dp (asserted by the
+    testdata generator), so p50/p90 ride out as STRINGS computed in pure
+    BIGINT space: v100 = round(value·100) as long, position/frac via
+    ((n−1)·q) div/mod 100, interpolation in v100·100 space, 4-dp string
+    concatenated.  The production operator (percentile_approx /
+    time_rollup) is untouched — only the oracle rendering is integer-
+    exact.  Assumes non-negative values (events.value ≥ 0).
+    """
     ev = _events(spark, sf_dir)
-    ndbl = F.lit(None).cast("double")
+    ndbl = F.lit(None).cast("string")
     hour = F.date_format(F.timestamp_millis(F.col("ts_ms")), "yyyy-MM-dd HH:00:00")
     hourly = ev.groupBy(hour.alias("_h"), "event_type").agg(
         F.count("*").alias("n_events"),
@@ -568,17 +579,40 @@ def q_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ndbl.alias("p90"),
         )
     )
-    pctl = ev.groupBy("event_type").agg(
-        F.count("*").alias("n_events"),
-        F.percentile("value", F.lit(0.5)).alias("p50"),
-        F.percentile("value", F.lit(0.9)).alias("p90"),
-    ).select(
+    # oracle-scale only: collect_list per type group (the production
+    # percentile path stays sketch-based; see docstring)
+    pctl_w = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v100"),
+    ).groupBy("event_type").agg(
+        F.sort_array(F.collect_list("v100")).alias("arr"),
+        F.count("v100").alias("cnt"),
+    )
+    for qn in (50, 90):
+        pctl_w = pctl_w.withColumn(
+            f"k{qn}", F.expr(f"((cnt - 1) * {qn}) div 100")
+        ).withColumn(
+            f"ps{qn}",
+            F.expr(
+                f"element_at(arr, cast(k{qn} + 1 as int)) * 100"
+                f" + (element_at(arr, cast(least(k{qn} + 2, cnt) as int))"
+                f"    - element_at(arr, cast(k{qn} + 1 as int)))"
+                f"   * (((cnt - 1) * {qn}) % 100)"
+            ),
+        ).withColumn(
+            f"pstr{qn}",
+            F.expr(
+                f"concat(cast(ps{qn} div 10000 as string), '.',"
+                f" lpad(cast(ps{qn} % 10000 as string), 4, '0'))"
+            ),
+        )
+    pctl = pctl_w.select(
         F.lit("pctl").alias("side"),
         F.col("event_type").alias("key"),
-        "n_events",
+        F.col("cnt").alias("n_events"),
         F.lit(None).cast("string").alias("total_value"),
-        "p50",
-        "p90",
+        F.col("pstr50").alias("p50"),
+        F.col("pstr90").alias("p90"),
     )
     # round-4 union-tag: the hypertable-style multi-granularity rollup
     # (operators/timeseries.py::time_rollup — native ROLLUP, one Expand +
@@ -1607,9 +1641,13 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     string (order-independent — the dsir_weights discipline).
 
     Round-4 union-tag: the full CCNet head/middle/tail split
-    (curation.ccnet_buckets — per-language exact-percentile terciles of
-    nll, |langs|-row broadcast thresholds) rides the same row as three
-    more columns (lang, nll, ppl_bucket).
+    (curation.ccnet_buckets — per-language terciles of nll, |langs|-row
+    broadcast thresholds) rides the same row as three more columns
+    (lang, nll, ppl_bucket).  Round-5 hardening: tercile_mode="rank"
+    (type-1 rank-selected boundary elements, pure integer rank math) —
+    interpolated percentiles are engine-float-sensitive and can flip a
+    tied document's bucket across DuckDB releases (the table_profile
+    lesson); the oracle selects the same ranks.
 
     Round-5 'kn' columns: a REAL interpolated Kneser-Ney bigram LM
     (curation.train_kn_bigram_lm / kn_score — the KenLM model family
@@ -1626,6 +1664,7 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ref,
         "doc_id",
         group_col="lang",
+        tercile_mode="rank",
         n_buckets=4096,
         seed=29,
     ).select("doc_id", "lang", "n_grams", "sum_logp9", "nll", "ppl_bucket")
@@ -2462,7 +2501,7 @@ SELECT 'hourly' AS side,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') || '|' || event_type AS key,
        count(*) AS n_events,
        CAST(sum({dec('value', 2)}) AS STRING) AS total_value,
-       CAST(NULL AS DOUBLE) AS p50, CAST(NULL AS DOUBLE) AS p90
+       CAST(NULL AS VARCHAR) AS p50, CAST(NULL AS VARCHAR) AS p90
 FROM events
 GROUP BY 1, 2
 UNION ALL
@@ -2470,16 +2509,51 @@ SELECT 'json_k' AS side,
        CAST(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS STRING) AS key,
        count(*) AS n_events,
        CAST(sum({dec('value', 2)}) AS STRING) AS total_value,
-       CAST(NULL AS DOUBLE) AS p50, CAST(NULL AS DOUBLE) AS p90
+       CAST(NULL AS VARCHAR) AS p50, CAST(NULL AS VARCHAR) AS p90
 FROM events
 GROUP BY 1, 2
 UNION ALL
-SELECT 'pctl' AS side, event_type AS key, count(*) AS n_events,
+-- pctl: integer-exact interpolation in v100 space (see q_events_agg
+-- docstring) — quantile_cont's float interior is DuckDB-version-sensitive
+SELECT 'pctl' AS side, n.event_type AS key, n.cnt AS n_events,
        CAST(NULL AS STRING) AS total_value,
-       quantile_cont(value, 0.5) AS p50,
-       quantile_cont(value, 0.9) AS p90
-FROM events
-GROUP BY event_type
+       CAST(lo50.ps // 10000 AS VARCHAR) || '.'
+         || lpad(CAST(lo50.ps % 10000 AS VARCHAR), 4, '0') AS p50,
+       CAST(lo90.ps // 10000 AS VARCHAR) || '.'
+         || lpad(CAST(lo90.ps % 10000 AS VARCHAR), 4, '0') AS p90
+FROM (SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type) n
+JOIN (
+  SELECT n2.event_type,
+         lo.v * 100 + (hi.v - lo.v) * (((n2.cnt - 1) * 50) % 100) AS ps
+  FROM (SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type) n2
+  JOIN (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY round(value * 100, 0)) - 1 AS r
+        FROM events) lo
+    ON lo.event_type = n2.event_type AND lo.r = ((n2.cnt - 1) * 50) // 100
+  JOIN (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY round(value * 100, 0)) - 1 AS r
+        FROM events) hi
+    ON hi.event_type = n2.event_type
+   AND hi.r = least(((n2.cnt - 1) * 50) // 100 + 1, n2.cnt - 1)
+) lo50 ON lo50.event_type = n.event_type
+JOIN (
+  SELECT n2.event_type,
+         lo.v * 100 + (hi.v - lo.v) * (((n2.cnt - 1) * 90) % 100) AS ps
+  FROM (SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type) n2
+  JOIN (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY round(value * 100, 0)) - 1 AS r
+        FROM events) lo
+    ON lo.event_type = n2.event_type AND lo.r = ((n2.cnt - 1) * 90) // 100
+  JOIN (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY round(value * 100, 0)) - 1 AS r
+        FROM events) hi
+    ON hi.event_type = n2.event_type
+   AND hi.r = least(((n2.cnt - 1) * 90) // 100 + 1, n2.cnt - 1)
+) lo90 ON lo90.event_type = n.event_type
 UNION ALL
 SELECT 'rollup' AS side,
        concat_ws('|',
@@ -2487,7 +2561,7 @@ SELECT 'rollup' AS side,
                  d, h, event_type) AS key,
        count(*) AS n_events,
        CAST(sum({dec('value', 2)}) AS STRING) AS total_value,
-       CAST(NULL AS DOUBLE) AS p50, CAST(NULL AS DOUBLE) AS p90
+       CAST(NULL AS VARCHAR) AS p50, CAST(NULL AS VARCHAR) AS p90
 FROM (
   SELECT strftime(ts, '%Y-%m-%d') AS d,
          strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
@@ -4100,11 +4174,21 @@ lmrow AS (
   JOIN documents d ON r.doc_id = d.doc_id
   LEFT JOIN per ON r.doc_id = per.doc_id
 ),
+-- rank-selected (type-1) tercile boundaries: the element at 0-indexed
+-- rank (n-1)//3 resp. 2*(n-1)//3 per lang — pure integer rank math, no
+-- interpolation (quantile_cont's interior float formula is
+-- DuckDB-version-sensitive and can flip a tied doc's bucket)
+lmrk AS (
+  SELECT lang, nll,
+         row_number() OVER (PARTITION BY lang ORDER BY nll) - 1 AS r,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM lmrow WHERE nll IS NOT NULL
+),
 lmth AS (
   SELECT lang,
-         quantile_cont(nll, 0.3333333333333333) AS t_lo,
-         quantile_cont(nll, 0.6666666666666666) AS t_hi
-  FROM lmrow GROUP BY lang
+         max(CASE WHEN r = (n - 1) // 3 THEN nll END) AS t_lo,
+         max(CASE WHEN r = (2 * (n - 1)) // 3 THEN nll END) AS t_hi
+  FROM lmrk GROUP BY lang
 ),
 -- interpolated Kneser-Ney bigram LM, replayed in scaled integers:
 -- every 9-dp decimal x becomes the HUGEINT round(x*1e9) via the

@@ -1017,6 +1017,7 @@ def ccnet_buckets(
     group_col: str | None = None,
     cut_lo: float = 1.0 / 3.0,
     cut_hi: float = 2.0 / 3.0,
+    tercile_mode: str = "interpolate",
     **lm_kwargs,
 ) -> DataFrame:
     """CCNet's head/middle/tail split (Wenzek et al. 2020): score every
@@ -1033,6 +1034,19 @@ def ccnet_buckets(
     decimal sum with one division — deterministic, so bucket boundaries
     are oracle-checkable.  Documents with no bigram land in 'unscored'.
 
+    ``tercile_mode``: ``"interpolate"`` (default) uses the exact
+    interpolated percentile — the statistically conventional choice, but
+    the interpolation's interior float arithmetic is ENGINE-SENSITIVE
+    (DuckDB's quantile_cont formula changed across releases; a boundary
+    sitting 1 ulp differently can flip a tied document's bucket).
+    ``"rank"`` selects the DATA ELEMENT at 0-indexed rank
+    ``floor((n−1)·cut)`` per group (type-1 lower quantile, cuts fixed at
+    1/3 and 2/3): pure integer rank math over deterministic doubles, so
+    the boundary is bit-identical on any engine — the mode the oracle
+    gate runs.  Rank mode is also the scale path: a row_number window +
+    rank filter (two bounded shuffles) instead of a percentile sort
+    aggregate.
+
     Returns ``(id, [group], n_grams, sum_logp9, nll, ppl_bucket)``.
     """
     scored = lm_perplexity(
@@ -1048,11 +1062,46 @@ def ccnet_buckets(
         / F.col("n_grams"),
     )
     base = base.withColumn("nll", nll)
-    gb = base.groupBy(group_col) if group_col else base.groupBy()
-    th = gb.agg(
-        F.percentile("nll", F.lit(float(cut_lo))).alias("_t_lo"),
-        F.percentile("nll", F.lit(float(cut_hi))).alias("_t_hi"),
-    )
+    if tercile_mode == "rank":
+        from pyspark.sql import Window
+
+        if (cut_lo, cut_hi) != (1.0 / 3.0, 2.0 / 3.0):
+            raise ValueError(
+                "tercile_mode='rank' implements the fixed 1/3 / 2/3 cuts"
+            )
+        gcols = [group_col] if group_col else []
+        scored_nn = base.where(F.col("nll").isNotNull()).select(
+            *gcols, "nll"
+        )
+        w = Window.partitionBy(*gcols).orderBy("nll")
+        cw = Window.partitionBy(*gcols)
+        ranked = scored_nn.withColumn(
+            "_r", F.row_number().over(w) - 1
+        ).withColumn("_n", F.count("*").over(cw))
+        th = (
+            ranked.withColumn(
+                "_is_lo", F.col("_r") == F.expr("(_n - 1) div 3")
+            )
+            .withColumn(
+                "_is_hi", F.col("_r") == F.expr("(2 * (_n - 1)) div 3")
+            )
+            .where(F.col("_is_lo") | F.col("_is_hi"))
+            .groupBy(*gcols)
+            .agg(
+                F.max(F.when(F.col("_is_lo"), F.col("nll"))).alias("_t_lo"),
+                F.max(F.when(F.col("_is_hi"), F.col("nll"))).alias("_t_hi"),
+            )
+        )
+        if not group_col:
+            th = th.select("_t_lo", "_t_hi")
+    elif tercile_mode == "interpolate":
+        gb = base.groupBy(group_col) if group_col else base.groupBy()
+        th = gb.agg(
+            F.percentile("nll", F.lit(float(cut_lo))).alias("_t_lo"),
+            F.percentile("nll", F.lit(float(cut_hi))).alias("_t_hi"),
+        )
+    else:
+        raise ValueError(f"unknown tercile_mode: {tercile_mode!r}")
     if group_col:
         th = th.select(F.col(group_col).alias("_qg"), "_t_lo", "_t_hi")
         joined = base.join(
