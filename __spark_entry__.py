@@ -1647,7 +1647,10 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type-1 rank-selected boundary elements, pure integer rank math) —
     interpolated percentiles are engine-float-sensitive and can flip a
     tied document's bucket across DuckDB releases (the table_profile
-    lesson); the oracle selects the same ranks.
+    lesson); the oracle selects the same ranks.  The hashed nll itself
+    is the 9-dp fixed-point string rendered from the integer grid
+    (rank mode's nll9) — a raw decimal→double cast is engine-
+    implementation-specific in its rounding path.
 
     Round-5 'kn' columns: a REAL interpolated Kneser-Ney bigram LM
     (curation.train_kn_bigram_lm / kn_score — the KenLM model family
@@ -1667,7 +1670,20 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         tercile_mode="rank",
         n_buckets=4096,
         seed=29,
-    ).select("doc_id", "lang", "n_grams", "sum_logp9", "nll", "ppl_bucket")
+    ).select(
+        "doc_id",
+        "lang",
+        "n_grams",
+        "sum_logp9",
+        F.when(
+            F.col("nll9").isNotNull(),
+            F.expr(
+                "concat(cast(nll9 div 1000000000 as string), '.',"
+                " lpad(cast(nll9 % 1000000000 as string), 9, '0'))"
+            ),
+        ).alias("nll"),
+        "ppl_bucket",
+    )
     kn = CU.kn_score(
         scored, CU.train_kn_bigram_lm(ref, "doc_id"), "doc_id"
     ).select(
@@ -4165,11 +4181,16 @@ per AS (
   FROM scored GROUP BY doc_id
 ),
 lmrow AS (
+  -- nll9: the 9-dp fixed-point of -(Σ ln p)/n as a half-up scaled
+  -- integer, derived from the decimal STRING by digit extraction
+  -- (replace drops the dot) — never a decimal→double cast, whose
+  -- rounding path is engine-implementation-specific
   SELECT r.doc_id, d.lang, coalesce(per.n_grams, 0) AS n_grams,
          CAST(coalesce(per.s, CAST(0 AS DECIMAL(38,9))) AS STRING) AS sum_logp9,
          CASE WHEN coalesce(per.n_grams, 0) > 0
-              THEN -CAST(CAST(coalesce(per.s, CAST(0 AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS DOUBLE) / per.n_grams
-         END AS nll
+              THEN ((0 - CAST(replace(CAST(coalesce(per.s, CAST(0 AS DECIMAL(38,9))) AS STRING), '.', '') AS BIGINT)) * 2
+                    + per.n_grams) // (2 * per.n_grams)
+         END AS nll9
   FROM rawd r
   JOIN documents d ON r.doc_id = d.doc_id
   LEFT JOIN per ON r.doc_id = per.doc_id
@@ -4179,15 +4200,15 @@ lmrow AS (
 -- interpolation (quantile_cont's interior float formula is
 -- DuckDB-version-sensitive and can flip a tied doc's bucket)
 lmrk AS (
-  SELECT lang, nll,
-         row_number() OVER (PARTITION BY lang ORDER BY nll) - 1 AS r,
+  SELECT lang, nll9,
+         row_number() OVER (PARTITION BY lang ORDER BY nll9) - 1 AS r,
          count(*) OVER (PARTITION BY lang) AS n
-  FROM lmrow WHERE nll IS NOT NULL
+  FROM lmrow WHERE nll9 IS NOT NULL
 ),
 lmth AS (
   SELECT lang,
-         max(CASE WHEN r = (n - 1) // 3 THEN nll END) AS t_lo,
-         max(CASE WHEN r = (2 * (n - 1)) // 3 THEN nll END) AS t_hi
+         max(CASE WHEN r = (n - 1) // 3 THEN nll9 END) AS t_lo,
+         max(CASE WHEN r = (2 * (n - 1)) // 3 THEN nll9 END) AS t_hi
   FROM lmrk GROUP BY lang
 ),
 -- interpolated Kneser-Ney bigram LM, replayed in scaled integers:
@@ -4247,10 +4268,14 @@ knper AS (
          sum(CAST(round(ln(CAST(p9 AS DOUBLE) / 1000000000.0), 9) AS DECIMAL(28,9))) AS kns
   FROM knp GROUP BY doc_id
 )
-SELECT lmrow.doc_id, lmrow.lang, n_grams, sum_logp9, nll,
-       CASE WHEN nll IS NULL THEN 'unscored'
-            WHEN nll <= t_lo THEN 'head'
-            WHEN nll <= t_hi THEN 'middle'
+SELECT lmrow.doc_id, lmrow.lang, n_grams, sum_logp9,
+       CASE WHEN nll9 IS NOT NULL THEN
+         CAST(nll9 // 1000000000 AS VARCHAR) || '.'
+           || lpad(CAST(nll9 % 1000000000 AS VARCHAR), 9, '0')
+       END AS nll,
+       CASE WHEN nll9 IS NULL THEN 'unscored'
+            WHEN nll9 <= t_lo THEN 'head'
+            WHEN nll9 <= t_hi THEN 'middle'
             ELSE 'tail' END AS ppl_bucket,
        knper.kn_n_grams AS kn_n_grams,
        CAST(knper.kns AS STRING) AS kn_sum_logp9

@@ -1069,11 +1069,29 @@ def ccnet_buckets(
             raise ValueError(
                 "tercile_mode='rank' implements the fixed 1/3 / 2/3 cuts"
             )
-        gcols = [group_col] if group_col else []
-        scored_nn = base.where(F.col("nll").isNotNull()).select(
-            *gcols, "nll"
+        # rank mode lives on an integer grid END TO END: nll9 is the
+        # half-up 9-dp fixed-point of Σln p / n_grams, derived from the
+        # sum_logp9 STRING by digit extraction (translate drops the dot →
+        # the scale-9 integer; sums here fit a long with 5 decimal digits
+        # to spare at 2^63), never through a decimal→double cast whose
+        # rounding path is engine-implementation-specific.  Ranking,
+        # boundary selection, and the bucket comparisons all run on nll9,
+        # so the whole split is integer arithmetic on any engine.
+        base = base.withColumn(
+            "nll9",
+            F.when(
+                F.col("n_grams") > 0,
+                F.expr(
+                    "((0 - cast(translate(sum_logp9, '.', '') as bigint))"
+                    " * 2 + n_grams) div (2 * n_grams)"
+                ),
+            ),
         )
-        w = Window.partitionBy(*gcols).orderBy("nll")
+        gcols = [group_col] if group_col else []
+        scored_nn = base.where(F.col("nll9").isNotNull()).select(
+            *gcols, "nll9"
+        )
+        w = Window.partitionBy(*gcols).orderBy("nll9")
         cw = Window.partitionBy(*gcols)
         ranked = scored_nn.withColumn(
             "_r", F.row_number().over(w) - 1
@@ -1088,8 +1106,8 @@ def ccnet_buckets(
             .where(F.col("_is_lo") | F.col("_is_hi"))
             .groupBy(*gcols)
             .agg(
-                F.max(F.when(F.col("_is_lo"), F.col("nll"))).alias("_t_lo"),
-                F.max(F.when(F.col("_is_hi"), F.col("nll"))).alias("_t_hi"),
+                F.max(F.when(F.col("_is_lo"), F.col("nll9"))).alias("_t_lo"),
+                F.max(F.when(F.col("_is_hi"), F.col("nll9"))).alias("_t_hi"),
             )
         )
         if not group_col:
@@ -1109,10 +1127,11 @@ def ccnet_buckets(
         ).drop("_qg")
     else:
         joined = base.crossJoin(F.broadcast(th))  # 1-row threshold table
+    score = F.col("nll9") if tercile_mode == "rank" else F.col("nll")
     bucket = (
-        F.when(F.col("nll").isNull(), F.lit("unscored"))
-        .when(F.col("nll") <= F.col("_t_lo"), F.lit("head"))
-        .when(F.col("nll") <= F.col("_t_hi"), F.lit("middle"))
+        F.when(score.isNull(), F.lit("unscored"))
+        .when(score <= F.col("_t_lo"), F.lit("head"))
+        .when(score <= F.col("_t_hi"), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
     return joined.withColumn("ppl_bucket", bucket).drop("_t_lo", "_t_hi")
