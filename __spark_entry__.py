@@ -1009,7 +1009,14 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, the in-SQL ADC lookup table, and both rankings from the
     same literals; all float folds are sequential-order (DETERMINISM.md).
     """
+    from pyspark import StorageLevel
+
     emb = _t(spark, sf_dir, "embeddings")
+    # the twelve legs below each scan the same small vector table —
+    # persist it once so the union job reads cached columnar blocks
+    # instead of re-decoding the parquet array column per leg (the bench
+    # clears the cache between queries, so nothing leaks across rows)
+    emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
     # ONE driver job fetches both scalars the legs need: the query vector
     # (vec_id=0's embedding) and the corpus max-|x| SQ anchor — instead
     # of a .first() per leg

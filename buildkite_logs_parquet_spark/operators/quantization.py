@@ -682,6 +682,14 @@ def pq_train_distributed(
             )
         ).alias("e")
     ).select("e.s", "e.sub")
+    # every round re-scans the SAME exploded subvectors: persist them once
+    # (kmeans_fit's persist_input pattern) so rounds 2..N read cached
+    # columnar blocks instead of re-decoding parquet and re-exploding —
+    # the cache is m structs per vector, the same order of bytes as the
+    # raw vector column
+    from pyspark import StorageLevel
+
+    sub_rows = sub_rows.persist(StorageLevel.MEMORY_AND_DISK)
 
     sums = tuple(
         F.sum(F.element_at(F.col("sub"), i + 1).cast("decimal(28,12)")).alias(
@@ -690,39 +698,44 @@ def pq_train_distributed(
         for i in range(d_sub)
     )
     history: list[dict] = []
-    for it in range(1, max_iter + 1):
-        cb_lit = F.lit(books)  # m x k x d_sub nested literal
-        dists = F.transform(
-            F.element_at(cb_lit, F.col("s") + 1),
-            lambda c: _sqdist(c, F.col("sub")),
-        )
-        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        rows = (
-            sub_rows.withColumn("code", code)
-            .groupBy("s", "code")
-            .agg(F.count("*").alias("_n"), *sums)
-            .collect()
-        )
-        by_key = {(r["s"], r["code"]): r for r in rows}
-        new_books = []
-        max_drift = 0.0
-        for s in range(m):
-            nb = []
-            for j in range(k):
-                r = by_key.get((s, j))
-                if r is None:
-                    nb.append(list(books[s][j]))
-                    continue
-                n = r["_n"]
-                cent = [float(r[f"_s_{i}"]) / n for i in range(d_sub)]
-                drift = _math.sqrt(
-                    sum((a - b) ** 2 for a, b in zip(cent, books[s][j]))
-                )
-                max_drift = max(max_drift, drift)
-                nb.append(cent)
-            new_books.append(nb)
-        books = new_books
-        history.append({"iter": it, "max_drift": max_drift})
-        if max_drift <= tol:
-            break
+    try:
+        for it in range(1, max_iter + 1):
+            cb_lit = F.lit(books)  # m x k x d_sub nested literal
+            dists = F.transform(
+                F.element_at(cb_lit, F.col("s") + 1),
+                lambda c: _sqdist(c, F.col("sub")),
+            )
+            code = (F.array_position(dists, F.array_min(dists)) - 1).cast(
+                "int"
+            )
+            rows = (
+                sub_rows.withColumn("code", code)
+                .groupBy("s", "code")
+                .agg(F.count("*").alias("_n"), *sums)
+                .collect()
+            )
+            by_key = {(r["s"], r["code"]): r for r in rows}
+            new_books = []
+            max_drift = 0.0
+            for s in range(m):
+                nb = []
+                for j in range(k):
+                    r = by_key.get((s, j))
+                    if r is None:
+                        nb.append(list(books[s][j]))
+                        continue
+                    n = r["_n"]
+                    cent = [float(r[f"_s_{i}"]) / n for i in range(d_sub)]
+                    drift = _math.sqrt(
+                        sum((a - b) ** 2 for a, b in zip(cent, books[s][j]))
+                    )
+                    max_drift = max(max_drift, drift)
+                    nb.append(cent)
+                new_books.append(nb)
+            books = new_books
+            history.append({"iter": it, "max_drift": max_drift})
+            if max_drift <= tol:
+                break
+    finally:
+        sub_rows.unpersist()
     return books, history
