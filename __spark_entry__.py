@@ -682,10 +682,17 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dsir_logweight").cast("string").alias("val"),
     )
 
-    feats = CL.hashed_features(docs, dim=64, seed=0)
+    from pyspark import StorageLevel
+
+    # the two GD steps + the scoring pass + the batch-size count each
+    # re-derive the hashed features (an md5-per-token explode) — persist
+    # the narrow (doc_id, feat, cnt) relation and the labels once
+    feats = CL.hashed_features(docs, dim=64, seed=0).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     labels = docs.select(
         "doc_id", F.col("text").contains(" the ").cast("int").alias("label")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     n_docs = labels.count()  # driver scalar: the batch size
     w0 = spark.createDataFrame([], "feat long, w double")
     w1 = CL.lr_step(feats, labels, w0, n_docs, lr=0.5)
