@@ -2011,10 +2011,41 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("len_a").alias("n_urls"),
         F.col("len_b").alias("n_docs"),
     )
+    # round-5 union-tag #3: WEB-GRAPH signals (operators/webgraph.py) —
+    # the URL-level quality prior.  'pre:<src>><dst>' rows value-check
+    # text_link_edges (consecutive planted-URL hosts per doc, lead
+    # window), and 'pr:<host>' rows drive the integer-exact pagerank
+    # (2 rounds, damping 85/100, scale 10^12): the rank STATE r12 is a
+    # BIGINT riding n_urls, so the whole damped trajectory — per-edge
+    # hu() contributions, dangling-mass redistribution, both rounds — is
+    # hash-checked.  The oracle replays both rounds relationally
+    # (unrolled CTEs, all half-up integer division).
+    from buildkite_logs_parquet_spark.operators import webgraph as WG
+
+    link_e = WG.text_link_edges(urls, "doc_id", "text")
+    pre_leg = (
+        link_e.groupBy("src", "dst")
+        .agg(F.count("*").alias("n_urls"))
+        .select(
+            F.concat(
+                F.lit("pre:"), F.col("src"), F.lit(">"), F.col("dst")
+            ).alias("domain"),
+            "n_urls",
+            F.lit(0).cast("long").alias("n_docs"),
+        )
+    )
+    pr = WG.pagerank(link_e, n_iter=2)
+    pr_leg = pr.select(
+        F.concat(F.lit("pr:"), F.col("node")).alias("domain"),
+        F.col("r12").alias("n_urls"),
+        F.lit(0).cast("long").alias("n_docs"),
+    )
     return (
         base.unionByName(canon)
         .unionByName(robots_leg)
         .unionByName(bitext_leg)
+        .unionByName(pre_leg)
+        .unionByName(pr_leg)
     )
 
 
@@ -4555,10 +4586,83 @@ canon AS (
          , '^(https://[^/:?#]+):443([/?#].*)?$', '\\1\\2')
          , '^(https?://[^/?#]+/[^?#]*[^/?#])/([?#].*)?$', '\\1\\2') AS cu
   FROM urls
+),
+-- web-graph legs (operators/webgraph.py): consecutive-URL host edges
+-- per document, then TWO unrolled rounds of the integer-exact pagerank
+-- (scale 10^12, damping 85/100, all half-up divisions (2a+b)//(2b) —
+-- the same hu() device as the Kneser-Ney replay; no float anywhere)
+wgh AS (
+  SELECT doc_id, i AS pos,
+         lower(regexp_extract(arr[CAST(i AS INT)],
+                              '^https?://([^/?#]+)', 1)) AS h
+  FROM (
+    SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i
+    FROM (
+      SELECT doc_id,
+             regexp_extract_all(text, 'https?://[^\\s/$.?#][^\\s]*') AS arr
+      FROM u
+    )
+  )
+),
+wge AS (
+  SELECT h AS src, nxt AS dst
+  FROM (
+    SELECT h, lead(h) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+    FROM wgh
+  )
+  WHERE h IS NOT NULL AND h <> '' AND nxt IS NOT NULL AND nxt <> ''
+    AND h <> nxt
+),
+wgd AS (SELECT src, count(*) AS degw FROM wge GROUP BY src),
+wgn AS (SELECT src AS node FROM wge UNION SELECT dst FROM wge),
+wgs AS (
+  SELECT nn,
+         (2 * 1000000000000 + nn) // (2 * nn) AS r0,
+         (2 * 150000000000 + nn) // (2 * nn) AS term1,
+         (nn - (SELECT count(*) FROM wgd))
+           * ((2 * 1000000000000 + nn) // (2 * nn)) AS dang0
+  FROM (SELECT count(*) AS nn FROM wgn)
+),
+wgin1 AS (
+  SELECT e.dst AS node,
+         sum((2 * s.r0 + d.degw) // (2 * d.degw)) AS in12
+  FROM wge e JOIN wgd d USING (src), wgs s
+  GROUP BY e.dst
+),
+wgr1 AS (
+  SELECT n.node,
+         s.term1 + (2 * 85 * (coalesce(i.in12, 0)
+                              + (2 * s.dang0 + s.nn) // (2 * s.nn))
+                    + 100) // 200 AS r12
+  FROM wgn n LEFT JOIN wgin1 i USING (node), wgs s
+),
+wgdang1 AS (
+  SELECT coalesce(sum(r12), 0) AS dang FROM wgr1
+  WHERE node NOT IN (SELECT src FROM wgd)
+),
+wgin2 AS (
+  SELECT e.dst AS node,
+         sum((2 * r.r12 + d.degw) // (2 * d.degw)) AS in12
+  FROM wge e JOIN wgd d USING (src) JOIN wgr1 r ON r.node = e.src
+  GROUP BY e.dst
+),
+wgr2 AS (
+  SELECT n.node,
+         s.term1 + (2 * 85 * (coalesce(i.in12, 0)
+                              + (2 * g.dang + s.nn) // (2 * s.nn))
+                    + 100) // 200 AS r12
+  FROM wgn n LEFT JOIN wgin2 i USING (node), wgs s, wgdang1 g
 )
 SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
 FROM d WHERE domain <> ''
 GROUP BY domain
+UNION ALL
+SELECT 'pre:' || src || '>' || dst AS domain,
+       count(*) AS n_urls, CAST(0 AS BIGINT) AS n_docs
+FROM wge GROUP BY src, dst
+UNION ALL
+SELECT 'pr:' || node AS domain, r12 AS n_urls, CAST(0 AS BIGINT) AS n_docs
+FROM wgr2
 UNION ALL
 SELECT 'canon:' || cu AS domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
 FROM canon

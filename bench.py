@@ -197,6 +197,38 @@ def _extra_ops():
             F.size("assistant_spans").alias("n_spans"),
         )
 
+    def pagerank_bench(spark, sf_dir):
+        """Integer-exact PageRank (operators/webgraph.py) over a real
+        graph built from the TPC-H tables: one page-level edge per
+        lineitem (supplier -> ordering customer), rolled up to a
+        weighted host graph (~|S|x|C| nodes), then three damped rounds —
+        the URL-level quality-prior workload at its real shape (graph
+        construction join + per-round join/agg/probe)."""
+        from pyspark.sql import functions as F
+
+        from buildkite_logs_parquet_spark.operators.webgraph import (
+            host_edges,
+            pagerank,
+        )
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_suppkey"
+        )
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey"
+        )
+        page_edges = li.join(
+            orders, on=F.col("l_orderkey") == F.col("o_orderkey")
+        ).select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        hg = host_edges(page_edges)
+        # host-level node set (|S|+|C| ~ 16k at sf0.1) is broadcast-small
+        return pagerank(
+            hg, weight_col="weight", n_iter=3, broadcast_ranks=True
+        )
+
     def bitext_mine_bench(spark, sf_dir):
         """URL-correspondence bitext mining + positional segment
         alignment over the whole documents table (every doc planted
@@ -963,6 +995,7 @@ def _extra_ops():
         "x_audio_fingerprint": audio_fingerprint_bench,
         "x_chat_pipeline": chat_pipeline_bench,
         "x_bitext_mine": bitext_mine_bench,
+        "x_pagerank": pagerank_bench,
     }
 
 

@@ -1,0 +1,358 @@
+"""Web-graph quality signals: outlink extraction, host-level link graphs,
+and PageRank — the URL-level quality prior a crawl-based training-data
+pipeline joins back onto documents (the Common-Crawl/FineWeb recipe:
+centrality-class signals rank hosts before any content model runs).
+
+Spark-first shapes:
+
+* ``extract_outlinks`` — pure regexp href extraction from raw HTML (no
+  parser, no UDF): one narrow map inside the scan's codegen stage;
+* ``url_host`` / ``text_link_edges`` — host keys and a co-occurrence
+  link graph built from URLs appearing in plain text (window ``lead``
+  per document — one document-keyed shuffle);
+* ``host_edges`` — aggregate page-level links to a weighted host graph
+  (the graph actually ranked at web scale: hosts are ~1e8, pages ~1e11);
+* ``pagerank`` — damped PageRank with uniform dangling-mass
+  redistribution, run ENTIRELY in scaled-integer arithmetic (see below),
+  one join + one aggregate per round, rank state checkpointed per round
+  (the ``graph.connected_components`` loop discipline).
+
+Integer-exact iteration (DETERMINISM.md rules 5/6/13): ranks live on a
+fixed-point grid ``r12 = rank · 10^12`` as BIGINTs.  Every per-round
+quantity is a half-up integer division ``hu(a, b) = (2a + b) // (2b)``
+(the scaled-HUGEINT replay device from the Kneser-Ney oracle leg) and the
+damping factor is the RATIONAL 85/100, so a round is pure integer
+arithmetic: per-edge contribution ``hu(r12·w, degw)``, per-node update
+``hu(S−D12, N) + hu(85·(in12 + hu(dangling12, N)), 100)``.  No float
+exists anywhere in the loop — the whole trajectory is bit-identical on
+any engine, any partitioning, any round order, and a DuckDB oracle can
+replay unrolled rounds relationally.  (A double-based loop would drift
+across engines the way interpolated quantiles do — rule 13.)
+
+100 TB shape: the state is one (node, r12) row per node; each round is
+ONE edge-sized join keyed on ``src`` plus ONE aggregate keyed on ``dst``
+(both map-side combinable), a node-sized left join for the update, and a
+metadata-sized probe (max delta + next round's dangling mass in one
+aggregate — the job that also materializes the round's checkpoint).
+Driver state per round: two integers.  Edges and degrees are joined once
+and persisted before the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale for pagerank state (12 decimal digits of rank)
+PR_SCALE = 10**12
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host of an absolute http(s) URL (NULL for other
+    schemes) — anchored, lookaround-free regexp (RE2-safe, the
+    ``canonical_url`` discipline)."""
+    h = F.regexp_extract(F.lower(url), r"^https?://([^/?#]+)", 1)
+    return F.when(h != "", h)
+
+
+def extract_outlinks(
+    df: DataFrame,
+    id_col: str,
+    html_col: str = "html",
+    absolute_only: bool = True,
+) -> DataFrame:
+    """Per-document outlinks from raw HTML: one row ``(id, href)`` per
+    ``href="..."``/``href='...'`` attribute occurrence, document order
+    preserved in ``link_idx``.
+
+    Pure regexp chain — no HTML parser, no UDF: at crawl scale link
+    extraction must run inside the scan's codegen stage (the
+    ``html_text`` module's full parser is for TEXT extraction where
+    nesting matters; links don't need a DOM).  ``absolute_only`` keeps
+    http(s) hrefs (the cross-host edges a web graph ranks); relative
+    links need a base-URL resolver upstream.
+    """
+    hrefs = F.regexp_extract_all(
+        F.col(html_col), F.lit(r'href\s*=\s*"([^"]*)"'), 1
+    )
+    hrefs2 = F.regexp_extract_all(
+        F.col(html_col), F.lit(r"href\s*=\s*'([^']*)'"), 1
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(F.concat(hrefs, hrefs2)).alias("link_idx", "href"),
+    )
+    if absolute_only:
+        out = out.where(F.col("href").rlike(r"^https?://"))
+    return out
+
+
+def text_link_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Host-level co-occurrence edges from URLs found in plain text: for
+    each document, consecutive extracted URLs' hosts form one directed
+    edge ``(src, dst)`` (self-edges dropped) — the cheap link-graph
+    construction when only text survives (WET extracts, chat logs,
+    markdown).  One document-keyed shuffle (the ``lead`` window); hosts
+    via the same anchored regexp as ``url_host``."""
+    from pyspark.sql import Window as W
+
+    urls = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(r"https?://[^\s/$.?#][^\s]*"), 0
+            )
+        ).alias("pos", "u"),
+    ).select(id_col, "pos", url_host(F.col("u")).alias("h"))
+    w = W.partitionBy(id_col).orderBy("pos")
+    return (
+        urls.withColumn("nxt", F.lead("h").over(w))
+        .where(
+            F.col("h").isNotNull()
+            & F.col("nxt").isNotNull()
+            & (F.col("h") != F.col("nxt"))
+        )
+        .select(F.col("h").alias("src"), F.col("nxt").alias("dst"))
+    )
+
+
+def host_edges(
+    page_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Aggregate page-level links into a weighted host graph: one row per
+    (src, dst) host pair with ``weight`` = link count.  ONE shuffle keyed
+    on the pair, map-side combined — the page→host rollup that makes
+    web-scale ranking tractable (hosts are orders of magnitude fewer
+    than pages)."""
+    return page_edges.groupBy(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).agg(F.count("*").alias("weight"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    n_iter: int = 10,
+    tol12: int = 0,
+    checkpoint_dir: str | None = None,
+    broadcast_ranks: bool = False,
+) -> DataFrame:
+    """Damped PageRank (d = 85/100) with uniform dangling-mass
+    redistribution, computed entirely in scaled-integer arithmetic
+    (rank · 10^12 as BIGINT — see the module docstring for why).
+
+    Per round: per-edge contribution ``hu(r12·w, degw_src)`` → per-dst
+    long sum ``in12`` (exact: Σ contributions ≤ total mass ≈ 10^12, far
+    inside BIGINT) → per-node update
+    ``hu(S−D12, N) + hu(85·(in12 + hu(dangling12, N)), 100)`` where
+    ``dangling12`` is the previous round's rank mass on zero-out-degree
+    nodes.  The probe aggregate that materializes each round's (lazily
+    checkpointed) state also returns ``max |Δr12|`` and the NEXT round's
+    dangling mass — one job per round, two integers of driver state.
+
+    Stops after ``n_iter`` rounds or when ``max |Δr12| ≤ tol12``
+    (``tol12`` is in rank-scale units: 10^6 ≈ 1e-6 of rank mass).
+    Duplicate (src, dst) rows each count as a link; pass
+    ``weight_col`` (positive integers) for pre-aggregated host graphs
+    (``host_edges``).  Self-loops participate like any edge.
+
+    Returns ``(node, r12, rank)`` — the exact integer state and its
+    double rendering (``r12 / 10^12``, display only; comparisons and
+    oracle hashes must use ``r12``).
+
+    ``checkpoint_dir``: reliable per-round checkpoints for long cluster
+    runs; ``None`` = executor-local (the ``connected_components``
+    contract).
+
+    ``broadcast_ranks``: hint the per-round rank state into a broadcast
+    join so the (persisted) edge table is never re-shuffled — the right
+    call when |V| is executor-memory-small (a host graph after
+    ``host_edges``: ~1e8 hosts is already marginal).  Default off: at
+    page scale the rank state is corpus-sized and must shuffle-join.
+    """
+    from pyspark import StorageLevel
+
+    S = PR_SCALE
+    D12 = S * 85 // 100  # exact: S divisible by 100
+
+    sess = edges.sparkSession
+    if checkpoint_dir is not None:
+        sess.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    pinned: list[DataFrame] = []
+
+    def _ckpt(df: DataFrame, eager: bool = False) -> DataFrame:
+        if checkpoint_dir is not None:
+            df.persist(StorageLevel.MEMORY_AND_DISK)
+            pinned.append(df)
+            return df.checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager)
+
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    # the edge pipeline upstream of this operator can be arbitrarily
+    # expensive (a crawl-wide extraction join) — persist it ONCE and
+    # derive degrees / the degree-joined edge table / the node set from
+    # the cached rows, so the whole upstream runs exactly one time
+    e = (
+        edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w")
+        )
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (w > 0))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = e.groupBy("a").agg(F.sum("w").alias("degw")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # join out-degree onto edges ONCE; the loop's per-round join then
+    # carries only the rank column
+    e2 = e.join(deg, on="a").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_nodes = nodes.count()  # driver scalar: |V| (materializes e too)
+    if n_nodes == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("r12"),
+            F.lit(0.0).alias("rank"),
+        )
+    # degree table re-keyed by node for the dangling test in the probe
+    degn = deg.select(F.col("a").alias("node"), "degw").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_ranked = degn.count()  # nodes with out-edges (bounded: |V| rows)
+    upstream = [e, deg]  # released after round 1 materializes e2/degn
+
+    r0 = (2 * S + n_nodes) // (2 * n_nodes)  # hu(S, N)
+    term1 = (2 * (S - D12) + n_nodes) // (2 * n_nodes)  # hu(S-D12, N)
+    dangling12 = (n_nodes - n_ranked) * r0
+
+    ranks = nodes.select("node", F.lit(r0).cast("long").alias("r12"))
+    for _ in range(n_iter):
+        dang_per = (2 * dangling12 + n_nodes) // (2 * n_nodes)
+        # hu(r12·w, degw) in long `div` arithmetic (never `/`, which is
+        # double division — exact only to 2^53): r12 ≤ ~S = 10^12, so
+        # r12·w stays inside BIGINT for per-edge weights up to ~10^6;
+        # widen to decimal(38,0) here for heavier host graphs
+        rside = F.broadcast(ranks) if broadcast_ranks else ranks
+        contrib = e2.join(
+            rside, on=F.col("a") == F.col("node"), how="inner"
+        ).select(
+            F.col("b"),
+            F.expr("(r12 * w * 2 + degw) div (degw * 2)").alias("c12"),
+        )
+        agg = contrib.groupBy(F.col("b").alias("node")).agg(
+            F.sum("c12").alias("in12")
+        )
+        new_ranks = _ckpt(
+            nodes.join(agg, on="node", how="left")
+            .select(
+                "node",
+                (
+                    F.lit(term1).cast("long")
+                    + F.expr(
+                        f"(85 * (coalesce(in12, 0) + {dang_per}) * 2 + 100)"
+                        " div 200"
+                    )
+                ).alias("r12"),
+            )
+        )
+        # ONE probe job materializes the round and returns both loop
+        # scalars: convergence delta and the next dangling mass
+        probe = (
+            new_ranks.join(
+                ranks.select("node", F.col("r12").alias("_prev")), on="node"
+            )
+            .join(degn, on="node", how="left")
+            .agg(
+                F.max(F.abs(F.col("r12") - F.col("_prev"))).alias("dmax"),
+                F.sum(
+                    F.when(F.col("degw").isNull(), F.col("r12")).otherwise(
+                        F.lit(0)
+                    )
+                ).alias("dang"),
+            )
+            .first()
+        )
+        while pinned:
+            pinned.pop().unpersist()
+        while upstream:  # round 1's probe has materialized e2 and degn
+            upstream.pop().unpersist()
+        ranks = new_ranks
+        dangling12 = int(probe["dang"] or 0)
+        if int(probe["dmax"] or 0) <= tol12:
+            break
+    e2.unpersist()
+    degn.unpersist()
+    nodes.unpersist()
+    return ranks.select(
+        "node",
+        "r12",
+        (F.col("r12").cast("double") / F.lit(float(S))).alias("rank"),
+    )
+
+
+def pagerank_py(
+    edge_list: list[tuple[str, str, int]],
+    n_iter: int = 10,
+    tol12: int = 0,
+) -> dict[str, int]:
+    """Pure-Python integer twin of ``pagerank`` (same hu() arithmetic,
+    same update order) — the test oracle: the distributed loop must
+    reproduce this dict exactly, r12 for r12."""
+    S = PR_SCALE
+    D12 = S * 85 // 100
+
+    def hu(a: int, b: int) -> int:
+        return (2 * a + b) // (2 * b)
+
+    degw: dict[str, int] = {}
+    out: dict[str, list[tuple[str, int]]] = {}
+    nodes: set[str] = set()
+    for a, b, w in edge_list:
+        if w <= 0:
+            continue
+        degw[a] = degw.get(a, 0) + w
+        out.setdefault(a, []).append((b, w))
+        nodes.add(a)
+        nodes.add(b)
+    n = len(nodes)
+    if n == 0:
+        return {}
+    r0 = hu(S, n)
+    term1 = hu(S - D12, n)
+    ranks = {v: r0 for v in nodes}
+    dangling12 = sum(r0 for v in nodes if v not in degw)
+    for _ in range(n_iter):
+        dang_per = hu(dangling12, n)
+        in12: dict[str, int] = {}
+        for a, targets in out.items():
+            ra = ranks[a]
+            da = degw[a]
+            for b, w in targets:
+                in12[b] = in12.get(b, 0) + hu(ra * w, da)
+        new = {
+            v: term1 + hu(85 * (in12.get(v, 0) + dang_per), 100)
+            for v in nodes
+        }
+        dmax = max(abs(new[v] - ranks[v]) for v in nodes)
+        ranks = new
+        dangling12 = sum(ranks[v] for v in nodes if v not in degw)
+        if dmax <= tol12:
+            break
+    return ranks

@@ -1,0 +1,175 @@
+"""Web-graph signals: link extraction, host graphs, integer-exact
+PageRank (vs the pure-Python integer twin)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from buildkite_logs_parquet_spark.operators.webgraph import (
+    PR_SCALE,
+    extract_outlinks,
+    host_edges,
+    pagerank,
+    pagerank_py,
+    text_link_edges,
+    url_host,
+)
+
+
+def _run_pr(spark, edge_list, **kw):
+    df = spark.createDataFrame(edge_list, "src string, dst string, w long")
+    got = pagerank(df, weight_col="w", **kw)
+    return {r["node"]: r["r12"] for r in got.collect()}
+
+
+class TestPagerank:
+    def test_matches_python_twin_small(self, spark):
+        edges = [
+            ("a", "b", 1),
+            ("b", "c", 1),
+            ("c", "a", 1),
+            ("a", "d", 1),  # d is dangling
+        ]
+        got = _run_pr(spark, edges, n_iter=5)
+        want = pagerank_py(edges, n_iter=5)
+        assert got == want
+
+    def test_matches_python_twin_weighted_multigraph(self, spark):
+        edges = [
+            ("h1", "h2", 7),
+            ("h1", "h3", 3),
+            ("h2", "h1", 1),
+            ("h3", "h3", 2),  # self-loop
+            ("h4", "h1", 5),  # h4 never linked-to
+        ]
+        for it in (1, 3, 8):
+            assert _run_pr(spark, edges, n_iter=it) == pagerank_py(
+                edges, n_iter=it
+            )
+
+    def test_mass_conservation_within_rounding(self, spark):
+        edges = [("a", "b", 1), ("b", "a", 1), ("a", "c", 1)]
+        got = _run_pr(spark, edges, n_iter=6)
+        total = sum(got.values())
+        # each node's update rounds at most once per hu(); drift stays
+        # within a few units per node per round
+        assert abs(total - PR_SCALE) < 6 * 6 * 3
+
+    def test_dangling_mass_redistributed(self, spark):
+        # star into a sink: without dangling redistribution the sink
+        # would swallow all mass and sources decay to (1-d)/N only
+        edges = [("s1", "sink", 1), ("s2", "sink", 1)]
+        got = _run_pr(spark, edges, n_iter=10)
+        want = pagerank_py(edges, n_iter=10)
+        assert got == want
+        assert got["sink"] > got["s1"] == got["s2"]
+        # sources still receive the sink's redistributed mass: strictly
+        # above the no-redistribution floor (1-d)/N
+        floor = (2 * (PR_SCALE - PR_SCALE * 85 // 100) + 3) // 6
+        assert got["s1"] > floor
+
+    def test_convergence_stop(self, spark):
+        edges = [("a", "b", 1), ("b", "a", 1)]
+        # symmetric 2-cycle: converged after the first round; tol stops
+        # the loop and the result equals the twin at any larger n_iter
+        got = _run_pr(spark, edges, n_iter=50, tol12=0)
+        assert got == pagerank_py(edges, n_iter=50, tol12=0)
+
+    def test_deterministic_across_layouts(self, spark):
+        edges = [(f"n{i}", f"n{(i * 7) % 23}", 1 + i % 3) for i in range(60)]
+        df1 = spark.createDataFrame(edges, "src string, dst string, w long")
+        df2 = df1.repartition(13)
+        a = {
+            r["node"]: r["r12"]
+            for r in pagerank(df1, weight_col="w", n_iter=4).collect()
+        }
+        b = {
+            r["node"]: r["r12"]
+            for r in pagerank(df2, weight_col="w", n_iter=4).collect()
+        }
+        assert a == b == pagerank_py([(s, d, w) for s, d, w in edges], n_iter=4)
+
+    def test_unweighted_duplicate_edges_count_as_links(self, spark):
+        dup = [("a", "b"), ("a", "b"), ("a", "c"), ("b", "a")]
+        df = spark.createDataFrame(dup, "src string, dst string")
+        got = {r["node"]: r["r12"] for r in pagerank(df, n_iter=3).collect()}
+        # duplicates contribute PER ROW (each hu() rounds separately), so
+        # the twin sees the same duplicated rows — NOT the aggregated
+        # weight-2 edge, whose single hu(2r, deg) rounds differently;
+        # host_edges is the way to get weighted semantics
+        want = pagerank_py(
+            [(s, d, 1) for s, d in dup], n_iter=3
+        )
+        assert got == want
+        agg = pagerank_py([("a", "b", 2), ("a", "c", 1), ("b", "a", 1)], n_iter=3)
+        assert sum(agg.values()) == pytest.approx(sum(got.values()), abs=20)
+
+    def test_no_nested_loop_joins(self, spark):
+        df = spark.createDataFrame(
+            [("a", "b", 1), ("b", "a", 1)], "src string, dst string, w long"
+        )
+        plan = pagerank(df, weight_col="w", n_iter=2)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestLinkExtraction:
+    def test_extract_outlinks_both_quote_styles(self, spark):
+        html = (
+            '<a href="https://x.com/a">x</a> '
+            "<a href='http://y.org/b?q=1'>y</a> "
+            '<a href="/relative">rel</a> '
+            '<link href="https://cdn.z.net/s.css">'
+        )
+        df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+        got = [
+            r["href"]
+            for r in extract_outlinks(df, "doc_id").orderBy("href").collect()
+        ]
+        assert got == [
+            "http://y.org/b?q=1",
+            "https://cdn.z.net/s.css",
+            "https://x.com/a",
+        ]
+        all_links = extract_outlinks(df, "doc_id", absolute_only=False)
+        assert all_links.count() == 4
+
+    def test_url_host(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("https://A.Example.com/p?x=1",),
+                ("http://b.org",),
+                ("ftp://nope.com/x",),
+                ("not a url",),
+            ],
+            "u string",
+        )
+        got = [r["h"] for r in df.select(url_host(F.col("u")).alias("h")).collect()]
+        assert got == ["a.example.com", "b.org", None, None]
+
+    def test_text_link_edges_consecutive_pairs(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "see https://a.com/1 then https://b.com/2 and https://a.com/3"),
+                (2, "only https://solo.net/x here"),
+                (3, "dup https://c.io/a https://c.io/b stays dropped"),
+            ],
+            "doc_id long, text string",
+        )
+        got = sorted(
+            (r["src"], r["dst"])
+            for r in text_link_edges(df, "doc_id").collect()
+        )
+        assert got == [("a.com", "b.com"), ("b.com", "a.com")]
+
+    def test_host_edges_weights(self, spark):
+        df = spark.createDataFrame(
+            [("a", "b"), ("a", "b"), ("a", "c")], "src string, dst string"
+        )
+        got = {
+            (r["src"], r["dst"]): r["weight"]
+            for r in host_edges(df).collect()
+        }
+        assert got == {("a", "b"): 2, ("a", "c"): 1}
