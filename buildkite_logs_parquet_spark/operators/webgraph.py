@@ -144,10 +144,21 @@ def pagerank(
     tol12: int = 0,
     checkpoint_dir: str | None = None,
     broadcast_ranks: bool = False,
+    seeds: DataFrame | None = None,
+    seed_col: str = "node",
 ) -> DataFrame:
     """Damped PageRank (d = 85/100) with uniform dangling-mass
     redistribution, computed entirely in scaled-integer arithmetic
     (rank · 10^12 as BIGINT — see the module docstring for why).
+
+    ``seeds``: optional personalization (TrustRank / topic-sensitive
+    PageRank): teleport and dangling mass flow to the seed set (uniform
+    over seeds) instead of all nodes — the trusted-host propagation
+    recipe for crawl quality/spam scoring.  State initializes to the
+    seed vector; the per-node update becomes
+    ``[seed]·hu(S−D12, k) + hu(85·(in12 + [seed]·hu(dangling12, k)), 100)``
+    with ``k`` = |seeds ∩ V| — still pure integer arithmetic.  Seeds
+    outside the graph are ignored; an empty intersection raises.
 
     Per round: per-edge contribution ``hu(r12·w, degw_src)`` → per-dst
     long sum ``in12`` (exact: Σ contributions ≤ total mass ≈ 10^12, far
@@ -218,33 +229,69 @@ def pagerank(
     # join out-degree onto edges ONCE; the loop's per-round join then
     # carries only the rank column
     e2 = e.join(deg, on="a").persist(StorageLevel.MEMORY_AND_DISK)
-    nodes = (
+    vertex = (
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n_nodes = nodes.count()  # driver scalar: |V| (materializes e too)
+    if seeds is not None:
+        sd = seeds.select(
+            F.col(seed_col).alias("node"), F.lit(True).alias("_seed")
+        ).distinct()
+        vertex = vertex.join(sd, on="node", how="left").select(
+            "node", F.coalesce(F.col("_seed"), F.lit(False)).alias("_seed")
+        )
+    else:
+        vertex = vertex.select("node", F.lit(True).alias("_seed"))
+    nodes = vertex.persist(StorageLevel.MEMORY_AND_DISK)
+    # ONE job for both driver scalars: |V| and |seeds ∩ V|
+    hdr = nodes.agg(
+        F.count("*").alias("nv"),
+        F.sum(F.col("_seed").cast("long")).alias("nk"),
+    ).first()
+    n_nodes, n_teleport = int(hdr["nv"]), int(hdr["nk"] or 0)
     if n_nodes == 0:
         return nodes.select(
             "node",
             F.lit(0).cast("long").alias("r12"),
             F.lit(0.0).alias("rank"),
         )
+    if n_teleport == 0:
+        raise ValueError("seeds do not intersect the graph's node set")
     # degree table re-keyed by node for the dangling test in the probe
     degn = deg.select(F.col("a").alias("node"), "degw").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    n_ranked = degn.count()  # nodes with out-edges (bounded: |V| rows)
     upstream = [e, deg]  # released after round 1 materializes e2/degn
 
-    r0 = (2 * S + n_nodes) // (2 * n_nodes)  # hu(S, N)
-    term1 = (2 * (S - D12) + n_nodes) // (2 * n_nodes)  # hu(S-D12, N)
-    dangling12 = (n_nodes - n_ranked) * r0
+    # teleport targets: all nodes (classic) or the seed set (PPR)
+    k = n_teleport
+    r0 = (2 * S + k) // (2 * k)  # hu(S, k): seeds' initial mass
+    term1 = (2 * (S - D12) + k) // (2 * k)  # hu(S-D12, k)
 
-    ranks = nodes.select("node", F.lit(r0).cast("long").alias("r12"))
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("_seed"), F.lit(r0))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r12"),
+    )
+    # initial dangling mass: Σ r12 over zero-out-degree nodes — one
+    # node-sized job (seeded init makes it data-dependent)
+    dangling12 = int(
+        ranks.join(degn, on="node", how="left")
+        .agg(
+            F.sum(
+                F.when(F.col("degw").isNull(), F.col("r12")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("d")
+        )
+        .first()["d"]
+        or 0
+    )
     for _ in range(n_iter):
-        dang_per = (2 * dangling12 + n_nodes) // (2 * n_nodes)
+        dang_per = (2 * dangling12 + k) // (2 * k)
         # hu(r12·w, degw) in long `div` arithmetic (never `/`, which is
         # double division — exact only to 2^53): r12 ≤ ~S = 10^12, so
         # r12·w stays inside BIGINT for per-edge weights up to ~10^6;
@@ -264,10 +311,12 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit(term1).cast("long")
+                    F.when(F.col("_seed"), F.lit(term1))
+                    .otherwise(F.lit(0))
+                    .cast("long")
                     + F.expr(
-                        f"(85 * (coalesce(in12, 0) + {dang_per}) * 2 + 100)"
-                        " div 200"
+                        f"(85 * (coalesce(in12, 0)"
+                        f" + if(_seed, {dang_per}, 0)) * 2 + 100) div 200"
                     )
                 ).alias("r12"),
             )
@@ -311,10 +360,12 @@ def pagerank_py(
     edge_list: list[tuple[str, str, int]],
     n_iter: int = 10,
     tol12: int = 0,
+    seeds: set[str] | None = None,
 ) -> dict[str, int]:
     """Pure-Python integer twin of ``pagerank`` (same hu() arithmetic,
-    same update order) — the test oracle: the distributed loop must
-    reproduce this dict exactly, r12 for r12."""
+    same update order, same optional seed personalization) — the test
+    oracle: the distributed loop must reproduce this dict exactly,
+    r12 for r12."""
     S = PR_SCALE
     D12 = S * 85 // 100
 
@@ -334,12 +385,16 @@ def pagerank_py(
     n = len(nodes)
     if n == 0:
         return {}
-    r0 = hu(S, n)
-    term1 = hu(S - D12, n)
-    ranks = {v: r0 for v in nodes}
-    dangling12 = sum(r0 for v in nodes if v not in degw)
+    tele = nodes if seeds is None else (nodes & seeds)
+    if not tele:
+        raise ValueError("seeds do not intersect the graph's node set")
+    k = len(tele)
+    r0 = hu(S, k)
+    term1 = hu(S - D12, k)
+    ranks = {v: (r0 if v in tele else 0) for v in nodes}
+    dangling12 = sum(ranks[v] for v in nodes if v not in degw)
     for _ in range(n_iter):
-        dang_per = hu(dangling12, n)
+        dang_per = hu(dangling12, k)
         in12: dict[str, int] = {}
         for a, targets in out.items():
             ra = ranks[a]
@@ -347,7 +402,8 @@ def pagerank_py(
             for b, w in targets:
                 in12[b] = in12.get(b, 0) + hu(ra * w, da)
         new = {
-            v: term1 + hu(85 * (in12.get(v, 0) + dang_per), 100)
+            v: (term1 if v in tele else 0)
+            + hu(85 * (in12.get(v, 0) + (dang_per if v in tele else 0)), 100)
             for v in nodes
         }
         dmax = max(abs(new[v] - ranks[v]) for v in nodes)

@@ -105,6 +105,37 @@ class TestPagerank:
         agg = pagerank_py([("a", "b", 2), ("a", "c", 1), ("b", "a", 1)], n_iter=3)
         assert sum(agg.values()) == pytest.approx(sum(got.values()), abs=20)
 
+    def test_personalized_matches_twin_and_localizes(self, spark):
+        # two communities bridged by one weak link; seeding in community
+        # A must rank A's members above B's
+        edges = [
+            ("a1", "a2", 3), ("a2", "a1", 3), ("a2", "a3", 2),
+            ("a3", "a1", 2),
+            ("a3", "b1", 1),  # bridge
+            ("b1", "b2", 3), ("b2", "b3", 3), ("b3", "b1", 3),
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string, w long")
+        sd = spark.createDataFrame([("a1",), ("a2",)], "node string")
+        got = {
+            r["node"]: r["r12"]
+            for r in pagerank(
+                df, weight_col="w", n_iter=6, seeds=sd
+            ).collect()
+        }
+        want = pagerank_py(edges, n_iter=6, seeds={"a1", "a2"})
+        assert got == want
+        assert min(got["a1"], got["a2"], got["a3"]) > max(
+            got["b2"], got["b3"]
+        )
+
+    def test_seeds_outside_graph_raise(self, spark):
+        df = spark.createDataFrame(
+            [("a", "b", 1)], "src string, dst string, w long"
+        )
+        sd = spark.createDataFrame([("zzz",)], "node string")
+        with pytest.raises(ValueError, match="seeds do not intersect"):
+            pagerank(df, weight_col="w", n_iter=2, seeds=sd)
+
     def test_no_nested_loop_joins(self, spark):
         df = spark.createDataFrame(
             [("a", "b", 1), ("b", "a", 1)], "src string, dst string, w long"
