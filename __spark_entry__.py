@@ -808,10 +808,49 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens"),
         F.lit("chat:span").alias("chunk_text"),
     )
+    # round-5 union-tag #2: deterministic AUGMENTATION (operators/
+    # augment.py).  'aug:' rows hash the full T5 span-corruption pair
+    # (input_text \x1f target_text; n_spans/n_masked ride the int
+    # columns) built from content-hash span decisions the oracle replays
+    # with the same md5 arithmetic + running-max window; 'neg:' rows
+    # drive sample_negatives (k=3 label-excluded contrastive draws
+    # against the contiguous corpus numbering — the drawn neg doc_id
+    # rides n_tokens).
+    from buildkite_logs_parquet_spark.operators.augment import (
+        sample_negatives,
+        span_corruption,
+    )
+
+    sc = span_corruption(docs, "doc_id", seed=13)
+    aug_leg = sc.select(
+        "doc_id",
+        F.lit(-3).cast("int").alias("chunk_id"),
+        F.col("n_spans").cast("int").alias("start_token"),
+        F.col("n_masked").cast("int").alias("n_tokens"),
+        F.concat(
+            F.lit("aug:"),
+            F.col("input_text"),
+            F.lit("\x1f"),
+            F.col("target_text"),
+        ).alias("chunk_text"),
+    )
+    neg = sample_negatives(
+        docs.select("doc_id", "lang"), "doc_id", label_col="lang", k=3,
+        seed=23,
+    )
+    neg_leg = neg.select(
+        F.col("anchor_id").alias("doc_id"),
+        F.col("neg_rank").cast("int").alias("chunk_id"),
+        F.lit(0).cast("int").alias("start_token"),
+        F.col("neg_id").cast("int").alias("n_tokens"),
+        F.concat(F.lit("neg:"), F.col("neg_label")).alias("chunk_text"),
+    )
     return (
         base.unionByName(stats_leg)
         .unionByName(render_leg)
         .unionByName(span_leg)
+        .unionByName(aug_leg)
+        .unionByName(neg_leg)
     )
 
 
@@ -3912,6 +3951,94 @@ FROM (
   FROM cp
 )
 WHERE role = 'assistant'
+)
+
+UNION ALL
+-- augmentation legs (operators/augment.py): T5 span corruption replayed
+-- with the same md5 span decisions (seed 13, p_start = round(0.15/3 *
+-- 2^32) = 214748365, len = 1 + h mod 5) + running-max interval union +
+-- ordered string_agg; negative sampling (seed 23, k=3) replayed against
+-- the same contiguous doc_id numbering
+SELECT * FROM (
+WITH at AS (
+  SELECT doc_id, i - 1 AS pos, ws[CAST(i AS INT)] AS tok
+  FROM (
+    SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+          FROM documents)
+  )
+  WHERE ws[CAST(i AS INT)] <> ''
+),
+asx AS (
+  SELECT doc_id, pos, tok,
+         CAST(concat('0x', substr(md5('13:s:' || CAST(doc_id AS VARCHAR)
+           || ':' || CAST(pos AS VARCHAR)), 1, 8)) AS BIGINT)
+           < 214748365 AS starts,
+         1 + CAST(concat('0x', substr(md5('13:l:' || CAST(doc_id AS VARCHAR)
+           || ':' || CAST(pos AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS ln
+  FROM at
+),
+am AS (
+  SELECT doc_id, pos, tok, starts,
+         coalesce(max(CASE WHEN starts THEN pos + ln END) OVER (
+           PARTITION BY doc_id ORDER BY pos), 0) > pos AS masked
+  FROM asx
+),
+ar AS (
+  SELECT doc_id, pos, tok, masked,
+         masked AND NOT coalesce(
+           lag(masked) OVER (PARTITION BY doc_id ORDER BY pos), FALSE
+         ) AS run_start
+  FROM am
+),
+asn AS (
+  SELECT doc_id, pos, tok, masked, run_start,
+         sum(CASE WHEN run_start THEN 1 ELSE 0 END) OVER (
+           PARTITION BY doc_id ORDER BY pos) - 1 AS sent_idx
+  FROM ar
+),
+ap AS (
+  SELECT doc_id, pos,
+         CASE WHEN NOT masked THEN tok
+              WHEN run_start THEN '<extra_id_' || CAST(sent_idx AS VARCHAR) || '>'
+         END AS in_piece,
+         CASE WHEN run_start THEN '<extra_id_' || CAST(sent_idx AS VARCHAR)
+                                   || '> ' || tok
+              WHEN masked THEN tok END AS tgt_piece,
+         CASE WHEN masked THEN 1 ELSE 0 END AS m,
+         CASE WHEN run_start THEN 1 ELSE 0 END AS rs
+  FROM asn
+)
+SELECT doc_id, CAST(-3 AS INT) AS chunk_id,
+       CAST(sum(rs) AS INT) AS start_token,
+       CAST(sum(m) AS INT) AS n_tokens,
+       'aug:' || coalesce(string_agg(in_piece, ' ' ORDER BY pos), '')
+              || chr(31)
+              || coalesce(string_agg(tgt_piece, ' ' ORDER BY pos), '')
+         AS chunk_text
+FROM ap GROUP BY doc_id
+)
+
+UNION ALL
+SELECT * FROM (
+WITH nidx AS (
+  SELECT doc_id AS neg_id, lang AS neg_label,
+         row_number() OVER (ORDER BY doc_id) - 1 AS idx
+  FROM documents
+),
+ndraw AS (
+  SELECT d.doc_id AS anchor_id, d.lang AS albl, j,
+         CAST(concat('0x', substr(md5('23:' || CAST(d.doc_id AS VARCHAR)
+           || ':' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (SELECT count(*) FROM documents) AS idx
+  FROM documents d, (SELECT unnest(range(1, 4)) AS j)
+)
+SELECT anchor_id AS doc_id, CAST(j AS INT) AS chunk_id,
+       CAST(0 AS INT) AS start_token,
+       CAST(neg_id AS INT) AS n_tokens,
+       'neg:' || neg_label AS chunk_text
+FROM ndraw JOIN nidx USING (idx)
+WHERE neg_id <> anchor_id AND neg_label <> albl
 )
 """
 

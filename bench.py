@@ -1048,8 +1048,8 @@ def main() -> None:
         "bpe_encode": "wordpiece longest-match legs (04b789b)",
         "lm_perplexity": "Kneser-Ney train+score legs",
         "text_profile": "script detection columns",
-        "doc_chunks": "SFT chat stats/render/span legs (round 5)",
-        "url_domain_stats": "robots legs (9376216) + bitext legs (round 5)",
+        "doc_chunks": "SFT chat legs + span-corruption/negative legs (round 5)",
+        "url_domain_stats": "robots + bitext + webgraph pre:/pr: legs (round 5)",
     }
     burst_suspects: list[str] = []
     workload_changed: list[str] = []

@@ -49,6 +49,7 @@ PROBES = [
     ("lm_perplexity", "documents (bucket LM + CCNet split + KN train/score)", 10),
     ("x_cdc_dedup", "documents (content-defined chunk dedup)", 10),
     ("x_pdf_ingest", "embeddings ids x 32 four-page Flate PDFs", 10),
+    ("x_pagerank", "lineitem⋈orders host graph, 3 damped rounds", 100),
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
