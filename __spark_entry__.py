@@ -1580,11 +1580,29 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("lang"),
         F.col("change").alias("val"),
     )
+    # round-5 union-tag #4: curriculum ordering (curation.curriculum_order
+    # — integer rank-cut stages over the (n_chars, doc_id) total order +
+    # rule-2 in-stage shuffle keys; rule 13: no quantile interpolation).
+    # val carries "bucket:shuffle_key" so both the stage cut and the
+    # in-stage permutation are hashed.
+    curr = CU.curriculum_order(
+        docs, "doc_id", "n_chars", n_buckets=10, seed=41
+    ).select(
+        F.lit("curr").alias("op"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.concat_ws(
+            ":",
+            F.col("bucket").cast("string"),
+            F.col("shuffle_key").cast("string"),
+        ).alias("val"),
+    )
     return (
         sampled.unionByName(split)
         .unionByName(ws)
         .unionByName(tb)
         .unionByName(diff)
+        .unionByName(curr)
     )
 
 
@@ -4162,6 +4180,20 @@ FROM (
     SELECT 1000000 + r AS doc_id, 'new doc' AS text FROM range(0, 3) t(r)
   ) nw ON o.doc_id = nw.doc_id
 ) WHERE change IS NOT NULL
+UNION ALL
+-- curriculum leg: integer rank-cut stages over the (n_chars, doc_id)
+-- total order + the rule-2 md5 in-stage shuffle key
+SELECT 'curr' AS op, doc_id, CAST(NULL AS VARCHAR) AS lang,
+       CAST((rk * 10) // (SELECT count(*) FROM documents) AS VARCHAR)
+         || ':'
+         || CAST(CAST(concat('0x', substr(md5('41:'
+              || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS VARCHAR)
+         AS val
+FROM (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rk
+  FROM documents
+)
 """
     )
 

@@ -243,6 +243,63 @@ def assistant_spans(
     return df.withColumn(out_col, folded)
 
 
+def spans_to_token_mask(
+    df: DataFrame,
+    text_col: str = "text",
+    spans_col: str = "assistant_spans",
+    out_col: str = "loss_mask",
+) -> DataFrame:
+    """Project character spans onto whitespace tokens: ``out_col`` is an
+    ``array<int>`` with one 0/1 per token of ``split(text, '\\s+')``,
+    1 where the token's character interval overlaps ANY span — the step
+    that turns ``assistant_spans`` into the per-token loss mask a
+    trainer consumes after tokenization.
+
+    Token character offsets are reconstructed from the token lengths
+    themselves (position of token i = Σ len(tok_j) + i separators for
+    j < i), which is exact when the renderer's separator is a single
+    space per boundary — true for ``render_chat_template``'s output as
+    long as roles/contents carry no leading/trailing whitespace; for
+    texts with multi-space runs the mask is conservative-left (offsets
+    drift early), so normalize whitespace upstream if masks must be
+    byte-exact.  One ``transform``+``aggregate`` fold per row —
+    expression-only, zero shuffle, inherits the scan's partitioning.
+
+    Overlap rule: token [t0, t1) overlaps span [s0, s1) iff
+    ``t0 < s1 AND s0 < t1`` (half-open on both sides).
+    """
+    toks = F.split(F.col(text_col), r"\s+")
+    # starts[i] = Σ_{j<i} (len+1): an inclusive running sum shifted by
+    # one step — build with aggregate carrying (offset, starts)
+    zero = F.named_struct(
+        F.lit("off"),
+        F.lit(0).cast("long"),
+        F.lit("starts"),
+        F.array().cast("array<long>"),
+    )
+    folded = F.aggregate(
+        toks,
+        zero,
+        lambda acc, t: F.named_struct(
+            F.lit("off"),
+            acc["off"] + F.length(t) + F.lit(1),
+            F.lit("starts"),
+            F.concat(acc["starts"], F.array(acc["off"])),
+        ).cast("struct<off:long,starts:array<long>>"),
+        lambda acc: acc["starts"],
+    )
+    mask = F.zip_with(
+        toks,
+        folded,
+        lambda t, t0: F.exists(
+            F.col(spans_col),
+            lambda s: (t0 < s["span_end"])
+            & (s["span_start"] < t0 + F.length(t)),
+        ).cast("int"),
+    )
+    return df.withColumn(out_col, mask)
+
+
 def explode_turns(
     df: DataFrame,
     id_col: str,

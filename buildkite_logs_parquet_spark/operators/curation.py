@@ -1137,6 +1137,63 @@ def ccnet_buckets(
     return joined.withColumn("ppl_bucket", bucket).drop("_t_lo", "_t_hi")
 
 
+def curriculum_order(
+    df: DataFrame,
+    key_col: str,
+    score_col: str,
+    n_buckets: int = 10,
+    seed: int = 41,
+) -> DataFrame:
+    """Curriculum ordering: rank documents by ``score_col`` (ascending —
+    "easiest first" when the score is a difficulty proxy like length or
+    perplexity), cut the ranking into ``n_buckets`` equal-count stages,
+    and shuffle WITHIN each stage by content hash — the standard
+    curriculum-learning layout (stage-wise progression, randomized
+    within stage so no spurious secondary ordering leaks into training).
+
+    Returns ``(key, bucket, shuffle_key)``; the training order is
+    ``ORDER BY (bucket, shuffle_key, key)`` — apply with
+    ``corpus_shuffle``'s range-partitioned sort or feed straight into
+    ``packing.write_training_shards``.
+
+    Determinism: the stage cut is pure integer rank math —
+    ``bucket = (rank · n_buckets) div N`` over the 0-based rank under
+    the TOTAL order ``(score, key)`` (rule 6: ties break on the key, so
+    equal scores cannot flip buckets across engines) — and the in-stage
+    key is rule-2 ``hash_bucket``.  No quantile interpolation anywhere
+    (rule 13).  Scale shape: the global rank comes from
+    ``packing.with_global_offsets`` (range-partitioned partial sums, no
+    single-task window); everything else is a narrow map.
+    """
+    from buildkite_logs_parquet_spark.operators.packing import (
+        with_global_offsets,
+    )
+
+    n = df.count()  # driver scalar: corpus size (footer-cheap on parquet)
+    if n == 0:
+        return df.sparkSession.createDataFrame(
+            [], f"key string, bucket int, shuffle_key long"
+        )
+    ranked = with_global_offsets(
+        df.select(
+            F.col(key_col),
+            F.struct(
+                F.col(score_col).alias("s"), F.col(key_col).alias("k")
+            ).alias("_ord"),
+        ).withColumn("_one", F.lit(1).cast("long")),
+        order_col="_ord",
+        weight_col="_one",
+        out_col="_rank",
+    )
+    return ranked.select(
+        F.col(key_col),
+        F.expr(f"cast((_rank * {int(n_buckets)}) div {n} as int)").alias(
+            "bucket"
+        ),
+        hash_bucket(F.col(key_col), seed).alias("shuffle_key"),
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     key_col: str,

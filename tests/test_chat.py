@@ -162,3 +162,55 @@ class TestExplode:
             .toString()
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestSpansToTokenMask:
+    def test_direct_spans(self, spark):
+        df = spark.createDataFrame(
+            [("aa bb cc dd", [(3, 8)]), ("aa bb", [])],
+            "text string, assistant_spans array<struct<span_start:long,span_end:long>>",
+        )
+        got = [
+            r["loss_mask"]
+            for r in C.spans_to_token_mask(df).orderBy(F.length("text").desc()).collect()
+        ]
+        assert got == [[0, 1, 1, 0], [0, 0]]
+
+    def test_half_open_boundaries_exclude_separators(self, spark):
+        # span covering only the separator char touches neither token
+        df = spark.createDataFrame(
+            [("aa bb", [(2, 3)])],
+            "text string, assistant_spans array<struct<span_start:long,span_end:long>>",
+        )
+        assert C.spans_to_token_mask(df).collect()[0]["loss_mask"] == [0, 0]
+
+    def test_renderer_integration_masks_exactly_assistant_words(self, spark):
+        # space-padded markers make the render whitespace-clean, so the
+        # char spans project onto exactly the assistant content words
+        turns = [
+            ("user", "hello there"),
+            ("assistant", "hi friend"),
+            ("user", "more words"),
+            ("assistant", "final answer here"),
+        ]
+        df = spark.createDataFrame(
+            [(1, turns)],
+            "doc_id long, turns array<struct<role:string,content:string>>",
+        )
+        kw = dict(open_l="<|", open_r="|> ", close=" <|end|> ", bos="")
+        out = C.spans_to_token_mask(
+            C.assistant_spans(C.render_chat_template(df, **kw), **{
+                k: v for k, v in kw.items() if k != "close"
+            } | {"close": kw["close"]})
+        ).collect()[0]
+        toks = out["text"].split()
+        masked = [t for t, m in zip(toks, out["loss_mask"]) if m == 1]
+        assert masked == ["hi", "friend", "final", "answer", "here"]
+
+    def test_mask_is_expression_only(self, spark):
+        df = spark.createDataFrame(
+            [("x y", [(0, 1)])],
+            "text string, assistant_spans array<struct<span_start:long,span_end:long>>",
+        )
+        plan = C.spans_to_token_mask(df)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from buildkite_logs_parquet_spark.operators.curation import (
+    curriculum_order,
     gopher_quality_filter,
     hash_bucket,
     repetition_metrics,
@@ -1083,3 +1084,55 @@ class TestKneserNey:
             "doc_id",
         )
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+class TestCurriculumOrder:
+    def _docs(self, spark, n=50):
+        rows = [(f"d{i:03d}", (i * 37) % 100) for i in range(n)]
+        return (
+            spark.createDataFrame(rows, "doc_id string, score long"),
+            dict(rows),
+        )
+
+    def test_matches_python_reference(self, spark):
+        import hashlib
+
+        df, scores = self._docs(spark)
+        got = {
+            r["doc_id"]: (r["bucket"], r["shuffle_key"])
+            for r in curriculum_order(
+                df, "doc_id", "score", n_buckets=5, seed=41
+            ).collect()
+        }
+        ordered = sorted(scores, key=lambda k: (scores[k], k))
+        n = len(ordered)
+        for rank, k in enumerate(ordered):
+            bucket = rank * 5 // n
+            hkey = int(
+                hashlib.md5(f"41:{k}".encode()).hexdigest()[:8], 16
+            )
+            assert got[k] == (bucket, hkey), k
+
+    def test_buckets_balanced_and_score_monotone(self, spark):
+        df, scores = self._docs(spark, n=100)
+        rows = curriculum_order(df, "doc_id", "score", n_buckets=10).collect()
+        from collections import defaultdict
+
+        per = defaultdict(list)
+        for r in rows:
+            per[r["bucket"]].append(scores[r["doc_id"]])
+        sizes = {b: len(v) for b, v in per.items()}
+        assert set(sizes) == set(range(10)) and set(sizes.values()) == {10}
+        for b in range(9):
+            assert max(per[b]) <= min(per[b + 1])
+
+    def test_layout_independent(self, spark):
+        df, _ = self._docs(spark, n=60)
+        a = sorted(map(tuple, curriculum_order(df, "doc_id", "score").collect()))
+        b = sorted(
+            map(
+                tuple,
+                curriculum_order(df.repartition(13), "doc_id", "score").collect(),
+            )
+        )
+        assert a == b
