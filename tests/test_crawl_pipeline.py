@@ -140,3 +140,77 @@ def test_crawl_to_training_corpus(spark, crawl_dir):
         F.sum(token_count(F.col("text")))
     ).first()[0]
     assert sum(r["n_tokens"] for r in rows) == total_tokens
+
+
+def test_graph_prior_curriculum_augmentation(spark):
+    """Round-5 tier composition: link graph -> PageRank host prior ->
+    join-back -> curriculum stages -> span-corruption training pairs,
+    public operator surface only."""
+    from buildkite_logs_parquet_spark.operators.augment import (
+        span_corruption,
+    )
+    from buildkite_logs_parquet_spark.operators.curation import (
+        curriculum_order,
+    )
+    from buildkite_logs_parquet_spark.operators.webgraph import (
+        host_edges,
+        pagerank,
+        text_link_edges,
+        url_host,
+    )
+
+    rows = []
+    for i in range(12):
+        body = " ".join(f"tok{i}w{j}" for j in range(10 + 3 * i))
+        # every spoke page links to the hub; the hub page has no outlink
+        # (dangling sink -> its mass redistributes uniformly)
+        link = (
+            f"https://spoke{i}.example/p https://hub.example/h"
+            if i
+            else "https://hub.example/h"
+        )
+        rows.append((i, f"{body} {link}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # 1. link graph + host prior: the hub collects every spoke's mass
+    pr = pagerank(
+        host_edges(text_link_edges(docs, "doc_id", "text")),
+        weight_col="weight",
+        n_iter=4,
+        broadcast_ranks=True,
+    )
+    ranked = pr.orderBy(F.col("r12").desc()).collect()
+    assert ranked[0]["node"] == "hub.example"
+    assert ranked[0]["r12"] > 2 * ranked[1]["r12"]
+
+    # 2. join the prior back onto documents by first-URL host
+    first_url = F.regexp_extract(
+        F.col("text"), r"(https?://[^\s]+)", 1
+    )
+    with_host = docs.withColumn("host", url_host(first_url))
+    prior = with_host.join(
+        pr.select(F.col("node").alias("host"), "rank"), on="host", how="left"
+    )
+    assert prior.where(F.col("rank").isNull()).count() == 0
+
+    # 3. curriculum stages over document length (easiest-first)
+    sized = docs.withColumn("n_chars", F.length("text"))
+    curr = curriculum_order(sized, "doc_id", "n_chars", n_buckets=3)
+    got = {r["doc_id"]: r["bucket"] for r in curr.collect()}
+    assert got[0] == 0 and got[11] == 2  # shortest first, longest last
+
+    # 4. denoising pairs over the ordered corpus: reconstruction holds
+    pairs = span_corruption(docs, "doc_id", mask_rate=0.4).collect()
+    assert len(pairs) == 12
+    for r in pairs:
+        spans, cur = {}, None
+        for tok in r["target_text"].split():
+            if tok.startswith("<extra_id_"):
+                cur = tok
+                spans[cur] = []
+            else:
+                spans[cur].append(tok)
+        out = []
+        for tok in r["input_text"].split():
+            out.extend(spans[tok] if tok in spans else [tok])
+        assert out == rows[r["doc_id"]][1].split()
