@@ -840,7 +840,9 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     neg_leg = neg.select(
         F.col("anchor_id").alias("doc_id"),
-        F.col("neg_rank").cast("int").alias("chunk_id"),
+        # synthetic legs stay in NEGATIVE chunk_id space (-4..-6) so
+        # (doc_id, chunk_id) still identifies a row kind vs real chunks
+        (-(F.col("neg_rank") + 3)).cast("int").alias("chunk_id"),
         F.lit(0).cast("int").alias("start_token"),
         F.col("neg_id").cast("int").alias("n_tokens"),
         F.concat(F.lit("neg:"), F.col("neg_label")).alias("chunk_text"),
@@ -2079,17 +2081,19 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (unrolled CTEs, all half-up integer division).
     from buildkite_logs_parquet_spark.operators import webgraph as WG
 
-    link_e = WG.text_link_edges(urls, "doc_id", "text")
-    pre_leg = (
-        link_e.groupBy("src", "dst")
-        .agg(F.count("*").alias("n_urls"))
-        .select(
-            F.concat(
-                F.lit("pre:"), F.col("src"), F.lit(">"), F.col("dst")
-            ).alias("domain"),
-            "n_urls",
-            F.lit(0).cast("long").alias("n_docs"),
-        )
+    from pyspark import StorageLevel as _SL
+
+    # pre_leg and pagerank both consume the extraction pipeline —
+    # persist it once; pre_leg IS host_edges (weight renamed)
+    link_e = WG.text_link_edges(urls, "doc_id", "text").persist(
+        _SL.MEMORY_AND_DISK
+    )
+    pre_leg = WG.host_edges(link_e).select(
+        F.concat(
+            F.lit("pre:"), F.col("src"), F.lit(">"), F.col("dst")
+        ).alias("domain"),
+        F.col("weight").alias("n_urls"),
+        F.lit(0).cast("long").alias("n_docs"),
     )
     pr = WG.pagerank(link_e, n_iter=2)
     pr_leg = pr.select(
@@ -4027,14 +4031,17 @@ ap AS (
          CASE WHEN run_start THEN 1 ELSE 0 END AS rs
   FROM asn
 )
-SELECT doc_id, CAST(-3 AS INT) AS chunk_id,
-       CAST(sum(rs) AS INT) AS start_token,
-       CAST(sum(m) AS INT) AS n_tokens,
-       'aug:' || coalesce(string_agg(in_piece, ' ' ORDER BY pos), '')
-              || chr(31)
-              || coalesce(string_agg(tgt_piece, ' ' ORDER BY pos), '')
+SELECT d.doc_id, CAST(-3 AS INT) AS chunk_id,
+       CAST(coalesce(g.rs, 0) AS INT) AS start_token,
+       CAST(coalesce(g.m, 0) AS INT) AS n_tokens,
+       'aug:' || coalesce(g.i, '') || chr(31) || coalesce(g.t, '')
          AS chunk_text
-FROM ap GROUP BY doc_id
+FROM documents d LEFT JOIN (
+  SELECT doc_id, sum(rs) AS rs, sum(m) AS m,
+         coalesce(string_agg(in_piece, ' ' ORDER BY pos), '') AS i,
+         coalesce(string_agg(tgt_piece, ' ' ORDER BY pos), '') AS t
+  FROM ap GROUP BY doc_id
+) g ON d.doc_id = g.doc_id
 )
 
 UNION ALL
@@ -4051,7 +4058,7 @@ ndraw AS (
            % (SELECT count(*) FROM documents) AS idx
   FROM documents d, (SELECT unnest(range(1, 4)) AS j)
 )
-SELECT anchor_id AS doc_id, CAST(j AS INT) AS chunk_id,
+SELECT anchor_id AS doc_id, CAST(-(j + 3) AS INT) AS chunk_id,
        CAST(0 AS INT) AS start_token,
        CAST(neg_id AS INT) AS n_tokens,
        'neg:' || neg_label AS chunk_text

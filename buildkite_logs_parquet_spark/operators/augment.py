@@ -167,7 +167,21 @@ def span_corruption(
         F.sum("m").alias("n_masked"),
         F.sum("rs").alias("n_spans"),
     )
-    return agg
+    # docstring contract: tokenless documents pass through with empty
+    # pair text (the explode+filter dropped them before the groupBy, so
+    # join the aggregate back onto the full id set)
+    return df.select(F.col(id_col)).join(agg, on=id_col, how="left").select(
+        F.col(id_col),
+        F.coalesce(F.col("input_text"), F.lit("")).alias("input_text"),
+        F.coalesce(F.col("target_text"), F.lit("")).alias("target_text"),
+        F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias(
+            "n_tokens"
+        ),
+        F.coalesce(F.col("n_masked"), F.lit(0).cast("long")).alias(
+            "n_masked"
+        ),
+        F.coalesce(F.col("n_spans"), F.lit(0).cast("long")).alias("n_spans"),
+    )
 
 
 def sample_negatives(

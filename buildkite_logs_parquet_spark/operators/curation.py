@@ -1171,9 +1171,13 @@ def curriculum_order(
 
     n = df.count()  # driver scalar: corpus size (footer-cheap on parquet)
     if n == 0:
-        return df.sparkSession.createDataFrame(
-            [], f"key string, bucket int, shuffle_key long"
-        )
+        # schema-faithful empty result: the caller's key column with its
+        # REAL name and type, not a hardcoded placeholder
+        return df.select(
+            F.col(key_col),
+            F.lit(0).cast("int").alias("bucket"),
+            F.lit(0).cast("long").alias("shuffle_key"),
+        ).limit(0)
     ranked = with_global_offsets(
         df.select(
             F.col(key_col),

@@ -46,6 +46,11 @@ from pyspark.sql import functions as F
 #: fixed-point scale for pagerank state (12 decimal digits of rank)
 PR_SCALE = 10**12
 
+#: largest per-edge weight the BIGINT contribution fold tolerates:
+#: r12·w·2 + degw with r12 up to ~PR_SCALE (total mass + rounding slack)
+#: must stay under 2^63 ≈ 9.2e18 — 4e6 leaves a ~15% margin
+_PR_MAX_EDGE_WEIGHT = 4_000_000
+
 
 def url_host(url: Column) -> Column:
     """Lowercased host of an absolute http(s) URL (NULL for other
@@ -72,15 +77,17 @@ def extract_outlinks(
     http(s) hrefs (the cross-host edges a web graph ranks); relative
     links need a base-URL resolver upstream.
     """
+    # ONE pattern for both quote styles so link_idx follows DOCUMENT
+    # order (two concatenated per-style extractions would renumber all
+    # double-quoted links before all single-quoted ones).  Limitation:
+    # an href value containing the other quote character truncates at
+    # it — malformed-leaning HTML, and order-correctness matters more.
     hrefs = F.regexp_extract_all(
-        F.col(html_col), F.lit(r'href\s*=\s*"([^"]*)"'), 1
-    )
-    hrefs2 = F.regexp_extract_all(
-        F.col(html_col), F.lit(r"href\s*=\s*'([^']*)'"), 1
+        F.col(html_col), F.lit("href\\s*=\\s*[\"']([^\"']*)[\"']"), 1
     )
     out = df.select(
         F.col(id_col),
-        F.posexplode(F.concat(hrefs, hrefs2)).alias("link_idx", "href"),
+        F.posexplode(hrefs).alias("link_idx", "href"),
     )
     if absolute_only:
         out = out.where(F.col("href").rlike(r"^https?://"))
@@ -191,12 +198,8 @@ def pagerank(
     """
     from pyspark import StorageLevel
 
-    S = PR_SCALE
-    D12 = S * 85 // 100  # exact: S divisible by 100
-
-    sess = edges.sparkSession
     if checkpoint_dir is not None:
-        sess.sparkContext.setCheckpointDir(checkpoint_dir)
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
     pinned: list[DataFrame] = []
 
@@ -216,19 +219,58 @@ def pagerank(
     # expensive (a crawl-wide extraction join) — persist it ONCE and
     # derive degrees / the degree-joined edge table / the node set from
     # the cached rows, so the whole upstream runs exactly one time
-    e = (
+    persisted: list[DataFrame] = []
+
+    def _persist(df: DataFrame) -> DataFrame:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(df)
+        return df
+
+    e = _persist(
         edges.select(
             F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w")
+        ).where(F.col("a").isNotNull() & F.col("b").isNotNull() & (w > 0))
+    )
+    try:
+        return _pagerank_loop(
+            e,
+            seeds,
+            seed_col,
+            n_iter,
+            tol12,
+            broadcast_ranks,
+            _ckpt,
+            pinned,
+            _persist,
         )
-        .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (w > 0))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    deg = e.groupBy("a").agg(F.sum("w").alias("degw")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    finally:
+        # unpersist is idempotent: covers every early exit (empty graph,
+        # non-intersecting seeds, overweight edges, n_iter=0) as well as
+        # the normal path's already-released frames
+        for df in persisted:
+            df.unpersist()
+        while pinned:
+            pinned.pop().unpersist()
+
+
+def _pagerank_loop(
+    e: DataFrame,
+    seeds: DataFrame | None,
+    seed_col: str,
+    n_iter: int,
+    tol12: int,
+    broadcast_ranks: bool,
+    _ckpt,
+    pinned: list[DataFrame],
+    _persist,
+) -> DataFrame:
+    S = PR_SCALE
+    D12 = S * 85 // 100
+
+    deg = _persist(e.groupBy("a").agg(F.sum("w").alias("degw")))
     # join out-degree onto edges ONCE; the loop's per-round join then
     # carries only the rank column
-    e2 = e.join(deg, on="a").persist(StorageLevel.MEMORY_AND_DISK)
+    e2 = _persist(e.join(deg, on="a"))
     vertex = (
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))
@@ -243,7 +285,7 @@ def pagerank(
         )
     else:
         vertex = vertex.select("node", F.lit(True).alias("_seed"))
-    nodes = vertex.persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = _persist(vertex)
     # ONE job for both driver scalars: |V| and |seeds ∩ V|
     hdr = nodes.agg(
         F.count("*").alias("nv"),
@@ -258,10 +300,20 @@ def pagerank(
         )
     if n_teleport == 0:
         raise ValueError("seeds do not intersect the graph's node set")
+    # loud overflow guard: the per-edge fold r12·w·2 + degw must stay
+    # inside BIGINT with r12 up to ~total mass (S plus rounding slack) —
+    # a silent wrap would corrupt every downstream rank (reads the
+    # already-cached edge relation: one trivial job)
+    max_w = int(e.agg(F.max("w")).first()[0] or 0)
+    if max_w > _PR_MAX_EDGE_WEIGHT:
+        raise ValueError(
+            f"edge weight {max_w} exceeds {_PR_MAX_EDGE_WEIGHT}: the "
+            "integer contribution fold would overflow BIGINT; pre-scale "
+            "the weights (cap, log-bucket, or divide by their gcd) — "
+            "relative weights are all PageRank uses"
+        )
     # degree table re-keyed by node for the dangling test in the probe
-    degn = deg.select(F.col("a").alias("node"), "degw").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    degn = _persist(deg.select(F.col("a").alias("node"), "degw"))
     upstream = [e, deg]  # released after round 1 materializes e2/degn
 
     # teleport targets: all nodes (classic) or the seed set (PPR)

@@ -166,6 +166,17 @@ class TestLinkExtraction:
         ]
         all_links = extract_outlinks(df, "doc_id", absolute_only=False)
         assert all_links.count() == 4
+        # link_idx follows DOCUMENT order even across mixed quote styles
+        ordered = [
+            (r["link_idx"], r["href"])
+            for r in all_links.orderBy("link_idx").collect()
+        ]
+        assert [h for _, h in ordered] == [
+            "https://x.com/a",
+            "http://y.org/b?q=1",
+            "/relative",
+            "https://cdn.z.net/s.css",
+        ]
 
     def test_url_host(self, spark):
         df = spark.createDataFrame(
