@@ -229,6 +229,41 @@ def _extra_ops():
             hg, weight_col="weight", n_iter=3, broadcast_ranks=True
         )
 
+    def harmonic_bench(spark, sf_dir):
+        """HyperBall harmonic centrality over the same supplier->customer
+        host graph: per-node mergeable HLL reach sketches, radius 3 —
+        the sketch-state centrality path (one edge join + one
+        sketch-union agg per round)."""
+        from pyspark.sql import functions as F
+
+        from buildkite_logs_parquet_spark.operators.webgraph import (
+            harmonic_centrality,
+        )
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_suppkey"
+        )
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey"
+        )
+        base = li.join(
+            orders, on=F.col("l_orderkey") == F.col("o_orderkey")
+        ).select(
+            "l_orderkey",
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        # supplier->customer plus the reverse of every even order: cycles
+        # give the radius-3 rounds real multi-hop balls to union (the
+        # pure bipartite graph fixpoints at radius 1)
+        edges = base.select("src", "dst").unionByName(
+            base.where(F.col("l_orderkey") % 2 == 0).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        # lg_k=8: rank-order accuracy at 1/4 the sketch-shuffle bytes
+        return harmonic_centrality(edges, max_radius=3, lg_k=8)
+
     def bitext_mine_bench(spark, sf_dir):
         """URL-correspondence bitext mining + positional segment
         alignment over the whole documents table (every doc planted
@@ -996,6 +1031,7 @@ def _extra_ops():
         "x_chat_pipeline": chat_pipeline_bench,
         "x_bitext_mine": bitext_mine_bench,
         "x_pagerank": pagerank_bench,
+        "x_harmonic": harmonic_bench,
     }
 
 

@@ -215,3 +215,95 @@ class TestLinkExtraction:
             for r in host_edges(df).collect()
         }
         assert got == {("a", "b"): 2, ("a", "c"): 1}
+
+
+def _harmonic_exact(edge_list):
+    """Exact harmonic centrality by BFS from every node (test oracle)."""
+    from collections import defaultdict, deque
+
+    out = defaultdict(list)
+    nodes = set()
+    for a, b in edge_list:
+        if a != b:
+            out[a].append(b)
+        nodes.add(a)
+        nodes.add(b)
+    h = {v: 0.0 for v in nodes}
+    for u in nodes:
+        dist = {u: 0}
+        q = deque([u])
+        while q:
+            x = q.popleft()
+            for y in out[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        for v, d in dist.items():
+            if d > 0:
+                h[v] += 1.0 / d
+    return h
+
+
+class TestHarmonicCentrality:
+    def test_small_graph_within_sketch_error(self, spark):
+        from buildkite_logs_parquet_spark.operators.webgraph import (
+            harmonic_centrality,
+        )
+
+        # chain + star: exact answers are tiny integers/fractions, and
+        # at these cardinalities the HLL sketch is still exact
+        edge_list = [
+            ("a", "b"), ("b", "c"), ("c", "d"),
+            ("s1", "hub"), ("s2", "hub"), ("s3", "hub"), ("hub", "d"),
+        ]
+        df = spark.createDataFrame(edge_list, "src string, dst string")
+        got = {
+            r["node"]: (r["harmonic"], r["reach_est"])
+            for r in harmonic_centrality(df, max_radius=6).collect()
+        }
+        want = _harmonic_exact(edge_list)
+        for v, hw in want.items():
+            assert got[v][0] == pytest.approx(hw, rel=0.05), v
+        # reach counts: d is reachable from everything
+        assert got["d"][1] == 8
+        assert got["s1"][1] == 1  # nobody reaches a source but itself
+
+    def test_fixpoint_stops_before_max_radius(self, spark):
+        from buildkite_logs_parquet_spark.operators.webgraph import (
+            harmonic_centrality,
+        )
+
+        df = spark.createDataFrame([("a", "b")], "src string, dst string")
+        got = {
+            r["node"]: r["harmonic"]
+            for r in harmonic_centrality(df, max_radius=50).collect()
+        }
+        assert got == {"a": 0.0, "b": 1.0}
+
+    def test_larger_random_graph_error_bound(self, spark):
+        from buildkite_logs_parquet_spark.operators.webgraph import (
+            harmonic_centrality,
+        )
+
+        edge_list = sorted(
+            {(f"n{(i * 13) % 60}", f"n{(i * 29 + 7) % 60}") for i in range(150)}
+        )
+        edge_list = [(a, b) for a, b in edge_list if a != b]
+        df = spark.createDataFrame(edge_list, "src string, dst string")
+        got = {
+            r["node"]: r["harmonic"]
+            for r in harmonic_centrality(df, max_radius=12).collect()
+        }
+        want = _harmonic_exact(edge_list)
+        import math
+
+        rel_errs = [
+            abs(got[v] - want[v]) / want[v]
+            for v in want
+            if want[v] > 0
+        ]
+        # HLL at lg_k=12 on <=60-element sets is exact or near-exact
+        assert max(rel_errs) < 0.05
+        assert math.isclose(
+            sum(got.values()), sum(want.values()), rel_tol=0.05
+        )
