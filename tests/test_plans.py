@@ -186,15 +186,25 @@ def test_whole_stage_codegen_covers_parse(spark, entries_path):
 
 
 def test_narrow_queries_have_zero_exchanges(spark):
-    """text_profile and doc_chunks claim to be pure narrow maps — their
-    physical plans must contain no Exchange at all."""
+    """text_profile and the base chunker claim to be pure narrow maps —
+    their physical plans must contain no Exchange at all.  (The
+    registered doc_chunks ROW now also carries shuffle-bearing
+    augmentation legs, so the narrow claim is asserted on the operator
+    itself, not the union-tagged oracle query.)"""
     import __spark_entry__ as E
+    from buildkite_logs_parquet_spark.operators.packing import (
+        chunk_documents,
+    )
 
     qs = E.queries()
-    for name in ("text_profile", "doc_chunks"):
-        df = qs[name](spark, "/root/testdata/sf0.001")
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan, f"{name}:\n{plan[:800]}"
+    df = qs["text_profile"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"text_profile:\n{plan[:800]}"
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = chunk_documents(docs, "doc_id", "text", window=32, stride=24)
+    plan = base._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"chunk_documents:\n{plan[:800]}"
 
 
 def test_dsir_lut_is_broadcast(spark):
