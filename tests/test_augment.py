@@ -162,3 +162,79 @@ class TestSampleNegatives:
         df = spark.createDataFrame([("only", "l")], "doc_id string, label string")
         with pytest.raises(ValueError, match="at least 2"):
             sample_negatives(df, "doc_id")
+
+
+# ------------------------------------------------------ hypothesis suites
+
+from hypothesis import given, settings, strategies as st
+
+_word = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(_word, min_size=0, max_size=25), min_size=1, max_size=6
+    ),
+    st.integers(min_value=0, max_value=9999),
+)
+def test_span_corruption_roundtrip_property(spark, docs, seed):
+    """For ANY corpus and seed: targets + input reconstruct every
+    document, masked counts agree with the sequential reference, and
+    tokenless docs pass through with empty pairs."""
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in span_corruption(
+            df, "doc_id", seed=seed, mask_rate=0.45
+        ).collect()
+    }
+    assert set(out) == {i for i, _ in rows}
+    for i, text in rows:
+        r = out[i]
+        ref = _span_corruption_py(str(i), text, seed=seed, mask_rate=0.45)
+        assert r["input_text"] == ref["input_text"]
+        assert r["target_text"] == ref["target_text"]
+        assert r["n_masked"] == ref["n_masked"]
+        # reconstruction
+        spans, cur = {}, None
+        for tok in r["target_text"].split():
+            if tok.startswith("<extra_id_"):
+                cur = tok
+                spans[cur] = []
+            elif cur is not None:
+                spans[cur].append(tok)
+        rebuilt = []
+        for tok in r["input_text"].split():
+            rebuilt.extend(spans[tok] if tok in spans else [tok])
+        assert rebuilt == text.split()
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.sets(st.integers(min_value=0, max_value=30), min_size=2, max_size=12),
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=0, max_value=999),
+)
+def test_sample_negatives_formula_property(spark, ids, k, seed):
+    """The drawn negative for (anchor, j) is ALWAYS the hash-indexed
+    document of the sorted corpus — independent of layout."""
+    import hashlib
+
+    docs = sorted(f"d{i:02d}" for i in ids)
+    df = spark.createDataFrame([(d, "x") for d in docs], "doc_id string, l string")
+    got = {
+        (r["anchor_id"], r["neg_rank"]): r["neg_id"]
+        for r in sample_negatives(df.repartition(3), "doc_id", k=k, seed=seed).collect()
+    }
+    for d in docs:
+        for j in range(1, k + 1):
+            idx = int(
+                hashlib.md5(f"{seed}:{d}:{j}".encode()).hexdigest()[:8], 16
+            ) % len(docs)
+            want = docs[idx]
+            if want == d:
+                assert (d, j) not in got
+            else:
+                assert got[(d, j)] == want

@@ -307,3 +307,33 @@ class TestHarmonicCentrality:
         assert math.isclose(
             sum(got.values()), sum(want.values()), rel_tol=0.05
         )
+
+
+# ------------------------------------------------------ hypothesis suite
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_pagerank_twin_property(spark, raw_edges, n_iter):
+    """For ANY small weighted digraph the distributed integer loop
+    reproduces the Python twin r12-for-r12."""
+    edges = [(f"v{a}", f"v{b}", w) for a, b, w in raw_edges]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {
+        r["node"]: r["r12"]
+        for r in pagerank(df, weight_col="w", n_iter=n_iter).collect()
+    }
+    assert got == pagerank_py(edges, n_iter=n_iter)
