@@ -710,16 +710,44 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w").cast("decimal(28,9)").cast("string").alias("val"),
         )
 
-    scores = CL.lr_score(feats, w2_df).select(
+    sc = CL.lr_score(feats, w2_df)
+    scores = sc.select(
         F.lit("lrsc").alias("side"),
         F.col("doc_id").alias("id"),
         F.lit(0).cast("long").alias("n"),
         F.col("score").cast("decimal(16,6)").cast("string").alias("val"),
     )
+    # round-5 union-tag #2: calibration audit
+    # (classifier.calibration_report + expected_calibration_error) of
+    # the step-2 model against the weak labels — reliability bins carry
+    # their exact integer state (n_pos:sum_p6) and 'cal:ece' the 9-dp
+    # half-up ECE; everything integer arithmetic on the 6-dp score grid
+    # (rule 13: no float bin boundary, no float division in the hash)
+    rep = CL.calibration_report(
+        sc.join(labels, on="doc_id"), "score", "label", n_bins=10
+    )
+    cal = rep.select(
+        F.concat(F.lit("cal:"), F.col("bin").cast("string")).alias("side"),
+        F.col("bin").cast("long").alias("id"),
+        F.col("n"),
+        F.concat_ws(
+            ":",
+            F.col("n_pos").cast("string"),
+            F.col("sum_p6").cast("string"),
+        ).alias("val"),
+    )
+    ece = CL.expected_calibration_error(rep).select(
+        F.lit("cal:ece").alias("side"),
+        F.lit(0).cast("long").alias("id"),
+        F.col("n_total").alias("n"),
+        F.col("ece").alias("val"),
+    )
     return (
         dsir.unionByName(_wleg("lrw1", w1_df))
         .unionByName(_wleg("lrw2", w2_df))
         .unionByName(scores)
+        .unionByName(cal)
+        .unionByName(ece)
     )
 
 
@@ -3879,6 +3907,50 @@ SELECT 'lrsc', doc_id, 0,
                                              least(CAST(2 AS DECIMAL(38,9)), margin)), 6)
                  AS DECIMAL(16,6)) AS STRING)
 FROM m3
+UNION ALL
+-- calibration legs (classifier.calibration_report /
+-- expected_calibration_error): the 6-dp grid probabilities recover
+-- their exact scale-6 integers, bins and ECE are pure integer
+-- arithmetic (HUGEINT half-up for the 9-dp render)
+SELECT 'cal:' || CAST(bin AS VARCHAR), bin, n,
+       CAST(n_pos AS VARCHAR) || ':' || CAST(sum_p6 AS VARCHAR)
+FROM (
+  SELECT least((p6 * 10) // 1000000, 9) AS bin, count(*) AS n,
+         sum(y) AS n_pos, sum(p6) AS sum_p6
+  FROM (
+    SELECT CAST(CAST(round(0.5 + 0.25 * greatest(CAST(-2 AS DECIMAL(38,9)),
+                     least(CAST(2 AS DECIMAL(38,9)), margin)), 6)
+                 AS DECIMAL(16,6)) * 1000000 AS BIGINT) AS p6,
+           y
+    FROM m3 JOIN lab USING (doc_id)
+  )
+  GROUP BY least((p6 * 10) // 1000000, 9)
+)
+UNION ALL
+SELECT 'cal:ece', 0, n_total,
+       CAST(hu9 // 1000000000 AS VARCHAR) || '.'
+         || lpad(CAST(hu9 % 1000000000 AS VARCHAR), 9, '0')
+FROM (
+  SELECT n_total,
+         (CAST(num AS HUGEINT) * 1000000000 * 2
+          + CAST(n_total AS HUGEINT) * 1000000)
+           // (2 * CAST(n_total AS HUGEINT) * 1000000) AS hu9
+  FROM (
+    SELECT sum(abs(n_pos * 1000000 - sum_p6)) AS num, sum(n) AS n_total
+    FROM (
+      SELECT least((p6 * 10) // 1000000, 9) AS bin, count(*) AS n,
+             sum(y) AS n_pos, sum(p6) AS sum_p6
+      FROM (
+        SELECT CAST(CAST(round(0.5 + 0.25 * greatest(CAST(-2 AS DECIMAL(38,9)),
+                         least(CAST(2 AS DECIMAL(38,9)), margin)), 6)
+                     AS DECIMAL(16,6)) * 1000000 AS BIGINT) AS p6,
+               y
+        FROM m3 JOIN lab USING (doc_id)
+      )
+      GROUP BY least((p6 * 10) // 1000000, 9)
+    )
+  )
+)
 """
 
     # doc_chunks: same window/stride arithmetic; DuckDB list_slice clamps

@@ -221,3 +221,95 @@ def lr_score(
         id_col,
         _prob(F.col("margin")).cast("double").alias("score"),
     )
+
+
+def calibration_report(
+    scored: DataFrame,
+    prob_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram data for a probabilistic classifier: one row
+    per confidence bin with count, positives, and the EXACT integer sums
+    the calibration metrics derive from — the audit that decides whether
+    a quality classifier's scores can be used as sampling weights (a
+    miscalibrated filter silently reweights the corpus).
+
+    Integer-exact by construction (rule 13): the model's probabilities
+    live on the trainer's 6-dp grid, so ``p6 = round(p·10^6)`` recovers
+    the exact grid integer, bins are ``(p6·n_bins) div 10^6`` (pure
+    integer — no float bin boundary to disagree on), and the per-bin
+    state is ``(n, n_pos, sum_p6)`` — three exact integers.  Derived
+    doubles (``mean_conf``, ``accuracy``, ``abs_gap``) are IEEE-exact
+    single divisions of those integers.  ONE aggregate over the scored
+    relation; bins are metadata-sized.
+
+    Compose with ``expected_calibration_error`` for the headline number.
+    """
+    p6 = F.round(F.col(prob_col) * 1_000_000).cast("long")
+    b = F.least(
+        F.expr(f"(cast(round({prob_col} * 1000000) as bigint)"
+               f" * {int(n_bins)}) div 1000000"),
+        F.lit(int(n_bins) - 1),
+    ).cast("int")
+    per = (
+        scored.select(
+            b.alias("bin"),
+            p6.alias("_p6"),
+            F.col(label_col).cast("long").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("_y").alias("n_pos"),
+            F.sum("_p6").alias("sum_p6"),
+        )
+    )
+    return per.select(
+        "bin",
+        "n",
+        "n_pos",
+        "sum_p6",
+        (F.col("sum_p6").cast("double") / (F.col("n") * 1e6)).alias(
+            "mean_conf"
+        ),
+        (F.col("n_pos").cast("double") / F.col("n")).alias("accuracy"),
+        (
+            F.abs(F.col("n_pos") * 1_000_000 - F.col("sum_p6")).cast("double")
+            / (F.col("n") * 1e6)
+        ).alias("abs_gap"),
+    )
+
+
+def expected_calibration_error(
+    report: DataFrame, round_to: int = 9
+) -> DataFrame:
+    """ECE from a ``calibration_report``:
+    ``Σ_b (n_b/N)·|acc_b − conf_b| = Σ_b |n_pos_b·10^6 − sum_p6_b| /
+    (N·10^6)`` — the numerator is an exact integer sum, the final value
+    one half-up scaled division rendered as a ``round_to``-dp string
+    (``ece``), with the raw integer pair alongside.  Engine-exact end to
+    end: a DuckDB oracle replays it with the same integer arithmetic."""
+    S = 10**round_to
+    agg = report.agg(
+        F.sum(F.abs(F.col("n_pos") * 1_000_000 - F.col("sum_p6"))).alias(
+            "num"
+        ),
+        F.sum("n").alias("n_total"),
+    )
+    # hu(num·S, n_total·10^6) in DECIMAL(38,0) `div` arithmetic — the
+    # scaled numerator exceeds BIGINT once N ~ 10^4, decimal carries it
+    # to N ~ 10^22 exactly (the oracle twin runs HUGEINT)
+    hu = (
+        "(cast(num as decimal(38,0)) * {S} * 2"
+        " + cast(n_total as decimal(38,0)) * 1000000)"
+        " div (2 * cast(n_total as decimal(38,0)) * 1000000)"
+    ).format(S=S)
+    return agg.select(
+        "num",
+        "n_total",
+        F.expr(
+            f"concat(cast(({hu}) div {S} as string), '.',"
+            f" lpad(cast(({hu}) % {S} as string), {round_to}, '0'))"
+        ).alias("ece"),
+    )

@@ -113,3 +113,55 @@ def test_lr_score_bounds_and_empty_model(spark):
     rows = C.lr_score(feats, empty).collect()
     assert len(rows) == 20
     assert all(r["score"] == 0.5 for r in rows)  # zero model: σ(0)
+
+
+class TestCalibration:
+    def _report(self, spark, rows, n_bins=10):
+        from buildkite_logs_parquet_spark.operators.classifier import (
+            calibration_report,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, score double, label int")
+        return calibration_report(df, "score", "label", n_bins=n_bins)
+
+    def test_bins_and_integer_state(self, spark):
+        rows = [
+            (1, 0.05, 0), (2, 0.05, 1),   # bin 0
+            (3, 0.55, 1), (4, 0.549999, 0),  # bin 5
+            (5, 1.0, 1),  # p=1.0 clamps into the last bin
+        ]
+        got = {r["bin"]: r for r in self._report(spark, rows).collect()}
+        assert set(got) == {0, 5, 9}
+        assert (got[0]["n"], got[0]["n_pos"], got[0]["sum_p6"]) == (2, 1, 100000)
+        assert (got[5]["n"], got[5]["n_pos"], got[5]["sum_p6"]) == (
+            2, 1, 1099999,
+        )
+        assert got[9]["sum_p6"] == 1000000
+        assert got[0]["accuracy"] == 0.5
+        assert got[0]["mean_conf"] == 0.05
+
+    def test_ece_exact_and_perfectly_calibrated_zero(self, spark):
+        from buildkite_logs_parquet_spark.operators.classifier import (
+            expected_calibration_error,
+        )
+
+        # bin conf exactly matches bin accuracy -> ECE 0
+        rows = []
+        i = 0
+        for conf, acc_num, acc_den in ((0.25, 1, 4), (0.75, 3, 4)):
+            for j in range(acc_den):
+                rows.append((i, conf, 1 if j < acc_num else 0))
+                i += 1
+        rep = self._report(spark, rows)
+        out = expected_calibration_error(rep).collect()[0]
+        assert out["ece"] == "0.000000000"
+        # and a known nonzero case: all prob .5, all label 1 -> ECE .5
+        rep2 = self._report(spark, [(9, 0.5, 1), (10, 0.5, 1)])
+        out2 = expected_calibration_error(rep2).collect()[0]
+        assert out2["ece"] == "0.500000000"
+        assert out2["num"] == 1000000 and out2["n_total"] == 2
+
+    def test_report_is_one_aggregate(self, spark):
+        rep = self._report(spark, [(1, 0.3, 1), (2, 0.9, 0)])
+        plan = rep._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= 1  # one bin-keyed shuffle
