@@ -695,10 +695,13 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist(StorageLevel.MEMORY_AND_DISK)
     n_docs = labels.count()  # driver scalar: the batch size
     w0 = spark.createDataFrame([], "feat long, w double")
-    w1 = CL.lr_step(feats, labels, w0, n_docs, lr=0.5)
+    # lr as the RATIONAL 1/2: the weight update quantizes on the 9-dp
+    # grid in pure integer arithmetic (round(double, 9) is
+    # engine-sensitive at midpoints — caught at sf0.1, rule 13)
+    w1 = CL.lr_step(feats, labels, w0, n_docs, lr_rational=(1, 2))
     w1_rows = [(int(r["feat"]), float(r["w"])) for r in w1.collect()]
     w1_df = spark.createDataFrame(w1_rows, "feat long, w double")
-    w2 = CL.lr_step(feats, labels, w1_df, n_docs, lr=0.5)
+    w2 = CL.lr_step(feats, labels, w1_df, n_docs, lr_rational=(1, 2))
     w2_rows = [(int(r["feat"]), float(r["w"])) for r in w2.collect()]
     w2_df = spark.createDataFrame(w2_rows, "feat long, w double")
 
@@ -710,7 +713,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w").cast("decimal(28,9)").cast("string").alias("val"),
         )
 
-    sc = CL.lr_score(feats, w2_df)
+    sc = CL.lr_score(feats, w2_df, exact_grid=True)
     scores = sc.select(
         F.lit("lrsc").alias("side"),
         F.col("doc_id").alias("id"),
@@ -3853,77 +3856,94 @@ lab AS (
   FROM documents
 ),
 nn AS (SELECT count(*) AS nd FROM lab),
--- step 1 from the zero model: margin 0 everywhere, p = 0.5 exactly
+-- step 1 from the zero model: margin 0 everywhere, p = 0.5 exactly.
+-- Weight updates quantize on the 9-dp grid in PURE INTEGER arithmetic:
+-- w9' = w9 - half_away(g6*1000, 2*nd) with g6 the gradient's exact
+-- scale-6 integer (round(double, 9) is engine-sensitive at midpoints)
 g1 AS (
   SELECT feat, sum((CAST(0.5 AS DECIMAL(16,6)) - y) * cnt) AS grad
   FROM f JOIN lab USING (doc_id) GROUP BY feat
 ),
-w1 AS (
-  SELECT feat, round(0 - 0.5 * CAST(grad AS DOUBLE) / nd, 9) AS w
-  FROM g1, nn
-  WHERE round(0 - 0.5 * CAST(grad AS DOUBLE) / nd, 9) <> 0
+w1i AS (
+  SELECT feat,
+         0 - (CASE WHEN g6 >= 0
+               THEN (2 * g6 * 1000 + 2 * nd) // (4 * nd)
+               ELSE -((2 * (0 - g6) * 1000 + 2 * nd) // (4 * nd)) END) AS w9
+  FROM (
+    SELECT feat,
+           CAST(replace(CAST(grad AS VARCHAR), '.', '') AS HUGEINT) AS g6
+    FROM g1
+  ), nn
 ),
--- step 2: decimal-exact margins under w1, sigmoid on the 6-dp grid
+-- step 2 entirely on the integer grids: margins m9 = Σ cnt·w9
+-- (scale-9 longs — no decimal scale-down anywhere, rule 13), sigmoid
+-- p6 = (2·(2e9 + clamp(m9)) + 4000) // 8000 (spelled-out half-up)
 m2 AS (
-  SELECT f.doc_id,
-         sum(CAST(cnt AS DECIMAL(38,9)) * CAST(COALESCE(w1.w, 0) AS DECIMAL(20,9))) AS margin
-  FROM f LEFT JOIN w1 USING (feat) GROUP BY f.doc_id
+  SELECT f.doc_id, sum(cnt * COALESCE(w1i.w9, 0)) AS m9
+  FROM f LEFT JOIN w1i USING (feat) GROUP BY f.doc_id
 ),
 p2 AS (
-  -- hard sigmoid, all decimal: clamp(0.5 + margin/4, 0, 1) on a 6-dp grid
   SELECT doc_id,
-         CAST(round(0.5 + 0.25 * greatest(CAST(-2 AS DECIMAL(38,9)),
-                                          least(CAST(2 AS DECIMAL(38,9)), margin)), 6)
-              AS DECIMAL(16,6)) AS p
+         (2 * (2000000000
+               + greatest(-2000000000, least(2000000000, m9))) + 4000)
+           // 8000 AS p6
   FROM m2
 ),
 g2 AS (
-  SELECT feat, sum((p - y) * cnt) AS grad
+  SELECT feat, sum((p6 - y * 1000000) * cnt) AS g6
   FROM f JOIN p2 USING (doc_id) JOIN lab USING (doc_id) GROUP BY feat
 ),
-w2 AS (
-  SELECT COALESCE(w1.feat, g2.feat) AS feat,
-         round(COALESCE(w1.w, 0) - 0.5 * CAST(COALESCE(g2.grad, 0) AS DOUBLE) / nd, 9) AS w
-  FROM w1 FULL JOIN g2 ON w1.feat = g2.feat, nn
-  WHERE round(COALESCE(w1.w, 0) - 0.5 * CAST(COALESCE(g2.grad, 0) AS DOUBLE) / nd, 9) <> 0
+w2i AS (
+  SELECT COALESCE(w1i.feat, g2.feat) AS feat,
+         COALESCE(w1i.w9, 0)
+         - (CASE WHEN COALESCE(g6, 0) >= 0
+             THEN (2 * COALESCE(g6, 0) * 1000 + 2 * nd) // (4 * nd)
+             ELSE -((2 * (0 - g6) * 1000 + 2 * nd) // (4 * nd)) END) AS w9
+  FROM w1i FULL JOIN g2 ON w1i.feat = g2.feat, nn
 ),
 -- scores under the step-2 model (lr_score's broadcast-join aggregate)
 m3 AS (
-  SELECT f.doc_id,
-         sum(CAST(cnt AS DECIMAL(38,9)) * CAST(COALESCE(w2.w, 0) AS DECIMAL(20,9))) AS margin
-  FROM f LEFT JOIN w2 USING (feat) GROUP BY f.doc_id
+  SELECT f.doc_id, sum(cnt * COALESCE(w2i.w9, 0)) AS m9
+  FROM f LEFT JOIN w2i USING (feat) GROUP BY f.doc_id
+),
+p3 AS (
+  SELECT doc_id,
+         (2 * (2000000000
+               + greatest(-2000000000, least(2000000000, m9))) + 4000)
+           // 8000 AS p6
+  FROM m3
 )
 SELECT 'dsir' AS side, r.doc_id AS id,
        COALESCE(per.n_grams, 0) AS n,
        CAST(COALESCE(per.w, CAST(0 AS DECIMAL(38,9))) AS STRING) AS val
 FROM rawd r LEFT JOIN per ON r.doc_id = per.doc_id
 UNION ALL
-SELECT 'lrw1', feat, 0, CAST(CAST(w AS DECIMAL(28,9)) AS STRING) FROM w1
+SELECT 'lrw1', feat, 0,
+       CASE WHEN w9 < 0 THEN '-' ELSE '' END
+         || CAST(abs(w9) // 1000000000 AS VARCHAR) || '.'
+         || lpad(CAST(abs(w9) % 1000000000 AS VARCHAR), 9, '0')
+FROM w1i WHERE w9 <> 0
 UNION ALL
-SELECT 'lrw2', feat, 0, CAST(CAST(w AS DECIMAL(28,9)) AS STRING) FROM w2
+SELECT 'lrw2', feat, 0,
+       CASE WHEN w9 < 0 THEN '-' ELSE '' END
+         || CAST(abs(w9) // 1000000000 AS VARCHAR) || '.'
+         || lpad(CAST(abs(w9) % 1000000000 AS VARCHAR), 9, '0')
+FROM w2i WHERE w9 <> 0
 UNION ALL
 SELECT 'lrsc', doc_id, 0,
-       CAST(CAST(round(0.5 + 0.25 * greatest(CAST(-2 AS DECIMAL(38,9)),
-                                             least(CAST(2 AS DECIMAL(38,9)), margin)), 6)
-                 AS DECIMAL(16,6)) AS STRING)
-FROM m3
+       CAST(p6 // 1000000 AS VARCHAR) || '.'
+         || lpad(CAST(p6 % 1000000 AS VARCHAR), 6, '0')
+FROM p3
 UNION ALL
 -- calibration legs (classifier.calibration_report /
--- expected_calibration_error): the 6-dp grid probabilities recover
--- their exact scale-6 integers, bins and ECE are pure integer
--- arithmetic (HUGEINT half-up for the 9-dp render)
+-- expected_calibration_error): bins and ECE are pure integer
+-- arithmetic over the p6 grid (HUGEINT half-up for the 9-dp render)
 SELECT 'cal:' || CAST(bin AS VARCHAR), bin, n,
        CAST(n_pos AS VARCHAR) || ':' || CAST(sum_p6 AS VARCHAR)
 FROM (
   SELECT least((p6 * 10) // 1000000, 9) AS bin, count(*) AS n,
          sum(y) AS n_pos, sum(p6) AS sum_p6
-  FROM (
-    SELECT CAST(CAST(round(0.5 + 0.25 * greatest(CAST(-2 AS DECIMAL(38,9)),
-                     least(CAST(2 AS DECIMAL(38,9)), margin)), 6)
-                 AS DECIMAL(16,6)) * 1000000 AS BIGINT) AS p6,
-           y
-    FROM m3 JOIN lab USING (doc_id)
-  )
+  FROM p3 JOIN lab USING (doc_id)
   GROUP BY least((p6 * 10) // 1000000, 9)
 )
 UNION ALL
@@ -3940,13 +3960,7 @@ FROM (
     FROM (
       SELECT least((p6 * 10) // 1000000, 9) AS bin, count(*) AS n,
              sum(y) AS n_pos, sum(p6) AS sum_p6
-      FROM (
-        SELECT CAST(CAST(round(0.5 + 0.25 * greatest(CAST(-2 AS DECIMAL(38,9)),
-                         least(CAST(2 AS DECIMAL(38,9)), margin)), 6)
-                     AS DECIMAL(16,6)) * 1000000 AS BIGINT) AS p6,
-               y
-        FROM m3 JOIN lab USING (doc_id)
-      )
+      FROM p3 JOIN lab USING (doc_id)
       GROUP BY least((p6 * 10) // 1000000, 9)
     )
   )

@@ -96,6 +96,33 @@ def _margins(
     )
 
 
+def _margins9(
+    features: DataFrame, weights: DataFrame, id_col: str
+) -> DataFrame:
+    """Per-doc margin as the exact scale-9 INTEGER ``m9 = Σ cnt·w9``
+    (``w9 = round(w·10^9)`` recovers the grid integer of a 9-dp weight).
+    The integer twin of ``_margins`` for the exact-grid path: no decimal
+    scale-down exists anywhere, so no engine rounding mode can matter."""
+    j = features.join(F.broadcast(weights), "feat", "left")
+    w9 = F.expr("cast(round(coalesce(w, 0d) * 1e9) as bigint)")
+    return j.groupBy(id_col).agg(
+        F.coalesce(F.sum(F.col("cnt") * w9), F.lit(0)).alias("m9")
+    )
+
+
+def _prob6_expr() -> "F.Column":
+    """Hard sigmoid on the 6-dp grid as an exact INTEGER over a column
+    named ``m9``: ``p6 = (2·(2·10^9 + clamp(m9)) + 4000) div 8000`` —
+    algebraically equal to ``round(0.5 + 0.25·m, 6)`` under HALF_UP,
+    with the half-up division spelled out so no engine's round() (or
+    decimal scale-down mode) is on the path."""
+    return F.expr(
+        "(2 * (2000000000"
+        " + greatest(-2000000000, least(2000000000, m9))) + 4000)"
+        " div 8000"
+    )
+
+
 def _prob(margin_col):
     """Hard sigmoid on the 6-dp grid, ALL in exact decimal arithmetic:
     clamp the margin to [-2, 2] (outside it the function saturates to
@@ -117,6 +144,7 @@ def lr_step(
     lr: float = 0.5,
     id_col: str = "doc_id",
     label_col: str = "label",
+    lr_rational: tuple[int, int] | None = None,
 ) -> DataFrame:
     """One exact full-batch gradient-descent step of logistic
     regression: ``w ← round(w − lr · Σ_docs (p − y)·cnt / n, 9)``.
@@ -125,7 +153,55 @@ def lr_step(
     all-zero model).  ``n_docs`` is the batch size — a driver scalar the
     caller computes once (metadata-sized).  Features absent from the
     model but present in the batch enter at their first gradient.
+
+    ``lr_rational=(num, den)``: run the WHOLE step in pure integer
+    arithmetic on the exact grids — margins ``m9 = Σ cnt·w9`` (scale-9
+    longs, ``_margins9``), probabilities via the spelled-out half-up
+    ``_prob6_expr`` (scale-6 longs), gradients ``g6 = Σ resid6·cnt``,
+    update ``w9' = w9 − half_away(num·g6·10^3, den·n)``.  The default
+    decimal/double path has TWO engine-sensitive steps the integer path
+    eliminates (both observed diverging at sf0.1, rule 13): the
+    decimal scale-down inside ``_prob`` (a double-rounding when the
+    margin carries more than 9 fractional digits) and the final
+    ``round(double, 9)`` re-quantization (engines disagree at 9-dp
+    midpoints).  Oracle-gated callers use the rational path;
+    ``lr_train`` keeps the float path for arbitrary learning rates.
     """
+    if lr_rational is not None:
+        num, den = (int(x) for x in lr_rational)
+        if num <= 0 or den <= 0:
+            raise ValueError("lr_rational must be positive integers")
+        b = den * int(n_docs)
+        m9 = _margins9(features, weights, id_col)
+        resid = m9.join(labels.select(id_col, label_col), id_col).select(
+            id_col,
+            (
+                _prob6_expr()
+                - F.col(label_col).cast("long") * F.lit(1_000_000)
+            ).alias("resid6"),
+        )
+        grads = (
+            features.join(resid, id_col)
+            .groupBy("feat")
+            .agg(F.sum(F.col("resid6") * F.col("cnt")).alias("g6"))
+        )
+        joined = weights.join(grads, "feat", "full")
+        w9 = F.expr("cast(round(coalesce(w, 0d) * 1e9) as bigint)")
+        a = F.lit(1000 * num).cast("long") * F.coalesce(
+            F.col("g6"), F.lit(0)
+        )
+        delta9 = F.when(
+            a >= 0, F.expr(f"(2 * _a + {b}) div (2 * {b})")
+        ).otherwise(-F.expr(f"(2 * (0 - _a) + {b}) div (2 * {b})"))
+        return (
+            joined.withColumn("_a", a)
+            .select("feat", (w9 - delta9).alias("_w9"))
+            .where(F.col("_w9") != 0)
+            .select(
+                "feat",
+                (F.col("_w9").cast("double") / F.lit(1e9)).alias("w"),
+            )
+        )
     m = _margins(features, weights, id_col)
     resid = (
         m.join(labels.select(id_col, label_col), id_col)
@@ -211,11 +287,23 @@ def lr_score(
     features: DataFrame,
     weights: DataFrame,
     id_col: str = "doc_id",
+    exact_grid: bool = False,
 ) -> DataFrame:
     """Score documents under a trained model: ``(doc_id, score)`` with
     ``score`` the hard-sigmoid probability on the 6-dp grid.  Broadcast
     join + one per-doc aggregate — the shape that scores 100 TB in one
-    pass."""
+    pass.
+
+    ``exact_grid=True`` computes the probability entirely in integers
+    (``_margins9`` + ``_prob6_expr``), avoiding the decimal scale-down
+    whose rounding mode differs across engines when margins carry more
+    than 9 fractional digits — the oracle-gated variant (rule 13)."""
+    if exact_grid:
+        m9 = _margins9(features, weights, id_col)
+        return m9.select(
+            id_col,
+            (_prob6_expr().cast("double") / F.lit(1e6)).alias("score"),
+        )
     m = _margins(features, weights, id_col)
     return m.select(
         id_col,

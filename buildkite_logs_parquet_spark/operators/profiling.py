@@ -663,3 +663,99 @@ def snapshot_diff_summary(diff: DataFrame) -> DataFrame:
     """One row per change kind with counts — the metadata-sized rollup of
     ``snapshot_diff`` for dashboards/gates."""
     return diff.groupBy("change").agg(F.count("*").alias("n"))
+
+
+# ------------------------------------------------------------- data card
+
+
+def corpus_datacard(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    rsd: float = 0.05,
+) -> DataFrame:
+    """One tidy ``(section, metric, value)`` relation summarizing a
+    corpus — the "data card" published beside a training set: sizes,
+    composition mix, length distribution, and duplication rate, all from
+    TWO corpus scans (one global sketch aggregate + one composition
+    explode) regardless of corpus size.
+
+    Sections:
+
+    * ``size`` — docs, chars, whitespace tokens, approx distinct digests
+      (HLL, ``rsd``) and the implied exact-dup rate;
+    * ``mix:<col>`` — per-value share of each ``group_cols`` column
+      (9-dp decimal string, exact integer division rendering);
+    * ``length`` — token-count p50/p95 (``percentile_approx``) and max.
+
+    Values travel as STRINGS so heterogeneous metrics share one column;
+    numbers use the repo's decimal-render discipline.  This is a
+    reporting surface (compose-and-show), not an oracle query — the
+    underlying operators (``table_profile``, dedup stats, mixes) carry
+    the hash-checked guarantees.
+    """
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    digest = F.md5(F.col(text_col))
+    hdr = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length(F.col(text_col)).cast("long")).alias("n_chars"),
+        F.sum(n_tok.cast("long")).alias("n_tokens"),
+        F.approx_count_distinct(digest, rsd).alias("n_distinct"),
+        F.percentile_approx(n_tok, 0.5, 10_000).alias("tok_p50"),
+        F.percentile_approx(n_tok, 0.95, 10_000).alias("tok_p95"),
+        F.max(n_tok).alias("tok_max"),
+    ).first()
+    n_docs = int(hdr["n_docs"] or 0)
+    spark = docs.sparkSession
+
+    def _d9(num: int, den: int) -> str:
+        if den == 0:
+            return "0.000000000"
+        v = (2 * num * 10**9 + den) // (2 * den)
+        return f"{v // 10**9}.{v % 10**9:09d}"
+
+    rows = [
+        ("size", "n_docs", str(n_docs)),
+        ("size", "n_chars", str(int(hdr["n_chars"] or 0))),
+        ("size", "n_tokens", str(int(hdr["n_tokens"] or 0))),
+        ("size", "approx_distinct_texts", str(int(hdr["n_distinct"] or 0))),
+        (
+            "size",
+            "approx_dup_rate",
+            _d9(max(n_docs - int(hdr["n_distinct"] or 0), 0), n_docs),
+        ),
+        ("length", "tok_p50", str(int(hdr["tok_p50"] or 0))),
+        ("length", "tok_p95", str(int(hdr["tok_p95"] or 0))),
+        ("length", "tok_max", str(int(hdr["tok_max"] or 0))),
+    ]
+    head = spark.createDataFrame(
+        rows, "section string, metric string, value string"
+    )
+    entries = [
+        F.struct(
+            F.lit(f"mix:{c}").alias("section"),
+            F.coalesce(F.col(c).cast("string"), F.lit("<null>")).alias(
+                "metric"
+            ),
+        )
+        for c in group_cols
+    ]
+    mix = (
+        docs.select(F.explode(F.array(*entries)).alias("e"))
+        .groupBy("e.section", "e.metric")
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "section",
+            "metric",
+            # share as a 9-dp string from exact integers (same render as
+            # the driver-facing legs; n_docs re-enters as a literal)
+            F.expr(
+                f"concat(cast(((_n * 1000000000) * 2 + {max(n_docs, 1)})"
+                f" div (2 * {max(n_docs, 1)}) div 1000000000 as string),"
+                f" '.', lpad(cast(((_n * 1000000000) * 2 + {max(n_docs, 1)})"
+                f" div (2 * {max(n_docs, 1)}) % 1000000000 as string), 9, '0'))"
+            ).alias("value"),
+        )
+    )
+    return head.unionByName(mix)

@@ -384,3 +384,34 @@ def test_theta_overlap_merges_multiple_state_rows_per_side(spark):
     assert row["distinct_left"] == 300.0
     assert row["distinct_intersection"] == 50.0
     assert row["distinct_union"] == 400.0
+
+
+class TestCorpusDatacard:
+    def test_sections_and_exact_shares(self, spark):
+        from buildkite_logs_parquet_spark.operators.profiling import (
+            corpus_datacard,
+        )
+
+        rows = [
+            (1, "a b c", "en", "s0"),
+            (2, "a b c", "en", "s0"),  # exact dup of 1
+            (3, "d e", "de", "s1"),
+            (4, "f", None, "s1"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+        got = {
+            (r["section"], r["metric"]): r["value"]
+            for r in corpus_datacard(df).collect()
+        }
+        assert got[("size", "n_docs")] == "4"
+        assert got[("size", "n_chars")] == str(5 + 5 + 3 + 1)
+        assert got[("size", "n_tokens")] == "9"
+        assert got[("size", "approx_distinct_texts")] == "3"  # exact at n=3
+        assert got[("size", "approx_dup_rate")] == "0.250000000"
+        assert got[("mix:lang", "en")] == "0.500000000"
+        assert got[("mix:lang", "<null>")] == "0.250000000"
+        assert got[("mix:source", "s1")] == "0.500000000"
+        assert got[("length", "tok_p50")] == "2"
+        assert got[("length", "tok_max")] == "3"

@@ -50,6 +50,9 @@ PROBES = [
     ("x_cdc_dedup", "documents (content-defined chunk dedup)", 10),
     ("x_pdf_ingest", "embeddings ids x 32 four-page Flate PDFs", 10),
     ("x_pagerank", "lineitem⋈orders host graph, 3 damped rounds", 100),
+    ("x_harmonic", "host graph + reverse edges, HyperBall radius 3", 100),
+    ("doc_chunks", "documents (chunks + chat + aug/neg legs)", 10),
+    ("url_domain_stats", "documents (urls + robots + bitext + pr legs)", 10),
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
