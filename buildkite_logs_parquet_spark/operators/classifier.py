@@ -180,22 +180,30 @@ def lr_step(
                 - F.col(label_col).cast("long") * F.lit(1_000_000)
             ).alias("resid6"),
         )
+        # corpus-wide per-feature gradients sum in DECIMAL(38,0): a long
+        # sum wraps silently once Σ|resid6·cnt| approaches 2^63 — easily
+        # reached at corpus scale with few hash buckets (the per-doc
+        # m9/resid6 values above stay far inside long range)
         grads = (
             features.join(resid, id_col)
             .groupBy("feat")
-            .agg(F.sum(F.col("resid6") * F.col("cnt")).alias("g6"))
+            .agg(
+                F.sum(
+                    (F.col("resid6") * F.col("cnt")).cast("decimal(38,0)")
+                ).alias("g6")
+            )
         )
         joined = weights.join(grads, "feat", "full")
         w9 = F.expr("cast(round(coalesce(w, 0d) * 1e9) as bigint)")
-        a = F.lit(1000 * num).cast("long") * F.coalesce(
-            F.col("g6"), F.lit(0)
+        a = F.lit(1000 * num).cast("decimal(10,0)") * F.coalesce(
+            F.col("g6"), F.lit(0).cast("decimal(38,0)")
         )
         delta9 = F.when(
             a >= 0, F.expr(f"(2 * _a + {b}) div (2 * {b})")
         ).otherwise(-F.expr(f"(2 * (0 - _a) + {b}) div (2 * {b})"))
         return (
             joined.withColumn("_a", a)
-            .select("feat", (w9 - delta9).alias("_w9"))
+            .select("feat", (w9 - delta9.cast("long")).alias("_w9"))
             .where(F.col("_w9") != 0)
             .select(
                 "feat",
@@ -335,16 +343,20 @@ def calibration_report(
     Compose with ``expected_calibration_error`` for the headline number.
     """
     p6 = F.round(F.col(prob_col) * 1_000_000).cast("long")
-    b = F.least(
-        F.expr(f"(cast(round({prob_col} * 1000000) as bigint)"
-               f" * {int(n_bins)}) div 1000000"),
-        F.lit(int(n_bins) - 1),
-    ).cast("int")
     per = (
         scored.select(
-            b.alias("bin"),
             p6.alias("_p6"),
             F.col(label_col).cast("long").alias("_y"),
+        )
+        .select(
+            F.least(
+                F.expr(f"(_p6 * {int(n_bins)}) div 1000000"),
+                F.lit(int(n_bins) - 1),
+            )
+            .cast("int")
+            .alias("bin"),
+            "_p6",
+            "_y",
         )
         .groupBy("bin")
         .agg(

@@ -695,7 +695,11 @@ def corpus_datacard(
     underlying operators (``table_profile``, dedup stats, mixes) carry
     the hash-checked guarantees.
     """
-    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    from buildkite_logs_parquet_spark.operators.text_analysis import (
+        token_count,
+    )
+
+    n_tok = token_count(F.col(text_col))  # blank text counts 0, not 1
     digest = F.md5(F.col(text_col))
     hdr = docs.agg(
         F.count("*").alias("n_docs"),

@@ -142,6 +142,36 @@ def host_edges(
     ).agg(F.count("*").alias("weight"))
 
 
+def _loop_state(edges: DataFrame, checkpoint_dir: str | None):
+    """Shared persist/checkpoint discipline for the module's iterative
+    loops (``pagerank``, ``harmonic_centrality``): returns
+    ``(persisted, pinned, _persist, _ckpt)`` where ``_persist`` tracks
+    every cached frame for a release-on-ANY-exit finally, and ``_ckpt``
+    truncates per-round lineage (reliable into ``checkpoint_dir`` with a
+    pinned cache so the writer never recomputes, executor-local
+    otherwise)."""
+    from pyspark import StorageLevel
+
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    persisted: list[DataFrame] = []
+    pinned: list[DataFrame] = []
+
+    def _persist(df: DataFrame) -> DataFrame:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(df)
+        return df
+
+    def _ckpt(df: DataFrame, eager: bool = False) -> DataFrame:
+        if checkpoint_dir is not None:
+            df.persist(StorageLevel.MEMORY_AND_DISK)
+            pinned.append(df)
+            return df.checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager)
+
+    return persisted, pinned, _persist, _ckpt
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -196,19 +226,7 @@ def pagerank(
     ``host_edges``: ~1e8 hosts is already marginal).  Default off: at
     page scale the rank state is corpus-sized and must shuffle-join.
     """
-    from pyspark import StorageLevel
-
-    if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-
-    pinned: list[DataFrame] = []
-
-    def _ckpt(df: DataFrame, eager: bool = False) -> DataFrame:
-        if checkpoint_dir is not None:
-            df.persist(StorageLevel.MEMORY_AND_DISK)
-            pinned.append(df)
-            return df.checkpoint(eager=eager)
-        return df.localCheckpoint(eager=eager)
+    persisted, pinned, _persist, _ckpt = _loop_state(edges, checkpoint_dir)
 
     w = (
         F.col(weight_col).cast("long")
@@ -219,13 +237,6 @@ def pagerank(
     # expensive (a crawl-wide extraction join) — persist it ONCE and
     # derive degrees / the degree-joined edge table / the node set from
     # the cached rows, so the whole upstream runs exactly one time
-    persisted: list[DataFrame] = []
-
-    def _persist(df: DataFrame) -> DataFrame:
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
-        persisted.append(df)
-        return df
-
     e = _persist(
         edges.select(
             F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w")
@@ -434,10 +445,13 @@ def harmonic_centrality(
 
     100 TB shape: per round ONE edge-sized join + ONE dst-keyed
     mergeable-sketch aggregate + a node-sized union/estimate map; state
-    is |V| · (2^lg_k registers).  Rounds stop at ``max_radius`` or when
-    no node's ball grew (exact fixpoint detection on the integer-rounded
-    estimates).  State is checkpointed per round (the ``pagerank``
-    loop discipline).
+    is |V| · (2^lg_k registers).  Rounds stop at ``max_radius`` or at
+    the REGISTER-LEVEL fixpoint: the probe digests the sketch bytes
+    (``Σ xxhash64(sk)``) and only stops when no sketch changed —
+    HyperBall's own rule (estimates can stall for a round while
+    registers still grow, then move again; stopping on estimates would
+    truncate the tail).  State is checkpointed per round (the
+    ``pagerank`` loop discipline via the shared ``_loop_state``).
 
     Approximate by construction (rule 8): HLL relative error
     ~1.04/√2^lg_k (3.3% at the default 10) per ball, so this is
@@ -452,26 +466,7 @@ def harmonic_centrality(
     Returns ``(node, harmonic, reach_est)`` — reach_est is the final
     ball size (how many nodes can reach v at all, ≈ in-component size).
     """
-    from pyspark import StorageLevel
-
-    if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-
-    persisted: list[DataFrame] = []
-    pinned: list[DataFrame] = []
-
-    def _persist(df: DataFrame) -> DataFrame:
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
-        persisted.append(df)
-        return df
-
-    def _ckpt(df: DataFrame, eager: bool = False) -> DataFrame:
-        if checkpoint_dir is not None:
-            df.persist(StorageLevel.MEMORY_AND_DISK)
-            pinned.append(df)
-            return df.checkpoint(eager=eager)
-        return df.localCheckpoint(eager=eager)
-
+    persisted, pinned, _persist, _ckpt = _loop_state(edges, checkpoint_dir)
     try:
         e = _persist(
             edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -501,8 +496,14 @@ def harmonic_centrality(
             F.lit(0.0).alias("harmonic"),
         )
         state = _ckpt(state)
-        grew = state.agg(F.sum("cnt")).first()[0]  # materialize round 0
-        prev_total = int(grew or 0)
+        # round-0 probe: total estimate AND a register-level digest —
+        # "no sketch byte changed" is the true HyperBall fixpoint
+        # (estimates can stall for a round while registers still grow at
+        # large cardinalities, and growth can resume later)
+        p0 = state.agg(
+            F.sum("cnt").alias("t"), F.sum(F.xxhash64("sk").cast("decimal(38,0)")).alias("h")
+        ).first()
+        prev_total, prev_digest = int(p0["t"] or 0), int(p0["h"] or 0)
         for r in range(1, max_radius + 1):
             # in-neighbor union: edge a→b puts a's ball inside b's next
             nbr = (
@@ -544,23 +545,28 @@ def harmonic_centrality(
                     ).alias("harmonic"),
                 )
             )
-            total = int(new_state.agg(F.sum("cnt")).first()[0] or 0)
-            while len(pinned) > 1:  # keep only the newest pinned frame
+            probe = new_state.agg(
+                F.sum("cnt").alias("t"), F.sum(F.xxhash64("sk").cast("decimal(38,0)")).alias("h")
+            ).first()
+            total, digest = int(probe["t"] or 0), int(probe["h"] or 0)
+            while len(pinned) > 1:  # keep the newest pinned frame hot
                 pinned.pop(0).unpersist()
             state = new_state
-            if total <= prev_total:  # no ball grew anywhere: fixpoint
+            # register-level fixpoint: stop only when NO sketch changed
+            # (digest + total both stable — collision odds ~2^-64)
+            if total == prev_total and digest == prev_digest:
                 break
-            prev_total = total
+            prev_total, prev_digest = total, digest
         return state.select(
             "node", "harmonic", F.col("cnt").alias("reach_est")
         )
     finally:
         for df in persisted:
             df.unpersist()
-        # the returned frame's lineage is its own checkpoint; earlier
-        # pinned rounds are already released in-loop
-        while len(pinned) > 1:
-            pinned.pop(0).unpersist()
+        # the returned frame reads its own (already-materialized)
+        # checkpoint, so every pinned pre-checkpoint cache is droppable
+        while pinned:
+            pinned.pop().unpersist()
 
 
 def pagerank_py(
