@@ -1079,7 +1079,8 @@ def main() -> None:
     # post-change entries.  List them here with the cause; prune entries
     # once the history window has caught up.
     workload_grew = {
-        "dsir_weights": "quality-classifier GD legs (ae33fc6)",
+        "dsir_weights": "GD legs (ae33fc6) + calibration cal:* legs (round 5)",
+        "corpus_select": "curriculum 'curr' leg (round 5)",
         "pii_scrub": "unicode normalization digests + Luhn (5186bef)",
         "bpe_encode": "wordpiece longest-match legs (04b789b)",
         "lm_perplexity": "Kneser-Ney train+score legs",
