@@ -625,3 +625,75 @@ def pagerank_py(
         if dmax <= tol12:
             break
     return ranks
+
+
+def host_link_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-host link-profile statistics: weighted out/in degree, distinct
+    out/in neighbor counts, and the RECIPROCITY ratio — the share of a
+    host's out-link weight whose reverse edge exists.  High reciprocity
+    with high degree is the classic link-farm / mutual-promotion tell
+    (TrustRank-era spam heuristics), the cheap complement to the rank
+    priors: ``pagerank`` says how endorsed a host is, this says how
+    organic the endorsements look.
+
+    Plan: edges aggregate to the weighted pair relation once, ONE
+    self-join on the reversed key marks reciprocated pairs, then one
+    aggregate per side unions into per-host rows (full outer on host).
+    Everything keyed by host pairs/hosts — no node ever sees more than
+    its own edges.  ``reciprocity`` is a single IEEE division of two
+    exact integers (deterministic; NULL for hosts with no out-links).
+
+    Returns ``(node, out_w, in_w, out_hosts, in_hosts, recip_w,
+    reciprocity)``.
+    """
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    pairs = (
+        edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w")
+        )
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (w > 0))
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    rev = pairs.select(
+        F.col("b").alias("a"), F.col("a").alias("b"), F.lit(True).alias("_r")
+    )
+    marked = pairs.join(rev, on=["a", "b"], how="left")
+    outs = marked.groupBy(F.col("a").alias("node")).agg(
+        F.sum("w").alias("out_w"),
+        F.count("*").alias("out_hosts"),
+        F.sum(F.when(F.col("_r"), F.col("w")).otherwise(F.lit(0))).alias(
+            "recip_w"
+        ),
+    )
+    ins = pairs.groupBy(F.col("b").alias("node")).agg(
+        F.sum("w").alias("in_w"), F.count("*").alias("in_hosts")
+    )
+    return (
+        outs.join(ins, on="node", how="full")
+        .na.fill(
+            {"out_w": 0, "in_w": 0, "out_hosts": 0, "in_hosts": 0,
+             "recip_w": 0}
+        )
+        .select(
+            "node",
+            "out_w",
+            "in_w",
+            "out_hosts",
+            "in_hosts",
+            "recip_w",
+            F.when(
+                F.col("out_w") > 0,
+                F.col("recip_w").cast("double") / F.col("out_w"),
+            ).alias("reciprocity"),
+        )
+    )

@@ -337,3 +337,40 @@ def test_pagerank_twin_property(spark, raw_edges, n_iter):
         for r in pagerank(df, weight_col="w", n_iter=n_iter).collect()
     }
     assert got == pagerank_py(edges, n_iter=n_iter)
+
+
+class TestHostLinkStats:
+    def test_reciprocity_and_degrees(self, spark):
+        from buildkite_logs_parquet_spark.operators.webgraph import (
+            host_link_stats,
+        )
+
+        edges = [
+            ("a", "b", 3), ("b", "a", 1),   # mutual pair
+            ("a", "c", 2),                   # one-way
+            ("a", "b", 1),                   # duplicate pair row: w sums
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string, w long")
+        got = {r["node"]: r for r in host_link_stats(df, weight_col="w").collect()}
+        a, b, c = got["a"], got["b"], got["c"]
+        assert (a["out_w"], a["in_w"], a["out_hosts"], a["in_hosts"]) == (6, 1, 2, 1)
+        assert a["recip_w"] == 4 and a["reciprocity"] == 4 / 6
+        assert (b["out_w"], b["recip_w"], b["reciprocity"]) == (1, 1, 1.0)
+        assert (c["out_w"], c["in_w"], c["reciprocity"]) == (0, 2, None)
+
+    def test_link_farm_ranks_highest_reciprocity(self, spark):
+        from buildkite_logs_parquet_spark.operators.webgraph import (
+            host_link_stats,
+        )
+
+        # a 4-host clique (farm) + a chain of organic one-way links
+        farm = [(f"f{i}", f"f{j}", 5) for i in range(4) for j in range(4) if i != j]
+        organic = [(f"o{i}", f"o{i+1}", 1) for i in range(5)]
+        df = spark.createDataFrame(farm + organic, "src string, dst string, w long")
+        got = host_link_stats(df, weight_col="w")
+        top = got.where(F.col("out_w") > 0).orderBy(
+            F.col("reciprocity").desc(), "node"
+        ).collect()
+        assert all(r["node"].startswith("f") for r in top[:4])
+        assert all(r["reciprocity"] == 1.0 for r in top[:4])
+        assert all(r["reciprocity"] == 0.0 for r in top[4:])
