@@ -202,7 +202,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: full log ingest (OSC parse → ANSI strip →
     classify → group propagation) and the list-groups aggregation."""
-    return q_bk_list_groups(spark, "/root/testdata/sf0.001")
+    return q_bk_groups_summary(spark, "/root/testdata/sf0.001")
 
 
 # --------------------------------------------------------------------------
@@ -251,27 +251,48 @@ def q_bk_parse_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entry.unionByName(clean)
 
 
-def q_bk_list_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = Q.list_groups(_entries(spark, sf_dir), as_timestamp=False)
-    return out.select(
-        "name", "entry_count", "first_seen_ms", "last_seen_ms", "commands", "progress"
-    )
+def q_bk_groups_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 list-groups + A3 processing summary + S6 Parquet metadata
+    read, union-tagged into ONE oracle row (round-6 consolidation to
+    free a registry slot for the de-consolidated round-5 legs; both
+    sides were driver-green since round 1 and every value is a plain
+    string or BIGINT, so the merge adds no new rendering surface).
 
-
-def q_bk_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 processing summary + S6 Parquet metadata read in ONE oracle row
-    (round-4 consolidation): ``file_info`` reads only the Parquet footer
-    (row count / column count, parquet.go's metadata path) driver-side, so
-    its two scalars ride along as literal columns on the 1-row summary —
-    no join, no extra job."""
+    'groups' rows: one per log group (v1..v5 = entry_count,
+    first_seen_ms, last_seen_ms, commands, progress).  The 'summary' row
+    carries the 1-row processing summary (v1..v6) plus ``file_info``'s
+    two footer scalars (v7, v8) — the footer is read driver-side
+    (parquet.go's metadata path), no join, no extra job."""
     from buildkite_logs_parquet_spark.sources.parquet_io import file_info
 
-    info = file_info(f"{sf_dir}/lineitem.parquet")
-    return Q.processing_summary(_entries(spark, sf_dir)).select(
-        "*",
-        F.lit(int(info["row_count"])).cast("long").alias("li_row_count"),
-        F.lit(int(info["column_count"])).cast("long").alias("li_column_count"),
+    groups = Q.list_groups(
+        _entries(spark, sf_dir), as_timestamp=False
+    ).select(
+        F.lit("groups").alias("side"),
+        F.col("name"),
+        F.col("entry_count").cast("long").alias("v1"),
+        F.col("first_seen_ms").cast("long").alias("v2"),
+        F.col("last_seen_ms").cast("long").alias("v3"),
+        F.col("commands").cast("long").alias("v4"),
+        F.col("progress").cast("long").alias("v5"),
+        F.lit(None).cast("long").alias("v6"),
+        F.lit(None).cast("long").alias("v7"),
+        F.lit(None).cast("long").alias("v8"),
     )
+    info = file_info(f"{sf_dir}/lineitem.parquet")
+    summary = Q.processing_summary(_entries(spark, sf_dir)).select(
+        F.lit("summary").alias("side"),
+        F.lit("<all>").alias("name"),
+        F.col("total_entries").cast("long").alias("v1"),
+        F.col("entries_with_time").cast("long").alias("v2"),
+        F.col("commands").cast("long").alias("v3"),
+        F.col("sections").cast("long").alias("v4"),
+        F.col("progress").cast("long").alias("v5"),
+        F.col("regular").cast("long").alias("v6"),
+        F.lit(int(info["row_count"])).cast("long").alias("v7"),
+        F.lit(int(info["column_count"])).cast("long").alias("v8"),
+    )
+    return groups.unionByName(summary)
 
 
 def q_bk_filter_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,37 +356,40 @@ def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    revenue = F.sum(_dec(F.col("l_extendedprice")) * (_frac(F.lit(1)) - _frac(F.col("l_discount"))))
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey", "c_name", "c_mktsegment")
-        .agg(revenue.alias("_rev"), F.count("*").alias("n_items"))
-        .orderBy(F.col("_rev").desc(), F.col("c_custkey"))  # exact decimal order
-        .limit(20)
-        .select(
-            "c_custkey",
-            "c_name",
-            "c_mktsegment",
-            _money(F.col("_rev")).alias("revenue"),
-            "n_items",
-        )
-    )
-
-
-def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    region = _t(spark, sf_dir, "region")
-    nation = _t(spark, sf_dir, "nation")
+def q_revenue_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue + per-(region, nation) revenue,
+    union-tagged into ONE oracle row (round-6 consolidation; both sides
+    driver-green since round 1 — the merged values are the same decimal
+    strings and BIGINTs, tagged).  'cust' rows keep the exact-decimal
+    ordered top-20 (ties broken on c_custkey); 'nation' rows the 5-way
+    broadcast star join."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
-    revenue = F.sum(_dec(F.col("l_extendedprice")) * (_frac(F.lit(1)) - _frac(F.col("l_discount"))))
-    return (
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    revenue = F.sum(
+        _dec(F.col("l_extendedprice"))
+        * (_frac(F.lit(1)) - _frac(F.col("l_discount")))
+    )
+    tc = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(revenue.alias("_rev"), F.count("*").alias("n_items"))
+        .orderBy(F.col("_rev").desc(), F.col("c_custkey"))  # exact order
+        .limit(20)
+        .select(
+            F.lit("cust").alias("side"),
+            F.col("c_custkey").cast("long").alias("key"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+            _money(F.col("_rev")).alias("revenue"),
+            "n_items",
+        )
+    )
+    rn = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -373,7 +397,16 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(_money(revenue).alias("revenue"), F.count("*").alias("n_items"))
+        .select(
+            F.lit("nation").alias("side"),
+            F.lit(0).cast("long").alias("key"),
+            F.col("r_name").alias("name"),
+            F.col("n_name").alias("segment"),
+            "revenue",
+            "n_items",
+        )
     )
+    return tc.unionByName(rn)
 
 
 def q_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -499,30 +532,27 @@ def q_orders_discount_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
-    return semi.unionByName(anti).unionByName(rollup)
-
-
-def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape (correlated scalar subquery): revenue from lines
-    whose quantity is below half their part's average quantity.
-
-    Float discipline: the predicate is the multiplication form
-    ``qty * 2 * n_lines < sum_qty`` — exact decimal arithmetic, no
-    division, so row selection is identical in any engine/order.
-    """
-    li = _t(spark, sf_dir, "lineitem")
+    # round-6 consolidation: the former small_quantity_revenue key (TPC-H
+    # Q17 shape — correlated scalar subquery as a broadcast join; the
+    # predicate is the multiplication form qty*2*n < sum_qty, exact
+    # decimal arithmetic, no division) rides along as one tagged row.
     per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
         F.sum(_dec(F.col("l_quantity"))).alias("_sum_qty"),
         F.count("*").alias("_n"),
     )
-    joined = li.join(F.broadcast(per_part), li.l_partkey == per_part._pk)
-    below = joined.where(
+    below = li.join(F.broadcast(per_part), li.l_partkey == per_part._pk).where(
         (_dec(F.col("l_quantity")) * 2 * F.col("_n")) < F.col("_sum_qty")
     )
-    return below.agg(
-        F.count("*").alias("n_lines"),
-        _money(F.sum(_dec(F.col("l_extendedprice")))).alias("revenue"),
+    q17 = below.agg(
+        F.count("*").alias("n_orders"),
+        _money(F.sum(_dec(F.col("l_extendedprice")))).alias("total_price"),
+    ).select(
+        F.lit("q17_small_qty").alias("side"),
+        F.lit("<all>").alias("key"),
+        "n_orders",
+        "total_price",
     )
+    return semi.unionByName(anti).unionByName(rollup).unionByName(q17)
 
 
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -651,36 +681,50 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR importance weights + the trained-quality-classifier legs,
-    side-tagged into one generic (side, id, n, val) row shape.
-
-    ``dsir``: how target-like (source = src0) each raw document's
-    hashed-bigram distribution is; broadcast log-ratio LUT, no
+    """DSIR importance weights: how target-like (source = src0) each raw
+    document's hashed-bigram distribution is; broadcast log-ratio LUT, no
     corpus-gram shuffle, decimal-summed weights (order-independent).
 
-    Round-5 union-tag legs — hashed-feature logistic regression
-    (operators/classifier.py), the GPT-3/CCNet-style quality filter,
-    trained by TWO exact full-batch GD steps against the weak label
-    "document contains ' the '": ``lrw1``/``lrw2`` are the complete
-    weight vectors after steps 1 and 2 (the oracle replays BOTH steps'
-    gradient arithmetic in SQL — decimal margins, 6-dp sigmoid grid),
-    and ``lrsc`` scores every document under the step-2 model
-    (value-checking lr_score's broadcast-join aggregate too).  The
-    between-step driver round-trip is ≤ dim rows (the model), the same
-    literals-re-enter pattern as q_kmeans_step."""
+    Round-6 de-consolidation: the round-5 GD-classifier/calibration legs
+    moved to their own ``lr_classifier`` key.  This key is back to the
+    exact round-4 driver-green content — the standing rule (DETERMINISM
+    rule 14): a NEW hashed leg gets its OWN correctness key for at least
+    one driver round before it may consolidate onto a proven one, so one
+    environment-sensitive leg cannot redden an already-certified key."""
     docs = _t(spark, sf_dir, "documents")
-    dsir = CU.dsir_weights(
+    return CU.dsir_weights(
         docs.where(F.col("source") != "src0"),
         docs.where(F.col("source") == "src0"),
         "doc_id",
         n_buckets=4096,
         seed=13,
-    ).select(
-        F.lit("dsir").alias("side"),
-        F.col("doc_id").alias("id"),
-        F.col("n_grams").cast("long").alias("n"),
-        F.col("dsir_logweight").cast("string").alias("val"),
     )
+
+
+def q_lr_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-quality-classifier legs, side-tagged into one generic
+    (side, id, n, val) row shape — hashed-feature logistic regression
+    (operators/classifier.py), the GPT-3/CCNet-style quality filter,
+    trained by TWO exact full-batch GD steps against the weak label
+    "document contains ' the '".
+
+    ``lrw1``/``lrw2`` are the complete weight vectors after steps 1 and
+    2 (the oracle replays BOTH steps' gradient arithmetic in SQL —
+    integer margins, 6-dp sigmoid grid), ``lrsc`` scores every document
+    under the step-2 model (value-checking lr_score's broadcast-join
+    aggregate too), and ``cal:*``/``cal:ece`` carry the calibration
+    audit.  The between-step driver round-trip is ≤ dim rows (the
+    model), the same literals-re-enter pattern as q_kmeans_step.
+
+    Own key since round 6 (split off q_dsir_weights): the round-5 driver
+    run hash-flagged the consolidated key while every leg was value-exact
+    under local DuckDB — the oracle's gradient digit-strip
+    (``replace(CAST(grad AS VARCHAR), '.', '')``) hashed DuckDB's decimal
+    RENDERING, which is not pinned across engine releases.  The oracle
+    now derives the scale-6 gradient integer arithmetically
+    (``sum((500000 − y·10^6)·cnt)``) — no decimal, no VARCHAR cast, no
+    rounding anywhere on the hashed path (DETERMINISM rule 13)."""
+    docs = _t(spark, sf_dir, "documents")
 
     from pyspark import StorageLevel
 
@@ -746,7 +790,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ece").alias("val"),
     )
     return (
-        dsir.unionByName(_wleg("lrw1", w1_df))
+        _wleg("lrw1", w1_df)
         .unionByName(_wleg("lrw2", w2_df))
         .unionByName(scores)
         .unionByName(cal)
@@ -1998,31 +2042,20 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     over URL-planted text: extract http(s) URLs, key by lowercased host,
     count occurrences + distinct documents.
 
-    Round-5 union-tag: URL CANONICALIZATION dedup stats ride the same
-    row as 'canon:<canonical_url>' rows — the planted tracked/ported/
-    fragmented variants (doc_id%5 leg of the planting) collapse through
+    URL CANONICALIZATION dedup stats ride the same row as
+    'canon:<canonical_url>' rows — the planted tracked/ported/fragmented
+    variants (doc_id%5 leg of the planting) collapse through
     ``canonical_url``'s lookaround-free regexp chain, which the oracle
     replays verbatim in DuckDB (RE2-compatible by construction).
 
-    'robots:' leg — the crawl-compliance audit
-    (curation.robots_filter, stdlib robotparser inside the Arrow stage)
-    against a LITERAL rule table: even-numbered site domains disallow
-    /p/ for all agents, odd ones have no robots row (allowed by the
-    crawl convention).  The planted site URLs are clean path-prefix
-    cases, so the oracle can restate the allow/deny decision as pure
-    modulo arithmetic — value-checking the domain join + decision
-    plumbing while the robotparser edge semantics stay pytest-pinned."""
-    docs_ref = f"parquet.`{sf_dir}/documents.parquet`"
-    urls = spark.sql(_URL_TEXT_SQL.format(documents=docs_ref))
+    Round-6 de-consolidation: the round-5 robots/bitext legs moved to
+    ``crawl_bitext`` and the webgraph pre:/pr: legs to ``webgraph_rank``
+    (DETERMINISM rule 14 — a new hashed leg rides its own key for at
+    least one driver round) — this key is back to the exact round-4
+    driver-green content."""
+    urls = _url_planted(spark, sf_dir)
     base = TA.url_domain_stats(urls, "doc_id", "text")
-    raw = urls.select(
-        F.col("doc_id"),
-        F.explode(
-            F.regexp_extract_all(
-                F.col("text"), F.lit(r"https?://[^\s/$.?#][^\s]*"), 0
-            )
-        ).alias("_url"),
-    )
+    raw = _planted_urls_exploded(urls)
     canon = (
         raw.select("doc_id", TA.canonical_url(F.col("_url")).alias("cu"))
         .groupBy("cu")
@@ -2036,6 +2069,93 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
         )
     )
+    return base.unionByName(canon)
+
+
+def _url_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The URL-planted documents relation shared by q_url_domain_stats /
+    q_webgraph_rank / q_crawl_bitext."""
+    docs_ref = f"parquet.`{sf_dir}/documents.parquet`"
+    return spark.sql(_URL_TEXT_SQL.format(documents=docs_ref))
+
+
+def _planted_urls_exploded(urls: DataFrame) -> DataFrame:
+    """(doc_id, _url) — one row per extracted URL."""
+    return urls.select(
+        F.col("doc_id"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"https?://[^\s/$.?#][^\s]*"), 0
+            )
+        ).alias("_url"),
+    )
+
+
+def q_webgraph_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEB-GRAPH signals (operators/webgraph.py) — the URL-level quality
+    prior, on its own correctness key since round 6 (split off
+    q_url_domain_stats per DETERMINISM rule 14).
+
+    'edge:<src>><dst>' rows value-check text_link_edges (consecutive
+    planted-URL hosts per doc, lead window), and 'rank:<host>' rows
+    drive the integer-exact pagerank (2 rounds, damping 85/100, scale
+    10^12): the rank STATE r12 is a BIGINT riding ``value``, so the
+    whole damped trajectory — per-edge hu() contributions, dangling-mass
+    redistribution, both rounds — is hash-checked.  The oracle replays
+    both rounds relationally (unrolled CTEs, all half-up integer
+    division — no float anywhere on the hashed path).
+
+    NOTE: the link-edge relation is persisted for the duration of the
+    query (both legs consume the same extraction pipeline) and released
+    by the bench harness's clearCache between queries; callers embedding
+    this in a longer session should unpersist after materializing."""
+    from buildkite_logs_parquet_spark.operators import webgraph as WG
+
+    from pyspark import StorageLevel as _SL
+
+    urls = _url_planted(spark, sf_dir)
+    link_e = WG.text_link_edges(urls, "doc_id", "text").persist(
+        _SL.MEMORY_AND_DISK
+    )
+    edge_leg = WG.host_edges(link_e).select(
+        F.concat(
+            F.lit("edge:"), F.col("src"), F.lit(">"), F.col("dst")
+        ).alias("item"),
+        F.col("weight").alias("value"),
+    )
+    pr = WG.pagerank(link_e, n_iter=2)
+    rank_leg = pr.select(
+        F.concat(F.lit("rank:"), F.col("node")).alias("item"),
+        F.col("r12").alias("value"),
+    )
+    return edge_leg.unionByName(rank_leg)
+
+
+def q_crawl_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-compliance audit + bitext URL-correspondence mining, on
+    their own correctness key since round 6 (split off
+    q_url_domain_stats per DETERMINISM rule 14).
+
+    'robots:' rows — curation.robots_filter (stdlib robotparser inside
+    the Arrow stage) against a LITERAL rule table: even-numbered site
+    domains disallow /p/ for all agents, odd ones have no robots row
+    (allowed by the crawl convention).  The planted site URLs are clean
+    path-prefix cases, so the oracle restates the allow/deny decision as
+    pure modulo arithmetic — value-checking the domain join + decision
+    plumbing while the robotparser edge semantics stay pytest-pinned.
+    The decision renders as the literal strings 'allow'/'deny' on BOTH
+    sides (rule 13: never hash an engine's boolean→string cast).
+
+    'bitext:' rows — operators/bitext.py::bitext_url_candidates:
+    translation-pair candidates from language-marked URLs.  Plant: every
+    doc_id%4 doc gets a language-pathed URL sharing a page slot with
+    other langs (page = doc_id div 4 mod 25); the operator strips the
+    marker, joins on the stripped key under the hot-key cap, orients
+    pairs lang_a<lang_b, and applies the 2x length-ratio gate.  The
+    oracle replays the regexp strip + join + gate in SQL.  One row per
+    kept pair: ids/langs in ``item``, the two lengths in value/aux."""
+    urls = _url_planted(spark, sf_dir)
+    raw = _planted_urls_exploded(urls)
     robots = spark.createDataFrame(
         [
             (f"site{n}.example.com", "User-agent: *\nDisallow: /p/\n")
@@ -2056,21 +2176,14 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("robots:"),
                 F.col("domain"),
                 F.lit(":"),
-                F.col("allowed").cast("string"),
-            ).alias("domain"),
-            "n_urls",
-            "n_docs",
+                F.when(F.col("allowed"), F.lit("allow")).otherwise(
+                    F.lit("deny")
+                ),
+            ).alias("item"),
+            F.col("n_urls").alias("value"),
+            F.col("n_docs").alias("aux"),
         )
     )
-    # round-5 union-tag #2: BITEXT URL-correspondence mining
-    # (operators/bitext.py::bitext_url_candidates) — translation-pair
-    # candidates from language-marked URLs.  Plant: every doc_id%4 doc
-    # gets a language-pathed URL sharing a page slot with other langs
-    # (page = doc_id div 4 mod 25); the operator strips the marker,
-    # joins on the stripped key under the hot-key cap, orients pairs
-    # lang_a<lang_b, and applies the 2x length-ratio gate.  The oracle
-    # replays the regexp strip + join + gate in SQL.  One row per kept
-    # pair: ids/langs in `domain`, the two lengths in n_urls/n_docs.
     from buildkite_logs_parquet_spark.operators import bitext as BX
 
     docs = _t(spark, sf_dir, "documents")
@@ -2097,55 +2210,45 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("id_b").cast("string"),
             ),
             F.concat(F.col("lang_a"), F.lit(">"), F.col("lang_b")),
-        ).alias("domain"),
-        F.col("len_a").alias("n_urls"),
-        F.col("len_b").alias("n_docs"),
+        ).alias("item"),
+        F.col("len_a").alias("value"),
+        F.col("len_b").alias("aux"),
     )
-    # round-5 union-tag #3: WEB-GRAPH signals (operators/webgraph.py) —
-    # the URL-level quality prior.  'pre:<src>><dst>' rows value-check
-    # text_link_edges (consecutive planted-URL hosts per doc, lead
-    # window), and 'pr:<host>' rows drive the integer-exact pagerank
-    # (2 rounds, damping 85/100, scale 10^12): the rank STATE r12 is a
-    # BIGINT riding n_urls, so the whole damped trajectory — per-edge
-    # hu() contributions, dangling-mass redistribution, both rounds — is
-    # hash-checked.  The oracle replays both rounds relationally
-    # (unrolled CTEs, all half-up integer division).
-    from buildkite_logs_parquet_spark.operators import webgraph as WG
-
-    from pyspark import StorageLevel as _SL
-
-    # pre_leg and pagerank both consume the extraction pipeline —
-    # persist it once; pre_leg IS host_edges (weight renamed)
-    link_e = WG.text_link_edges(urls, "doc_id", "text").persist(
-        _SL.MEMORY_AND_DISK
-    )
-    pre_leg = WG.host_edges(link_e).select(
-        F.concat(
-            F.lit("pre:"), F.col("src"), F.lit(">"), F.col("dst")
-        ).alias("domain"),
-        F.col("weight").alias("n_urls"),
-        F.lit(0).cast("long").alias("n_docs"),
-    )
-    pr = WG.pagerank(link_e, n_iter=2)
-    pr_leg = pr.select(
-        F.concat(F.lit("pr:"), F.col("node")).alias("domain"),
-        F.col("r12").alias("n_urls"),
-        F.lit(0).cast("long").alias("n_docs"),
-    )
-    return (
-        base.unionByName(canon)
-        .unionByName(robots_leg)
-        .unionByName(bitext_leg)
-        .unionByName(pre_leg)
-        .unionByName(pr_leg)
-    )
+    return robots_leg.unionByName(bitext_leg)
 
 
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table profiling (operators/profiling.py::table_profile) in exact
     mode — same one-aggregate plan shape and output schema as the
     production sketch profile, with exact distinct/percentiles so the
-    full plumbing is oracle-checkable."""
+    full plumbing is oracle-checkable.
+
+    DETERMINISM §1 (hardened round 4 → re-hardened round 6 after two
+    driver-red rounds): the hashed artifact must contain ONLY
+    arithmetic-exact values, and — round-6 addition — NO value may pass
+    through ``round(double, n)`` or an engine's decimal/double→string
+    rendering, both of which vary across engine releases even when the
+    underlying value is exact:
+      (a) percentiles: pure BIGINT scaled interpolation (position =
+          ((n−1)·q) div/mod 100; interpolation in value·100 space; the
+          9-dp decimal string is CONCATENATED, never a float);
+      (b) min/max (integer-valued columns): ``cast(·, long)`` then
+          integer string concat — the round-4/5 path rounded a double
+          to 9 dp and rendered a DECIMAL(38,9), both release-sensitive;
+      (c) drift shares: the round-4/5 path was ``round(n/tot, 9)`` — a
+          double division into an engine round() — exactly the rule-13
+          violation DETERMINISM already banned elsewhere.  Now the
+          scale-9 share integer ``s9 = hu(n·10^9, tot)`` (spelled-out
+          half-up division in decimal-widened integer arithmetic) is
+          computed on BOTH sides and string-concatenated; the gap leg is
+          the signed integer difference ``s9a − s9b``.
+
+    SCALE (round-6 fix of the round-5 perf-weak finding): exact
+    percentiles no longer ``sort_array(collect_list(column))`` into one
+    task — ``profiling.exact_int_order_statistics`` resolves the needed
+    order statistics by iterative bucket bisection (≤ 4 bounded
+    histogram aggregates per column, driver state ≤ 64 Ki rows), so the
+    registered query itself survives 100× data."""
     from buildkite_logs_parquet_spark.operators import profiling as P
 
     docs = _t(spark, sf_dir, "documents")
@@ -2153,79 +2256,27 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, ["doc_id", "n_chars", "lang", "source"], exact=True
     )
 
-    # DETERMINISM §1 (hardened after the round-4 driver hash-mismatch):
-    # the hashed artifact must contain ONLY arithmetic-exact values.
-    # Two engine-float-sensitive computations were in the round-4 row:
-    #   (a) percentile interpolation — DuckDB's quantile_cont changed its
-    #       interior float formula across releases, and Spark's exact
-    #       `percentile` interpolates in double, so the two engines can
-    #       disagree in the last ulp and a 9-dp round flips a digit;
-    #   (b) the drift leg's psi_term — ln() differs between JVM Math.log
-    #       and libm in the last ulp.
-    # Fix: p50/p95 recomputed below in pure BIGINT scaled arithmetic
-    # (position = ((n-1)*q) div/mod 100; interpolation in value*100
-    # space; the 9-dp decimal string is CONCATENATED, never a float), and
-    # the drift leg replaces psi_term with a decimal-exact share gap.
-    # The operators themselves (table_profile, corpus_drift) keep their
-    # float percentiles / real PSI — only the oracle-hashed rendering is
-    # integer-exact.  Assumes non-negative integer-valued columns (holds
-    # for doc_id / n_chars; asserted by the lpad rendering).
+    # exact p50/p95 via distributed rank selection (one head aggregate +
+    # bounded bisection histograms per column — profiling.
+    # exact_int_percentiles); the 9-dp strings are concatenated from the
+    # pure-BIGINT ps integers, never a float
     num_cols = ["doc_id", "n_chars"]
-    aggs = []
+    pct_rows = []
     for c in num_cols:
-        aggs.append(
-            F.sort_array(F.collect_list(F.col(c).cast("long"))).alias(
-                f"{c}__arr"
-            )
+        _, _, _, ps = P.exact_int_percentiles(docs, c, [50, 95])
+        pct_rows.append(
+            (c,) + tuple(f"{p // 100}.{p % 100:02d}0000000" for p in (ps[50], ps[95]))
         )
-        aggs.append(F.count(F.col(c)).alias(f"{c}__cnt"))
-    pw = docs.agg(*aggs)  # oracle-scale only: exact mode collects the col
-    for c in num_cols:
-        for qn in (50, 95):
-            pw = (
-                pw.withColumn(
-                    f"{c}__k{qn}",
-                    F.expr(f"(({c}__cnt - 1) * {qn}) div 100"),
-                )
-                .withColumn(
-                    f"{c}__rem{qn}",
-                    F.expr(f"(({c}__cnt - 1) * {qn}) % 100"),
-                )
-                .withColumn(
-                    f"{c}__ps{qn}",
-                    F.expr(
-                        f"element_at({c}__arr, cast({c}__k{qn} + 1 as int)) * 100"
-                        f" + (element_at({c}__arr, cast(least({c}__k{qn} + 2, {c}__cnt) as int))"
-                        f"    - element_at({c}__arr, cast({c}__k{qn} + 1 as int)))"
-                        f"   * {c}__rem{qn}"
-                    ),
-                )
-                .withColumn(
-                    f"{c}__pstr{qn}",
-                    F.expr(
-                        f"concat(cast({c}__ps{qn} div 100 as string), '.',"
-                        f" lpad(cast({c}__ps{qn} % 100 as string), 2, '0'),"
-                        f" '0000000')"
-                    ),
-                )
-            )
-    pcts = pw.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("column"),
-                        F.col(f"{c}__pstr50").alias("p50s"),
-                        F.col(f"{c}__pstr95").alias("p95s"),
-                    )
-                    for c in num_cols
-                ]
-            )
-        ).alias("p")
-    ).select("p.*")
+    pcts = spark.createDataFrame(
+        pct_rows, "column string, p50s string, p95s string"
+    )
 
-    def _d9(c):
-        return F.round(c, 9).cast("decimal(38,9)").cast("string")
+    def _int9(col):
+        # integer-valued double → "<int>.000000000" by pure string
+        # concat; the long cast is exact for the profiled columns
+        return F.concat(
+            col.cast("long").cast("string"), F.lit(".000000000")
+        )
 
     base = (
         prof.join(F.broadcast(pcts), on="column", how="left")
@@ -2234,12 +2285,12 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
             "n_nulls",
             "approx_distinct",
-            _d9(F.col("min")).alias("min"),
-            _d9(F.col("max")).alias("max"),
-            F.coalesce(F.col("p50s"), _d9(F.col("approx_p50"))).alias(
+            _int9(F.col("min")).alias("min"),
+            _int9(F.col("max")).alias("max"),
+            F.coalesce(F.col("p50s"), _int9(F.col("approx_p50"))).alias(
                 "approx_p50"
             ),
-            F.coalesce(F.col("p95s"), _d9(F.col("approx_p95"))).alias(
+            F.coalesce(F.col("p95s"), _int9(F.col("approx_p95"))).alias(
                 "approx_p95"
             ),
         )
@@ -2248,31 +2299,60 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drift leg: snapshot-drift (profiling.corpus_drift) rides the same
     # row — snapshots are the doc_id parity split, buckets pack into the
     # column name as 'drift:<col>:<bucket>', counts in n_rows/n_nulls,
-    # shares in min/max (IEEE-exact division + 9-dp decimal render), and
-    # approx_p50 carries the DECIMAL-EXACT share gap (round-to-9dp then
-    # decimal subtract) instead of the ln-based psi_term, which stays in
-    # the operator but out of the cross-engine hash.
+    # scale-9 share integers (recomputed from the exact counts, never
+    # through round(double)) in min/max, and approx_p50 carries the
+    # signed integer share gap.  The ln-based psi_term stays in the
+    # operator but out of the cross-engine hash.
     a = docs.where(F.col("doc_id") % 2 == 0)
     b = docs.where(F.col("doc_id") % 2 == 1)
     dr = P.corpus_drift(
         a, b, cat_cols=["lang", "source"], num_cols=["n_chars"], n_bins=8
     )
-    gap = (
-        (
-            F.round(F.col("share_a"), 9).cast("decimal(38,9)")
-            - F.round(F.col("share_b"), 9).cast("decimal(38,9)")
+    from pyspark.sql import Window as W
+
+    wcol = W.partitionBy("column")
+    dr = (
+        dr.withColumn("_ta", F.sum("n_a").over(wcol))
+        .withColumn("_tb", F.sum("n_b").over(wcol))
+        # hu(n·10^9, tot) in decimal-widened integer arithmetic: exact at
+        # any corpus size (2·n·10^9 overflows BIGINT past n ≈ 4.6e9);
+        # the share integer itself is ≤ 10^9 so the final cast is safe
+        .withColumn(
+            "_s9a",
+            F.expr(
+                "cast((2 * cast(n_a as decimal(38,0)) * 1000000000"
+                " + _ta) div (2 * _ta) as bigint)"
+            ),
         )
-        .cast("decimal(38,9)")  # pin scale: engines differ on sub widening
-        .cast("string")
+        .withColumn(
+            "_s9b",
+            F.expr(
+                "cast((2 * cast(n_b as decimal(38,0)) * 1000000000"
+                " + _tb) div (2 * _tb) as bigint)"
+            ),
+        )
+    )
+
+    def _share9(col):
+        # integer div/mod render, no floats (col is a column NAME here)
+        return F.expr(
+            f"concat(cast({col} div 1000000000 as string), '.',"
+            f" lpad(cast({col} % 1000000000 as string), 9, '0'))"
+        )
+
+    gap9 = F.expr(
+        "concat(case when _s9a - _s9b < 0 then '-' else '' end,"
+        " cast(abs(_s9a - _s9b) div 1000000000 as string), '.',"
+        " lpad(cast(abs(_s9a - _s9b) % 1000000000 as string), 9, '0'))"
     )
     drift_leg = dr.select(
         F.concat_ws(":", F.lit("drift"), "column", "bucket").alias("column"),
         F.col("n_a").alias("n_rows"),
         F.col("n_b").alias("n_nulls"),
         F.lit(None).cast("long").alias("approx_distinct"),
-        _d9(F.col("share_a")).alias("min"),
-        _d9(F.col("share_b")).alias("max"),
-        gap.alias("approx_p50"),
+        _share9("_s9a").alias("min"),
+        _share9("_s9b").alias("max"),
+        gap9.alias("approx_p50"),
         F.lit(None).cast("string").alias("approx_p95"),
     )
     return base.unionByName(drift_leg)
@@ -2331,19 +2411,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         "bk_parse_entries": q_bk_parse_entries,
-        "bk_list_groups": q_bk_list_groups,
-        "bk_summary": q_bk_summary,
+        "bk_groups_summary": q_bk_groups_summary,
         "bk_filter_by_group": q_bk_filter_by_group,
         "bk_filter_entries": q_bk_filter_entries,
         "bk_seek_tail": q_bk_seek_tail,
         "tpch_q1_pricing": q_tpch_q1_pricing,
-        "top_customers": q_top_customers,
-        "revenue_by_nation": q_revenue_by_nation,
+        "revenue_rankings": q_revenue_rankings,
         "part_type_stats": q_part_type_stats,
         "supplier_running_revenue": q_supplier_running_revenue,
         "top_parts_per_brand": q_top_parts_per_brand,
         "orders_discount_audit": q_orders_discount_audit,
-        "small_quantity_revenue": q_small_quantity_revenue,
         "winnow_fingerprint": q_winnow_fingerprint,
         "events_agg": q_events_agg,
         "events_sessions": q_events_sessions,
@@ -2370,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "contamination": q_contamination,
         "dsir_weights": q_dsir_weights,
+        "lr_classifier": q_lr_classifier,
         "mix_corpora": q_mix_corpora,
         "pii_scrub": q_pii_scrub,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2378,6 +2456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,
         "bpe_encode": q_bpe_encode,
         "url_domain_stats": q_url_domain_stats,
+        "webgraph_rank": q_webgraph_rank,
+        "crawl_bitext": q_crawl_bitext,
         "table_profile": q_table_profile,
         "top_terms_by_group": q_top_terms_by_group,
     }
@@ -2471,30 +2551,31 @@ FROM o_cleaned
 """
     )
 
-    sql["bk_list_groups"] = _with_entries(
+    sql["bk_groups_summary"] = _with_entries(
         """
-SELECT CASE WHEN "group" = '' THEN '<no group>' ELSE "group" END AS name,
-       count(*) AS entry_count,
-       min("timestamp") AS first_seen_ms,
-       max("timestamp") AS last_seen_ms,
-       CAST(sum(CASE WHEN is_command THEN 1 ELSE 0 END) AS BIGINT) AS commands,
-       CAST(sum(CASE WHEN is_progress THEN 1 ELSE 0 END) AS BIGINT) AS progress
-FROM entries GROUP BY 1
-"""
-    )
-
-    sql["bk_summary"] = _with_entries(
-        """
-SELECT count(*) AS total_entries,
-       CAST(sum(CASE WHEN has_timestamp THEN 1 ELSE 0 END) AS BIGINT) AS entries_with_time,
-       CAST(sum(CASE WHEN is_command THEN 1 ELSE 0 END) AS BIGINT) AS commands,
-       CAST(sum(CASE WHEN is_group THEN 1 ELSE 0 END) AS BIGINT) AS sections,
-       CAST(sum(CASE WHEN is_progress THEN 1 ELSE 0 END) AS BIGINT) AS progress,
+SELECT 'groups' AS side,
+       CASE WHEN "group" = '' THEN '<no group>' ELSE "group" END AS name,
+       count(*) AS v1,
+       min("timestamp") AS v2,
+       max("timestamp") AS v3,
+       CAST(sum(CASE WHEN is_command THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+       CAST(sum(CASE WHEN is_progress THEN 1 ELSE 0 END) AS BIGINT) AS v5,
+       CAST(NULL AS BIGINT) AS v6,
+       CAST(NULL AS BIGINT) AS v7,
+       CAST(NULL AS BIGINT) AS v8
+FROM entries GROUP BY 2
+UNION ALL
+SELECT 'summary' AS side, '<all>' AS name,
+       count(*) AS v1,
+       CAST(sum(CASE WHEN has_timestamp THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+       CAST(sum(CASE WHEN is_command THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+       CAST(sum(CASE WHEN is_group THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+       CAST(sum(CASE WHEN is_progress THEN 1 ELSE 0 END) AS BIGINT) AS v5,
        count(*) - CAST(sum(CASE WHEN is_command THEN 1 ELSE 0 END) AS BIGINT)
                 - CAST(sum(CASE WHEN is_group THEN 1 ELSE 0 END) AS BIGINT)
-                - CAST(sum(CASE WHEN is_progress THEN 1 ELSE 0 END) AS BIGINT) AS regular,
-       (SELECT count(*) FROM lineitem) AS li_row_count,
-       CAST(11 AS BIGINT) AS li_column_count
+                - CAST(sum(CASE WHEN is_progress THEN 1 ELSE 0 END) AS BIGINT) AS v6,
+       (SELECT count(*) FROM lineitem) AS v7,
+       CAST(11 AS BIGINT) AS v8
 FROM entries
 """
     )
@@ -2533,20 +2614,22 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
 
-    sql["top_customers"] = f"""
-SELECT c_custkey, c_name, c_mktsegment,
-       CAST({rev} AS STRING) AS revenue,
-       count(*) AS n_items
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-GROUP BY c_custkey, c_name, c_mktsegment
-ORDER BY {rev} DESC, c_custkey
-LIMIT 20
-"""
-
-    sql["revenue_by_nation"] = f"""
-SELECT r_name, n_name,
+    sql["revenue_rankings"] = f"""
+SELECT * FROM (
+  SELECT 'cust' AS side, CAST(c_custkey AS BIGINT) AS key,
+         c_name AS name, c_mktsegment AS segment,
+         CAST({rev} AS STRING) AS revenue,
+         count(*) AS n_items
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_name, c_mktsegment
+  ORDER BY {rev} DESC, c_custkey
+  LIMIT 20
+)
+UNION ALL
+SELECT 'nation' AS side, CAST(0 AS BIGINT) AS key,
+       r_name AS name, n_name AS segment,
        CAST({rev} AS STRING) AS revenue,
        count(*) AS n_items
 FROM lineitem
@@ -2616,16 +2699,14 @@ SELECT 'rollup' AS side,
        CAST(sum({dec('o_totalprice')}) AS STRING) AS total_price
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-"""
-
-    sql["small_quantity_revenue"] = f"""
-WITH per_part AS (
+UNION ALL
+SELECT 'q17_small_qty' AS side, '<all>' AS key,
+       count(*) AS n_orders,
+       CAST(sum({dec('l_extendedprice')}) AS STRING) AS total_price
+FROM lineitem JOIN (
   SELECT l_partkey AS _pk, sum({dec('l_quantity')}) AS _sum_qty, count(*) AS _n
   FROM lineitem GROUP BY l_partkey
-)
-SELECT count(*) AS n_lines,
-       CAST(sum({dec('l_extendedprice')}) AS STRING) AS revenue
-FROM lineitem JOIN per_part ON l_partkey = _pk
+) per_part ON l_partkey = _pk
 WHERE {dec('l_quantity')} * 2 * _n < _sum_qty
 """
 
@@ -3837,9 +3918,26 @@ lut AS (
 per AS (
   SELECT doc_id, count(*) AS n_grams, sum(llr) AS w
   FROM rg JOIN lut ON rg.b = lut.b GROUP BY doc_id
-),
--- -------- hashed-feature logistic regression legs (2 exact GD steps)
-f AS (
+)
+SELECT r.doc_id,
+       COALESCE(per.n_grams, 0) AS n_grams,
+       CAST(COALESCE(per.w, CAST(0 AS DECIMAL(38,9))) AS STRING) AS dsir_logweight
+FROM rawd r LEFT JOIN per ON r.doc_id = per.doc_id
+"""
+
+    # lr_classifier (round-6 split off dsir_weights): two exact
+    # full-batch GD steps + scoring + calibration, replayed end to end
+    # in PURE INTEGER arithmetic.  The round-5 consolidated oracle
+    # derived the step-1 gradient's scale-6 integer by RENDERING a
+    # DECIMAL to VARCHAR and stripping the dot — hashing the engine's
+    # decimal rendering (scale-propagation and formatting are NOT
+    # pinned across DuckDB releases; the driver flagged the key while
+    # local DuckDB matched value-exact).  Now g6 is computed
+    # arithmetically: from the zero model p = 0.5 exactly, so
+    # g6 = Σ (500000 − y·10^6)·cnt — no decimal, no VARCHAR cast, no
+    # round() anywhere on the hashed path (DETERMINISM rule 13).
+    sql["lr_classifier"] = """
+WITH f AS (
   SELECT doc_id,
          CAST(concat('0x', substr(md5(concat('0:', lower(tok))), 1, 15)) AS BIGINT) % 64 AS feat,
          count(*) AS cnt
@@ -3856,12 +3954,13 @@ lab AS (
   FROM documents
 ),
 nn AS (SELECT count(*) AS nd FROM lab),
--- step 1 from the zero model: margin 0 everywhere, p = 0.5 exactly.
--- Weight updates quantize on the 9-dp grid in PURE INTEGER arithmetic:
--- w9' = w9 - half_away(g6*1000, 2*nd) with g6 the gradient's exact
--- scale-6 integer (round(double, 9) is engine-sensitive at midpoints)
+-- step 1 from the zero model: margin 0 everywhere, p = 0.5 exactly, so
+-- the scale-6 residual is the INTEGER 500000 - y*10^6.  Weight updates
+-- quantize on the 9-dp grid in pure integer arithmetic:
+-- w9' = w9 - half_away(g6*1000, nd) under lr = 1/2
 g1 AS (
-  SELECT feat, sum((CAST(0.5 AS DECIMAL(16,6)) - y) * cnt) AS grad
+  SELECT feat,
+         sum(CAST((500000 - y * 1000000) * cnt AS HUGEINT)) AS g6
   FROM f JOIN lab USING (doc_id) GROUP BY feat
 ),
 w1i AS (
@@ -3869,15 +3968,11 @@ w1i AS (
          0 - (CASE WHEN g6 >= 0
                THEN (2 * g6 * 1000 + 2 * nd) // (4 * nd)
                ELSE -((2 * (0 - g6) * 1000 + 2 * nd) // (4 * nd)) END) AS w9
-  FROM (
-    SELECT feat,
-           CAST(replace(CAST(grad AS VARCHAR), '.', '') AS HUGEINT) AS g6
-    FROM g1
-  ), nn
+  FROM g1, nn
 ),
--- step 2 entirely on the integer grids: margins m9 = Σ cnt·w9
--- (scale-9 longs — no decimal scale-down anywhere, rule 13), sigmoid
--- p6 = (2·(2e9 + clamp(m9)) + 4000) // 8000 (spelled-out half-up)
+-- step 2 entirely on the integer grids: margins m9 = SUM cnt*w9
+-- (scale-9 longs - no decimal scale-down anywhere, rule 13), sigmoid
+-- p6 = (2*(2e9 + clamp(m9)) + 4000) // 8000 (spelled-out half-up)
 m2 AS (
   SELECT f.doc_id, sum(cnt * COALESCE(w1i.w9, 0)) AS m9
   FROM f LEFT JOIN w1i USING (feat) GROUP BY f.doc_id
@@ -3890,7 +3985,7 @@ p2 AS (
   FROM m2
 ),
 g2 AS (
-  SELECT feat, sum((p6 - y * 1000000) * cnt) AS g6
+  SELECT feat, sum(CAST((p6 - y * 1000000) * cnt AS HUGEINT)) AS g6
   FROM f JOIN p2 USING (doc_id) JOIN lab USING (doc_id) GROUP BY feat
 ),
 w2i AS (
@@ -3913,15 +4008,10 @@ p3 AS (
            // 8000 AS p6
   FROM m3
 )
-SELECT 'dsir' AS side, r.doc_id AS id,
-       COALESCE(per.n_grams, 0) AS n,
-       CAST(COALESCE(per.w, CAST(0 AS DECIMAL(38,9))) AS STRING) AS val
-FROM rawd r LEFT JOIN per ON r.doc_id = per.doc_id
-UNION ALL
-SELECT 'lrw1', feat, 0,
+SELECT 'lrw1' AS side, feat AS id, CAST(0 AS BIGINT) AS n,
        CASE WHEN w9 < 0 THEN '-' ELSE '' END
          || CAST(abs(w9) // 1000000000 AS VARCHAR) || '.'
-         || lpad(CAST(abs(w9) % 1000000000 AS VARCHAR), 9, '0')
+         || lpad(CAST(abs(w9) % 1000000000 AS VARCHAR), 9, '0') AS val
 FROM w1i WHERE w9 <> 0
 UNION ALL
 SELECT 'lrw2', feat, 0,
@@ -4838,11 +4928,23 @@ canon AS (
          , '^(https://[^/:?#]+):443([/?#].*)?$', '\\1\\2')
          , '^(https?://[^/?#]+/[^?#]*[^/?#])/([?#].*)?$', '\\1\\2') AS cu
   FROM urls
-),
--- web-graph legs (operators/webgraph.py): consecutive-URL host edges
--- per document, then TWO unrolled rounds of the integer-exact pagerank
--- (scale 10^12, damping 85/100, all half-up divisions (2a+b)//(2b) —
--- the same hu() device as the Kneser-Ney replay; no float anywhere)
+)
+SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+FROM d WHERE domain <> ''
+GROUP BY domain
+UNION ALL
+SELECT 'canon:' || cu AS domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+FROM canon
+GROUP BY cu
+"""
+
+    # webgraph_rank (round-6 split off url_domain_stats): consecutive-URL
+    # host edges per document, then TWO unrolled rounds of the
+    # integer-exact pagerank (scale 10^12, damping 85/100, all half-up
+    # divisions (2a+b)//(2b) — the same hu() device as the Kneser-Ney
+    # replay; no float anywhere on the hashed path)
+    sql["webgraph_rank"] = f"""
+WITH u AS ({_URL_TEXT_SQL.format(documents="documents")}),
 wgh AS (
   SELECT doc_id, i AS pos,
          lower(regexp_extract(arr[CAST(i AS INT)],
@@ -4905,39 +5007,31 @@ wgr2 AS (
                     + 100) // 200 AS r12
   FROM wgn n LEFT JOIN wgin2 i USING (node), wgs s, wgdang1 g
 )
-SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
-FROM d WHERE domain <> ''
-GROUP BY domain
-UNION ALL
-SELECT 'pre:' || src || '>' || dst AS domain,
-       count(*) AS n_urls, CAST(0 AS BIGINT) AS n_docs
+SELECT 'edge:' || src || '>' || dst AS item, count(*) AS value
 FROM wge GROUP BY src, dst
 UNION ALL
-SELECT 'pr:' || node AS domain, r12 AS n_urls, CAST(0 AS BIGINT) AS n_docs
+SELECT 'rank:' || node AS item, r12 AS value
 FROM wgr2
-UNION ALL
-SELECT 'canon:' || cu AS domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
-FROM canon
-GROUP BY cu
-UNION ALL
--- robots leg: even site numbers disallow /p/ -> denied; odd sites have
--- no robots row -> allowed.  Pure arithmetic restatement of the
--- literal rule table the Spark side feeds through robots_filter.
+"""
+
+    # crawl_bitext (round-6 split off url_domain_stats): robots-
+    # compliance audit + bitext URL-correspondence mining.  The robots
+    # decision renders as the literal strings 'allow'/'deny' on both
+    # sides (never an engine's boolean→string cast — rule 13); all other
+    # hashed values are plain integers and integer-concat strings.
+    sql["crawl_bitext"] = """
 SELECT 'robots:site' || CAST(doc_id % 50 AS STRING) || '.example.com:'
-         || CAST(NOT ((doc_id % 50) % 2 = 0) AS STRING) AS domain,
-       count(*) AS n_urls,
-       count(DISTINCT doc_id) AS n_docs
+         || CASE WHEN (doc_id % 50) % 2 = 0 THEN 'deny' ELSE 'allow' END AS item,
+       count(*) AS value,
+       count(DISTINCT doc_id) AS aux
 FROM documents
 WHERE doc_id % 3 = 0
 GROUP BY doc_id % 50
 UNION ALL
--- bitext leg (operators/bitext.py): replay the language-marker strip,
--- the hot-key cap, the lang_a<lang_b orientation, and the 2x
--- length-ratio gate over the same planted URLs
 SELECT 'bitext:' || url_key || ':'
          || CAST(id_a AS VARCHAR) || '>' || CAST(id_b AS VARCHAR) || ':'
-         || lang_a || '>' || lang_b AS domain,
-       len_a AS n_urls, len_b AS n_docs
+         || lang_a || '>' || lang_b AS item,
+       len_a AS value, len_b AS aux
 FROM (
   WITH bplant AS (
     SELECT doc_id AS id, lang, CAST(n_chars AS BIGINT) AS len,
@@ -4967,7 +5061,7 @@ FROM (
          a.len AS len_a, b.len AS len_b
   FROM bb a JOIN bb b USING (url_key)
   WHERE a.lang < b.lang
-    AND greatest(a.len, b.len) <= least(a.len, b.len) * 2.0
+    AND greatest(a.len, b.len) <= least(a.len, b.len) * 2
     AND least(a.len, b.len) > 0
 )
 """
@@ -5004,8 +5098,8 @@ SELECT '{c}' AS "column",
        (SELECT count(*) FROM documents) AS n_rows,
        (SELECT count(*) FROM documents) - count({c}) AS n_nulls,
        count(DISTINCT {c}) AS approx_distinct,
-       CAST(CAST(round(CAST(min({c}) AS DOUBLE), 9) AS DECIMAL(38,9)) AS VARCHAR) AS "min",
-       CAST(CAST(round(CAST(max({c}) AS DOUBLE), 9) AS DECIMAL(38,9)) AS VARCHAR) AS "max",
+       CAST(CAST(min({c}) AS BIGINT) AS VARCHAR) || '.000000000' AS "min",
+       CAST(CAST(max({c}) AS BIGINT) AS VARCHAR) || '.000000000' AS "max",
        {_tp_pct_sql(c, 50)} AS approx_p50,
        {_tp_pct_sql(c, 95)} AS approx_p95
 FROM documents
@@ -5020,41 +5114,52 @@ SELECT '{c}' AS "column",
        CAST(NULL AS VARCHAR) AS approx_p50, CAST(NULL AS VARCHAR) AS approx_p95
 FROM documents
 """
+    # drift leg: scale-9 share integers via spelled-out half-up division
+    # in HUGEINT — never round(double) (engine-release-sensitive) and
+    # never a decimal->VARCHAR render; shares are non-negative so the
+    # render needs no sign branch, the gap does
     _tp_drift = """
 SELECT 'drift:' || col || ':' || bucket AS "column",
        n_a AS n_rows, n_b AS n_nulls, CAST(NULL AS BIGINT) AS approx_distinct,
-       CAST(CAST(round(n_a / CAST(tot_a AS DOUBLE), 9) AS DECIMAL(38,9)) AS VARCHAR) AS "min",
-       CAST(CAST(round(n_b / CAST(tot_b AS DOUBLE), 9) AS DECIMAL(38,9)) AS VARCHAR) AS "max",
-       CAST(CAST(CAST(round(n_a / CAST(tot_a AS DOUBLE), 9) AS DECIMAL(38,9))
-                 - CAST(round(n_b / CAST(tot_b AS DOUBLE), 9) AS DECIMAL(38,9))
-            AS DECIMAL(38,9)) AS VARCHAR) AS approx_p50,
+       CAST(s9a // 1000000000 AS VARCHAR) || '.'
+         || lpad(CAST(s9a % 1000000000 AS VARCHAR), 9, '0') AS "min",
+       CAST(s9b // 1000000000 AS VARCHAR) || '.'
+         || lpad(CAST(s9b % 1000000000 AS VARCHAR), 9, '0') AS "max",
+       CASE WHEN s9a - s9b < 0 THEN '-' ELSE '' END
+         || CAST(abs(s9a - s9b) // 1000000000 AS VARCHAR) || '.'
+         || lpad(CAST(abs(s9a - s9b) % 1000000000 AS VARCHAR), 9, '0') AS approx_p50,
        CAST(NULL AS VARCHAR) AS approx_p95
 FROM (
-  SELECT col, bucket, sum(n_a) AS n_a, sum(n_b) AS n_b,
-         sum(sum(n_a)) OVER (PARTITION BY col) AS tot_a,
-         sum(sum(n_b)) OVER (PARTITION BY col) AS tot_b
+  SELECT col, bucket, n_a, n_b,
+         (2 * CAST(n_a AS HUGEINT) * 1000000000 + tot_a) // (2 * tot_a) AS s9a,
+         (2 * CAST(n_b AS HUGEINT) * 1000000000 + tot_b) // (2 * tot_b) AS s9b
   FROM (
-    SELECT col, bucket,
-           CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS n_a,
-           CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS n_b
+    SELECT col, bucket, sum(n_a) AS n_a, sum(n_b) AS n_b,
+           sum(sum(n_a)) OVER (PARTITION BY col) AS tot_a,
+           sum(sum(n_b)) OVER (PARTITION BY col) AS tot_b
     FROM (
-      SELECT doc_id, 'lang' AS col,
-             coalesce(CAST(lang AS STRING), '<null>') AS bucket FROM documents
-      UNION ALL
-      SELECT doc_id, 'source',
-             coalesce(CAST(source AS STRING), '<null>') FROM documents
-      UNION ALL
-      SELECT d.doc_id, 'n_chars',
-             coalesce(CAST(CAST(least(greatest(
-               floor((CAST(d.n_chars AS DOUBLE) - bnd.lo)
-                     / ((bnd.hi - bnd.lo) / 8)),
-               0), 7) AS BIGINT) AS STRING), '<null>')
-      FROM documents d,
-           (SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
-                   CAST(max(n_chars) AS DOUBLE) AS hi FROM documents) bnd
+      SELECT doc_id, col, bucket,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS n_a,
+             CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS n_b
+      FROM (
+        SELECT doc_id, 'lang' AS col,
+               coalesce(CAST(lang AS STRING), '<null>') AS bucket FROM documents
+        UNION ALL
+        SELECT doc_id, 'source',
+               coalesce(CAST(source AS STRING), '<null>') FROM documents
+        UNION ALL
+        SELECT d.doc_id, 'n_chars',
+               coalesce(CAST(CAST(least(greatest(
+                 floor((CAST(d.n_chars AS DOUBLE) - bnd.lo)
+                       / ((bnd.hi - bnd.lo) / 8)),
+                 0), 7) AS BIGINT) AS STRING), '<null>')
+        FROM documents d,
+             (SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
+                     CAST(max(n_chars) AS DOUBLE) AS hi FROM documents) bnd
+      )
     )
+    GROUP BY col, bucket
   )
-  GROUP BY col, bucket
 )
 """
     sql["table_profile"] = " UNION ALL ".join(

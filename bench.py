@@ -21,14 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_QUERIES = [
     # reference-parity pipeline over synthetic OSC lines
     "bk_parse_entries",
-    "bk_list_groups",
-    "bk_summary",
+    "bk_groups_summary",
     "bk_filter_by_group",
     "bk_seek_tail",
     # star-schema analytics
     "tpch_q1_pricing",
-    "top_customers",
-    "revenue_by_nation",
+    "revenue_rankings",
     "part_type_stats",
     # event-time (events_agg includes the former events_percentiles side)
     "events_agg",
@@ -55,6 +53,7 @@ BENCH_QUERIES = [
     "orders_discount_audit",
     "semantic_dedup",
     "dsir_weights",
+    "lr_classifier",
     "doc_chunks",
     "segment_dedup",
     "substring_dedup",
@@ -65,6 +64,8 @@ BENCH_QUERIES = [
     "bm25_scores",
     "bpe_encode",
     "url_domain_stats",
+    "webgraph_rank",
+    "crawl_bitext",
     "table_profile",
     "top_terms_by_group",
 ]
@@ -1079,14 +1080,24 @@ def main() -> None:
     # post-change entries.  List them here with the cause; prune entries
     # once the history window has caught up.
     workload_grew = {
-        "dsir_weights": "GD legs (ae33fc6) + calibration cal:* legs (round 5)",
         "corpus_select": "curriculum 'curr' leg (round 5)",
         "pii_scrub": "unicode normalization digests + Luhn (5186bef)",
         "bpe_encode": "wordpiece longest-match legs (04b789b)",
         "lm_perplexity": "Kneser-Ney train+score legs",
         "text_profile": "script detection columns",
         "doc_chunks": "SFT chat legs + span-corruption/negative legs (round 5)",
-        "url_domain_stats": "robots + bitext + webgraph pre:/pr: legs (round 5)",
+        # round-6 de-consolidation: dsir_weights / url_domain_stats SHRANK
+        # back to their round-4 content (GD+cal legs -> lr_classifier;
+        # robots/bitext -> crawl_bitext; pre:/pr: -> webgraph_rank), so
+        # their trailing-min guard re-arms from the round-4 floor while
+        # the three new keys have no history yet
+        "dsir_weights": "round-6 split: GD/cal legs moved to lr_classifier",
+        "url_domain_stats": "round-6 split: legs moved to webgraph_rank/crawl_bitext",
+        # round-6 plan change (judge perf-weak fix): exact percentiles now
+        # run ~3 extra bounded histogram jobs per numeric column instead
+        # of one single-task collect_list — slower at tiny sf (fixed job
+        # overhead), the only shape that survives 100x
+        "table_profile": "round-6: distributed percentile bisection replaced collect_list",
     }
     burst_suspects: list[str] = []
     workload_changed: list[str] = []
@@ -1159,7 +1170,38 @@ def main() -> None:
         "workload_changed": workload_changed,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(result))
+    # round-6 artifact fix: the full per-query map (75+ entries) made the
+    # headline line exceed the driver's tail-capture window in round 5
+    # (BENCH_r05.json recorded "parsed": null).  The PRINTED line is now a
+    # compact headline — totals, errors, the 10 slowest queries, and any
+    # flags — guaranteed to stay parseable; the complete per-query map is
+    # written to BENCH_DETAIL.json next to this script (and, as before,
+    # appended in full to BENCH_HISTORY.jsonl).
+    ok_timings = {
+        k: v for k, v in timings.items() if isinstance(v, (int, float))
+    }
+    compact = dict(
+        sorted(ok_timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    for name in list(errors) + burst_suspects + workload_changed:
+        if name in timings:
+            compact.setdefault(name, timings[name])
+    headline = {
+        **{k: v for k, v in result.items() if k != "queries"},
+        "queries": compact,  # slowest 10 + errored/flagged only
+        "queries_truncated": len(compact) < len(timings),
+        "n_queries": len(timings),
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(headline))
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(detail_path, "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+    except Exception as exc:  # headline already printed — never die here
+        print(f"warning: could not write BENCH_DETAIL.json: {exc}", file=sys.stderr)
 
     # append to the committed trend log so any round can answer "which
     # queries regressed" mechanically (diff the last two lines)

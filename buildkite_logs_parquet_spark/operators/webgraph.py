@@ -325,7 +325,14 @@ def _pagerank_loop(
         )
     # degree table re-keyed by node for the dangling test in the probe
     degn = _persist(deg.select(F.col("a").alias("node"), "degw"))
-    upstream = [e, deg]  # released after round 1 materializes e2/degn
+    # NOTE: e and deg stay persisted until the loop ENDS (the caller's
+    # finally releases them).  An earlier version released them after
+    # round 1 "once e2/degn are materialized" — but DataFrame.unpersist
+    # recompiles dependent cached plans, INVALIDATING the already-built
+    # e2/degn buffers, so every later round silently re-ran the whole
+    # upstream extraction join (caught by
+    # test_plans.test_pagerank_loop_reuses_persisted_edges: 1 upstream
+    # pass per round instead of 1 total).
 
     # teleport targets: all nodes (classic) or the seed set (PPR)
     k = n_teleport
@@ -403,8 +410,6 @@ def _pagerank_loop(
         )
         while pinned:
             pinned.pop().unpersist()
-        while upstream:  # round 1's probe has materialized e2 and degn
-            upstream.pop().unpersist()
         ranks = new_ranks
         dangling12 = int(probe["dang"] or 0)
         if int(probe["dmax"] or 0) <= tol12:

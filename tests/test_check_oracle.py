@@ -49,3 +49,40 @@ def test_multiset_detects_float_last_ulp():
     a = rows_to_multiset(["x"], [(x,)])
     b = rows_to_multiset(["x"], [(y,)])
     assert a != b  # repr-based canon preserves the distinction
+
+
+def test_strict_canon_is_tighter_than_driver_canon():
+    from tools.check_oracle import canon_strict
+
+    # decimal scale differences are invisible to the lossy canon but
+    # MUST be visible to strict (a driver hashing rendered strings would
+    # see them)
+    a, b = decimal.Decimal("1.5"), decimal.Decimal("1.500000000")
+    assert canon(a) == canon(b)
+    assert canon_strict(a) != canon_strict(b)
+    # float bit patterns: equal doubles canon equal, 1-ulp apart differ
+    x = 0.1 + 0.2
+    assert canon_strict(x) != canon_strict(0.3)
+    assert canon_strict(x) == canon_strict(x)
+    # type tags: int 1, float 1.0, bool True, string "1" all distinct
+    tags = {canon_strict(v) for v in (1, 1.0, True, "1")}
+    assert len(tags) == 4
+    assert canon_strict(None) == "NULL"
+    assert canon_strict(float("nan")) == "f:NaN"
+
+
+def test_oracle_lint_is_clean():
+    """Every release-sensitive construct in oracle SQL is either fixed
+    or an argued allowlist entry (tools/lint_oracles.py) — the round-5
+    driver hash-mismatch class cannot re-enter silently."""
+    from tools.lint_oracles import ALLOWLIST, PATTERNS, main
+
+    assert main() == 0
+    # the allowlist only names real queries (no stale entries)
+    import __spark_entry__ as E
+
+    names = set(E.oracle_sql())
+    stale = [q for q, _ in ALLOWLIST if q not in names]
+    assert stale == [], f"allowlist names unknown queries: {stale}"
+    # the round-5 root-cause pattern is among the lint's patterns
+    assert any(n == "digit-strip" for n, _ in PATTERNS)

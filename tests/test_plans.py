@@ -239,3 +239,55 @@ def test_contamination_corpus_grams_never_shuffle_before_filter(spark):
     assert not any(
         "Exchange hashpartitioning" in l for l in streamed
     ), "\n".join(streamed[:10])
+
+
+def test_pagerank_loop_reuses_persisted_edges(spark):
+    """The webgraph tier's one expensive invariant: the edge pipeline
+    upstream of pagerank (a crawl-wide extraction join in production)
+    must run EXACTLY ONCE — every per-round contribution join reads the
+    persisted edge relation, never the upstream lineage.
+
+    Checked behaviorally (the per-round state is checkpoint-truncated,
+    so the final plan string cannot show the reuse): an accumulator
+    inside the upstream counts row computations across the whole
+    multi-round run.  Re-running the upstream per round would multiply
+    the count by the number of edge-touching jobs (≥ 3 per round); the
+    persisted path pays it once (plus at most one partial overlap while
+    the cache fills)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import udf
+
+    from buildkite_logs_parquet_spark.operators.webgraph import pagerank
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @udf("long")
+    def counted(x):
+        acc.add(1)
+        return x
+
+    n_edges = 60
+    base = spark.createDataFrame(
+        [(i % 7, (i * 3 + 1) % 7) for i in range(n_edges)],
+        "s long, d long",
+    ).where("s <> d")
+    n_live = base.count()
+    n_nodes = (
+        base.select(F.col("s").alias("n"))
+        .union(base.select("d"))
+        .distinct()
+        .count()
+    )
+    edges = base.select(
+        counted(F.col("s")).cast("string").alias("src"),
+        F.col("d").cast("string").alias("dst"),
+    )
+    out = pagerank(edges, n_iter=3)
+    rows = out.collect()
+    assert len(rows) == n_nodes
+    # rank mass conserved (scaled-integer sanity on the same run)
+    assert abs(sum(r["r12"] for r in rows) - 10**12) < 10**7
+    assert acc.value <= 2 * n_live, (
+        f"upstream computed {acc.value} rows for {n_live} edges — the "
+        "per-round joins are re-running the extraction pipeline"
+    )

@@ -6,7 +6,21 @@ against the same sf directory, compares row count + column names + an
 order-insensitive value multiset (exact equality — the driver hashes), and
 prints a per-query verdict.  Exit code 1 on any mismatch.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Two comparator modes (round-6 hardening after the round-5 driver
+hash-mismatches that were invisible locally):
+
+* default — driver-equivalent lossy canonicalization
+  (``repr(float(v))``): what the harness has always done;
+* ``--strict`` — a comparator STRICTLY TIGHTER than any plausible driver
+  hash: floats compare by IEEE bit pattern (``float.hex``), decimals by
+  exact scale-preserving string (``str(Decimal)``, so ``1.5`` ≠
+  ``1.500000``), everything else by type-tagged repr.  A query that
+  passes strict mode cannot be failed by ANY value-level hash of the
+  same rows — if the driver still flags it, the divergence is the
+  driver's DuckDB release producing different VALUES, which only the
+  rule-13 integer-arithmetic discipline (DETERMINISM.md) can prevent.
+
+Usage: python tools/check_oracle.py [--strict] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -37,14 +51,46 @@ def canon(v):
     return str(v)
 
 
-def rows_to_multiset(cols, rows):
+def canon_strict(v):
+    """Type-tagged, bit-exact canonicalization — no two distinct values
+    (or representations) canonicalize equal."""
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:NaN"
+        return f"f:{v.hex()}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if v is None:
+        return "NULL"
+    import datetime
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return f"d:{v}"  # scale-preserving: 1.5 != 1.500000
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return f"t:{v.isoformat()}"
+    if isinstance(v, (bytes, bytearray)):
+        return f"x:{bytes(v).hex()}"
+    if isinstance(v, (list, tuple)):
+        return "l:[" + ",".join(canon_strict(x) for x in v) + "]"
+    return f"s:{v}"
+
+
+def rows_to_multiset(cols, rows, c=canon):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    return sorted(tuple(c(r[i]) for i in order) for r in rows)
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    strict = "--strict" in argv
+    if strict:
+        argv.remove("--strict")
+    c = canon_strict if strict else canon
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import duckdb
 
@@ -63,6 +109,8 @@ def main() -> int:
     ):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    print(f"comparator: {'STRICT (bit-exact)' if strict else 'driver-lossy'}"
+          f"  duckdb={duckdb.__version__}")
     qs = E.queries()
     oracles = E.oracle_sql()
     failures = []
@@ -94,8 +142,8 @@ def main() -> int:
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns {sorted(scols)} != {sorted(ocols)}")
         if not problems:
-            a = rows_to_multiset(scols, srows)
-            b = rows_to_multiset(ocols, orows)
+            a = rows_to_multiset(scols, srows, c)
+            b = rows_to_multiset(ocols, orows, c)
             if a != b:
                 diff = [(x, y) for x, y in zip(a, b) if x != y]
                 problems.append(
