@@ -1137,9 +1137,13 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     # the twelve legs below each scan the same small vector table —
     # persist it once so the union job reads cached columnar blocks
-    # instead of re-decoding the parquet array column per leg (the bench
-    # clears the cache between queries, so nothing leaks across rows)
-    emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
+    # instead of re-decoding the parquet array column per leg.
+    # CACHE CONTRACT: deliberately NOT unpersisted here — the caller
+    # materializes the returned plan, so releasing inside this function
+    # would disable the reuse it exists for.  Both harness consumers
+    # clear it (the bench calls catalog.clearCache between queries; the
+    # oracle gate is one-shot); a long-lived session embedding this
+    # query should clearCache/unpersist after materializing.
     # ONE driver job fetches both scalars the legs need: the query vector
     # (vec_id=0's embedding) and the corpus max-|x| SQ anchor — instead
     # of a .first() per leg
@@ -1877,7 +1881,10 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     # bm (top-100 rows) feeds three branches (bm25 leg, the rrf lex
     # ranking, and through fused the metric legs) — persist the tiny
-    # result so the corpus tokenize/tf scan runs once, not per branch
+    # result so the corpus tokenize/tf scan runs once, not per branch.
+    # CACHE CONTRACT: same as q_ann_topk — released by the harnesses'
+    # clearCache, not here (the caller still has to materialize the
+    # returned plan); unpersist after materializing in long sessions.
     bm = TA.bm25_scores(
         docs, ["spark", "query", "merge"], "doc_id", top_n=100
     ).persist(StorageLevel.MEMORY_AND_DISK)

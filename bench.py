@@ -998,7 +998,78 @@ def _extra_ops():
             "doc_id", F.md5(F.col("norm_text")).alias("digest")
         )
 
+    _mp3_fixture: dict = {}
+
+    def mp3_structure_bench(spark, sf_dir):
+        """Layer-III structure decode at scale: 16 distinct synthetic
+        multi-frame MP3 streams (driver-built once from the codec's own
+        serializer — valid headers, CRC-protected side info, mixed
+        reservoir back-pointers) replicated across embeddings ids, then
+        the full per-frame walk (side info, CRC verify, reservoir
+        resolution) + the split-point projection.  Measures the honest
+        per-clip Python structure cost inside mapInPandas — the pass
+        that routes and CHUNKS an audio crawl before any PCM work."""
+        from pyspark.sql import functions as F
+
+        from buildkite_logs_parquet_spark.functions.mp3_codec import (
+            GranuleInfo,
+            SideInfo,
+            build_frame_header,
+            crc16_mp3,
+            parse_frame_header,
+            write_side_info,
+        )
+        from buildkite_logs_parquet_spark.operators import multimodal as M
+
+        if "payloads" not in _mp3_fixture:
+            def frame(mdb, part23, protected):
+                hb = build_frame_header(
+                    bitrate_kbps=128, sample_rate=44100,
+                    channel_mode=0, protected=protected,
+                )
+                hdr = parse_frame_header(hb)
+                si = SideInfo(main_data_begin=mdb)
+                si.scfsi = ((0, 0, 0, 0), (0, 0, 0, 0))
+                si.granules = [
+                    [GranuleInfo(part2_3_length=part23) for _ in range(2)]
+                    for _ in range(2)
+                ]
+                sib = write_side_info(si, hdr)
+                body = bytearray(hb)
+                if protected:
+                    body += crc16_mp3(hb[2:4] + sib).to_bytes(2, "big")
+                body += sib
+                body += bytes(hdr.frame_bytes - len(body))
+                return bytes(body)
+
+            payloads = []
+            for j in range(16):
+                clip = b"".join(
+                    frame(
+                        mdb=0 if i % 4 == 0 else (37 * (i + j)) % 512,
+                        part23=(113 * (i + 1) + j) % 4096,
+                        protected=(i + j) % 3 == 0,
+                    )
+                    for i in range(40)
+                )
+                payloads.append((j, bytearray(clip)))
+            _mp3_fixture["payloads"] = payloads
+        pal = spark.createDataFrame(
+            _mp3_fixture["payloads"], "k long, payload binary"
+        )
+        ids = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            F.col("vec_id").alias("media_id"), (F.col("vec_id") % 16).alias("k")
+        )
+        media = (
+            ids.join(F.broadcast(pal), "k")
+            .select("media_id", "payload")
+            .repartition(32)
+        )
+        frames = M.mp3_frames(media)
+        return M.mp3_split_points(frames)
+
     return {
+        "x_mp3_structure": mp3_structure_bench,
         "x_text_normalize": text_normalize_bench,
         "x_lttb_downsample": lttb_bench,
         "x_warc_ingest": warc_ingest,

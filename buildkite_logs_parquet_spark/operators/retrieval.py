@@ -144,6 +144,15 @@ def retrieval_metrics(
     docs are excluded (their recall is undefined), and queries whose
     relevant docs were never retrieved still appear with zero metrics
     via the qrels-side grouping.
+
+    .. versionchanged:: round 5
+       ``recall_at_k`` now means STANDARD recall (``n_hits / n_relevant``,
+       denominator the query's full relevant count).  The earlier
+       R-capped variant (denominator ``min(n_relevant, k)``) moved to the
+       new ``capped_recall_at_k`` column.  External consumers keying on
+       ``recall_at_k`` see different values for queries with
+       ``n_relevant > k`` — no schema break signals this, so audit any
+       downstream thresholds when upgrading.
     """
     import math as _math
 

@@ -504,7 +504,13 @@ def harmonic_centrality(
         # round-0 probe: total estimate AND a register-level digest —
         # "no sketch byte changed" is the true HyperBall fixpoint
         # (estimates can stall for a round while registers still grow at
-        # large cardinalities, and growth can resume later)
+        # large cardinalities, and growth can resume later).  Digest
+        # stability relies on no-op hll_union re-serializing byte-
+        # identically — TRUE after a sketch's first union (the first one
+        # re-encodes), pinned by test_webgraph.
+        # test_hll_union_byte_stability_for_the_digest_fixpoint; if an
+        # engine upgrade breaks it the loop degrades to max_radius
+        # rounds, never to wrong results
         p0 = state.agg(
             F.sum("cnt").alias("t"), F.sum(F.xxhash64("sk").cast("decimal(38,0)")).alias("h")
         ).first()

@@ -15,13 +15,24 @@ Layout under ``root``::
     v=1/, v=2/, …      immutable version directories (parquet)
     LATEST             text file holding the current version number
 
-Atomicity model (local/HDFS rename semantics): data is written to a
-``_tmp-*`` staging directory first and ``os.replace``/renamed to
-``v=N`` only when complete, so ``v=N`` either exists fully or not at
-all; ``LATEST`` is swapped with an atomic replace, so a reader sees
-either the old or the new pointer, never a torn one.  On object stores
-without atomic rename, pair this layout with the store's committer —
-the CONTRACT (immutable versions + pointer swap) is what carries over.
+Atomicity model — LOCAL FILESYSTEM PATHS ONLY: the catalog's own
+metadata operations (listing, staging rename, pointer swap) go through
+``os.listdir``/``os.rename``/``os.replace``, so ``root`` must be a
+path the DRIVER can reach as a mounted POSIX filesystem (local disk,
+NFS, a FUSE mount).  The parquet payload itself is written by Spark
+and may target any Hadoop-visible URI, but a catalog root like
+``hdfs://`` or ``s3://`` will fail at the metadata step — route those
+through the Hadoop FileSystem API or the store's committer instead.
+What carries over to any store is the CONTRACT: immutable version
+directories + an atomically swapped pointer.
+
+Concurrent publishers are safe on POSIX semantics: each writes its own
+``_tmp-*`` staging directory, and ``os.rename`` onto an existing
+non-empty ``v=N`` fails atomically, so exactly one publisher wins each
+version number; the loser retries with the next free number (no lock
+file to leak on crash).  The LATEST pointer swap is last-writer-wins —
+with concurrent publishers both versions exist immutably, and
+``rollback``/pinned reads recover either.
 
 Version directories are never mutated or deleted by this module;
 ``rollback`` only moves the pointer.
@@ -60,19 +71,36 @@ def current_version(root: str) -> int | None:
         return None
 
 
-def publish_version(df: DataFrame, root: str) -> int:
+def publish_version(df: DataFrame, root: str, max_attempts: int = 16) -> int:
     """Write ``df`` as the next version and atomically point LATEST at
     it.  Returns the new version number.  The data lands in a staging
     directory first — a crash mid-write leaves only ``_tmp-*`` litter,
-    never a readable half-version."""
+    never a readable half-version.
+
+    Race-safe against concurrent publishers (module docstring): if two
+    publishers compute the same next number, the second ``os.rename``
+    onto the now-existing ``v=N`` fails atomically; the loser re-reads
+    the version list and claims the next free number — the expensive
+    parquet write is NOT repeated, only the rename."""
     os.makedirs(root, exist_ok=True)
-    n = (max(_versions(root), default=0)) + 1
     staging = os.path.join(root, f"_tmp-{uuid.uuid4().hex}")
     df.write.mode("errorifexists").parquet(staging)
-    final = os.path.join(root, f"v={n}")
-    os.rename(staging, final)
-    _point(root, n)
-    return n
+    last_err: OSError | None = None
+    for _ in range(max_attempts):
+        n = (max(_versions(root), default=0)) + 1
+        final = os.path.join(root, f"v={n}")
+        try:
+            os.rename(staging, final)
+        except OSError as exc:  # lost the race for v=N — take the next
+            last_err = exc
+            continue
+        _point(root, n)
+        return n
+    raise RuntimeError(
+        f"publish_version: could not claim a version number under {root} "
+        f"after {max_attempts} attempts (last: {last_err}); staging data "
+        f"is intact at {staging}"
+    )
 
 
 def _point(root: str, n: int) -> None:

@@ -84,3 +84,38 @@ def test_diff_between_versions(spark, tmp_path):
     )
     changes = {r["doc_id"]: r["change"] for r in d.collect()}
     assert changes[3] == "removed" and changes[20] == "added"
+
+
+def test_publish_retries_when_losing_the_version_race(spark, tmp_path):
+    """Two concurrent publishers may compute the same next version; the
+    rename loser must re-read the list and claim the next free number
+    without rewriting its parquet staging data."""
+    import os
+
+    import buildkite_logs_parquet_spark.sources.catalog as C
+
+    root = str(tmp_path / "cat")
+    C.publish_version(spark.range(3), root)
+
+    real_rename = os.rename
+    state = {"raced": False}
+
+    def racing_rename(src, dst):
+        if not state["raced"] and os.sep + "v=" in dst:
+            state["raced"] = True
+            # competitor wins v=2 between our list and our rename —
+            # exactly what a concurrent publish_version produces
+            os.makedirs(os.path.join(dst, "part-0"))
+            raise OSError(39, "Directory not empty", dst)
+        return real_rename(src, dst)
+
+    C.os.rename = racing_rename
+    try:
+        n = C.publish_version(spark.range(4), root)
+    finally:
+        C.os.rename = real_rename
+    assert n == 3  # v=2 went to the competitor
+    assert C.current_version(root) == 3
+    assert C.read_version(spark, root, 3).count() == 4
+    # no _tmp litter left behind on the success path
+    assert not [d for d in os.listdir(root) if d.startswith("_tmp-")]

@@ -374,3 +374,51 @@ class TestHostLinkStats:
         assert all(r["node"].startswith("f") for r in top[:4])
         assert all(r["reciprocity"] == 1.0 for r in top[:4])
         assert all(r["reciprocity"] == 0.0 for r in top[4:])
+
+
+def test_hll_union_byte_stability_for_the_digest_fixpoint(spark):
+    """harmonic_centrality's register-level fixpoint compares
+    sum(xxhash64(sk)) across rounds, which requires a no-op hll_union
+    (neighbour ball ⊆ own ball) to re-serialize byte-identically —
+    OTHERWISE the digest would never stabilize and every run would burn
+    all max_radius rounds (results still correct, rounds wasted).
+
+    Measured semantics this test pins (DataSketches via Spark 4):
+
+    * the FIRST union re-encodes the aggregate's sketch bytes (target
+      HLL mode differs from hll_sketch_agg's), so digests legitimately
+      move in the round a node first receives an in-neighbour merge;
+    * every LATER no-op union — self or subset — reproduces the exact
+      bytes, so from the first post-merge round onward the digest is a
+      true fixpoint detector and the loop stops one probe after the
+      balls stop growing.
+
+    If an engine upgrade breaks the second property, this test fails
+    and the loop needs a fallback stop (e.g. two stable-total rounds)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(200).select(F.col("id").cast("string").alias("s"))
+    sk = df.agg(F.hll_sketch_agg("s", F.lit(10)).alias("sk"))
+    sub = (
+        spark.range(50)
+        .select(F.col("id").cast("string").alias("s"))
+        .agg(F.hll_sketch_agg("s", F.lit(10)).alias("sub"))
+    )
+    row = (
+        sk.crossJoin(sub)  # 1x1: two single-row locals, not a data join
+        .select(F.hll_union("sk", "sk", False).alias("u1"), "sk", "sub")
+        .select(
+            F.xxhash64("u1").alias("h1"),
+            F.xxhash64(F.hll_union("u1", "u1", False)).alias("h_self"),
+            F.xxhash64(F.hll_union("u1", "sk", False)).alias("h_orig"),
+            F.xxhash64(F.hll_union("u1", "sub", False)).alias("h_subset"),
+            F.xxhash64(
+                F.hll_union(F.hll_union("u1", "sub", False), "sub", False)
+            ).alias("h_subset2"),
+        )
+        .first()
+    )
+    assert row["h_self"] == row["h1"], "post-merge self-union changed bytes"
+    assert row["h_orig"] == row["h1"], "union with the original changed bytes"
+    assert row["h_subset"] == row["h1"], "subset-union changed bytes"
+    assert row["h_subset2"] == row["h1"], "repeated subset-union changed bytes"
