@@ -73,7 +73,12 @@ def with_rank(
 ) -> DataFrame:
     """1-based dense ranking helper: ``row_number`` over ``order_by`` with
     the id as the final tie-break, for feeding score-sorted top-k results
-    into ``rrf_fuse``."""
+    into ``rrf_fuse``.
+
+    Single-partition by design — callers pass ALREADY-TRUNCATED top-k
+    lists (≤ depth rows), so the global rank window is metadata-sized;
+    ranking an unbounded relation belongs in a partitioned window or
+    ``packing``'s distributed prefix machinery, not here."""
     w = Window.orderBy(*order_by, F.col(id_col))
     return df.withColumn(rank_col, F.row_number().over(w))
 

@@ -23,7 +23,7 @@ sys.path.insert(0, "/root/repo")
 PROBES = [
     # (query, input tables, rows at sf0.001 -> sf0.1 multiplier)
     ("tpch_q1_pricing", "lineitem", 100),
-    ("top_customers", "lineitem⋈orders⋈customer", 100),
+    ("revenue_rankings", "lineitem⋈orders⋈customer(+nation star)", 100),
     ("supplier_running_revenue", "lineitem⋈supplier", 100),
     ("orders_discount_audit", "orders⋈lineitem", 100),
     ("events_agg", "events", 100),
@@ -37,7 +37,8 @@ PROBES = [
     ("ngram_jaccard", "documents (pairs + eval legs)", 10),
     ("ann_topk", "embeddings (exact+ivf+batch+sq+pq+ivfpq legs)", 10),
     ("corpus_select", "documents (sample+split+wsample+budget+diff legs)", 10),
-    ("dsir_weights", "documents (dsir + 2-step LR train + score legs)", 10),
+    ("dsir_weights", "documents (dsir LLR weights)", 10),
+    ("lr_classifier", "documents (2-step integer-grid GD + score + calibration)", 10),
     ("x_lr_train3", "documents (hashed feats, 3 GD epochs + score)", 10),
     ("x_html_extract", "documents as WARC-response HTML (8 gz shards)", 10),
     ("x_video_frames", "embeddings ids x AVI/GIF/Y4M pool", 10),
@@ -52,7 +53,10 @@ PROBES = [
     ("x_pagerank", "lineitem⋈orders host graph, 3 damped rounds", 100),
     ("x_harmonic", "host graph + reverse edges, HyperBall radius 3", 100),
     ("doc_chunks", "documents (chunks + chat + aug/neg legs)", 10),
-    ("url_domain_stats", "documents (urls + robots + bitext + pr legs)", 10),
+    ("url_domain_stats", "documents (url + canon legs)", 10),
+    ("webgraph_rank", "documents planted-URL host graph, 2 exact PR rounds", 10),
+    ("crawl_bitext", "documents (robots audit + bitext mining)", 10),
+    ("x_mp3_structure", "embeddings ids x 16 40-frame MP3 streams", 10),
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
