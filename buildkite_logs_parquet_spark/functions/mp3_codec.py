@@ -385,12 +385,11 @@ class FrameRecord:
     is_split_point: bool  # main_data_begin == 0: decodable with no history
 
 
-def _id3v2_size(data: bytes) -> int:
-    if len(data) >= 10 and data[:3] == b"ID3":
-        return 10 + (
-            (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
-        )
-    return 0
+# ID3v2 sizing is shared with audio_codec (syncsafe masks + footer flag
+# handled there) — two parallel implementations of the same bitstream
+# math would drift, and did: an earlier local copy dropped the 0x7F
+# masks and the +10 footer
+from buildkite_logs_parquet_spark.functions.audio_codec import _id3v2_size
 
 
 def walk_frames(data: bytes, max_frames: int | None = None) -> list[FrameRecord]:
@@ -410,7 +409,8 @@ def walk_frames(data: bytes, max_frames: int | None = None) -> list[FrameRecord]
     if end >= 128 and data[end - 128 : end - 125] == b"TAG":
         end -= 128
     out: list[FrameRecord] = []
-    reservoir_bytes = 0  # total main-data bytes seen before current frame
+    reservoir_bytes = 0  # main-data bytes in the CONTIGUOUS run so far
+    expected_pos: int | None = None  # where the next frame must start
     while pos + 4 <= end:
         try:
             hdr = parse_frame_header(data[pos : pos + 4])
@@ -423,6 +423,14 @@ def walk_frames(data: bytes, max_frames: int | None = None) -> list[FrameRecord]
         si_len = hdr.side_info_bytes
         if si_off + si_len > end:
             break
+        if expected_pos is not None and pos != expected_pos:
+            # resync GAP: bytes (possibly a whole corrupt frame) dropped
+            # out of the logical main-data stream — every back pointer
+            # across the gap is untrustworthy, so the reservoir resets;
+            # frames with main_data_begin > 0 right after a gap resolve
+            # to a negative logical offset and report resolved=False,
+            # and the next main_data_begin == 0 frame restarts cleanly
+            reservoir_bytes = 0
         si = parse_side_info(data[si_off : si_off + si_len], hdr)
         crc_stored = crc_ok = None
         if hdr.protected:
@@ -457,6 +465,7 @@ def walk_frames(data: bytes, max_frames: int | None = None) -> list[FrameRecord]
         )
         reservoir_bytes += max(md_len, 0)
         pos += hdr.frame_bytes
+        expected_pos = pos
         if max_frames is not None and len(out) >= max_frames:
             break
     if not out:

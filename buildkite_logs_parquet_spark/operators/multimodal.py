@@ -968,10 +968,7 @@ def mp3_split_points(
     splitting anywhere else yields frames whose spectral data lives in
     the PREVIOUS chunk.  Pure narrow filter + projection."""
     return frames.where(F.col("is_split_point")).select(
-        id_col,
-        "frame_idx",
-        "byte_offset",
-        F.col("byte_offset").alias("chunk_start"),
+        id_col, "frame_idx", "byte_offset"
     )
 
 

@@ -124,15 +124,20 @@ def exact_int_order_statistics(
         df.select(F.col(col).cast("long").alias("v"))
         .where(F.col("v").isNotNull())
     )
+    n, vmin, vmax = _head_stats(vals)
+    if n == 0:
+        return 0, None, None, {}
+    return n, vmin, vmax, _rank_select(vals, n, vmin, vmax, ranks, max_buckets)
+
+
+def _head_stats(vals: DataFrame) -> tuple[int, int | None, int | None]:
     head = vals.agg(
         F.count("*").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
     ).first()
-    n, vmin, vmax = int(head["n"]), head["lo"], head["hi"]
+    n = int(head["n"])
     if n == 0:
-        return 0, None, None, {}
-    return n, int(vmin), int(vmax), _rank_select(
-        vals, n, int(vmin), int(vmax), ranks, max_buckets
-    )
+        return 0, None, None
+    return n, int(head["lo"]), int(head["hi"])
 
 
 def _rank_select(
@@ -143,33 +148,65 @@ def _rank_select(
     ranks: list[int],
     max_buckets: int,
 ) -> dict[int, int]:
+    """Shared-pass bucket bisection: ALL ranks advance through each
+    histogram together, regrouping into sub-ranges only where their
+    target buckets diverge — resolving p50 and p95 costs ONE pass per
+    level while they share a bucket, never one bisection per rank.
+
+    Bucket arithmetic runs in DECIMAL(38,0): ``v − lo`` spans up to the
+    full unsigned 64-bit range (2^64 − 1) when the column covers both
+    long extremes, where BIGINT subtraction overflows (throws under
+    ANSI mode, silently corrupts the bucket index otherwise); Spark's
+    decimal ``div`` returns the exact integral quotient, and the bucket
+    index itself is ≤ ``max_buckets`` so the final cast is safe."""
+    import bisect as _bisect
+
     out: dict[int, int] = {}
-    for rank in ranks:
-        k = min(max(rank, 0), n - 1)
-        lo, hi, off = int(vmin), int(vmax), k
-        while lo < hi:
-            width = (hi - lo) // max_buckets + 1
-            hist = (
-                vals.where((F.col("v") >= lo) & (F.col("v") <= hi))
-                .groupBy(
-                    # integer div, not float division: (v - lo) can carry
-                    # more than 53 bits, where a double quotient would
-                    # misplace boundary values into the adjacent bucket
-                    F.expr(f"(v - {lo}) div {width}").alias("b")
-                )
-                .agg(F.count("*").alias("c"))
-                .collect()  # bounded: ≤ max_buckets histogram rows
+    work: list[tuple[int, int, list[tuple[int, int]]]] = [
+        (vmin, vmax, [(r, min(max(int(r), 0), n - 1)) for r in sorted(set(ranks))])
+    ]
+    while work:
+        lo, hi, items = work.pop()
+        if lo == hi:
+            for r, _ in items:
+                out[r] = lo
+            continue
+        width = (hi - lo) // max_buckets + 1
+        hist = (
+            vals.where((F.col("v") >= lo) & (F.col("v") <= hi))
+            .groupBy(
+                F.expr(
+                    f"cast((cast(v as decimal(38,0)) - {lo})"
+                    f" div {width} as bigint)"
+                ).alias("b")
             )
-            cum = 0
-            for b, c in sorted((int(r["b"]), int(r["c"])) for r in hist):
-                if off < cum + c:
-                    off -= cum
-                    lo, hi = lo + b * width, min(hi, lo + (b + 1) * width - 1)
-                    break
-                cum += c
-            if width == 1:
-                break
-        out[rank] = lo
+            .agg(F.count("*").alias("c"))
+            .collect()  # bounded: ≤ max_buckets histogram rows
+        )
+        buckets = sorted((int(r["b"]), int(r["c"])) for r in hist)
+        cums = []  # cumulative count BEFORE each bucket
+        total = 0
+        for _, c in buckets:
+            cums.append(total)
+            total += c
+        regrouped: dict[int, list[tuple[int, int]]] = {}
+        for r, off in items:
+            i = _bisect.bisect_right(cums, off) - 1
+            if i < 0 or off >= cums[i] + buckets[i][1]:
+                raise RuntimeError(
+                    f"rank walk lost offset {off} in [{lo}, {hi}] "
+                    f"(total {total}) — histogram inconsistent"
+                )
+            regrouped.setdefault(i, []).append((r, off - cums[i]))
+        for i, its in regrouped.items():
+            b = buckets[i][0]
+            blo = lo + b * width
+            bhi = min(hi, blo + width - 1)
+            if width == 1 or blo == bhi:
+                for r, _ in its:
+                    out[r] = blo
+            else:
+                work.append((blo, bhi, its))
     return out
 
 
@@ -186,18 +223,14 @@ def exact_int_percentiles(
     ``k, rem = divmod((n−1)·percent, 100)``) — the same pure-BIGINT
     interpolation the oracle replays, never a float.
 
-    One head aggregate + the shared bisection over the needed ranks
-    (``exact_int_order_statistics``'s cost model); resolving p50 AND p95
-    costs the same histogram passes as either alone when their ranks
-    land in one bucket."""
+    One head aggregate + ONE shared bisection over all needed ranks
+    (``_rank_select`` advances every rank through each histogram pass
+    together, splitting only where their buckets diverge)."""
     vals = (
         df.select(F.col(col).cast("long").alias("v"))
         .where(F.col("v").isNotNull())
     )
-    head = vals.agg(
-        F.count("*").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
-    ).first()
-    n, vmin, vmax = int(head["n"]), head["lo"], head["hi"]
+    n, vmin, vmax = _head_stats(vals)
     if n == 0:
         return 0, None, None, {}
     pos = {}
@@ -207,7 +240,7 @@ def exact_int_percentiles(
         k1 = min(k + 1, n - 1)
         ranks.update((k, k1))
         pos[int(q)] = (k, k1, rem)
-    sel = _rank_select(vals, n, int(vmin), int(vmax), sorted(ranks), max_buckets)
+    sel = _rank_select(vals, n, vmin, vmax, sorted(ranks), max_buckets)
     ps = {q: sel[k] * 100 + (sel[k1] - sel[k]) * rem for q, (k, k1, rem) in pos.items()}
     return n, int(vmin), int(vmax), ps
 

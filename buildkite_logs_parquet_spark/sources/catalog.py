@@ -85,13 +85,23 @@ def publish_version(df: DataFrame, root: str, max_attempts: int = 16) -> int:
     os.makedirs(root, exist_ok=True)
     staging = os.path.join(root, f"_tmp-{uuid.uuid4().hex}")
     df.write.mode("errorifexists").parquet(staging)
+    import errno as _errno
+
     last_err: OSError | None = None
     for _ in range(max_attempts):
         n = (max(_versions(root), default=0)) + 1
         final = os.path.join(root, f"v={n}")
         try:
             os.rename(staging, final)
-        except OSError as exc:  # lost the race for v=N — take the next
+        except OSError as exc:
+            # only EEXIST/ENOTEMPTY mean "lost the race for v=N" (the
+            # competitor's directory now occupies the target).  Anything
+            # else — EXDEV (staging on a different filesystem than
+            # root), EACCES, ENOENT — is a persistent failure that no
+            # retry can fix: re-raise it immediately with the real errno
+            # instead of burning attempts on the identical doomed rename
+            if exc.errno not in (_errno.EEXIST, _errno.ENOTEMPTY):
+                raise
             last_err = exc
             continue
         _point(root, n)

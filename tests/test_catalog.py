@@ -119,3 +119,34 @@ def test_publish_retries_when_losing_the_version_race(spark, tmp_path):
     assert C.read_version(spark, root, 3).count() == 4
     # no _tmp litter left behind on the success path
     assert not [d for d in os.listdir(root) if d.startswith("_tmp-")]
+
+
+def test_publish_reraises_non_race_errors_immediately(spark, tmp_path):
+    """EXDEV/EACCES-class rename failures are persistent, not races:
+    retrying the identical rename 16 times and reporting 'could not
+    claim a version number' would bury the real errno."""
+    import errno
+    import os
+
+    import pytest
+
+    import buildkite_logs_parquet_spark.sources.catalog as C
+
+    root = str(tmp_path / "cat")
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def exdev_rename(src, dst):
+        if os.sep + "v=" in dst:
+            calls["n"] += 1
+            raise OSError(errno.EXDEV, "Invalid cross-device link", dst)
+        return real_rename(src, dst)
+
+    C.os.rename = exdev_rename
+    try:
+        with pytest.raises(OSError) as exc_info:
+            C.publish_version(spark.range(2), root)
+    finally:
+        C.os.rename = real_rename
+    assert exc_info.value.errno == errno.EXDEV  # the REAL error surfaced
+    assert calls["n"] == 1  # no doomed retries

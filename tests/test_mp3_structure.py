@@ -352,3 +352,46 @@ class TestSparkOperators:
         plain = mp3_frames(media)
         plan2 = plain._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan2
+
+
+class TestResyncGapInvalidatesReservoir:
+    def test_frames_after_gap_are_unresolved_until_empty_reservoir(self):
+        """A corrupt/skipped frame drops its main-data bytes out of the
+        logical stream: back pointers across the gap are untrustworthy,
+        so the walker must NOT report resolved=True for them (the
+        round-6 review caught it doing exactly that)."""
+        f0 = _mk_frame(main_data_begin=0, channel_mode=0,
+                       bitrate_kbps=128, sample_rate=44100)
+        f1 = bytearray(_mk_frame(main_data_begin=0, channel_mode=0,
+                                 bitrate_kbps=128, sample_rate=44100))
+        f1[0] = 0x00  # destroy frame 1's sync — the walker skips it
+        f2 = _mk_frame(main_data_begin=100, channel_mode=0,
+                       bitrate_kbps=128, sample_rate=44100)
+        f3 = _mk_frame(main_data_begin=0, channel_mode=0,
+                       bitrate_kbps=128, sample_rate=44100)
+        frames = walk_frames(f0 + bytes(f1) + f2 + f3)
+        assert len(frames) == 3  # f1 skipped
+        # f2's 100 reservoir bytes physically live in the DESTROYED
+        # frame: must be unresolved, not silently wrong
+        assert frames[1].resolved is False
+        assert frames[1].logical_start_byte is None
+        # the next empty-reservoir frame restarts cleanly
+        assert frames[2].resolved is True and frames[2].is_split_point
+
+    def test_contiguous_stream_unaffected_by_gap_logic(self):
+        fs = b"".join(
+            _mk_frame(main_data_begin=0 if i == 0 else 50, channel_mode=0,
+                      bitrate_kbps=128, sample_rate=44100)
+            for i in range(3)
+        )
+        frames = walk_frames(fs)
+        assert all(f.resolved for f in frames)
+
+    def test_id3v2_footer_flag_handled(self):
+        # the shared audio_codec sizing handles the v2.4 footer (+10);
+        # a local re-implementation without it once walked into the tag
+        frame = _mk_frame(bitrate_kbps=128, sample_rate=44100)
+        id3 = bytearray(b"ID3\x04\x00\x10\x00\x00\x00\x0a")  # footer flag
+        id3 += bytes(10 + 10)  # body + footer
+        frames = walk_frames(bytes(id3) + frame)
+        assert frames[0].offset == len(id3)

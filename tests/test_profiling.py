@@ -500,3 +500,40 @@ class TestExactIntOrderStatistics:
                 df, "x", ranks, max_buckets=8
             )
             assert sel == {k: ref[k] for k in set(ranks)}, f"trial {trial}"
+
+    def test_full_long_range_no_overflow(self, spark):
+        """Values spanning both BIGINT extremes: v − lo covers 2^64 − 1,
+        which overflows 64-bit subtraction (throws under ANSI, silently
+        wraps otherwise) — the bucket arithmetic must run in DECIMAL.
+        Caught by the round-6 self-review."""
+        from buildkite_logs_parquet_spark.operators.profiling import (
+            exact_int_order_statistics,
+        )
+
+        vals = [-(2**63), -(2**62), 0, 2**62, 2**63 - 1]
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        ref = sorted(vals)
+        n, lo, hi, sel = exact_int_order_statistics(
+            df, "x", list(range(len(vals)))
+        )
+        assert (n, lo, hi) == (len(vals), ref[0], ref[-1])
+        assert sel == {k: ref[k] for k in range(len(vals))}
+
+    def test_shared_pass_resolves_diverging_ranks(self, spark):
+        """p50-style and p95-style ranks that land in DIFFERENT buckets
+        must both resolve through the shared walk (one histogram per
+        level while they coincide, split after)."""
+        from buildkite_logs_parquet_spark.operators.profiling import (
+            exact_int_percentiles,
+        )
+
+        vals = list(range(0, 1000, 7))
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        n, lo, hi, ps = exact_int_percentiles(
+            df, "x", [50, 95], max_buckets=4
+        )
+        ref = sorted(vals)
+        for q in (50, 95):
+            k, rem = divmod((n - 1) * q, 100)
+            k1 = min(k + 1, n - 1)
+            assert ps[q] == ref[k] * 100 + (ref[k1] - ref[k]) * rem
