@@ -1068,7 +1068,69 @@ def _extra_ops():
         frames = M.mp3_frames(media)
         return M.mp3_split_points(frames)
 
+    def preference_bench(spark, sf_dir):
+        """Preference-data tier end to end (operators/preference.py):
+        documents become a scored response pool (prompt = doc_id div 8,
+        deterministic hash score), make_preference_pairs reduces it to
+        one chosen/rejected pair per prompt (struct-extrema aggregate,
+        no sort window), the audit summarizes it, and bt_fit runs 5 MM
+        rounds ranking the 7 planted "generators" — the full driver
+        loop is inside the measurement (kmeans_fit convention).
+        Returns the strengths + audit as one small DataFrame."""
+        from pyspark.sql import functions as F
+
+        from buildkite_logs_parquet_spark.operators import preference as PR
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        scored = docs.select(
+            F.expr("doc_id div 8").alias("prompt_id"),
+            F.col("doc_id").alias("response_id"),
+            ((F.abs(F.xxhash64("text")) % 1000000) / 1000000.0).alias(
+                "score"
+            ),
+            F.col("n_chars"),
+        )
+        pairs = PR.make_preference_pairs(scored, text_len_col="n_chars")
+        audit = PR.preference_pair_audit(pairs)
+        # generator ranking: winner/loser = the planted generator ids
+        gpairs = pairs.select(
+            (F.col("chosen_id") % 7).alias("winner_id"),
+            (F.col("rejected_id") % 7).alias("loser_id"),
+        ).where(F.col("winner_id") != F.col("loser_id"))
+        strengths = PR.bt_fit(gpairs, n_iter=5)
+        sdf = spark.createDataFrame(
+            [(int(k), float(v)) for k, v in sorted(strengths.items())],
+            "item long, strength double",
+        )
+        return audit.crossJoin(sdf)  # 1 x |generators|: tiny
+
+    def quality_dedup_bench(spark, sf_dir):
+        """Quality-aware survivor selection (dedup.dedup_keep_best) at
+        corpus scale: every document joins its cluster (planted id
+        buckets so the measurement isolates the keep-best aggregate +
+        join, not the upstream LSH already benched via dedup_clusters)
+        and the per-cluster argmax-quality canonical is computed as one
+        map-side-combinable struct max."""
+        from pyspark.sql import functions as F
+
+        from buildkite_logs_parquet_spark.operators.dedup import (
+            dedup_keep_best,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id",
+            ((F.abs(F.xxhash64("text")) % 1000000) / 1000000.0).alias(
+                "quality"
+            ),
+        )
+        clusters = docs.select(
+            "doc_id", F.expr("doc_id div 3").alias("cluster")
+        )
+        return dedup_keep_best(docs, clusters)
+
     return {
+        "x_preference_pairs": preference_bench,
+        "x_quality_dedup": quality_dedup_bench,
         "x_mp3_structure": mp3_structure_bench,
         "x_text_normalize": text_normalize_bench,
         "x_lttb_downsample": lttb_bench,

@@ -1476,3 +1476,70 @@ def cdc_segment_dedup(
             F.transform(kept_segs, lambda s: s["_seg"]), " "
         ).alias("dedup_text"),
     )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware near-dup survivor selection: keep the HIGHEST-
+    quality member of every cluster instead of ``dedup_clusters``'s
+    min-id canonical.  Production pipelines dedup this way round
+    (RefinedWeb/FineWeb-class recipes): near-dup groups usually contain
+    one clean original and N mangled scrapes, and min-id keeps whichever
+    was crawled first, not whichever is best.
+
+    ``docs`` carries ``(id, quality)`` (any score — Gopher, classifier,
+    perplexity-derived); ``clusters`` is ``dedup_clusters`` output or
+    any ``(id, cluster)`` map.  Unclustered ids become singleton
+    clusters of themselves (kept).  Returns ``(id, cluster, quality,
+    is_canonical)``.
+
+    Determinism + scale: the winner is a lexicographic struct ``max``
+    over ``(round(quality·10⁹) as BIGINT, −id)`` — argmax on the 9-dp
+    grid with a min-id tie-break (DETERMINISM rules 4+6), computed as
+    ONE map-side-combinable aggregate per cluster.  No per-cluster sort
+    window: a degenerate million-member cluster costs a combine, not a
+    single-task sort.
+    """
+    q9 = F.round(F.col(quality_col) * 1_000_000_000).cast("long")
+    base = (
+        docs.select(F.col(id_col), F.col(quality_col))
+        .join(
+            clusters.select(F.col(id_col), F.col(cluster_col)),
+            on=id_col,
+            how="left",
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(cluster_col), F.col(id_col)).alias(cluster_col),
+            F.col(quality_col),
+            q9.alias("_q9"),
+        )
+    )
+    best = base.groupBy(cluster_col).agg(
+        F.max(
+            F.struct(
+                F.col("_q9").alias("q9"),
+                (-F.col(id_col)).alias("nid"),
+            )
+        ).alias("_best")
+    )
+    # cluster-keyed equi-join: `best` is one row per CLUSTER (corpus-
+    # sized in the worst case), so it shuffles rather than broadcasts;
+    # AQE re-plans it to broadcast when the cluster count is small
+    return (
+        base.join(best, on=cluster_col)
+        .select(
+            id_col,
+            cluster_col,
+            quality_col,
+            (
+                (F.col("_q9") == F.col("_best.q9"))
+                & (F.col(id_col) == -F.col("_best.nid"))
+            ).alias("is_canonical"),
+        )
+    )

@@ -1,0 +1,301 @@
+"""Preference-data operators: pair construction, dataset audits, and a
+Bradley–Terry strength fit — the RLHF/DPO data-prep tier.
+
+Post-training pipelines consume (prompt, chosen, rejected) PAIRS, not
+scored pools: something has to turn per-response quality scores into
+pairs, audit the resulting dataset for the biases that silently poison a
+reward model (length bias, degenerate margins, duplicated responses),
+and rank the GENERATORS behind the responses (which model/checkpoint/
+temperature wins head-to-heads) without training anything.  This module
+is that layer, Spark-first:
+
+* :func:`make_preference_pairs` — top-vs-bottom score pairing per
+  prompt with deterministic tie-breaks and a minimum-margin gate.  One
+  aggregate over the scored pool (lexicographic struct max/min — no
+  per-prompt window sort), so the shuffle is prompt-keyed and map-side
+  combined: the shape that pairs a 100 TB response pool.
+* :func:`preference_pair_audit` — dataset-level bias counters (length
+  bias, margin distribution, self-pairs) as ONE aggregate row.
+* :func:`bt_fit` — Bradley–Terry strengths via Hunter's (2004) MM
+  update ``s_i ← W_i / Σ_j n_ij/(s_i+s_j)``, the classical convergent
+  fixed point (public derivation; also the Elo/paired-comparison
+  standard).  Distributed per round: the pair relation aggregates
+  per item against broadcast current strengths; driver state is one
+  strength per ITEM (generators — metadata-sized), the same
+  literals-re-enter loop discipline as ``similarity.kmeans_fit`` /
+  ``classifier.lr_train``.  Per-pair terms are rounded to 12 dp and
+  DECIMAL-summed (DETERMINISM.md rule 5) so the fit is layout- and
+  partitioning-independent — pytest pins it against a sequential pure-
+  Python twin exactly, not within a tolerance.
+
+Reference parity note: no counterpart in the reference repo (a log
+parser); this extends the LLM-pipeline tier the project brief mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale for score handling (rule 5: decide on grid values)
+_S9 = 1_000_000_000
+
+
+def make_preference_pairs(
+    scored: DataFrame,
+    prompt_col: str = "prompt_id",
+    response_col: str = "response_id",
+    score_col: str = "score",
+    text_len_col: str | None = None,
+    min_margin: float = 0.0,
+) -> DataFrame:
+    """Build one (chosen, rejected) pair per prompt from a scored
+    response pool: chosen = argmax score (ties toward the LOWER response
+    id), rejected = argmin score (ties toward the HIGHER id) —
+    asymmetric tie-breaks so a fully-tied prompt still yields a valid
+    distinct pair, deterministically, under any layout.  Prompts with
+    fewer than two distinct responses, or whose best-worst margin is
+    below ``min_margin``, produce no pair.
+
+    Scores compare on the 9-dp grid (``round(score·10⁹)`` as BIGINT) so
+    the argmax/argmin — and therefore the training set — cannot flip on
+    a last-ulp float difference between runs or engines (DETERMINISM.md
+    rule 4).  Plan shape: ONE prompt-keyed aggregate (two lexicographic
+    struct extrema, partial-aggregated map-side) — never a per-prompt
+    sort window, so hot prompts with millions of responses cost a
+    combine, not a single-task sort.
+
+    Output: ``(prompt_id, chosen_id, rejected_id, margin9,
+    chosen_len, rejected_len)`` — lengths ride along when
+    ``text_len_col`` is given (for :func:`preference_pair_audit`).
+    """
+    s9 = F.round(F.col(score_col) * _S9).cast("long")
+    ln = (
+        F.col(text_len_col).cast("long")
+        if text_len_col
+        else F.lit(None).cast("long")
+    )
+    row = scored.select(
+        F.col(prompt_col),
+        s9.alias("_s9"),
+        F.col(response_col).cast("long").alias("_rid"),
+        ln.alias("_len"),
+    )
+    # lexicographic struct extrema on (score, −id): max picks (highest
+    # score, then LOWEST id); min picks (lowest score, then HIGHEST id)
+    # — the asymmetry guarantees chosen ≠ rejected whenever the prompt
+    # has ≥ 2 distinct responses, even under a full score tie
+    ext = F.struct(
+        F.col("_s9").alias("s9"),
+        (-F.col("_rid")).alias("nid"),
+        F.col("_len").alias("len"),
+    )
+    best = F.max(ext).alias("_best")
+    worst = F.min(ext).alias("_worst")
+    agg = row.groupBy(prompt_col).agg(
+        best, worst, F.count_distinct("_rid").alias("_n")
+    )
+    m9 = F.col("_best.s9") - F.col("_worst.s9")
+    return (
+        agg.where(
+            (F.col("_n") >= 2)
+            & (m9 >= int(round(float(min_margin) * _S9)))
+            # belt over the asymmetric tie-break: never emit a self-pair
+            & (F.col("_best.nid") != F.col("_worst.nid"))
+        )
+        .select(
+            F.col(prompt_col),
+            (-F.col("_best.nid")).alias("chosen_id"),
+            (-F.col("_worst.nid")).alias("rejected_id"),
+            m9.alias("margin9"),
+            F.col("_best.len").alias("chosen_len"),
+            F.col("_worst.len").alias("rejected_len"),
+        )
+    )
+
+
+def preference_pair_audit(pairs: DataFrame) -> DataFrame:
+    """Dataset-level bias counters for a preference set, as ONE row:
+
+    * ``n_pairs``;
+    * ``n_chosen_longer`` / ``n_rejected_longer`` / ``n_len_tied`` —
+      a reward model trained on a length-skewed set learns "longer is
+      better" instead of quality (the classic verbosity bias);
+    * ``n_zero_margin`` / ``margin9_p50-ish exact mean`` — degenerate
+      near-tie pairs teach noise;
+    * ``n_dup_chosen`` — distinct chosen responses vs pairs: a handful
+      of star responses chosen everywhere collapses diversity.
+
+    All counters are exact integers from one aggregate (plus one
+    distinct count); mean margin is the exact integer pair
+    ``(sum_margin9, n_pairs)`` so no float division enters the artifact.
+    """
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(
+            (F.col("chosen_len") > F.col("rejected_len")).cast("long")
+        ).alias("n_chosen_longer"),
+        F.sum(
+            (F.col("chosen_len") < F.col("rejected_len")).cast("long")
+        ).alias("n_rejected_longer"),
+        F.sum(
+            (F.col("chosen_len") == F.col("rejected_len")).cast("long")
+        ).alias("n_len_tied"),
+        F.sum((F.col("margin9") == 0).cast("long")).alias("n_zero_margin"),
+        F.sum(F.col("margin9").cast("decimal(38,0)")).alias("sum_margin9"),
+        F.count_distinct("chosen_id").alias("n_distinct_chosen"),
+    )
+
+
+def _bt_round_terms(
+    pairs: DataFrame, strengths: dict[int, float]
+) -> DataFrame:
+    """Per-item MM-update aggregates for one round: wins ``W_i`` and the
+    decimal-summed denominator ``Σ_j n_ij/(s_i+s_j)`` (terms rounded to
+    12 dp before the sum — rule 5 — so the round is order-independent)."""
+    spark = pairs.sparkSession
+    sdf = F.broadcast(
+        spark.createDataFrame(
+            [(int(k), float(v)) for k, v in sorted(strengths.items())],
+            "item long, s double",
+        )
+    )
+    # one row per (pair, side): item, win flag, opponent strength
+    sided = pairs.select(
+        F.col("winner_id").alias("item"),
+        F.lit(1).alias("win"),
+        F.col("loser_id").alias("opp"),
+    ).unionByName(
+        pairs.select(
+            F.col("loser_id").alias("item"),
+            F.lit(0).alias("win"),
+            F.col("winner_id").alias("opp"),
+        )
+    )
+    j = (
+        sided.join(sdf.withColumnRenamed("item", "opp_"), sided.opp == F.col("opp_"))
+        .withColumnRenamed("s", "s_opp")
+        .drop("opp_")
+        .join(sdf, on="item")
+    )
+    term = F.round(F.lit(1.0) / (F.col("s") + F.col("s_opp")), 12).cast(
+        "decimal(28,12)"
+    )
+    return j.groupBy("item").agg(
+        F.sum("win").alias("wins"),
+        F.sum(term).alias("denom"),
+    )
+
+
+def bt_fit(
+    pairs: DataFrame,
+    n_iter: int = 20,
+    tol: float = 1e-9,
+) -> dict[int, float]:
+    """Bradley–Terry strengths from a ``(winner_id, loser_id)`` pair
+    relation via Hunter's MM fixed point, geometric-mean-normalized each
+    round (the BT likelihood is scale-invariant; without renormalizing,
+    strengths drift).  Items that never lose get the +/-inf-free
+    treatment for free: their denominator is finite because every
+    appearance contributes a term.
+
+    Driver state = one float per ITEM (generators/checkpoints — \
+    metadata-sized); each round is one broadcast join + one item-keyed
+    aggregate over the pair relation.  Returns ``{item: strength}``.
+
+    Determinism: per-round terms are 12-dp rounded then DECIMAL-summed,
+    and the update arithmetic runs in driver Python floats from those
+    exact decimals — bit-identical across layouts and partitionings
+    (pinned by the pure-Python-twin test)."""
+    from pyspark import StorageLevel
+
+    # every MM round re-aggregates the pair relation, whose lineage can
+    # be an arbitrarily expensive upstream (make_preference_pairs over a
+    # scored pool): persist ONCE so rounds read cached rows — the same
+    # persist_input discipline as classifier.lr_train (and the same
+    # lesson as webgraph's round-6 per-round-recompute fix)
+    pairs = pairs.select("winner_id", "loser_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        return _bt_loop(pairs, n_iter, tol)
+    finally:
+        pairs.unpersist()
+
+
+def _bt_loop(pairs: DataFrame, n_iter: int, tol: float) -> dict[int, float]:
+    items = sorted(
+        r["i"]
+        for r in pairs.select(F.col("winner_id").alias("i"))
+        .unionByName(pairs.select(F.col("loser_id").alias("i")))
+        .distinct()
+        .collect()  # bounded: the generator/model universe
+    )
+    if not items:
+        return {}
+    strengths = {int(i): 1.0 for i in items}
+    for _ in range(n_iter):
+        rows = _bt_round_terms(pairs, strengths).collect()  # ≤ |items|
+        by_item = {int(r["item"]): r for r in rows}
+        new: dict[int, float] = {}
+        for i in items:
+            r = by_item.get(int(i))
+            if r is None or float(r["denom"]) == 0.0:
+                new[int(i)] = strengths[int(i)]
+                continue
+            wins = int(r["wins"])
+            # never-winning items go to 0 under raw MM; floor at a tiny
+            # positive mass so log-ratios stay finite
+            new[int(i)] = max(wins, 1e-6) / float(r["denom"])
+        # geometric-mean normalization, in a FIXED (sorted) order so the
+        # float product is reproducible
+        import math
+
+        log_gm = sum(math.log(new[int(i)]) for i in items) / len(items)
+        scale = math.exp(-log_gm)
+        new = {k: v * scale for k, v in new.items()}
+        delta = max(abs(new[int(i)] - strengths[int(i)]) for i in items)
+        strengths = new
+        if delta <= tol:
+            break
+    return strengths
+
+
+def bt_fit_py(
+    pair_list: list[tuple[int, int]], n_iter: int = 20, tol: float = 1e-9
+) -> dict[int, float]:
+    """Sequential pure-Python twin of :func:`bt_fit` (same 12-dp
+    round-then-sum, same fixed-order normalization) — the equivalence
+    oracle for tests."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    items = sorted({i for p in pair_list for i in p})
+    if not items:
+        return {}
+    strengths = {i: 1.0 for i in items}
+    for _ in range(n_iter):
+        wins = {i: 0 for i in items}
+        denom = {i: Decimal(0) for i in items}
+        q = Decimal(1).scaleb(-12)
+        for w, l in pair_list:
+            t = Decimal(repr(1.0 / (strengths[w] + strengths[l]))).quantize(
+                q, rounding=ROUND_HALF_UP
+            )
+            wins[w] += 1
+            denom[w] += t
+            denom[l] += t
+        new = {}
+        for i in items:
+            if denom[i] == 0:
+                new[i] = strengths[i]
+            else:
+                new[i] = max(wins[i], 1e-6) / float(denom[i])
+        log_gm = sum(math.log(new[i]) for i in items) / len(items)
+        scale = math.exp(-log_gm)
+        new = {k: v * scale for k, v in new.items()}
+        delta = max(abs(new[i] - strengths[i]) for i in items)
+        strengths = new
+        if delta <= tol:
+            break
+    return strengths

@@ -1,0 +1,227 @@
+"""Preference-data tier (operators/preference.py) + quality-aware
+survivor selection (dedup.dedup_keep_best)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from buildkite_logs_parquet_spark.operators.preference import (
+    bt_fit,
+    bt_fit_py,
+    make_preference_pairs,
+    preference_pair_audit,
+)
+
+
+def _scored(spark, rows):
+    return spark.createDataFrame(
+        rows, "prompt_id long, response_id long, score double, n_chars long"
+    )
+
+
+class TestMakePreferencePairs:
+    def test_top_vs_bottom_with_tie_breaks(self, spark):
+        rows = [
+            # prompt 1: clear best/worst
+            (1, 10, 0.9, 100),
+            (1, 11, 0.2, 50),
+            (1, 12, 0.5, 70),
+            # prompt 2: score tie at the top -> lower id chosen
+            (2, 20, 0.8, 10),
+            (2, 21, 0.8, 20),
+            (2, 22, 0.1, 30),
+            # prompt 3: single response -> no pair
+            (3, 30, 0.7, 40),
+        ]
+        out = {
+            r["prompt_id"]: r
+            for r in make_preference_pairs(
+                _scored(spark, rows), text_len_col="n_chars"
+            ).collect()
+        }
+        assert set(out) == {1, 2}
+        assert (out[1]["chosen_id"], out[1]["rejected_id"]) == (10, 11)
+        assert out[1]["margin9"] == 700_000_000
+        assert (out[1]["chosen_len"], out[1]["rejected_len"]) == (100, 50)
+        assert (out[2]["chosen_id"], out[2]["rejected_id"]) == (20, 22)
+
+    def test_min_margin_gate_and_self_pair_exclusion(self, spark):
+        rows = [
+            (1, 10, 0.50, 5), (1, 11, 0.45, 5),   # margin 0.05
+            (2, 20, 0.50, 5), (2, 21, 0.50, 5),   # margin 0 (tie)
+            (3, 30, 0.90, 5), (3, 31, 0.10, 5),   # margin 0.8
+        ]
+        df = _scored(spark, rows)
+        got = {
+            r["prompt_id"]
+            for r in make_preference_pairs(
+                df, text_len_col="n_chars", min_margin=0.1
+            ).collect()
+        }
+        assert got == {3}
+        # margin 0 pairs ARE emitted without the gate (distinct ids,
+        # deterministic chosen = lower id) — but never a self-pair
+        loose = {
+            r["prompt_id"]: r
+            for r in make_preference_pairs(df, text_len_col="n_chars").collect()
+        }
+        assert set(loose) == {1, 2, 3}
+        assert (loose[2]["chosen_id"], loose[2]["rejected_id"]) == (20, 21)
+
+    def test_layout_independent(self, spark):
+        import random
+
+        rng = random.Random(5)
+        rows = [
+            (p, p * 100 + r, round(rng.random(), 6), rng.randrange(10, 500))
+            for p in range(30)
+            for r in range(rng.randrange(2, 8))
+        ]
+        a = make_preference_pairs(
+            _scored(spark, rows), text_len_col="n_chars"
+        ).collect()
+        b = make_preference_pairs(
+            _scored(spark, rows).repartition(13, "response_id"),
+            text_len_col="n_chars",
+        ).collect()
+        key = lambda r: r["prompt_id"]
+        assert sorted(map(tuple, a), key=lambda t: t[0]) == sorted(
+            map(tuple, b), key=lambda t: t[0]
+        )
+
+    def test_no_sort_window_in_plan(self, spark):
+        df = make_preference_pairs(
+            _scored(spark, [(1, 10, 0.5, 5), (1, 11, 0.4, 6)]),
+            text_len_col="n_chars",
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan  # struct-extrema aggregate, not a sort
+
+
+class TestAudit:
+    def test_counters(self, spark):
+        rows = [
+            (1, 10, 0.9, 100), (1, 11, 0.1, 10),   # chosen longer
+            (2, 20, 0.8, 10), (2, 21, 0.2, 100),   # rejected longer
+            (3, 30, 0.5, 7), (3, 31, 0.5, 7),      # tie, zero margin
+        ]
+        pairs = make_preference_pairs(_scored(spark, rows), text_len_col="n_chars")
+        a = preference_pair_audit(pairs).first()
+        assert a["n_pairs"] == 3
+        assert a["n_chosen_longer"] == 1
+        assert a["n_rejected_longer"] == 1
+        assert a["n_len_tied"] == 1
+        assert a["n_zero_margin"] == 1
+        assert a["n_distinct_chosen"] == 3
+        assert int(a["sum_margin9"]) == 800_000_000 + 600_000_000
+
+
+class TestBTFit:
+    def _pairs_df(self, spark, pair_list):
+        return spark.createDataFrame(
+            pair_list, "winner_id long, loser_id long"
+        )
+
+    def test_recovers_ordering_and_matches_python_twin_exactly(self, spark):
+        import random
+
+        rng = random.Random(11)
+        # ground truth: item i has strength ~ (i+1); simulate wins
+        true = {0: 1.0, 1: 2.0, 2: 4.0, 3: 8.0}
+        pair_list = []
+        items = list(true)
+        for _ in range(400):
+            a, b = rng.sample(items, 2)
+            pa = true[a] / (true[a] + true[b])
+            w, l = (a, b) if rng.random() < pa else (b, a)
+            pair_list.append((w, l))
+        got = bt_fit(self._pairs_df(spark, pair_list), n_iter=25)
+        ref = bt_fit_py(pair_list, n_iter=25)
+        assert got == ref  # EXACT — decimal-summed terms, fixed-order norm
+        # strength ordering recovered
+        order = sorted(got, key=got.get)
+        assert order == [0, 1, 2, 3]
+
+    def test_layout_independent(self, spark):
+        pair_list = [(1, 2), (2, 3), (1, 3), (3, 1), (1, 2), (2, 1)]
+        a = bt_fit(self._pairs_df(spark, pair_list), n_iter=10)
+        b = bt_fit(
+            self._pairs_df(spark, pair_list).repartition(7), n_iter=10
+        )
+        assert a == b
+
+    def test_never_loses_and_never_wins_stay_finite(self, spark):
+        pair_list = [(1, 2), (1, 2), (1, 3), (3, 2)]
+        got = bt_fit(self._pairs_df(spark, pair_list), n_iter=15)
+        assert all(v > 0 for v in got.values())
+        assert got[1] > got[3] > got[2]
+
+    def test_empty(self, spark):
+        assert bt_fit(self._pairs_df(spark, []), n_iter=3) == {}
+
+
+class TestDedupKeepBest:
+    def test_best_survives_min_id_breaks_ties(self, spark):
+        from buildkite_logs_parquet_spark.operators.dedup import (
+            dedup_keep_best,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, 0.2), (2, 0.9), (3, 0.9),   # cluster A: tie 2 vs 3
+                (4, 0.1),                        # cluster B singleton map
+                (5, 0.7),                        # unclustered -> singleton
+            ],
+            "doc_id long, quality double",
+        )
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (4, 4)], "doc_id long, cluster long"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dedup_keep_best(docs, clusters).collect()
+        }
+        assert len(out) == 5
+        kept = sorted(k for k, r in out.items() if r["is_canonical"])
+        assert kept == [2, 4, 5]  # 2 beats 3 on the id tie-break
+        assert out[1]["cluster"] == 1 and not out[1]["is_canonical"]
+
+    def test_one_survivor_per_cluster_always(self, spark):
+        import random
+
+        from buildkite_logs_parquet_spark.operators.dedup import (
+            dedup_keep_best,
+        )
+
+        rng = random.Random(3)
+        docs = spark.createDataFrame(
+            [(i, round(rng.random(), 3)) for i in range(200)],
+            "doc_id long, quality double",
+        )
+        clusters = spark.createDataFrame(
+            [(i, i % 17) for i in range(150)], "doc_id long, cluster long"
+        )
+        out = dedup_keep_best(docs, clusters)
+        per = (
+            out.groupBy("cluster")
+            .agg(F.sum(F.col("is_canonical").cast("long")).alias("k"))
+            .collect()
+        )
+        assert all(r["k"] == 1 for r in per)
+        assert out.count() == 200
+
+    def test_no_sort_window_in_plan(self, spark):
+        from buildkite_logs_parquet_spark.operators.dedup import (
+            dedup_keep_best,
+        )
+
+        docs = spark.createDataFrame([(1, 0.5)], "doc_id long, quality double")
+        clusters = spark.createDataFrame([(1, 1)], "doc_id long, cluster long")
+        plan = (
+            dedup_keep_best(docs, clusters)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Window" not in plan
