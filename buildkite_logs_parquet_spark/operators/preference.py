@@ -299,3 +299,38 @@ def bt_fit_py(
         if delta <= tol:
             break
     return strengths
+
+
+def attach_pair_texts(
+    pairs: DataFrame,
+    responses: DataFrame,
+    response_col: str = "response_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize DPO-ready records from id pairs: two equi-joins back
+    to the response pool turn ``(prompt_id, chosen_id, rejected_id)``
+    into ``(…, chosen_text, rejected_text)`` — the exact shape a
+    DPO/RLHF trainer ingests.
+
+    Plan shape: the pair relation (one row per prompt) is usually the
+    small side; both joins key on the response id so they co-locate on
+    one exchange of the pool when AQE doesn't broadcast.  No row
+    explosion: each join is 1:1 by construction (ids came from the same
+    pool)."""
+    resp = responses.select(
+        F.col(response_col).alias("_rid"), F.col(text_col).alias("_text")
+    )
+    return (
+        pairs.join(
+            resp.withColumnRenamed("_rid", "chosen_id").withColumnRenamed(
+                "_text", "chosen_text"
+            ),
+            on="chosen_id",
+        )
+        .join(
+            resp.withColumnRenamed("_rid", "rejected_id").withColumnRenamed(
+                "_text", "rejected_text"
+            ),
+            on="rejected_id",
+        )
+    )

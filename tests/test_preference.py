@@ -225,3 +225,28 @@ class TestDedupKeepBest:
             .toString()
         )
         assert "Window" not in plan
+
+
+class TestAttachPairTexts:
+    def test_dpo_records(self, spark):
+        from buildkite_logs_parquet_spark.operators.preference import (
+            attach_pair_texts,
+        )
+
+        rows = [
+            (1, 10, 0.9, 3), (1, 11, 0.1, 3),
+            (2, 20, 0.8, 3), (2, 21, 0.3, 3),
+        ]
+        pool = spark.createDataFrame(
+            [(rid, f"resp-{rid}") for _, rid, _, _ in rows],
+            "response_id long, text string",
+        )
+        pairs = make_preference_pairs(_scored(spark, rows), text_len_col="n_chars")
+        out = {
+            r["prompt_id"]: r
+            for r in attach_pair_texts(pairs, pool).collect()
+        }
+        assert out[1]["chosen_text"] == "resp-10"
+        assert out[1]["rejected_text"] == "resp-11"
+        assert out[2]["chosen_text"] == "resp-20"
+        assert len(out) == 2
