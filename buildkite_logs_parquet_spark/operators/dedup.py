@@ -1485,61 +1485,49 @@ def dedup_keep_best(
     cluster_col: str = "cluster",
     quality_col: str = "quality",
 ) -> DataFrame:
-    """Quality-aware near-dup survivor selection: keep the HIGHEST-
-    quality member of every cluster instead of ``dedup_clusters``'s
-    min-id canonical.  Production pipelines dedup this way round
-    (RefinedWeb/FineWeb-class recipes): near-dup groups usually contain
-    one clean original and N mangled scrapes, and min-id keeps whichever
-    was crawled first, not whichever is best.
+    """Quality-aware near-dup survivor selection over a PARTIAL cluster
+    map: keep the HIGHEST-quality member of every cluster instead of
+    ``dedup_clusters``'s min-id canonical (RefinedWeb/FineWeb-class
+    recipes: near-dup groups keep the cleanest member, not the
+    first-crawled), with ids absent from ``clusters`` kept as singleton
+    clusters of themselves.
 
-    ``docs`` carries ``(id, quality)`` (any score — Gopher, classifier,
-    perplexity-derived); ``clusters`` is ``dedup_clusters`` output or
-    any ``(id, cluster)`` map.  Unclustered ids become singleton
-    clusters of themselves (kept).  Returns ``(id, cluster, quality,
-    is_canonical)``.
+    Thin composition over ``graph.cluster_representatives`` (the
+    per-cluster argmax aggregate — 9-dp score grid, min-id ties,
+    NULL-score hardening all live THERE, one implementation): this
+    wrapper only splits clustered from unclustered rows.  The split is
+    load-bearing for correctness, not just convenience: a
+    ``coalesce(cluster, id)`` singleton fallback would COLLIDE when
+    cluster labels are not drawn from the doc-id namespace (an
+    unclustered doc whose id equals a cluster label would join that
+    cluster and could steal its canonical slot); unclustered rows here
+    never enter the aggregate at all.
 
-    Determinism + scale: the winner is a lexicographic struct ``max``
-    over ``(round(quality·10⁹) as BIGINT, −id)`` — argmax on the 9-dp
-    grid with a min-id tie-break (DETERMINISM rules 4+6), computed as
-    ONE map-side-combinable aggregate per cluster.  No per-cluster sort
-    window: a degenerate million-member cluster costs a combine, not a
-    single-task sort.
+    Returns ``(id, cluster, quality, is_canonical)``; exactly one
+    canonical row per cluster plus every singleton.
     """
-    q9 = F.round(F.col(quality_col) * 1_000_000_000).cast("long")
-    base = (
+    from buildkite_logs_parquet_spark.operators.graph import (
+        cluster_representatives,
+    )
+
+    cl = clusters.select(F.col(id_col), F.col(cluster_col))
+    clustered = docs.select(F.col(id_col), F.col(quality_col)).join(
+        cl, on=id_col, how="inner"
+    )
+    flagged = cluster_representatives(
+        clustered, id_col=id_col, cluster_col=cluster_col,
+        score_col=quality_col,
+    ).withColumnRenamed("is_representative", "is_canonical")
+    singletons = (
         docs.select(F.col(id_col), F.col(quality_col))
-        .join(
-            clusters.select(F.col(id_col), F.col(cluster_col)),
-            on=id_col,
-            how="left",
-        )
+        .join(cl.select(id_col), on=id_col, how="left_anti")
         .select(
             F.col(id_col),
-            F.coalesce(F.col(cluster_col), F.col(id_col)).alias(cluster_col),
+            F.col(id_col).alias(cluster_col),
             F.col(quality_col),
-            q9.alias("_q9"),
+            F.lit(True).alias("is_canonical"),
         )
     )
-    best = base.groupBy(cluster_col).agg(
-        F.max(
-            F.struct(
-                F.col("_q9").alias("q9"),
-                (-F.col(id_col)).alias("nid"),
-            )
-        ).alias("_best")
-    )
-    # cluster-keyed equi-join: `best` is one row per CLUSTER (corpus-
-    # sized in the worst case), so it shuffles rather than broadcasts;
-    # AQE re-plans it to broadcast when the cluster count is small
-    return (
-        base.join(best, on=cluster_col)
-        .select(
-            id_col,
-            cluster_col,
-            quality_col,
-            (
-                (F.col("_q9") == F.col("_best.q9"))
-                & (F.col(id_col) == -F.col("_best.nid"))
-            ).alias("is_canonical"),
-        )
-    )
+    return flagged.select(
+        id_col, cluster_col, quality_col, "is_canonical"
+    ).unionByName(singletons)

@@ -245,10 +245,22 @@ def cluster_representatives(
     partials, map-side combine) + a rejoin on the same key — the
     aggregate output is one row per cluster, and AQE plans the rejoin
     against it as broadcast when small.
+
+    Determinism + NULL hardening (round 6): the score compares on the
+    9-dp grid (``round(score·10⁹)`` as BIGINT — DETERMINISM.md rule 4,
+    so the survivor cannot flip on a last-ulp float difference across
+    runs/layouts), and NULL scores coalesce to the grid minimum so a
+    NULL-scored member loses to any scored one while an all-NULL
+    cluster still keeps exactly its min-id member (previously a raw
+    float ``max_by`` whose NULL semantics were engine-defined).
     """
+    q9 = F.coalesce(
+        F.round(F.col(score_col) * 1_000_000_000).cast("long"),
+        F.lit(-(2**63) + 1).cast("long"),
+    )
     best = labeled.groupBy(cluster_col).agg(
         F.max_by(
-            F.col(id_col), F.struct(F.col(score_col), (-F.col(id_col)))
+            F.col(id_col), F.struct(q9.alias("q9"), (-F.col(id_col)).alias("nid"))
         ).alias("_rep")
     )
     return (

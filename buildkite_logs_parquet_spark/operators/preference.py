@@ -60,10 +60,14 @@ def make_preference_pairs(
     Scores compare on the 9-dp grid (``round(score·10⁹)`` as BIGINT) so
     the argmax/argmin — and therefore the training set — cannot flip on
     a last-ulp float difference between runs or engines (DETERMINISM.md
-    rule 4).  Plan shape: ONE prompt-keyed aggregate (two lexicographic
-    struct extrema, partial-aggregated map-side) — never a per-prompt
-    sort window, so hot prompts with millions of responses cost a
-    combine, not a single-task sort.
+    rule 4).  NULL-scored rows are dropped up front (a sparse scorer
+    failure must cost the failed RESPONSE, never the whole prompt), and
+    duplicate rows for one response collapse to that response's best
+    score first — so re-scored pools unioned without dedup still pair
+    correctly.  Plan shape: a per-(prompt, response) combine then the
+    prompt-keyed struct-extrema aggregate, both partial-aggregated
+    map-side — never a per-prompt sort window, so hot prompts with
+    millions of responses cost a combine, not a single-task sort.
 
     Output: ``(prompt_id, chosen_id, rejected_id, margin9,
     chosen_len, rejected_len)`` — lengths ride along when
@@ -75,11 +79,26 @@ def make_preference_pairs(
         if text_len_col
         else F.lit(None).cast("long")
     )
-    row = scored.select(
-        F.col(prompt_col),
-        s9.alias("_s9"),
-        F.col(response_col).cast("long").alias("_rid"),
-        ln.alias("_len"),
+    row = (
+        scored.where(F.col(score_col).isNotNull())
+        .select(
+            F.col(prompt_col),
+            s9.alias("_s9"),
+            F.col(response_col).cast("long").alias("_rid"),
+            ln.alias("_len"),
+        )
+        # collapse duplicate scorings of one response to its best score
+        # (max_by keeps that scoring's length); without this, a response
+        # spanning BOTH extrema silently dropped its prompt
+        .groupBy(prompt_col, "_rid")
+        .agg(
+            F.max("_s9").alias("_s9"),
+            # tie-break the carried length on (score, len) so equal-score
+            # duplicate rows still collapse deterministically
+            F.max_by(
+                "_len", F.struct(F.col("_s9"), F.col("_len"))
+            ).alias("_len"),
+        )
     )
     # lexicographic struct extrema on (score, −id): max picks (highest
     # score, then LOWEST id); min picks (lowest score, then HIGHEST id)
@@ -92,16 +111,16 @@ def make_preference_pairs(
     )
     best = F.max(ext).alias("_best")
     worst = F.min(ext).alias("_worst")
-    agg = row.groupBy(prompt_col).agg(
-        best, worst, F.count_distinct("_rid").alias("_n")
-    )
+    agg = row.groupBy(prompt_col).agg(best, worst)
     m9 = F.col("_best.s9") - F.col("_worst.s9")
     return (
         agg.where(
-            (F.col("_n") >= 2)
+            # distinct extrema ⟺ ≥ 2 distinct responses (rows are
+            # per-response after the collapse above) — an explicit
+            # count_distinct here would force a second, distinct
+            # aggregation phase over the pool for zero extra signal
+            (F.col("_best.nid") != F.col("_worst.nid"))
             & (m9 >= int(round(float(min_margin) * _S9)))
-            # belt over the asymmetric tie-break: never emit a self-pair
-            & (F.col("_best.nid") != F.col("_worst.nid"))
         )
         .select(
             F.col(prompt_col),
@@ -127,22 +146,31 @@ def preference_pair_audit(pairs: DataFrame) -> DataFrame:
       of star responses chosen everywhere collapses diversity.
 
     All counters are exact integers from one aggregate (plus one
-    distinct count); mean margin is the exact integer pair
-    ``(sum_margin9, n_pairs)`` so no float division enters the artifact.
+    distinct count), NEVER NULL: empty pair sets report zeros (the
+    repo's sum-over-empty coalesce convention), and the three length
+    counters count only pairs where BOTH lengths are known (pairs built
+    without ``text_len_col`` contribute to none of them).  Mean margin
+    is the exact integer pair ``(sum_margin9, n_pairs)`` so no float
+    division enters the artifact.
     """
+
+    def _n(col):
+        return F.coalesce(F.sum(col.cast("long")), F.lit(0).cast("long"))
+
     return pairs.agg(
         F.count("*").alias("n_pairs"),
-        F.sum(
-            (F.col("chosen_len") > F.col("rejected_len")).cast("long")
-        ).alias("n_chosen_longer"),
-        F.sum(
-            (F.col("chosen_len") < F.col("rejected_len")).cast("long")
-        ).alias("n_rejected_longer"),
-        F.sum(
-            (F.col("chosen_len") == F.col("rejected_len")).cast("long")
-        ).alias("n_len_tied"),
-        F.sum((F.col("margin9") == 0).cast("long")).alias("n_zero_margin"),
-        F.sum(F.col("margin9").cast("decimal(38,0)")).alias("sum_margin9"),
+        _n(F.col("chosen_len") > F.col("rejected_len")).alias(
+            "n_chosen_longer"
+        ),
+        _n(F.col("chosen_len") < F.col("rejected_len")).alias(
+            "n_rejected_longer"
+        ),
+        _n(F.col("chosen_len") == F.col("rejected_len")).alias("n_len_tied"),
+        _n(F.col("margin9") == 0).alias("n_zero_margin"),
+        F.coalesce(
+            F.sum(F.col("margin9").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("sum_margin9"),
         F.count_distinct("chosen_id").alias("n_distinct_chosen"),
     )
 

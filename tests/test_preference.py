@@ -250,3 +250,99 @@ class TestAttachPairTexts:
         assert out[1]["rejected_text"] == "resp-11"
         assert out[2]["chosen_text"] == "resp-20"
         assert len(out) == 2
+
+
+class TestReviewHardening:
+    """Round-6 second-review regressions: NULL handling, duplicate
+    scorings, cluster-label namespace collisions."""
+
+    def test_null_score_costs_the_response_not_the_prompt(self, spark):
+        rows = [
+            (1, 10, 0.9, 5), (1, 11, 0.8, 5), (1, 12, None, 5),
+        ]
+        df = spark.createDataFrame(
+            rows, "prompt_id long, response_id long, score double, n_chars long"
+        )
+        out = make_preference_pairs(df, text_len_col="n_chars").collect()
+        assert len(out) == 1
+        assert (out[0]["chosen_id"], out[0]["rejected_id"]) == (10, 11)
+
+    def test_duplicate_scorings_collapse_per_response(self, spark):
+        # response 10 scored twice spanning BOTH extremes: must pair
+        # 10 (best 0.9) against 11, not silently drop the prompt
+        rows = [(1, 10, 0.9, 5), (1, 10, 0.1, 5), (1, 11, 0.5, 5)]
+        df = spark.createDataFrame(
+            rows, "prompt_id long, response_id long, score double, n_chars long"
+        )
+        out = make_preference_pairs(df, text_len_col="n_chars").collect()
+        assert len(out) == 1
+        assert (out[0]["chosen_id"], out[0]["rejected_id"]) == (10, 11)
+        assert out[0]["margin9"] == 400_000_000
+
+    def test_audit_zero_not_null_on_empty_and_lenless(self, spark):
+        empty = make_preference_pairs(
+            _scored(spark, [(1, 10, 0.5, 5)]), text_len_col="n_chars"
+        )
+        a = preference_pair_audit(empty).first()
+        assert a["n_pairs"] == 0
+        for c in ("n_chosen_longer", "n_rejected_longer", "n_len_tied",
+                  "n_zero_margin"):
+            assert a[c] == 0, c
+        assert int(a["sum_margin9"]) == 0
+        # pairs built WITHOUT lengths: length counters are 0, not NULL
+        nolen = make_preference_pairs(
+            _scored(spark, [(1, 10, 0.9, 5), (1, 11, 0.1, 5)])
+        )
+        b = preference_pair_audit(nolen).first()
+        assert b["n_pairs"] == 1
+        assert (b["n_chosen_longer"], b["n_len_tied"]) == (0, 0)
+
+    def test_no_distinct_aggregate_phase_in_plan(self, spark):
+        df = make_preference_pairs(
+            _scored(spark, [(1, 10, 0.5, 5), (1, 11, 0.4, 6)]),
+            text_len_col="n_chars",
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" not in plan  # count_distinct would add one
+
+    def test_keep_best_cluster_label_namespace_collision(self, spark):
+        # cluster LABEL 7 is not a doc id; doc 7 is unclustered.  A
+        # coalesce(cluster, id) fallback would pull doc 7 into cluster 7
+        # and let it steal the canonical slot from doc 1.
+        from buildkite_logs_parquet_spark.operators.dedup import (
+            dedup_keep_best,
+        )
+
+        docs = spark.createDataFrame(
+            [(7, 0.99), (1, 0.9), (2, 0.5)], "doc_id long, quality double"
+        )
+        clusters = spark.createDataFrame(
+            [(1, 7), (2, 7)], "doc_id long, cluster long"
+        )
+        out = {r["doc_id"]: r for r in dedup_keep_best(docs, clusters).collect()}
+        assert out[7]["is_canonical"] and out[7]["cluster"] == 7  # singleton
+        assert out[1]["is_canonical"]  # true best of cluster {1, 2}
+        assert not out[2]["is_canonical"]
+
+    def test_keep_best_all_null_quality_keeps_min_id(self, spark):
+        from buildkite_logs_parquet_spark.operators.dedup import (
+            dedup_keep_best,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, None), (2, None), (3, 0.4)], "doc_id long, quality double"
+        )
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster long"
+        )
+        out = {r["doc_id"]: r for r in dedup_keep_best(docs, clusters).collect()}
+        # scored member beats NULL members; all-NULL falls back to min id
+        assert [k for k, r in sorted(out.items()) if r["is_canonical"]] == [3]
+        docs2 = spark.createDataFrame(
+            [(5, None), (4, None)], "doc_id long, quality double"
+        )
+        clusters2 = spark.createDataFrame(
+            [(4, 1), (5, 1)], "doc_id long, cluster long"
+        )
+        out2 = {r["doc_id"]: r for r in dedup_keep_best(docs2, clusters2).collect()}
+        assert [k for k, r in sorted(out2.items()) if r["is_canonical"]] == [4]
