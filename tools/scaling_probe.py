@@ -57,6 +57,8 @@ PROBES = [
     ("webgraph_rank", "documents planted-URL host graph, 2 exact PR rounds", 10),
     ("crawl_bitext", "documents (robots audit + bitext mining)", 10),
     ("x_mp3_structure", "embeddings ids x 16 40-frame MP3 streams", 10),
+    ("x_preference_pairs", "documents as scored pool -> pairs -> 5 BT rounds", 10),
+    ("x_quality_dedup", "documents x planted clusters, keep-best survivor", 10),
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
