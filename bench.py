@@ -1128,7 +1128,65 @@ def _extra_ops():
         )
         return dedup_keep_best(docs, clusters)
 
+    _h264_fixture: dict = {}
+
+    def video_structure_bench(spark, sf_dir):
+        """H.264/MP4 structure decode at scale: 8 Annex-B streams (SPS +
+        PPS + 30 slices with IDRs every 5) and 8 MP4s (60-sample tables
+        across stsc runs), driver-built once from the codecs' own
+        serializers, replicated across embeddings ids; measures the NAL
+        walk + SPS parse + sample-table resolution + split-point
+        projection inside mapInPandas."""
+        from pyspark.sql import functions as F
+
+        from buildkite_logs_parquet_spark.functions import h264_codec as H
+        from buildkite_logs_parquet_spark.functions import mp4_box as M4
+        from buildkite_logs_parquet_spark.functions.mp3_codec import BitWriter
+        from buildkite_logs_parquet_spark.operators import multimodal as M
+
+        if "payloads" not in _h264_fixture:
+            payloads = []
+            for j in range(8):
+                sps = H.SPS(
+                    profile_idc=100, pic_width_in_mbs=8 + j,
+                    pic_height_in_map_units=6 + j, crop=(0, 0, 0, 2),
+                )
+                w = BitWriter()
+                H.write_ue(w, 0)
+                H.write_ue(w, 7)
+                H.write_ue(w, 0)
+                w.write(1, 1)
+                idr = w.to_bytes() + bytes([j]) * 40
+                units = [(3, 7, H.write_sps(sps)), (3, 8, b"\x08")]
+                for i in range(30):
+                    units.append((3, 5, idr) if i % 5 == 0 else (2, 1, idr))
+                payloads.append((2 * j, bytearray(H.build_annexb_stream(units))))
+                sizes = [20 + ((i * 7 + j) % 50) for i in range(60)]
+                mp4 = M4.build_minimal_mp4(
+                    sample_sizes=sizes,
+                    samples_per_chunk=[(1, 4), (6, 8)],
+                    chunk_offsets=[1000 + 4000 * c for c in range(12)],
+                    sync_samples=list(range(1, 61, 6)),
+                    stts_runs=[(60, 512)],
+                    sps=[b"\x67" + H.write_sps(sps)],
+                )
+                payloads.append((2 * j + 1, bytearray(mp4)))
+            _h264_fixture["payloads"] = payloads
+        pal = spark.createDataFrame(
+            _h264_fixture["payloads"], "k long, payload binary"
+        )
+        ids = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            F.col("vec_id").alias("media_id"), (F.col("vec_id") % 16).alias("k")
+        )
+        media = (
+            ids.join(F.broadcast(pal), "k")
+            .select("media_id", "payload")
+            .repartition(32)
+        )
+        return M.video_split_points(media)
+
     return {
+        "x_video_structure": video_structure_bench,
         "x_preference_pairs": preference_bench,
         "x_quality_dedup": quality_dedup_bench,
         "x_mp3_structure": mp3_structure_bench,

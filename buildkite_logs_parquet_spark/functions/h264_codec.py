@@ -1,0 +1,462 @@
+"""H.264/AVC STRUCTURE codec — from the public ITU-T H.264 / ISO 14496-10
+bitstream layout (Annex B byte streams) — plus nothing else.
+
+Same honest boundary as the MP3 structure module (mp3_codec.py): every
+part of an H.264 stream that is *algorithmically specified* is
+implemented in full —
+
+* Annex-B NAL unit segmentation (3/4-byte start codes, trailing-zero
+  tolerance) with emulation-prevention-byte removal (00 00 03 → 00 00),
+  and the serializer twin that re-inserts them;
+* Exp-Golomb ue(v)/se(v) entropy for the HEADER layer (reader + writer);
+* full SPS parse — profile/level, chroma format + bit depths and the
+  scaling-list walk for High profiles, frame numbering / POC modes,
+  macroblock geometry → exact cropped pixel dimensions;
+* minimal slice-header prefix (first_mb_in_slice, slice_type, pps_id)
+  — enough to classify every coded picture;
+* IDR detection: NAL type 5 starts a picture that refreshes the
+  decoder completely, so IDR access units are the ONLY safe boundaries
+  for chunking a raw video stream across executors — the video analogue
+  of mp3_codec's empty-reservoir frames.
+
+What is deliberately NOT here: slice DATA decode (CAVLC/CABAC entropy,
+prediction, transforms, deblocking) — a full decoder is orders of
+magnitude beyond header parsing and depends on large spec tables; pixel
+decode stays behind ``multimodal.strict_decode`` exactly like MP3 PCM.
+The structure layer above is what a 100 TB video pipeline needs FIRST:
+route by codec/resolution/profile, find keyframes, and split streams at
+IDR boundaries for parallel decode by a real codec at deployment.
+
+All serializers exist so tests round-trip randomized field vectors
+(hypothesis) rather than trusting hand-decoded fixtures.
+
+Reference parity note: the reference repo has no video path; this
+extends the multimodal tier the project brief mandates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from buildkite_logs_parquet_spark.functions.mp3_codec import (
+    BitReader,
+    BitWriter,
+)
+
+# --------------------------------------------------------- NAL unit layer
+
+#: nal_unit_type → name (the ones a pipeline routes on)
+NAL_TYPES = {
+    1: "slice",  # coded slice, non-IDR
+    2: "dpa",
+    3: "dpb",
+    4: "dpc",
+    5: "idr",  # coded slice of an IDR picture
+    6: "sei",
+    7: "sps",
+    8: "pps",
+    9: "aud",
+    10: "end_seq",
+    11: "end_stream",
+    12: "filler",
+}
+
+
+def remove_emulation_prevention(rbsp: bytes) -> bytes:
+    """EBSP → RBSP: drop the 0x03 in every 00 00 03 run (the byte the
+    encoder inserted so coded data never fakes a start code)."""
+    out = bytearray()
+    zeros = 0
+    i = 0
+    n = len(rbsp)
+    while i < n:
+        b = rbsp[i]
+        if zeros >= 2 and b == 3:
+            zeros = 0
+            i += 1
+            continue  # skip the emulation byte
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+        i += 1
+    return bytes(out)
+
+
+def insert_emulation_prevention(rbsp: bytes) -> bytes:
+    """RBSP → EBSP (serializer twin): insert 0x03 after every 00 00 that
+    precedes a byte ≤ 3, per the spec's encoder rule."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+@dataclass
+class NalUnit:
+    offset: int  # file offset of the start code
+    header_offset: int  # file offset of the NAL header byte
+    size: int  # EBSP payload size incl. header byte
+    nal_ref_idc: int
+    nal_type: int
+
+    @property
+    def type_name(self) -> str:
+        return NAL_TYPES.get(self.nal_type, f"type{self.nal_type}")
+
+
+def find_nal_units(data: bytes) -> list[NalUnit]:
+    """Segment an Annex-B byte stream into NAL units: scan for 00 00 01
+    start codes (folding one extra leading zero for the 4-byte
+    00 00 00 01 form), each unit's payload running to the next start
+    code.  No trailing-zero trimming — cabac_zero_words are legal
+    payload bytes, so eating zeros would corrupt real units; the only
+    zeros excluded are the one folded into the NEXT start code.
+    Raises ValueError when no start code exists (quarantine seam)."""
+    n = len(data)
+    marks: list[tuple[int, int]] = []  # (folded start offset, header offset)
+    i = 0
+    while i + 2 < n:
+        if data[i] == 0 and data[i + 1] == 0 and data[i + 2] == 1:
+            sc = i - 1 if i > 0 and data[i - 1] == 0 else i
+            marks.append((sc, i + 3))
+            i += 3
+        else:
+            i += 1
+    out: list[NalUnit] = []
+    for k, (sc, hdr) in enumerate(marks):
+        end = marks[k + 1][0] if k + 1 < len(marks) else n
+        if hdr >= end:
+            continue  # start code at EOF with no header byte
+        h = data[hdr]
+        out.append(
+            NalUnit(
+                offset=sc,
+                header_offset=hdr,
+                size=end - hdr,
+                nal_ref_idc=(h >> 5) & 0x3,
+                nal_type=h & 0x1F,
+            )
+        )
+    if not out:
+        raise ValueError("no complete NAL unit found")
+    return out
+
+
+# ------------------------------------------------------------- Exp-Golomb
+
+
+def read_ue(r: BitReader) -> int:
+    """ue(v): leading zeros n, then n+1 bits; value = bits − 1."""
+    n = 0
+    while r.read(1) == 0:
+        n += 1
+        if n > 63:
+            raise ValueError("ue(v) prefix too long — corrupt RBSP")
+    return (1 << n) - 1 + (r.read(n) if n else 0)
+
+
+def read_se(r: BitReader) -> int:
+    """se(v): signed mapping k → (−1)^(k+1)·⌈k/2⌉."""
+    k = read_ue(r)
+    return (k + 1) // 2 if k % 2 == 1 else -(k // 2)
+
+
+def write_ue(w: BitWriter, v: int) -> None:
+    if v < 0:
+        raise ValueError("ue(v) is unsigned")
+    k = v + 1
+    n = k.bit_length() - 1
+    w.write(0, n) if n else None
+    w.write(1, 1)
+    if n:
+        w.write(k - (1 << n), n)
+
+
+def write_se(w: BitWriter, v: int) -> None:
+    write_ue(w, 2 * v - 1 if v > 0 else -2 * v)
+
+
+# ------------------------------------------------------------------- SPS
+
+#: profiles whose SPS carries the chroma/bit-depth/scaling block
+_HIGH_PROFILES = {100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135}
+
+PROFILE_NAMES = {
+    66: "baseline",
+    77: "main",
+    88: "extended",
+    100: "high",
+    110: "high10",
+    122: "high422",
+    244: "high444",
+}
+
+
+@dataclass
+class SPS:
+    profile_idc: int = 66
+    constraint_flags: int = 0
+    level_idc: int = 30
+    sps_id: int = 0
+    chroma_format_idc: int = 1  # 4:2:0 unless High profile says else
+    separate_colour_plane: bool = False
+    bit_depth_luma: int = 8
+    bit_depth_chroma: int = 8
+    log2_max_frame_num: int = 4  # stored value + 4
+    pic_order_cnt_type: int = 0
+    log2_max_poc_lsb: int = 4
+    delta_pic_order_always_zero: bool = False
+    offset_for_non_ref_pic: int = 0
+    offset_for_top_to_bottom_field: int = 0
+    offsets_for_ref_frame: tuple[int, ...] = ()
+    max_num_ref_frames: int = 1
+    gaps_in_frame_num_allowed: bool = False
+    pic_width_in_mbs: int = 8  # stored minus1 + 1
+    pic_height_in_map_units: int = 6
+    frame_mbs_only: bool = True
+    mb_adaptive_frame_field: bool = False
+    direct_8x8_inference: bool = True
+    crop: tuple[int, int, int, int] = (0, 0, 0, 0)  # l, r, t, b (units)
+    vui_present: bool = False
+    scaling_matrix_present: bool = False
+
+    @property
+    def _crop_units(self) -> tuple[int, int]:
+        # spec 7.4.2.1.1: ChromaArrayType = 0 when separate colour
+        # planes, else chroma_format_idc; CropUnitX/Y = 1 / (2 − fmo)
+        # for ChromaArrayType 0, else SubWidthC / SubHeightC·(2 − fmo)
+        chroma_array = (
+            0 if self.separate_colour_plane else self.chroma_format_idc
+        )
+        if chroma_array == 0:
+            sub_w = sub_h = 1
+        else:
+            sub_w = 2 if chroma_array in (1, 2) else 1
+            sub_h = 2 if chroma_array == 1 else 1
+        return sub_w, sub_h * (2 - int(self.frame_mbs_only))
+
+    @property
+    def width(self) -> int:
+        cux, _ = self._crop_units
+        return self.pic_width_in_mbs * 16 - cux * (
+            self.crop[0] + self.crop[1]
+        )
+
+    @property
+    def height(self) -> int:
+        _, cuy = self._crop_units
+        frame_h = (
+            (2 - int(self.frame_mbs_only))
+            * self.pic_height_in_map_units
+            * 16
+        )
+        return frame_h - cuy * (self.crop[2] + self.crop[3])
+
+    @property
+    def profile_name(self) -> str:
+        return PROFILE_NAMES.get(self.profile_idc, f"profile{self.profile_idc}")
+
+
+def _skip_scaling_list(r: BitReader, size: int) -> None:
+    """scaling_list(): delta_scale se(v) walk — algorithmic, no tables
+    needed to SKIP it bit-exactly."""
+    last, nxt = 8, 8
+    for _ in range(size):
+        if nxt != 0:
+            nxt = (last + read_se(r) + 256) % 256
+        last = nxt if nxt != 0 else last
+
+
+def parse_sps(rbsp: bytes) -> SPS:
+    """Full seq_parameter_set_data parse from a (de-emulated) RBSP that
+    starts at profile_idc (the NAL header byte already stripped)."""
+    r = BitReader(rbsp)
+    s = SPS()
+    s.profile_idc = r.read(8)
+    s.constraint_flags = r.read(8)
+    s.level_idc = r.read(8)
+    s.sps_id = read_ue(r)
+    if s.profile_idc in _HIGH_PROFILES:
+        s.chroma_format_idc = read_ue(r)
+        if s.chroma_format_idc == 3:
+            s.separate_colour_plane = bool(r.read(1))
+        s.bit_depth_luma = read_ue(r) + 8
+        s.bit_depth_chroma = read_ue(r) + 8
+        r.read(1)  # qpprime_y_zero_transform_bypass
+        s.scaling_matrix_present = bool(r.read(1))
+        if s.scaling_matrix_present:
+            n_lists = 8 if s.chroma_format_idc != 3 else 12
+            for i in range(n_lists):
+                if r.read(1):  # seq_scaling_list_present_flag[i]
+                    _skip_scaling_list(r, 16 if i < 6 else 64)
+    s.log2_max_frame_num = read_ue(r) + 4
+    s.pic_order_cnt_type = read_ue(r)
+    if s.pic_order_cnt_type == 0:
+        s.log2_max_poc_lsb = read_ue(r) + 4
+    elif s.pic_order_cnt_type == 1:
+        s.delta_pic_order_always_zero = bool(r.read(1))
+        s.offset_for_non_ref_pic = read_se(r)
+        s.offset_for_top_to_bottom_field = read_se(r)
+        s.offsets_for_ref_frame = tuple(
+            read_se(r) for _ in range(read_ue(r))
+        )
+    s.max_num_ref_frames = read_ue(r)
+    s.gaps_in_frame_num_allowed = bool(r.read(1))
+    s.pic_width_in_mbs = read_ue(r) + 1
+    s.pic_height_in_map_units = read_ue(r) + 1
+    s.frame_mbs_only = bool(r.read(1))
+    if not s.frame_mbs_only:
+        s.mb_adaptive_frame_field = bool(r.read(1))
+    s.direct_8x8_inference = bool(r.read(1))
+    if r.read(1):  # frame_cropping_flag
+        s.crop = (read_ue(r), read_ue(r), read_ue(r), read_ue(r))
+    s.vui_present = bool(r.read(1))
+    return s
+
+
+def write_sps(s: SPS) -> bytes:
+    """Serializer twin of :func:`parse_sps` (no scaling lists, no VUI —
+    the test surface round-trips every other field)."""
+    w = BitWriter()
+    w.write(s.profile_idc, 8)
+    w.write(s.constraint_flags, 8)
+    w.write(s.level_idc, 8)
+    write_ue(w, s.sps_id)
+    if s.profile_idc in _HIGH_PROFILES:
+        write_ue(w, s.chroma_format_idc)
+        if s.chroma_format_idc == 3:
+            w.write(int(s.separate_colour_plane), 1)
+        write_ue(w, s.bit_depth_luma - 8)
+        write_ue(w, s.bit_depth_chroma - 8)
+        w.write(0, 1)  # qpprime bypass
+        w.write(0, 1)  # no scaling matrix
+    write_ue(w, s.log2_max_frame_num - 4)
+    write_ue(w, s.pic_order_cnt_type)
+    if s.pic_order_cnt_type == 0:
+        write_ue(w, s.log2_max_poc_lsb - 4)
+    elif s.pic_order_cnt_type == 1:
+        w.write(int(s.delta_pic_order_always_zero), 1)
+        write_se(w, s.offset_for_non_ref_pic)
+        write_se(w, s.offset_for_top_to_bottom_field)
+        write_ue(w, len(s.offsets_for_ref_frame))
+        for off in s.offsets_for_ref_frame:
+            write_se(w, off)
+    write_ue(w, s.max_num_ref_frames)
+    w.write(int(s.gaps_in_frame_num_allowed), 1)
+    write_ue(w, s.pic_width_in_mbs - 1)
+    write_ue(w, s.pic_height_in_map_units - 1)
+    w.write(int(s.frame_mbs_only), 1)
+    if not s.frame_mbs_only:
+        w.write(int(s.mb_adaptive_frame_field), 1)
+    w.write(int(s.direct_8x8_inference), 1)
+    if any(s.crop):
+        w.write(1, 1)
+        for c in s.crop:
+            write_ue(w, c)
+    else:
+        w.write(0, 1)
+    w.write(int(s.vui_present), 1)
+    w.write(1, 1)  # rbsp_stop_one_bit (trailing bits)
+    return w.to_bytes()
+
+
+# ---------------------------------------------------------- slice headers
+
+SLICE_TYPE_NAMES = {0: "P", 1: "B", 2: "I", 3: "SP", 4: "SI"}
+
+
+@dataclass
+class SliceHeaderPrefix:
+    first_mb_in_slice: int
+    slice_type: int  # modulo 5
+    pps_id: int
+
+    @property
+    def type_name(self) -> str:
+        return SLICE_TYPE_NAMES.get(self.slice_type % 5, "?")
+
+
+def parse_slice_header_prefix(rbsp: bytes) -> SliceHeaderPrefix:
+    """The first three slice-header fields (all streams, all profiles):
+    enough to classify the coded picture (I/P/B) and detect multi-slice
+    pictures (first_mb_in_slice > 0)."""
+    r = BitReader(rbsp)
+    return SliceHeaderPrefix(
+        first_mb_in_slice=read_ue(r),
+        slice_type=read_ue(r) % 5,
+        pps_id=read_ue(r),
+    )
+
+
+# ----------------------------------------------------------- stream walk
+
+
+@dataclass
+class H264StreamInfo:
+    n_nal_units: int
+    n_idr: int
+    n_slices: int  # non-IDR coded slices
+    sps: SPS | None
+    idr_offsets: list[int] = field(default_factory=list)
+    slice_types: dict[str, int] = field(default_factory=dict)
+
+
+def h264_stream_info(data: bytes, max_nals: int | None = None) -> H264StreamInfo:
+    """One pass over an Annex-B stream: NAL segmentation, first-SPS
+    parse, slice classification, and the IDR split-point offsets —
+    chunking a raw video stream anywhere else hands the decoder a
+    picture whose references live in the previous chunk."""
+    nals = find_nal_units(data)
+    if max_nals is not None:
+        nals = nals[:max_nals]
+    sps: SPS | None = None
+    n_idr = n_slice = 0
+    idr_offsets: list[int] = []
+    slice_types: dict[str, int] = {}
+    for u in nals:
+        payload = data[u.header_offset + 1 : u.header_offset + u.size]
+        if u.nal_type == 7 and sps is None:
+            sps = parse_sps(remove_emulation_prevention(payload))
+        elif u.nal_type == 5:
+            n_idr += 1
+            idr_offsets.append(u.offset)
+            try:
+                p = parse_slice_header_prefix(
+                    remove_emulation_prevention(payload[:16])
+                )
+                slice_types[p.type_name] = slice_types.get(p.type_name, 0) + 1
+            except ValueError:
+                pass
+        elif u.nal_type == 1:
+            n_slice += 1
+            try:
+                p = parse_slice_header_prefix(
+                    remove_emulation_prevention(payload[:16])
+                )
+                slice_types[p.type_name] = slice_types.get(p.type_name, 0) + 1
+            except ValueError:
+                pass
+    return H264StreamInfo(
+        n_nal_units=len(nals),
+        n_idr=n_idr,
+        n_slices=n_slice,
+        sps=sps,
+        idr_offsets=idr_offsets,
+        slice_types=slice_types,
+    )
+
+
+def build_annexb_stream(nals: list[tuple[int, int, bytes]]) -> bytes:
+    """Test-fixture twin: assemble an Annex-B stream from
+    ``(nal_ref_idc, nal_type, rbsp_payload)`` triples — 4-byte start
+    code on the first unit, 3-byte after, emulation prevention applied."""
+    out = bytearray()
+    for k, (ref_idc, ntype, rbsp) in enumerate(nals):
+        out += b"\x00\x00\x00\x01" if k == 0 else b"\x00\x00\x01"
+        out.append(((ref_idc & 3) << 5) | (ntype & 0x1F))
+        out += insert_emulation_prevention(rbsp)
+    return bytes(out)
