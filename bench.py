@@ -1289,6 +1289,7 @@ def main() -> None:
         # of one single-task collect_list — slower at tiny sf (fixed job
         # overhead), the only shape that survives 100x
         "table_profile": "round-6: distributed percentile bisection replaced collect_list",
+        "orders_discount_audit": "round-6 consolidation: absorbed small_quantity_revenue as the q17_small_qty row",
     }
     burst_suspects: list[str] = []
     workload_changed: list[str] = []

@@ -59,6 +59,7 @@ PROBES = [
     ("x_mp3_structure", "embeddings ids x 16 40-frame MP3 streams", 10),
     ("x_preference_pairs", "documents as scored pool -> pairs -> 5 BT rounds", 10),
     ("x_quality_dedup", "documents x planted clusters, keep-best survivor", 10),
+    ("x_video_structure", "embeddings ids x 16 Annex-B/MP4 streams", 10),
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
