@@ -1156,7 +1156,7 @@ def _extra_ops():
                 H.write_ue(w, 7)
                 H.write_ue(w, 0)
                 w.write(1, 1)
-                idr = w.to_bytes() + bytes([j]) * 40
+                idr = w.to_bytes() + bytes([j + 1]) * 40
                 units = [(3, 7, H.write_sps(sps)), (3, 8, b"\x08")]
                 for i in range(30):
                     units.append((3, 5, idr) if i % 5 == 0 else (2, 1, idr))

@@ -119,13 +119,16 @@ def find_nal_units(data: bytes) -> list[NalUnit]:
     n = len(data)
     marks: list[tuple[int, int]] = []  # (folded start offset, header offset)
     i = 0
-    while i + 2 < n:
-        if data[i] == 0 and data[i + 1] == 0 and data[i + 2] == 1:
-            sc = i - 1 if i > 0 and data[i - 1] == 0 else i
-            marks.append((sc, i + 3))
-            i += 3
-        else:
-            i += 1
+    # C-speed start-code search (bytes.find) instead of a per-byte
+    # Python loop — the scan touches every byte of every clip inside
+    # mapInPandas, the same hot path BitReader was optimized for
+    while True:
+        i = data.find(b"\x00\x00\x01", i)
+        if i < 0:
+            break
+        sc = i - 1 if i > 0 and data[i - 1] == 0 else i
+        marks.append((sc, i + 3))
+        i += 3
     out: list[NalUnit] = []
     for k, (sc, hdr) in enumerate(marks):
         end = marks[k + 1][0] if k + 1 < len(marks) else n
@@ -453,9 +456,20 @@ def h264_stream_info(data: bytes, max_nals: int | None = None) -> H264StreamInfo
 def build_annexb_stream(nals: list[tuple[int, int, bytes]]) -> bytes:
     """Test-fixture twin: assemble an Annex-B stream from
     ``(nal_ref_idc, nal_type, rbsp_payload)`` triples — 4-byte start
-    code on the first unit, 3-byte after, emulation prevention applied."""
+    code on the first unit, 3-byte after, emulation prevention applied.
+
+    Enforces the spec constraint the segmenter relies on (7.4.1: the
+    last byte of a NAL unit shall not be 0x00 — real encoders guarantee
+    it via rbsp_trailing_bits): an RBSP ending in zero would be
+    indistinguishable from the next start code's leading zero, so the
+    round-trip would silently truncate it (round-6 review finding)."""
     out = bytearray()
     for k, (ref_idc, ntype, rbsp) in enumerate(nals):
+        if rbsp and rbsp[-1] == 0:
+            raise ValueError(
+                "RBSP must not end in 0x00 (spec 7.4.1) — terminate it "
+                "with rbsp_trailing_bits (a stop bit, e.g. 0x80)"
+            )
         out += b"\x00\x00\x00\x01" if k == 0 else b"\x00\x00\x01"
         out.append(((ref_idc & 3) << 5) | (ntype & 0x1F))
         out += insert_emulation_prevention(rbsp)

@@ -62,6 +62,14 @@ class BitReader:
         # structure walk is CPU-bound pure Python inside mapInPandas)
         pos = self.pos
         end = pos + n
+        if end > len(self.data) * 8:
+            # a silent zero-fill here let truncated SPS/side-info parse
+            # to WRONG values with no error (caught by the round-6
+            # review: a cut-off SPS "parsed" to fabricated geometry) —
+            # over-read must raise so quarantine seams actually fire
+            raise ValueError(
+                f"bitstream over-read: need bit {end}, have {len(self.data) * 8}"
+            )
         byte_start = pos >> 3
         byte_end = (end + 7) >> 3
         chunk = int.from_bytes(self.data[byte_start:byte_end], "big")

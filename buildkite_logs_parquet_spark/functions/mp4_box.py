@@ -191,12 +191,13 @@ def sample_index(data: bytes, stbl: Box) -> list[SampleRecord]:
     ``(first_chunk, samples_per_chunk)`` describes a RUN of chunks
     until the next entry's first_chunk; sample offsets within a chunk
     accumulate the preceding samples' stsz sizes."""
-    def u32s(box: Box, skip_entries: int = 0) -> list[int]:
+    def u32s(box: Box) -> list[int]:
         (count,) = struct.unpack_from(">I", data, _full_box(data, box))
         base = _full_box(data, box) + 4
-        return list(
-            struct.unpack_from(f">{count * (1 + skip_entries)}I", data, base)
-        )
+        # struct.unpack_from raises on a count larger than the buffer,
+        # so file-declared counts cannot drive an allocation beyond the
+        # payload that actually exists
+        return list(struct.unpack_from(f">{count}I", data, base))
 
     stsz = stbl.find(b"stsz")
     stsc = stbl.find(b"stsc")
@@ -205,10 +206,20 @@ def sample_index(data: bytes, stbl: Box) -> list[SampleRecord]:
     stts = stbl.find(b"stts")
     if stsz is None or stsc is None or (stco is None and co64 is None):
         raise ValueError("sample table incomplete (need stsz+stsc+stco)")
-    # stsz: fixed size or per-sample table
+    # stsz: fixed size or per-sample table.  Counts come from the FILE
+    # and are hostile until proven otherwise: the variable path is
+    # self-bounding (unpack_from raises past the payload), the fixed
+    # path must be bounded explicitly or a declared n_samples near 2^32
+    # allocates gigabytes before any quarantine can fire (round-6
+    # review finding)
     p = _full_box(data, stsz)
     fixed_size, n_samples = struct.unpack_from(">II", data, p)
     if fixed_size:
+        if fixed_size * n_samples > len(data):
+            raise ValueError(
+                f"stsz declares {n_samples} samples x {fixed_size} B "
+                f"> file size {len(data)} — corrupt table"
+            )
         sizes = [fixed_size] * n_samples
     else:
         sizes = list(struct.unpack_from(f">{n_samples}I", data, p + 8))
@@ -222,6 +233,8 @@ def sample_index(data: bytes, stbl: Box) -> list[SampleRecord]:
         )
     # stsc runs → samples-per-chunk for every chunk
     (n_stsc,) = struct.unpack_from(">I", data, _full_box(data, stsc))
+    if 4 + 12 * n_stsc > stsc.size - 12:  # entries must fit the box
+        raise ValueError(f"stsc declares {n_stsc} entries beyond its box")
     entries = [
         struct.unpack_from(">III", data, _full_box(data, stsc) + 4 + 12 * k)
         for k in range(n_stsc)
@@ -237,16 +250,20 @@ def sample_index(data: bytes, stbl: Box) -> list[SampleRecord]:
         sync = set(range(1, n_samples + 1))  # absent stss ⇒ all sync
     else:
         sync = set(u32s(stss))
-    # decode timestamps from stts runs
+    # decode timestamps from stts runs — run counts are file-declared,
+    # so clamp accumulation at n_samples (a single 16-byte stts box can
+    # otherwise declare a 2^32-entry run and loop for minutes)
     dts: list[int] = []
     if stts is not None:
         (n_stts,) = struct.unpack_from(">I", data, _full_box(data, stts))
         t = 0
         for k in range(n_stts):
+            if len(dts) >= n_samples:
+                break
             cnt, delta = struct.unpack_from(
                 ">II", data, _full_box(data, stts) + 4 + 8 * k
             )
-            for _ in range(cnt):
+            for _ in range(min(cnt, n_samples - len(dts))):
                 dts.append(t)
                 t += delta
     dts += [0] * (n_samples - len(dts))

@@ -978,6 +978,70 @@ def mp3_split_points(
     )
 
 
+def _video_structure(raw: bytes) -> tuple[dict, list[dict]]:
+    """Shared container dispatch for the two video operators: sniff ISO
+    BMFF (ftyp) vs raw Annex-B H.264, parse the structure ONCE, and
+    return (summary fields, split-point rows).  One implementation so a
+    detection fix cannot drift between the operators (round-6 review).
+    Raises on unparseable payloads — callers quarantine."""
+    from buildkite_logs_parquet_spark.functions import h264_codec as H
+    from buildkite_logs_parquet_spark.functions import mp4_box as M4
+
+    if raw[4:8] == b"ftyp":
+        info = M4.video_track_info(raw)
+        idx = M4.sample_index(raw, info.stbl)
+        sps = (
+            H.parse_sps(H.remove_emulation_prevention(info.sps[0][1:]))
+            if info.sps
+            else None
+        )
+        summary = {
+            "container": "mp4",
+            "codec": info.codec,
+            "profile": sps.profile_name if sps else None,
+            "level_idc": sps.level_idc if sps else None,
+            "width": sps.width if sps else int(info.width),
+            "height": sps.height if sps else int(info.height),
+            "n_units": len(idx),
+            "n_sync": sum(1 for s in idx if s.is_sync),
+            "timescale": info.timescale,
+        }
+        splits = [
+            {
+                "split_idx": k,
+                "byte_offset": s.offset,
+                "size": s.size,
+                "dts": s.dts,
+                "kind": "sync_sample",
+            }
+            for k, s in enumerate(x for x in idx if x.is_sync)
+        ]
+        return summary, splits
+    si = H.h264_stream_info(raw)
+    summary = {
+        "container": "annexb",
+        "codec": "h264",
+        "profile": si.sps.profile_name if si.sps else None,
+        "level_idc": si.sps.level_idc if si.sps else None,
+        "width": si.sps.width if si.sps else None,
+        "height": si.sps.height if si.sps else None,
+        "n_units": si.n_nal_units,
+        "n_sync": si.n_idr,
+        "timescale": None,
+    }
+    splits = [
+        {
+            "split_idx": k,
+            "byte_offset": off,
+            "size": None,
+            "dts": None,
+            "kind": "idr",
+        }
+        for k, off in enumerate(si.idr_offsets)
+    ]
+    return summary, splits
+
+
 def video_stream_summary(
     media: DataFrame,
     id_col: str = "media_id",
@@ -985,26 +1049,23 @@ def video_stream_summary(
 ) -> DataFrame:
     """Container/codec STRUCTURE triage for video payloads — the pass
     that routes a video crawl before any pixel work.  Sniffs ISO BMFF
-    (ftyp) vs raw Annex-B H.264; emits one row per clip with container,
-    codec fourcc / H.264 profile+level, TRUE coded dimensions (SPS
-    macroblock geometry minus cropping — the container's tkhd numbers
-    lie on anamorphic streams), sample/NAL counts, and the sync/IDR
-    count that bounds how parallel a decode can be.  Unparseable clips
-    quarantine as ``parse_ok = false``.  Arrow-batched; payloads stay
-    executor-local.  Pixel decode remains the ``strict_decode`` seam
+    (ftyp) vs raw Annex-B H.264 (shared ``_video_structure`` dispatch);
+    emits one row per clip with container, codec fourcc / H.264
+    profile+level, TRUE coded dimensions (SPS macroblock geometry minus
+    cropping — the container's tkhd numbers lie on anamorphic streams),
+    sample/NAL counts, and the sync/IDR count that bounds how parallel
+    a decode can be.  Unparseable clips quarantine as
+    ``parse_ok = false``.  Arrow-batched; payloads stay executor-local.
+    Pixel decode remains the ``strict_decode`` seam
     (functions/h264_codec.py docstring: slice DATA needs the full
     CAVLC/CABAC machinery; structure does not)."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        from buildkite_logs_parquet_spark.functions import h264_codec as H
-        from buildkite_logs_parquet_spark.functions import mp4_box as M4
-
         for pdf in batches:
             out = []
             for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                raw = bytes(payload)
                 row = {
                     id_col: media_id, "parse_ok": False, "container": None,
                     "codec": None, "profile": None, "level_idc": None,
@@ -1012,40 +1073,8 @@ def video_stream_summary(
                     "n_sync": None, "timescale": None,
                 }
                 try:
-                    if raw[4:8] == b"ftyp":
-                        info = M4.video_track_info(raw)
-                        idx = M4.sample_index(raw, info.stbl)
-                        sps = (
-                            H.parse_sps(
-                                H.remove_emulation_prevention(info.sps[0][1:])
-                            )
-                            if info.sps
-                            else None
-                        )
-                        row.update(
-                            parse_ok=True, container="mp4",
-                            codec=info.codec,
-                            profile=sps.profile_name if sps else None,
-                            level_idc=sps.level_idc if sps else None,
-                            width=sps.width if sps else int(info.width),
-                            height=sps.height if sps else int(info.height),
-                            n_units=len(idx),
-                            n_sync=sum(1 for s in idx if s.is_sync),
-                            timescale=info.timescale,
-                        )
-                    else:
-                        si = H.h264_stream_info(raw)
-                        row.update(
-                            parse_ok=True, container="annexb",
-                            codec="h264",
-                            profile=si.sps.profile_name if si.sps else None,
-                            level_idc=si.sps.level_idc if si.sps else None,
-                            width=si.sps.width if si.sps else None,
-                            height=si.sps.height if si.sps else None,
-                            n_units=si.n_nal_units,
-                            n_sync=si.n_idr,
-                            timescale=None,
-                        )
+                    summary, _ = _video_structure(bytes(payload))
+                    row.update(parse_ok=True, **summary)
                 except Exception:
                     pass
                 out.append(row)
@@ -1070,45 +1099,25 @@ def video_split_points(
 ) -> DataFrame:
     """Safe parallel-decode boundaries for video payloads, one row per
     split point: MP4 sync samples (stss — exact byte spans from the
-    stsz/stsc/stco resolution) or Annex-B IDR NAL offsets.  Decoding a
-    chunk that starts anywhere ELSE hands the decoder a picture whose
-    reference frames live in the previous chunk — these rows are the
-    distributed-video analogue of ``mp3_split_points``.  Clips that
-    parse but contain no sync point yield no rows (quarantine by
-    absence; pair with ``video_stream_summary`` for the audit)."""
+    stsz/stsc/stco resolution) or Annex-B IDR NAL offsets (shared
+    ``_video_structure`` dispatch).  Decoding a chunk that starts
+    anywhere ELSE hands the decoder a picture whose reference frames
+    live in the previous chunk — these rows are the distributed-video
+    analogue of ``mp3_split_points``.  Unparseable clips quarantine by
+    absence (pair with ``video_stream_summary`` for the audit)."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        from buildkite_logs_parquet_spark.functions import h264_codec as H
-        from buildkite_logs_parquet_spark.functions import mp4_box as M4
-
         for pdf in batches:
             out = []
             for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                raw = bytes(payload)
                 try:
-                    if raw[4:8] == b"ftyp":
-                        info = M4.video_track_info(raw)
-                        for k, s in enumerate(
-                            x for x in M4.sample_index(raw, info.stbl)
-                            if x.is_sync
-                        ):
-                            out.append({
-                                id_col: media_id, "split_idx": k,
-                                "byte_offset": s.offset, "size": s.size,
-                                "dts": s.dts, "kind": "sync_sample",
-                            })
-                    else:
-                        si = H.h264_stream_info(raw)
-                        for k, off in enumerate(si.idr_offsets):
-                            out.append({
-                                id_col: media_id, "split_idx": k,
-                                "byte_offset": off, "size": None,
-                                "dts": None, "kind": "idr",
-                            })
+                    _, splits = _video_structure(bytes(payload))
                 except Exception:
                     continue
+                for s in splits:
+                    out.append({id_col: media_id, **s})
             yield pd.DataFrame(out, columns=[
                 id_col, "split_idx", "byte_offset", "size", "dts", "kind",
             ])

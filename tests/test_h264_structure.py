@@ -334,3 +334,74 @@ class TestSparkOperators:
         # narrow map: no shuffle
         plan = video_split_points(media)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestReviewHardening:
+    """Round-6 video-tier review regressions."""
+
+    def test_trailing_zero_rbsp_rejected_by_builder(self):
+        # spec 7.4.1: a NAL must not end in 0x00 — an RBSP that does is
+        # indistinguishable from the next start code's leading zero and
+        # the round-trip silently truncated it
+        with pytest.raises(ValueError):
+            build_annexb_stream([(3, 5, b"\x12\x00")])
+        # the compliant form round-trips exactly
+        stream = build_annexb_stream([(3, 5, b"\x12\x80"), (3, 9, b"\x10")])
+        nals = find_nal_units(stream)
+        assert len(nals) == 2
+        payload = stream[nals[0].header_offset + 1:
+                         nals[0].header_offset + nals[0].size]
+        assert remove_emulation_prevention(payload) == b"\x12\x80"
+
+    def test_truncated_sps_raises_instead_of_fabricating_geometry(self):
+        sps = SPS(
+            profile_idc=100, pic_width_in_mbs=120,
+            pic_height_in_map_units=68, crop=(0, 0, 0, 4),
+        )
+        full = write_sps(sps)
+        assert parse_sps(full).height == 1080
+        with pytest.raises(ValueError):
+            parse_sps(full[:7])  # over-read must raise, never zero-fill
+
+    def test_hostile_stsz_fixed_count_rejected(self):
+        raw = bytearray(build_minimal_mp4(sample_sizes=[5, 5]))
+        # rewrite the stsz box: fixed_size=1000, sample_count=2^31
+        import struct as _s
+
+        i = raw.find(b"stsz")
+        _s.pack_into(">II", raw, i + 8, 1000, 2**31)
+        info = video_track_info(bytes(raw))
+        with pytest.raises(ValueError):
+            sample_index(bytes(raw), info.stbl)
+
+    def test_hostile_stts_run_count_clamped(self):
+        raw = bytearray(build_minimal_mp4(
+            sample_sizes=[5, 5], stts_runs=[(2, 100)]
+        ))
+        import struct as _s
+
+        i = raw.find(b"stts")
+        # one run claiming 2^31 samples: must clamp to n_samples, not loop
+        _s.pack_into(">II", raw, i + 8 + 4, 2**31, 100)
+        info = video_track_info(bytes(raw))
+        idx = sample_index(bytes(raw), info.stbl)
+        assert [s.dts for s in idx] == [0, 100]
+
+    def test_shared_dispatch_consistency(self, spark):
+        # summary and split points must agree on every clip they parse
+        from buildkite_logs_parquet_spark.operators.multimodal import (
+            _video_structure,
+        )
+
+        sps = SPS(pic_width_in_mbs=4, pic_height_in_map_units=3)
+        w = BitWriter()
+        write_ue(w, 0); write_ue(w, 7); write_ue(w, 0); w.write(1, 1)
+        stream = build_annexb_stream(
+            [(3, 7, write_sps(sps)), (3, 5, w.to_bytes())]
+        )
+        summary, splits = _video_structure(stream)
+        assert summary["n_sync"] == len(splits) == 1
+        mp4 = build_minimal_mp4(sample_sizes=[7, 7], sync_samples=[2])
+        summary, splits = _video_structure(mp4)
+        assert summary["n_sync"] == len(splits) == 1
+        assert splits[0]["kind"] == "sync_sample"

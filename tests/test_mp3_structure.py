@@ -395,3 +395,13 @@ class TestResyncGapInvalidatesReservoir:
         id3 += bytes(10 + 10)  # body + footer
         frames = walk_frames(bytes(id3) + frame)
         assert frames[0].offset == len(id3)
+
+
+def test_bitreader_overread_raises():
+    """Over-reading the bit buffer must raise, never zero-fill — a
+    truncated SPS/side-info otherwise 'parses' to fabricated values
+    (round-6 review finding, fixed at the shared BitReader)."""
+    r = BitReader(b"\xff")
+    assert r.read(8) == 0xFF
+    with pytest.raises(ValueError):
+        r.read(1)
