@@ -4035,7 +4035,11 @@ UNION ALL
 -- calibration legs (classifier.calibration_report /
 -- expected_calibration_error): bins and ECE are pure integer
 -- arithmetic over the p6 grid (HUGEINT half-up for the 9-dp render)
-SELECT 'cal:' || CAST(bin AS VARCHAR), bin, n,
+-- OUTPUT columns cast to BIGINT (DETERMINISM rule 15): bin/n_total are
+-- HUGEINT-typed (// and sum() promote), and a HUGEINT OUTPUT column is
+-- mangled by a pandas/Arrow fetch (float64 / decimal128) while Spark's
+-- long stays int — the round-4..6 driver-red cause
+SELECT 'cal:' || CAST(bin AS VARCHAR), CAST(bin AS BIGINT), CAST(n AS BIGINT),
        CAST(n_pos AS VARCHAR) || ':' || CAST(sum_p6 AS VARCHAR)
 FROM (
   SELECT least((p6 * 10) // 1000000, 9) AS bin, count(*) AS n,
@@ -4044,7 +4048,7 @@ FROM (
   GROUP BY least((p6 * 10) // 1000000, 9)
 )
 UNION ALL
-SELECT 'cal:ece', 0, n_total,
+SELECT 'cal:ece', 0, CAST(n_total AS BIGINT),
        CAST(hu9 // 1000000000 AS VARCHAR) || '.'
          || lpad(CAST(hu9 % 1000000000 AS VARCHAR), 9, '0')
 FROM (
@@ -5017,7 +5021,10 @@ wgr2 AS (
 SELECT 'edge:' || src || '>' || dst AS item, count(*) AS value
 FROM wge GROUP BY src, dst
 UNION ALL
-SELECT 'rank:' || node AS item, r12 AS value
+-- r12 is HUGEINT (sum() promotion cascades through the rank chain); a
+-- HUGEINT OUTPUT column mangles under a pandas/Arrow fetch (rule 15),
+-- so the final value casts down to BIGINT (r12 <= ~1e12, exact)
+SELECT 'rank:' || node AS item, CAST(r12 AS BIGINT) AS value
 FROM wgr2
 """
 
@@ -5125,9 +5132,13 @@ FROM documents
     # in HUGEINT — never round(double) (engine-release-sensitive) and
     # never a decimal->VARCHAR render; shares are non-negative so the
     # render needs no sign branch, the gap does
+    # n_a/n_b are HUGEINT (sum of the CASE integers, twice promoted) —
+    # cast the OUTPUT columns to BIGINT (rule 15: HUGEINT output mangles
+    # under a pandas/Arrow fetch while Spark's long stays int)
     _tp_drift = """
 SELECT 'drift:' || col || ':' || bucket AS "column",
-       n_a AS n_rows, n_b AS n_nulls, CAST(NULL AS BIGINT) AS approx_distinct,
+       CAST(n_a AS BIGINT) AS n_rows, CAST(n_b AS BIGINT) AS n_nulls,
+       CAST(NULL AS BIGINT) AS approx_distinct,
        CAST(s9a // 1000000000 AS VARCHAR) || '.'
          || lpad(CAST(s9a % 1000000000 AS VARCHAR), 9, '0') AS "min",
        CAST(s9b // 1000000000 AS VARCHAR) || '.'

@@ -86,3 +86,53 @@ def test_oracle_lint_is_clean():
     assert stale == [], f"allowlist names unknown queries: {stale}"
     # the round-5 root-cause pattern is among the lint's patterns
     assert any(n == "digit-strip" for n, _ in PATTERNS)
+
+def test_no_oracle_output_type_mangles_under_dataframe_fetch():
+    """DETERMINISM rule 15 (round-7 root cause of the round-4..6 driver
+    reds): DuckDB promotes sum()/`//` chains to HUGEINT, and a HUGEINT
+    OUTPUT column fetches as float64 (pandas) or decimal128 (arrow) while
+    the matching Spark column stays a plain long — so any driver that
+    hashes a dataframe fetch mismatches on every row even when fetchall()
+    values are bit-identical.  Exactly the three HUGEINT-columned oracles
+    (lr_classifier, webgraph_rank, table_profile) were driver-red for
+    three rounds while strict-green locally.  Relation types resolve at
+    plan time, so this sweeps all 50 oracles without executing them."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from tools.check_oracle import duck_output_type_problems
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    offenders = {}
+    for name, sql in E.oracle_sql().items():
+        bad = duck_output_type_problems(con.sql(sql))
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}, f"mangling output types: {offenders}"
+
+
+def test_hugeint_output_mangles_in_pandas_fetch():
+    """The failure mechanism itself, pinned: the same value fetched as
+    BIGINT vs HUGEINT canonicalizes differently through a pandas fetch."""
+    import duckdb
+
+    from tools.check_oracle import canon
+
+    con = duckdb.connect()
+    big = con.sql("SELECT CAST(1000000000001 AS BIGINT) AS v").df()["v"][0]
+    huge = con.sql(
+        "SELECT sum(v) AS v FROM (SELECT CAST(1000000000001 AS BIGINT) AS v)"
+    ).df()["v"][0]
+    assert canon(big) != canon(huge)  # int64 "1000000000001" vs float64
+    # and the rule-15 cast repairs it
+    fixed = con.sql(
+        "SELECT CAST(sum(v) AS BIGINT) AS v"
+        " FROM (SELECT CAST(1000000000001 AS BIGINT) AS v)"
+    ).df()["v"][0]
+    assert canon(big) == canon(fixed)

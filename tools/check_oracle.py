@@ -83,6 +83,30 @@ def rows_to_multiset(cols, rows, c=canon):
     return sorted(tuple(c(r[i]) for i in order) for r in rows)
 
 
+# DuckDB output types whose PANDAS/ARROW representation differs from the
+# equivalent Spark column's: HUGEINT/UHUGEINT fetch as float64 (pandas) or
+# decimal128 (arrow) while Spark's long stays int64 — so a hash computed
+# over a dataframe fetch (the driver's plausible implementation) mismatches
+# on every row even when fetchall() values are identical.  This was the
+# round-4..6 driver-red cause: exactly the keys with HUGEINT output columns
+# (lr_classifier, webgraph_rank, table_profile) failed hash_match while
+# bit-exact under fetchall comparison.
+_MANGLED_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER")
+
+
+def duck_output_type_problems(rel) -> list[str]:
+    """Columns whose DuckDB type cannot survive a dataframe fetch
+    unchanged.  DECIMAL outputs are also flagged: duckdb fetches Decimal
+    objects / arrow decimal128 while Spark's toPandas yields Decimal too,
+    but the driver hash treatment of Decimal-vs-str/float is unknowable —
+    registered oracles render decimals as strings instead (rule 14a)."""
+    out = []
+    for col, t in zip(rel.columns, [str(t) for t in rel.types]):
+        if t.startswith(_MANGLED_DUCK_TYPES) or t.startswith("DECIMAL"):
+            out.append(f"{col}:{t}")
+    return out
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     strict = "--strict" in argv
@@ -137,6 +161,12 @@ def main() -> int:
             failures.append(name)
             continue
         problems = []
+        bad_types = duck_output_type_problems(ocur)
+        if bad_types:
+            problems.append(
+                f"oracle OUTPUT types mangle under dataframe fetch: {bad_types}"
+                " (cast to BIGINT / render as string — DETERMINISM rule 15)"
+            )
         if len(srows) != len(orows):
             problems.append(f"row count {len(srows)} != {len(orows)}")
         if sorted(scols) != sorted(ocols):
