@@ -465,6 +465,17 @@ def build_annexb_stream(nals: list[tuple[int, int, bytes]]) -> bytes:
     round-trip would silently truncate it (round-6 review finding)."""
     out = bytearray()
     for k, (ref_idc, ntype, rbsp) in enumerate(nals):
+        if ((ref_idc & 3) << 5) | (ntype & 0x1F) == 0:
+            # a 0x00 HEADER byte followed by an RBSP starting 00 01 forms
+            # an unescaped start code — emulation prevention only scans
+            # the RBSP, never the header, so the round-trip would emit a
+            # phantom unit and drop this one (round-6 advisory finding);
+            # nal_type 0 is "unspecified" in the spec and never appears
+            # in real streams
+            raise ValueError(
+                "NAL header byte 0x00 (ref_idc=0, nal_type=0) would emit "
+                "an unescaped start code; nal_type 0 is unspecified"
+            )
         if rbsp and rbsp[-1] == 0:
             raise ValueError(
                 "RBSP must not end in 0x00 (spec 7.4.1) — terminate it "

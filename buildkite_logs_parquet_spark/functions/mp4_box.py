@@ -191,13 +191,23 @@ def sample_index(data: bytes, stbl: Box) -> list[SampleRecord]:
     ``(first_chunk, samples_per_chunk)`` describes a RUN of chunks
     until the next entry's first_chunk; sample offsets within a chunk
     accumulate the preceding samples' stsz sizes."""
-    def u32s(box: Box) -> list[int]:
+    def _entry_table(box: Box, elem: int, fmt: str) -> list[int]:
+        # the declared count must fit the BOX payload, not merely the
+        # file: unpack_from alone happily reads past the box end into
+        # neighboring boxes (silently fabricating offsets from foreign
+        # bytes) and raises struct.error — not this module's documented
+        # ValueError quarantine seam — only at EOF
         (count,) = struct.unpack_from(">I", data, _full_box(data, box))
         base = _full_box(data, box) + 4
-        # struct.unpack_from raises on a count larger than the buffer,
-        # so file-declared counts cannot drive an allocation beyond the
-        # payload that actually exists
-        return list(struct.unpack_from(f">{count}I", data, base))
+        if base + elem * count > box.offset + box.size:
+            raise ValueError(
+                f"{box.type.decode('latin-1')} declares {count} entries "
+                f"beyond its box payload"
+            )
+        return list(struct.unpack_from(f">{count}{fmt}", data, base))
+
+    def u32s(box: Box) -> list[int]:
+        return _entry_table(box, 4, "I")
 
     stsz = stbl.find(b"stsz")
     stsc = stbl.find(b"stsc")
@@ -222,15 +232,16 @@ def sample_index(data: bytes, stbl: Box) -> list[SampleRecord]:
             )
         sizes = [fixed_size] * n_samples
     else:
+        if p + 8 + 4 * n_samples > stsz.offset + stsz.size:
+            raise ValueError(
+                f"stsz declares {n_samples} entries beyond its box payload"
+            )
         sizes = list(struct.unpack_from(f">{n_samples}I", data, p + 8))
     # chunk offsets
     if stco is not None:
         offsets = u32s(stco)
     else:
-        (count,) = struct.unpack_from(">I", data, _full_box(data, co64))
-        offsets = list(
-            struct.unpack_from(f">{count}Q", data, _full_box(data, co64) + 4)
-        )
+        offsets = _entry_table(co64, 8, "Q")
     # stsc runs → samples-per-chunk for every chunk
     (n_stsc,) = struct.unpack_from(">I", data, _full_box(data, stsc))
     if 4 + 12 * n_stsc > stsc.size - 12:  # entries must fit the box
@@ -239,10 +250,22 @@ def sample_index(data: bytes, stbl: Box) -> list[SampleRecord]:
         struct.unpack_from(">III", data, _full_box(data, stsc) + 4 + 12 * k)
         for k in range(n_stsc)
     ]
+    # each run's span is clamped to the REAL chunk universe (len(offsets)):
+    # a hostile 2-entry stsc with a large first_chunk gap otherwise
+    # allocates [per]*gap — hundreds of MB from a 555-byte file — before
+    # any later check fires (round-6 advisory finding)
     spc: list[int] = []
+    prev_first = 0
     for k, (first, per, _desc) in enumerate(entries):
+        if first <= prev_first:
+            raise ValueError(
+                f"stsc first_chunk not strictly increasing at entry {k}"
+            )
+        prev_first = first
         last = entries[k + 1][0] - 1 if k + 1 < len(entries) else len(offsets)
-        spc.extend([per] * (last - first + 1))
+        last = min(last, len(offsets))
+        if last >= first:
+            spc.extend([per] * (last - first + 1))
     # sync samples
     sync: set[int] = set()
     stss = stbl.find(b"stss")

@@ -127,6 +127,10 @@ def exact_int_order_statistics(
     n, vmin, vmax = _head_stats(vals)
     if n == 0:
         return 0, None, None, {}
+    if not ranks:
+        # callers wanting only (n, min, max) skip the bisection entirely —
+        # without this, one full histogram pass runs and selects nothing
+        return n, vmin, vmax, {}
     return n, vmin, vmax, _rank_select(vals, n, vmin, vmax, ranks, max_buckets)
 
 

@@ -405,3 +405,81 @@ class TestReviewHardening:
         summary, splits = _video_structure(mp4)
         assert summary["n_sync"] == len(splits) == 1
         assert splits[0]["kind"] == "sync_sample"
+
+
+class TestRound7AdvisoryHardening:
+    """Round-7 fixes of the round-6 advisory findings (ADVICE.md)."""
+
+    def test_hostile_stsc_gap_rejected_not_allocated(self):
+        # a 2-entry stsc whose second first_chunk is huge must NOT drive
+        # a [per]*gap allocation: the run clamps to the real chunk count
+        raw = bytearray(build_minimal_mp4(
+            sample_sizes=[5, 5], samples_per_chunk=[(1, 1), (2, 1)],
+            chunk_offsets=[100, 105],
+        ))
+        import struct as _s
+
+        i = raw.find(b"stsc")
+        # entry 1: first_chunk = 80_000_000 (would be ~320 MB of spc)
+        _s.pack_into(">I", raw, i + 8 + 4 + 12, 80_000_000)
+        info = video_track_info(bytes(raw))
+        idx = sample_index(bytes(raw), info.stbl)  # clamps, no ballooning
+        assert len(idx) == 2
+
+    def test_non_increasing_stsc_first_chunk_raises(self):
+        raw = bytearray(build_minimal_mp4(
+            sample_sizes=[5, 5], samples_per_chunk=[(1, 1), (2, 1)],
+            chunk_offsets=[100, 105],
+        ))
+        import struct as _s
+
+        i = raw.find(b"stsc")
+        _s.pack_into(">I", raw, i + 8 + 4 + 12, 1)  # duplicate first_chunk
+        info = video_track_info(bytes(raw))
+        with pytest.raises(ValueError):
+            sample_index(bytes(raw), info.stbl)
+
+    def test_stco_count_beyond_box_raises_valueerror(self):
+        # a declared count past the box payload must fail LOUDLY with the
+        # module's quarantine exception, not read neighboring boxes'
+        # bytes as chunk offsets (nor raise struct.error at EOF)
+        raw = bytearray(build_minimal_mp4(sample_sizes=[5, 5]))
+        import struct as _s
+
+        i = raw.find(b"stco")
+        _s.pack_into(">I", raw, i + 8, 1000)
+        info = video_track_info(bytes(raw))
+        with pytest.raises(ValueError):
+            sample_index(bytes(raw), info.stbl)
+
+    def test_stss_count_beyond_box_raises_valueerror(self):
+        raw = bytearray(build_minimal_mp4(
+            sample_sizes=[5, 5], sync_samples=[1]
+        ))
+        import struct as _s
+
+        i = raw.find(b"stss")
+        _s.pack_into(">I", raw, i + 8, 2**20)
+        info = video_track_info(bytes(raw))
+        with pytest.raises(ValueError):
+            sample_index(bytes(raw), info.stbl)
+
+    def test_variable_stsz_count_beyond_box_raises(self):
+        raw = bytearray(build_minimal_mp4(sample_sizes=[5, 5]))
+        import struct as _s
+
+        i = raw.find(b"stsz")
+        _s.pack_into(">II", raw, i + 8, 0, 2**20)  # variable, huge count
+        info = video_track_info(bytes(raw))
+        with pytest.raises(ValueError):
+            sample_index(bytes(raw), info.stbl)
+
+    def test_zero_header_nal_rejected_by_builder(self):
+        # header byte 0x00 + RBSP starting 00 01 = unescaped start code
+        # (emulation prevention never scans the header byte): the builder
+        # must reject it instead of emitting a phantom unit
+        with pytest.raises(ValueError):
+            build_annexb_stream([(0, 0, b"\x00\x01\x80"), (3, 1, b"\x10")])
+        # nonzero headers with the same RBSP round-trip fine
+        stream = build_annexb_stream([(1, 1, b"\x00\x01\x80"), (3, 1, b"\x10")])
+        assert len(find_nal_units(stream)) == 2

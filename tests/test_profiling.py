@@ -537,3 +537,19 @@ class TestExactIntOrderStatistics:
             k, rem = divmod((n - 1) * q, 100)
             k1 = min(k + 1, n - 1)
             assert ps[q] == ref[k] * 100 + (ref[k1] - ref[k]) * rem
+
+
+def test_order_statistics_empty_ranks_short_circuits(spark):
+    """ranks=[] must return (n, min, max, {}) from the head aggregate
+    alone — no bucket-bisection histogram pass selecting nothing
+    (round-6 advisory finding)."""
+    from unittest.mock import patch
+
+    from buildkite_logs_parquet_spark.operators import profiling as P
+
+    df = spark.range(100).selectExpr("id * 3 as v")
+    with patch.object(P, "_rank_select", side_effect=AssertionError(
+        "_rank_select must not run for empty ranks"
+    )):
+        n, lo, hi, sel = P.exact_int_order_statistics(df, "v", [])
+    assert (n, lo, hi, sel) == (100, 0, 297, {})
