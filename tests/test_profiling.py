@@ -553,3 +553,37 @@ def test_order_statistics_empty_ranks_short_circuits(spark):
     )):
         n, lo, hi, sel = P.exact_int_order_statistics(df, "v", [])
     assert (n, lo, hi, sel) == (100, 0, 297, {})
+
+
+def test_grouped_exact_int_percentiles_matches_per_group_path(spark):
+    """The grouped shared-pass bisection must be bit-identical to the
+    proven single-column exact_int_percentiles run per group — including
+    groups of 1 row, constant groups, and tiny max_buckets that force
+    multi-level recursion with range regrouping."""
+    from buildkite_logs_parquet_spark.operators.profiling import (
+        exact_int_percentiles,
+        grouped_exact_int_percentiles,
+    )
+
+    rows = []
+    import random
+
+    rng = random.Random(7)
+    for g, spec in {
+        "a": lambda: rng.randrange(0, 10_000_000),
+        "b": lambda: rng.randrange(-50, 50),
+        "const": lambda: 42,
+    }.items():
+        for _ in range(257 if g != "const" else 9):
+            rows.append((g, spec()))
+    rows.append(("single", 123456789))
+    df = spark.createDataFrame(rows, "k string, v long")
+
+    grouped = grouped_exact_int_percentiles(
+        df, "k", "v", [50, 90, 95], max_buckets=16
+    )
+    for g in ("a", "b", "const", "single"):
+        solo = exact_int_percentiles(
+            df.where(F.col("k") == g), "v", [50, 90, 95], max_buckets=16
+        )
+        assert grouped[g] == solo, g
