@@ -47,6 +47,42 @@ from buildkite_logs_parquet_spark.operators.ingest import (
 )
 
 # --------------------------------------------------------------------------
+# cache hygiene: persisted relations are load-bearing for the RETURNED
+# plans (the driver materializes after the query function returns, and
+# multi-leg unions re-read them), so a try/finally unpersist inside the
+# function would disable exactly the reuse the persist exists for.
+# Instead every persisting query registers its relations and RELEASES the
+# previous query's on entry — cached storage is bounded to one query's
+# relations for any session length, and long-lived sessions can call
+# release_query_caches() explicitly after materializing.
+# --------------------------------------------------------------------------
+
+_QUERY_CACHES: list[DataFrame] = []
+
+
+def release_query_caches() -> None:
+    """Unpersist every relation a previous ``queries()`` call left
+    cached.  Safe to call at any time; called automatically on entry to
+    each persisting query."""
+    while _QUERY_CACHES:
+        df = _QUERY_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+
+
+def _persist_for_query(df: DataFrame, level=None) -> DataFrame:
+    """Persist ``df`` and register it for release by the NEXT persisting
+    query (or an explicit release_query_caches())."""
+    from pyspark import StorageLevel
+
+    out = df.persist(level or StorageLevel.MEMORY_AND_DISK)
+    _QUERY_CACHES.append(out)
+    return out
+
+
+# --------------------------------------------------------------------------
 # synthetic log lines: portable SQL, identical text in Spark SQL and DuckDB
 # --------------------------------------------------------------------------
 
@@ -726,17 +762,17 @@ def q_lr_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding anywhere on the hashed path (DETERMINISM rule 13)."""
     docs = _t(spark, sf_dir, "documents")
 
-    from pyspark import StorageLevel
-
+    release_query_caches()
     # the two GD steps + the scoring pass + the batch-size count each
     # re-derive the hashed features (an md5-per-token explode) — persist
     # the narrow (doc_id, feat, cnt) relation and the labels once
-    feats = CL.hashed_features(docs, dim=64, seed=0).persist(
-        StorageLevel.MEMORY_AND_DISK
+    feats = _persist_for_query(CL.hashed_features(docs, dim=64, seed=0))
+    labels = _persist_for_query(
+        docs.select(
+            "doc_id",
+            F.col("text").contains(" the ").cast("int").alias("label"),
+        )
     )
-    labels = docs.select(
-        "doc_id", F.col("text").contains(" the ").cast("int").alias("label")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
     n_docs = labels.count()  # driver scalar: the batch size
     w0 = spark.createDataFrame([], "feat long, w double")
     # lr as the RATIONAL 1/2: the weight update quantizes on the 9-dp
@@ -1132,18 +1168,15 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, the in-SQL ADC lookup table, and both rankings from the
     same literals; all float folds are sequential-order (DETERMINISM.md).
     """
-    from pyspark import StorageLevel
-
-    emb = _t(spark, sf_dir, "embeddings")
+    release_query_caches()
     # the twelve legs below each scan the same small vector table —
     # persist it once so the union job reads cached columnar blocks
     # instead of re-decoding the parquet array column per leg.
-    # CACHE CONTRACT: deliberately NOT unpersisted here — the caller
-    # materializes the returned plan, so releasing inside this function
-    # would disable the reuse it exists for.  Both harness consumers
-    # clear it (the bench calls catalog.clearCache between queries; the
-    # oracle gate is one-shot); a long-lived session embedding this
-    # query should clearCache/unpersist after materializing.
+    # CACHE CONTRACT: not unpersisted HERE (the caller materializes the
+    # returned plan, so releasing now would disable the reuse) — it is
+    # registered with _persist_for_query and released on entry to the
+    # next persisting query or by an explicit release_query_caches().
+    emb = _persist_for_query(_t(spark, sf_dir, "embeddings"))
     # ONE driver job fetches both scalars the legs need: the query vector
     # (vec_id=0's embedding) and the corpus max-|x| SQ anchor — instead
     # of a .first() per leg
@@ -1876,18 +1909,16 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision / MRR / NDCG of the fused ranking at k=10 against three
     relevance sets (two partial-overlap term sets, one zero-overlap
     arithmetic set), one row per (metric, query)."""
-    from pyspark import StorageLevel
-
+    release_query_caches()
     docs = _t(spark, sf_dir, "documents")
     # bm (top-100 rows) feeds three branches (bm25 leg, the rrf lex
     # ranking, and through fused the metric legs) — persist the tiny
     # result so the corpus tokenize/tf scan runs once, not per branch.
-    # CACHE CONTRACT: same as q_ann_topk — released by the harnesses'
-    # clearCache, not here (the caller still has to materialize the
-    # returned plan); unpersist after materializing in long sessions.
-    bm = TA.bm25_scores(
-        docs, ["spark", "query", "merge"], "doc_id", top_n=100
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # CACHE CONTRACT: same as q_ann_topk — registered, released on entry
+    # to the next persisting query (or release_query_caches()).
+    bm = _persist_for_query(
+        TA.bm25_scores(docs, ["spark", "query", "merge"], "doc_id", top_n=100)
+    )
     bm25_leg = bm.select(
         F.lit("bm25").alias("op"),
         "doc_id",
@@ -1910,9 +1941,9 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     )
     # fused (≤200 rows) feeds the rrf leg AND the metric-leg ranking
-    fused = R.rrf_fuse(
-        {"bm25": lex_ranked, "dense": dense_ranked}, id_col="doc_id"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    fused = _persist_for_query(
+        R.rrf_fuse({"bm25": lex_ranked, "dense": dense_ranked}, id_col="doc_id")
+    )
     rrf_leg = fused.select(
         F.lit("rrf").alias("op"),
         "doc_id",
@@ -2113,17 +2144,14 @@ def q_webgraph_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     division — no float anywhere on the hashed path).
 
     NOTE: the link-edge relation is persisted for the duration of the
-    query (both legs consume the same extraction pipeline) and released
-    by the bench harness's clearCache between queries; callers embedding
-    this in a longer session should unpersist after materializing."""
+    query (both legs consume the same extraction pipeline) and
+    registered with _persist_for_query: the next persisting query (or an
+    explicit release_query_caches()) releases it."""
     from buildkite_logs_parquet_spark.operators import webgraph as WG
 
-    from pyspark import StorageLevel as _SL
-
+    release_query_caches()
     urls = _url_planted(spark, sf_dir)
-    link_e = WG.text_link_edges(urls, "doc_id", "text").persist(
-        _SL.MEMORY_AND_DISK
-    )
+    link_e = _persist_for_query(WG.text_link_edges(urls, "doc_id", "text"))
     edge_leg = WG.host_edges(link_e).select(
         F.concat(
             F.lit("edge:"), F.col("src"), F.lit(">"), F.col("dst")

@@ -129,3 +129,28 @@ def test_log_templates_masks_variables_and_counts(spark):
     )
     got = one.select(template_of(F.col("clean_content")).alias("t")).first()["t"]
     assert got == "job <uuid> took <dur>"
+
+
+def test_persisting_queries_release_previous_caches(spark):
+    """Cache hygiene: each persisting registry query releases the
+    PREVIOUS one's cached relations on entry, so a long session running
+    many queries holds at most one query's persisted storage (round-6
+    advisory: q_ann_topk/q_bm25_scores persisted and never unpersisted)."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    E.release_query_caches()
+    df1 = E.queries()["ann_topk"](spark, sf)
+    df1.count()
+    first_batch = list(E._QUERY_CACHES)
+    assert first_batch, "ann_topk should register persisted relations"
+    assert all(d.storageLevel.useMemory for d in first_batch)
+    df2 = E.queries()["bm25_scores"](spark, sf)
+    df2.count()
+    # ann_topk's relations were released when bm25 entered
+    assert all(not d.storageLevel.useMemory for d in first_batch)
+    assert E._QUERY_CACHES and all(
+        d.storageLevel.useMemory for d in E._QUERY_CACHES
+    )
+    E.release_query_caches()
+    assert not E._QUERY_CACHES
