@@ -432,6 +432,7 @@ def harmonic_centrality(
     lg_k: int = 10,
     round_to: int = 6,
     checkpoint_dir: str | None = None,
+    stall_rounds: int = 2,
 ) -> DataFrame:
     """Approximate harmonic centrality via HyperBall (Boldi & Vigna
     2013): ``H(v) = Σ_{u≠v} 1/d(u→v)`` — the centrality Common Crawl
@@ -515,6 +516,7 @@ def harmonic_centrality(
             F.sum("cnt").alias("t"), F.sum(F.xxhash64("sk").cast("decimal(38,0)")).alias("h")
         ).first()
         prev_total, prev_digest = int(p0["t"] or 0), int(p0["h"] or 0)
+        stall = 0
         for r in range(1, max_radius + 1):
             # in-neighbor union: edge a→b puts a's ball inside b's next
             nbr = (
@@ -566,6 +568,20 @@ def harmonic_centrality(
             # register-level fixpoint: stop only when NO sketch changed
             # (digest + total both stable — collision odds ~2^-64)
             if total == prev_total and digest == prev_digest:
+                break
+            # stall guard (round-7, closing the ADVICE note): the digest
+            # fixpoint assumes no-op hll_union re-serializes byte-
+            # identically — if an engine upgrade breaks that, the digest
+            # never stabilizes and the loop burns max_radius rounds of
+            # sketch shuffles for nothing.  A round where the TOTAL
+            # estimate didn't move added 0 to every harmonic sum;
+            # ``stall_rounds`` consecutive such rounds ends the loop.
+            # Estimates can stall one round while registers still grow
+            # (the docstring's HyperBall caveat), so the default keeps
+            # one grace round; the truncation risk beyond that is far
+            # inside the sketch's own ~3% error (rule 8 territory).
+            stall = stall + 1 if total == prev_total else 0
+            if stall >= stall_rounds:
                 break
             prev_total, prev_digest = total, digest
         return state.select(

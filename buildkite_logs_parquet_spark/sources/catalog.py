@@ -113,11 +113,55 @@ def publish_version(df: DataFrame, root: str, max_attempts: int = 16) -> int:
     )
 
 
-def _point(root: str, n: int) -> None:
-    tmp = os.path.join(root, f"_ptr-{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        f.write(str(n))
-    os.replace(tmp, os.path.join(root, "LATEST"))
+def _point(root: str, n: int, force: bool = False) -> None:
+    """Update the LATEST pointer.  Monotonic by default: without
+    ``force``, the pointer only ADVANCES — when two publishers' renames
+    land as v=5 then v=6 but their pointer writes interleave the other
+    way, the stale ``_point(5)`` must not roll LATEST backward past the
+    already-published v=6 (the round-5/6 advisory race).  The
+    read-compare-write runs under a short O_EXCL lock file; a lock left
+    by a crashed publisher is broken after ``_LOCK_STALE_S``.  ``force``
+    is for :func:`rollback`, where going backward is the point.
+
+    Local-FS semantics (O_EXCL, rename) — an object-store catalog needs
+    a real coordinator instead of this file lock."""
+    import time as _time
+
+    lock = os.path.join(root, "LATEST.lock")
+    deadline = _time.monotonic() + _LOCK_TIMEOUT_S
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                if _time.time() - os.path.getmtime(lock) > _LOCK_STALE_S:
+                    os.unlink(lock)  # crashed holder; next loop reclaims
+                    continue
+            except FileNotFoundError:
+                continue  # holder released between open and stat
+            if _time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"could not acquire {lock} within {_LOCK_TIMEOUT_S}s"
+                )
+            _time.sleep(0.01)
+    try:
+        cur = current_version(root)
+        if force or cur is None or n > cur:
+            tmp = os.path.join(root, f"_ptr-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                f.write(str(n))
+            os.replace(tmp, os.path.join(root, "LATEST"))
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
+
+
+_LOCK_TIMEOUT_S = 10.0
+_LOCK_STALE_S = 30.0
 
 
 def read_version(
@@ -140,4 +184,4 @@ def rollback(root: str, to_version: int) -> None:
     untouched — roll forward again by publishing or re-pointing."""
     if to_version not in _versions(root):
         raise ValueError(f"no such version v={to_version} under {root}")
-    _point(root, to_version)
+    _point(root, to_version, force=True)

@@ -150,3 +150,54 @@ def test_publish_reraises_non_race_errors_immediately(spark, tmp_path):
         C.os.rename = real_rename
     assert exc_info.value.errno == errno.EXDEV  # the REAL error surfaced
     assert calls["n"] == 1  # no doomed retries
+
+
+def test_pointer_never_moves_backward_without_force(spark, tmp_path):
+    """Round-7 race fix: two publishers rename v=5 then v=6 but their
+    pointer writes can interleave the other way — the stale _point must
+    not roll LATEST backward.  rollback() still forces it."""
+    from buildkite_logs_parquet_spark.sources import catalog as C
+
+    root = str(tmp_path / "cat")
+    publish_version(_corpus(spark, "a"), root)
+    publish_version(_corpus(spark, "b"), root)
+    assert C.current_version(root) == 2
+    # the straggler's pointer write arrives late: must be a no-op
+    C._point(root, 1)
+    assert C.current_version(root) == 2
+    # rollback is the sanctioned backward move
+    C.rollback(root, 1)
+    assert C.current_version(root) == 1
+    # and a newer publish advances past it again
+    assert publish_version(_corpus(spark, "c"), root) == 3
+    assert C.current_version(root) == 3
+
+
+def test_stale_pointer_lock_is_broken(spark, tmp_path, monkeypatch):
+    """A lock file left by a crashed publisher must not wedge the
+    catalog: _point breaks locks older than _LOCK_STALE_S."""
+    from buildkite_logs_parquet_spark.sources import catalog as C
+
+    root = str(tmp_path / "cat")
+    publish_version(_corpus(spark, "a"), root)
+    lock = os.path.join(root, "LATEST.lock")
+    with open(lock, "w"):
+        pass
+    old = os.path.getmtime(lock) - C._LOCK_STALE_S - 5
+    os.utime(lock, (old, old))
+    C._point(root, 1, force=True)  # must break the stale lock, not hang
+    assert C.current_version(root) == 1
+    assert not os.path.exists(lock)
+
+
+def test_live_lock_times_out_instead_of_hanging(spark, tmp_path, monkeypatch):
+    from buildkite_logs_parquet_spark.sources import catalog as C
+
+    root = str(tmp_path / "cat")
+    publish_version(_corpus(spark, "a"), root)
+    with open(os.path.join(root, "LATEST.lock"), "w"):
+        pass
+    monkeypatch.setattr(C, "_LOCK_TIMEOUT_S", 0.2)
+    monkeypatch.setattr(C, "_LOCK_STALE_S", 3600.0)
+    with pytest.raises(TimeoutError):
+        C._point(root, 1, force=True)

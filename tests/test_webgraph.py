@@ -422,3 +422,46 @@ def test_hll_union_byte_stability_for_the_digest_fixpoint(spark):
     assert row["h_orig"] == row["h1"], "union with the original changed bytes"
     assert row["h_subset"] == row["h1"], "subset-union changed bytes"
     assert row["h_subset2"] == row["h1"], "repeated subset-union changed bytes"
+
+
+class TestHarmonicStallGuard:
+    def test_stall_guard_bounds_rounds_when_digest_never_stabilizes(
+        self, spark, monkeypatch
+    ):
+        """Round-7 ADVICE fix: the register-digest fixpoint assumes no-op
+        hll_union re-serializes byte-identically.  Simulate that
+        assumption breaking (digest differs every round) and assert the
+        estimate-stall guard still ends the loop right after the ball
+        stops growing — instead of burning all max_radius rounds — with
+        unchanged results."""
+        import itertools
+
+        from buildkite_logs_parquet_spark.operators import webgraph as WG
+
+        edge_list = [("a", "b"), ("b", "c"), ("c", "d")]  # diameter 3
+        df = spark.createDataFrame(edge_list, "src string, dst string")
+        baseline = {
+            r["node"]: (r["harmonic"], r["reach_est"])
+            for r in WG.harmonic_centrality(df, max_radius=40).collect()
+        }
+
+        real_xxhash64 = WG.F.xxhash64
+        counter = itertools.count()
+        probes = []
+
+        def churning_digest(col):
+            # a fresh literal per PROBE makes the digest different every
+            # round — the byte-instability failure mode, exactly
+            n = next(counter)
+            probes.append(n)
+            return real_xxhash64(WG.F.concat(col, WG.F.lit(str(n))))
+
+        monkeypatch.setattr(WG.F, "xxhash64", churning_digest)
+        got = {
+            r["node"]: (r["harmonic"], r["reach_est"])
+            for r in WG.harmonic_centrality(df, max_radius=40).collect()
+        }
+        assert got == baseline
+        # probes: 1 at round 0 + one per round; diameter 3 growth rounds
+        # + stall_rounds(2) grace, nowhere near max_radius=40
+        assert len(probes) <= 1 + 3 + 3, probes
