@@ -702,7 +702,37 @@ def q_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ndbl.alias("p50"),
         ndbl.alias("p90"),
     )
-    return hourly.unionByName(jsonb).unionByName(pctl).unionByName(roll)
+    # round-7 consolidation (rule 14b: PROVEN legs may merge onto proven
+    # keys — both rode their own green key rounds 1-6): 'sess' rows are
+    # the former events_sessions key (per-user sessionization — gap>30min
+    # windows), 'native_day' the former events_native_ts schema canary
+    # (reads ts NATIVELY, no _events ts_ms detour, so a testdata
+    # timestamp-encoding drift still surfaces — now as this key's
+    # native_day rows).  Frees two registry slots for the round-7 probe
+    # and preference-tier keys.
+    sess_leg = q_events_sessions(spark, sf_dir).select(
+        F.lit("sess").alias("side"),
+        F.col("user_id").cast("string").alias("key"),
+        "n_events",
+        ndbl.alias("total_value"),
+        F.col("n_sessions").cast("string").alias("p50"),
+        F.col("max_session_ms").cast("string").alias("p90"),
+    )
+    native_leg = q_events_native_ts(spark, sf_dir).select(
+        F.lit("native_day").alias("side"),
+        F.col("day").alias("key"),
+        "n_events",
+        ndbl.alias("total_value"),
+        F.col("first_ts").alias("p50"),
+        F.col("last_ts").alias("p90"),
+    )
+    return (
+        hourly.unionByName(jsonb)
+        .unionByName(pctl)
+        .unionByName(roll)
+        .unionByName(sess_leg)
+        .unionByName(native_leg)
+    )
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1006,6 +1036,20 @@ def q_events_native_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_probe_env(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-environment probe (round-7, judge's ask): the driver's
+    CORRECTNESS run is the only code that executes inside the failing
+    environment, so this key makes it REPORT.  The oracle emits
+    ``10000·major + 100·minor + patch`` rows derived from DuckDB's
+    ``version()``; the Spark side emits the 10000 rows matching the
+    local gate's DuckDB 1.0.0.  Green ⟺ the driver runs 1.0.0; any
+    other release turns the key red with ``oracle_rows`` ENCODING the
+    exact version (e.g. 1.3.2 → 10302) — one registry slot buys full
+    engine-version visibility instead of another blind round.  Values
+    are 0..n-1 on both sides so a count match is also a hash match."""
+    return spark.range(10000).select(F.col("id").cast("long").alias("i"))
+
+
 # --------------------------------------------------------------------------
 # training-data ops: dedup / similarity / text analysis
 # --------------------------------------------------------------------------
@@ -1013,6 +1057,118 @@ def q_events_native_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup_stats(_t(spark, sf_dir, "documents"), ["text"])
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup survivor selection
+    (operators/dedup.py::dedup_keep_best over
+    graph.cluster_representatives): the SAME MinHash-LSH pair + connected
+    -components pipeline the proven dedup_clusters key runs, but each
+    cluster keeps its HIGHEST-quality member (9-dp grid, min-id ties)
+    instead of the min-id canonical — the RefinedWeb/FineWeb survivor
+    recipe.  The quality score is a deterministic md5 integer (rule 3)
+    so the oracle replays it bit-exactly; the partial cluster map feeds
+    only multi-member clusters through the argmax, exercising the
+    singleton-fallback split too.
+
+    Own key per DETERMINISM rule 14b (new hashed leg rides alone for
+    ≥ 1 driver round).  Output: (doc_id, cluster, q, is_canonical)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(
+        docs, "doc_id", "text", num_perm=8, bands=4, shingle_k=8, threshold=0.25
+    )
+    clusters = G.dedup_clusters(
+        docs, pairs.select("id_a", "id_b"), id_col="doc_id"
+    )
+    # partial map: only multi-member clusters (the operator's contract —
+    # absent ids fall back to singleton clusters of themselves)
+    from pyspark.sql import Window as _W
+
+    multi = (
+        clusters.withColumn(
+            "_n", F.count("*").over(_W.partitionBy("cluster"))
+        )
+        .where(F.col("_n") >= 2)
+        .select("doc_id", "cluster")
+    )
+    q = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("q:"), F.col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 1000000
+    ).cast("double")
+    scored = docs.select("doc_id", q.alias("q"))
+    out = D.dedup_keep_best(
+        scored, multi, id_col="doc_id", cluster_col="cluster", quality_col="q"
+    )
+    return out.select(
+        "doc_id",
+        "cluster",
+        F.col("q").cast("long").alias("q"),
+        F.col("is_canonical"),
+    )
+
+
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction + dataset bias audit
+    (operators/preference.py::make_preference_pairs /
+    preference_pair_audit) — the RLHF/DPO data-prep tier's
+    SQL-expressible half, oracle-gated per the round-6 judge's ask.
+
+    The scored pool is deterministic: prompt = doc_id div 8, response =
+    doc_id, score = a rule-3 md5 integer in [0, 10^6) carried as an
+    integer-valued double — so the operator's 9-dp grid
+    (``round(score·10⁹)``) is EXACT integer arithmetic on both engines
+    (k·10⁹ < 2^53; no round(double) anywhere in the oracle, rule 14a).
+    'pair' rows carry (prompt, chosen, rejected, margin9, lens); the
+    'audit' row carries preference_pair_audit's seven counters, with
+    sum_margin9 scaled back to the 10^6 grid (÷10⁹, exact — margins are
+    multiples of 10⁹) so every output column is BIGINT (rule 15).
+
+    Own key per DETERMINISM rule 14b (new hashed legs ride alone)."""
+    from buildkite_logs_parquet_spark.operators import preference as PR
+
+    docs = _t(spark, sf_dir, "documents")
+    k = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ps:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    scored = docs.select(
+        F.expr("doc_id div 8").alias("prompt_id"),
+        F.col("doc_id").alias("response_id"),
+        k.cast("double").alias("score"),
+        F.col("n_chars"),
+    )
+    pairs = PR.make_preference_pairs(scored, text_len_col="n_chars")
+    nl = F.lit(None).cast("long")
+    pair_leg = pairs.select(
+        F.lit("pair").alias("side"),
+        F.col("prompt_id").alias("a"),
+        F.col("chosen_id").alias("b"),
+        F.col("rejected_id").alias("c"),
+        F.col("margin9").alias("d"),
+        F.col("chosen_len").alias("e"),
+        F.col("rejected_len").alias("f"),
+    )
+    audit = PR.preference_pair_audit(pairs)
+    audit_leg = audit.select(
+        F.lit("audit").alias("side"),
+        F.col("n_pairs").alias("a"),
+        F.col("n_chosen_longer").alias("b"),
+        F.col("n_rejected_longer").alias("c"),
+        F.col("n_len_tied").alias("d"),
+        (F.col("n_zero_margin") * 1000000 + F.col("n_distinct_chosen")).alias(
+            "e"
+        ),
+        F.expr("cast(sum_margin9 div 1000000000 as long)").alias("f"),
+    )
+    return pair_leg.unionByName(audit_leg)
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1385,11 +1541,34 @@ def q_embedding_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFram
     )
     joined = emb.join(F.broadcast(cent), "label")
     sim = S.cosine(v, F.col("centroid"))
-    return joined.groupBy("label").agg(
+    cent_leg = joined.groupBy("label").agg(
         F.count("*").alias("n_vectors"),
         F.round(F.min(sim), 4).alias("min_sim"),
         F.round(F.max(sim), 4).alias("max_sim"),
+    ).select(
+        F.lit("cent").alias("side"),
+        # explicit string: the union's other leg carries string ids, and
+        # Spark's implicit (int, string) union coercion picks BIGINT
+        # while DuckDB's picks VARCHAR — pin the type on both sides
+        F.col("label").cast("string").alias("a"),
+        F.lit(None).cast("string").alias("b"),
+        F.col("n_vectors").alias("n"),
+        F.col("min_sim").alias("v1"),
+        F.col("max_sim").alias("v2"),
     )
+    # round-7 consolidation (rule 14b, proven→proven): the former
+    # embedding_near_dups_lsh key — banded hyperplane-LSH near-dup pairs
+    # over the same seeded planes the oracle inlines — rides as
+    # 'lshpair' rows, freeing its slot for the round-7 keys
+    pair_leg = q_embedding_near_dups_lsh(spark, sf_dir).select(
+        F.lit("lshpair").alias("side"),
+        F.col("id_a").cast("string").alias("a"),
+        F.col("id_b").cast("string").alias("b"),
+        F.lit(0).cast("long").alias("n"),
+        F.col("cosine").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    return cent_leg.unionByName(pair_leg)
 
 
 #: target mixture for the corpus-mixing query — six sources, skewed
@@ -2445,6 +2624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     than letting entries silently fall outside the checked window.
     """
     return {
+        "probe_env": q_probe_env,
         "bk_parse_entries": q_bk_parse_entries,
         "bk_groups_summary": q_bk_groups_summary,
         "bk_filter_by_group": q_bk_filter_by_group,
@@ -2458,10 +2638,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_discount_audit": q_orders_discount_audit,
         "winnow_fingerprint": q_winnow_fingerprint,
         "events_agg": q_events_agg,
-        "events_sessions": q_events_sessions,
-        "events_native_ts": q_events_native_ts,
         "events_asof": q_events_asof,
         "dedup_exact": q_dedup_exact,
+        "dedup_keep_best": q_dedup_keep_best,
+        "preference_pairs": q_preference_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "segment_dedup": q_segment_dedup,
@@ -2469,7 +2649,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "text_profile": q_text_profile,
         "ann_topk": q_ann_topk,
-        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "embedding_label_centroid_sim": q_embedding_label_centroid_sim,
         "kmeans_step": q_kmeans_step,
         "semantic_dedup": q_semantic_dedup,
@@ -2569,6 +2748,23 @@ def oracle_sql() -> dict[str, str]:
     rev = f"sum({dec('l_extendedprice')} * ({one} - {frac('l_discount')}))"
 
     sql: dict[str, str] = {}
+
+    # environment probe (round 7): the oracle's ROW COUNT encodes the
+    # engine release — 10000·major + 100·minor + patch (v1.0.0 → 10000,
+    # matching the Spark side's constant; v1.3.2 → 10302 → red with the
+    # version readable straight from CORRECTNESS's oracle_rows; an
+    # unparsable version() caps at the 200000-row generator = its own
+    # signal).  Values are 0..n-1 so a count match implies a hash match.
+    sql["probe_env"] = r"""
+WITH v AS (
+  SELECT coalesce(TRY_CAST(regexp_extract(version(), 'v(\d+)\.(\d+)\.(\d+)', 1) AS INTEGER), 19) AS ma,
+         coalesce(TRY_CAST(regexp_extract(version(), 'v(\d+)\.(\d+)\.(\d+)', 2) AS INTEGER), 99) AS mi,
+         coalesce(TRY_CAST(regexp_extract(version(), 'v(\d+)\.(\d+)\.(\d+)', 3) AS INTEGER), 99) AS pa
+)
+SELECT CAST(r.range AS BIGINT) AS i
+FROM range(200000) r, v
+WHERE r.range < 10000 * v.ma + 100 * v.mi + v.pa
+"""
 
     # entry side: canonical entries; clean side: clean_content/parse_error
     # over ALL lines including quarantined (o_cleaned is the pre-filter CTE)
@@ -2838,41 +3034,49 @@ FROM (
   FROM events
 )
 GROUP BY ROLLUP(d, h, event_type)
-"""
-
-    sql["events_sessions"] = """
-WITH flagged AS (
-  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
-         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
-                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 30 * 60 * 1000
-              THEN 1 ELSE 0 END AS new_session
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
-),
-sess AS (
-  SELECT user_id, event_id, ts_ms,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-  FROM flagged
-),
-per_session AS (
-  SELECT user_id, session_id, count(*) AS n_events,
-         max(ts_ms) - min(ts_ms) AS duration_ms
-  FROM sess GROUP BY user_id, session_id
+UNION ALL
+-- sess: the former events_sessions key (round-7 consolidation) —
+-- n_sessions/max_session_ms ride p50/p90 as integer-cast strings
+SELECT 'sess' AS side, CAST(user_id AS STRING) AS key,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(NULL AS VARCHAR) AS total_value,
+       CAST(n_sessions AS VARCHAR) AS p50,
+       CAST(max_session_ms AS VARCHAR) AS p90
+FROM (
+  WITH flagged AS (
+    SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+           CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                  OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 30 * 60 * 1000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+  ),
+  sess AS (
+    SELECT user_id, event_id, ts_ms,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+  ),
+  per_session AS (
+    SELECT user_id, session_id, count(*) AS n_events,
+           max(ts_ms) - min(ts_ms) AS duration_ms
+    FROM sess GROUP BY user_id, session_id
+  )
+  SELECT user_id, count(*) AS n_sessions,
+         CAST(sum(n_events) AS BIGINT) AS n_events,
+         max(duration_ms) AS max_session_ms
+  FROM per_session GROUP BY user_id
 )
-SELECT user_id, count(*) AS n_sessions,
-       CAST(sum(n_events) AS BIGINT) AS n_events,
-       max(duration_ms) AS max_session_ms
-FROM per_session GROUP BY user_id
-"""
-
-    sql["events_native_ts"] = """
-SELECT strftime(ts, '%Y-%m-%d') AS day,
+UNION ALL
+-- native_day: the former events_native_ts schema canary (reads ts
+-- natively — a testdata timestamp-encoding drift surfaces here)
+SELECT 'native_day' AS side, strftime(ts, '%Y-%m-%d') AS key,
        count(*) AS n_events,
-       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
-       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+       CAST(NULL AS VARCHAR) AS total_value,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS p50,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS p90
 FROM events
-GROUP BY 1
+GROUP BY 2
 """
 
     sql["dedup_exact"] = """
@@ -3248,24 +3452,6 @@ FROM events e JOIN events w
  AND epoch_ms(e.ts) <= epoch_ms(w.ts) + 300000
 """
 
-    sql["embedding_label_centroid_sim"] = """
-WITH expl AS (
-  SELECT label, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
-  FROM embeddings
-),
-cent AS (
-  SELECT label, list(s ORDER BY i) AS centroid FROM (
-    SELECT label, i, CAST(sum(CAST(e AS DECIMAL(28,12))) AS DOUBLE) AS s
-    FROM expl GROUP BY label, i
-  ) GROUP BY label
-)
-SELECT e.label AS label, count(*) AS n_vectors,
-       round(min(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid)), 4) AS min_sim,
-       round(max(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid)), 4) AS max_sim
-FROM embeddings e JOIN cent c ON e.label = c.label
-GROUP BY e.label
-"""
-
     # same seeded planes the Spark query uses, inlined as list literals
     import random as _random
 
@@ -3279,8 +3465,20 @@ GROUP BY e.label
         "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
         "CAST(bb.embedding AS DOUBLE[]))"
     )
-    sql["embedding_near_dups_lsh"] = f"""
-WITH planes(plane_id, plane) AS (
+    # round-7 consolidation: 'cent' = the former standalone key, 'lshpair'
+    # = the former embedding_near_dups_lsh key (both driver-proven)
+    sql["embedding_label_centroid_sim"] = f"""
+WITH expl AS (
+  SELECT label, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+cent AS (
+  SELECT label, list(s ORDER BY i) AS centroid FROM (
+    SELECT label, i, CAST(sum(CAST(e AS DECIMAL(28,12))) AS DOUBLE) AS s
+    FROM expl GROUP BY label, i
+  ) GROUP BY label
+),
+planes(plane_id, plane) AS (
   VALUES {_plane_rows}
 ),
 b AS (
@@ -3294,7 +3492,15 @@ banded AS (
   SELECT vec_id, embedding, j.band, (bucket >> (2 * j.band)) & 3 AS key
   FROM b, (SELECT unnest(range(4)) AS band) j
 )
-SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b, round({_cos}, 4) AS cosine
+SELECT 'cent' AS side, CAST(e.label AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b,
+       count(*) AS n,
+       round(min(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid)), 4) AS v1,
+       round(max(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid)), 4) AS v2
+FROM embeddings e JOIN cent c ON e.label = c.label
+GROUP BY e.label
+UNION ALL
+SELECT DISTINCT 'lshpair', CAST(a.vec_id AS VARCHAR), CAST(bb.vec_id AS VARCHAR),
+       CAST(0 AS BIGINT), round({_cos}, 4), CAST(NULL AS DOUBLE)
 FROM banded a
 JOIN banded bb ON a.band = bb.band AND a.key = bb.key AND a.vec_id < bb.vec_id
 WHERE {_cos} >= {_NEAR_DUP_THRESHOLD}
@@ -3480,6 +3686,104 @@ SELECT 'cluster' AS side, id AS a, min(comp) AS b, CAST(NULL AS DOUBLE) AS score
 FROM reach GROUP BY id
 """
     )
+
+    # dedup_keep_best: the SAME pair + connected-components relations as
+    # dedup_clusters, then per-cluster highest-quality survivor (min-id
+    # ties) over multi-member clusters only; ids outside the partial map
+    # return as singleton clusters.  Quality = rule-3 md5 integer, so
+    # every hashed value is BIGINT/BOOLEAN arithmetic (rules 13/15).
+    sql["dedup_keep_best"] = (
+        "WITH RECURSIVE "
+        + _LSH_PAIRS_CTE.lstrip()
+        + f""",
+nd AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN signatures a ON c.id_a = a.doc_id
+  JOIN signatures b ON c.id_b = b.doc_id
+  WHERE (({_agree}) / 8.0) >= 0.25
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM nd
+  UNION ALL
+  SELECT id_b, id_a FROM nd
+),
+reach(id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id WHERE r.comp < s.b
+),
+cl AS (SELECT id, min(comp) AS cluster FROM reach GROUP BY id),
+sizes AS (SELECT cluster, count(*) AS n FROM cl GROUP BY cluster),
+multi AS (
+  SELECT cl.id, cl.cluster FROM cl JOIN sizes USING (cluster) WHERE sizes.n >= 2
+),
+qs AS (
+  SELECT doc_id AS id,
+         CAST(concat('0x', substr(md5(concat('q:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+           % 1000000 AS q
+  FROM documents
+),
+clustered AS (SELECT m.id, m.cluster, qs.q FROM multi m JOIN qs ON qs.id = m.id),
+rep AS (
+  SELECT cluster, id AS rep_id FROM (
+    SELECT cluster, id,
+           row_number() OVER (PARTITION BY cluster ORDER BY q DESC, id ASC) AS rn
+    FROM clustered
+  ) WHERE rn = 1
+)
+SELECT c.id AS doc_id, c.cluster AS cluster, c.q AS q,
+       (c.id = r.rep_id) AS is_canonical
+FROM clustered c JOIN rep r USING (cluster)
+UNION ALL
+SELECT qs.id, qs.id, qs.q, TRUE
+FROM qs WHERE qs.id NOT IN (SELECT id FROM multi)
+"""
+    )
+
+    # preference_pairs: top-vs-bottom pairing per prompt with the
+    # operator's asymmetric tie-breaks (chosen: score DESC, id ASC;
+    # rejected: score ASC, id DESC) as explicit row_number total orders
+    # (rule 6).  Scores are md5 integers, so margin9 = Δk·10⁹ is pure
+    # BIGINT; the audit row's sums coalesce to 0 over empty sets and
+    # cast to BIGINT (rule 15 — sum() promotes to HUGEINT).
+    sql["preference_pairs"] = """
+WITH pool AS (
+  SELECT doc_id // 8 AS prompt_id, doc_id AS rid,
+         CAST(concat('0x', substr(md5(concat('ps:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+           % 1000000 AS k,
+         CAST(n_chars AS BIGINT) AS len
+  FROM documents
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY prompt_id ORDER BY k DESC, rid ASC) AS rb,
+         row_number() OVER (PARTITION BY prompt_id ORDER BY k ASC, rid DESC) AS rw,
+         count(*) OVER (PARTITION BY prompt_id) AS nresp
+  FROM pool
+),
+pr AS (
+  SELECT b.prompt_id, b.rid AS chosen_id, w.rid AS rejected_id,
+         (b.k - w.k) * 1000000000 AS margin9,
+         b.len AS chosen_len, w.len AS rejected_len,
+         b.k - w.k AS mk
+  FROM (SELECT * FROM ranked WHERE rb = 1 AND nresp >= 2) b
+  JOIN (SELECT * FROM ranked WHERE rw = 1) w USING (prompt_id)
+)
+SELECT 'pair' AS side, prompt_id AS a, chosen_id AS b, rejected_id AS c,
+       margin9 AS d, chosen_len AS e, rejected_len AS f
+FROM pr
+UNION ALL
+SELECT 'audit',
+       count(*),
+       coalesce(CAST(sum(CASE WHEN chosen_len > rejected_len THEN 1 ELSE 0 END) AS BIGINT), 0),
+       coalesce(CAST(sum(CASE WHEN chosen_len < rejected_len THEN 1 ELSE 0 END) AS BIGINT), 0),
+       coalesce(CAST(sum(CASE WHEN chosen_len = rejected_len THEN 1 ELSE 0 END) AS BIGINT), 0),
+       coalesce(CAST(sum(CASE WHEN margin9 = 0 THEN 1 ELSE 0 END) AS BIGINT), 0) * 1000000
+         + count(DISTINCT chosen_id),
+       coalesce(CAST(sum(mk) AS BIGINT), 0)
+FROM pr
+"""
 
     # IVF oracle: replay the same literal centroids.  The normalized
     # centroid lists and per-centroid norms are computed by the SAME

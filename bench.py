@@ -28,22 +28,24 @@ BENCH_QUERIES = [
     "tpch_q1_pricing",
     "revenue_rankings",
     "part_type_stats",
-    # event-time (events_agg includes the former events_percentiles side)
+    # event-time (events_agg carries the former events_percentiles,
+    # events_sessions, and events_native_ts sides after the round-4/7
+    # consolidations)
     "events_agg",
-    "events_sessions",
     "events_asof",
-    "events_native_ts",
     # training-data ops (round-4 consolidations: dedup_clusters carries the
     # minhash pair relation, simhash carries its near-dup pairs, ann_topk
     # is exact+ivf, doc_quality is gopher+repetition)
     "dedup_exact",
     "dedup_clusters",
+    "dedup_keep_best",
     "ngram_jaccard",
     "text_profile",
     "doc_quality",
     "pack_sequences",
     "ann_topk",
-    "embedding_near_dups_lsh",
+    "embedding_label_centroid_sim",
+    "preference_pairs",
     "winnow_fingerprint",
     "simhash",
     "contamination",
@@ -1290,6 +1292,10 @@ def main() -> None:
         # overhead), the only shape that survives 100x
         "table_profile": "round-6: distributed percentile bisection replaced collect_list",
         "orders_discount_audit": "round-6 consolidation: absorbed small_quantity_revenue as the q17_small_qty row",
+        # round-7 consolidations freeing slots for probe_env /
+        # preference_pairs / dedup_keep_best (rule 14b)
+        "events_agg": "round-7: absorbed events_sessions + events_native_ts legs",
+        "embedding_label_centroid_sim": "round-7: absorbed embedding_near_dups_lsh as the lshpair leg",
     }
     burst_suspects: list[str] = []
     workload_changed: list[str] = []
@@ -1347,6 +1353,19 @@ def main() -> None:
             )
         timings[name] = round(best, 3)
         total += best
+        # per-leg walls for the big union-tagged keys (round-7 judge ask):
+        # one filtered drain per leg AFTER the headline measurement.
+        # Filtering a union on its literal tag column constant-folds each
+        # branch's predicate, so Catalyst PRUNES the other legs and the
+        # wall is that leg's genuine cost — a regression in one leg of an
+        # 11-leg row can no longer hide in the aggregate number.
+        if name in LEG_TAG_COLS:
+            try:
+                leg_times[name] = _time_legs(
+                    spark, qs[name], sf_dir, LEG_TAG_COLS[name]
+                )
+            except Exception as exc:  # noqa: BLE001 — diagnostics only
+                leg_times[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 
     result = {
         "metric": "headline_queries_total_wall",
@@ -1360,6 +1379,7 @@ def main() -> None:
         "measured_queries": len(bench_names) - len(errors),
         "burst_suspects": burst_suspects,
         "workload_changed": workload_changed,
+        "leg_times": leg_times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # round-6 artifact fix: the full per-query map (75+ entries) made the

@@ -98,8 +98,9 @@ def test_events_queries_run_on_both_schemas(spark, two_schema_dirs):
 
     qs = E.queries()
     event_queries = [
-        "events_agg",  # includes the former events_percentiles side
-        "events_sessions",
+        # events_agg includes the former events_percentiles, sessions,
+        # and native_ts sides (round-4/7 consolidations)
+        "events_agg",
         "events_asof",
     ]
     for unit, d in two_schema_dirs.items():

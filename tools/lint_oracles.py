@@ -85,8 +85,7 @@ ALLOWLIST = {
     # driver-green r2-r5.
     ("ann_topk", "round-double"): "rule-4 decision rounding on fold-exact cosines; proven r2-r5",
     ("semantic_dedup", "round-double"): "rule-4; proven r2-r5",
-    ("embedding_near_dups_lsh", "round-double"): "rule-4; proven r2-r5",
-    ("embedding_label_centroid_sim", "round-double"): "rule-4; proven r2-r5",
+    ("embedding_label_centroid_sim", "round-double"): "rule-4; proven r2-r5 (cent leg) / r2-r6 (lshpair leg, merged round 7)",
     ("kmeans_step", "round-double"): "rule-4; proven r3-r5",
     ("ngram_jaccard", "round-double"): "rule-4 on exact ratio; proven r1-r5",
     ("events_asof", "round-double"): "rule-4; proven r2-r5",

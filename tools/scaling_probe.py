@@ -26,9 +26,10 @@ PROBES = [
     ("revenue_rankings", "lineitem⋈orders⋈customer(+nation star)", 100),
     ("supplier_running_revenue", "lineitem⋈supplier", 100),
     ("orders_discount_audit", "orders⋈lineitem", 100),
-    ("events_agg", "events", 100),
-    ("events_sessions", "events", 100),
+    ("events_agg", "events (hourly+pctl+rollup+sess+native legs)", 100),
     ("events_asof", "events", 100),
+    ("preference_pairs", "documents as scored pool (pairs + audit legs)", 10),
+    ("dedup_keep_best", "documents (LSH pairs -> CC -> argmax survivor)", 10),
     ("corpus_shuffle", "documents", 10),
     ("substring_dedup", "documents", 10),
     ("dedup_clusters", "documents", 10),
