@@ -73,6 +73,47 @@ BENCH_QUERIES = [
 ]
 
 
+# union-tagged keys with >= 5 legs: (tag column, leg-label delimiter).
+# The leg label is the tag's first delimiter-separated segment, so
+# 'batch_17' -> 'batch' and 'cal:3' -> 'cal' group into one leg each.
+LEG_TAG_COLS = {
+    "ann_topk": ("op", "_"),
+    "events_agg": ("side", ":"),
+    "lr_classifier": ("side", ":"),
+    "bm25_scores": ("op", ":"),
+    "corpus_select": ("op", ":"),
+    "table_profile": ("column", ":"),
+}
+
+
+def _time_legs(spark, fn, sf_dir, spec, max_legs: int = 16):
+    """One filtered noop drain per leg of a union-tagged query: the tag
+    filter constant-folds inside every union branch, so Catalyst prunes
+    the other legs and the wall is that leg's genuine plan cost.  Driver
+    -side prep inside ``fn`` (e.g. lr_classifier's GD collect loop) runs
+    per call and is included in every leg's wall — leg times are for
+    comparing legs WITHIN a key across rounds, not for summing."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    col, delim = spec
+    tag = F.substring_index(F.col(col), delim, 1)
+    labels = sorted(
+        r[0]
+        for r in fn(spark, sf_dir).select(tag.alias("_l")).distinct().collect()
+        if r[0] is not None
+    )[:max_legs]
+    out = {}
+    for lab in labels:
+        t0 = _time.monotonic()
+        fn(spark, sf_dir).where(tag == lab).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out[lab] = round(_time.monotonic() - t0, 3)
+    return out
+
+
 def _extra_ops():
     """At-scale timing for operators that are NOT registry queries (no
     oracle slot / iterative drivers): each returns a DataFrame to drain
@@ -1070,6 +1111,76 @@ def _extra_ops():
         frames = M.mp3_frames(media)
         return M.mp3_split_points(frames)
 
+    def doremi_mix_bench(spark, sf_dir):
+        """DoReMi-style domain reweighting end to end
+        (operators/curation.py::doremi_weights, arXiv:2305.10429
+        data-side variant): documents become a proxy-scored pool
+        (deterministic hash losses per doc, source = domain), one
+        domain-keyed decimal aggregate feeds the driver EG loop
+        (10 rounds), and mix_corpora materializes the reweighted
+        corpus — the whole loop inside the measurement."""
+        from pyspark.sql import functions as F
+
+        from buildkite_logs_parquet_spark.operators import curation as CU
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        scored = docs.select(
+            "doc_id",
+            "source",
+            ((F.abs(F.xxhash64("text")) % 1000) / 250.0).alias("loss"),
+            F.lit(1.0).alias("ref"),
+        )
+        w = CU.doremi_weights(
+            scored, "source", "loss", ref_loss_col="ref", n_iter=10, eta=0.5
+        )
+        kept = CU.mix_corpora(docs, "doc_id", "source", w, seed=11)
+        return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+
+    def entity_resolution_bench(spark, sf_dir):
+        """Fuzzy entity resolution end to end (operators/linkage.py):
+        documents become an entity table of short normalized names
+        (first 24 chars) plus a planted typo variant for every third
+        record, then blocked candidates -> levenshtein gate ->
+        deterministic best-match -> cap audit, all in the measurement.
+        The plan is the production shape: explode-to-blocks equi-join,
+        no cross join, hot blocks capped at 256."""
+        from pyspark.sql import functions as F
+
+        from buildkite_logs_parquet_spark.operators import linkage as LK
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        base = docs.select(
+            (F.col("doc_id") * 2).alias("id"),
+            F.substring("text", 1, 24).alias("text"),
+        )
+        # typo plant: doc_id%3 records get a variant with one char
+        # replaced mid-string — must link back at lev<=1
+        typo = docs.where(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") * 2 + 1).alias("id"),
+            F.concat(
+                F.substring("text", 1, 11),
+                F.lit("#"),
+                F.substring("text", 13, 12),
+            ).alias("text"),
+        )
+        ents = base.unionByName(typo)
+        matches = LK.link_entities(ents, ents, rel_pct=20, max_block_size=256)
+        resolved = LK.resolve_entities(matches)
+        audit = LK.linkage_audit(ents, ents, max_block_size=256)
+        return resolved.select(
+            F.col("id_a").alias("a"),
+            F.col("best_id").alias("b"),
+            F.col("best_lev").cast("long").alias("v"),
+            F.col("n_candidates").alias("w"),
+        ).unionByName(
+            audit.select(
+                F.lit(-1).alias("a"),
+                F.col("n_blocks").alias("b"),
+                F.col("n_capped_blocks").alias("v"),
+                F.col("n_orphaned_records").alias("w"),
+            )
+        )
+
     def preference_bench(spark, sf_dir):
         """Preference-data tier end to end (operators/preference.py):
         documents become a scored response pool (prompt = doc_id div 8,
@@ -1190,6 +1301,8 @@ def _extra_ops():
     return {
         "x_video_structure": video_structure_bench,
         "x_preference_pairs": preference_bench,
+        "x_entity_resolution": entity_resolution_bench,
+        "x_doremi_mix": doremi_mix_bench,
         "x_quality_dedup": quality_dedup_bench,
         "x_mp3_structure": mp3_structure_bench,
         "x_text_normalize": text_normalize_bench,
@@ -1299,6 +1412,7 @@ def main() -> None:
     }
     burst_suspects: list[str] = []
     workload_changed: list[str] = []
+    leg_times: dict[str, dict] = {}
     timings: dict[str, object] = {}
     errors: dict[str, str] = {}
     total = 0.0

@@ -26,6 +26,8 @@ carries document text unless the semantics require it.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
@@ -812,6 +814,75 @@ def temperature_weights(counts: dict[str, float], alpha: float) -> dict[str, flo
     qs = {s: (c / total) ** alpha for s, c in counts.items() if c > 0}
     z = sum(qs.values()) or 1.0
     return {s: q / z for s, q in qs.items()}
+
+
+def doremi_weights(
+    scored: DataFrame,
+    domain_col: str,
+    loss_col: str,
+    ref_loss_col: str | None = None,
+    n_iter: int = 10,
+    eta: float = 1.0,
+    smoothing: float = 1e-3,
+) -> dict[str, float]:
+    """DoReMi-style domain mixture reweighting (Xie et al. 2023,
+    arXiv:2305.10429 — Group-DRO over domains), the DATA-ENGINE side:
+    given per-example proxy-model losses (and optionally per-example
+    reference losses), run the exponentiated-gradient outer loop that
+    upweights domains with high EXCESS loss and return the learned
+    mixture ``{domain: weight}`` — feed it to :func:`mix_corpora` (or
+    :func:`weighted_sample`) to materialize the reweighted corpus.
+
+    Full DoReMi alternates proxy-model training steps with this
+    reweighting; with a fixed scoring pass (how a lake engine consumes
+    it — losses land as a column, the trainer lives elsewhere) the
+    per-domain statistics are constant across rounds, so the loop
+    needs exactly ONE distributed aggregate: per-domain decimal sums of
+    the clipped excess loss on the 9-dp grid (rule 5 — the mean is
+    layout- and partition-order-independent) plus counts.  Driver state
+    is |domains| floats; the EG updates
+    ``α_d ← α_d · exp(η · L̄_d)`` with per-round normalization and
+    uniform smoothing ``(1−c)·α + c/k`` run driver-side in
+    deterministic sequential order (pytest pins a pure-Python twin
+    exactly, not within a tolerance).
+
+    100 TB shape: one domain-keyed partial-aggregated groupBy over the
+    scored pool; nothing else touches the cluster.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    excess = F.col(loss_col) - (
+        F.col(ref_loss_col) if ref_loss_col else F.lit(0.0)
+    )
+    stats = (
+        scored.where(F.col(loss_col).isNotNull())
+        .select(
+            F.col(domain_col).alias("_d"),
+            F.round(F.greatest(excess, F.lit(0.0)), 9)
+            .cast("decimal(28,9)")
+            .alias("_x"),
+        )
+        .groupBy("_d")
+        .agg(F.sum("_x").alias("_sx"), F.count("*").alias("_n"))
+        .collect()
+    )
+    if not stats:
+        return {}
+    mean_excess = {
+        r["_d"]: float(r["_sx"]) / int(r["_n"]) for r in sorted(
+            stats, key=lambda r: str(r["_d"])
+        )
+    }
+    k = len(mean_excess)
+    alpha = {d: 1.0 / k for d in mean_excess}
+    for _ in range(int(n_iter)):
+        upd = {d: alpha[d] * math.exp(eta * mean_excess[d]) for d in alpha}
+        z = sum(upd.values())
+        alpha = {
+            d: (1.0 - smoothing) * (v / z) + smoothing / k
+            for d, v in upd.items()
+        }
+    return alpha
 
 
 def mix_corpora(

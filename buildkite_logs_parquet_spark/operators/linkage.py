@@ -1,0 +1,225 @@
+"""Fuzzy entity resolution / record linkage: blocked candidate
+generation → integer edit-distance gate → deterministic best-match —
+the cross-source identity layer a training-data lake needs when the
+same document/author/site appears under slightly different keys
+(crawl dumps, partner feeds, OCR'd titles).
+
+Spark-first shape, built entirely from JVM expressions:
+
+* **Blocking** (:func:`blocking_keys`) replaces the quadratic all-pairs
+  compare with an equi-join on cheap normalized keys — prefix, suffix,
+  and a length bucket, OR-amplified like LSH bands (a typo breaks at
+  most one of them, so true matches keep >= 1 shared block).  Every
+  block is capped (``max_block_size``) so a degenerate key ("inc",
+  "untitled") cannot produce a quadratic reduce task: the cap drops
+  blocks, never rows, and the drop is COUNTED in the audit so recall
+  loss is visible, not silent (the bitext hot-key discipline).
+* **Gate**: ``levenshtein(a, b)`` — Spark evaluates it JVM-side and
+  the distance is an exact INTEGER, so the keep/drop decision and the
+  hash-able artifact cannot drift across runs/engines (DETERMINISM.md
+  rule 4 by construction; DuckDB ships the same function for a future
+  oracle leg).  The relative form compares ``lev * 100 <=
+  rel_pct * greatest(len_a, len_b)`` in pure integers — no float
+  ratio anywhere.
+* **Best match** (:func:`resolve_entities`): per left id keep the
+  lexicographically smallest ``(lev, id_b)`` — one ``min_by``
+  aggregate with map-side partials, ties broken to the smaller right
+  id (rule 6 total order).
+
+100 TB shape: candidates = one exploded narrow projection (id, block
+key) per side + one equi-join on the key + a distinct on (id_a, id_b);
+the expensive ``levenshtein`` runs AFTER the distinct, once per
+candidate pair.  No cross join exists in any plan (asserted in
+tests/test_linkage.py); skew is bounded by the block cap.
+
+Reference parity note: no counterpart in the reference repo (a log
+parser); this extends the brief's training-data tier (cross-source
+dedup/linkage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm(col):
+    """Match-key normalization: lowercase, collapse runs of
+    non-alphanumerics to single spaces, trim.  Deliberately cheap and
+    deterministic — heavier normalization belongs in normalize.py and
+    feeds this as input."""
+    return F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " "))
+
+
+def blocking_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    prefix_len: int = 4,
+    len_bucket: int = 4,
+) -> DataFrame:
+    """Explode each record into its blocking keys: ``p:<prefix>``,
+    ``s:<suffix>``, and ``l:<prefix2>:<len bucket>`` — three cheap,
+    typo-complementary views of the normalized text (a single edit hits
+    the prefix OR the suffix, not both; the length-bucketed short
+    prefix catches edits inside both ends).  Returns
+    ``(id, key, norm, n_chars)``; empty/NULL texts produce no keys."""
+    norm = _norm(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        norm.alias("norm"),
+        F.length(norm).alias("n_chars"),
+    ).where(F.col("n_chars") > 0)
+    keys = F.array(
+        F.concat(F.lit("p:"), F.substring("norm", 1, prefix_len)),
+        F.concat(F.lit("s:"), F.substring(F.reverse(F.col("norm")), 1, prefix_len)),
+        F.concat(
+            F.lit("l:"),
+            F.substring("norm", 1, 2),
+            F.lit(":"),
+            (F.col("n_chars") / len_bucket).cast("long").cast("string"),
+        ),
+    )
+    return base.select(
+        "id", F.explode(keys).alias("key"), "norm", "n_chars"
+    )
+
+
+def candidate_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    prefix_len: int = 4,
+    max_block_size: int = 256,
+) -> DataFrame:
+    """Blocked candidate pairs between two record sets (pass the same
+    frame twice for self-linkage; pairs then orient ``id_a < id_b``).
+
+    Plan: explode both sides into blocking keys, drop keys whose
+    COMBINED block exceeds ``max_block_size`` (counted — see
+    :func:`linkage_audit`), equi-join on the key, distinct the pair
+    space.  Returns ``(id_a, id_b, norm_a, norm_b, len_a, len_b)``."""
+    self_link = left is right
+    lk = blocking_keys(left, id_col, text_col, prefix_len)
+    rk = lk if self_link else blocking_keys(right, id_col, text_col, prefix_len)
+    sizes = (
+        lk.groupBy("key").agg(F.count("*").alias("_nl"))
+        if self_link
+        else lk.groupBy("key").agg(F.count("*").alias("_nl")).join(
+            rk.groupBy("key").agg(F.count("*").alias("_nr")), "key"
+        )
+    )
+    ok = sizes.where(
+        (F.col("_nl") <= max_block_size)
+        if self_link
+        else ((F.col("_nl") + F.col("_nr")) <= max_block_size)
+    ).select("key")
+    a = lk.join(ok, "key").select(
+        "key",
+        F.col("id").alias("id_a"),
+        F.col("norm").alias("norm_a"),
+        F.col("n_chars").alias("len_a"),
+    )
+    b = rk.join(ok, "key").select(
+        "key",
+        F.col("id").alias("id_b"),
+        F.col("norm").alias("norm_b"),
+        F.col("n_chars").alias("len_b"),
+    )
+    cond = F.col("id_a") < F.col("id_b") if self_link else F.col("id_a").isNotNull()
+    return (
+        a.join(b, "key")
+        .where(cond & (F.col("id_a") != F.col("id_b")))
+        .select("id_a", "id_b", "norm_a", "norm_b", "len_a", "len_b")
+        .distinct()
+    )
+
+
+def link_entities(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    rel_pct: int = 20,
+    max_dist: int | None = None,
+    prefix_len: int = 4,
+    max_block_size: int = 256,
+) -> DataFrame:
+    """Scored fuzzy matches: blocked candidates gated on exact integer
+    edit distance.  A pair survives when ``lev * 100 <= rel_pct *
+    greatest(len_a, len_b)`` (relative form, pure integers) and, if
+    ``max_dist`` is given, ``lev <= max_dist``.  Output
+    ``(id_a, id_b, lev, len_a, len_b)``."""
+    cand = candidate_pairs(
+        left, right, id_col, text_col, prefix_len, max_block_size
+    )
+    lev = F.levenshtein("norm_a", "norm_b")
+    out = cand.select(
+        "id_a", "id_b", lev.alias("lev"), "len_a", "len_b"
+    ).where(
+        F.col("lev") * 100 <= int(rel_pct) * F.greatest("len_a", "len_b")
+    )
+    if max_dist is not None:
+        out = out.where(F.col("lev") <= int(max_dist))
+    return out
+
+
+def resolve_entities(matches: DataFrame) -> DataFrame:
+    """Deterministic best match per left id: the lexicographically
+    smallest ``(lev, id_b)`` — one ``min_by`` aggregate (map-side
+    partials; rule-6 total order, so the resolution cannot flip with
+    layout).  Output ``(id_a, best_id, best_lev, n_candidates)``."""
+    return matches.groupBy("id_a").agg(
+        F.min_by(
+            F.col("id_b"), F.struct(F.col("lev"), F.col("id_b"))
+        ).alias("best_id"),
+        F.min(F.struct(F.col("lev"), F.col("id_b"))).getField("lev").alias(
+            "best_lev"
+        ),
+        F.count("*").alias("n_candidates"),
+    )
+
+
+def linkage_audit(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    prefix_len: int = 4,
+    max_block_size: int = 256,
+) -> DataFrame:
+    """One-row visibility into what blocking DROPPED: total blocks,
+    capped blocks, and the records that lost ALL their blocks to the
+    cap (the only ones whose matches the cap can actually lose).  A
+    capped-block count that creeps up round over round is the signal to
+    re-key, re-cap, or pre-split hot blocks."""
+    self_link = left is right
+    lk = blocking_keys(left, id_col, text_col, prefix_len)
+    rk = lk if self_link else blocking_keys(right, id_col, text_col, prefix_len)
+    combined = (
+        lk.groupBy("key").agg(F.count("*").alias("n"))
+        if self_link
+        else lk.groupBy("key")
+        .agg(F.count("*").alias("_nl"))
+        .join(rk.groupBy("key").agg(F.count("*").alias("_nr")), "key")
+        .select("key", (F.col("_nl") + F.col("_nr")).alias("n"))
+    )
+    capped = combined.where(F.col("n") > max_block_size).select("key")
+    orphaned = (
+        lk.join(capped, "key")
+        .select("id")
+        .exceptAll(
+            lk.join(
+                combined.where(F.col("n") <= max_block_size).select("key"),
+                "key",
+            ).select("id")
+        )
+        .distinct()
+    )
+    return combined.agg(
+        F.count("*").alias("n_blocks"),
+        F.coalesce(
+            F.sum((F.col("n") > max_block_size).cast("long")), F.lit(0)
+        ).alias("n_capped_blocks"),
+    ).crossJoin(orphaned.agg(F.count("*").alias("n_orphaned_records")))

@@ -1136,3 +1136,105 @@ class TestCurriculumOrder:
             )
         )
         assert a == b
+
+
+class TestDoremiWeights:
+    def _scored(self, spark):
+        rows = []
+        # domain 'hard' has high excess loss, 'easy' low, 'ref' negative
+        # excess (clips to 0), plus a NULL-loss row that must be dropped
+        for i in range(50):
+            rows.append(("hard", 2.0 + (i % 5) * 0.1, 0.5))
+            rows.append(("easy", 0.6, 0.5))
+            rows.append(("ref", 0.1, 0.5))
+        rows.append(("hard", None, 0.5))
+        return spark.createDataFrame(
+            rows, "domain string, loss double, ref double"
+        )
+
+    def test_matches_pure_python_twin_exactly(self, spark):
+        import math as m
+        from decimal import Decimal
+
+        from buildkite_logs_parquet_spark.operators.curation import (
+            doremi_weights,
+        )
+
+        df = self._scored(spark)
+        got = doremi_weights(
+            df, "domain", "loss", ref_loss_col="ref", n_iter=7, eta=0.8
+        )
+
+        # twin: same 9-dp decimal sums, same sequential EG updates
+        rows = [r for r in df.collect() if r["loss"] is not None]
+        sums, counts = {}, {}
+        for r in rows:
+            x = max(r["loss"] - r["ref"], 0.0)
+            q = Decimal(repr(round(x, 9))).quantize(Decimal("1.000000000"))
+            sums[r["domain"]] = sums.get(r["domain"], Decimal(0)) + q
+            counts[r["domain"]] = counts.get(r["domain"], 0) + 1
+        mean = {
+            d: float(sums[d]) / counts[d] for d in sorted(sums)
+        }
+        k = len(mean)
+        alpha = {d: 1.0 / k for d in mean}
+        for _ in range(7):
+            upd = {d: alpha[d] * m.exp(0.8 * mean[d]) for d in alpha}
+            z = sum(upd.values())
+            alpha = {d: (1 - 1e-3) * (v / z) + 1e-3 / k for d, v in upd.items()}
+        assert got == alpha  # exact, not approx
+
+    def test_hard_domains_gain_weight_and_weights_normalize(self, spark):
+        from buildkite_logs_parquet_spark.operators.curation import (
+            doremi_weights,
+        )
+
+        got = doremi_weights(
+            self._scored(spark), "domain", "loss", ref_loss_col="ref",
+            n_iter=10,
+        )
+        assert got["hard"] > got["easy"] > got["ref"]
+        assert sum(got.values()) == pytest.approx(1.0)
+        assert all(v >= 1e-3 / 3 for v in got.values())  # smoothing floor
+
+    def test_without_reference_column_losses_are_the_excess(self, spark):
+        from buildkite_logs_parquet_spark.operators.curation import (
+            doremi_weights,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("b", 0.0)], "domain string, loss double"
+        )
+        got = doremi_weights(df, "domain", "loss", n_iter=1, eta=1.0)
+        assert got["a"] > got["b"]
+
+    def test_empty_and_invalid(self, spark):
+        from buildkite_logs_parquet_spark.operators.curation import (
+            doremi_weights,
+        )
+
+        empty = spark.createDataFrame([], "domain string, loss double")
+        assert doremi_weights(empty, "domain", "loss") == {}
+        with pytest.raises(ValueError):
+            doremi_weights(empty, "domain", "loss", n_iter=0)
+
+    def test_feeds_mix_corpora(self, spark):
+        from buildkite_logs_parquet_spark.operators.curation import (
+            doremi_weights,
+            mix_corpora,
+        )
+
+        df = self._scored(spark).where(F.col("loss").isNotNull())
+        docs = df.select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col("domain").alias("source"),
+        )
+        w = doremi_weights(df, "domain", "loss", ref_loss_col="ref")
+        kept = mix_corpora(docs, "doc_id", "source", w, seed=7)
+        shares = {
+            r["source"]: r["n"]
+            for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        # the upweighted domain is kept whole; others downsample
+        assert shares["hard"] == 50
+        assert shares.get("easy", 0) < 50
