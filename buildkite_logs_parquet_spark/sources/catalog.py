@@ -29,10 +29,12 @@ directories + an atomically swapped pointer.
 Concurrent publishers are safe on POSIX semantics: each writes its own
 ``_tmp-*`` staging directory, and ``os.rename`` onto an existing
 non-empty ``v=N`` fails atomically, so exactly one publisher wins each
-version number; the loser retries with the next free number (no lock
-file to leak on crash).  The LATEST pointer swap is last-writer-wins —
-with concurrent publishers both versions exist immutably, and
-``rollback``/pinned reads recover either.
+version number; the loser retries with the next free number.  The
+LATEST pointer update is MONOTONIC (round 7): a publisher whose rename
+won v=5 but whose pointer write lands after v=6's cannot roll LATEST
+backward — ``_point`` read-compare-writes under a short ``LATEST.lock``
+(O_EXCL; stale locks from crashed holders break after 30s; only
+``rollback`` forces a backward move).
 
 Version directories are never mutated or deleted by this module;
 ``rollback`` only moves the pointer.
@@ -185,3 +187,112 @@ def rollback(root: str, to_version: int) -> None:
     if to_version not in _versions(root):
         raise ValueError(f"no such version v={to_version} under {root}")
     _point(root, to_version, force=True)
+
+
+def scd2_init(
+    snapshot: DataFrame, key_col: str, ts_col: str
+) -> DataFrame:
+    """Bootstrap an SCD2 (type-2 slowly-changing-dimension) history from
+    a first snapshot: every row becomes an OPEN version —
+    ``valid_from = ts``, ``valid_to = NULL``, ``is_current = true``."""
+    from pyspark.sql import functions as F
+
+    return snapshot.select(
+        *[c for c in snapshot.columns if c != ts_col],
+        F.col(ts_col).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+
+
+def scd2_merge(
+    history: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Merge an update batch into an SCD2 history: rows whose tracked
+    attributes CHANGED close their open version (``valid_to`` = the
+    update's timestamp) and append a new open one; brand-new keys append
+    an open version; byte-identical updates are no-ops (no churn
+    versions).  Closed history rows pass through untouched — the output
+    is the full new history, ready for :func:`publish_version` (each
+    merge is one immutable catalog version; time travel = pinned reads).
+
+    Batch contract: ONE update row per key per merge — duplicate keys
+    collapse deterministically to the latest ``(ts, attrs)`` (rule-6
+    total order) first, so replayed/unioned feeds cannot fork a key's
+    history.  NULL-safe attribute comparison (``eqNullSafe`` per
+    column): NULL → value and value → NULL both count as changes.
+
+    100 TB shape: the open slice joins the (collapsed) batch once on the
+    key — partial-aggregated collapse, one key-keyed shuffle join, two
+    narrow unions.  History stays append-only; no window over the full
+    history, so a hot key's long past costs nothing per merge.
+    """
+    from pyspark.sql import functions as F
+
+    out_cols = [key_col, *attr_cols, "valid_from", "valid_to", "is_current"]
+    # collapse the batch: latest (ts, attrs...) per key, total order
+    ts = F.col(ts_col).cast("long")
+    packed = F.struct(
+        ts.alias("_ts"), *[F.col(c).alias(c) for c in attr_cols]
+    )
+    batch = (
+        updates.groupBy(F.col(key_col))
+        .agg(F.max(packed).alias("_u"))
+        .select(
+            key_col,
+            F.col("_u._ts").alias("_ts"),
+            *[F.col(f"_u.{c}").alias(c) for c in attr_cols],
+        )
+    )
+    closed = history.where(~F.col("is_current")).select(*out_cols)
+    open_ = history.where(F.col("is_current"))
+    j = open_.alias("h").join(
+        batch.alias("u"), on=F.col(f"h.{key_col}") == F.col(f"u.{key_col}"),
+        how="full",
+    )
+    same = None
+    for c in attr_cols:
+        eq = F.col(f"h.{c}").eqNullSafe(F.col(f"u.{c}"))
+        same = eq if same is None else (same & eq)
+    has_h = F.col(f"h.{key_col}").isNotNull()
+    has_u = F.col(f"u.{key_col}").isNotNull()
+    # surviving open rows: no update for the key, or a no-op update
+    keep_open = j.where(has_h & (~has_u | same)).select(
+        *[F.col(f"h.{c}").alias(c) for c in out_cols]
+    )
+    # closed by this batch: attrs changed
+    close_now = j.where(has_h & has_u & ~same).select(
+        F.col(f"h.{key_col}").alias(key_col),
+        *[F.col(f"h.{c}").alias(c) for c in attr_cols],
+        F.col("h.valid_from").alias("valid_from"),
+        F.col("u._ts").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    # new open versions: changed keys + brand-new keys
+    open_now = j.where(has_u & (~has_h | ~same)).select(
+        F.col(f"u.{key_col}").alias(key_col),
+        *[F.col(f"u.{c}").alias(c) for c in attr_cols],
+        F.col("u._ts").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return (
+        closed.unionByName(keep_open)
+        .unionByName(close_now)
+        .unionByName(open_now)
+    )
+
+
+def scd2_as_of(history: DataFrame, ts: int) -> DataFrame:
+    """Point-in-time view: the attribute version live at ``ts``
+    (``valid_from <= ts < valid_to``, open rows unbounded above)."""
+    from pyspark.sql import functions as F
+
+    return history.where(
+        (F.col("valid_from") <= int(ts))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > int(ts)))
+    ).drop("is_current")

@@ -201,3 +201,122 @@ def test_live_lock_times_out_instead_of_hanging(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(C, "_LOCK_STALE_S", 3600.0)
     with pytest.raises(TimeoutError):
         C._point(root, 1, force=True)
+
+
+class TestSCD2:
+    def _hist(self, spark):
+        from buildkite_logs_parquet_spark.sources.catalog import scd2_init
+
+        snap = spark.createDataFrame(
+            [(1, "en", "src0", 100), (2, "de", "src1", 100)],
+            "doc_id long, lang string, source string, ts long",
+        )
+        return scd2_init(snap, "doc_id", "ts")
+
+    def test_init_opens_every_row(self, spark):
+        h = self._hist(spark).collect()
+        assert all(r["is_current"] and r["valid_to"] is None for r in h)
+        assert all(r["valid_from"] == 100 for r in h)
+
+    def test_merge_changes_closes_and_opens(self, spark):
+        from buildkite_logs_parquet_spark.sources.catalog import scd2_merge
+
+        upd = spark.createDataFrame(
+            [
+                (1, "fr", "src0", 200),   # lang changed
+                (2, "de", "src1", 200),   # identical: no-op
+                (3, "zh", "src2", 200),   # new key
+            ],
+            "doc_id long, lang string, source string, ts long",
+        )
+        h2 = scd2_merge(
+            self._hist(spark), upd, "doc_id", ["lang", "source"], "ts"
+        )
+        rows = {(r["doc_id"], r["is_current"]): r for r in h2.collect()}
+        assert len(rows) == 4
+        closed = rows[(1, False)]
+        assert (closed["lang"], closed["valid_from"], closed["valid_to"]) == (
+            "en", 100, 200,
+        )
+        assert rows[(1, True)]["lang"] == "fr"
+        assert rows[(1, True)]["valid_from"] == 200
+        assert rows[(2, True)]["valid_from"] == 100  # untouched no-op
+        assert rows[(3, True)]["lang"] == "zh"
+
+    def test_duplicate_batch_keys_collapse_to_latest(self, spark):
+        from buildkite_logs_parquet_spark.sources.catalog import scd2_merge
+
+        upd = spark.createDataFrame(
+            [(1, "it", "src0", 150), (1, "pt", "src0", 250)],
+            "doc_id long, lang string, source string, ts long",
+        )
+        h2 = scd2_merge(
+            self._hist(spark), upd, "doc_id", ["lang", "source"], "ts"
+        )
+        cur = {r["doc_id"]: r for r in h2.where("is_current").collect()}
+        assert cur[1]["lang"] == "pt" and cur[1]["valid_from"] == 250
+
+    def test_null_attribute_transitions_count_as_changes(self, spark):
+        from buildkite_logs_parquet_spark.sources.catalog import scd2_merge
+
+        upd = spark.createDataFrame(
+            [(1, None, "src0", 200)],
+            "doc_id long, lang string, source string, ts long",
+        )
+        h2 = scd2_merge(
+            self._hist(spark), upd, "doc_id", ["lang", "source"], "ts"
+        )
+        one = [r for r in h2.collect() if r["doc_id"] == 1]
+        assert {r["is_current"] for r in one} == {True, False}
+        assert [r["lang"] for r in one if r["is_current"]] == [None]
+
+    def test_as_of_time_travel_across_two_merges(self, spark):
+        from buildkite_logs_parquet_spark.sources.catalog import (
+            scd2_as_of,
+            scd2_merge,
+        )
+
+        h = self._hist(spark)
+        upd1 = spark.createDataFrame(
+            [(1, "fr", "src0", 200)],
+            "doc_id long, lang string, source string, ts long",
+        )
+        h = scd2_merge(h, upd1, "doc_id", ["lang", "source"], "ts")
+        upd2 = spark.createDataFrame(
+            [(1, "es", "src0", 300)],
+            "doc_id long, lang string, source string, ts long",
+        )
+        h = scd2_merge(h, upd2, "doc_id", ["lang", "source"], "ts")
+
+        def lang_at(ts):
+            rows = scd2_as_of(h, ts).where("doc_id = 1").collect()
+            assert len(rows) == 1
+            return rows[0]["lang"]
+
+        assert lang_at(100) == "en"
+        assert lang_at(250) == "fr"
+        assert lang_at(999) == "es"
+        # before the epoch: nothing live
+        assert scd2_as_of(h, 50).count() == 0
+
+    def test_history_round_trips_through_publish_version(self, spark, tmp_path):
+        from buildkite_logs_parquet_spark.sources.catalog import (
+            publish_version,
+            read_version,
+            scd2_merge,
+        )
+
+        root = str(tmp_path / "dimcat")
+        h = self._hist(spark)
+        v1 = publish_version(h, root)
+        upd = spark.createDataFrame(
+            [(1, "fr", "src0", 200)],
+            "doc_id long, lang string, source string, ts long",
+        )
+        h2 = scd2_merge(
+            read_version(spark, root, v1), upd, "doc_id",
+            ["lang", "source"], "ts",
+        )
+        v2 = publish_version(h2, root)
+        assert read_version(spark, root, v2).count() == 3
+        assert read_version(spark, root, v1).count() == 2  # time travel
