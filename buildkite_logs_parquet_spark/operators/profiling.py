@@ -895,6 +895,72 @@ def set_overlap(
 # --------------------------------------------------------- snapshot diff
 
 
+def k_anonymity_profile(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str | None = None,
+    k_thresholds: tuple[int, ...] = (2, 5, 10),
+) -> DataFrame:
+    """Re-identification risk audit (Sweeney's k-anonymity, public
+    definition): group the corpus by its QUASI-IDENTIFIER columns
+    (zip+age+gender-style combinations that are individually harmless
+    and jointly identifying) and report, as ONE exact-integer row:
+
+    * ``n_rows`` / ``n_classes`` — equivalence classes under the
+      quasi-identifier;
+    * ``min_class_size`` — the corpus's k (every row is at least
+      k-anonymous);
+    * ``rows_below_<k>`` for each threshold — how many rows live in
+      classes smaller than k (the rows a linkage attack singles out;
+      ``rows_below_2`` counts unique fingerprints);
+    * with ``sensitive_col``: ``classes_l1`` — classes with ONE
+      distinct sensitive value (l-diversity = 1: membership alone
+      discloses the attribute, however large the class).
+
+    Complements ``curation.pii_scrub``: scrubbing removes direct
+    identifiers; this measures what the REMAINING columns still
+    disclose — the audit privacy reviews actually ask for before a
+    corpus ships.
+
+    100 TB shape: one quasi-keyed aggregate (map-side combined) to
+    |classes| rows, then one bounded scalar aggregate; NULL
+    quasi-values form their own classes (NULL is a fingerprint too).
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must name at least one column")
+    ks = sorted(set(int(k) for k in k_thresholds))
+    if any(k < 2 for k in ks):
+        raise ValueError("k thresholds must be >= 2")
+    aggs = [F.count("*").alias("_n")]
+    if sensitive_col is not None:
+        aggs.append(F.count_distinct(F.col(sensitive_col)).alias("_l"))
+    classes = df.groupBy(
+        *[F.col(c) for c in quasi_cols]
+    ).agg(*aggs)
+    out_aggs = [
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_rows"),
+        F.count("*").alias("n_classes"),
+        F.min("_n").cast("long").alias("min_class_size"),
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("_n") < k, F.col("_n"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"rows_below_{k}")
+            for k in ks
+        ],
+    ]
+    if sensitive_col is not None:
+        out_aggs.append(
+            F.coalesce(
+                F.sum((F.col("_l") == 1).cast("long")), F.lit(0)
+            )
+            .cast("long")
+            .alias("classes_l1")
+        )
+    return classes.agg(*out_aggs)
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

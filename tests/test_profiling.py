@@ -587,3 +587,66 @@ def test_grouped_exact_int_percentiles_matches_per_group_path(spark):
             df.where(F.col("k") == g), "v", [50, 90, 95], max_buckets=16
         )
         assert grouped[g] == solo, g
+
+
+class TestKAnonymityProfile:
+    def _df(self, spark):
+        rows = [
+            # class (us, 30): 3 rows, 2 sensitive values
+            ("us", 30, "a"), ("us", 30, "a"), ("us", 30, "b"),
+            # class (us, 31): 1 row -> unique fingerprint, l=1
+            ("us", 31, "c"),
+            # class (de, 30): 2 rows, same sensitive -> l=1
+            ("de", 30, "d"), ("de", 30, "d"),
+            # NULL quasi value forms its own class
+            (None, 30, "e"),
+        ]
+        return spark.createDataFrame(rows, "country string, age int, diag string")
+
+    def test_hand_computed_counts(self, spark):
+        from buildkite_logs_parquet_spark.operators.profiling import (
+            k_anonymity_profile,
+        )
+
+        r = k_anonymity_profile(
+            self._df(spark), ["country", "age"], sensitive_col="diag",
+            k_thresholds=(2, 3),
+        ).collect()[0]
+        assert r["n_rows"] == 7
+        assert r["n_classes"] == 4
+        assert r["min_class_size"] == 1
+        assert r["rows_below_2"] == 2       # the two singleton classes
+        assert r["rows_below_3"] == 4       # singletons + the 2-row class
+        assert r["classes_l1"] == 3         # (us,31), (de,30), (None,30)
+
+    def test_without_sensitive_column(self, spark):
+        from buildkite_logs_parquet_spark.operators.profiling import (
+            k_anonymity_profile,
+        )
+
+        r = k_anonymity_profile(self._df(spark), ["country"]).collect()[0]
+        assert r["n_classes"] == 3  # us, de, NULL
+        assert "classes_l1" not in r.asDict()
+
+    def test_empty_corpus_reports_zeros(self, spark):
+        from buildkite_logs_parquet_spark.operators.profiling import (
+            k_anonymity_profile,
+        )
+
+        empty = spark.createDataFrame([], "country string, age int")
+        r = k_anonymity_profile(empty, ["country", "age"]).collect()[0]
+        assert (r["n_rows"], r["n_classes"], r["rows_below_2"]) == (0, 0, 0)
+        assert r["min_class_size"] is None
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from buildkite_logs_parquet_spark.operators.profiling import (
+            k_anonymity_profile,
+        )
+
+        df = self._df(spark)
+        with _pytest.raises(ValueError):
+            k_anonymity_profile(df, [])
+        with _pytest.raises(ValueError):
+            k_anonymity_profile(df, ["country"], k_thresholds=(1,))
