@@ -5498,14 +5498,17 @@ FROM (
         SELECT doc_id, 'source',
                coalesce(CAST(source AS STRING), '<null>') FROM documents
         UNION ALL
+        -- integer-exact bucket index (rule 13, round-7): mirrors
+        -- _bucket_counts' integer-bounds branch — no DOUBLE anywhere on
+        -- the drift leg's hashed lineage; HUGEINT guards the product
         SELECT d.doc_id, 'n_chars',
                coalesce(CAST(CAST(least(greatest(
-                 floor((CAST(d.n_chars AS DOUBLE) - bnd.lo)
-                       / ((bnd.hi - bnd.lo) / 8)),
+                 (CAST(d.n_chars AS HUGEINT) - bnd.lo) * 8
+                   // (bnd.hi - bnd.lo + 1),
                  0), 7) AS BIGINT) AS STRING), '<null>')
         FROM documents d,
-             (SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
-                     CAST(max(n_chars) AS DOUBLE) AS hi FROM documents) bnd
+             (SELECT CAST(min(n_chars) AS BIGINT) AS lo,
+                     CAST(max(n_chars) AS BIGINT) AS hi FROM documents) bnd
       )
     )
     GROUP BY col, bucket

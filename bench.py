@@ -89,27 +89,27 @@ LEG_TAG_COLS = {
 def _time_legs(spark, fn, sf_dir, spec, max_legs: int = 16):
     """One filtered noop drain per leg of a union-tagged query: the tag
     filter constant-folds inside every union branch, so Catalyst prunes
-    the other legs and the wall is that leg's genuine plan cost.  Driver
-    -side prep inside ``fn`` (e.g. lr_classifier's GD collect loop) runs
-    per call and is included in every leg's wall — leg times are for
-    comparing legs WITHIN a key across rounds, not for summing."""
+    the other legs and the wall is that leg's genuine plan cost.  The
+    query function runs ONCE (driver-side prep like lr_classifier's GD
+    collect loop is paid once, outside the per-leg walls); each drain
+    filters the same frame — leg times compare legs WITHIN a key across
+    rounds, they are not meant to sum to the headline number."""
     import time as _time
 
     from pyspark.sql import functions as F
 
     col, delim = spec
     tag = F.substring_index(F.col(col), delim, 1)
+    df = fn(spark, sf_dir)
     labels = sorted(
         r[0]
-        for r in fn(spark, sf_dir).select(tag.alias("_l")).distinct().collect()
+        for r in df.select(tag.alias("_l")).distinct().collect()
         if r[0] is not None
     )[:max_legs]
     out = {}
     for lab in labels:
         t0 = _time.monotonic()
-        fn(spark, sf_dir).where(tag == lab).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        df.where(tag == lab).write.format("noop").mode("overwrite").save()
         out[lab] = round(_time.monotonic() - t0, 3)
     return out
 

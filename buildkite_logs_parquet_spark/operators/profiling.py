@@ -272,13 +272,22 @@ def grouped_exact_int_percentiles(
 
     Returns ``{key: (n, min, max, {percent: ps})}`` with ``ps`` in
     value·100 space (``lo·100 + (hi−lo)·rem``), bit-identical to the
-    single-column path.
+    single-column path.  Keys are returned in their STRING form (they
+    round-trip through a driver-built bounds frame); NULL-keyed rows are
+    dropped — a NULL group would otherwise vanish inside the join and
+    strand its work item.
     """
     import bisect as _bisect
 
+    # the key joins against a driver-built bounds frame declared as
+    # STRING — cast here so numeric group keys can't silently fall into
+    # an implicit-cast join (keys are reported back as their string form)
     vals = (
-        df.select(F.col(key_col).alias("k"), F.col(col).cast("long").alias("v"))
-        .where(F.col("v").isNotNull())
+        df.select(
+            F.col(key_col).cast("string").alias("k"),
+            F.col(col).cast("long").alias("v"),
+        )
+        .where(F.col("v").isNotNull() & F.col("k").isNotNull())
     )
     heads = (
         vals.groupBy("k")
@@ -401,16 +410,41 @@ def _bucket_counts(
                 ),
             )
         )
+    dtypes = dict(df.dtypes)
     for c in num_cols:
         lo, hi = bounds[c]
-        width = ((hi - lo) / n_bins) or 1.0
-        idx = F.least(
-            F.greatest(
-                F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(width)),
-                F.lit(0),
-            ),
-            F.lit(int(n_bins) - 1),
-        )
+        if dtypes.get(c) in ("tinyint", "smallint", "int", "bigint"):
+            # integer COLUMN (not merely integer-valued bounds — a
+            # double column can hold 49.5 inside whole-number bounds,
+            # and a decimal(38,0) cast would round it) → EXACT integer
+            # bucket index (rule 13, round-7: the double formula below
+            # is IEEE-stable across engines, but bucket membership feeds
+            # hashed drift integers — keep the entire lineage float-free
+            # when the column allows it).  DECIMAL guards (v − lo)·n_bins
+            # against BIGINT overflow at the long extremes.
+            lo_i, hi_i = int(lo), int(hi)
+            span = hi_i - lo_i + 1
+            idx = F.least(
+                F.greatest(
+                    F.expr(
+                        f"cast((cast({c} as decimal(38,0)) - {lo_i})"
+                        f" * {int(n_bins)} div {span} as bigint)"
+                    ),
+                    F.lit(0),
+                ),
+                F.lit(int(n_bins) - 1),
+            )
+        else:
+            width = ((hi - lo) / n_bins) or 1.0
+            idx = F.least(
+                F.greatest(
+                    F.floor(
+                        (F.col(c).cast("double") - F.lit(lo)) / F.lit(width)
+                    ),
+                    F.lit(0),
+                ),
+                F.lit(int(n_bins) - 1),
+            )
         entries.append(
             F.struct(
                 F.lit(c).alias("column"),

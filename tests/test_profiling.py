@@ -650,3 +650,19 @@ class TestKAnonymityProfile:
             k_anonymity_profile(df, [])
         with _pytest.raises(ValueError):
             k_anonymity_profile(df, ["country"], k_thresholds=(1,))
+
+
+def test_grouped_percentiles_numeric_and_null_keys(spark):
+    """Numeric group keys round-trip through the string-typed bounds
+    frame (reported back as strings); NULL-keyed rows are dropped rather
+    than stranding a work item inside the bounds join."""
+    from buildkite_logs_parquet_spark.operators.profiling import (
+        grouped_exact_int_percentiles,
+    )
+
+    rows = [(1, v) for v in range(101)] + [(2, 7)] + [(None, 99)]
+    df = spark.createDataFrame(rows, "g int, v long")
+    got = grouped_exact_int_percentiles(df, "g", "v", [50], max_buckets=8)
+    assert set(got) == {"1", "2"}
+    assert got["1"] == (101, 0, 100, {50: 5000})
+    assert got["2"] == (1, 7, 7, {50: 700})
