@@ -126,3 +126,90 @@ def lttb_downsample(
         return pdf.iloc[idx]
 
     return df.groupBy(*series_cols).applyInPandas(run, schema=df.schema)
+
+
+def fill_gaps(
+    df: DataFrame,
+    ts_ms_col: str,
+    key_cols: list[str],
+    step_ms: int,
+    value_cols: list[str],
+    strategy: str = "ffill",
+) -> DataFrame:
+    """Densify a per-key time series onto a regular ``step_ms`` grid and
+    fill the holes — TimescaleDB's ``time_bucket_gapfill`` +
+    ``locf``/zero-fill, the step every downstream window/rollup needs
+    before it can assume one row per tick.
+
+    Semantics: per key, the grid spans the key's OWN observed min..max
+    bucket (``time_bucket`` flooring).  Buckets with multiple raw rows
+    keep the LAST observation (max ``(ts, values…)`` struct — a rule-6
+    total order, so the survivor never depends on layout).  Missing
+    buckets materialize with ``is_filled = true`` and values filled by
+
+    * ``"ffill"`` — last observation carried forward (leading holes
+      before a key's first observation stay NULL, standard locf);
+    * ``"zero"`` — literal 0;
+    * ``"null"`` — left NULL (shape-only densification).
+
+    100 TB shape: one per-key bounds aggregate (map-side combined) →
+    ``sequence()`` explode materializes ONLY the grid (span/step rows
+    per key — the semantic output size, nothing quadratic), one
+    (key, bucket) left join against the deduped observations, and for
+    ffill one key-partitioned window (`last(ignorenulls)`) — no global
+    sort anywhere.  Keys are independent, so skew equals a key's own
+    grid length.
+    """
+    if strategy not in ("ffill", "zero", "null"):
+        raise ValueError("strategy must be ffill | zero | null")
+    if step_ms < 1:
+        raise ValueError("step_ms must be >= 1")
+    from pyspark.sql import Window as W
+
+    bucket = time_bucket(F.col(ts_ms_col), step_ms)
+    # last observation per (key, bucket): rule-6 struct max on (ts, vals)
+    packed = F.struct(
+        F.col(ts_ms_col).cast("long").alias("_t"),
+        *[F.col(c).alias(c) for c in value_cols],
+    )
+    obs = (
+        df.select(*key_cols, bucket.alias("_bucket"), packed.alias("_p"))
+        .groupBy(*key_cols, "_bucket")
+        .agg(F.max("_p").alias("_p"))
+        .select(
+            *key_cols,
+            "_bucket",
+            *[F.col(f"_p.{c}").alias(c) for c in value_cols],
+            # observation marker: is_filled must mean "no raw row in
+            # this bucket", never "the observed value happened to be
+            # NULL" — a real NULL observation is data, not a gap
+            F.lit(True).alias("_obs"),
+        )
+    )
+    grid = (
+        df.select(*key_cols, bucket.alias("_b"))
+        .groupBy(*key_cols)
+        .agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi"))
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.lit(int(step_ms)))
+            ).alias("_bucket"),
+        )
+    )
+    out = grid.join(obs, on=[*key_cols, "_bucket"], how="left")
+    out = out.withColumn("is_filled", F.col("_obs").isNull()).drop("_obs")
+    if strategy == "ffill":
+        w = (
+            W.partitionBy(*key_cols)
+            .orderBy("_bucket")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        for c in value_cols:
+            out = out.withColumn(
+                c, F.last(F.col(c), ignorenulls=True).over(w)
+            )
+    elif strategy == "zero":
+        for c in value_cols:
+            out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    return out.withColumnRenamed("_bucket", "bucket_ms")

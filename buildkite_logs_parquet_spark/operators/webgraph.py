@@ -724,3 +724,86 @@ def host_link_stats(
             ).alias("reciprocity"),
         )
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over the UNDIRECTED simple graph induced
+    by ``edges`` — the local clustering signal link-spam detectors pair
+    with degree (a farm's hub has huge degree but few triangles; a real
+    community is triangle-dense).
+
+    The classic degree-ordered join (Schank & Wagner 2005; the shape
+    every distributed triangle counter uses): orient each undirected
+    edge from its lexicographically smaller ``(degree, node)`` endpoint
+    to the larger, so every triangle closes at exactly ONE wedge and —
+    the scale property — a hub with degree d contributes wedges bounded
+    by its ORIENTED out-degree (≤ √|E| on any graph), never d², which
+    is what kills the naive all-wedges join on power-law webs.
+
+    Plan: 3 narrow preps + two equi-joins (wedge build, closure check);
+    output one row per node with its triangle count (nodes in no
+    triangle report 0).  All integer arithmetic.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select("b"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient by (deg, node) total order — ties can't double-orient
+    da = deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "_da")
+    db = deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "_db")
+    ordered = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("_da") < F.col("_db"))
+                | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("o")
+        )
+        .select("o.u", "o.v")
+    )
+    # wedges u→v1, u→v2 with v1 < v2 BY ID, closed against the CANONICAL
+    # (a < b) edge set — a pure (v1, v2) = (a, b) equi-join, never an OR
+    # condition (which Catalyst can only nested-loop).  Uniqueness: the
+    # (deg, node) orientation is acyclic, so each triangle has exactly
+    # one node with both out-edges — one wedge per triangle.
+    w1 = ordered.select(F.col("u"), F.col("v").alias("v1"))
+    w2 = ordered.select(F.col("u"), F.col("v").alias("v2"))
+    wedges = w1.join(w2, "u").where(F.col("v1") < F.col("v2"))
+    tri = wedges.join(
+        e, (F.col("v1") == F.col("a")) & (F.col("v2") == F.col("b"))
+    ).select("u", "v1", "v2")
+    per_node = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select("v1"))
+        .unionAll(tri.select("v2"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        )
+    )

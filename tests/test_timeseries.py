@@ -124,3 +124,74 @@ def test_lttb_downsample_shape_preserving(spark):
         (r["ts"], r["value"]) for r in again.collect() if r["series"] == "s1"
     )
     assert a1 == s1
+
+
+class TestFillGaps:
+    def _df(self, spark):
+        rows = [
+            ("a", 1000, 1.0), ("a", 1100, 2.0),  # same bucket at 500ms? no: 1000,1000
+            ("a", 2500, 5.0),                     # gap at 1500/2000
+            ("b", 0, 7.0),
+        ]
+        return spark.createDataFrame(rows, "k string, ts long, v double")
+
+    def test_ffill_fills_holes_and_flags_them(self, spark):
+        from buildkite_logs_parquet_spark.operators.timeseries import fill_gaps
+
+        out = fill_gaps(
+            self._df(spark), "ts", ["k"], 500, ["v"], strategy="ffill"
+        )
+        got = {
+            (r["k"], r["bucket_ms"]): (r["v"], r["is_filled"])
+            for r in out.collect()
+        }
+        # bucket 1000 keeps the LAST raw row (ts 1100 -> v 2.0)
+        assert got[("a", 1000)] == (2.0, False)
+        assert got[("a", 1500)] == (2.0, True)
+        assert got[("a", 2000)] == (2.0, True)
+        assert got[("a", 2500)] == (5.0, False)
+        assert got[("b", 0)] == (7.0, False)
+        assert len(got) == 5  # per-key spans, not the global span
+
+    def test_zero_and_null_strategies(self, spark):
+        from buildkite_logs_parquet_spark.operators.timeseries import fill_gaps
+
+        df = self._df(spark)
+        z = {
+            (r["k"], r["bucket_ms"]): r["v"]
+            for r in fill_gaps(df, "ts", ["k"], 500, ["v"], "zero").collect()
+        }
+        assert z[("a", 1500)] == 0.0 and z[("a", 1000)] == 2.0
+        n = {
+            (r["k"], r["bucket_ms"]): r["v"]
+            for r in fill_gaps(df, "ts", ["k"], 500, ["v"], "null").collect()
+        }
+        assert n[("a", 1500)] is None
+
+    def test_leading_holes_stay_null_under_ffill(self, spark):
+        from buildkite_logs_parquet_spark.operators.timeseries import fill_gaps
+
+        # key with a NULL-valued first observation: nothing to carry
+        df = spark.createDataFrame(
+            [("a", 0, None), ("a", 1000, 3.0)], "k string, ts long, v double"
+        )
+        out = {
+            r["bucket_ms"]: (r["v"], r["is_filled"])
+            for r in fill_gaps(df, "ts", ["k"], 500, ["v"]).collect()
+        }
+        # bucket 0 HAS an observation (whose value is NULL) — data, not
+        # a gap; bucket 500 is a genuine gap with nothing to carry
+        assert out[0] == (None, False)
+        assert out[500] == (None, True)
+        assert out[1000] == (3.0, False)
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from buildkite_logs_parquet_spark.operators.timeseries import fill_gaps
+
+        df = self._df(spark)
+        with _pytest.raises(ValueError):
+            fill_gaps(df, "ts", ["k"], 500, ["v"], "bogus")
+        with _pytest.raises(ValueError):
+            fill_gaps(df, "ts", ["k"], 0, ["v"])

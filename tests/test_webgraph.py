@@ -465,3 +465,75 @@ class TestHarmonicStallGuard:
         # probes: 1 at round 0 + one per round; diameter 3 growth rounds
         # + stall_rounds(2) grace, nowhere near max_radius=40
         assert len(probes) <= 1 + 3 + 3, probes
+
+
+class TestTriangleCounts:
+    @staticmethod
+    def _brute(edge_list):
+        import itertools
+
+        adj = {}
+        for a, b in edge_list:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        tri = {v: 0 for v in adj}
+        for x, y, z in itertools.combinations(sorted(adj), 3):
+            if y in adj[x] and z in adj[x] and z in adj[y]:
+                tri[x] += 1
+                tri[y] += 1
+                tri[z] += 1
+        return {v: (len(adj[v]), tri[v]) for v in adj}
+
+    def test_matches_brute_force_on_random_graph(self, spark):
+        from buildkite_logs_parquet_spark.operators.webgraph import (
+            triangle_counts,
+        )
+
+        edge_list = sorted(
+            {
+                (f"n{(i * 7) % 25}", f"n{(i * 11 + 3) % 25}")
+                for i in range(120)
+            }
+        )
+        edge_list = [(a, b) for a, b in edge_list if a != b]
+        df = spark.createDataFrame(edge_list, "src string, dst string")
+        got = {
+            r["node"]: (r["deg"], r["n_triangles"])
+            for r in triangle_counts(df).collect()
+        }
+        assert got == self._brute(edge_list)
+
+    def test_direction_and_duplicate_edges_collapse(self, spark):
+        from buildkite_logs_parquet_spark.operators.webgraph import (
+            triangle_counts,
+        )
+
+        # triangle a-b-c plus duplicates/reverses/self-loop and a
+        # dangling node d: exactly one triangle each for a, b, c
+        rows = [
+            ("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),
+            ("a", "b"), ("c", "c"), ("c", "d"),
+        ]
+        df = spark.createDataFrame(rows, "src string, dst string")
+        got = {
+            r["node"]: (r["deg"], r["n_triangles"])
+            for r in triangle_counts(df).collect()
+        }
+        assert got == {
+            "a": (2, 1), "b": (2, 1), "c": (3, 1), "d": (1, 0),
+        }
+
+    def test_plan_has_no_nested_loop_join(self, spark):
+        from buildkite_logs_parquet_spark.operators.webgraph import (
+            triangle_counts,
+        )
+        from buildkite_logs_parquet_spark.plans.checks import explain_str
+
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+        )
+        plan = explain_str(triangle_counts(df), "simple")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
