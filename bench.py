@@ -1111,6 +1111,28 @@ def _extra_ops():
         frames = M.mp3_frames(media)
         return M.mp3_split_points(frames)
 
+    def setsim_join_bench(spark, sf_dir):
+        """Exact prefix-filtered set-similarity self-join
+        (operators/dedup.py::set_similarity_join, the SSJoin/PPJoin
+        recipe) over the documents word sets at jaccard >= 0.9 — the
+        uncapped exact path next to ngram_jaccard's DF-capped index.
+        Runs on the deterministic doc_id%2 half (the ngram_jaccard
+        sampling discipline): the synthetic corpus is templated, so the
+        TRUE pair set is clique-quadratic — inherent to exact
+        threshold joins on duplicative corpora, not to the plan."""
+        from pyspark.sql import functions as F
+
+        from buildkite_logs_parquet_spark.operators.dedup import (
+            set_similarity_join,
+        )
+
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where(F.col("doc_id") % 2 == 0)
+            .select("doc_id", "text")
+        )
+        return set_similarity_join(docs, "doc_id", "text", threshold=0.9)
+
     def doremi_mix_bench(spark, sf_dir):
         """DoReMi-style domain reweighting end to end
         (operators/curation.py::doremi_weights, arXiv:2305.10429
@@ -1303,6 +1325,7 @@ def _extra_ops():
         "x_preference_pairs": preference_bench,
         "x_entity_resolution": entity_resolution_bench,
         "x_doremi_mix": doremi_mix_bench,
+        "x_setsim_join": setsim_join_bench,
         "x_quality_dedup": quality_dedup_bench,
         "x_mp3_structure": mp3_structure_bench,
         "x_text_normalize": text_normalize_bench,

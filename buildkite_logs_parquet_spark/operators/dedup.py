@@ -1531,3 +1531,138 @@ def dedup_keep_best(
     return flagged.select(
         id_col, cluster_col, quality_col, "is_canonical"
     ).unionByName(singletons)
+
+
+def set_similarity_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    tokenizer: str = "words",
+    shingle_k: int = 8,
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via prefix filtering (the
+    SSJoin/PPJoin family — Chaudhuri et al. 2006, Xiao et al. 2008):
+    every pair with ``jaccard >= threshold`` is returned, with NO
+    candidate generator to tune and NO DF cap changing the metric —
+    the principled exact-at-scale alternative to
+    ``ngram_jaccard_pairs``'s capped inverted index.
+
+    The prefix-filter theorem: order each document's token set by a
+    GLOBAL total order (ascending document frequency, ties by token —
+    rarest first) and keep only its first
+    ``p = s − ceil(t·s) + 1`` tokens; two sets with Jaccard ≥ t MUST
+    share at least one prefix token.  The candidate join therefore runs
+    on the PREFIX inverted index — stopword-class tokens (the quadratic
+    mass that forces ``max_shingle_df`` caps) sort to the END of every
+    ordering and rarely enter any prefix, so hot-token D² blowup is
+    filtered by construction instead of by cutting the metric.  The
+    size filter ``t·|A| ≤ |B|`` rides the same join (Jaccard ≥ t bounds
+    the size ratio).
+
+    Verification is exact and candidate-bounded: candidates join each
+    side's token relation once, intersections count per pair, and the
+    threshold decides on INTEGERS (``inter·10^6 ≥ t6·union``) so the
+    kept set cannot flip on a float ulp (rule 4).
+
+    Plan: tokens (narrow explode + distinct) → DF counts (one agg) →
+    per-doc rank window (one id-keyed shuffle) → prefix equi-join →
+    two candidate-bounded joins + one pair agg.  No cross join, no cap.
+
+    Output: ``(id_a, id_b, intersection, union_size, jaccard)`` with
+    ``id_a < id_b``.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    from pyspark.sql import Window as W
+
+    if tokenizer == "words":
+        toks = df.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("tok"),
+        ).where(F.col("tok") != "")
+    elif tokenizer == "shingles":
+        toks = _shingles_inline(df, id_col, text_col, shingle_k).select(
+            F.col(id_col), F.col("shingle").alias("tok")
+        )
+    else:
+        raise ValueError("tokenizer must be words | shingles")
+    toks = toks.distinct()
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("_s"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("_df"))
+    # global total order (df asc, tok asc) → per-doc prefix of length
+    # s − ceil(t·s) + 1; t as an exact rational t6/10^6 keeps ceil in
+    # integer arithmetic: ceil(t·s) = (t6·s + 999999) div 10^6
+    t6 = int(round(threshold * 1_000_000))
+    ranked = (
+        toks.join(dfreq, "tok")
+        .join(sizes, id_col)
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                W.partitionBy(id_col).orderBy("_df", "tok")
+            ),
+        )
+        .withColumn(
+            "_p",
+            F.col("_s")
+            - F.expr(f"({t6} * _s + 999999) div 1000000").cast("int")
+            + F.lit(1),
+        )
+    )
+    prefix = ranked.where(F.col("_r") <= F.col("_p")).select(
+        id_col, "tok", "_s"
+    )
+    pa = prefix.select(
+        F.col(id_col).alias("id_a"), "tok", F.col("_s").alias("_sa")
+    )
+    pb = prefix.select(
+        F.col(id_col).alias("id_b"), "tok", F.col("_s").alias("_sb")
+    )
+    cand = (
+        pa.join(pb, "tok")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            # size filter: jaccard >= t ⇒ t·max ≤ min (integer form)
+            & (
+                F.lit(t6) * F.greatest("_sa", "_sb")
+                <= F.lit(1_000_000) * F.least("_sa", "_sb")
+            )
+        )
+        .select("id_a", "id_b", "_sa", "_sb")
+        .distinct()
+    )
+    ta = toks.select(F.col(id_col).alias("id_a"), "tok")
+    tb = toks.select(F.col(id_col).alias("id_b"), "tok")
+    inter = (
+        cand.select("id_a", "id_b")
+        .join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("intersection"))
+    )
+    out = (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"intersection": 0})
+        .withColumn(
+            "union_size",
+            F.col("_sa") + F.col("_sb") - F.col("intersection"),
+        )
+        # integer threshold decision: inter·10^6 ≥ t6·union (rule 4)
+        .where(
+            F.col("intersection") * 1_000_000
+            >= F.lit(t6) * F.col("union_size")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "intersection",
+            "union_size",
+            F.round(
+                F.col("intersection") / F.col("union_size"), 6
+            ).alias("jaccard"),
+        )
+    )
+    return out

@@ -861,3 +861,87 @@ class TestCDCSegmentDedup:
             )
         )
         assert a == b
+
+
+class TestSetSimilarityJoin:
+    @staticmethod
+    def _brute(rows, t):
+        import itertools
+        import math
+
+        sets = {i: set(s.lower().split()) for i, s in rows}
+        out = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter * 1_000_000 >= round(t * 1e6) * union:
+                out[(a, b)] = (inter, union)
+        return out
+
+    def _rows(self):
+        base = "the quick brown fox jumps over the lazy dog near a river"
+        rows = [(0, base)]
+        rows.append((1, base + " tonight"))                 # near-dup
+        rows.append((2, base.replace("fox", "cat")))        # near-dup
+        rows.append((3, "completely different words here")) # unrelated
+        rows.append((4, base))                              # exact dup
+        # shared stopwords only — must NOT pair at 0.5
+        rows.append((5, "the a over near something else entirely my friend"))
+        # small sets
+        rows.append((6, "alpha beta"))
+        rows.append((7, "alpha beta"))
+        rows.append((8, "alpha gamma"))
+        return rows
+
+    @pytest.mark.parametrize("t", [0.5, 0.75, 0.9, 1.0])
+    def test_matches_brute_force_exactly(self, spark, t):
+        from buildkite_logs_parquet_spark.operators.dedup import (
+            set_similarity_join,
+        )
+
+        rows = self._rows()
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"]): (r["intersection"], r["union_size"])
+            for r in set_similarity_join(df, "doc_id", "text", t).collect()
+        }
+        assert got == self._brute(rows, t)
+
+    def test_completeness_on_randomized_corpus(self, spark):
+        # the prefix filter must lose NOTHING: randomized word soups with
+        # heavy vocabulary overlap, checked against brute force
+        import random
+
+        rng = random.Random(13)
+        vocab = [f"w{j}" for j in range(30)]
+        rows = [
+            (i, " ".join(rng.sample(vocab, rng.randint(3, 12))))
+            for i in range(60)
+        ]
+        from buildkite_logs_parquet_spark.operators.dedup import (
+            set_similarity_join,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"]): (r["intersection"], r["union_size"])
+            for r in set_similarity_join(df, "doc_id", "text", 0.6).collect()
+        }
+        assert got == self._brute(rows, 0.6)
+
+    def test_no_cartesian_and_validation(self, spark):
+        from buildkite_logs_parquet_spark.operators.dedup import (
+            set_similarity_join,
+        )
+        from buildkite_logs_parquet_spark.plans.checks import explain_str
+
+        df = spark.createDataFrame(self._rows(), "doc_id long, text string")
+        plan = explain_str(
+            set_similarity_join(df, "doc_id", "text", 0.7), "simple"
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        with pytest.raises(ValueError):
+            set_similarity_join(df, "doc_id", "text", 0.0)
+        with pytest.raises(ValueError):
+            set_similarity_join(df, "doc_id", "text", 0.5, tokenizer="x")
