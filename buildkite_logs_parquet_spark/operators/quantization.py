@@ -739,3 +739,84 @@ def pq_train_distributed(
     finally:
         sub_rows.unpersist()
     return books, history
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+) -> dict:
+    """Fit a k-component PCA over an embedding column — the standard
+    pre-rotation/reduction in front of scalar/product quantization
+    (OPQ's cheap cousin: decorrelated, variance-ordered axes make
+    per-subspace codebooks and int8 grids spend their bits where the
+    signal is).
+
+    Spark-first: this wraps ``pyspark.ml.feature.PCA`` (the platform's
+    distributed covariance + eigendecomposition) behind the repo's
+    array<float> column convention via ``array_to_vector`` /
+    ``vector_to_array`` — no driver-side matrix of corpus size ever
+    exists; driver state is the k×d component matrix + the d-vector
+    mean.
+
+    Returns ``{"components": [[...]], "variance": [...], "dim": d,
+    "k": k}`` (components row-major, variance = explained variance per
+    component).  Components derive from the mean-centered covariance
+    (Spark computes it internally) but — matching Spark's own PCAModel
+    .transform — projection multiplies RAW vectors, so cosine-style
+    downstream scoring sees a consistent convention.  Signs are
+    normalized so each component's largest-magnitude coefficient is
+    positive — eigenvector sign is arbitrary, and normalizing makes
+    fits comparable across runs.
+    """
+    from pyspark.ml.feature import PCA as _PCA
+    from pyspark.ml.functions import array_to_vector
+
+    d = len(df.select(vec_col).first()[0])
+    if not (0 < k <= d):
+        raise ValueError(f"k must be in (0, {d}]")
+    vecs = df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_v")
+    )
+    model = _PCA(k=int(k), inputCol="_v", outputCol="_p").fit(vecs)
+    pc = model.pc.toArray()  # d × k
+    comps = []
+    for j in range(int(k)):
+        col = [float(pc[i][j]) for i in range(d)]
+        # sign normalization: largest |coefficient| positive
+        m = max(range(d), key=lambda i: abs(col[i]))
+        if col[m] < 0:
+            col = [-x for x in col]
+        comps.append(col)
+    return {
+        "components": comps,
+        "variance": [float(v) for v in model.explainedVariance],
+        "dim": d,
+        "k": int(k),
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project an embedding column onto fitted PCA components: one
+    narrow expression per component (the sequential ``aggregate`` fold
+    every similarity op here uses — deterministic order, no UDF), each
+    a dot product against a broadcast-literal component row.  Output is
+    ``array<double>`` of length k, ready for ``sq_encode``/``pq_train``
+    at the reduced dimension."""
+    v = F.col(vec_col).cast("array<double>")
+    outs = []
+    for comp in model["components"]:
+        lit = F.array(*[F.lit(float(x)) for x in comp])
+        outs.append(
+            F.aggregate(
+                F.zip_with(v, lit, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return df.withColumn(out_col, F.array(*outs))

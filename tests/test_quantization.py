@@ -412,3 +412,79 @@ def test_pq_train_distributed_converges_and_improves(spark, vectors):
         init_codebooks=seeded, max_iter=6, tol=1e-9,
     )
     assert books == books2
+
+
+class TestPCA:
+    def _emb(self, spark):
+        # anisotropic cloud: variance concentrated on two planted axes
+        import random
+
+        rng = random.Random(5)
+        rows = []
+        for i in range(300):
+            a, b = rng.gauss(0, 10), rng.gauss(0, 3)
+            v = [0.0] * 8
+            v[0] = a
+            v[1] = 0.5 * a + b
+            for j in range(2, 8):
+                v[j] = rng.gauss(0, 0.05)
+            rows.append((i, v))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_matches_numpy_eigendecomposition(self, spark):
+        import numpy as np
+
+        from buildkite_logs_parquet_spark.operators.quantization import (
+            pca_fit,
+        )
+
+        df = self._emb(spark)
+        m = pca_fit(df, "embedding", k=3)
+        X = np.array([r["embedding"] for r in df.collect()])
+        cov = np.cov(X, rowvar=False, bias=False)
+        w, v = np.linalg.eigh(cov)
+        order = np.argsort(w)[::-1]
+        for j in range(3):
+            ref = v[:, order[j]]
+            mref = max(range(len(ref)), key=lambda i: abs(ref[i]))
+            if ref[mref] < 0:
+                ref = -ref
+            got = np.array(m["components"][j])
+            assert np.allclose(got, ref, atol=1e-6), j
+        assert m["variance"][0] > m["variance"][1] > m["variance"][2]
+
+    def test_project_matches_manual_dot_and_feeds_sq(self, spark):
+        import numpy as np
+
+        from buildkite_logs_parquet_spark.operators.quantization import (
+            pca_fit,
+            pca_project,
+            sq_max_abs,
+            sq_encode,
+        )
+
+        df = self._emb(spark)
+        m = pca_fit(df, "embedding", k=2)
+        out = pca_project(df, m, "embedding", out_col="pca")
+        rows = out.orderBy("vec_id").collect()
+        comps = np.array(m["components"])
+        for r in rows[:20]:
+            want = comps @ np.array(r["embedding"])
+            assert np.allclose(np.array(r["pca"]), want, atol=1e-9)
+        # reduced vectors flow into the int8 quantizer unchanged
+        ma = sq_max_abs(out, "pca")
+        enc = sq_encode(out, ma, vec_col="pca")
+        assert enc.select(F.size("qvec")).first()[0] == 2
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from buildkite_logs_parquet_spark.operators.quantization import (
+            pca_fit,
+        )
+
+        df = self._emb(spark)
+        with _pytest.raises(ValueError):
+            pca_fit(df, "embedding", k=0)
+        with _pytest.raises(ValueError):
+            pca_fit(df, "embedding", k=9)
