@@ -1289,3 +1289,103 @@ def audio_fingerprint_near_dups(
         .where((F.col("n_frames") >= min_frames) & (F.col("ber") <= max_ber))
     )
     return scored.select("id_a", "id_b", "n_frames", "ber")
+
+
+def image_exif_summary(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-image EXIF curation summary (functions/exif.py): camera
+    make/model (device-level dedup keys), orientation, capture time,
+    and — the privacy audit — GPS presence and decoded coordinates, so
+    a corpus can COUNT location leaks before shipping.  Arrow-batched
+    ``mapInPandas``; non-JPEG/corrupt payloads quarantine with
+    ``decode_ok = false`` (the module convention)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from buildkite_logs_parquet_spark.functions.exif import parse_exif
+
+        cols = [
+            id_col, "make", "model", "orientation", "exif_datetime",
+            "has_gps", "gps_lat", "gps_lon", "decode_ok",
+        ]
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    s = parse_exif(bytes(payload))
+                    out.append(
+                        {
+                            id_col: mid,
+                            "make": s.make,
+                            "model": s.model,
+                            "orientation": s.orientation,
+                            "exif_datetime": s.datetime,
+                            "has_gps": s.has_gps,
+                            "gps_lat": s.gps_lat,
+                            "gps_lon": s.gps_lon,
+                            "decode_ok": True,
+                        }
+                    )
+                except Exception:
+                    out.append(
+                        {
+                            id_col: mid,
+                            "make": None, "model": None,
+                            "orientation": None, "exif_datetime": None,
+                            "has_gps": None, "gps_lat": None,
+                            "gps_lon": None, "decode_ok": False,
+                        }
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.select(id_col, payload_col).mapInPandas(
+        run,
+        f"{id_col} long, make string, model string, orientation int,"
+        " exif_datetime string, has_gps boolean, gps_lat double,"
+        " gps_lon double, decode_ok boolean",
+    )
+
+
+def strip_image_metadata(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Privacy transform: every Exif APP1 segment removed, pixels and
+    all other segments byte-identical (functions/exif.strip_exif — the
+    all-or-nothing strip that cannot half-leak).  Payloads the walker
+    cannot parse pass through UNCHANGED with ``stripped = false``: a
+    metadata scrubber must never destroy media it doesn't understand.
+    Output mirrors the input schema plus the flag."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from buildkite_logs_parquet_spark.functions.exif import strip_exif
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                try:
+                    clean = strip_exif(raw)
+                    out.append(
+                        {
+                            id_col: mid,
+                            payload_col: clean,
+                            "stripped": clean != raw,
+                        }
+                    )
+                except Exception:
+                    out.append(
+                        {id_col: mid, payload_col: raw, "stripped": False}
+                    )
+            yield pd.DataFrame(out, columns=[id_col, payload_col, "stripped"])
+
+    return media.select(id_col, payload_col).mapInPandas(
+        run, f"{id_col} long, {payload_col} binary, stripped boolean"
+    )
