@@ -296,3 +296,87 @@ def scd2_as_of(history: DataFrame, ts: int) -> DataFrame:
         (F.col("valid_from") <= int(ts))
         & (F.col("valid_to").isNull() | (F.col("valid_to") > int(ts)))
     ).drop("is_current")
+
+
+def publish_tables(
+    dfs: dict[str, DataFrame], root: str, max_attempts: int = 16
+) -> int:
+    """Atomically publish SEVERAL tables as ONE catalog version: every
+    table lands under ``v=N/<table>/`` via a single staging-directory
+    rename, so readers see either the whole snapshot or none of it — a
+    trainer must never join table A from v=5 against table B from v=6
+    (the cross-table consistency single-table versioning cannot give).
+
+    Each version carries a ``_MANIFEST`` (one line per table:
+    ``<name>\\t<n_rows>``) computed by READING BACK the staged files —
+    it certifies the bytes, not the plans.  Table names are restricted
+    to ``[A-Za-z0-9_]`` (they become path components).  The version
+    claim and pointer update reuse :func:`publish_version`'s
+    rename-retry and the monotonic locked ``_point``."""
+    import errno as _errno
+
+    if not dfs:
+        raise ValueError("publish_tables needs at least one table")
+    for name in dfs:
+        if not re.fullmatch(r"[A-Za-z0-9_]+", name):
+            raise ValueError(f"bad table name {name!r}")
+    os.makedirs(root, exist_ok=True)
+    staging = os.path.join(root, f"_tmp-{uuid.uuid4().hex}")
+    spark = next(iter(dfs.values())).sparkSession
+    counts = {}
+    for name, df in dfs.items():
+        path = os.path.join(staging, name)
+        df.write.mode("errorifexists").parquet(path)
+        counts[name] = spark.read.parquet(path).count()
+    with open(os.path.join(staging, "_MANIFEST"), "w") as f:
+        for name in sorted(counts):
+            f.write(f"{name}\t{counts[name]}\n")
+    last_err: OSError | None = None
+    for _ in range(max_attempts):
+        n = (max(_versions(root), default=0)) + 1
+        final = os.path.join(root, f"v={n}")
+        try:
+            os.rename(staging, final)
+        except OSError as exc:
+            if exc.errno not in (_errno.EEXIST, _errno.ENOTEMPTY):
+                raise
+            last_err = exc
+            continue
+        _point(root, n)
+        return n
+    raise RuntimeError(
+        f"publish_tables: could not claim a version under {root} after "
+        f"{max_attempts} attempts (last: {last_err}); staging intact at "
+        f"{staging}"
+    )
+
+
+def read_table(
+    spark: SparkSession, root: str, table: str, version: int | None = None
+) -> DataFrame:
+    """Read one table of a multi-table version (LATEST by default)."""
+    if version is None:
+        version = current_version(root)
+        if version is None:
+            raise FileNotFoundError(f"empty catalog: {root}")
+    if version not in _versions(root):
+        raise ValueError(f"no such version v={version} under {root}")
+    path = os.path.join(root, f"v={version}", table)
+    if not os.path.isdir(path):
+        raise ValueError(f"version v={version} has no table {table!r}")
+    return spark.read.parquet(path)
+
+
+def version_manifest(root: str, version: int | None = None) -> dict[str, int]:
+    """The certified per-table row counts of a multi-table version."""
+    if version is None:
+        version = current_version(root)
+        if version is None:
+            raise FileNotFoundError(f"empty catalog: {root}")
+    path = os.path.join(root, f"v={version}", "_MANIFEST")
+    out: dict[str, int] = {}
+    with open(path) as f:
+        for line in f:
+            name, n = line.rstrip("\n").split("\t")
+            out[name] = int(n)
+    return out

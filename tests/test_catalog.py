@@ -320,3 +320,60 @@ class TestSCD2:
         v2 = publish_version(h2, root)
         assert read_version(spark, root, v2).count() == 3
         assert read_version(spark, root, v1).count() == 2  # time travel
+
+
+class TestMultiTablePublish:
+    def test_snapshot_consistency_and_manifest(self, spark, tmp_path):
+        from buildkite_logs_parquet_spark.sources.catalog import (
+            current_version,
+            publish_tables,
+            read_table,
+            version_manifest,
+        )
+
+        root = str(tmp_path / "multicat")
+        v1 = publish_tables(
+            {"docs": _corpus(spark, "a", n=20), "embs": _corpus(spark, "b", n=7)},
+            root,
+        )
+        assert v1 == 1 and current_version(root) == 1
+        assert version_manifest(root) == {"docs": 20, "embs": 7}
+        # second snapshot: BOTH tables move together
+        v2 = publish_tables(
+            {"docs": _corpus(spark, "a2", n=21), "embs": _corpus(spark, "b2", n=8)},
+            root,
+        )
+        assert version_manifest(root, v2) == {"docs": 21, "embs": 8}
+        # pinned cross-table read stays consistent
+        assert read_table(spark, root, "docs", v1).count() == 20
+        assert read_table(spark, root, "embs", v1).count() == 7
+        assert read_table(spark, root, "docs").count() == 21
+
+    def test_no_torn_multi_table_version_visible(self, spark, tmp_path):
+        import os
+
+        from buildkite_logs_parquet_spark.sources.catalog import (
+            _versions,
+            publish_tables,
+        )
+
+        root = str(tmp_path / "multicat")
+        publish_tables({"docs": _corpus(spark, "a")}, root)
+        # staging litter never parses as a version
+        os.makedirs(os.path.join(root, "_tmp-deadbeef", "docs"))
+        assert _versions(root) == [1]
+
+    def test_validation(self, spark, tmp_path):
+        from buildkite_logs_parquet_spark.sources.catalog import (
+            publish_tables,
+            read_table,
+        )
+
+        root = str(tmp_path / "multicat")
+        with pytest.raises(ValueError):
+            publish_tables({}, root)
+        with pytest.raises(ValueError):
+            publish_tables({"bad/name": _corpus(spark, "a")}, root)
+        publish_tables({"docs": _corpus(spark, "a")}, root)
+        with pytest.raises(ValueError):
+            read_table(spark, root, "nope")
