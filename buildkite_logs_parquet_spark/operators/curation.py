@@ -1417,3 +1417,94 @@ def robots_filter(
         + ", allowed boolean, crawl_delay double"
     )
     return joined.mapInPandas(run, schema)
+
+
+def strip_domain_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    domain_col: str,
+    min_docs: int = 5,
+    max_ratio: float = 0.5,
+) -> DataFrame:
+    """Remove per-domain BOILERPLATE lines — navigation, footers, cookie
+    banners: lines that repeat across a large fraction of one site's
+    pages (the CCNet/RefinedWeb line-level dedup recipe, scoped to the
+    domain so a phrase that is boilerplate on one site survives as
+    content on another).
+
+    A line is boilerplate in domain D when D has at least ``min_docs``
+    documents and the line occurs in more than ``max_ratio`` of them
+    (distinct-document frequency, so a line repeated inside ONE page
+    is repetition, not boilerplate — ``repetition_metrics`` owns that).
+    The ratio decides on integers (``n_docs_with_line · 10^6 >
+    ratio6 · n_docs``) so the kept set can't flip on a float ulp.
+
+    Scale shape (the ``segment_dedup`` discipline): lines travel the
+    frequency aggregate as rule-3 64-bit hashes — the (domain, line)
+    shuffle is text-free; the only text movement is the per-document
+    rebuild, a position-ordered ``array_join`` over each doc's own
+    lines.  Output: ``(id, text, n_lines, n_removed)`` with ``text``
+    rebuilt minus boilerplate lines (original newline structure within
+    kept lines preserved).
+    """
+    if not (0.0 < max_ratio < 1.0):
+        raise ValueError("max_ratio must be in (0, 1)")
+    r6 = int(round(max_ratio * 1_000_000))
+    lines = df.select(
+        F.col(id_col),
+        F.col(domain_col).alias("_dom"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn(
+        "_h",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("bp:"), F.col("_line"))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+    )
+    dom_docs = df.groupBy(F.col(domain_col).alias("_dom")).agg(
+        F.count("*").alias("_nd")
+    )
+    line_docs = (
+        lines.select("_dom", "_h", id_col)
+        .distinct()
+        .groupBy("_dom", "_h")
+        .agg(F.count("*").alias("_nl"))
+    )
+    bp = (
+        line_docs.join(dom_docs, "_dom")
+        .where(
+            (F.col("_nd") >= int(min_docs))
+            & (F.col("_nl") * 1_000_000 > F.lit(r6) * F.col("_nd"))
+        )
+        .select("_dom", "_h")
+    )
+    # drop boilerplate occurrences by (domain, line-hash) semi/anti —
+    # USING-style name joins, never expression equality against a
+    # self-derived frame (ambiguous attribute ids)
+    kept = lines.join(bp, ["_dom", "_h"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_pos", F.col("_line")))
+                ),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count("*").alias("_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )

@@ -1238,3 +1238,91 @@ class TestDoremiWeights:
         # the upweighted domain is kept whole; others downsample
         assert shares["hard"] == 50
         assert shares.get("easy", 0) < 50
+
+
+class TestStripDomainBoilerplate:
+    def _docs(self, spark):
+        nav = "home | products | contact"
+        foot = "copyright 2024 example inc"
+        rows = []
+        for i in range(10):
+            rows.append(
+                (i, "site-a", f"{nav}\narticle body {i}\nunique line {i}\n{foot}")
+            )
+        # same nav line on site-b, but only 2 docs there (< min_docs):
+        # must SURVIVE — boilerplate is a per-domain decision
+        for i in range(10, 12):
+            rows.append((i, "site-b", f"{nav}\nreal content {i}"))
+        return spark.createDataFrame(rows, "doc_id long, domain string, text string")
+
+    def test_strips_only_in_qualifying_domain(self, spark):
+        from buildkite_logs_parquet_spark.operators.curation import (
+            strip_domain_boilerplate,
+        )
+
+        out = {
+            r["doc_id"]: r
+            for r in strip_domain_boilerplate(
+                self._docs(spark), "doc_id", "text", "domain",
+                min_docs=5, max_ratio=0.5,
+            ).collect()
+        }
+        assert out[0]["text"] == "article body 0\nunique line 0"
+        assert out[0]["n_lines"] == 4 and out[0]["n_removed"] == 2
+        # site-b keeps the same nav line (domain below min_docs)
+        assert out[10]["text"].startswith("home | products")
+        assert out[10]["n_removed"] == 0
+
+    def test_within_page_repetition_is_not_boilerplate(self, spark):
+        from buildkite_logs_parquet_spark.operators.curation import (
+            strip_domain_boilerplate,
+        )
+
+        # one doc repeats a line 5 times; the line appears in only 1 of
+        # 6 docs -> distinct-doc frequency keeps it
+        rows = [(0, "d", "spam\nspam\nspam\nspam\nspam")]
+        rows += [(i, "d", f"content {i}") for i in range(1, 6)]
+        df = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+        out = {
+            r["doc_id"]: r
+            for r in strip_domain_boilerplate(
+                df, "doc_id", "text", "domain", min_docs=3, max_ratio=0.5
+            ).collect()
+        }
+        assert out[0]["n_removed"] == 0
+        assert out[0]["text"].count("spam") == 5
+
+    def test_fully_boilerplate_doc_empties_not_vanishes(self, spark):
+        from buildkite_logs_parquet_spark.operators.curation import (
+            strip_domain_boilerplate,
+        )
+
+        rows = [(i, "d", "the only line") for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+        out = strip_domain_boilerplate(
+            df, "doc_id", "text", "domain", min_docs=3, max_ratio=0.5
+        )
+        rowsx = out.collect()
+        assert len(rowsx) == 6
+        assert all(r["text"] == "" and r["n_removed"] == 1 for r in rowsx)
+
+    def test_integer_ratio_boundary(self, spark):
+        from buildkite_logs_parquet_spark.operators.curation import (
+            strip_domain_boilerplate,
+        )
+
+        # line in exactly 50% of docs: strictly-greater gate keeps it
+        rows = [(i, "d", "maybe\nbody %d" % i) for i in range(5)]
+        rows += [(i, "d", "body %d" % i) for i in range(5, 10)]
+        df = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+        out = {
+            r["doc_id"]: r
+            for r in strip_domain_boilerplate(
+                df, "doc_id", "text", "domain", min_docs=3, max_ratio=0.5
+            ).collect()
+        }
+        assert out[0]["n_removed"] == 0
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            strip_domain_boilerplate(df, "doc_id", "text", "domain", max_ratio=1.5)
