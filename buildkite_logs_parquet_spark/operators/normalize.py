@@ -170,3 +170,43 @@ def normalize_text(
     if whitespace:
         c = collapse_whitespace(c)
     return df.withColumn(out_col, c)
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: list[str],
+    secret: str,
+    prefix: str = "pid_",
+    hex_len: int = 16,
+) -> DataFrame:
+    """Replace identifier columns with deterministic keyed surrogates:
+    ``prefix + hex(md5(secret:value))`` — the pseudonymization step
+    between scrubbing and analysis.  Unlike ``pii_scrub``'s redaction it
+    PRESERVES joinability and group structure (equal values map to equal
+    tokens across every table sharing the ``secret``), while the value
+    itself never survives; rotating the secret unlinks every historical
+    surrogate at once.
+
+    NULL stays NULL (a surrogate for NULL would fabricate a join key).
+    One narrow expression per column — no shuffle, no UDF.  The keyed
+    hash means surrogates are only as secret as ``secret``: treat it
+    like a credential, and remember pseudonymized data is still
+    personal data under most privacy regimes (linkage within the
+    dataset remains by design — that is the point).
+    """
+    if not cols:
+        raise ValueError("cols must name at least one column")
+    if not secret:
+        raise ValueError("secret must be non-empty")
+    out = df
+    for c in cols:
+        tok = F.concat(
+            F.lit(prefix),
+            F.substring(
+                F.md5(F.concat(F.lit(f"{secret}:"), F.col(c).cast("string"))),
+                1,
+                int(hex_len),
+            ),
+        )
+        out = out.withColumn(c, F.when(F.col(c).isNotNull(), tok))
+    return out

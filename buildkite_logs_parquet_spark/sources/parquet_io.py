@@ -224,3 +224,50 @@ def file_info(path: str) -> dict:
         "file_size_bytes": size,
         "num_row_groups": row_groups,
     }
+
+
+def schema_evolution_report(old, new) -> list[dict]:
+    """Compatibility report between two schemas (StructType or
+    DataFrame) — the gate a lake runs before accepting a producer's new
+    drop: one dict per change with ``kind`` ∈ added / dropped /
+    type_changed / nullability_changed and ``breaking`` (dropped
+    columns and type changes break readers; additions and
+    nullable-loosening don't).  Nested structs compare by their DDL
+    string (a nested change reports as type_changed on the top-level
+    column — precise enough to fail the gate, which is its job)."""
+    from pyspark.sql import DataFrame as _DF
+
+    os_ = old.schema if isinstance(old, _DF) else old
+    ns_ = new.schema if isinstance(new, _DF) else new
+    of = {f.name: f for f in os_.fields}
+    nf = {f.name: f for f in ns_.fields}
+    out: list[dict] = []
+    for name in sorted(of.keys() | nf.keys()):
+        if name not in nf:
+            out.append(
+                {"column": name, "kind": "dropped", "breaking": True,
+                 "old": of[name].dataType.simpleString(), "new": None}
+            )
+        elif name not in of:
+            out.append(
+                {"column": name, "kind": "added", "breaking": False,
+                 "old": None, "new": nf[name].dataType.simpleString()}
+            )
+        else:
+            o, n = of[name], nf[name]
+            if o.dataType != n.dataType:
+                out.append(
+                    {"column": name, "kind": "type_changed",
+                     "breaking": True,
+                     "old": o.dataType.simpleString(),
+                     "new": n.dataType.simpleString()}
+                )
+            elif o.nullable != n.nullable:
+                out.append(
+                    {"column": name, "kind": "nullability_changed",
+                     # required→nullable LOOSENS a guarantee readers may
+                     # rely on (breaking); nullable→required tightens it
+                     "breaking": (not o.nullable) and n.nullable,
+                     "old": str(o.nullable), "new": str(n.nullable)}
+                )
+    return out

@@ -136,3 +136,43 @@ def test_normalized_fingerprints_unify_byte_variants(spark):
     df = _vec_df(spark, [composed, decomposed, mojibake])
     n = N.normalize_text(df, "text", out_col="n")
     assert n.select("n").distinct().count() == 1
+
+
+class TestPseudonymize:
+    def test_deterministic_and_join_preserving(self, spark):
+        from buildkite_logs_parquet_spark.operators.normalize import (
+            pseudonymize,
+        )
+
+        a = spark.createDataFrame(
+            [(1, "alice@x.com"), (2, "bob@y.org"), (3, None)],
+            "id long, email string",
+        )
+        b = spark.createDataFrame(
+            [(9, "alice@x.com")], "other long, email string"
+        )
+        pa = pseudonymize(a, ["email"], secret="k1")
+        pb = pseudonymize(b, ["email"], secret="k1")
+        rows = {r["id"]: r["email"] for r in pa.collect()}
+        assert rows[3] is None
+        assert rows[1] != rows[2]
+        assert rows[1].startswith("pid_") and len(rows[1]) == 4 + 16
+        assert "alice" not in rows[1]
+        # joinability survives across tables under the same secret
+        assert pa.join(pb, "email").count() == 1
+        # rotating the secret unlinks
+        pa2 = pseudonymize(a, ["email"], secret="k2")
+        assert {r["email"] for r in pa2.collect()} != set(rows.values())
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from buildkite_logs_parquet_spark.operators.normalize import (
+            pseudonymize,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "id long, v string")
+        with _pytest.raises(ValueError):
+            pseudonymize(df, [], "k")
+        with _pytest.raises(ValueError):
+            pseudonymize(df, ["v"], "")

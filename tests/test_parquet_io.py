@@ -150,3 +150,36 @@ def test_file_info_single_and_dir(spark, entries, tmp_path):
     info = file_info(path)
     assert info["row_count"] == 5
     assert info["column_count"] == 8  # 7 canonical + row_id
+
+
+def test_schema_evolution_report(spark):
+    from buildkite_logs_parquet_spark.sources.parquet_io import (
+        schema_evolution_report,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0)], "id long, name string, score double"
+    )
+    new = spark.createDataFrame(
+        [(1, 2, "x")], "id int, name string, extra string"
+    )
+    rep = {r["column"]: r for r in schema_evolution_report(old, new)}
+    assert rep["score"]["kind"] == "dropped" and rep["score"]["breaking"]
+    assert rep["extra"]["kind"] == "added" and not rep["extra"]["breaking"]
+    assert rep["id"]["kind"] == "type_changed" and rep["id"]["breaking"]
+    assert "name" not in rep  # unchanged
+    # identical schemas -> empty report
+    assert schema_evolution_report(old, old) == []
+    # nullability: required -> nullable is the breaking direction
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    req = StructType([StructField("k", LongType(), nullable=False)])
+    opt = StructType([StructField("k", LongType(), nullable=True)])
+    loosened = schema_evolution_report(req, opt)[0]
+    assert loosened["kind"] == "nullability_changed" and loosened["breaking"]
+    tightened = schema_evolution_report(opt, req)[0]
+    assert not tightened["breaking"]
