@@ -169,3 +169,150 @@ def align_segments_by_position(
     return joined.where(ratio_ok).select(
         "id_a", "id_b", "seg_idx", "seg_a", "seg_b"
     )
+
+
+def _gale_church_cost(la: int, lb: int) -> float:
+    """Per-bead length cost from Gale & Church (1993), the published
+    constants: translated segment lengths relate by ratio c = 1 with
+    per-character variance s2 = 6.8; delta = (lb − la·c)/sqrt(la·s2)
+    is ~normal, and the cost is −log P(|delta|) via the standard-normal
+    tail (their Appendix's pnorm approximation — public formula)."""
+    import math
+
+    if la == 0 and lb == 0:
+        return 0.0
+    mean = (la + lb / 1.0) / 2.0
+    if mean <= 0:
+        return 25.0
+    delta = (lb - la) / math.sqrt(6.8 * mean)
+    z = abs(delta)
+    # Gale & Church's pnorm: Abramowitz-Stegun 26.2.17 polynomial
+    t = 1.0 / (1.0 + 0.2316419 * z)
+    pd = 1.0 - 0.3989423 * math.exp(-z * z / 2.0) * (
+        ((((1.330274429 * t - 1.821255978) * t + 1.781477937) * t
+          - 0.356563782) * t + 0.319381530) * t
+    )
+    p = 2.0 * (1.0 - pd)
+    return -math.log(max(p, 1e-300))
+
+
+#: bead types and their -log prior from the paper's alignment counts
+_GC_BEADS = [
+    (1, 1, 0.0),            # substitution, prior 0.89 — baseline
+    (1, 0, 4.0),            # deletion
+    (0, 1, 4.0),            # insertion
+    (2, 1, 2.3),            # contraction
+    (1, 2, 2.3),            # expansion
+    (2, 2, 5.8),            # merge
+]
+
+
+def gale_church_align_py(
+    sents_a: list[str], sents_b: list[str]
+) -> list[tuple[tuple[int, ...], tuple[int, ...]]]:
+    """Sequential Gale–Church DP over one sentence-split pair (the
+    public 1993 algorithm): returns beads as (indices into a, indices
+    into b).  O(n·m) per pair — pairs are single documents, so the DP
+    is executor-local and bounded; the distributed operator maps this
+    over candidate pairs."""
+    la = [len(s) for s in sents_a]
+    lb = [len(s) for s in sents_b]
+    n, m = len(la), len(lb)
+    INF = float("inf")
+    dist = [[INF] * (m + 1) for _ in range(n + 1)]
+    back: list[list[tuple[int, int] | None]] = [
+        [None] * (m + 1) for _ in range(n + 1)
+    ]
+    dist[0][0] = 0.0
+    for i in range(n + 1):
+        for j in range(m + 1):
+            d = dist[i][j]
+            if d == INF:
+                continue
+            for da, db, prior in _GC_BEADS:
+                ii, jj = i + da, j + db
+                if ii > n or jj > m:
+                    continue
+                cost = d + prior + _gale_church_cost(
+                    sum(la[i:ii]), sum(lb[j:jj])
+                )
+                if cost < dist[ii][jj]:
+                    dist[ii][jj] = cost
+                    back[ii][jj] = (da, db)
+    if back[n][m] is None and (n, m) != (0, 0):
+        return []
+    beads = []
+    i, j = n, m
+    while (i, j) != (0, 0):
+        da, db = back[i][j]
+        beads.append((tuple(range(i - da, i)), tuple(range(j - db, j))))
+        i, j = i - da, j - db
+    return list(reversed(beads))
+
+
+def gale_church_align(
+    pairs: DataFrame,
+    text_a_col: str = "text_a",
+    text_b_col: str = "text_b",
+    id_cols: list[str] | None = None,
+    max_sentences: int = 512,
+) -> DataFrame:
+    """Sentence-align candidate document pairs (the step after
+    ``bitext_url_candidates``): regexp sentence split, then the
+    Gale–Church DP per pair inside an Arrow-batched ``mapInPandas`` —
+    the honest Pandas-UDF case (a per-pair dynamic program is
+    word-sequential by nature; rule: Python only where SQL genuinely
+    can't).  Pairs longer than ``max_sentences`` on either side are
+    SKIPPED with ``aligned = false`` rather than running an unbounded
+    O(n·m) DP on a degenerate page (the hostile-input discipline).
+
+    Output: one row per bead — ``(*, bead_idx, src_text, tgt_text,
+    n_src, n_tgt, aligned)`` with id columns carried through."""
+    import re as _re
+
+    ids = list(id_cols or [])
+
+    def _split(t: str) -> list[str]:
+        parts = _re.split(r"(?<=[.!?。！？])\s+", (t or "").strip())
+        return [p for p in parts if p]
+
+    def run(batches):
+        import pandas as pd
+
+        cols = [*ids, "bead_idx", "src_text", "tgt_text", "n_src",
+                "n_tgt", "aligned"]
+        for pdf in batches:
+            out = []
+            for row in pdf.to_dict("records"):
+                sa, sb = _split(row[text_a_col]), _split(row[text_b_col])
+                base = {c: row[c] for c in ids}
+                if len(sa) > max_sentences or len(sb) > max_sentences:
+                    out.append(
+                        {**base, "bead_idx": -1, "src_text": None,
+                         "tgt_text": None, "n_src": len(sa),
+                         "n_tgt": len(sb), "aligned": False}
+                    )
+                    continue
+                for k, (ia, ib) in enumerate(gale_church_align_py(sa, sb)):
+                    out.append(
+                        {
+                            **base,
+                            "bead_idx": k,
+                            "src_text": " ".join(sa[i] for i in ia),
+                            "tgt_text": " ".join(sb[j] for j in ib),
+                            "n_src": len(ia),
+                            "n_tgt": len(ib),
+                            "aligned": True,
+                        }
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    id_schema = ", ".join(
+        f"{c} {dict(pairs.dtypes)[c]}" for c in ids
+    )
+    schema = (
+        (id_schema + ", " if id_schema else "")
+        + "bead_idx int, src_text string, tgt_text string,"
+        " n_src int, n_tgt int, aligned boolean"
+    )
+    return pairs.select(*ids, text_a_col, text_b_col).mapInPandas(run, schema)

@@ -103,3 +103,95 @@ class TestSegmentAlign:
         ]
         # 3-para doc 5 vs 2-para doc 6: only shared indexes align
         assert sorted(by_pair[(6, 5)]) == [(0, "q1", "p1"), (1, "q2", "p2")]
+
+
+class TestGaleChurch:
+    def test_clean_one_to_one(self):
+        from buildkite_logs_parquet_spark.operators.bitext import (
+            gale_church_align_py,
+        )
+
+        a = ["The cat sat on the mat.", "It was warm.", "Dogs barked outside."]
+        b = ["Le chat etait assis sur le tapis.", "Il faisait chaud.",
+             "Des chiens aboyaient dehors."]
+        beads = gale_church_align_py(a, b)
+        assert beads == [((0,), (0,)), ((1,), (1,)), ((2,), (2,))]
+
+    def test_two_to_one_merge_detected(self):
+        from buildkite_logs_parquet_spark.operators.bitext import (
+            gale_church_align_py,
+        )
+
+        # source sentence 1 was split into two short target sentences:
+        # lengths make the 1-2 bead much cheaper than two lopsided 1-1s
+        a = [
+            "Alpha beta gamma delta epsilon zeta eta theta.",
+            "Second sentence with a comparable length here ok.",
+        ]
+        b = [
+            "Alpha beta gamma delta.",
+            "Epsilon zeta eta theta.",
+            "Deuxieme phrase d'une longueur comparable ici bon.",
+        ]
+        beads = gale_church_align_py(a, b)
+        assert ((0,), (0, 1)) in beads
+        assert beads[-1] == ((1,), (2,))
+
+    def test_empty_and_degenerate(self):
+        from buildkite_logs_parquet_spark.operators.bitext import (
+            gale_church_align_py,
+        )
+
+        assert gale_church_align_py([], []) == []
+        # one side empty: all deletions
+        beads = gale_church_align_py(["x one.", "y two."], [])
+        assert beads == [((0,), ()), ((1,), ())]
+
+    def test_all_sentences_covered_once_property(self):
+        import random
+
+        from buildkite_logs_parquet_spark.operators.bitext import (
+            gale_church_align_py,
+        )
+
+        rng = random.Random(3)
+        a = [
+            " ".join("w" * rng.randint(2, 9) for _ in range(rng.randint(3, 10)))
+            + "."
+            for _ in range(12)
+        ]
+        b = list(a)
+        beads = gale_church_align_py(a, b)
+        covered_a = [i for ia, _ in beads for i in ia]
+        covered_b = [j for _, jb in beads for j in jb]
+        assert covered_a == list(range(len(a)))
+        assert covered_b == list(range(len(b)))
+
+    def test_spark_stage_and_hostile_size_skip(self, spark):
+        from buildkite_logs_parquet_spark.operators.bitext import (
+            gale_church_align,
+        )
+
+        pairs = spark.createDataFrame(
+            [
+                (1, "One sentence here. Another one follows.",
+                 "Une phrase ici. Une autre suit."),
+                (2, ". ".join(["s"] * 600) + ".", "tiny."),
+            ],
+            "pair_id long, text_a string, text_b string",
+        )
+        out = gale_church_align(
+            pairs, "text_a", "text_b", id_cols=["pair_id"],
+            max_sentences=512,
+        )
+        rows = sorted(
+            out.collect(), key=lambda r: (r["pair_id"], r["bead_idx"])
+        )
+        p1 = [r for r in rows if r["pair_id"] == 1]
+        assert all(r["aligned"] for r in p1)
+        assert [(r["src_text"], r["tgt_text"]) for r in p1] == [
+            ("One sentence here.", "Une phrase ici."),
+            ("Another one follows.", "Une autre suit."),
+        ]
+        p2 = [r for r in rows if r["pair_id"] == 2]
+        assert len(p2) == 1 and not p2[0]["aligned"]
