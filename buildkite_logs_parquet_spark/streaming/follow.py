@@ -615,3 +615,87 @@ def stream_token_budget(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_neardup_filter(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    lake_table: str,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 8,
+):
+    """Streaming NEAR-duplicate admission: each micro-batch probes the
+    banded-signature lake (``dedup.incremental_near_dups`` — history
+    side never reshuffles), keeps only documents with no near-dup in
+    history OR earlier in the batch (batch-internal pairs resolve
+    min-id-first, the dedup_clusters canonical rule), appends the
+    survivors to ``out_path`` AND their signatures to the lake — so the
+    next batch dedups against everything admitted so far.
+
+    Exactly-once note (the ``stream_append_dedup_against_lake``
+    contract): the lake/output appends are idempotent per batch only if
+    the upstream ids are stable across retries; a replayed batch
+    re-probes the NOW-UPDATED lake, so its documents dedup against
+    their own first delivery — re-admission is suppressed by content,
+    which is the semantics a dedup sink wants under at-least-once.
+
+    State lives in the LAKE, not in streaming state: bounded by corpus
+    signatures (id + band longs), never raw text, and shared with the
+    batch pipeline — one dedup index for both worlds.
+    """
+    from buildkite_logs_parquet_spark.operators import dedup as D
+
+    def admit(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if not batch.take(1):
+            return
+        batch = batch.select(id_col, text_col).dropDuplicates([id_col])
+        batch.persist()
+        try:
+            lake_exists = spark.catalog.tableExists(lake_table)
+            if lake_exists:
+                pairs = D.incremental_near_dups(
+                    batch, id_col, text_col, lake_table,
+                    num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+                    threshold=threshold,
+                )
+            else:
+                # first batch bootstraps the lake: only batch-internal
+                # near-dups exist (minhash_near_duplicates is the same
+                # pair semantics incremental_near_dups' batch side uses)
+                pairs = D.minhash_near_duplicates(
+                    batch, id_col, text_col,
+                    num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+                    threshold=threshold,
+                ).select("id_a", "id_b", F.lit("batch").alias("side"))
+            # drop anything matching history; within the batch keep the
+            # min id of each pair (the dedup_clusters canonical rule)
+            hist_hit = pairs.where(F.col("side") == "history").select(
+                F.col("id_a").alias(id_col)
+            )
+            batch_hit = pairs.where(F.col("side") == "batch").select(
+                F.greatest("id_a", "id_b").alias(id_col)
+            )
+            drop = hist_hit.unionByName(batch_hit).distinct()
+            kept = batch.join(drop, id_col, "left_anti")
+            kept.persist()
+            kept.write.mode("append").parquet(out_path)
+            D.write_signature_lake(
+                kept, id_col, text_col, lake_table,
+                num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+                mode="append" if lake_exists else "overwrite",
+            )
+            kept.unpersist()
+        finally:
+            batch.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

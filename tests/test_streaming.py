@@ -713,3 +713,63 @@ def test_stream_sketch_state_set_overlap_between_batches(spark, tmp_path):
     # exact below sketch capacity: batches share digests 200-299
     assert row["distinct_intersection"] == 100.0
     assert row["distinct_union"] == 500.0
+
+
+def test_stream_neardup_filter(spark, tmp_path):
+    """Streaming near-dup admission: batch 1 establishes the lake; batch
+    2's near-duplicate of an admitted doc is rejected while genuinely new
+    text is admitted; batch-internal near-dups keep the min id."""
+    import json
+
+    from buildkite_logs_parquet_spark.streaming.follow import (
+        stream_neardup_filter,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest where tall trees grow thick"
+    )
+    other = (
+        "completely unrelated legal boilerplate paragraph about parquet "
+        "row groups and shuffle partitions in distributed query engines"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ck")
+    lake = "nd_stream_lake"
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for did, text in rows:
+                f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = stream_neardup_filter(
+            stream, "doc_id", "text", lake, out, ckpt, threshold=0.5
+        ).start()
+        q.awaitTermination(180)
+
+    # batch 0: doc 1, its in-batch near-dup 2 (min id 1 survives), and
+    # unrelated doc 5 — run BEFORE writing batch 1 (file pickup order
+    # within one run is not the write order)
+    write_batch("b0.json", [(1, base), (2, base + " tonight"), (5, other)])
+    run_once()
+    # batch 1: near-dup of history (rejected) + genuinely new (admitted).
+    # Suffix variant (J ≈ 0.94): high enough that the 4-band LSH misses
+    # with probability < 0.3% — a mid-text replacement at J ≈ 0.84 has a
+    # ~6% no-collision chance with 16 perms, too flaky for CI
+    write_batch("b1.json", [
+        (7, base + " again"),
+        (9, "fresh original content mentioning neither animals nor engines "
+            "but instead entirely different topics like music and rivers"),
+    ])
+    run_once()
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 5, 9}
+    spark.sql(f"DROP TABLE IF EXISTS {lake}")
