@@ -790,3 +790,85 @@ def canonical_url(url: Column) -> Column:
         u, r"^(https?://[^/?#]+/[^?#]*[^/?#])/([?#].*)?$", "$1$2"
     )
     return u
+
+
+def code_quality_signals(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Code-corpus curation signals (the StarCoder/CodeParrot-class
+    heuristics, as pure JVM expressions — one narrow projection):
+
+    * line geometry — ``n_lines``, ``max_line_len``, ``avg_line_len100``
+      (×100 integer, exact ``div``) — minified/generated files have few,
+      enormous lines;
+    * ``is_minified`` — max line > 1000 chars or (avg > 300 and
+      whitespace share < 5%): the standard bundle/minidump tell;
+    * ``is_autogenerated`` — the conventional marker phrases
+      ("auto-generated", "do not edit", "generated by") in the first
+      512 chars, where generators put them;
+    * ``has_license_header`` — SPDX tag or license boilerplate phrases
+      in the first 1024 chars (dedup keys for license stripping and
+      compliance buckets);
+    * ``alnum_pct`` / ``ws_pct`` — ×100 integer shares of alphanumeric
+      and whitespace bytes (data blobs embedded as "code" skew both).
+
+    All decisions are integer/boolean — layout- and engine-stable; the
+    thresholds are arguments of record in the output, not hidden state.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_lines = F.size(F.split(t, "\n"))
+    lines = F.split(t, "\n")
+    max_line = F.coalesce(
+        F.array_max(F.transform(lines, lambda s: F.length(s))), F.lit(0)
+    )
+    n_ws = F.length(t) - F.length(F.regexp_replace(t, r"\s", ""))
+    n_alnum = F.length(F.regexp_replace(t, r"[^A-Za-z0-9]", ""))
+    head512 = F.lower(F.substring(t, 1, 512))
+    head1024 = F.lower(F.substring(t, 1, 1024))
+    avg100 = F.expr(
+        f"case when size(split({text_col}, '\\n')) = 0 then 0 "
+        f"else length({text_col}) * 100 div size(split({text_col}, '\\n')) end"
+    )
+    # integer shares: floor((p·100)/q) over ints ≤ 2^31 is exact — the
+    # double quotient is correctly rounded and cannot cross an integer
+    # boundary at these magnitudes
+    ws_pct = (
+        F.when(n_chars > 0, F.floor((n_ws * 100) / n_chars))
+        .otherwise(0)
+        .cast("int")
+    )
+    alnum_pct = (
+        F.when(n_chars > 0, F.floor((n_alnum * 100) / n_chars))
+        .otherwise(0)
+        .cast("int")
+    )
+    auto = (
+        head512.contains("auto-generated")
+        | head512.contains("autogenerated")
+        | head512.contains("do not edit")
+        | head512.contains("generated by")
+        | head512.contains("@generated")
+    )
+    lic = (
+        head1024.contains("spdx-license-identifier")
+        | head1024.contains("licensed under")
+        | head1024.contains("apache license")
+        | head1024.contains("mit license")
+        | head1024.contains("gnu general public license")
+        | head1024.contains("all rights reserved")
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_lines.alias("n_lines"),
+        max_line.alias("max_line_len"),
+        avg100.cast("long").alias("avg_line_len100"),
+        ws_pct.alias("ws_pct"),
+        alnum_pct.alias("alnum_pct"),
+        ((max_line > 1000) | ((avg100 > 30000) & (ws_pct < 5))).alias(
+            "is_minified"
+        ),
+        auto.alias("is_autogenerated"),
+        lic.alias("has_license_header"),
+    )
