@@ -206,16 +206,22 @@ def linkage_audit(
         .select("key", (F.col("_nl") + F.col("_nr")).alias("n"))
     )
     capped = combined.where(F.col("n") > max_block_size).select("key")
+    # SET difference, not exceptAll: a record with two capped blocks and
+    # one surviving block still has a path into the candidate join — a
+    # multiset subtract would leave one capped-side copy standing and
+    # miscount it as orphaned
     orphaned = (
         lk.join(capped, "key")
         .select("id")
-        .exceptAll(
+        .distinct()
+        .subtract(
             lk.join(
                 combined.where(F.col("n") <= max_block_size).select("key"),
                 "key",
-            ).select("id")
+            )
+            .select("id")
+            .distinct()
         )
-        .distinct()
     )
     return combined.agg(
         F.count("*").alias("n_blocks"),

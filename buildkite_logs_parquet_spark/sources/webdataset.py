@@ -126,14 +126,23 @@ def write_webdataset_shards(
         for shard, (fh, tar, state) in sorted(open_shards.items()):
             tar.close()
             fh.close()
+            # streaming digest: a shard can be executor-memory-sized or
+            # larger — never read the whole tar back into one buffer
+            h = hashlib.md5()
+            n_bytes = 0
             with open(state["fp"], "rb") as f:
-                raw = f.read()
+                while True:
+                    chunk = f.read(1 << 20)
+                    if not chunk:
+                        break
+                    h.update(chunk)
+                    n_bytes += len(chunk)
             out.append(
                 {
                     "shard": shard,
                     "n_samples": state["n"],
-                    "n_bytes": len(raw),
-                    "digest": hashlib.md5(raw).hexdigest(),
+                    "n_bytes": n_bytes,
+                    "digest": h.hexdigest(),
                 }
             )
         yield pd.DataFrame(

@@ -109,18 +109,20 @@ class TestResolveAndAudit:
         )
 
     def test_hot_block_is_capped_and_counted_not_silent(self, spark):
-        rows = [(i, f"generic holdings {i:04d}") for i in range(40)]
+        # identical normalized text: ALL of a record's blocks are the
+        # same three hot keys, so a small cap orphans every record
+        rows = [(i, "generic holdings incorporated") for i in range(40)]
         df = _df(spark, rows)
-        # cap small enough that the shared prefix/suffix blocks blow it
         m = link_entities(df, df, max_block_size=8)
-        assert m.count() == 0  # all three key families share hot blocks
+        assert m.count() == 0
         audit = linkage_audit(df, df, max_block_size=8).collect()[0]
         assert audit["n_capped_blocks"] >= 1
         assert audit["n_orphaned_records"] == 40
-        # with an adequate cap nothing is dropped
+        # with an adequate cap nothing is dropped (and the dups link)
         audit2 = linkage_audit(df, df, max_block_size=256).collect()[0]
         assert audit2["n_capped_blocks"] == 0
         assert audit2["n_orphaned_records"] == 0
+        assert link_entities(df, df, max_block_size=256).count() > 0
 
     def test_blocking_keys_skip_empty_and_null(self, spark):
         df = spark.createDataFrame(
@@ -148,3 +150,18 @@ class TestPlanShape:
         df = _df(spark, [(1, "duplicate record"), (2, "duplicate record")])
         cand = candidate_pairs(df, df)
         assert cand.count() == 1
+
+
+def test_audit_partially_capped_record_is_not_orphaned(spark):
+    """A record with SOME capped blocks but at least one surviving block
+    still reaches the candidate join — only records that lost ALL their
+    blocks count as orphaned (set difference, not multiset subtract)."""
+    # 20 records share prefix+l blocks via a common head; distinct tails
+    # keep each suffix block tiny
+    rows = [(i, f"common head text tail{i:02d}") for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    audit = linkage_audit(df, df, max_block_size=10).collect()[0]
+    # the shared p:/l: blocks (20 members each) are capped...
+    assert audit["n_capped_blocks"] >= 1
+    # ...but every record keeps its private s: suffix block
+    assert audit["n_orphaned_records"] == 0
