@@ -59,6 +59,9 @@ PROBES = [
     ("crawl_bitext", "documents (robots audit + bitext mining)", 10),
     ("x_mp3_structure", "embeddings ids x 16 40-frame MP3 streams", 10),
     ("x_preference_pairs", "documents as scored pool -> pairs -> 5 BT rounds", 10),
+    ("x_entity_resolution", "documents + typo plants (block->lev->resolve->audit); match space grows super-linearly with the templated corpus's clique sizes", 10),
+    ("x_setsim_join", "documents half-sample, exact jaccard>=0.9 — OUTPUT grows 110x (2.1k->236k true pairs, clique-quadratic corpus): wall is sub-output-linear", 10),
+    ("x_doremi_mix", "documents scored pool -> EG loop -> mix", 10),
     ("x_quality_dedup", "documents x planted clusters, keep-best survivor", 10),
     ("x_video_structure", "embeddings ids x 16 Annex-B/MP4 streams", 10),
 ]
