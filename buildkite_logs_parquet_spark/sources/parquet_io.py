@@ -271,3 +271,68 @@ def schema_evolution_report(old, new) -> list[dict]:
                      "old": str(o.nullable), "new": str(n.nullable)}
                 )
     return out
+
+
+def column_size_report(spark: SparkSession, path: str) -> DataFrame:
+    """Per-column storage accounting for a parquet lake — footers only,
+    no data IO: one task per file reads its metadata and emits per-column
+    compressed/uncompressed byte totals; the aggregate is one
+    column-keyed combine.  The "what is eating my 100 TB" question —
+    a lake's cost usually concentrates in one or two fat columns whose
+    encoding (or very presence downstream) deserves attention.
+
+    Output: ``(column, n_files, n_row_groups, compressed_bytes,
+    uncompressed_bytes, ratio100)`` — ratio as an exact ×100 integer.
+    """
+    import glob as _glob
+    import os as _os
+
+    files = sorted(
+        _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    if _os.path.isfile(path):
+        files = [path]
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    sc = spark.sparkContext
+
+    def _one(fp: str):
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(fp).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                yield (
+                    c.path_in_schema,
+                    fp,
+                    c.total_compressed_size,
+                    c.total_uncompressed_size,
+                )
+
+    rows = sc.parallelize(files, min(len(files), 64)).flatMap(_one)
+    df = spark.createDataFrame(
+        rows, "column string, file string, comp long, uncomp long"
+    )
+    return (
+        df.groupBy("column")
+        .agg(
+            F.count_distinct("file").alias("n_files"),
+            F.count("*").alias("n_row_groups"),
+            F.sum("comp").alias("compressed_bytes"),
+            F.sum("uncomp").alias("uncompressed_bytes"),
+        )
+        .select(
+            "column",
+            "n_files",
+            "n_row_groups",
+            "compressed_bytes",
+            "uncompressed_bytes",
+            F.expr(
+                "case when compressed_bytes > 0 then"
+                " uncompressed_bytes * 100 div compressed_bytes"
+                " else 0 end"
+            ).alias("ratio100"),
+        )
+    )

@@ -183,3 +183,29 @@ def test_schema_evolution_report(spark):
     assert loosened["kind"] == "nullability_changed" and loosened["breaking"]
     tightened = schema_evolution_report(opt, req)[0]
     assert not tightened["breaking"]
+
+
+def test_column_size_report(spark, tmp_path):
+    from buildkite_logs_parquet_spark.sources.parquet_io import (
+        column_size_report,
+    )
+
+    path = str(tmp_path / "lake")
+    spark.range(5000).selectExpr(
+        "id",
+        # varied fat column (md5 chains) stays big even compressed
+        "concat(md5(cast(id as string)), md5(cast(id + 1 as string)),"
+        " md5(cast(id + 2 as string))) as fat",
+        "id % 7 as thin",
+        "repeat('x', 200) as const",  # constant -> huge ratio
+    ).repartition(3).write.parquet(path)
+    rep = {r["column"]: r for r in column_size_report(spark, path).collect()}
+    assert set(rep) == {"id", "fat", "thin", "const"}
+    assert rep["fat"]["compressed_bytes"] > rep["thin"]["compressed_bytes"]
+    assert rep["id"]["n_files"] == 3
+    assert rep["const"]["ratio100"] > 300
+    assert rep["id"]["uncompressed_bytes"] > 0
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        column_size_report(spark, str(tmp_path / "missing"))
