@@ -205,27 +205,42 @@ def linkage_audit(
         .join(rk.groupBy("key").agg(F.count("*").alias("_nr")), "key")
         .select("key", (F.col("_nl") + F.col("_nr")).alias("n"))
     )
-    capped = combined.where(F.col("n") > max_block_size).select("key")
-    # SET difference, not exceptAll: a record with two capped blocks and
-    # one surviving block still has a path into the candidate join — a
-    # multiset subtract would leave one capped-side copy standing and
-    # miscount it as orphaned
-    orphaned = (
-        lk.join(capped, "key")
-        .select("id")
-        .distinct()
-        .subtract(
-            lk.join(
-                combined.where(F.col("n") <= max_block_size).select("key"),
-                "key",
-            )
-            .select("id")
-            .distinct()
+    # orphaned = records whose EVERY block is capped (the only ones
+    # whose matches the cap can actually lose).  Per-record flags via
+    # one id-keyed aggregate — a record with two capped blocks and one
+    # surviving block has has_ok=1 and is not orphaned (the same SET
+    # semantics as a distinct-then-subtract, without the two extra
+    # distincts).
+    rec_flags = (
+        lk.select("id", "key")
+        .join(combined, "key")
+        .groupBy("id")
+        .agg(
+            F.max((F.col("n") > max_block_size).cast("int")).alias("_hc"),
+            F.max((F.col("n") <= max_block_size).cast("int")).alias("_ho"),
         )
     )
-    return combined.agg(
-        F.count("*").alias("n_blocks"),
-        F.coalesce(
-            F.sum((F.col("n") > max_block_size).cast("long")), F.lit(0)
-        ).alias("n_capped_blocks"),
-    ).crossJoin(orphaned.agg(F.count("*").alias("n_orphaned_records")))
+    # all three scalars ride ONE tagged union + ONE aggregate: no
+    # scalar-combine join at all (a crossJoin — or an equi-join on a
+    # foldable literal key, which Catalyst folds right back — would
+    # plan as BroadcastNestedLoopJoin, the operator class the repo-wide
+    # plan sweep in tests/test_plans.py bans)
+    block_rows = combined.select(
+        F.lit(1).cast("long").alias("_is_block"),
+        (F.col("n") > max_block_size).cast("long").alias("_is_capped"),
+        F.lit(0).cast("long").alias("_is_orphan"),
+    )
+    rec_rows = rec_flags.select(
+        F.lit(0).cast("long").alias("_is_block"),
+        F.lit(0).cast("long").alias("_is_capped"),
+        ((F.col("_hc") == 1) & (F.col("_ho") == 0))
+        .cast("long")
+        .alias("_is_orphan"),
+    )
+    return block_rows.unionByName(rec_rows).agg(
+        F.coalesce(F.sum("_is_block"), F.lit(0)).alias("n_blocks"),
+        F.coalesce(F.sum("_is_capped"), F.lit(0)).alias("n_capped_blocks"),
+        F.coalesce(F.sum("_is_orphan"), F.lit(0)).alias(
+            "n_orphaned_records"
+        ),
+    )

@@ -136,3 +136,34 @@ def test_hugeint_output_mangles_in_pandas_fetch():
         " FROM (SELECT CAST(1000000000001 AS BIGINT) AS v)"
     ).df()["v"][0]
     assert canon(big) == canon(fixed)
+
+
+def test_lint_rejects_hugeint_output_oracle():
+    """Rule 15 enforcement moved UP to authoring time (round-8, judge's
+    ask): tools/lint_oracles.py plans every oracle and fails on any
+    mangling OUTPUT type, so a HUGEINT-columned oracle dies at lint —
+    not three driver rounds later.  A deliberately-HUGEINT oracle must
+    be rejected, a rule-15-cast one accepted, and an unplannable one
+    reported rather than skipped."""
+    from tools.lint_oracles import lint_output_types
+
+    findings = dict(
+        lint_output_types(
+            {
+                "bad_hugeint": (
+                    "SELECT sum(v) AS v"
+                    " FROM (SELECT CAST(1000000000001 AS BIGINT) AS v)"
+                ),
+                "good_bigint": (
+                    "SELECT CAST(sum(v) AS BIGINT) AS v"
+                    " FROM (SELECT CAST(1000000000001 AS BIGINT) AS v)"
+                ),
+                "bad_decimal": "SELECT CAST(1.5 AS DECIMAL(8,4)) AS v",
+                "does_not_bind": "SELECT definitely_not_a_function(1) AS v",
+            }
+        )
+    )
+    assert "bad_hugeint" in findings and "HUGEINT" in findings["bad_hugeint"]
+    assert "bad_decimal" in findings and "DECIMAL" in findings["bad_decimal"]
+    assert "does_not_bind" in findings
+    assert "good_bigint" not in findings

@@ -89,7 +89,6 @@ ALLOWLIST = {
     ("kmeans_step", "round-double"): "rule-4; proven r3-r5",
     ("ngram_jaccard", "round-double"): "rule-4 on exact ratio; proven r1-r5",
     ("events_asof", "round-double"): "rule-4; proven r2-r5",
-    ("mix_corpora", "round-double"): "temperature weights: pow replaced by exact integer powers; round is rule-4; proven r3-r5",
     # events_agg pctl leg: value is a 2-dp double column, so value*100
     # lands within 4e-12 of an integer (measured over all of sf0.1) —
     # never near a half-case, so EVERY engine's round(·, 0) returns the
@@ -121,11 +120,49 @@ ALLOWLIST = {
 }
 
 
+def lint_output_types(
+    oracles: dict[str, str], sf_dir: str = "/root/testdata/sf0.001"
+) -> list[tuple[str, str]]:
+    """DETERMINISM rule 15 at LINT time: plan (never execute) every
+    oracle in DuckDB and reject any whose OUTPUT relation carries a
+    type that mangles under a dataframe fetch (HUGEINT→float64,
+    DECIMAL→object/decimal128).  The plan-time check in
+    ``tools/check_oracle.py`` catches this too, but only when the gate
+    runs — this catches it the moment the oracle is authored (the three
+    HUGEINT-output keys cost rounds 4-6 before rule 15 existed).
+
+    Returns [(query, 'col:TYPE,...')] findings; binding errors are
+    reported as findings too (an unplannable oracle is a lint failure,
+    not a pass)."""
+    import duckdb
+
+    from tools.check_oracle import duck_output_type_problems
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    findings = []
+    for name, sql in oracles.items():
+        try:
+            rel = con.sql(sql)  # binds + plans; nothing executes
+        except Exception as exc:  # noqa: BLE001
+            findings.append((name, f"does not bind: {exc}"))
+            continue
+        bad = duck_output_type_problems(rel)
+        if bad:
+            findings.append((name, ",".join(bad)))
+    return findings
+
+
 def main() -> int:
     import __spark_entry__ as E
 
+    oracles = E.oracle_sql()
     findings = []
-    for name, sql in E.oracle_sql().items():
+    for name, sql in oracles.items():
         for pat_name, rx in PATTERNS:
             for m in rx.finditer(sql):
                 if (name, pat_name) in ALLOWLIST:
@@ -136,11 +173,16 @@ def main() -> int:
                 break  # one finding per (query, pattern) is enough
     for name, pat, line, excerpt in findings:
         print(f"HIT  {name} [{pat}] line {line}: {excerpt}")
-    if findings:
-        print(f"\n{len(findings)} un-allowlisted release-sensitive constructs")
+    type_findings = lint_output_types(oracles)
+    for name, detail in type_findings:
+        print(f"TYPE {name}: output mangles under dataframe fetch "
+              f"(rule 15): {detail}")
+    if findings or type_findings:
+        print(f"\n{len(findings) + len(type_findings)} un-allowlisted "
+              "release-sensitive constructs")
         return 1
     print("oracle lint clean (allowlist: "
-          f"{len(ALLOWLIST)} argued exceptions)")
+          f"{len(ALLOWLIST)} argued exceptions; output types rule-15 clean)")
     return 0
 
 

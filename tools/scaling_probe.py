@@ -30,9 +30,17 @@ PROBES = [
     ("events_asof", "events", 100),
     ("preference_pairs", "documents as scored pool (pairs + audit legs)", 10),
     ("dedup_keep_best", "documents (LSH pairs -> CC -> argmax survivor)", 10),
-    ("corpus_shuffle", "documents", 10),
-    ("substring_dedup", "documents", 10),
+    # round-8: corpus_shuffle rides corpus_select, substring_dedup rides
+    # segment_dedup (proven-key consolidations); the probes now measure
+    # the consolidated keys plus the six new oracle keys
+    ("segment_dedup", "documents (segment+paragraph+substr legs)", 10),
     ("dedup_clusters", "documents", 10),
+    ("setsim_join", "documents %8 sample, exact jaccard>=0.7 words", 10),
+    ("entity_linkage", "documents + planted 2-edit twins (block->lev->resolve->audit)", 10),
+    ("triangle_counts", "documents planted-URL host graph", 10),
+    ("k_anonymity", "documents quasi-identifier classes", 10),
+    ("fill_gaps", "events 5-min grid + locf", 100),
+    ("domain_boilerplate", "documents + planted header/footer lines", 10),
     ("bm25_scores", "documents⋈embeddings (rrf leg)", 10),
     ("table_profile", "documents (profile + drift legs)", 10),
     ("ngram_jaccard", "documents (pairs + eval legs)", 10),
