@@ -1326,9 +1326,58 @@ def _extra_ops():
         )
         return M.video_split_points(media)
 
+    def margin_mine_bench(spark, sf_dir):
+        """Margin-based parallel-document mining (LASER/CCMatrix ratio
+        margin) across an even/odd split of the embeddings table —
+        forward+backward cell-pruned kNN, neighborhood means, margin
+        gate, mutual-best."""
+        import __spark_entry__ as E
+        from pyspark.sql import functions as F
+
+        from buildkite_logs_parquet_spark.operators import bitext as BX
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        left = emb.where(F.col("vec_id") % 2 == 0)
+        right = emb.where(F.col("vec_id") % 2 == 1)
+        return BX.margin_knn_mine(
+            left, right, E._ivf_centroids(), k=4, n_probe=2,
+            margin_threshold=1.0,
+        )
+
+    def group_adv_bench(spark, sf_dir):
+        """GRPO group-relative advantages + best-of-n over a synthetic
+        response pool: 16 responses per prompt derived from documents,
+        reward = deterministic md5 grid (the preference-tier scoring
+        convention)."""
+        from pyspark.sql import functions as F
+
+        from buildkite_logs_parquet_spark.operators import preference as PR
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pool = docs.select(
+            F.col("doc_id").alias("resp_id"),
+            (F.col("doc_id") % 64).alias("prompt"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("r:"), F.col("doc_id"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 1000000
+                / 1000000.0
+            ).alias("reward"),
+        )
+        return PR.group_advantages(
+            pool, "prompt", "reward", "resp_id", top_n=2
+        )
+
     return {
         "x_video_structure": video_structure_bench,
         "x_preference_pairs": preference_bench,
+        "x_margin_mine": margin_mine_bench,
+        "x_group_advantages": group_adv_bench,
         "x_entity_resolution": entity_resolution_bench,
         "x_doremi_mix": doremi_mix_bench,
         "x_setsim_join": setsim_join_bench,

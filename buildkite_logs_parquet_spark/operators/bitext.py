@@ -27,7 +27,7 @@ post-join predicate on two int columns.  No UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # default marker set: the languages a crawl pipeline typically plants in
@@ -316,3 +316,109 @@ def gale_church_align(
         " n_src int, n_tgt int, aligned boolean"
     )
     return pairs.select(*ids, text_a_col, text_b_col).mapInPandas(run, schema)
+
+
+def margin_knn_mine(
+    left: DataFrame,
+    right: DataFrame,
+    centroids: list[list[float]],
+    k: int = 4,
+    n_probe: int = 2,
+    margin_threshold: float = 1.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    mutual_best: bool = True,
+) -> DataFrame:
+    """Margin-based parallel-document mining over EMBEDDINGS — the
+    LASER/CCMatrix criterion (Artetxe & Schwenk 2019, "Margin-based
+    Parallel Corpus Mining with Multilingual Sentence Embeddings"):
+    raw cosine is miscalibrated across languages (some documents are
+    "hubs" near everything), so a pair (x, y) scores by its cosine
+    RELATIVE to each side's own neighborhood density::
+
+        margin(x, y) = cos(x, y) / ((mean_kNN(x) + mean_kNN(y)) / 2)
+
+    — the paper's `ratio` variant, > 1 iff the pair is closer than
+    either side's typical neighbor.  This is the published recipe behind
+    CCMatrix/ParaCrawl-scale bitext harvesting and complements
+    ``bitext_url_candidates``: URL keys find page-level pairs where site
+    structure cooperates; margin-kNN finds them from content alone.
+
+    Plan (composed entirely from the existing ANN machinery — no new
+    join shapes): forward and backward cell-pruned batch k-NN
+    (``similarity.ivf_topk_join``: one cell equi-join + one rank window
+    each), two k-row-bounded per-id mean aggregates, one union of the
+    directed candidate edges (deduped), one margin projection, and for
+    ``mutual_best`` two more rank windows over surviving edges only.
+
+    100 TB shape: candidate generation is IVF cell-pruned (scale's
+    recall lever is more cells/probes, never more comparisons);
+    neighborhood means aggregate k rows per id; every shuffle is keyed
+    by id or cell, bounded by (|left| + |right|)·k candidate edges —
+    no all-pairs stage exists.
+
+    Output: ``(id_left, id_right, cosine, margin)``, margin rounded to
+    ``round_to``; mutual-best ties break on the partner id (a rule-6
+    total order).
+    """
+    from buildkite_logs_parquet_spark.operators.similarity import (
+        ivf_topk_join,
+    )
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    lv = left.select(
+        F.col(id_col).alias("id_left"), F.col(vec_col).alias("_lv")
+    )
+    rv = right.select(
+        F.col(id_col).alias("id_right"), F.col(vec_col).alias("_rv")
+    )
+    fwd = ivf_topk_join(
+        lv, rv, centroids, k=k, n_probe=n_probe,
+        query_id_col="id_left", query_vec_col="_lv",
+        id_col="id_right", vec_col="_rv", round_to=round_to,
+    ).select("id_left", "id_right", "cosine")
+    bwd = ivf_topk_join(
+        rv, lv, centroids, k=k, n_probe=n_probe,
+        query_id_col="id_right", query_vec_col="_rv",
+        id_col="id_left", vec_col="_lv", round_to=round_to,
+    ).select("id_left", "id_right", "cosine")
+    # neighborhood density per side: mean of each id's own top-k cosines
+    mean_l = fwd.groupBy("id_left").agg(
+        F.round(F.avg("cosine"), round_to).alias("_ml")
+    )
+    mean_r = bwd.groupBy("id_right").agg(
+        F.round(F.avg("cosine"), round_to).alias("_mr")
+    )
+    cand = fwd.unionByName(bwd).groupBy("id_left", "id_right").agg(
+        F.max("cosine").alias("cosine")
+    )
+    scored = (
+        cand.join(mean_l, "id_left")
+        .join(mean_r, "id_right")
+        .select(
+            "id_left",
+            "id_right",
+            "cosine",
+            F.round(
+                F.col("cosine") * 2.0 / (F.col("_ml") + F.col("_mr")),
+                round_to,
+            ).alias("margin"),
+        )
+        .where(F.col("margin") >= float(margin_threshold))
+    )
+    if not mutual_best:
+        return scored
+    wl = Window.partitionBy("id_left").orderBy(
+        F.col("margin").desc(), F.col("id_right")
+    )
+    wr = Window.partitionBy("id_right").orderBy(
+        F.col("margin").desc(), F.col("id_left")
+    )
+    return (
+        scored.withColumn("_rl", F.row_number().over(wl))
+        .withColumn("_rr", F.row_number().over(wr))
+        .where((F.col("_rl") == 1) & (F.col("_rr") == 1))
+        .drop("_rl", "_rr")
+    )

@@ -362,3 +362,78 @@ def attach_pair_texts(
             on="rejected_id",
         )
     )
+
+
+def group_advantages(
+    responses: DataFrame,
+    prompt_col: str,
+    reward_col: str,
+    id_col: str,
+    top_n: int = 1,
+    min_group: int = 2,
+    eps: float = 1e-6,
+    round_to: int = 9,
+) -> DataFrame:
+    """Group-relative reward normalization + best-of-n selection — the
+    GRPO recipe (Shao et al. 2024, DeepSeekMath, arXiv:2402.03300) and
+    the rejection-sampling/best-of-n selection step of RLHF data prep
+    (Bai et al. 2022): per prompt, a response's learning signal is its
+    reward STANDARDIZED within its own sample group::
+
+        advantage = (r - mean(group)) / (std(group) + eps)
+
+    so a hard prompt whose best sample scores 0.3 contributes the same
+    gradient scale as an easy prompt whose best scores 0.9 — raw-reward
+    selection would starve hard prompts entirely.
+
+    Output: one row per response — ``(id, prompt, reward, advantage,
+    n_group, rank, selected)``; ``rank`` orders by (advantage desc, id)
+    within the prompt (rule-6 total order), ``selected`` marks the
+    top-``top_n``.  Groups smaller than ``min_group`` emit advantage
+    NULL and selected false (a 1-sample group has no relative signal;
+    callers route those prompts back for more sampling).  ``std`` is the
+    population form (/n — the GRPO normalization), computed from the
+    sum/sum-of-squares identity on decimal-exact aggregates.
+
+    100 TB shape: ONE prompt-keyed aggregate (map-side combined: n, Σr,
+    Σr² travel as partials) broadcast-free via a self-join on the
+    prompt key, then one per-prompt rank window over the group's own
+    rows.  Skew equals the largest sample group (bounded by the
+    sampler's n, typically 4-64) — never corpus-shaped.
+    """
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    if min_group < 2:
+        raise ValueError("min_group must be >= 2 (no signal in 1 sample)")
+    from pyspark.sql import Window as W
+
+    r = F.col(reward_col).cast("double")
+    stats = responses.groupBy(prompt_col).agg(
+        F.count("*").alias("n_group"),
+        F.sum(r).alias("_sr"),
+        F.sum(r * r).alias("_srr"),
+    )
+    mean = F.col("_sr") / F.col("n_group")
+    var = F.greatest(
+        F.col("_srr") / F.col("n_group") - mean * mean, F.lit(0.0)
+    )
+    adv = F.when(
+        F.col("n_group") >= int(min_group),
+        F.round(
+            (r - mean) / (F.sqrt(var) + F.lit(float(eps))), round_to
+        ),
+    )
+    w = W.partitionBy(prompt_col).orderBy(
+        F.col("advantage").desc_nulls_last(), F.col(id_col)
+    )
+    return (
+        responses.select(id_col, prompt_col, F.col(reward_col))
+        .join(stats, prompt_col)
+        .withColumn("advantage", adv)
+        .drop("_sr", "_srr")
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "selected",
+            (F.col("rank") <= int(top_n)) & F.col("advantage").isNotNull(),
+        )
+    )

@@ -38,6 +38,16 @@ backward — ``_point`` read-compare-writes under a short ``LATEST.lock``
 
 Version directories are never mutated or deleted by this module;
 ``rollback`` only moves the pointer.
+
+Object-store roots (round 8): the pointer update — the one step whose
+O_EXCL/rename semantics an object store cannot provide — is pluggable.
+Pass ``pointer_store=`` (``sources/pointer_store.py``) to
+``publish_version``/``rollback`` and LATEST advances via CONDITIONAL
+PUT (S3 If-Match / GCS ifGenerationMatch / Azure ETag) with the same
+monotonic contract, no lock file.  The version-number claim itself
+still needs an atomic namespace (rename on POSIX; on a real object
+store the marker-object create-if-absent plays that role — same
+primitive, implemented by the deployment's backend).
 """
 
 from __future__ import annotations
@@ -73,7 +83,12 @@ def current_version(root: str) -> int | None:
         return None
 
 
-def publish_version(df: DataFrame, root: str, max_attempts: int = 16) -> int:
+def publish_version(
+    df: DataFrame,
+    root: str,
+    max_attempts: int = 16,
+    pointer_store=None,
+) -> int:
     """Write ``df`` as the next version and atomically point LATEST at
     it.  Returns the new version number.  The data lands in a staging
     directory first — a crash mid-write leaves only ``_tmp-*`` litter,
@@ -106,7 +121,18 @@ def publish_version(df: DataFrame, root: str, max_attempts: int = 16) -> int:
                 raise
             last_err = exc
             continue
-        _point(root, n)
+        if pointer_store is not None:
+            # object-store deployments: the LATEST pointer advances via
+            # conditional put (pointer_store.advance_pointer) instead of
+            # the local O_EXCL lock — same monotonic contract, no lock
+            # file (sources/pointer_store.py)
+            from buildkite_logs_parquet_spark.sources.pointer_store import (
+                advance_pointer,
+            )
+
+            advance_pointer(pointer_store, n)
+        else:
+            _point(root, n)
         return n
     raise RuntimeError(
         f"publish_version: could not claim a version number under {root} "
@@ -181,12 +207,19 @@ def read_version(
     return spark.read.parquet(os.path.join(root, f"v={version}"))
 
 
-def rollback(root: str, to_version: int) -> None:
+def rollback(root: str, to_version: int, pointer_store=None) -> None:
     """Point LATEST at an existing older version.  Data directories are
     untouched — roll forward again by publishing or re-pointing."""
     if to_version not in _versions(root):
         raise ValueError(f"no such version v={to_version} under {root}")
-    _point(root, to_version, force=True)
+    if pointer_store is not None:
+        from buildkite_logs_parquet_spark.sources.pointer_store import (
+            advance_pointer,
+        )
+
+        advance_pointer(pointer_store, to_version, force=True)
+    else:
+        _point(root, to_version, force=True)
 
 
 def scd2_init(
@@ -299,7 +332,10 @@ def scd2_as_of(history: DataFrame, ts: int) -> DataFrame:
 
 
 def publish_tables(
-    dfs: dict[str, DataFrame], root: str, max_attempts: int = 16
+    dfs: dict[str, DataFrame],
+    root: str,
+    max_attempts: int = 16,
+    pointer_store=None,
 ) -> int:
     """Atomically publish SEVERAL tables as ONE catalog version: every
     table lands under ``v=N/<table>/`` via a single staging-directory
@@ -342,7 +378,18 @@ def publish_tables(
                 raise
             last_err = exc
             continue
-        _point(root, n)
+        if pointer_store is not None:
+            # object-store deployments: the LATEST pointer advances via
+            # conditional put (pointer_store.advance_pointer) instead of
+            # the local O_EXCL lock — same monotonic contract, no lock
+            # file (sources/pointer_store.py)
+            from buildkite_logs_parquet_spark.sources.pointer_store import (
+                advance_pointer,
+            )
+
+            advance_pointer(pointer_store, n)
+        else:
+            _point(root, n)
         return n
     raise RuntimeError(
         f"publish_tables: could not claim a version under {root} after "

@@ -195,3 +195,113 @@ class TestGaleChurch:
         ]
         p2 = [r for r in rows if r["pair_id"] == 2]
         assert len(p2) == 1 and not p2[0]["aligned"]
+
+
+class TestMarginKnnMine:
+    """margin_knn_mine: the LASER ratio-margin criterion, verified
+    against a brute-force numpy twin (n_probe = |C| makes the IVF path
+    exact, so the twin needs no cell model)."""
+
+    CENTROIDS = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+
+    @staticmethod
+    def _vecs():
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        base = rng.normal(size=(5, 4))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        left = base + rng.normal(scale=0.02, size=base.shape)
+        right = base + rng.normal(scale=0.02, size=base.shape)
+        # a HUB on the right: moderately close to every left vector —
+        # raw cosine would pair it widely, margin must demote it
+        hub = base.mean(axis=0)
+        right = list(right) + [hub / np.linalg.norm(hub)]
+        return [list(map(float, v)) for v in left], [
+            list(map(float, v)) for v in right
+        ]
+
+    def _twin(self, lvecs, rvecs, k, threshold):
+        """Brute-force numpy margin replay (exact-kNN regime)."""
+        import numpy as np
+
+        L, R = np.array(lvecs), np.array(rvecs)
+        cos = (
+            L @ R.T
+            / np.linalg.norm(L, axis=1)[:, None]
+            / np.linalg.norm(R, axis=1)[None, :]
+        )
+        cos = np.round(cos, 6)
+        fwd = {
+            i: sorted(range(len(R)), key=lambda j: (-cos[i, j], j))[:k]
+            for i in range(len(L))
+        }
+        bwd = {
+            j: sorted(range(len(L)), key=lambda i: (-cos[i, j], i))[:k]
+            for j in range(len(R))
+        }
+        ml = {i: round(float(np.mean([cos[i, j] for j in fwd[i]])), 6) for i in fwd}
+        mr = {j: round(float(np.mean([cos[i, j] for i in bwd[j]])), 6) for j in bwd}
+        edges = {(i, j) for i in fwd for j in fwd[i]} | {
+            (i, j) for j in bwd for i in bwd[j]
+        }
+        out = {}
+        for i, j in edges:
+            m = round(float(cos[i, j]) * 2.0 / (ml[i] + mr[j]), 6)
+            if m >= threshold:
+                out[(i, j)] = (float(cos[i, j]), m)
+        return out
+
+    def _frames(self, spark):
+        lvecs, rvecs = self._vecs()
+        left = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(lvecs)],
+            "vec_id long, embedding array<double>",
+        )
+        right = spark.createDataFrame(
+            [(j, v) for j, v in enumerate(rvecs)],
+            "vec_id long, embedding array<double>",
+        )
+        return lvecs, rvecs, left, right
+
+    def test_matches_numpy_twin(self, spark):
+        lvecs, rvecs, left, right = self._frames(spark)
+        got = {
+            (r["id_left"], r["id_right"]): (r["cosine"], r["margin"])
+            for r in B.margin_knn_mine(
+                left, right, self.CENTROIDS, k=3, n_probe=2,
+                margin_threshold=1.0, mutual_best=False,
+            ).collect()
+        }
+        want = self._twin(lvecs, rvecs, k=3, threshold=1.0)
+        assert set(got) == set(want)
+        for pair, (c, m) in want.items():
+            assert got[pair][0] == pytest.approx(c, abs=1e-6)
+            assert got[pair][1] == pytest.approx(m, abs=1e-6)
+
+    def test_mutual_best_pairs_true_translations_and_demotes_hub(self, spark):
+        lvecs, rvecs, left, right = self._frames(spark)
+        out = B.margin_knn_mine(
+            left, right, self.CENTROIDS, k=3, n_probe=2,
+            margin_threshold=1.0, mutual_best=True,
+        ).collect()
+        pairs = {(r["id_left"], r["id_right"]) for r in out}
+        # every left doc pairs with its true twin; the hub (right id 5)
+        # is nobody's mutual best
+        assert pairs == {(i, i) for i in range(5)}
+        assert all(j != 5 for _, j in pairs)
+        # at most one pair per id on either side (mutual argmax)
+        assert len({i for i, _ in pairs}) == len(pairs)
+        assert len({j for _, j in pairs}) == len(pairs)
+
+    def test_no_cartesian_plan(self, spark):
+        _, _, left, right = self._frames(spark)
+        df = B.margin_knn_mine(left, right, self.CENTROIDS, k=2, n_probe=2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_validates_k(self, spark):
+        _, _, left, right = self._frames(spark)
+        with pytest.raises(ValueError):
+            B.margin_knn_mine(left, right, self.CENTROIDS, k=0)

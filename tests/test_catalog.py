@@ -377,3 +377,168 @@ class TestMultiTablePublish:
         publish_tables({"docs": _corpus(spark, "a")}, root)
         with pytest.raises(ValueError):
             read_table(spark, root, "nope")
+
+
+class TestPointerStore:
+    """Conditional-put pointer coordination (sources/pointer_store.py) —
+    the object-store-safe replacement for the O_EXCL LATEST lock.  The
+    memory backend is the reference semantics (token = generation,
+    If-Match CAS); the race hook injects exactly the interleavings a
+    distributed deployment produces."""
+
+    def test_memory_cas_basics(self):
+        from buildkite_logs_parquet_spark.sources.pointer_store import (
+            MemoryPointerStore,
+            advance_pointer,
+        )
+
+        st = MemoryPointerStore()
+        assert st.read() == (None, 0)
+        assert advance_pointer(st, 3) == 3
+        assert st.read()[0] == 3
+        # monotonic: a stale publisher's lower n is a no-op
+        assert advance_pointer(st, 2) == 3
+        assert st.read()[0] == 3
+        # force (rollback) moves backward
+        assert advance_pointer(st, 2, force=True) == 2
+        assert st.read()[0] == 2
+
+    def test_stale_token_loses_and_cas_retry_converges(self):
+        """The core race: writer A reads token g, writer B commits first
+        (bumping the generation), A's conditional put must FAIL, and
+        advance_pointer's re-read retry must converge to max(A, B)."""
+        from buildkite_logs_parquet_spark.sources.pointer_store import (
+            MemoryPointerStore,
+            advance_pointer,
+        )
+
+        st = MemoryPointerStore()
+        advance_pointer(st, 1)
+        # raw CAS with a stale token loses
+        _, stale = st.read()
+        st.write_if(99, stale)  # bump generation past `stale`...
+        assert st.write_if(100, stale) is False  # ...so the replay fails
+        # interleaved publishers via the race hook: every time writer A
+        # is between read and write, writer B sneaks a commit in —
+        # for A's first 3 attempts
+        st2 = MemoryPointerStore()
+        state = {"sneaks": 0}
+
+        def sneak():
+            if state["sneaks"] < 3:
+                state["sneaks"] += 1
+                hook, st2.race_hook = st2.race_hook, None
+                try:
+                    cur, tok = st2.read()
+                    assert st2.write_if((cur or 0) + 1, tok)
+                finally:
+                    st2.race_hook = hook
+
+        st2.race_hook = sneak
+        final = advance_pointer(st2, 2)
+        # B's sneaked commits advanced past 2, or A landed 2 — either
+        # way the pointer is >= 2 and equals what advance returned
+        assert final >= 2
+        assert st2.read()[0] == final
+
+    def test_pointer_never_goes_backward_under_interleaving(self):
+        """The round-5/6 advisory race, replayed through CAS: publisher
+        of v=5 stalls between read and write while v=6's pointer lands;
+        the stale v=5 advance must observe 6 and leave it."""
+        from buildkite_logs_parquet_spark.sources.pointer_store import (
+            MemoryPointerStore,
+            advance_pointer,
+        )
+
+        st = MemoryPointerStore()
+        fired = {"done": False}
+
+        def land_v6():
+            if not fired["done"]:
+                fired["done"] = True
+                hook, st.race_hook = st.race_hook, None
+                try:
+                    advance_pointer(st, 6)
+                finally:
+                    st.race_hook = hook
+
+        st.race_hook = land_v6
+        assert advance_pointer(st, 5) == 6
+        assert st.read()[0] == 6
+
+    def test_concurrent_threads_converge_to_max(self):
+        import threading
+
+        from buildkite_logs_parquet_spark.sources.pointer_store import (
+            MemoryPointerStore,
+            advance_pointer,
+        )
+
+        st = MemoryPointerStore()
+        errs = []
+
+        def pub(n):
+            try:
+                advance_pointer(st, n)
+            except Exception as exc:  # noqa: BLE001
+                errs.append(exc)
+
+        threads = [
+            threading.Thread(target=pub, args=(n,)) for n in range(1, 33)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert errs == []
+        assert st.read()[0] == 32
+
+    def test_localfs_backend_same_contract(self, tmp_path):
+        from buildkite_logs_parquet_spark.sources.pointer_store import (
+            LocalFSPointerStore,
+            advance_pointer,
+        )
+
+        st = LocalFSPointerStore(str(tmp_path / "LATEST"))
+        assert st.read() == (None, 0)
+        assert advance_pointer(st, 4) == 4
+        assert advance_pointer(st, 3) == 4  # monotonic
+        v, tok = st.read()
+        assert v == 4
+        # stale-token CAS loses on the FS backend too
+        assert st.write_if(9, tok) is True
+        assert st.write_if(10, tok) is False
+        assert st.read()[0] == 9
+        # corrupt pointer content is a hard error, never a silent gen-0
+        with open(tmp_path / "LATEST", "w") as f:
+            f.write("garbage")
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="corrupt"):
+            st.read()
+
+    def test_publish_version_through_store(self, spark, tmp_path):
+        """publish_version with pointer_store=: versions land as usual,
+        LATEST advances via CAS (no LATEST file, no lock file), reads
+        pin through the store's value."""
+        from buildkite_logs_parquet_spark.sources import catalog as C
+        from buildkite_logs_parquet_spark.sources.pointer_store import (
+            MemoryPointerStore,
+        )
+
+        root = str(tmp_path / "cat")
+        st = MemoryPointerStore()
+        df1 = spark.range(3).withColumnRenamed("id", "x")
+        df2 = spark.range(5).withColumnRenamed("id", "x")
+        assert C.publish_version(df1, root, pointer_store=st) == 1
+        assert C.publish_version(df2, root, pointer_store=st) == 2
+        assert st.read()[0] == 2
+        import os as _os
+
+        assert not _os.path.exists(_os.path.join(root, "LATEST"))
+        assert not _os.path.exists(_os.path.join(root, "LATEST.lock"))
+        got = C.read_version(spark, root, version=st.read()[0])
+        assert got.count() == 5
+        C.rollback(root, 1, pointer_store=st)
+        assert st.read()[0] == 1
+        assert C.read_version(spark, root, version=st.read()[0]).count() == 3

@@ -346,3 +346,96 @@ class TestReviewHardening:
         )
         out2 = {r["doc_id"]: r for r in dedup_keep_best(docs2, clusters2).collect()}
         assert [k for k, r in sorted(out2.items()) if r["is_canonical"]] == [4]
+
+
+class TestGroupAdvantages:
+    """group_advantages: GRPO group-relative normalization + best-of-n."""
+
+    def _pool(self, spark):
+        rows = [
+            # hard prompt: low absolute rewards, clear internal order
+            (1, "p_hard", 0.10), (2, "p_hard", 0.30), (3, "p_hard", 0.20),
+            # easy prompt: the SAME reward shape shifted+scaled into the
+            # high-absolute regime (affine image of p_hard: 0.8 + 0.5*r)
+            (4, "p_easy", 0.85), (5, "p_easy", 0.95), (6, "p_easy", 0.90),
+            # singleton: no relative signal
+            (7, "p_lone", 0.99),
+            # tie group: rank breaks on id
+            (8, "p_tie", 0.50), (9, "p_tie", 0.50),
+        ]
+        return spark.createDataFrame(
+            rows, "resp_id long, prompt string, reward double"
+        )
+
+    def test_matches_numpy_twin_and_scale_invariance(self, spark):
+        import numpy as np
+
+        from buildkite_logs_parquet_spark.operators.preference import (
+            group_advantages,
+        )
+
+        out = {
+            r["resp_id"]: r
+            for r in group_advantages(
+                self._pool(spark), "prompt", "reward", "resp_id"
+            ).collect()
+        }
+        for group in (["p_hard", [1, 2, 3], [0.10, 0.30, 0.20]],
+                      ["p_easy", [4, 5, 6], [0.85, 0.95, 0.90]]):
+            _, ids, rs = group
+            rs = np.array(rs)
+            want = (rs - rs.mean()) / (rs.std() + 1e-6)
+            for i, w in zip(ids, want):
+                assert out[i]["advantage"] == pytest.approx(w, abs=1e-9)
+        # the standardization is shift/scale INVARIANT: p_easy is the
+        # affine image 0.8 + 0.5·p_hard, so each member's advantage
+        # equals its counterpart's — a hard prompt's winner carries the
+        # same gradient scale as an easy prompt's (the GRPO point; the
+        # eps in the denominator perturbs below 1e-4 here)
+        assert out[2]["advantage"] == pytest.approx(
+            out[5]["advantage"], abs=1e-4
+        )
+        assert out[2]["selected"] and out[5]["selected"]
+        assert not out[1]["selected"] and not out[4]["selected"]
+
+    def test_singleton_and_ties(self, spark):
+        from buildkite_logs_parquet_spark.operators.preference import (
+            group_advantages,
+        )
+
+        out = {
+            r["resp_id"]: r
+            for r in group_advantages(
+                self._pool(spark), "prompt", "reward", "resp_id"
+            ).collect()
+        }
+        # singleton: NULL advantage, never selected, group visible
+        assert out[7]["advantage"] is None
+        assert not out[7]["selected"]
+        assert out[7]["n_group"] == 1
+        # exact tie: both advantages 0, rank/selection break on min id
+        assert out[8]["advantage"] == 0.0 and out[9]["advantage"] == 0.0
+        assert out[8]["selected"] and not out[9]["selected"]
+
+    def test_top_n_and_validation(self, spark):
+        from buildkite_logs_parquet_spark.operators.preference import (
+            group_advantages,
+        )
+
+        out = group_advantages(
+            self._pool(spark), "prompt", "reward", "resp_id", top_n=2
+        )
+        sel = {
+            r["resp_id"]
+            for r in out.where("selected").collect()
+        }
+        assert sel == {2, 3, 5, 6, 8, 9}
+        with pytest.raises(ValueError):
+            group_advantages(
+                self._pool(spark), "prompt", "reward", "resp_id", top_n=0
+            )
+        with pytest.raises(ValueError):
+            group_advantages(
+                self._pool(spark), "prompt", "reward", "resp_id",
+                min_group=1,
+            )
