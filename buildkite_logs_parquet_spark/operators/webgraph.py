@@ -757,6 +757,14 @@ def triangle_counts(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .distinct()
+        # the canonical edge set is consumed FOUR times (degree count,
+        # both wedge sides through the orientation, closure probe);
+        # without materialization every branch replays the upstream
+        # extraction lineage — measured 137 exchanges for the planted-URL
+        # graph vs single digits materialized.  Lazy local checkpoint =
+        # computed once on first use, the house pattern (q_simhash,
+        # pagerank's persisted edges)
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("node"))
