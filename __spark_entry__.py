@@ -468,7 +468,21 @@ def q_revenue_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_items",
         )
     )
-    return tc.unionByName(rn)
+    # round-8 second-wave consolidation (rule 14b: proven legs onto
+    # proven keys — supplier_running_revenue was green rounds 1-7): the
+    # windowed running-revenue relation rides as 'running' rows (key =
+    # the supplier, order/line ids through the integer→VARCHAR render
+    # path, revenue = the same proven money string), freeing a slot for
+    # the round-8 behavioral key wave.
+    run = q_supplier_running_revenue(spark, sf_dir).select(
+        F.lit("running").alias("side"),
+        F.col("l_suppkey").cast("long").alias("key"),
+        F.col("l_orderkey").cast("string").alias("name"),
+        F.col("l_linenumber").cast("string").alias("segment"),
+        F.col("running_revenue").alias("revenue"),
+        F.lit(None).cast("long").alias("n_items"),
+    )
+    return tc.unionByName(rn).unionByName(run)
 
 
 def q_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,11 +544,36 @@ def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(rev.alias("_rev"))
     )
     w = W.partitionBy("p_brand").orderBy(F.col("_rev").desc(), F.col("p_partkey"))
-    return (
+    top = (
         per_part.withColumn("brand_rank", F.row_number().over(w))
         .where(F.col("brand_rank") <= 3)
-        .select("p_brand", "p_partkey", _money(F.col("_rev")).alias("revenue"), "brand_rank")
+        .select(
+            F.lit("brand").alias("side"),
+            "p_brand",
+            "p_partkey",
+            _money(F.col("_rev")).alias("revenue"),
+            "brand_rank",
+            F.lit(None).cast("long").alias("n_items"),
+            F.lit(None).cast("string").alias("total_qty"),
+            F.lit(None).cast("double").alias("min_price"),
+            F.lit(None).cast("double").alias("max_price"),
+        )
     )
+    # round-8 second-wave consolidation (rule 14b: part_type_stats was
+    # green rounds 1-7; its per-type stats ride as 'type' rows with the
+    # same money string / untouched parquet doubles), freeing a slot.
+    stats = q_part_type_stats(spark, sf_dir).select(
+        F.lit("type").alias("side"),
+        F.col("p_type").alias("p_brand"),
+        F.lit(None).cast("long").alias("p_partkey"),
+        F.lit(None).cast("string").alias("revenue"),
+        F.lit(None).cast("int").alias("brand_rank"),
+        "n_items",
+        "total_qty",
+        "min_price",
+        "max_price",
+    )
+    return top.unionByName(stats)
 
 
 # --------------------------------------------------------------------------
@@ -752,12 +791,33 @@ def q_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("first_ts").alias("p50"),
         F.col("last_ts").alias("p90"),
     )
+    # round-8 second-wave consolidation (rule 14b: events_asof was green
+    # rounds 1-7): the as-of + interval join legs ride with their ids
+    # through the integer→VARCHAR render path; click_value (an exactly
+    # 2-dp parquet double) rides the SAME v100 integer device the pctl
+    # leg proved (round(v·100) is never near a half-case).  NULL slots
+    # render as a literal 'N' so (gap NULL, cv x) can never collide with
+    # (gap x, cv NULL).  Frees a slot for the round-8 behavioral keys.
+    cv100 = F.round(F.col("click_value") * 100, 0).cast("long")
+    asof_legs = q_events_asof(spark, sf_dir).select(
+        "side",
+        F.col("event_id").cast("string").alias("key"),
+        F.col("user_id").cast("long").alias("n_events"),
+        F.col("ts_ms").cast("string").alias("total_value"),
+        F.col("click_ts_ms").cast("string").alias("p50"),
+        F.concat(
+            F.coalesce(F.col("gap_ms").cast("string"), F.lit("N")),
+            F.lit("|"),
+            F.coalesce(cv100.cast("string"), F.lit("N")),
+        ).alias("p90"),
+    )
     return (
         hourly.unionByName(jsonb)
         .unionByName(pctl)
         .unionByName(roll)
         .unionByName(sess_leg)
         .unionByName(native_leg)
+        .unionByName(asof_legs)
     )
 
 
@@ -1704,8 +1764,36 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("n_kept"),
         F.lit("").alias("dedup_text"),
     )
+    # round-8 second-wave consolidation (rule 14b: winnow_fingerprint and
+    # dedup_exact were green rounds 1-7): 'winnow' rows carry the
+    # winnowed fingerprint BIGINTs in the n_units slot; the one 'exact'
+    # row packs the corpus dup stats as two BIGINT slots + an
+    # integer-rendered pair string.  Frees two slots for the round-8
+    # behavioral key wave.
+    win = q_winnow_fingerprint(spark, sf_dir).select(
+        F.lit("winnow").alias("side"),
+        "doc_id",
+        F.col("fingerprint").cast("long").alias("n_units"),
+        F.lit(None).cast("long").alias("n_kept"),
+        F.lit(None).cast("string").alias("dedup_text"),
+    )
+    ex = q_dedup_exact(spark, sf_dir).select(
+        F.lit("exact").alias("side"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("unique_rows").cast("long").alias("n_units"),
+        F.col("total_rows").cast("long").alias("n_kept"),
+        F.concat_ws(
+            "|",
+            F.col("removable_duplicates").cast("string"),
+            F.col("duplicate_groups").cast("string"),
+        ).alias("dedup_text"),
+    )
     return (
-        seg.unionByName(par).unionByName(sub_main).unionByName(sub_spans)
+        seg.unionByName(par)
+        .unionByName(sub_main)
+        .unionByName(sub_spans)
+        .unionByName(win)
+        .unionByName(ex)
     )
 
 
@@ -2895,6 +2983,120 @@ def q_domain_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# --------------------------------------------------------------------------
+# round-8 second wave: behavioral analytics, corpus overlap, scale
+# diagnostics, SCD2 time travel (each on its OWN key per rule 14b)
+# --------------------------------------------------------------------------
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered-funnel conversion over the event stream
+    (operators/funnel.py::funnel_steps): view → click → purchase with
+    earliest-completion semantics — one user-keyed aggregate per step,
+    one per-transition equi-join on the shrinking survivor set, no
+    window over the raw stream.  Conversion ratios are exact integer
+    ppm (rules 4/15); the oracle replays the min-timestamp chain as
+    independent CTEs.  The windowed variant (completion deadline from
+    step 1) is pinned by pytest twins (tests/test_funnel.py)."""
+    from buildkite_logs_parquet_spark.operators import funnel as FN
+
+    return FN.funnel_steps(
+        _events(spark, sf_dir), ["view", "click", "purchase"]
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-cohort retention matrix (operators/funnel.py::
+    cohort_retention): users cohorted by first-activity day, counted
+    once per later active day at the day offset.  Two user-keyed
+    shuffles + one metadata-sized cell aggregate; every value BIGINT
+    (counts + integer-ppm retention).  The day index is the exact
+    floor-division device (subtract-modulo first), matching the
+    oracle's ``epoch_ms // 86400000``."""
+    from buildkite_logs_parquet_spark.operators import funnel as FN
+
+    return FN.cohort_retention(
+        _events(spark, sf_dir), user_col="user_id", period_ms=86_400_000
+    )
+
+
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT pairwise corpus-overlap matrix between sources
+    (operators/dedup.py::corpus_overlap): distinct 12-char shingles per
+    source as rule-3 hashes (text never shuffles), hash-keyed self-join
+    whose fan-out is bounded by the SOURCE count per shingle, integer
+    ppm Jaccard + directed containments (rule 15).  The oracle groups
+    by shingle TEXT — the proven collision-free-equivalent derivation
+    (paragraph_dedup / domain_boilerplate pattern).  The MinHash
+    estimator (corpus_overlap_minhash, the 100 TB path: per-corpus
+    state = 64 longs) is pinned against this exact matrix in
+    tests/test_corpus_overlap.py and timed in bench.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.corpus_overlap(docs, "source", "text", shingle_k=12)
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnosis for a join key (operators/scale.py::
+    skew_report over orders.o_custkey): top-10 heavy hitters (count
+    desc, native-type key tie-break — rule 6) + one summary row with
+    total/distinct/max counts, ppm share, and the suggested salt factor
+    for 32-way parallelism — all integer arithmetic (rule 15), keys
+    rendered via the integer→VARCHAR path (rule 14a).  Top-k plans as
+    TakeOrderedAndProject (plan-asserted in tests), never a single-task
+    global sort of the key relation."""
+    from buildkite_logs_parquet_spark.operators import scale as SCALE
+
+    orders = _t(spark, sf_dir, "orders")
+    return SCALE.skew_report(orders, "o_custkey", top_k=10, n_partitions=32)
+
+
+def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build + point-in-time reads (sources/catalog.py::
+    scd2_init/scd2_merge/scd2_as_of): snapshot 1 = orders attributes at
+    ts 1000; the ts-2000 batch CHANGES status→'X' for okey%3==0 keys,
+    replays byte-identical attributes for okey%5 keys (must be
+    churn-free — a no-op version would flip the hash), and INSERTS
+    brand-new okey+10⁹ keys for okey%7.  Output = the as-of(1500) and
+    as-of(2500) views union-tagged, so the hash pins close/open/insert/
+    no-op semantics at both time points.  Attributes carry an UNTOUCHED
+    parquet double (price) — bit-identical in any engine — plus a
+    string; validity bounds are literal BIGINTs."""
+    from buildkite_logs_parquet_spark.sources import catalog as CAT
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    hist0 = CAT.scd2_init(
+        base.withColumn("ts", F.lit(1000).cast("long")), "okey", "ts"
+    )
+    upd_changed = base.where(F.col("okey") % 3 == 0).select(
+        "okey", F.lit("X").alias("status"), "price"
+    )
+    upd_noop = base.where(
+        (F.col("okey") % 5 == 0) & (F.col("okey") % 3 != 0)
+    ).select("okey", "status", "price")
+    upd_new = base.where(F.col("okey") % 7 == 0).select(
+        (F.col("okey") + 1_000_000_000).alias("okey"),
+        F.lit("N").alias("status"),
+        F.lit(0.0).alias("price"),
+    )
+    updates = (
+        upd_changed.unionByName(upd_noop)
+        .unionByName(upd_new)
+        .withColumn("ts", F.lit(2000).cast("long"))
+    )
+    hist = CAT.scd2_merge(hist0, updates, "okey", ["status", "price"], "ts")
+    # both as-of reads consume the same merged history — compute it once
+    hist = hist.localCheckpoint(eager=False)
+    cols = ["okey", "status", "price", "valid_from", "valid_to"]
+    v1 = CAT.scd2_as_of(hist, 1500).select(F.lit("v1").alias("side"), *cols)
+    v2 = CAT.scd2_as_of(hist, 2500).select(F.lit("v2").alias("side"), *cols)
+    return v1.unionByName(v2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered oracle-checked queries.
 
@@ -2912,15 +3114,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bk_filter_entries": q_bk_filter_entries,
         "bk_seek_tail": q_bk_seek_tail,
         "tpch_q1_pricing": q_tpch_q1_pricing,
+        # round-8 second-wave consolidations (each merged leg proven
+        # green rounds 1-7): part_type_stats + supplier_running_revenue
+        # ride top_parts_per_brand / revenue_rankings; winnow_fingerprint
+        # + dedup_exact ride segment_dedup; events_asof rides events_agg.
         "revenue_rankings": q_revenue_rankings,
-        "part_type_stats": q_part_type_stats,
-        "supplier_running_revenue": q_supplier_running_revenue,
         "top_parts_per_brand": q_top_parts_per_brand,
         "orders_discount_audit": q_orders_discount_audit,
-        "winnow_fingerprint": q_winnow_fingerprint,
         "events_agg": q_events_agg,
-        "events_asof": q_events_asof,
-        "dedup_exact": q_dedup_exact,
+        # round-8 second-wave keys, each on its OWN slot (rule 14b)
+        "funnel_steps": q_funnel_steps,
+        "cohort_retention": q_cohort_retention,
+        "corpus_overlap": q_corpus_overlap,
+        "skew_report": q_skew_report,
+        "scd2_snapshot": q_scd2_snapshot,
         "dedup_keep_best": q_dedup_keep_best,
         "preference_pairs": q_preference_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -5852,6 +6059,61 @@ FROM ({sql.pop("ngram_counts")})
 """
 
     # ---------------------------------------------------------------
+    # round-8 second-wave consolidations (rule 14b: proven legs onto
+    # proven keys — every merged leg was driver-green rounds 1-7; the
+    # proven SQL stays byte-identical inside a nested subquery, wrappers
+    # only tag, NULL-pad, and integer-render)
+    # ---------------------------------------------------------------
+
+    sql["revenue_rankings"] += f"""
+UNION ALL
+SELECT 'running' AS side, CAST(l_suppkey AS BIGINT) AS key,
+       CAST(l_orderkey AS VARCHAR) AS name,
+       CAST(l_linenumber AS VARCHAR) AS segment,
+       running_revenue AS revenue, CAST(NULL AS BIGINT) AS n_items
+FROM ({sql.pop("supplier_running_revenue")})
+"""
+
+    sql["top_parts_per_brand"] = f"""
+SELECT 'brand' AS side, p_brand, p_partkey, revenue, brand_rank,
+       CAST(NULL AS BIGINT) AS n_items, CAST(NULL AS VARCHAR) AS total_qty,
+       CAST(NULL AS DOUBLE) AS min_price, CAST(NULL AS DOUBLE) AS max_price
+FROM ({sql["top_parts_per_brand"]})
+UNION ALL
+SELECT 'type' AS side, p_type AS p_brand, CAST(NULL AS BIGINT) AS p_partkey,
+       CAST(NULL AS VARCHAR) AS revenue, CAST(NULL AS INT) AS brand_rank,
+       n_items, total_qty, min_price, max_price
+FROM ({sql.pop("part_type_stats")})
+"""
+
+    sql["segment_dedup"] += f"""
+UNION ALL
+SELECT 'winnow' AS side, doc_id, fingerprint AS n_units,
+       CAST(NULL AS BIGINT) AS n_kept, CAST(NULL AS VARCHAR) AS dedup_text
+FROM ({sql.pop("winnow_fingerprint")})
+UNION ALL
+SELECT 'exact' AS side, CAST(NULL AS BIGINT) AS doc_id,
+       CAST(unique_rows AS BIGINT) AS n_units, total_rows AS n_kept,
+       concat(CAST(removable_duplicates AS VARCHAR), '|',
+              CAST(duplicate_groups AS VARCHAR)) AS dedup_text
+FROM ({sql.pop("dedup_exact")})
+"""
+
+    # click_value rides the events_agg-proven v100 integer device
+    # (2-dp double × 100 is never near a half-case); NULL slots render
+    # as literal 'N' so NULL/value packings cannot collide
+    sql["events_agg"] += f"""
+UNION ALL
+SELECT side, CAST(event_id AS VARCHAR) AS key, user_id AS n_events,
+       CAST(ts_ms AS VARCHAR) AS total_value,
+       CAST(click_ts_ms AS VARCHAR) AS p50,
+       concat(coalesce(CAST(gap_ms AS VARCHAR), 'N'), '|',
+              coalesce(CAST(CAST(round(click_value * 100, 0) AS BIGINT)
+                            AS VARCHAR), 'N')) AS p90
+FROM ({sql.pop("events_asof")})
+"""
+
+    # ---------------------------------------------------------------
     # round-8 key wave: oracles for the round-7 operator tier (each on
     # its own key per rule 14b; BIGINT-only outputs per rule 15)
     # ---------------------------------------------------------------
@@ -6111,6 +6373,145 @@ SELECT t.doc_id, coalesce(r.txt, '') AS text,
        CAST(t.n_lines AS BIGINT) AS n_lines,
        CAST(t.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
 FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+    # ---------------------------------------------------------------
+    # round-8 second-wave keys (each on its own slot per rule 14b;
+    # BIGINT-only outputs per rule 15)
+    # ---------------------------------------------------------------
+
+    # funnel_steps: the earliest-completion chain replayed as independent
+    # per-step min-timestamp CTEs; conversions are integer ppm (rule 4).
+    sql["funnel_steps"] = """
+WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+s1 AS (SELECT user_id, min(ts_ms) AS t FROM ev WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts_ms) AS t
+       FROM ev e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts_ms >= s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts_ms) AS t
+       FROM ev e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts_ms >= s2.t GROUP BY 1),
+counts AS (
+  SELECT 1 AS step_idx, 'view' AS step, (SELECT count(*) FROM s1) AS n_users
+  UNION ALL
+  SELECT 2, 'click', (SELECT count(*) FROM s2)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+)
+SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+       CAST(n_users AS BIGINT) AS n_users,
+       CASE WHEN first_value(n_users) OVER w > 0
+            THEN CAST(n_users * 1000000 // first_value(n_users) OVER w AS BIGINT)
+       END AS conv_from_first_pm,
+       CASE WHEN lag(n_users) OVER w > 0
+            THEN CAST(n_users * 1000000 // lag(n_users) OVER w AS BIGINT)
+       END AS conv_from_prev_pm
+FROM counts
+WINDOW w AS (ORDER BY step_idx)
+"""
+
+    # cohort_retention: day index via integer floor-div (both engines
+    # agree on positive epoch-ms); (user, day) distinct makes count(*)
+    # an exact distinct-user count.
+    sql["cohort_retention"] = """
+WITH act AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS p FROM events
+),
+f AS (SELECT user_id, min(p) AS c FROM act GROUP BY 1),
+cells AS (
+  SELECT c AS cohort_period, p - c AS "offset", count(*) AS n_users
+  FROM act JOIN f USING (user_id) GROUP BY 1, 2
+),
+sz AS (SELECT cohort_period, n_users AS cohort_size FROM cells WHERE "offset" = 0)
+SELECT CAST(cohort_period AS BIGINT) AS cohort_period,
+       CAST("offset" AS BIGINT) AS "offset",
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(cohort_size AS BIGINT) AS cohort_size,
+       CAST(n_users * 1000000 // cohort_size AS BIGINT) AS retention_pm
+FROM cells JOIN sz USING (cohort_period)
+"""
+
+    # corpus_overlap: the operator's rule-3 shingle hashes replayed by
+    # grouping on shingle TEXT (collision-free equivalent — the proven
+    # paragraph/boilerplate pattern); all ratios integer ppm.
+    sql["corpus_overlap"] = """
+WITH sh AS (
+  SELECT DISTINCT source, substr(text, CAST(i AS INT), 12) AS s
+  FROM (
+    SELECT source, text,
+           unnest(range(1, greatest(length(text) - 11, 1) + 1)) AS i
+    FROM documents
+  )
+),
+sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.source AS group_a, b.source AS group_b, count(*) AS intersection
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT group_a, group_b,
+       CAST(intersection AS BIGINT) AS intersection,
+       CAST(sa.n AS BIGINT) AS size_a,
+       CAST(sb.n AS BIGINT) AS size_b,
+       CAST(sa.n + sb.n - intersection AS BIGINT) AS union_size,
+       CAST(intersection * 1000000 // (sa.n + sb.n - intersection) AS BIGINT) AS jaccard_pm,
+       CAST(intersection * 1000000 // sa.n AS BIGINT) AS containment_a_pm,
+       CAST(intersection * 1000000 // sb.n AS BIGINT) AS containment_b_pm
+FROM inter
+JOIN sizes sa ON group_a = sa.source
+JOIN sizes sb ON group_b = sb.source
+"""
+
+    # skew_report: heavy hitters under the rule-6 (count desc, native
+    # key asc) total order; summary scalars all integer arithmetic
+    # (HUGEINT intermediates cast down per rule 15).
+    sql["skew_report"] = """
+WITH c AS (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY n DESC, k ASC) AS r, k, n FROM c
+)
+SELECT 'top' AS side, CAST(r AS BIGINT) AS rank, CAST(k AS VARCHAR) AS key,
+       CAST(n AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3, CAST(NULL AS BIGINT) AS v4,
+       CAST(NULL AS BIGINT) AS v5
+FROM ranked WHERE r <= 10
+UNION ALL
+SELECT 'summary' AS side, CAST(NULL AS BIGINT) AS rank, '<all>' AS key,
+       CAST(sum(n) AS BIGINT) AS v1,
+       CAST(count(*) AS BIGINT) AS v2,
+       CAST(max(n) AS BIGINT) AS v3,
+       CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS v4,
+       CAST((max(n) * 32 + sum(n) - 1) // sum(n) AS BIGINT) AS v5
+FROM c
+"""
+
+    # scd2_snapshot: the merge semantics replayed as pure CASE logic —
+    # changed (okey%3) keys close at 2000 and reopen with status 'X';
+    # no-op (okey%5) replays leave no churn row by construction; new
+    # okey+1e9 keys appear only in the v2 view.  price is an UNTOUCHED
+    # parquet double (bit-identical in any engine).
+    sql["scd2_snapshot"] = """
+WITH base AS (
+  SELECT o_orderkey AS okey, o_orderstatus AS status, o_totalprice AS price
+  FROM orders
+)
+SELECT 'v1' AS side, okey, status, price,
+       CAST(1000 AS BIGINT) AS valid_from,
+       CASE WHEN okey % 3 = 0 THEN CAST(2000 AS BIGINT) END AS valid_to
+FROM base
+UNION ALL
+SELECT 'v2' AS side, okey,
+       CASE WHEN okey % 3 = 0 THEN 'X' ELSE status END AS status,
+       price,
+       CASE WHEN okey % 3 = 0 THEN CAST(2000 AS BIGINT)
+            ELSE CAST(1000 AS BIGINT) END AS valid_from,
+       CAST(NULL AS BIGINT) AS valid_to
+FROM base
+UNION ALL
+SELECT 'v2' AS side, okey + 1000000000 AS okey, 'N' AS status,
+       CAST(0 AS DOUBLE) AS price,
+       CAST(2000 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+FROM base WHERE okey % 7 = 0
 """
 
     return sql

@@ -27,16 +27,14 @@ BENCH_QUERIES = [
     # star-schema analytics
     "tpch_q1_pricing",
     "revenue_rankings",
-    "part_type_stats",
+    "top_parts_per_brand",
     # event-time (events_agg carries the former events_percentiles,
     # events_sessions, and events_native_ts sides after the round-4/7
     # consolidations)
     "events_agg",
-    "events_asof",
     # training-data ops (round-4 consolidations: dedup_clusters carries the
     # minhash pair relation, simhash carries its near-dup pairs, ann_topk
     # is exact+ivf, doc_quality is gopher+repetition)
-    "dedup_exact",
     "dedup_clusters",
     "dedup_keep_best",
     "ngram_jaccard",
@@ -46,7 +44,6 @@ BENCH_QUERIES = [
     "ann_topk",
     "embedding_label_centroid_sim",
     "preference_pairs",
-    "winnow_fingerprint",
     "contamination",
     "pii_scrub",
     "tfidf_top_terms",
@@ -67,6 +64,15 @@ BENCH_QUERIES = [
     "k_anonymity",
     "fill_gaps",
     "domain_boilerplate",
+    # round-8 second-wave keys (behavioral analytics, corpus overlap,
+    # scale diagnostics, SCD2 time travel; events_asof / dedup_exact /
+    # winnow_fingerprint / part_type_stats / supplier_running_revenue
+    # ride their consolidated carriers above)
+    "funnel_steps",
+    "cohort_retention",
+    "corpus_overlap",
+    "skew_report",
+    "scd2_snapshot",
     # round-3/4 LLM-pipeline tier
     "lm_perplexity",
     "bm25_scores",
@@ -1373,7 +1379,23 @@ def _extra_ops():
             pool, "prompt", "reward", "resp_id", top_n=2
         )
 
+    def corpus_overlap_minhash_bench(spark, sf_dir):
+        """Corpus-overlap MinHash estimator at scale: per-source 64-perm
+        signatures in ONE group-keyed aggregate (state = 64 longs per
+        corpus regardless of size), pair agreements through the
+        (permutation, min) equi-join — the 100 TB path whose exact twin
+        is the oracle-gated corpus_overlap key."""
+        from buildkite_logs_parquet_spark.operators.dedup import (
+            corpus_overlap_minhash,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return corpus_overlap_minhash(
+            docs, "source", "text", num_perm=64, shingle_k=12
+        )
+
     return {
+        "x_corpus_overlap_est": corpus_overlap_minhash_bench,
         "x_video_structure": video_structure_bench,
         "x_preference_pairs": preference_bench,
         "x_margin_mine": margin_mine_bench,
@@ -1530,6 +1552,15 @@ def main() -> None:
         # the three new keys have no history yet
         "dsir_weights": "round-6 split: GD/cal legs moved to lr_classifier",
         "url_domain_stats": "round-6 split: legs moved to webgraph_rank/crawl_bitext",
+        # round-8 second-wave consolidations: merged legs land on these
+        # carriers (revenue_rankings gains the lineitem-sized running-
+        # revenue window; events_agg the asof+interval joins;
+        # segment_dedup the winnow + exact-stats legs; top_parts_per_brand
+        # the per-type stats)
+        "revenue_rankings": "running-revenue window leg (round 8.2)",
+        "events_agg": "asof + interval join legs (round 8.2)",
+        "segment_dedup": "winnow + exact-stats legs (round 8.2)",
+        "top_parts_per_brand": "part_type_stats legs (round 8.2)",
         # round-6 plan change (judge perf-weak fix): exact percentiles now
         # run ~3 extra bounded histogram jobs per numeric column instead
         # of one single-task collect_list — slower at tiny sf (fixed job

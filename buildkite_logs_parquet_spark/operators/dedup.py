@@ -1666,3 +1666,148 @@ def set_similarity_join(
         )
     )
     return out
+
+
+# --------------------------------------------------- corpus-level overlap
+
+
+def corpus_overlap(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    shingle_k: int = 12,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """EXACT pairwise corpus overlap matrix: for every pair of corpora
+    (``group_col`` values, e.g. sources or dataset versions), the
+    distinct-shingle intersection, both set sizes, and integer
+    parts-per-million Jaccard + directed containments.
+
+    The question every training-data merge asks — "how much of corpus B
+    is already in corpus A?" — answered at the corpus level rather than
+    the document level (``split_leakage`` / ``benchmark_contamination``
+    cover the per-document direction).
+
+    Determinism: shingles are rule-3 md5 60-bit hashes; every output is
+    a BIGINT (counts, and ratios as ``·10⁶ div`` integers), so the
+    matrix is oracle-gated bit-exactly (DETERMINISM.md rules 3/15).
+
+    100 TB shape: ONE distinct over (group, shingle-hash) — text never
+    shuffles, only 8-byte hashes — then a self-equi-join keyed on the
+    hash whose per-key fan-out is bounded by the number of CORPORA
+    sharing the shingle (≤ G, the group count — a handful), never by
+    document frequency; the pair aggregate's cardinality is ≤ G².  For
+    corpora too large even for the hash-distinct, use
+    :func:`corpus_overlap_minhash`.
+
+    Output: ``(group_a, group_b)`` with ``group_a < group_b``, plus
+    ``intersection, size_a, size_b, union_size, jaccard_pm,
+    containment_a_pm, containment_b_pm`` (containment_a = share of A's
+    shingles also in B).  Pairs with an empty intersection are omitted
+    (their estimate is 0; emitting G² zero rows would be noise).
+    """
+    sh = (
+        _shingles_inline(df, group_col, text_col, shingle_k, distinct=False)
+        .select(
+            F.col(group_col),
+            _hash64(F.col("shingle"), 0, hash_fn).alias("_h"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy(group_col).agg(F.count("*").alias("_n"))
+    a = sh.select(F.col(group_col).alias("group_a"), "_h")
+    b = sh.select(F.col(group_col).alias("group_b"), "_h")
+    inter = (
+        a.join(b, on="_h")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count("*").alias("intersection"))
+    )
+    sa = sizes.select(F.col(group_col).alias("group_a"), F.col("_n").alias("size_a"))
+    sb = sizes.select(F.col(group_col).alias("group_b"), F.col("_n").alias("size_b"))
+    return (
+        inter.join(F.broadcast(sa), "group_a")
+        .join(F.broadcast(sb), "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            F.col("intersection").cast("long").alias("intersection"),
+            F.col("size_a").cast("long").alias("size_a"),
+            F.col("size_b").cast("long").alias("size_b"),
+            (F.col("size_a") + F.col("size_b") - F.col("intersection"))
+            .cast("long")
+            .alias("union_size"),
+            F.expr(
+                "intersection * 1000000L div (size_a + size_b - intersection)"
+            ).alias("jaccard_pm"),
+            F.expr("intersection * 1000000L div size_a").alias("containment_a_pm"),
+            F.expr("intersection * 1000000L div size_b").alias("containment_b_pm"),
+        )
+    )
+
+
+def corpus_overlap_minhash(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    shingle_k: int = 12,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """MinHash ESTIMATE of the pairwise corpus Jaccard matrix — the
+    scale path when even the distinct (group, hash) relation of
+    :func:`corpus_overlap` is too heavy: per-corpus state collapses to
+    ``num_perm`` longs regardless of corpus size.
+
+    One groupBy computes all P permutation minima per corpus (the
+    :func:`minhash_signatures` single-shuffle trick, keyed on the group
+    instead of the document); the pair space is then reached through a
+    long-form self-equi-join on ``(permutation, min_value)`` — counting
+    AGREEING minima per pair — so no cross join exists even in the
+    estimator (pairs with zero agreements simply estimate 0 and are
+    omitted, exactly like the exact operator omits empty
+    intersections).
+
+    Output: ``(group_a, group_b, n_agree, n_perm, jaccard_est_pm)``
+    with ``jaccard_est_pm = n_agree·10⁶ div num_perm`` (exact integers
+    over the seeded estimate — rule 8: the approximation itself is
+    reproducible).
+    """
+    sh = _shingles_inline(
+        df, group_col, text_col, shingle_k, distinct=False
+    ).select(F.col(group_col), _hash64(F.col("shingle"), 0, hash_fn).alias("_h"))
+    aggs = [
+        F.min(_perm_hash(F.col("_h"), p)).alias(f"m{p}")
+        for p in range(num_perm)
+    ]
+    sig = sh.groupBy(group_col).agg(*aggs)
+    long_form = sig.select(
+        F.col(group_col).alias("_g"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("p"), F.col(f"m{p}").alias("v")
+                    )
+                    for p in range(num_perm)
+                ]
+            )
+        ).alias("_pv"),
+    ).select("_g", F.col("_pv.p").alias("_p"), F.col("_pv.v").alias("_v"))
+    a = long_form.select(F.col("_g").alias("group_a"), "_p", "_v")
+    b = long_form.select(F.col("_g").alias("group_b"), "_p", "_v")
+    return (
+        a.join(b, on=["_p", "_v"])
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count("*").alias("n_agree"))
+        .select(
+            "group_a",
+            "group_b",
+            F.col("n_agree").cast("long").alias("n_agree"),
+            F.lit(int(num_perm)).cast("long").alias("n_perm"),
+            F.expr(f"n_agree * 1000000L div {int(num_perm)}").alias(
+                "jaccard_est_pm"
+            ),
+        )
+    )

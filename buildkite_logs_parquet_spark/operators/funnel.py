@@ -1,0 +1,195 @@
+"""Ordered-funnel conversion and cohort-retention analytics over event
+tables.
+
+The two queries every product/event warehouse runs daily, re-expressed
+Spark-first.  Reference parity note: the reference engine (wolfeidau/
+buildkite-logs-parquet) has no behavioral-analytics surface — this module
+is part of the analytics extension tier alongside the time rollups
+(``operators/timeseries.py``) already registered under ``events_agg``.
+
+Determinism: every output value is an exact integer (BIGINT counts and
+parts-per-million ratios via integer division), so the operators are
+oracle-gated bit-exactly (DETERMINISM.md rules 4/6/15).
+
+100 TB shape
+------------
+``funnel_steps`` runs one user-keyed aggregate per step plus one
+user-keyed equi-join per step transition — each join's probe side is the
+events of ONE step type (a filtered slice, pushed to the parquet scan),
+and the build side shrinks monotonically (users surviving the funnel so
+far).  No window over the full event stream, no per-user event
+collection: state per user is a single BIGINT timestamp.  Skew equals
+the hottest user's per-type event count, never the corpus.
+
+``cohort_retention`` is two user-keyed shuffles (first-activity
+aggregate, co-partitioned activity join) and one tiny
+(cohort × offset) aggregate whose cardinality is bounded by the square
+of the observation window in periods — metadata-sized at any corpus
+scale.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_ms",
+    window_ms: int | None = None,
+) -> DataFrame:
+    """Strict ordered-funnel conversion: a user completes step ``i`` iff
+    an event of type ``steps[i]`` exists at-or-after the user's
+    *earliest completion* of step ``i-1`` (classic earliest-completion
+    semantics — greedy matching is optimal here, so no backtracking
+    search is needed).  With ``window_ms`` set, later steps must also
+    land within ``window_ms`` of the user's step-1 time.
+
+    Output: one row per step —
+
+    - ``step_idx`` (1-based BIGINT), ``step`` (the event type),
+    - ``n_users`` — users whose chain reaches this step,
+    - ``conv_from_first_pm`` — ``n_users·10⁶ div n_users(step 1)``,
+    - ``conv_from_prev_pm`` — ``n_users·10⁶ div n_users(prev step)``,
+
+    both exact integer parts-per-million (rule 15: BIGINT only).  Steps
+    nobody reaches still emit a row with ``n_users = 0`` so the funnel
+    shape is stable for dashboards and the oracle.
+    """
+    if len(steps) < 1:
+        raise ValueError("steps must name at least one event type")
+    u, t, ts = F.col(user_col), F.col(type_col), F.col(ts_col).cast("long")
+
+    # step 1: earliest event of the first type per user
+    cur = (
+        df.where(t == steps[0])
+        .groupBy(u.alias("_u"))
+        .agg(F.min(ts).alias("_t"))
+    )
+    if window_ms is not None:
+        cur = cur.withColumn("_dl", F.col("_t") + int(window_ms))
+    levels = [cur]
+    for step in steps[1:]:
+        ev = df.where(t == step).select(u.alias("_u"), ts.alias("_ts"))
+        cond = F.col("_ts") >= F.col("_t")
+        if window_ms is not None:
+            cond = cond & (F.col("_ts") <= F.col("_dl"))
+        nxt = (
+            levels[-1]
+            .join(ev, on="_u")
+            .where(cond)
+            .groupBy("_u")
+            .agg(
+                F.min("_ts").alias("_t"),
+                # _dl is functionally dependent on _u; min is just the
+                # deterministic way to carry it through the aggregate
+                *([F.min("_dl").alias("_dl")] if window_ms is not None else []),
+            )
+        )
+        levels.append(nxt)
+
+    tagged = [
+        lv.select(
+            F.lit(i + 1).cast("long").alias("step_idx"),
+            F.lit(steps[i]).alias("step"),
+            "_u",
+        )
+        for i, lv in enumerate(levels)
+    ]
+    counts = (
+        reduce(DataFrame.unionByName, tagged)
+        .groupBy("step_idx", "step")
+        .agg(F.count("*").alias("n_users"))
+    )
+    # steps with zero survivors still get a row (outer join against the
+    # static step list — a literal relation, broadcast by construction)
+    spark = df.sparkSession
+    shape = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step_idx long, step string"
+    )
+    counts = (
+        shape.join(F.broadcast(counts), on=["step_idx", "step"], how="left")
+        .select(
+            "step_idx",
+            "step",
+            F.coalesce("n_users", F.lit(0)).cast("long").alias("n_users"),
+        )
+    )
+    w = Window.orderBy("step_idx")  # ≤ len(steps) rows: single-task window is fine
+    first_n = F.first("n_users").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_n = F.lag("n_users", 1).over(w)
+    # exact integer ppm: BIGINT `div`, never a double division (rule 15)
+    return counts.select(
+        "step_idx", "step", "n_users", first_n.alias("_f"), prev_n.alias("_p")
+    ).select(
+        "step_idx",
+        "step",
+        "n_users",
+        F.when(
+            F.col("_f") > 0, F.expr("n_users * 1000000L div _f")
+        ).alias("conv_from_first_pm"),
+        F.when(
+            F.col("_p") > 0, F.expr("n_users * 1000000L div _p")
+        ).alias("conv_from_prev_pm"),
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    period_ms: int = 86_400_000,
+) -> DataFrame:
+    """Cohort-retention matrix: users are cohorted by the period of their
+    FIRST activity; each later active period counts them once at offset
+    ``period − cohort``.
+
+    Output: one row per observed (cohort, offset) —
+
+    - ``cohort_period`` — epoch-period index (``min_ts div period_ms``),
+    - ``offset`` — periods since the cohort period (0 = the cohort
+      period itself, always present and equal to the cohort size),
+    - ``n_users`` — distinct users from the cohort active at the offset,
+    - ``cohort_size`` — the cohort's offset-0 population,
+    - ``retention_pm`` — ``n_users·10⁶ div cohort_size``.
+
+    All BIGINT (rule 15); "active" is any event, layout-independent.
+    """
+    if period_ms < 1:
+        raise ValueError("period_ms must be >= 1")
+    u = F.col(user_col)
+    ts = F.col(ts_col).cast("long")
+    # exact floor-div: subtract the modulo first so the double division's
+    # true quotient is an integer (IEEE returns representable results
+    # exactly) — never a raw double divide truncated (rule 15 spirit)
+    w = F.lit(int(period_ms))
+    p = ((ts - ts % w) / w).cast("long")
+
+    act = df.select(u.alias("_u"), p.alias("_p")).distinct()
+    first = act.groupBy("_u").agg(F.min("_p").alias("_cohort"))
+    cells = (
+        act.join(first, on="_u")  # co-partitioned: both sides keyed on _u
+        .groupBy(
+            F.col("_cohort").alias("cohort_period"),
+            (F.col("_p") - F.col("_cohort")).alias("offset"),
+        )
+        .agg(F.count("*").alias("n_users"))  # (_u,_p) distinct ⇒ exact users
+    )
+    size = cells.where(F.col("offset") == 0).select(
+        "cohort_period", F.col("n_users").alias("cohort_size")
+    )
+    return cells.join(F.broadcast(size), on="cohort_period").select(
+        "cohort_period",
+        "offset",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        F.expr("n_users * 1000000L div cohort_size").alias("retention_pm"),
+    )

@@ -279,3 +279,79 @@ def write_with_bloom(
             f"parquet.bloom.filter.expected.ndv#{c}", str(int(ndv))
         )
     writer.parquet(path)
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Shuffle-skew diagnosis for a join/aggregation key: the report a
+    100 TB operator consults BEFORE picking between a plain shuffle,
+    :func:`salted_aggregate`, or an AQE skew-join hint.
+
+    Output is union-tagged (one oracle-friendly relation, all BIGINT /
+    strings — DETERMINISM rules 6/14a/15):
+
+    - ``'top'`` rows — the ``top_k`` heaviest keys (rank by count desc,
+      key ascending as the rule-6 tie-break), with the key RENDERED as a
+      string by the caller-visible cast (keys are grouped on their native
+      type; only the report column is a string);
+    - one ``'summary'`` row — ``v1..v4`` = total rows, distinct keys,
+      max per-key count, max key share in ppm (``max·10⁶ div total``),
+      and ``v5`` = the suggested salt factor for ``n_partitions``-way
+      parallelism: ``ceil(max_count · P / total)`` — how many ways the
+      hottest key must split so its share of one partition's ideal load
+      drops to ~1 (1 = no salting needed).
+
+    One groupBy over the key (map-side combined), then metadata-sized
+    aggregates — the report never shuffles more than the distinct-key
+    relation.
+    """
+    from pyspark.sql import Window as W
+
+    if n_partitions is None:
+        n_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    counts = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count("*").alias("_c")
+    )
+    # top-k via orderBy+limit (TakeOrderedAndProject: per-partition heaps
+    # + driver merge, never a single-task global sort of the key
+    # relation); the rank window then runs over ≤ top_k rows
+    top = (
+        counts.orderBy(F.col("_c").desc(), F.col("_k").asc())
+        .limit(int(top_k))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                W.orderBy(F.col("_c").desc(), F.col("_k").asc())
+            ),
+        )
+        .select(
+            F.lit("top").alias("side"),
+            F.col("_r").cast("long").alias("rank"),
+            F.col("_k").cast("string").alias("key"),
+            F.col("_c").cast("long").alias("v1"),
+            *[F.lit(None).cast("long").alias(c) for c in ("v2", "v3", "v4", "v5")],
+        )
+    )
+    summary = counts.agg(
+        F.sum("_c").cast("long").alias("_total"),
+        F.count("*").cast("long").alias("_keys"),
+        F.max("_c").cast("long").alias("_max"),
+    ).select(
+        F.lit("summary").alias("side"),
+        F.lit(None).cast("long").alias("rank"),
+        F.lit("<all>").alias("key"),
+        F.col("_total").alias("v1"),
+        F.col("_keys").alias("v2"),
+        F.col("_max").alias("v3"),
+        F.expr("_max * 1000000L div _total").alias("v4"),
+        F.expr(f"(_max * {int(n_partitions)}L + _total - 1L) div _total").alias(
+            "v5"
+        ),
+    )
+    return top.unionByName(summary)

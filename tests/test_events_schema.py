@@ -96,16 +96,18 @@ def test_events_queries_run_on_both_schemas(spark, two_schema_dirs):
     AnalysisException at plan time, before any row moved)."""
     import __spark_entry__ as E
 
-    qs = E.queries()
-    event_queries = [
+    event_queries = {
         # events_agg includes the former events_percentiles, sessions,
-        # and native_ts sides (round-4/7 consolidations)
-        "events_agg",
-        "events_asof",
-    ]
+        # native_ts, AND asof/interval sides (round-4/7/8 consolidations);
+        # q_events_asof is exercised directly as the merged leg builder
+        "events_agg": E.q_events_agg,
+        "events_asof_leg": E.q_events_asof,
+        "funnel_steps": E.q_funnel_steps,
+        "cohort_retention": E.q_cohort_retention,
+    }
     for unit, d in two_schema_dirs.items():
-        for name in event_queries:
-            df = qs[name](spark, d)
+        for name, fn in event_queries.items():
+            df = fn(spark, d)
             df.schema  # forces analysis
             assert df.count() >= 0, f"{name} on {unit}"
 

@@ -256,3 +256,41 @@ def test_write_with_bloom_writes_filters_and_round_trips(spark, tmp_path):
     assert back.count() == 2000
     probe = docs.where("doc_id = 77").first()["digest"]
     assert back.where(F.col("digest") == probe).count() == 1
+
+
+def test_skew_report_values_and_rank_order(spark, skewed):
+    from buildkite_logs_parquet_spark.operators.scale import skew_report
+
+    out = skew_report(skewed, "k", top_k=3, n_partitions=10).collect()
+    top = sorted(
+        [r for r in out if r["side"] == "top"], key=lambda r: r["rank"]
+    )
+    (summary,) = [r for r in out if r["side"] == "summary"]
+    # hot key 0 carries 9000 rows; every other key exactly 1
+    assert top[0]["key"] == "0" and top[0]["v1"] == 9000
+    # rank 2/3 tie on count=1 → rule-6 tie-break ascending on the key's
+    # NATIVE type (long: 1 < 2), rendered as string only in the report
+    assert [r["key"] for r in top[1:]] == ["1", "2"]
+    assert summary["v1"] == 10000          # total rows
+    assert summary["v2"] == 1001           # distinct keys
+    assert summary["v3"] == 9000           # max per-key count
+    assert summary["v4"] == 9000 * 1_000_000 // 10000  # ppm share
+    # hot key must split 9 ways for 10-way parallelism: ceil(9000*10/10000)
+    assert summary["v5"] == 9
+
+    # uniform data needs no salting
+    uni = spark.range(1000).select(F.col("id").alias("k"))
+    (s2,) = [
+        r
+        for r in skew_report(uni, "k", top_k=1, n_partitions=32).collect()
+        if r["side"] == "summary"
+    ]
+    assert s2["v5"] == 1
+
+
+def test_skew_report_plan_has_no_global_sort_before_limit(spark, skewed):
+    from buildkite_logs_parquet_spark.operators.scale import skew_report
+
+    plan = explain_str(skew_report(skewed, "k", top_k=5))
+    # top-k must plan as TakeOrderedAndProject, never Sort+GlobalLimit
+    assert "TakeOrderedAndProject" in plan

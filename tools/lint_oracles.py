@@ -88,7 +88,9 @@ ALLOWLIST = {
     ("embedding_label_centroid_sim", "round-double"): "rule-4; proven r2-r5 (cent leg) / r2-r6 (lshpair leg, merged round 7)",
     ("kmeans_step", "round-double"): "rule-4; proven r3-r5",
     ("ngram_jaccard", "round-double"): "rule-4 on exact ratio; proven r1-r5",
-    ("events_asof", "round-double"): "rule-4; proven r2-r5",
+    # events_asof merged onto events_agg round 8.2; its round(click_value,4)
+    # now lives inside the events_agg nested SQL (events_agg round-double
+    # entry below covers it)
     # events_agg pctl leg: value is a 2-dp double column, so value*100
     # lands within 4e-12 of an integer (measured over all of sf0.1) —
     # never near a half-case, so EVERY engine's round(·, 0) returns the

@@ -23,17 +23,20 @@ sys.path.insert(0, "/root/repo")
 PROBES = [
     # (query, input tables, rows at sf0.001 -> sf0.1 multiplier)
     ("tpch_q1_pricing", "lineitem", 100),
-    ("revenue_rankings", "lineitem⋈orders⋈customer(+nation star)", 100),
-    ("supplier_running_revenue", "lineitem⋈supplier", 100),
+    ("revenue_rankings", "lineitem⋈orders⋈customer(+nation star, +running window leg r8.2)", 100),
     ("orders_discount_audit", "orders⋈lineitem", 100),
-    ("events_agg", "events (hourly+pctl+rollup+sess+native legs)", 100),
-    ("events_asof", "events", 100),
+    ("events_agg", "events (hourly+pctl+rollup+sess+native+asof legs)", 100),
+    ("funnel_steps", "events (3-step ordered funnel)", 100),
+    ("cohort_retention", "events (day cohorts x offsets)", 100),
+    ("skew_report", "orders (key-count agg + top-k)", 100),
+    ("scd2_snapshot", "orders (init -> merge -> two as-of reads)", 100),
     ("preference_pairs", "documents as scored pool (pairs + audit legs)", 10),
     ("dedup_keep_best", "documents (LSH pairs -> CC -> argmax survivor)", 10),
     # round-8: corpus_shuffle rides corpus_select, substring_dedup rides
     # segment_dedup (proven-key consolidations); the probes now measure
     # the consolidated keys plus the six new oracle keys
-    ("segment_dedup", "documents (segment+paragraph+substr legs)", 10),
+    ("segment_dedup", "documents (segment+paragraph+substr+winnow+exact legs)", 10),
+    ("corpus_overlap", "documents (exact source-pair shingle matrix)", 10),
     ("dedup_clusters", "documents", 10),
     ("setsim_join", "documents %8 sample, exact jaccard>=0.7 words", 10),
     ("entity_linkage", "documents + planted 2-edit twins (block->lev->resolve->audit)", 10),
