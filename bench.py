@@ -1394,8 +1394,48 @@ def _extra_ops():
             docs, "source", "text", num_perm=64, shingle_k=12
         )
 
+    def funnel_times_bench(spark, sf_dir):
+        """Per-user funnel completion detail (windowed variant): the
+        three-step earliest-completion chain plus the k-1 left-join
+        assembly — the row-level companion to the oracle-gated
+        funnel_steps key."""
+        import __spark_entry__ as E
+        from buildkite_logs_parquet_spark.operators.funnel import (
+            funnel_user_times,
+        )
+
+        return funnel_user_times(
+            E._events(spark, sf_dir),
+            ["view", "click", "purchase"],
+            window_ms=12 * 3_600_000,
+        )
+
+    def embedding_outliers_bench(spark, sf_dir):
+        """Centroid-distance outlier flagging over the embeddings table:
+        one decimal-sum centroid aggregate, one scoring projection, and
+        the heap-based bottom-5% threshold (no global sort)."""
+        from buildkite_logs_parquet_spark.operators.similarity import (
+            embedding_outliers,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return embedding_outliers(emb, bottom_pm=50_000)
+
+    def tokenizer_fertility_bench(spark, sf_dir):
+        """Per-source tokenizer efficiency report: one map-side-combined
+        aggregate over the documents table (fertility + bytes/token)."""
+        from buildkite_logs_parquet_spark.operators.text_analysis import (
+            tokenizer_fertility,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return tokenizer_fertility(docs, "source", "text")
+
     return {
         "x_corpus_overlap_est": corpus_overlap_minhash_bench,
+        "x_funnel_times": funnel_times_bench,
+        "x_embedding_outliers": embedding_outliers_bench,
+        "x_tokenizer_fertility": tokenizer_fertility_bench,
         "x_video_structure": video_structure_bench,
         "x_preference_pairs": preference_bench,
         "x_margin_mine": margin_mine_bench,

@@ -193,3 +193,78 @@ def cohort_retention(
         F.col("cohort_size").cast("long").alias("cohort_size"),
         F.expr("n_users * 1000000L div cohort_size").alias("retention_pm"),
     )
+
+
+def funnel_user_times(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_ms",
+    window_ms: int | None = None,
+) -> DataFrame:
+    """Per-user funnel completion detail: one row per user who entered
+    the funnel, with the earliest-completion timestamp of every step
+    reached (NULL beyond the drop-off point), the furthest step index,
+    and the total conversion latency.
+
+    The row-level companion to :func:`funnel_steps` (same semantics,
+    same join chain) — feeds time-to-convert distributions through the
+    existing percentile machinery and step-level drop-off cohorts.
+
+    Output: ``(user, furthest_step, t_1 .. t_k, convert_ms)`` where
+    ``t_i`` is step ``i``'s completion epoch-ms and ``convert_ms`` is
+    ``t_k − t_1`` for full converters (NULL otherwise).  Integer-only.
+
+    Same 100 TB shape as :func:`funnel_steps`: per-step filtered join on
+    the shrinking survivor set; the final assembly is k−1 left joins of
+    (user, BIGINT) relations co-partitioned on the user key.
+    """
+    if len(steps) < 1:
+        raise ValueError("steps must name at least one event type")
+    u, t, ts = F.col(user_col), F.col(type_col), F.col(ts_col).cast("long")
+
+    cur = (
+        df.where(t == steps[0])
+        .groupBy(u.alias("_u"))
+        .agg(F.min(ts).alias("t_1"))
+    )
+    if window_ms is not None:
+        cur = cur.withColumn("_dl", F.col("t_1") + int(window_ms))
+    levels = [cur]
+    prev_t = "t_1"
+    for i, step in enumerate(steps[1:], start=2):
+        ev = df.where(t == step).select(u.alias("_u"), ts.alias("_ts"))
+        cond = F.col("_ts") >= F.col(prev_t)
+        if window_ms is not None:
+            cond = cond & (F.col("_ts") <= F.col("_dl"))
+        nxt = (
+            levels[-1]
+            .join(ev, on="_u")
+            .where(cond)
+            .groupBy("_u")
+            .agg(
+                F.min("_ts").alias(f"t_{i}"),
+                *(
+                    [F.min("_dl").alias("_dl")]
+                    if window_ms is not None
+                    else []
+                ),
+            )
+        )
+        levels.append(nxt)
+        prev_t = f"t_{i}"
+
+    out = levels[0].select("_u", "t_1")
+    for i, lv in enumerate(levels[1:], start=2):
+        out = out.join(lv.select("_u", f"t_{i}"), on="_u", how="left")
+    k = len(steps)
+    furthest = F.lit(1)
+    for i in range(2, k + 1):
+        furthest = F.when(F.col(f"t_{i}").isNotNull(), i).otherwise(furthest)
+    return out.select(
+        F.col("_u").alias(user_col),
+        furthest.cast("long").alias("furthest_step"),
+        *[F.col(f"t_{i}") for i in range(1, k + 1)],
+        (F.col(f"t_{k}") - F.col("t_1")).alias("convert_ms"),
+    )

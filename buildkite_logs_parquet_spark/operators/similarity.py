@@ -931,3 +931,81 @@ def random_projection(
     return df.withColumn(
         out_col, F.transform(F.lit(mat), lambda g: dot(v, g))
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bottom_pm: int = 50_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Centroid-distance outlier detection over an embedding column —
+    the standard embedding-space cleaning pass (mislabeled, corrupted,
+    or off-distribution rows sit far from the corpus mean direction).
+
+    Semantics: the corpus centroid is the element-wise mean direction
+    (cosine is scale-invariant, so the un-normalized SUM vector
+    represents it exactly — the ``kmeans_step`` device, DECIMAL element
+    sums, order-independent).  Each row scores
+    ``cos_centroid = cosine(vec, centroid)``; the bottom ``bottom_pm``
+    parts-per-million by ``(round(cos, round_to), id)`` rank — a rule-6
+    total order on a rule-4 rounded decision value — are flagged
+    ``is_outlier``.
+
+    100 TB shape: ONE mergeable aggregate for the centroid (dim decimal
+    sums — metadata-sized result, broadcast back as a literal-free
+    cross-column), one narrow scoring projection, and one rank over the
+    score — computed as a count-based threshold join rather than a
+    global row_number window: the cutoff rank is ``n·bottom_pm div
+    10⁶``, the threshold score is found by a TakeOrderedAndProject
+    ``limit(cutoff)`` (per-partition heaps, no global sort), and rows
+    at-or-below the threshold flag via one broadcast comparison, with
+    the id tie-break applied only inside the threshold-equal band.
+    Nothing single-tasks the corpus.
+
+    Output: ``(id, cos_centroid double, is_outlier boolean)`` — one row
+    per input row.
+    """
+    if not (0 < bottom_pm < 1_000_000):
+        raise ValueError("bottom_pm must be in (0, 1e6)")
+    first = df.select(F.element_at(_as_double(F.col(vec_col)), 1)).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, cos_centroid double, is_outlier boolean"
+        )
+    dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    sums = _decimal_element_sums_double(vec_col, dim)
+    cent_row = df.agg(F.count("*").alias("_n"), *sums).first()
+    n = int(cent_row["_n"])
+    centroid = [float(cent_row[f"_s_{i}"]) for i in range(dim)]
+    scored = df.select(
+        F.col(id_col),
+        F.round(
+            cosine(_as_double(F.col(vec_col)), _lit_vec(centroid)), round_to
+        ).alias("cos_centroid"),
+    )
+    cutoff = n * int(bottom_pm) // 1_000_000
+    if cutoff < 1:
+        return scored.withColumn("is_outlier", F.lit(False))
+    # threshold = the cutoff-th smallest (score, id) pair — heaps +
+    # driver merge via orderBy().limit(); the boundary pair is exact
+    band = scored.orderBy(
+        F.col("cos_centroid").asc(), F.col(id_col).asc()
+    ).limit(cutoff)
+    thr = band.agg(
+        F.max(
+            F.struct(
+                F.col("cos_centroid").alias("s"), F.col(id_col).alias("i")
+            )
+        ).alias("_t")
+    ).first()["_t"]
+    thr_s, thr_i = thr["s"], thr["i"]
+    return scored.withColumn(
+        "is_outlier",
+        (F.col("cos_centroid") < float(thr_s))
+        | (
+            (F.col("cos_centroid") == float(thr_s))
+            & (F.col(id_col) <= thr_i)
+        ),
+    )

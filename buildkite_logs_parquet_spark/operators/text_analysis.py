@@ -872,3 +872,65 @@ def code_quality_signals(
         auto.alias("is_autogenerated"),
         lic.alias("has_license_header"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    encode_fn=None,
+) -> DataFrame:
+    """Per-group tokenizer efficiency report — the number every
+    tokenizer/corpus pairing decision reads first: fertility (sub-word
+    tokens per whitespace word) and compression (bytes per token) by
+    domain/language/source.  High-fertility groups are the ones a BPE
+    vocabulary underserves (they pay more sequence budget per word).
+
+    ``encode_fn`` (optional) maps the text column to a token-COUNT
+    column for a real tokenizer (e.g. a trained-BPE encode length);
+    default is the deterministic BPE-ish regex count, which keeps the
+    whole report a pure narrow projection + one aggregate.
+
+    All outputs are BIGINT (sums, and ratios as ``·10³ div`` integer
+    per-mille — rule 15): ``n_docs, n_bytes, n_words, n_tokens,
+    fertility_pm3`` (tokens·1000 div words), ``bytes_per_token_pm3``
+    (bytes·1000 div tokens), ``tokens_per_doc`` (tokens div docs).
+
+    100 TB shape: one map-side-combined aggregate keyed by the group —
+    the shuffle carries |groups| rows of six longs.
+    """
+    t = F.col(text_col)
+    n_tok = (
+        encode_fn(t) if encode_fn is not None else bpe_ish_token_count(t)
+    )
+    agg = (
+        df.select(
+            F.col(group_col),
+            F.octet_length(t).alias("_b"),
+            token_count(t).alias("_w"),
+            n_tok.alias("_t"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_b").cast("long").alias("n_bytes"),
+            F.sum("_w").cast("long").alias("n_words"),
+            F.sum("_t").cast("long").alias("n_tokens"),
+        )
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        "n_bytes",
+        "n_words",
+        "n_tokens",
+        F.when(
+            F.col("n_words") > 0, F.expr("n_tokens * 1000L div n_words")
+        ).alias("fertility_pm3"),
+        F.when(
+            F.col("n_tokens") > 0, F.expr("n_bytes * 1000L div n_tokens")
+        ).alias("bytes_per_token_pm3"),
+        F.when(
+            F.col("n_docs") > 0, F.expr("n_tokens div n_docs")
+        ).alias("tokens_per_doc"),
+    )

@@ -202,3 +202,44 @@ def test_cohort_matches_python_twin_on_real_events(spark):
     for r in cohort_retention(ev, period_ms=DAY).where("offset = 0").collect():
         assert r["n_users"] == r["cohort_size"]
         assert r["retention_pm"] == 1_000_000
+
+
+def test_funnel_user_times_detail(spark):
+    from buildkite_logs_parquet_spark.operators.funnel import funnel_user_times
+
+    df = _frame(
+        spark,
+        [
+            (1, "view", 100), (1, "click", 200), (1, "buy", 300),
+            (2, "view", 50), (2, "click", 80),
+            (3, "view", 10),
+            (4, "click", 5),  # never enters the funnel
+        ],
+    )
+    out = {
+        r["user_id"]: r
+        for r in funnel_user_times(df, ["view", "click", "buy"]).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["t_1"], out[1]["t_2"], out[1]["t_3"]) == (100, 200, 300)
+    assert out[1]["furthest_step"] == 3 and out[1]["convert_ms"] == 200
+    assert out[2]["furthest_step"] == 2 and out[2]["t_3"] is None
+    assert out[2]["convert_ms"] is None
+    assert out[3]["furthest_step"] == 1 and out[3]["t_2"] is None
+
+
+def test_funnel_user_times_agrees_with_funnel_steps(spark):
+    from buildkite_logs_parquet_spark.operators.funnel import funnel_user_times
+
+    ev = _events(spark)
+    steps = ["view", "click", "purchase"]
+    detail = funnel_user_times(ev, steps)
+    per_step = {
+        i: detail.where(F.col("furthest_step") >= i).count()
+        for i in range(1, 4)
+    }
+    agg = {
+        r["step_idx"]: r["n_users"]
+        for r in funnel_steps(ev, steps).collect()
+    }
+    assert per_step == agg

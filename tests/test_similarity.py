@@ -518,3 +518,52 @@ def test_random_projection_preserves_distances(spark, vectors):
         (d(got[0], got[i]), i) for i in range(1, N)
     )
     assert {i for _, i in dists[:3]} == {1, 2, 3}
+
+
+class TestEmbeddingOutliers:
+    def test_flags_planted_outlier(self, spark):
+        from buildkite_logs_parquet_spark.operators.similarity import (
+            embedding_outliers,
+        )
+
+        # 39 vectors near +e1, one inverted outlier
+        rows = [(i, [1.0, 0.01 * (i % 5), 0.0]) for i in range(39)]
+        rows.append((99, [-1.0, 0.0, 0.0]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = embedding_outliers(df, bottom_pm=50_000)  # bottom 5% of 40 = 2
+        flagged = {r["vec_id"] for r in out.where("is_outlier").collect()}
+        assert 99 in flagged
+        assert len(flagged) == 2
+        assert out.count() == 40
+
+    def test_cutoff_counts_and_tie_break(self, spark):
+        from buildkite_logs_parquet_spark.operators.similarity import (
+            embedding_outliers,
+        )
+
+        # all-identical scores: the id tie-break must cap the flagged set
+        rows = [(i, [1.0, 0.0]) for i in range(10)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = embedding_outliers(df, bottom_pm=300_000)  # bottom 30% -> 3 rows
+        flagged = sorted(r["vec_id"] for r in out.where("is_outlier").collect())
+        assert flagged == [0, 1, 2]
+
+    def test_layout_independent(self, spark):
+        from buildkite_logs_parquet_spark.operators.similarity import (
+            embedding_outliers,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        a = sorted(map(tuple, embedding_outliers(emb, bottom_pm=100_000).collect()))
+        b = sorted(
+            map(
+                tuple,
+                embedding_outliers(
+                    emb.repartition(7, "vec_id"), bottom_pm=100_000
+                ).collect(),
+            )
+        )
+        assert a == b
+        n = len(a)
+        n_flagged = sum(1 for r in a if r[2])
+        assert n_flagged == n * 100_000 // 1_000_000

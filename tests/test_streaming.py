@@ -876,3 +876,79 @@ def test_stream_neardup_filter_end_to_end(spark, tmp_path):
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {lake}")
+
+
+def test_stream_funnel_matches_batch_twin_across_three_batches(spark, tmp_path):
+    """Streaming funnel state machine: three ts-ordered micro-batches must
+    emit exactly the batch operator's earliest-completion transitions —
+    completions spanning batch boundaries included."""
+    import json
+
+    from buildkite_logs_parquet_spark.operators.funnel import (
+        funnel_steps,
+        funnel_user_times,
+    )
+    from buildkite_logs_parquet_spark.streaming.follow import stream_funnel
+
+    # u1 completes across ALL THREE batches; u2's click precedes its view
+    # (never converts past step 1); u3 re-clicks but never buys; u4's buy
+    # misses the window deadline
+    rows_b1 = [(1, "view", 100), (2, "click", 50), (3, "view", 10), (4, "view", 0)]
+    rows_b2 = [(1, "click", 200), (2, "view", 210), (3, "click", 220), (4, "click", 230)]
+    rows_b3 = [(1, "buy", 300), (3, "click", 310), (4, "buy", 5_000)]
+    src = tmp_path / "in"
+    src.mkdir()
+    import os
+    import time as _time
+
+    base_t = _time.time() - 60
+    for k_i, (name, rows) in enumerate(
+        (("b1.json", rows_b1), ("b2.json", rows_b2), ("b3.json", rows_b3))
+    ):
+        with open(src / name, "w") as f:
+            for u, t, ts in rows:
+                f.write(json.dumps({"user_id": u, "event_type": t, "ts_ms": ts}) + "\n")
+        # the file source orders micro-batches by mtime — pin distinct,
+        # increasing stamps so the batch order is the intended one
+        os.utime(src / name, (base_t + 10 * k_i, base_t + 10 * k_i))
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, ts_ms long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    steps = ["view", "click", "buy"]
+    out = stream_funnel(stream, steps, window_ms=1_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["step_idx"]): r["ts_ms"]
+        for r in spark.sql("select * from funnel_stream").collect()
+    }
+
+    batch = spark.createDataFrame(
+        rows_b1 + rows_b2 + rows_b3, "user_id long, event_type string, ts_ms long"
+    )
+    detail = funnel_user_times(batch, steps, window_ms=1_000)
+    want = {}
+    for r in detail.collect():
+        for i in range(1, 4):
+            if r[f"t_{i}"] is not None:
+                want[(r["user_id"], i)] = r[f"t_{i}"]
+    assert got == want
+    # aggregate counts agree with the oracle-gated batch operator too
+    agg = {
+        r["step_idx"]: r["n_users"]
+        for r in funnel_steps(batch, steps, window_ms=1_000).collect()
+    }
+    from collections import Counter
+
+    stream_counts = Counter(i for (_u, i) in got)
+    assert {i: stream_counts.get(i, 0) for i in agg} == agg
+    # the cross-batch completion and the window rejection both happened
+    assert (1, 3) in got and (4, 3) not in got

@@ -619,3 +619,56 @@ class TestScriptDetection:
             ).collect()
         }
         assert got == {0: "latin", 1: "han", 2: "latin", 3: "none", 4: "arabic"}
+
+
+class TestTokenizerFertility:
+    def test_hand_computed_report(self, spark):
+        from buildkite_logs_parquet_spark.operators.text_analysis import (
+            tokenizer_fertility,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("a", "hello world"),          # 2 words, 2 subword tokens
+                ("a", "don't stop"),           # 2 words, 4 subword tokens
+                ("b", "x1 y2"),                # 2 words, 4 subword tokens
+            ],
+            "source string, text string",
+        )
+        out = {r["source"]: r for r in tokenizer_fertility(df).collect()}
+        a, b = out["a"], out["b"]
+        assert (a["n_docs"], a["n_words"], a["n_tokens"]) == (2, 4, 6)
+        assert a["fertility_pm3"] == 6 * 1000 // 4
+        assert a["n_bytes"] == len("hello world") + len("don't stop")
+        assert b["n_tokens"] == 4  # x,1,y,2
+        assert b["bytes_per_token_pm3"] == b["n_bytes"] * 1000 // 4
+        assert b["tokens_per_doc"] == 4
+
+    def test_custom_encoder_and_empty_group(self, spark):
+        from pyspark.sql import functions as F
+
+        from buildkite_logs_parquet_spark.operators.text_analysis import (
+            tokenizer_fertility,
+        )
+
+        df = spark.createDataFrame(
+            [("a", "abcd"), ("a", ""), ("b", "  "), ("c", "")],
+            "source string, text string",
+        )
+        # character tokenizer: every byte (including spaces) is a token
+        out = {
+            r["source"]: r
+            for r in tokenizer_fertility(
+                df, encode_fn=lambda c: F.length(c)
+            ).collect()
+        }
+        assert out["a"]["n_tokens"] == 4
+        assert out["a"]["n_words"] == 1
+        # blank-only group: zero words -> NULL fertility, but the two
+        # space bytes still count as char tokens (2 bytes / 2 tokens)
+        assert out["b"]["n_words"] == 0
+        assert out["b"]["fertility_pm3"] is None
+        assert out["b"]["bytes_per_token_pm3"] == 1000
+        # empty group: zero tokens -> NULL bytes-per-token, no div0
+        assert out["c"]["n_tokens"] == 0
+        assert out["c"]["bytes_per_token_pm3"] is None
