@@ -1431,7 +1431,22 @@ def _extra_ops():
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return tokenizer_fertility(docs, "source", "text")
 
+    def containment_join_bench(spark, sf_dir):
+        """Asymmetric containment join at scale: the doc_id%2 half probed
+        against the full table at t=0.9 — prefix-filtered probe side vs
+        full index, exact integer containment decisions."""
+        from buildkite_logs_parquet_spark.operators.dedup import (
+            containment_join,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return containment_join(
+            docs.where("doc_id % 2 = 0"), docs, "doc_id", "text",
+            threshold=0.9,
+        )
+
     return {
+        "x_containment_join": containment_join_bench,
         "x_corpus_overlap_est": corpus_overlap_minhash_bench,
         "x_funnel_times": funnel_times_bench,
         "x_embedding_outliers": embedding_outliers_bench,

@@ -1811,3 +1811,126 @@ def corpus_overlap_minhash(
             ),
         )
     )
+
+
+def containment_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    tokenizer: str = "words",
+    shingle_k: int = 8,
+) -> DataFrame:
+    """EXACT containment-threshold join: every pair ``(a ∈ left,
+    b ∈ right)`` with ``|A∩B| ≥ t·|A|`` — "a's token set is mostly
+    inside b's" — the asymmetric complement to
+    :func:`set_similarity_join`'s symmetric Jaccard.  This is the
+    quote/excerpt/superset detector: a 50-token quote inside a 5000-token
+    page has Jaccard ≈ 0.01 (invisible to any Jaccard threshold) but
+    containment 1.0.
+
+    Prefix filter, containment form: ``A∩B`` covers at least ``⌈t·|A|⌉``
+    of A's tokens, so among ANY ``|A| − ⌈t·|A|⌉ + 1`` of A's tokens at
+    least one lies in B — the probe side keeps only that prefix under a
+    global (df asc, token) order (rarest-first, so stopword-mass never
+    enters a prefix), while the index side must stay FULL (containment
+    puts no upper bound on ``|B|``; the only size filter is
+    ``|B| ≥ t·|A|``).  The candidate join is therefore
+    probe-prefix × index-token — bounded by the prefix tokens' document
+    frequencies, not by the quadratic full-token co-occurrence.
+
+    All decisions are integers (``inter·10⁶ ≥ t6·|A|``, rule 4); output
+    ``(id_a, id_b, intersection, size_a, size_b, containment_pm)`` with
+    ``containment_pm = inter·10⁶ div |A|``.  Passing the same relation
+    as both sides yields the trivial ``a == b`` self-pairs too — filter
+    ``id_a != id_b`` downstream for self-join use.
+
+    Citation note (reference parity): the reference engine has no join
+    surface at all; this extends the SSJoin tier (Chaudhuri et al. 2006
+    prefix filtering, asymmetric variant).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    from pyspark.sql import Window as W
+
+    def toks_of(df: DataFrame) -> DataFrame:
+        if tokenizer == "words":
+            out = df.select(
+                F.col(id_col),
+                F.explode(
+                    F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+                ).alias("tok"),
+            ).where(F.col("tok") != "")
+        elif tokenizer == "shingles":
+            out = _shingles_inline(df, id_col, text_col, shingle_k).select(
+                F.col(id_col), F.col("shingle").alias("tok")
+            )
+        else:
+            raise ValueError("tokenizer must be words | shingles")
+        return out.distinct()
+
+    tl = toks_of(left)
+    tr = toks_of(right)
+    sl = tl.groupBy(id_col).agg(F.count("*").alias("_sa"))
+    sr = tr.groupBy(id_col).agg(F.count("*").alias("_sb"))
+    # ONE global token order across both relations (df asc, tok asc):
+    # any fixed order is correct; rarest-first keeps prefixes selective
+    dfreq = (
+        tl.select("tok")
+        .unionByName(tr.select("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("_df"))
+    )
+    t6 = int(round(threshold * 1_000_000))
+    ranked = (
+        tl.join(dfreq, "tok")
+        .join(sl, id_col)
+        .withColumn(
+            "_r",
+            F.row_number().over(W.partitionBy(id_col).orderBy("_df", "tok")),
+        )
+        .withColumn(
+            "_p",
+            F.col("_sa")
+            - F.expr(f"({t6} * _sa + 999999) div 1000000").cast("int")
+            + F.lit(1),
+        )
+    )
+    prefix = ranked.where(F.col("_r") <= F.col("_p")).select(
+        F.col(id_col).alias("id_a"), "tok", "_sa"
+    )
+    idx = tr.select(F.col(id_col).alias("id_b"), "tok")
+    cand = (
+        prefix.join(idx, "tok")
+        .select("id_a", "id_b", "_sa")
+        .distinct()
+        .join(
+            sr.select(F.col(id_col).alias("id_b"), "_sb"), "id_b"
+        )
+        # size filter: |A∩B| ≤ |B| and ≥ t·|A| ⇒ 10⁶·|B| ≥ t6·|A|
+        .where(F.lit(1_000_000) * F.col("_sb") >= F.lit(t6) * F.col("_sa"))
+    )
+    ta = tl.select(F.col(id_col).alias("id_a"), "tok")
+    tb = tr.select(F.col(id_col).alias("id_b"), "tok")
+    inter = (
+        cand.select("id_a", "id_b")
+        .join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("intersection"))
+    )
+    return (
+        cand.join(inter, ["id_a", "id_b"])
+        .where(
+            F.col("intersection") * 1_000_000 >= F.lit(t6) * F.col("_sa")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("intersection").cast("long").alias("intersection"),
+            F.col("_sa").cast("long").alias("size_a"),
+            F.col("_sb").cast("long").alias("size_b"),
+            F.expr("intersection * 1000000L div _sa").alias("containment_pm"),
+        )
+    )

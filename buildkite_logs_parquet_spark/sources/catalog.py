@@ -427,3 +427,69 @@ def version_manifest(root: str, version: int | None = None) -> dict[str, int]:
             name, n = line.rstrip("\n").split("\t")
             out[name] = int(n)
     return out
+
+
+def version_diff(
+    spark: SparkSession,
+    root: str,
+    key_cols: list[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change-data-capture between two catalog versions: one row per key
+    whose presence or content changed, tagged ``change ∈ {'insert',
+    'delete', 'update'}`` with both sides' full rows nested as structs
+    (``old`` NULL for inserts, ``new`` NULL for deletes).
+
+    The consumer-side complement to :func:`publish_version`'s immutable
+    versions: downstream incremental jobs (index refresh, cache
+    invalidation, re-embedding queues) read the delta instead of
+    re-scanning the snapshot.
+
+    100 TB shape: ONE full-outer join keyed on ``key_cols`` — both sides
+    are plain parquet scans (column-pruned if the caller selects off the
+    structs), and the change classification is a null-pattern CASE plus
+    a null-safe struct comparison; no window, no collect.  Unchanged
+    keys drop out via the comparison filter, so the output is
+    delta-sized, not snapshot-sized.
+    """
+    from pyspark.sql import functions as F
+
+    old = read_version(spark, root, from_version)
+    new = read_version(spark, root, to_version)
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"schema mismatch between versions: {sorted(old.columns)} vs "
+            f"{sorted(new.columns)} — diff requires a shared column set"
+        )
+    val_cols = [c for c in old.columns if c not in key_cols]
+    o = old.select(
+        *[F.col(c).alias(f"_k_{c}") for c in key_cols],
+        F.struct(*[F.col(c) for c in old.columns]).alias("old"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"_k_{c}") for c in key_cols],
+        F.struct(*[F.col(c) for c in old.columns]).alias("new"),
+    )
+    keys = [f"_k_{c}" for c in key_cols]
+    j = o.join(n, on=keys, how="full")
+    same = None
+    for c in val_cols:
+        eq = F.col(f"old.{c}").eqNullSafe(F.col(f"new.{c}"))
+        same = eq if same is None else (same & eq)
+    has_o = F.col("old").isNotNull()
+    has_n = F.col("new").isNotNull()
+    changed = (
+        j.where(~(has_o & has_n) | ~(same if same is not None else F.lit(True)))
+        if val_cols
+        else j.where(~(has_o & has_n))
+    )
+    return changed.select(
+        *[F.col(k).alias(c) for k, c in zip(keys, key_cols)],
+        F.when(~has_o, F.lit("insert"))
+        .when(~has_n, F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("change"),
+        "old",
+        "new",
+    )

@@ -542,3 +542,81 @@ class TestPointerStore:
         C.rollback(root, 1, pointer_store=st)
         assert st.read()[0] == 1
         assert C.read_version(spark, root, version=st.read()[0]).count() == 3
+
+
+class TestVersionDiff:
+    def test_insert_delete_update_classification(self, spark, tmp_path):
+        from buildkite_logs_parquet_spark.sources.catalog import (
+            publish_version,
+            version_diff,
+        )
+
+        root = str(tmp_path / "cat")
+        v1 = publish_version(
+            spark.createDataFrame(
+                [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+                "k long, s string, v double",
+            ),
+            root,
+        )
+        v2 = publish_version(
+            spark.createDataFrame(
+                [(2, "b", 20.0), (3, "c2", 30.0), (4, "d", 40.0)],
+                "k long, s string, v double",
+            ),
+            root,
+        )
+        out = {
+            r["k"]: r
+            for r in version_diff(spark, root, ["k"], v1, v2).collect()
+        }
+        assert set(out) == {1, 3, 4}  # key 2 unchanged -> absent
+        assert out[1]["change"] == "delete" and out[1]["new"] is None
+        assert out[4]["change"] == "insert" and out[4]["old"] is None
+        assert out[3]["change"] == "update"
+        assert out[3]["old"]["s"] == "c" and out[3]["new"]["s"] == "c2"
+
+    def test_null_transitions_count_as_updates(self, spark, tmp_path):
+        from buildkite_logs_parquet_spark.sources.catalog import (
+            publish_version,
+            version_diff,
+        )
+
+        root = str(tmp_path / "cat")
+        v1 = publish_version(
+            spark.createDataFrame([(1, None), (2, "x")], "k long, s string"),
+            root,
+        )
+        v2 = publish_version(
+            spark.createDataFrame([(1, "y"), (2, None)], "k long, s string"),
+            root,
+        )
+        out = {
+            r["k"]: r["change"]
+            for r in version_diff(spark, root, ["k"], v1, v2).collect()
+        }
+        assert out == {1: "update", 2: "update"}
+
+    def test_defaults_to_latest_and_rejects_schema_drift(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from buildkite_logs_parquet_spark.sources.catalog import (
+            publish_version,
+            version_diff,
+        )
+
+        root = str(tmp_path / "cat")
+        v1 = publish_version(
+            spark.createDataFrame([(1, "a")], "k long, s string"), root
+        )
+        publish_version(
+            spark.createDataFrame([(1, "b")], "k long, s string"), root
+        )
+        out = version_diff(spark, root, ["k"], v1).collect()  # to=LATEST
+        assert len(out) == 1 and out[0]["change"] == "update"
+        publish_version(
+            spark.createDataFrame([(1, "b", 2.0)], "k long, s string, x double"),
+            root,
+        )
+        with _pytest.raises(ValueError, match="schema mismatch"):
+            version_diff(spark, root, ["k"], v1)

@@ -945,3 +945,101 @@ class TestSetSimilarityJoin:
             set_similarity_join(df, "doc_id", "text", 0.0)
         with pytest.raises(ValueError):
             set_similarity_join(df, "doc_id", "text", 0.5, tokenizer="x")
+
+
+class TestContainmentJoin:
+    def _brute(self, lrows, rrows, t):
+        import math
+
+        def words(s):
+            return {w for w in s.lower().split() if w}
+
+        out = {}
+        for la, ta in lrows:
+            A = words(ta)
+            if not A:
+                continue
+            need = math.ceil(t * len(A))
+            for lb, tb in rrows:
+                B = words(tb)
+                inter = len(A & B)
+                if inter * 1_000_000 >= int(round(t * 1_000_000)) * len(A):
+                    out[(la, lb)] = (inter, len(A), len(B))
+        return out
+
+    def test_equals_brute_force_at_three_thresholds(self, spark):
+        from buildkite_logs_parquet_spark.operators.dedup import (
+            containment_join,
+        )
+
+        lrows = [
+            (1, "the quick brown fox"),
+            (2, "lazy dog sleeps"),
+            (3, "quick fox"),
+            (4, "alpha beta gamma delta epsilon"),
+        ]
+        rrows = [
+            (10, "the quick brown fox jumps over the lazy dog every day"),
+            (11, "alpha beta gamma"),
+            (12, "completely different tokens here"),
+        ]
+        left = spark.createDataFrame(lrows, "doc_id long, text string")
+        right = spark.createDataFrame(rrows, "doc_id long, text string")
+        for t in (0.5, 0.8, 1.0):
+            got = {
+                (r["id_a"], r["id_b"]): (
+                    r["intersection"],
+                    r["size_a"],
+                    r["size_b"],
+                )
+                for r in containment_join(
+                    left, right, "doc_id", "text", threshold=t
+                ).collect()
+            }
+            assert got == self._brute(lrows, rrows, t), t
+
+    def test_quote_detection_invisible_to_jaccard(self, spark):
+        from buildkite_logs_parquet_spark.operators.dedup import (
+            containment_join,
+            set_similarity_join,
+        )
+
+        quote = "to be or not to be that is the question"
+        page = quote + " " + " ".join(f"filler{i}" for i in range(200))
+        left = spark.createDataFrame([(1, quote)], "doc_id long, text string")
+        right = spark.createDataFrame([(2, page)], "doc_id long, text string")
+        got = containment_join(
+            left, right, "doc_id", "text", threshold=0.9
+        ).collect()
+        assert len(got) == 1 and got[0]["containment_pm"] == 1_000_000
+        # the symmetric join at even a LOW jaccard threshold misses it
+        both = left.unionByName(right)
+        jac = set_similarity_join(
+            both, "doc_id", "text", threshold=0.5
+        ).collect()
+        assert jac == []
+
+    def test_containment_pm_integer_and_plan_clean(self, spark):
+        from buildkite_logs_parquet_spark.operators.dedup import (
+            containment_join,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        half = docs.where("doc_id % 2 = 0")
+        out = containment_join(half, docs, "doc_id", "text", threshold=0.9)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        rows = out.collect()
+        # the a==b self pairs are present by contract and fully contained
+        self_pairs = [r for r in rows if r["id_a"] == r["id_b"]]
+        assert self_pairs and all(
+            r["containment_pm"] == 1_000_000 for r in self_pairs
+        )
+        for r in rows:
+            assert (
+                r["containment_pm"]
+                == r["intersection"] * 1_000_000 // r["size_a"]
+            )
