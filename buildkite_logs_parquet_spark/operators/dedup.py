@@ -1773,44 +1773,10 @@ def corpus_overlap_minhash(
     over the seeded estimate — rule 8: the approximation itself is
     reproducible).
     """
-    sh = _shingles_inline(
-        df, group_col, text_col, shingle_k, distinct=False
-    ).select(F.col(group_col), _hash64(F.col("shingle"), 0, hash_fn).alias("_h"))
-    aggs = [
-        F.min(_perm_hash(F.col("_h"), p)).alias(f"m{p}")
-        for p in range(num_perm)
-    ]
-    sig = sh.groupBy(group_col).agg(*aggs)
-    long_form = sig.select(
-        F.col(group_col).alias("_g"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(p).alias("p"), F.col(f"m{p}").alias("v")
-                    )
-                    for p in range(num_perm)
-                ]
-            )
-        ).alias("_pv"),
-    ).select("_g", F.col("_pv.p").alias("_p"), F.col("_pv.v").alias("_v"))
-    a = long_form.select(F.col("_g").alias("group_a"), "_p", "_v")
-    b = long_form.select(F.col("_g").alias("group_b"), "_p", "_v")
-    return (
-        a.join(b, on=["_p", "_v"])
-        .where(F.col("group_a") < F.col("group_b"))
-        .groupBy("group_a", "group_b")
-        .agg(F.count("*").alias("n_agree"))
-        .select(
-            "group_a",
-            "group_b",
-            F.col("n_agree").cast("long").alias("n_agree"),
-            F.lit(int(num_perm)).cast("long").alias("n_perm"),
-            F.expr(f"n_agree * 1000000L div {int(num_perm)}").alias(
-                "jaccard_est_pm"
-            ),
-        )
+    sig = corpus_signatures(
+        df, group_col, text_col, num_perm, shingle_k, hash_fn
     )
+    return signature_overlap_matrix(sig, group_col)
 
 
 def containment_join(
@@ -1932,5 +1898,88 @@ def containment_join(
             F.col("_sa").cast("long").alias("size_a"),
             F.col("_sb").cast("long").alias("size_b"),
             F.expr("intersection * 1000000L div _sa").alias("containment_pm"),
+        )
+    )
+
+
+def corpus_signatures(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    shingle_k: int = 12,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-corpus MinHash signature relation ``(group, m0..m{P-1})`` —
+    the state :func:`corpus_overlap_minhash` derives internally, exposed
+    so it can be PERSISTED and maintained incrementally: a MinHash
+    signature is a vector of minima, and ``min`` is mergeable, so
+    yesterday's lake plus today's batch signatures combine by
+    element-wise min without touching yesterday's text
+    (:func:`merge_corpus_signatures`)."""
+    sh = _shingles_inline(
+        df, group_col, text_col, shingle_k, distinct=False
+    ).select(F.col(group_col), _hash64(F.col("shingle"), 0, hash_fn).alias("_h"))
+    aggs = [
+        F.min(_perm_hash(F.col("_h"), p)).alias(f"m{p}")
+        for p in range(num_perm)
+    ]
+    return sh.groupBy(group_col).agg(*aggs)
+
+
+def merge_corpus_signatures(
+    existing: DataFrame, batch: DataFrame, group_col: str
+) -> DataFrame:
+    """Element-wise min-merge of two corpus-signature relations (the
+    incremental-maintenance step: signatures of (lake ∪ batch) without
+    re-reading the lake's text).  Groups present on one side only pass
+    through unchanged."""
+    perm_cols = [c for c in existing.columns if c != group_col]
+    if set(batch.columns) != set(existing.columns):
+        raise ValueError(
+            "signature schemas differ: "
+            f"{sorted(existing.columns)} vs {sorted(batch.columns)}"
+        )
+    return (
+        existing.unionByName(batch)
+        .groupBy(group_col)
+        .agg(*[F.min(c).alias(c) for c in perm_cols])
+    )
+
+
+def signature_overlap_matrix(sig: DataFrame, group_col: str) -> DataFrame:
+    """Pairwise Jaccard estimates from a persisted signature relation —
+    :func:`corpus_overlap_minhash`'s pair stage over an arbitrary
+    (possibly incrementally-merged) signature input.  Output matches the
+    estimator: ``(group_a, group_b, n_agree, n_perm, jaccard_est_pm)``.
+    """
+    perm_cols = [c for c in sig.columns if c != group_col]
+    num_perm = len(perm_cols)
+    long_form = sig.select(
+        F.col(group_col).alias("_g"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(p).alias("p"), F.col(c).alias("v"))
+                    for p, c in enumerate(perm_cols)
+                ]
+            )
+        ).alias("_pv"),
+    ).select("_g", F.col("_pv.p").alias("_p"), F.col("_pv.v").alias("_v"))
+    a = long_form.select(F.col("_g").alias("group_a"), "_p", "_v")
+    b = long_form.select(F.col("_g").alias("group_b"), "_p", "_v")
+    return (
+        a.join(b, on=["_p", "_v"])
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count("*").alias("n_agree"))
+        .select(
+            "group_a",
+            "group_b",
+            F.col("n_agree").cast("long").alias("n_agree"),
+            F.lit(int(num_perm)).cast("long").alias("n_perm"),
+            F.expr(f"n_agree * 1000000L div {int(num_perm)}").alias(
+                "jaccard_est_pm"
+            ),
         )
     )

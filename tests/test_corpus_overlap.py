@@ -153,3 +153,67 @@ def test_no_cartesian_product_in_either_plan(spark):
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_signature_merge_equals_full_recompute(spark):
+    """min is mergeable: signatures of (old ∪ new) must equal the
+    element-wise min-merge of the two batches' signatures — the
+    incremental-maintenance contract."""
+    from buildkite_logs_parquet_spark.operators.dedup import (
+        corpus_signatures,
+        merge_corpus_signatures,
+        signature_overlap_matrix,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    old = docs.where("doc_id % 3 != 0")
+    new = docs.where("doc_id % 3 = 0")
+    merged = merge_corpus_signatures(
+        corpus_signatures(old, "source", "text", num_perm=16),
+        corpus_signatures(new, "source", "text", num_perm=16),
+        "source",
+    )
+    full = corpus_signatures(docs, "source", "text", num_perm=16)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    # and the pair stage over the merged lake equals the one-shot
+    # estimator's output
+    from buildkite_logs_parquet_spark.operators.dedup import (
+        corpus_overlap_minhash,
+    )
+
+    a = sorted(map(tuple, signature_overlap_matrix(merged, "source").collect()))
+    b = sorted(
+        map(
+            tuple,
+            corpus_overlap_minhash(docs, "source", "text", num_perm=16).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_signature_merge_passthrough_and_schema_guard(spark):
+    import pytest as _pytest
+
+    from buildkite_logs_parquet_spark.operators.dedup import (
+        corpus_signatures,
+        merge_corpus_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    base = corpus_signatures(docs, "source", "text", num_perm=8)
+    only_one = corpus_signatures(
+        docs.where("source = 'src1'"), "source", "text", num_perm=8
+    )
+    merged = merge_corpus_signatures(base, only_one, "source")
+    # groups absent from the batch pass through unchanged
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, base.collect())
+    )
+    with _pytest.raises(ValueError, match="schemas differ"):
+        merge_corpus_signatures(
+            base,
+            corpus_signatures(docs, "source", "text", num_perm=4),
+            "source",
+        )
