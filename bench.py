@@ -1439,13 +1439,30 @@ def _extra_ops():
             containment_join,
         )
 
+        # probe 1/20th of the corpus: the synthetic templates make word
+        # containment clique-quadratic (measured 103x TRUE pairs at 10x
+        # docs — the setsim annotation class), so a half-corpus probe
+        # measures output explosion, not the plan; the thin probe keeps
+        # the wall proportional to per-probe candidate cost
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return containment_join(
-            docs.where("doc_id % 2 = 0"), docs, "doc_id", "text",
+            docs.where("doc_id % 20 = 0"), docs, "doc_id", "text",
             threshold=0.9,
         )
 
+    def event_transitions_bench(spark, sf_dir):
+        """First-order event-transition matrix: one user-keyed lag
+        window + types^2 aggregate + broadcast share join."""
+        import __spark_entry__ as E
+        from buildkite_logs_parquet_spark.operators.funnel import (
+            event_transitions,
+        )
+
+        ev = E._events(spark, sf_dir)
+        return event_transitions(ev, tiebreak_col="event_id")
+
     return {
+        "x_event_transitions": event_transitions_bench,
         "x_containment_join": containment_join_bench,
         "x_corpus_overlap_est": corpus_overlap_minhash_bench,
         "x_funnel_times": funnel_times_bench,

@@ -268,3 +268,61 @@ def funnel_user_times(
         *[F.col(f"t_{i}") for i in range(1, k + 1)],
         (F.col(f"t_{k}") - F.col("t_1")).alias("convert_ms"),
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_ms",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order event-transition matrix (the Markov view of user
+    paths): per user, consecutive event pairs under the total order
+    ``(ts, tiebreak)``, counted into ``(from_type, to_type)`` cells with
+    each cell's integer-ppm share of its from-type's outgoing edges —
+    the path-analysis companion to :func:`funnel_steps` (which fixes the
+    step order; this discovers it).
+
+    A ``tiebreak_col`` (e.g. the event id) makes same-millisecond
+    neighbors deterministic (rule 6); without one, same-ts ties fall
+    back to the type string.
+
+    Output: ``(from_type, to_type, n_transitions, out_pm)`` — all
+    BIGINT (rule 15), ``out_pm = n·10⁶ div Σ n over from_type``.
+
+    100 TB shape: ONE user-keyed window (lag) over ``(user, ts)`` — the
+    shuffle carries (user, ts, type) triples only — then a
+    types²-bounded aggregate and a broadcast share join.  Per-user
+    state is the sort of that user's own events; skew equals the
+    hottest user's event count.
+    """
+    from pyspark.sql import Window as W
+
+    order = [F.col(ts_col).cast("long")]
+    order.append(
+        F.col(tiebreak_col) if tiebreak_col is not None else F.col(type_col)
+    )
+    w = W.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        df.select(
+            F.col(user_col),
+            F.col(type_col).alias("to_type"),
+            F.col(ts_col),
+            *( [F.col(tiebreak_col)] if tiebreak_col is not None else [] ),
+        )
+        .withColumn("from_type", F.lag("to_type", 1).over(w))
+        .where(F.col("from_type").isNotNull())
+    )
+    cells = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n_transitions")
+    )
+    outs = cells.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("_out")
+    )
+    return cells.join(F.broadcast(outs), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.expr("n_transitions * 1000000L div _out").alias("out_pm"),
+    )

@@ -37,6 +37,20 @@ def _events(spark):
     return ev.select("user_id", "event_type", ts_ms.alias("ts_ms"))
 
 
+def _events_with_id(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ts_dtype = dict(ev.dtypes)["ts"]
+    if ts_dtype in ("bigint", "long", "int"):
+        ts_ms = F.expr("CAST(ts DIV 1000000 AS BIGINT)")
+    elif ts_dtype == "timestamp_ntz":
+        ts_ms = F.expr(
+            "timestampdiff(MILLISECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        )
+    else:
+        ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    return ev.select("user_id", "event_id", "event_type", ts_ms.alias("ts_ms"))
+
+
 def test_funnel_strict_ordering(spark):
     # u1 completes in order; u2's click PRECEDES its view (no conversion);
     # u3 views only; u4 never appears in step 1 (click without view)
@@ -243,3 +257,58 @@ def test_funnel_user_times_agrees_with_funnel_steps(spark):
         for r in funnel_steps(ev, steps).collect()
     }
     assert per_step == agg
+
+
+def test_event_transitions_hand_computed(spark):
+    from buildkite_logs_parquet_spark.operators.funnel import event_transitions
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "view", 100), (1, 2, "click", 200), (1, 3, "view", 300),
+            (2, 4, "view", 10), (2, 5, "click", 20),
+            (3, 6, "error", 5),  # single event: no transition
+        ],
+        "user_id long, event_id long, event_type string, ts_ms long",
+    )
+    out = {
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["out_pm"])
+        for r in event_transitions(df, tiebreak_col="event_id").collect()
+    }
+    assert out == {
+        ("view", "click"): (2, 1_000_000),
+        ("click", "view"): (1, 1_000_000),
+    }
+
+
+def test_event_transitions_python_twin_on_real_events(spark):
+    from collections import Counter, defaultdict
+
+    from buildkite_logs_parquet_spark.operators.funnel import event_transitions
+
+    rows = [
+        (r["user_id"], r["event_id"], r["event_type"], r["ts_ms"])
+        for r in _events_with_id(spark).collect()
+    ]
+    by_user = defaultdict(list)
+    for u, eid, t, ts in rows:
+        by_user[u].append((ts, eid, t))
+    want = Counter()
+    for evs in by_user.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            want[(a, b)] += 1
+    got = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in event_transitions(
+            _events_with_id(spark), tiebreak_col="event_id"
+        ).collect()
+    }
+    assert got == dict(want)
+    # shares sum to ~1e6 per from_type (integer-div remainder allowed)
+    from_totals = defaultdict(list)
+    for r in event_transitions(
+        _events_with_id(spark), tiebreak_col="event_id"
+    ).collect():
+        from_totals[r["from_type"]].append(r["out_pm"])
+    for fr, pms in from_totals.items():
+        assert 1_000_000 - len(pms) < sum(pms) <= 1_000_000, fr
