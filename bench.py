@@ -1629,6 +1629,7 @@ def main() -> None:
         # revenue window; events_agg the asof+interval joins;
         # segment_dedup the winnow + exact-stats legs; top_parts_per_brand
         # the per-type stats)
+        "top_terms_by_group": "ngram_counts bigram leg (round 8 consolidation)",
         "revenue_rankings": "running-revenue window leg (round 8.2)",
         "events_agg": "asof + interval join legs (round 8.2)",
         "segment_dedup": "winnow + exact-stats legs (round 8.2)",

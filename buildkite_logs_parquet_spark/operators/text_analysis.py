@@ -934,3 +934,76 @@ def tokenizer_fertility(
             F.col("n_docs") > 0, F.expr("n_tokens div n_docs")
         ).alias("tokens_per_doc"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    vocab_col: str = "token",
+) -> DataFrame:
+    """Per-group vocabulary coverage / OOV report against a token
+    relation (a trained tokenizer's vocab, an allowlist, an embedding
+    table's keys): the companion number to :func:`tokenizer_fertility` —
+    high OOV domains are the ones the vocabulary underserves.
+
+    Tokens are lowercase whitespace words (the corpus side of a word-
+    level vocab); swap the tokenizer upstream by passing a pre-tokenized
+    ``df`` with one token per row in ``text_col``.
+
+    Output per group (all BIGINT, rule 15): ``n_tokens`` (occurrences),
+    ``n_oov`` (occurrences of out-of-vocab tokens), ``oov_pm``
+    (occurrence-weighted, ``·10⁶ div``), ``n_types`` / ``n_oov_types``
+    (distinct tokens), ``type_oov_pm``.
+
+    100 TB shape: the vocab side is a tokenizer vocabulary —
+    lexicon-sized by construction — so membership is a BROADCAST left
+    join against the exploded token stream (no corpus-side shuffle for
+    the join); occurrence counts aggregate map-side by group, and the
+    type counts aggregate over the (group, token) distinct relation.
+    """
+    toks = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("_tok"),
+    ).where(F.col("_tok") != "")
+    v = F.broadcast(
+        vocab.select(F.lower(F.col(vocab_col)).alias("_tok"))
+        .distinct()
+        .withColumn("_inv", F.lit(True))
+    )
+    marked = toks.join(v, "_tok", "left").select(
+        "_g", "_tok", F.col("_inv").isNull().alias("_oov")
+    )
+    occ = marked.groupBy("_g").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.col("_oov").cast("long")).cast("long").alias("n_oov"),
+    )
+    types = (
+        marked.select("_g", "_tok", "_oov")
+        .distinct()
+        .groupBy("_g")
+        .agg(
+            F.count("*").cast("long").alias("n_types"),
+            F.sum(F.col("_oov").cast("long")).cast("long").alias("n_oov_types"),
+        )
+    )
+    return (
+        occ.join(types, "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            "n_tokens",
+            "n_oov",
+            F.when(
+                F.col("n_tokens") > 0, F.expr("n_oov * 1000000L div n_tokens")
+            ).alias("oov_pm"),
+            "n_types",
+            "n_oov_types",
+            F.when(
+                F.col("n_types") > 0,
+                F.expr("n_oov_types * 1000000L div n_types"),
+            ).alias("type_oov_pm"),
+        )
+    )

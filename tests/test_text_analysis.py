@@ -672,3 +672,62 @@ class TestTokenizerFertility:
         # empty group: zero tokens -> NULL bytes-per-token, no div0
         assert out["c"]["n_tokens"] == 0
         assert out["c"]["bytes_per_token_pm3"] is None
+
+
+class TestVocabCoverage:
+    def test_hand_computed_occurrences_and_types(self, spark):
+        from buildkite_logs_parquet_spark.operators.text_analysis import (
+            vocab_coverage,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("a", "the cat sat on the MAT"),
+                ("b", "unknown words only here"),
+            ],
+            "source string, text string",
+        )
+        vocab = spark.createDataFrame(
+            [("the",), ("cat",), ("sat",), ("mat",), ("on",)], "token string"
+        )
+        out = {r["source"]: r for r in vocab_coverage(df, vocab).collect()}
+        a = out["a"]
+        # 6 occurrences, all in vocab (MAT lowercases in)
+        assert (a["n_tokens"], a["n_oov"], a["oov_pm"]) == (6, 0, 0)
+        # types: the, cat, sat, on, mat -> 5, none OOV
+        assert (a["n_types"], a["n_oov_types"], a["type_oov_pm"]) == (5, 0, 0)
+        b = out["b"]
+        assert (b["n_tokens"], b["n_oov"], b["oov_pm"]) == (4, 4, 1_000_000)
+        assert b["type_oov_pm"] == 1_000_000
+
+    def test_occurrence_vs_type_weighting_differ(self, spark):
+        from buildkite_logs_parquet_spark.operators.text_analysis import (
+            vocab_coverage,
+        )
+
+        # 9 occurrences of a known word + 1 OOV: occurrence OOV = 10%,
+        # type OOV = 50%
+        df = spark.createDataFrame(
+            [("a", "known " * 9 + "rareword")], "source string, text string"
+        )
+        vocab = spark.createDataFrame([("known",)], "token string")
+        (r,) = vocab_coverage(df, vocab).collect()
+        assert r["oov_pm"] == 100_000
+        assert r["type_oov_pm"] == 500_000
+
+    def test_broadcast_join_in_plan(self, spark):
+        from buildkite_logs_parquet_spark.operators.text_analysis import (
+            vocab_coverage,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        vocab = docs.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+        ).limit(100)
+        plan = (
+            vocab_coverage(docs, vocab)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
