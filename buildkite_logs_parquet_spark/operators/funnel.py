@@ -326,3 +326,129 @@ def event_transitions(
         "n_transitions",
         F.expr("n_transitions * 1000000L div _out").alias("out_pm"),
     )
+
+
+def attribute_conversions(
+    df: DataFrame,
+    conversion_type: str,
+    channel_types: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_ms",
+    id_col: str = "event_id",
+    mode: str = "last_touch",
+) -> DataFrame:
+    """Marketing-style conversion attribution: each conversion event is
+    credited to one channel touch — the user's most recent channel
+    event at-or-before the conversion (``last_touch``) or their
+    earliest channel event overall, provided it precedes the
+    conversion (``first_touch``).
+
+    Output: one row per conversion —
+    ``(conversion_id, user, conv_ts_ms, channel, touch_ts_ms)`` with
+    ``channel``/``touch_ts_ms`` NULL for unattributed conversions (no
+    prior touch).
+
+    100 TB shape: last-touch is the as-of sweep
+    (``operators/asof.py::asof_join`` — ONE user-keyed hash shuffle,
+    per-key sort, no range join); first-touch is one user-keyed min
+    aggregate over the channel slice joined back — both sides filtered
+    to their type slices at the scan.
+    """
+    if mode not in ("last_touch", "first_touch"):
+        raise ValueError("mode must be last_touch | first_touch")
+    u, t = F.col(user_col), F.col(type_col)
+    conv = df.where(t == conversion_type).select(
+        F.col(id_col).alias("conversion_id"),
+        u.alias(user_col),
+        F.col(ts_col).cast("long").alias("conv_ts_ms"),
+    )
+    touches = df.where(t.isin(list(channel_types)))
+    if mode == "last_touch":
+        from buildkite_logs_parquet_spark.operators.asof import asof_join
+
+        # one row per (user, ms): latest-id channel wins the tie (rule 6)
+        slots = touches.groupBy(
+            u.alias(user_col), F.col(ts_col).cast("long").alias("_tts")
+        ).agg(F.max_by(type_col, F.col(id_col)).alias("channel"))
+        out = asof_join(
+            conv, slots, on=user_col, left_ts="conv_ts_ms", right_ts="_tts"
+        )
+        return out.select(
+            "conversion_id",
+            user_col,
+            "conv_ts_ms",
+            "channel",
+            F.col("matched_ts").alias("touch_ts_ms"),
+        )
+    first = touches.groupBy(u.alias(user_col)).agg(
+        F.min(
+            F.struct(
+                F.col(ts_col).cast("long").alias("_tts"),
+                F.col(id_col).alias("_tid"),
+                F.col(type_col).alias("_tch"),
+            )
+        ).alias("_f")
+    )
+    joined = conv.join(first, user_col, "left")
+    valid = F.col("_f._tts") <= F.col("conv_ts_ms")
+    return joined.select(
+        "conversion_id",
+        user_col,
+        "conv_ts_ms",
+        F.when(valid, F.col("_f._tch")).alias("channel"),
+        F.when(valid, F.col("_f._tts")).alias("touch_ts_ms"),
+    )
+
+
+def top_paths(
+    df: DataFrame,
+    depth: int = 3,
+    top_k: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_ms",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Most-travelled event paths: consecutive ``depth``-grams of event
+    types per user (the n-step generalization of
+    :func:`event_transitions`), counted and ranked.
+
+    Output: ``(step_1 .. step_{depth}, n_paths, rank)`` — top_k rows
+    under the (count desc, lexicographic path) rule-6 total order.
+
+    100 TB shape: ONE user-keyed window produces all depth−1 lags in a
+    single pass (Catalyst collapses same-window lags into one
+    WindowExec); the path aggregate is vocabulary^depth-bounded, and
+    the rank is a TakeOrderedAndProject over that bounded relation.
+    """
+    if depth < 2:
+        raise ValueError("depth must be >= 2")
+    from pyspark.sql import Window as W
+
+    order = [F.col(ts_col).cast("long")]
+    order.append(
+        F.col(tiebreak_col) if tiebreak_col is not None else F.col(type_col)
+    )
+    w = W.partitionBy(user_col).orderBy(*order)
+    cols = {f"step_{depth}": F.col(type_col)}
+    for i in range(1, depth):
+        cols[f"step_{depth - i}"] = F.lag(type_col, i).over(w)
+    path = df.select(
+        *[c.alias(n) for n, c in cols.items()]
+    ).where(F.col("step_1").isNotNull())
+    names = [f"step_{i}" for i in range(1, depth + 1)]
+    counts = path.groupBy(*names).agg(
+        F.count("*").cast("long").alias("n_paths")
+    )
+    ranked = (
+        counts.orderBy(F.col("n_paths").desc(), *[F.col(n) for n in names])
+        .limit(int(top_k))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(F.col("n_paths").desc(), *[F.col(n) for n in names])
+            ).cast("long"),
+        )
+    )
+    return ranked.select(*names, "n_paths", "rank")

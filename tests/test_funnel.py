@@ -312,3 +312,84 @@ def test_event_transitions_python_twin_on_real_events(spark):
         from_totals[r["from_type"]].append(r["out_pm"])
     for fr, pms in from_totals.items():
         assert 1_000_000 - len(pms) < sum(pms) <= 1_000_000, fr
+
+
+def test_last_touch_attribution(spark):
+    from buildkite_logs_parquet_spark.operators.funnel import (
+        attribute_conversions,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "view", 100), (1, 2, "click", 200), (1, 3, "purchase", 300),
+            (2, 4, "view", 50), (2, 5, "purchase", 40),   # touch AFTER conv
+            (3, 6, "purchase", 10),                        # no touch at all
+            (4, 7, "click", 90), (4, 8, "view", 90), (4, 9, "purchase", 95),
+        ],
+        "user_id long, event_id long, event_type string, ts_ms long",
+    )
+    out = {
+        r["conversion_id"]: (r["channel"], r["touch_ts_ms"])
+        for r in attribute_conversions(
+            df, "purchase", ["view", "click"]
+        ).collect()
+    }
+    assert out[3] == ("click", 200)       # latest touch before conv
+    assert out[5] == (None, None)         # only future touches
+    assert out[6] == (None, None)
+    # same-ms tie: highest event id wins (rule-6 max_by on the id)
+    assert out[9] == ("view", 90)
+
+
+def test_first_touch_attribution(spark):
+    from buildkite_logs_parquet_spark.operators.funnel import (
+        attribute_conversions,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "click", 100), (1, 2, "view", 200), (1, 3, "purchase", 300),
+            (2, 4, "purchase", 10), (2, 5, "view", 20), (2, 6, "purchase", 30),
+        ],
+        "user_id long, event_id long, event_type string, ts_ms long",
+    )
+    out = {
+        r["conversion_id"]: (r["channel"], r["touch_ts_ms"])
+        for r in attribute_conversions(
+            df, "purchase", ["view", "click"], mode="first_touch"
+        ).collect()
+    }
+    assert out[3] == ("click", 100)  # earliest touch, not latest
+    assert out[4] == (None, None)    # conv precedes the first touch
+    assert out[6] == ("view", 20)
+
+
+def test_top_paths_counts_and_rank_order(spark):
+    from buildkite_logs_parquet_spark.operators.funnel import top_paths
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "a", 1), (1, 2, "b", 2), (1, 3, "c", 3),
+            (2, 4, "a", 1), (2, 5, "b", 2), (2, 6, "c", 3),
+            (3, 7, "a", 1), (3, 8, "b", 2), (3, 9, "x", 3),
+            (4, 10, "a", 1),  # too short for a 3-path
+        ],
+        "user_id long, event_id long, event_type string, ts_ms long",
+    )
+    out = top_paths(df, depth=3, top_k=5, tiebreak_col="event_id").collect()
+    got = [((r["step_1"], r["step_2"], r["step_3"]), r["n_paths"], r["rank"]) for r in out]
+    assert got[0] == (("a", "b", "c"), 2, 1)
+    assert got[1] == (("a", "b", "x"), 1, 2)
+    assert len(got) == 2
+    # depth=2 equals event_transitions counts
+    from buildkite_logs_parquet_spark.operators.funnel import event_transitions
+
+    p2 = {
+        (r["step_1"], r["step_2"]): r["n_paths"]
+        for r in top_paths(df, depth=2, top_k=100, tiebreak_col="event_id").collect()
+    }
+    tr = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in event_transitions(df, tiebreak_col="event_id").collect()
+    }
+    assert p2 == tr
