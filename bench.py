@@ -1461,7 +1461,19 @@ def _extra_ops():
         ev = E._events(spark, sf_dir)
         return event_transitions(ev, tiebreak_col="event_id")
 
+    def truncation_recall_bench(spark, sf_dir):
+        """Matryoshka truncation-recall sweep (64/32/16 dims, exact
+        top-10, 8 literal queries): three corpus scans with explode +
+        per-query rank windows, recall join over the tiny top-k set."""
+        from buildkite_logs_parquet_spark.operators.similarity import (
+            truncation_recall,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return truncation_recall(emb, dims=[64, 32, 16], k=10, n_queries=8)
+
     return {
+        "x_truncation_recall": truncation_recall_bench,
         "x_event_transitions": event_transitions_bench,
         "x_containment_join": containment_join_bench,
         "x_corpus_overlap_est": corpus_overlap_minhash_bench,

@@ -1009,3 +1009,114 @@ def embedding_outliers(
             & (F.col(id_col) <= thr_i)
         ),
     )
+
+
+def truncation_recall(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: list[int] | None = None,
+    k: int = 10,
+    n_queries: int = 8,
+) -> DataFrame:
+    """Matryoshka-style truncation evaluation: exact top-k recall of
+    PREFIX-truncated embeddings against the full-dimension ground truth
+    — the measurement behind "can we store/search the first d dims and
+    keep recall", the cheapest of all embedding compressions (free to
+    apply, unlike SQ/PQ re-encoding).
+
+    ``dims[0]`` must be the full dimension (the ground-truth ranking);
+    each further entry is a truncation to its first ``d`` components.
+    Queries are the ``n_queries`` lowest-id vectors (deterministic,
+    rule 6).
+
+    Output: one row per (dim, query) — ``(dim, query_id, hits,
+    recall_pm)`` with ``recall_pm = hits·10⁶ div k`` (the full dim's
+    rows read exactly 10⁶ — a built-in sanity check).
+
+    100 TB shape: queries inline as literals (the centroid pattern), so
+    each dim's pass is ONE corpus scan + an n_queries-explode + a
+    per-query rank window over candidates — no join against the corpus,
+    no cartesian; the recall intersection runs over the
+    (dims × queries × k)-row top-k relation only.
+    """
+    from functools import reduce
+
+    dims = dims or [64, 32, 16]
+    qrows = (
+        df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+        .orderBy(id_col)
+        .limit(int(n_queries))
+        .collect()
+    )
+    if not qrows:
+        return df.sparkSession.createDataFrame(
+            [], "dim long, query_id long, hits long, recall_pm long"
+        )
+    full = int(dims[0])
+
+    def topk_at(d: int) -> DataFrame:
+        entries = [
+            F.struct(
+                F.lit(int(r[id_col])).alias("qid"),
+                F.lit([float(x) for x in r["_v"][:d]]).alias("qv"),
+            )
+            for r in qrows
+        ]
+        v = F.slice(_as_double(F.col(vec_col)), 1, d)
+        scored = (
+            df.select(F.col(id_col), v.alias("_cv"))
+            .withColumn("_cn", norm(F.col("_cv")))
+            .select(
+                id_col,
+                "_cv",
+                "_cn",
+                F.explode(F.array(*entries)).alias("_q"),
+            )
+            .select(
+                id_col,
+                F.col("_q.qid").alias("query_id"),
+                (
+                    dot(F.col("_cv"), F.col("_q.qv"))
+                    / (F.col("_cn") * norm(F.col("_q.qv")))
+                ).alias("_s"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("_s").desc(), F.col(id_col)
+        )
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= int(k))
+            .select(F.lit(int(d)).cast("long").alias("dim"), "query_id", id_col)
+        )
+
+    truth = topk_at(full).select(
+        F.col("query_id").alias("_tq"), F.col(id_col).alias("_tid")
+    )
+    per_dim = [topk_at(int(d)) for d in dims]
+    allk = reduce(DataFrame.unionByName, per_dim)
+    hits = (
+        allk.join(
+            F.broadcast(truth),
+            (F.col("query_id") == F.col("_tq"))
+            & (F.col(id_col) == F.col("_tid")),
+        )
+        .groupBy("dim", "query_id")
+        .agg(F.count("*").cast("long").alias("hits"))
+    )
+    shape = df.sparkSession.createDataFrame(
+        [(int(d), int(r[id_col])) for d in dims for r in qrows],
+        "dim long, query_id long",
+    )
+    return (
+        shape.join(hits, ["dim", "query_id"], "left")
+        .select(
+            "dim",
+            "query_id",
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.expr(f"coalesce(hits, 0L) * 1000000L div {int(k)}").alias(
+                "recall_pm"
+            ),
+        )
+    )

@@ -393,3 +393,60 @@ def test_top_paths_counts_and_rank_order(spark):
         for r in event_transitions(df, tiebreak_col="event_id").collect()
     }
     assert p2 == tr
+
+
+# ------------------------------------------------------ hypothesis suites
+
+from hypothesis import given, settings, strategies as st
+
+_event_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=6),        # user
+        st.sampled_from(["view", "click", "buy"]),    # type
+        st.integers(min_value=0, max_value=50),       # ts
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_event_lists)
+def test_funnel_counts_monotone_and_match_twin(spark, rows):
+    """For ANY event set: per-step survivor counts are non-increasing and
+    equal the pure-python greedy twin."""
+    df = spark.createDataFrame(
+        [(u, t, ts) for u, t, ts in rows],
+        "user_id long, event_type string, ts_ms long",
+    )
+    steps = ["view", "click", "buy"]
+    out = {
+        r["step_idx"]: r["n_users"]
+        for r in funnel_steps(df, steps).collect()
+    }
+    counts = [out[i] for i in (1, 2, 3)]
+    assert counts[0] >= counts[1] >= counts[2]
+    assert counts == _python_funnel(rows, steps)
+
+
+@settings(max_examples=6, deadline=None)
+@given(rows=_event_lists)
+def test_transitions_total_equals_events_minus_users(spark, rows):
+    """Σ transitions == Σ(per-user events − 1): every event except each
+    user's first is exactly one transition's target."""
+    from collections import Counter
+
+    from buildkite_logs_parquet_spark.operators.funnel import (
+        event_transitions,
+    )
+
+    df = spark.createDataFrame(
+        [(u, i, t, ts) for i, (u, t, ts) in enumerate(rows)],
+        "user_id long, event_id long, event_type string, ts_ms long",
+    )
+    total = sum(
+        r["n_transitions"]
+        for r in event_transitions(df, tiebreak_col="event_id").collect()
+    )
+    per_user = Counter(u for u, _, _ in rows)
+    assert total == sum(n - 1 for n in per_user.values())

@@ -567,3 +567,56 @@ class TestEmbeddingOutliers:
         n = len(a)
         n_flagged = sum(1 for r in a if r[2])
         assert n_flagged == n * 100_000 // 1_000_000
+
+
+class TestTruncationRecall:
+    def test_full_dim_recall_is_exactly_one(self, spark):
+        from buildkite_logs_parquet_spark.operators.similarity import (
+            truncation_recall,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        dim = len(emb.first()["embedding"])
+        out = truncation_recall(
+            emb, dims=[dim, dim // 2, dim // 4], k=10, n_queries=4
+        )
+        rows = out.collect()
+        assert len(rows) == 3 * 4
+        full = [r for r in rows if r["dim"] == dim]
+        assert all(r["recall_pm"] == 1_000_000 for r in full)
+        # truncation can only lose candidates: recall in [0, 1e6]
+        assert all(0 <= r["recall_pm"] <= 1_000_000 for r in rows)
+        assert all(r["recall_pm"] == r["hits"] * 1_000_000 // 10 for r in rows)
+
+    def test_matches_numpy_brute_force(self, spark):
+        import numpy as np
+
+        from buildkite_logs_parquet_spark.operators.similarity import (
+            truncation_recall,
+        )
+
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(size=(60, 16)).astype(float)
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        k, nq = 5, 3
+        out = {
+            (r["dim"], r["query_id"]): r["hits"]
+            for r in truncation_recall(
+                df, dims=[16, 8], k=k, n_queries=nq
+            ).collect()
+        }
+
+        def topk(d, qi):
+            q = vecs[qi, :d]
+            sims = (vecs[:, :d] @ q) / (
+                np.linalg.norm(vecs[:, :d], axis=1) * np.linalg.norm(q)
+            )
+            # (score desc, id asc) — numpy argsort on (-sim, id)
+            order = sorted(range(60), key=lambda j: (-sims[j], j))
+            return set(order[:k])
+
+        for qi in range(nq):
+            want_full = topk(16, qi)
+            assert out[(16, qi)] == k
+            assert out[(8, qi)] == len(topk(8, qi) & want_full)
