@@ -788,3 +788,75 @@ def stream_funnel(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_cohort_activity(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    period_ms: int = 86_400_000,
+    max_offsets: int = 64,
+):
+    """Streaming cohort-activity tracker — the stream twin of
+    ``operators/funnel.py::cohort_retention``'s cell feed, on
+    ``applyInPandasWithState`` keyed by user.
+
+    State per user is TWO longs: the cohort period (first-activity
+    period ever seen) and a BITMASK of offsets already emitted — so a
+    user's state is 16 bytes regardless of event volume, bounded to
+    ``max_offsets`` periods of observation (offsets ≥ the mask width
+    are dropped with the documented streaming-horizon semantics; 64
+    daily offsets ≈ two months of live dashboard).
+
+    Emits one APPEND row per (user, offset) FIRST activation:
+    ``(user, cohort_period, offset)``.  Counting those rows per
+    (cohort_period, offset) downstream reproduces the batch
+    ``cohort_retention`` matrix exactly for in-order streams (tested
+    over batch splits).
+
+    Caveat shared with every streaming cohort: a user whose true first
+    activity arrives late (older period in a later batch) is cohorted
+    at their first SEEN period — the batch operator remains the
+    source of truth for backfills.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    w = int(period_ms)
+    if w < 1:
+        raise ValueError("period_ms must be >= 1")
+
+    def track(key, pdfs, state):
+        if state.exists:
+            cohort, mask = state.get
+        else:
+            cohort, mask = -1, 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        periods = (batch[ts_col].astype("int64") // w).tolist()
+        out = []
+        for p in sorted(periods):
+            if cohort < 0:
+                cohort = p
+            off = p - cohort
+            if off < 0 or off >= max_offsets:
+                continue
+            bit = 1 << off
+            if not (mask & bit):
+                mask |= bit
+                out.append((key[0], cohort, off))
+        state.update((int(cohort), int(mask)))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[user_col, "cohort_period", "offset"]
+            )
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        track,
+        outputStructType=(
+            f"{user_col} long, cohort_period long, offset long"
+        ),
+        stateStructType="cohort bigint, mask bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

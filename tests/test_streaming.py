@@ -952,3 +952,61 @@ def test_stream_funnel_matches_batch_twin_across_three_batches(spark, tmp_path):
     assert {i: stream_counts.get(i, 0) for i in agg} == agg
     # the cross-batch completion and the window rejection both happened
     assert (1, 3) in got and (4, 3) not in got
+
+
+def test_stream_cohort_activity_matches_batch_retention(spark, tmp_path):
+    """Counting the streamed (user, cohort, offset) activations per cell
+    must equal the batch cohort_retention matrix — across batch splits,
+    with a replayed duplicate event proving bitmask idempotence."""
+    import json
+    import os
+    import time as _time
+    from collections import Counter
+
+    from buildkite_logs_parquet_spark.operators.funnel import cohort_retention
+    from buildkite_logs_parquet_spark.streaming.follow import (
+        stream_cohort_activity,
+    )
+
+    DAY = 86_400_000
+    rows_b1 = [(1, 0), (2, 10), (1, DAY + 5)]
+    rows_b2 = [(1, DAY + 6), (3, DAY), (2, 2 * DAY)]      # dup day for u1
+    rows_b3 = [(1, 3 * DAY), (3, 3 * DAY + 1), (1, DAY + 7)]  # replay u1 day1
+    src = tmp_path / "in"
+    src.mkdir()
+    base_t = _time.time() - 60
+    for i, (name, rows) in enumerate(
+        (("b1.json", rows_b1), ("b2.json", rows_b2), ("b3.json", rows_b3))
+    ):
+        with open(src / name, "w") as f:
+            for u, ts in rows:
+                f.write(json.dumps({"user_id": u, "ts_ms": ts}) + "\n")
+        os.utime(src / name, (base_t + 10 * i, base_t + 10 * i))
+    stream = (
+        spark.readStream.schema("user_id long, ts_ms long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream_cohort_activity(stream)
+        .writeStream.format("memory")
+        .queryName("cohort_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("select * from cohort_stream").collect()
+    # idempotence: one activation per (user, offset), ever
+    keys = [(r["user_id"], r["offset"]) for r in emitted]
+    assert len(keys) == len(set(keys))
+    got = Counter((r["cohort_period"], r["offset"]) for r in emitted)
+
+    batch = spark.createDataFrame(
+        rows_b1 + rows_b2 + rows_b3, "user_id long, ts_ms long"
+    )
+    want = {
+        (r["cohort_period"], r["offset"]): r["n_users"]
+        for r in cohort_retention(batch, period_ms=DAY).collect()
+    }
+    assert dict(got) == want
