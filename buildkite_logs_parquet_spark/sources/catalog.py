@@ -493,3 +493,37 @@ def version_diff(
         "old",
         "new",
     )
+
+
+def version_stats_drift(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int | None = None,
+    cat_cols: list[str] | None = None,
+    num_cols: list[str] | None = None,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Distribution drift between two catalog VERSIONS — the governance
+    companion to :func:`version_diff`: ``version_diff`` answers "which
+    rows changed", this answers "did the published DISTRIBUTION shift"
+    (language mix, source mix, length profile) using the same PSI
+    machinery the crawl audit runs
+    (``operators/profiling.py::corpus_drift``).
+
+    The check a catalog publisher gates promotion on: re-pointing LATEST
+    to a version whose per-column PSI exceeds policy is how silent
+    filter regressions reach training.
+
+    Output: one row per (column, bucket) with both versions' counts,
+    shares, and PSI terms (``drift_summary`` rolls it to one row per
+    column).  Cost: each version is scanned once into bucket counts —
+    the drift math runs on the metadata-sized bucket relation.
+    """
+    from buildkite_logs_parquet_spark.operators.profiling import corpus_drift
+
+    old = read_version(spark, root, from_version)
+    new = read_version(spark, root, to_version)
+    return corpus_drift(
+        old, new, cat_cols=cat_cols, num_cols=num_cols, n_bins=n_bins
+    )

@@ -620,3 +620,39 @@ class TestVersionDiff:
         )
         with _pytest.raises(ValueError, match="schema mismatch"):
             version_diff(spark, root, ["k"], v1)
+
+
+class TestVersionStatsDrift:
+    def test_shifted_mix_shows_drift_and_stable_does_not(self, spark, tmp_path):
+        from buildkite_logs_parquet_spark.operators.profiling import (
+            drift_summary,
+        )
+        from buildkite_logs_parquet_spark.sources.catalog import (
+            publish_version,
+            version_stats_drift,
+        )
+
+        root = str(tmp_path / "cat")
+        base = [("en", 100.0)] * 80 + [("de", 100.0)] * 20
+        v1 = publish_version(
+            spark.createDataFrame(base, "lang string, score double"), root
+        )
+        # same mix republished: PSI ~ 0
+        v2 = publish_version(
+            spark.createDataFrame(base, "lang string, score double"), root
+        )
+        # language mix flips: PSI large
+        shifted = [("en", 100.0)] * 20 + [("de", 100.0)] * 80
+        v3 = publish_version(
+            spark.createDataFrame(shifted, "lang string, score double"), root
+        )
+        stable = drift_summary(
+            version_stats_drift(spark, root, v1, v2, cat_cols=["lang"])
+        ).collect()
+        moved = drift_summary(
+            version_stats_drift(spark, root, v1, v3, cat_cols=["lang"])
+        ).collect()
+        psi_stable = {r["column"]: r["psi"] for r in stable}["lang"]
+        psi_moved = {r["column"]: r["psi"] for r in moved}["lang"]
+        assert abs(psi_stable) < 1e-9
+        assert psi_moved > 0.25  # the standard "shifted" threshold
