@@ -1472,7 +1472,32 @@ def _extra_ops():
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return truncation_recall(emb, dims=[64, 32, 16], k=10, n_queries=8)
 
+    def resize_images_bench(spark, sf_dir):
+        """Batch image resize throughput: 64 distinct PNGs replicated
+        across the embeddings ids, decoded + area-average downscaled to
+        32x32 + re-encoded inside mapInPandas."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from buildkite_logs_parquet_spark.functions.image_codec import (
+            encode_png,
+        )
+        from buildkite_logs_parquet_spark.operators import multimodal as M
+
+        rng = np.random.default_rng(11)
+        payloads = [
+            (j, bytearray(encode_png(rng.integers(0, 256, (48, 48, 3)).astype("uint8"))))
+            for j in range(64)
+        ]
+        pal = spark.createDataFrame(payloads, "k long, payload binary")
+        ids = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            F.col("vec_id").alias("media_id"), (F.col("vec_id") % 64).alias("k")
+        )
+        media = ids.join(F.broadcast(pal), "k").repartition(32)
+        return M.resize_images(media, width=32, height=32)
+
     return {
+        "x_resize_images": resize_images_bench,
         "x_truncation_recall": truncation_recall_bench,
         "x_event_transitions": event_transitions_bench,
         "x_containment_join": containment_join_bench,

@@ -1389,3 +1389,126 @@ def strip_image_metadata(
     return media.select(id_col, payload_col).mapInPandas(
         run, f"{id_col} long, {payload_col} binary, stripped boolean"
     )
+
+
+def _resize_area(img, out_h: int, out_w: int):
+    """Deterministic box-filter (area-average) resize to exactly
+    ``(out_h, out_w)`` — the `_dhash64` grid generalized: output cell
+    (r, c) averages the input block between the integer pixel
+    boundaries ``⌊r·H/out_h⌋ .. ⌊(r+1)·H/out_h⌋`` (clamped non-empty),
+    per channel.  Pure numpy, no interpolation-library dependency, and
+    bit-reproducible across platforms (float64 means of uint8 blocks,
+    rounded half-up to uint8)."""
+    import numpy as np
+
+    px = img.astype("float64")
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    rb = [(r * h) // out_h for r in range(out_h + 1)]
+    cb = [(c * w) // out_w for c in range(out_w + 1)]
+    out = np.empty((out_h, out_w, ch))
+    for r in range(out_h):
+        r0, r1 = rb[r], max(rb[r] + 1, rb[r + 1])
+        for c in range(out_w):
+            c0, c1 = cb[c], max(cb[c] + 1, cb[c + 1])
+            out[r, c, :] = px[r0:r1, c0:c1, :].reshape(-1, ch).mean(axis=0)
+    return np.floor(out + 0.5).clip(0, 255).astype("uint8")
+
+
+def resize_images(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    width: int = 64,
+    height: int = 64,
+    keep_aspect: bool = False,
+    out_format: str = "png",
+) -> DataFrame:
+    """Batch image resize — the multimodal preprocessing step every
+    vision-data pipeline runs before embedding/training (brief §multimodal:
+    decode / feature-extract / RESIZE / frame-sample): decode through
+    the native codec set, deterministic area-average downscale, and
+    re-encode, all inside Arrow-batched ``mapInPandas``.
+
+    ``keep_aspect`` fits the image inside ``width × height`` preserving
+    aspect (never upscales a side's share); otherwise the output is
+    exactly ``width × height``.  ``out_format``: ``png`` (lossless,
+    stdlib zlib) or ``bmp`` (fastest).  Undecodable payloads come out
+    with a NULL payload and ``decode_ok = false`` (the quarantine
+    convention) instead of failing the job.
+
+    Output: ``(id, payload binary, out_w, out_h, in_w, in_h,
+    decode_ok)``.
+
+    100 TB shape: pure per-row work inside ``mapInPandas`` — repartition
+    upstream to spread decode across cores (the ``extract_features``
+    guidance); payload bytes never reach the driver.
+    """
+    if out_format not in ("png", "bmp"):
+        raise ValueError("out_format must be png | bmp")
+    if width < 1 or height < 1:
+        raise ValueError("width/height must be >= 1")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from buildkite_logs_parquet_spark.functions.image_codec import (
+            decode_image,
+            encode_bmp,
+            encode_png,
+        )
+
+        enc = encode_png if out_format == "png" else encode_bmp
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    img = decode_image(bytes(payload))
+                    ih, iw = img.shape[0], img.shape[1]
+                    ow, oh = width, height
+                    if keep_aspect:
+                        # largest size fitting the box with aspect
+                        # preserved — integer floor arithmetic, ≥ 1px;
+                        # cross-multiplied comparison avoids any float
+                        if iw * height > ih * width:  # wider than the box
+                            ow, oh = width, max(1, (ih * width) // iw)
+                        else:
+                            ow, oh = max(1, (iw * height) // ih), height
+                    small = _resize_area(img, oh, ow)
+                    out.append(
+                        {
+                            id_col: mid,
+                            "payload": bytearray(enc(small)),
+                            "out_w": ow,
+                            "out_h": oh,
+                            "in_w": iw,
+                            "in_h": ih,
+                            "decode_ok": True,
+                        }
+                    )
+                except Exception:
+                    out.append(
+                        {
+                            id_col: mid,
+                            "payload": None,
+                            "out_w": None,
+                            "out_h": None,
+                            "in_w": None,
+                            "in_h": None,
+                            "decode_ok": False,
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    id_col, "payload", "out_w", "out_h", "in_w", "in_h",
+                    "decode_ok",
+                ],
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        run,
+        f"{id_col} long, payload binary, out_w int, out_h int, "
+        "in_w int, in_h int, decode_ok boolean",
+    )

@@ -650,3 +650,94 @@ class TestG711:
         _, got = decode_wav(self._riff(0x0007, 2, 8000, inter))
         assert got.shape == (100, 2)
         np.testing.assert_array_equal(got[:, 0], got[:, 1])
+
+
+class TestResizeImages:
+    def _media(self, spark, imgs):
+        import numpy as np
+
+        from buildkite_logs_parquet_spark.functions.image_codec import (
+            encode_png,
+        )
+
+        rows = [
+            (i, bytearray(encode_png(np.asarray(img, dtype=np.uint8))))
+            for i, img in enumerate(imgs)
+        ]
+        return spark.createDataFrame(rows, "media_id long, payload binary")
+
+    def test_exact_box_resize_round_trips(self, spark):
+        import numpy as np
+
+        from buildkite_logs_parquet_spark.functions.image_codec import (
+            decode_image,
+        )
+        from buildkite_logs_parquet_spark.operators.multimodal import (
+            _resize_area,
+            resize_images,
+        )
+
+        rng = np.random.default_rng(3)
+        imgs = [rng.integers(0, 256, (24, 36, 3)), rng.integers(0, 256, (7, 5, 3))]
+        out = {
+            r["media_id"]: r
+            for r in resize_images(
+                self._media(spark, imgs), width=8, height=8
+            ).collect()
+        }
+        for i, img in enumerate(imgs):
+            r = out[i]
+            assert r["decode_ok"] and (r["out_w"], r["out_h"]) == (8, 8)
+            assert (r["in_w"], r["in_h"]) == (img.shape[1], img.shape[0])
+            got = decode_image(bytes(r["payload"]))
+            want = _resize_area(np.asarray(img, dtype=np.uint8), 8, 8)
+            assert got.shape == (8, 8, 3)
+            assert (got == want).all()
+
+    def test_keep_aspect_fits_box_and_preserves_ratio(self, spark):
+        import numpy as np
+
+        from buildkite_logs_parquet_spark.operators.multimodal import (
+            resize_images,
+        )
+
+        # 40x20 landscape into a 16x16 box -> 16x8
+        img = np.zeros((20, 40, 3), dtype=np.uint8)
+        (r,) = resize_images(
+            self._media(spark, [img]), width=16, height=16, keep_aspect=True
+        ).collect()
+        assert (r["out_w"], r["out_h"]) == (16, 8)
+        # 20x40 portrait -> 8x16
+        img2 = np.zeros((40, 20, 3), dtype=np.uint8)
+        (r2,) = resize_images(
+            self._media(spark, [img2]), width=16, height=16, keep_aspect=True
+        ).collect()
+        assert (r2["out_w"], r2["out_h"]) == (8, 16)
+
+    def test_undecodable_payload_quarantined(self, spark):
+        df = spark.createDataFrame(
+            [(0, bytearray(b"not an image"))], "media_id long, payload binary"
+        )
+        from buildkite_logs_parquet_spark.operators.multimodal import (
+            resize_images,
+        )
+
+        (r,) = resize_images(df).collect()
+        assert r["decode_ok"] is False and r["payload"] is None
+
+    def test_constant_image_resizes_to_constant(self, spark):
+        import numpy as np
+
+        from buildkite_logs_parquet_spark.functions.image_codec import (
+            decode_image,
+        )
+        from buildkite_logs_parquet_spark.operators.multimodal import (
+            resize_images,
+        )
+
+        img = np.full((17, 13, 3), 77, dtype=np.uint8)
+        (r,) = resize_images(
+            self._media(spark, [img]), width=5, height=9
+        ).collect()
+        got = decode_image(bytes(r["payload"]))
+        assert (got == 77).all() and got.shape == (9, 5, 3)
