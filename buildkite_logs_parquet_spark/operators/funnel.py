@@ -300,8 +300,10 @@ def event_transitions(
     from pyspark.sql import Window as W
 
     order = [F.col(ts_col).cast("long")]
+    # the projection below renames type_col to to_type, so the default
+    # same-ts tiebreak must reference the RENAMED column
     order.append(
-        F.col(tiebreak_col) if tiebreak_col is not None else F.col(type_col)
+        F.col(tiebreak_col) if tiebreak_col is not None else F.col("to_type")
     )
     w = W.partitionBy(user_col).orderBy(*order)
     pairs = (

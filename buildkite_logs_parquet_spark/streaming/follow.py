@@ -860,3 +860,55 @@ def stream_cohort_activity(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_transitions(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_ms",
+):
+    """Streaming event-transition feed — the stream twin of
+    ``operators/funnel.py::event_transitions``'s pair stage, on
+    ``applyInPandasWithState`` keyed by user.
+
+    State per user is the LAST event type seen (one short string).
+    Each micro-batch sorts its rows by ``(ts, type)`` and emits one
+    append row per consecutive pair, chaining across batches through
+    the carried state — so for in-order streams the emitted multiset
+    equals the batch operator's pair relation (tested over splits);
+    counting per (from, to) downstream gives the live transition
+    matrix.
+
+    Output rows: ``(user, from_type, to_type, ts_ms)`` (the ts of the
+    TO event).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def track(key, pdfs, state):
+        last = state.get[0] if state.exists else None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values([ts_col, type_col], kind="mergesort")
+        out = []
+        for typ, ts in zip(batch[type_col], batch[ts_col]):
+            if last is not None:
+                out.append((key[0], last, typ, int(ts)))
+            last = typ
+        state.update((last if last is not None else "",))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[user_col, "from_type", "to_type", ts_col]
+            )
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        track,
+        outputStructType=(
+            f"{user_col} long, from_type string, to_type string, "
+            f"{ts_col} long"
+        ),
+        stateStructType="last_type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1010,3 +1010,62 @@ def test_stream_cohort_activity_matches_batch_retention(spark, tmp_path):
         for r in cohort_retention(batch, period_ms=DAY).collect()
     }
     assert dict(got) == want
+
+
+def test_stream_transitions_matches_batch_pairs(spark, tmp_path):
+    """Cross-batch transition chaining: the streamed pair multiset over
+    three ts-ordered micro-batches equals the batch transition matrix
+    (same (ts, type) total order, no tiebreak column)."""
+    import json
+    import os
+    import time as _time
+    from collections import Counter
+
+    from buildkite_logs_parquet_spark.operators.funnel import (
+        event_transitions,
+    )
+    from buildkite_logs_parquet_spark.streaming.follow import (
+        stream_transitions,
+    )
+
+    rows_b1 = [(1, "view", 100), (2, "view", 10)]
+    rows_b2 = [(1, "click", 200), (2, "error", 20), (1, "view", 250)]
+    rows_b3 = [(1, "purchase", 300), (2, "view", 30)]
+    src = tmp_path / "in"
+    src.mkdir()
+    base_t = _time.time() - 60
+    for i, (name, rows) in enumerate(
+        (("b1.json", rows_b1), ("b2.json", rows_b2), ("b3.json", rows_b3))
+    ):
+        with open(src / name, "w") as f:
+            for u, t, ts in rows:
+                f.write(json.dumps({"user_id": u, "event_type": t, "ts_ms": ts}) + "\n")
+        os.utime(src / name, (base_t + 10 * i, base_t + 10 * i))
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, ts_ms long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream_transitions(stream)
+        .writeStream.format("memory")
+        .queryName("trans_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = Counter(
+        (r["from_type"], r["to_type"])
+        for r in spark.sql("select * from trans_stream").collect()
+    )
+    batch = spark.createDataFrame(
+        rows_b1 + rows_b2 + rows_b3, "user_id long, event_type string, ts_ms long"
+    )
+    want = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in event_transitions(batch).collect()
+    }
+    assert dict(got) == want
+    # the batch-boundary pair (view@100 -> click@200 for u1) exists
+    assert got[("view", "click")] >= 1
