@@ -47,9 +47,12 @@ def funnel_steps(
     """Strict ordered-funnel conversion: a user completes step ``i`` iff
     an event of type ``steps[i]`` exists at-or-after the user's
     *earliest completion* of step ``i-1`` (classic earliest-completion
-    semantics — greedy matching is optimal here, so no backtracking
-    search is needed).  With ``window_ms`` set, later steps must also
-    land within ``window_ms`` of the user's step-1 time.
+    semantics).  With ``window_ms`` set, later steps must also land
+    within ``window_ms`` of the user's step-1 time.  Note the window is
+    anchored at the user's EARLIEST step-1 completion by definition —
+    an any-anchor funnel (any step-1 occurrence may open the window)
+    would count more windowed conversions; these are deliberately
+    earliest-anchor semantics, shared by the oracle and tests.
 
     Output: one row per step —
 

@@ -1479,7 +1479,7 @@ def resize_images(
                     out.append(
                         {
                             id_col: mid,
-                            "payload": bytearray(enc(small)),
+                            payload_col: bytearray(enc(small)),
                             "out_w": ow,
                             "out_h": oh,
                             "in_w": iw,
@@ -1491,7 +1491,7 @@ def resize_images(
                     out.append(
                         {
                             id_col: mid,
-                            "payload": None,
+                            payload_col: None,
                             "out_w": None,
                             "out_h": None,
                             "in_w": None,
@@ -1502,13 +1502,13 @@ def resize_images(
             yield pd.DataFrame(
                 out,
                 columns=[
-                    id_col, "payload", "out_w", "out_h", "in_w", "in_h",
+                    id_col, payload_col, "out_w", "out_h", "in_w", "in_h",
                     "decode_ok",
                 ],
             )
 
     return media.select(id_col, payload_col).mapInPandas(
         run,
-        f"{id_col} long, payload binary, out_w int, out_h int, "
+        f"{id_col} long, {payload_col} binary, out_w int, out_h int, "
         "in_w int, in_h int, decode_ok boolean",
     )

@@ -471,8 +471,25 @@ def version_diff(
         *[F.col(c).alias(f"_k_{c}") for c in key_cols],
         F.struct(*[F.col(c) for c in old.columns]).alias("new"),
     )
+    # null-safe equality on the key columns: a NULL-keyed row must match
+    # its counterpart across versions, not explode into delete + insert
     keys = [f"_k_{c}" for c in key_cols]
-    j = o.join(n, on=keys, how="full")
+    n = n.select(
+        *[F.col(k).alias(f"_kn_{c}") for k, c in zip(keys, key_cols)], "new"
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"_k_{c}").eqNullSafe(F.col(f"_kn_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, on=cond, how="full")
+    j = j.select(
+        *[
+            F.coalesce(F.col(f"_k_{c}"), F.col(f"_kn_{c}")).alias(f"_k_{c}")
+            for c in key_cols
+        ],
+        "old",
+        "new",
+    )
     same = None
     for c in val_cols:
         eq = F.col(f"old.{c}").eqNullSafe(F.col(f"new.{c}"))

@@ -714,14 +714,18 @@ def stream_funnel(
 
     State per user is THREE longs: the furthest step reached, that
     step's earliest-completion timestamp, and (windowed variant) the
-    step-1 deadline.  Each micro-batch sorts its rows by ``(ts, type)``
-    and advances the same greedy earliest-completion chain the batch
-    operator runs (``operators/funnel.py::funnel_steps``) — greedy is
-    optimal for ordered funnels, so the chain is INCREMENTAL: as long
-    as a user's events arrive in timestamp order across batches, any
-    batch split of the stream emits exactly the batch twin's
-    transitions (tested over 3 splits).  Out-of-order arrivals degrade
-    exactly like any streaming funnel: an event older than the state's
+    step-1 deadline.  Each micro-batch advances the batch operator's
+    earliest-completion chain (``operators/funnel.py::funnel_steps``:
+    ``t_i = min ts of step-i events with ts >= t_{i-1}``) by per-step
+    min-scans over the batch — NOT a single ordered pass, so same-
+    timestamp events complete in funnel order regardless of how their
+    type names sort, and an event at exactly ``t_{i-1}`` can satisfy
+    step ``i`` just as the batch twin's ``_ts >= _t`` allows.  The
+    chain is INCREMENTAL: as long as a user's events arrive in
+    timestamp order across batches, any batch split of the stream
+    emits exactly the batch twin's transitions (tested over 3 splits
+    and a same-timestamp case).  Out-of-order arrivals degrade exactly
+    like any streaming funnel: an event older than the state's
     frontier cannot retroactively complete a step.
 
     Emits one APPEND row per step transition:
@@ -737,7 +741,6 @@ def stream_funnel(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    step_ix = {s: i for i, s in enumerate(steps, start=1)}
     k = len(steps)
 
     def track(key, pdfs, state):
@@ -746,26 +749,25 @@ def stream_funnel(
         else:
             furthest, t_cur, dl = 0, 0, -1
         batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(
-            [ts_col, type_col], kind="mergesort"
-        )
+        types = batch[type_col]
+        ts_vals = batch[ts_col].astype("int64")
         out = []
-        for typ, ts in zip(batch[type_col], batch[ts_col]):
-            if furthest >= k:
+        # per-step min-scan: t_i = min ts of step-i events with
+        # ts >= t_{i-1} (and <= deadline) — the batch twin's chain
+        while furthest < k:
+            want = steps[furthest]
+            sel = types == want
+            if furthest > 0:
+                sel &= ts_vals >= t_cur
+                if dl >= 0:
+                    sel &= ts_vals <= dl
+            if not sel.any():
                 break
-            want = steps[furthest]  # next step (furthest is 0-based count)
-            if typ != want:
-                continue
-            ts = int(ts)
-            if furthest > 0 and ts < t_cur:
-                continue
-            if furthest > 0 and dl >= 0 and ts > dl:
-                continue
             furthest += 1
-            t_cur = ts
+            t_cur = int(ts_vals[sel].min())
             if furthest == 1 and window_ms is not None:
-                dl = ts + int(window_ms)
-            out.append((key[0], furthest, want, ts))
+                dl = t_cur + int(window_ms)
+            out.append((key[0], furthest, want, t_cur))
         state.update((int(furthest), int(t_cur), int(dl)))
         if out:
             yield pd.DataFrame(
@@ -804,9 +806,12 @@ def stream_cohort_activity(
     State per user is TWO longs: the cohort period (first-activity
     period ever seen) and a BITMASK of offsets already emitted — so a
     user's state is 16 bytes regardless of event volume, bounded to
-    ``max_offsets`` periods of observation (offsets ≥ the mask width
-    are dropped with the documented streaming-horizon semantics; 64
-    daily offsets ≈ two months of live dashboard).
+    ``min(max_offsets, 63)`` periods of observation (offsets ≥ the
+    mask width are dropped with the documented streaming-horizon
+    semantics; 63 daily offsets ≈ two months of live dashboard).  The
+    hard cap is 63, not 64: the state column is a SIGNED bigint, and
+    bit 63 would overflow it — offsets 0..62 use bits 0..62, whose
+    full mask 2^63−1 is exactly the bigint maximum.
 
     Emits one APPEND row per (user, offset) FIRST activation:
     ``(user, cohort_period, offset)``.  Counting those rows per
@@ -826,6 +831,9 @@ def stream_cohort_activity(
     w = int(period_ms)
     if w < 1:
         raise ValueError("period_ms must be >= 1")
+    # signed-bigint mask: bits 0..62 only (1 << 63 overflows the state
+    # column's long at Arrow serialization)
+    horizon = min(int(max_offsets), 63)
 
     def track(key, pdfs, state):
         if state.exists:
@@ -839,7 +847,7 @@ def stream_cohort_activity(
             if cohort < 0:
                 cohort = p
             off = p - cohort
-            if off < 0 or off >= max_offsets:
+            if off < 0 or off >= horizon:
                 continue
             bit = 1 << off
             if not (mask & bit):

@@ -597,6 +597,34 @@ class TestVersionDiff:
         }
         assert out == {1: "update", 2: "update"}
 
+    def test_null_key_rows_match_across_versions(self, spark, tmp_path):
+        """A NULL-keyed row present in both versions must classify as an
+        update (or drop out when unchanged) — not explode into a
+        delete + insert pair under plain equi-join semantics."""
+        from buildkite_logs_parquet_spark.sources.catalog import (
+            publish_version,
+            version_diff,
+        )
+
+        root = str(tmp_path / "cat")
+        v1 = publish_version(
+            spark.createDataFrame(
+                [(None, "a"), (1, "keep")], "k long, s string"
+            ),
+            root,
+        )
+        v2 = publish_version(
+            spark.createDataFrame(
+                [(None, "b"), (1, "keep")], "k long, s string"
+            ),
+            root,
+        )
+        out = version_diff(spark, root, ["k"], v1, v2).collect()
+        assert len(out) == 1
+        (r,) = out
+        assert r["k"] is None and r["change"] == "update"
+        assert r["old"]["s"] == "a" and r["new"]["s"] == "b"
+
     def test_defaults_to_latest_and_rejects_schema_drift(self, spark, tmp_path):
         import pytest as _pytest
 

@@ -725,6 +725,33 @@ class TestResizeImages:
         (r,) = resize_images(df).collect()
         assert r["decode_ok"] is False and r["payload"] is None
 
+    def test_custom_payload_col_names_output_column(self, spark):
+        """resize_images must name its output binary column after
+        payload_col (module convention, cf. strip_image_metadata) — not
+        hardcode 'payload'."""
+        import numpy as np
+
+        from buildkite_logs_parquet_spark.functions.image_codec import (
+            decode_image,
+            encode_png,
+        )
+        from buildkite_logs_parquet_spark.operators.multimodal import (
+            resize_images,
+        )
+
+        img = np.full((6, 4, 3), 9, dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(0, bytearray(encode_png(img)))], "media_id long, img_bytes binary"
+        )
+        out = resize_images(df, payload_col="img_bytes", width=2, height=3)
+        assert "img_bytes" in out.columns and "payload" not in out.columns
+        (r,) = out.collect()
+        assert r["decode_ok"] and decode_image(bytes(r["img_bytes"])).shape == (
+            3,
+            2,
+            3,
+        )
+
     def test_constant_image_resizes_to_constant(self, spark):
         import numpy as np
 

@@ -1012,6 +1012,88 @@ def test_stream_cohort_activity_matches_batch_retention(spark, tmp_path):
     assert dict(got) == want
 
 
+def test_stream_funnel_same_timestamp_completes_in_funnel_order(spark, tmp_path):
+    """Same-timestamp multi-step completion: steps=['view','click'] with
+    view@t and click@t in ONE micro-batch.  'click' sorts lexicographically
+    before 'view', so an ordered single pass would skip it; the per-step
+    min-scan must complete BOTH steps at t, matching the batch twin's
+    ``_ts >= _t`` semantics."""
+    import json
+
+    from buildkite_logs_parquet_spark.operators.funnel import funnel_steps
+    from buildkite_logs_parquet_spark.streaming.follow import stream_funnel
+
+    rows = [(1, "view", 100), (1, "click", 100), (2, "click", 50)]
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for u, t, ts in rows:
+            f.write(json.dumps({"user_id": u, "event_type": t, "ts_ms": ts}) + "\n")
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, ts_ms long"
+    ).json(str(src))
+    steps = ["view", "click"]
+    q = (
+        stream_funnel(stream, steps)
+        .writeStream.format("memory")
+        .queryName("funnel_samets")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["step_idx"]): r["ts_ms"]
+        for r in spark.sql("select * from funnel_samets").collect()
+    }
+    # u1 completes both steps at ts=100; u2's click without a view never
+    # opens the funnel
+    assert got == {(1, 1): 100, (1, 2): 100}
+    batch = spark.createDataFrame(rows, "user_id long, event_type string, ts_ms long")
+    agg = {
+        r["step_idx"]: r["n_users"] for r in funnel_steps(batch, steps).collect()
+    }
+    assert agg == {1: 1, 2: 1}
+
+
+def test_stream_cohort_activity_offset63_horizon_no_mask_overflow(spark, tmp_path):
+    """Signed-bigint mask boundary: offset 62 (bit 62) is the last usable
+    slot; offset 63 must be DROPPED (1 << 63 would overflow the bigint
+    state column), and offsets past the horizon must not crash the query —
+    the round-8 advice's exact failure mode."""
+    import json
+
+    from buildkite_logs_parquet_spark.streaming.follow import (
+        stream_cohort_activity,
+    )
+
+    DAY = 86_400_000
+    rows = [(1, 0), (1, 62 * DAY), (1, 63 * DAY), (1, 64 * DAY), (2, 63 * DAY)]
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for u, ts in rows:
+            f.write(json.dumps({"user_id": u, "ts_ms": ts}) + "\n")
+    stream = spark.readStream.schema("user_id long, ts_ms long").json(str(src))
+    q = (
+        stream_cohort_activity(stream)  # default max_offsets=64 → horizon 63
+        .writeStream.format("memory")
+        .queryName("cohort_boundary")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = {
+        (r["user_id"], r["offset"])
+        for r in spark.sql("select * from cohort_boundary").collect()
+    }
+    # u1: offsets 0 and 62 emitted, 63 and 64 beyond the signed-mask
+    # horizon; u2 starts its own cohort at offset 0
+    assert got == {(1, 0), (1, 62), (2, 0)}
+
+
 def test_stream_transitions_matches_batch_pairs(spark, tmp_path):
     """Cross-batch transition chaining: the streamed pair multiset over
     three ts-ordered micro-batches equals the batch transition matrix
