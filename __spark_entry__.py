@@ -653,7 +653,28 @@ def q_orders_discount_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "total_price",
     )
-    return semi.unionByName(anti).unionByName(rollup).unionByName(q17)
+    # round-9 consolidation (rule 14b: proven onto proven —
+    # tpch_q1_pricing was green rounds 1-8): the Q1 pricing summary
+    # rides as 'q1' rows, key = returnflag/linestatus, the four decimal
+    # sums pipe-packed into total_price (each sum is the SAME proven
+    # decimal string, only concatenated — no new render), freeing a
+    # slot for the round-9 key wave.
+    q1 = q_tpch_q1_pricing(spark, sf_dir).select(
+        F.lit("q1").alias("side"),
+        F.concat(
+            F.col("l_returnflag"), F.lit("/"), F.col("l_linestatus")
+        ).alias("key"),
+        F.col("count_order").alias("n_orders"),
+        F.concat_ws(
+            "|", "sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"
+        ).alias("total_price"),
+    )
+    return (
+        semi.unionByName(anti)
+        .unionByName(rollup)
+        .unionByName(q17)
+        .unionByName(q1)
+    )
 
 
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -825,11 +846,72 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: coarse k-means cells (literal centroids) + in-cell
     cosine dedup — the cluster-scoped exact complement to the banded-LSH
     near-dup path.  Threshold compared on the ROUNDED cosine so keep/drop
-    is engine-reproducible."""
+    is engine-reproducible.
+
+    Round-9 consolidation (rule 14b: proven onto proven, both legs green
+    rounds 5-8 on ann_topk): the ONE-TIME quantizer costs — 'pqtrain'
+    (two distributed Lloyd rounds over the corpus) and 'pqcode' (the
+    full-corpus PQ index build) — ride here so the ann_topk key times
+    the PER-QUERY probe path alone; a probe regression can no longer
+    hide inside training noise (round-8 verdict #2).  Values and
+    oracle SQL are byte-identical to their proven ann_topk form."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.semantic_dedup(
+    sem = S.semantic_dedup(
         emb, _ivf_centroids(), threshold=_NEAR_DUP_THRESHOLD, round_to=4
+    ).select(
+        F.lit("sem").alias("op"),
+        "vec_id",
+        F.col("ivf_cell").cast("int").alias("ivf_cell"),
+        "is_semantic_dup",
+        F.lit(None).cast("double").alias("score"),
     )
+    nint = F.lit(None).cast("int")
+    nbool = F.lit(None).cast("boolean")
+    rest = emb.where(F.col("vec_id") != 0)
+    books = _pq_codebooks()
+    penc = QZ.pq_encode(rest, books)
+    powers = [float(16**s) for s in range(len(books))]
+    pqcode = penc.select(
+        F.lit("pqcode").alias("op"),
+        "vec_id",
+        nint.alias("ivf_cell"),
+        nbool.alias("is_semantic_dup"),
+        F.aggregate(
+            F.zip_with(
+                F.col("pq_code").cast("array<double>"),
+                F.lit(powers),
+                lambda c, p: c * p,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("score"),
+    )
+    from decimal import Decimal
+
+    books2, _hist = QZ.pq_train_distributed(
+        rest,
+        m=8,
+        k=16,
+        vec_col="embedding",
+        init_codebooks=books,
+        max_iter=2,
+        tol=-1.0,
+    )
+    train_rows = []
+    for s in range(8):
+        for j in range(16):
+            dig = sum(Decimal(repr(round(x, 9))) for x in books2[s][j])
+            train_rows.append(("pqtrain", s * 16 + j, float(dig)))
+    pqtrain = spark.createDataFrame(
+        train_rows, "op string, vec_id long, score double"
+    ).select(
+        "op",
+        "vec_id",
+        nint.alias("ivf_cell"),
+        nbool.alias("is_semantic_dup"),
+        "score",
+    )
+    return sem.unionByName(pqcode).unionByName(pqtrain)
 
 
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1411,10 +1493,12 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     digests every row's int8 codes through the same integer dot (full
     sq_encode coverage, not just the winners), 'pq' is the ADC top-10
     over 8x16 seeded-literal product-quantization codebooks, and
-    'pqcode' packs every row's 8 PQ codes into one base-16 integer (full
-    pq_encode coverage).  The oracle replays quantization, argmin code
-    assignment, the in-SQL ADC lookup table, and both rankings from the
-    same literals; all float folds are sequential-order (DETERMINISM.md).
+    'pqcode'/'pqtrain' — the one-time index-build and trainer legs —
+    moved to q_semantic_dedup in round 9 so this key times the
+    PER-QUERY probe path alone (round-8 verdict #2).  The oracle
+    replays quantization, argmin code assignment, the in-SQL ADC lookup
+    table, and both rankings from the same literals; all float folds
+    are sequential-order (DETERMINISM.md).
     """
     release_query_caches(except_key="ann_topk")
     # the twelve legs below each scan the same small vector table —
@@ -1485,20 +1569,6 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = QZ.pq_adc_topk(penc, qvec, books, k=10, round_to=6).select(
         F.lit("pq").alias("op"), "vec_id", F.col("adc_dist").alias("score")
     )
-    powers = [float(16**s) for s in range(len(books))]
-    pqcode = penc.select(
-        F.lit("pqcode").alias("op"),
-        "vec_id",
-        F.aggregate(
-            F.zip_with(
-                F.col("pq_code").cast("array<double>"),
-                F.lit(powers),
-                lambda c, p: c * p,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ).alias("score"),
-    )
     # residual IVF-PQ: coarse cell via the shared literal centroids, PQ
     # codes of v − coarse[cell], 2-probe ADC search with per-cell
     # residual-query LUTs — the full Faiss-style composition, replayed
@@ -1509,33 +1579,6 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ienc, _ivf_centroids(), books, qvec, k=10, n_probe=2
     ).select(
         F.lit("ivfpq").alias("op"), "vec_id", F.col("adc_dist").alias("score")
-    )
-    # round-5 union-tag: 'pqtrain' drives the DISTRIBUTED PQ trainer
-    # (quantization.pq_train_distributed) through the gate — two full
-    # Lloyd rounds over the corpus from the seeded codebooks (decimal
-    # element sums, float(sum)/n centroids), digested as one row per
-    # (subspace, code): vec_id = s*16+code, score = the decimal sum of
-    # the trained codeword's 9-dp-rounded components.  The oracle
-    # replays both rounds relationally (assign → decimal sums → update →
-    # re-assign → update) from the same literals.
-    from decimal import Decimal
-
-    books2, _hist = QZ.pq_train_distributed(
-        rest,
-        m=8,
-        k=16,
-        vec_col="embedding",
-        init_codebooks=books,
-        max_iter=2,
-        tol=-1.0,
-    )
-    train_rows = []
-    for s in range(8):
-        for j in range(16):
-            dig = sum(Decimal(repr(round(x, 9))) for x in books2[s][j])
-            train_rows.append(("pqtrain", s * 16 + j, float(dig)))
-    pqtrain = spark.createDataFrame(
-        train_rows, "op string, vec_id long, score double"
     )
     # round-5 union-tag: the 1-bit binary-quantization rung — 'bq' is the
     # Hamming top-10 over packed sign bits (bq_encode's long-space fold;
@@ -1555,7 +1598,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine").alias("score"),
     )
     out = exact.unionByName(ivf).unionByName(batch)
-    for leg in (sq, sqall, pq, pqcode, ivfpq, pqtrain, bq, bqr):
+    for leg in (sq, sqall, pq, ivfpq, bq, bqr):
         out = out.unionByName(leg)
     return out
 
@@ -1660,7 +1703,19 @@ def q_embedding_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("cosine").alias("v1"),
         F.lit(None).cast("double").alias("v2"),
     )
-    return cent_leg.unionByName(pair_leg)
+    # round-9 consolidation (rule 14b: proven onto proven — kmeans_step
+    # was green rounds 1-8): both Lloyd iterations ride as 'km' rows
+    # (a = iter, b = cell — integer→VARCHAR renders; v1 = the same
+    # proven round-4 drift double), freeing a slot for the round-9 keys.
+    km_leg = q_kmeans_step(spark, sf_dir).select(
+        F.lit("km").alias("side"),
+        F.col("iter").cast("string").alias("a"),
+        F.col("ivf_cell").cast("string").alias("b"),
+        F.col("n_assigned").cast("long").alias("n"),
+        F.col("centroid_drift").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    return cent_leg.unionByName(pair_leg).unionByName(km_leg)
 
 
 #: target mixture for the corpus-mixing query — six sources, skewed
@@ -2096,7 +2151,16 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("threshold").alias("lang_med_chars"),
         F.col("kept").alias("above_lang_median"),
     )
-    return gop.join(rep, on="doc_id").join(qt, on="doc_id")
+    # round-9 consolidation (rule 14b: proven onto proven — pii_scrub
+    # was green rounds 1-8): the PII/blocklist/normalization audit joins
+    # on as eleven more per-doc columns (same 500-row doc_id relation),
+    # freeing a slot for the round-9 key wave.
+    pii = q_pii_scrub(spark, sf_dir)
+    return (
+        gop.join(rep, on="doc_id")
+        .join(qt, on="doc_id")
+        .join(pii, on="doc_id")
+    )
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2218,7 +2282,20 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_grams").alias("kn_n_grams"),
         "kn_sum_logp9",
     )
-    return base.join(kn, on="doc_id", how="left")
+    # round-9 consolidation (rule 14b: proven onto proven — dsir_weights
+    # was green rounds 4 and 6-8 on exactly this content): the DSIR
+    # importance weights join on as two more columns over the SAME
+    # scored slice (source <> 'src0', 475 rows both sides), freeing a
+    # slot for the round-9 key wave.
+    dsir = q_dsir_weights(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_grams").alias("dsir_n_grams"),
+        "dsir_logweight",
+    )
+    return (
+        base.join(kn, on="doc_id", how="left")
+        .join(dsir, on="doc_id", how="left")
+    )
 
 
 #: metric legs riding q_bm25_scores — order is the union order in both
@@ -2351,7 +2428,31 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mv.v").alias("score"),
         "aux",
     )
-    return out.unionByName(metric_leg)
+    # round-9 consolidation (rule 14b: proven onto proven —
+    # tfidf_top_terms was green rounds 1-8): the top-3 TF-IDF relation
+    # rides as 'tfidf' rows carrying its own three columns (rank/term/
+    # tfidf — the double is the SAME proven round-4 value, untouched);
+    # the retrieval legs NULL-pad those columns.  Frees a slot for the
+    # round-9 key wave.
+    nlong = F.lit(None).cast("long")
+    nstr = F.lit(None).cast("string")
+    ndbl2 = F.lit(None).cast("double")
+    wide = (
+        out.unionByName(metric_leg)
+        .select("op", "doc_id", "score", "aux",
+                nlong.alias("rank"), nstr.alias("term"),
+                ndbl2.alias("tfidf"))
+    )
+    tfidf_leg = TA.tfidf_top_terms(docs, "doc_id", "text", top_k=3).select(
+        F.lit("tfidf").alias("op"),
+        "doc_id",
+        nstr.alias("score"),
+        F.col("tf").cast("long").alias("aux"),
+        F.col("rank").cast("long").alias("rank"),
+        "term",
+        "tfidf",
+    )
+    return wide.unionByName(tfidf_leg)
 
 
 #: fixed learned-merge list for the registered BPE encode — includes a
@@ -2509,7 +2610,20 @@ def q_webgraph_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("rank:"), F.col("node")).alias("item"),
         F.col("r12").alias("value"),
     )
-    return edge_leg.unionByName(rank_leg)
+    # round-9 consolidation (rule 14b: proven onto proven —
+    # url_domain_stats was green rounds 4 and 6-8 on exactly this
+    # content): the per-domain URL stats ride as 'dom:' rows with the
+    # two counts integer-packed into value (n_urls·10⁹ + n_docs — both
+    # BIGINT-safe at any registered sf), freeing a slot for the
+    # round-9 key wave.
+    dom_leg = q_url_domain_stats(spark, sf_dir).select(
+        F.concat(F.lit("dom:"), F.col("domain")).alias("item"),
+        (
+            F.col("n_urls").cast("long") * F.lit(1_000_000_000).cast("long")
+            + F.col("n_docs").cast("long")
+        ).alias("value"),
+    )
+    return edge_leg.unionByName(rank_leg).unionByName(dom_leg)
 
 
 def q_crawl_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2736,7 +2850,26 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap9.alias("approx_p50"),
         F.lit(None).cast("string").alias("approx_p95"),
     )
-    return base.unionByName(drift_leg)
+    # round-9 consolidation (rule 14b: proven onto proven — k_anonymity
+    # was green round 8): the one-row re-identification audit rides as
+    # a 'kanon:<all>' row, its seven BIGINTs packed into the profile
+    # columns via integer→VARCHAR renders only.  Frees a slot for the
+    # round-9 key wave.
+    kanon_leg = q_k_anonymity(spark, sf_dir).select(
+        F.lit("kanon:<all>").alias("column"),
+        F.col("n_rows"),
+        F.col("n_classes").alias("n_nulls"),
+        F.col("min_class_size").alias("approx_distinct"),
+        F.concat(
+            F.col("rows_below_2").cast("string"),
+            F.lit("|"),
+            F.col("rows_below_5").cast("string"),
+        ).alias("min"),
+        F.col("rows_below_10").cast("string").alias("max"),
+        F.col("classes_l1").cast("string").alias("approx_p50"),
+        F.lit(None).cast("string").alias("approx_p95"),
+    )
+    return base.unionByName(drift_leg).unionByName(kanon_leg)
 
 
 def q_top_terms_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3097,6 +3230,202 @@ def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v1.unionByName(v2)
 
 
+# --------------------------------------------------------------------------
+# round-9 key wave: the round-8 second-wave bench/pytest-only operators get
+# oracle keys (each on its OWN slot per rule 14b; slots freed by the
+# round-9 proven-onto-proven consolidations above)
+# --------------------------------------------------------------------------
+
+
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT containment-threshold join (operators/dedup.py::
+    containment_join — the quote/excerpt/superset detector): the
+    doc_id%20 slice probed against the FULL documents table at t=0.9,
+    word tokens.  The operator runs the asymmetric prefix filter under
+    a global rarest-first token order; the oracle is an INDEPENDENT
+    brute-force derivation (distinct token sets, token equi-join,
+    integer ppm decision) that never sees the prefix filter — the
+    setsim_join gating pattern.  All outputs BIGINT (rule 15)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.containment_join(
+        docs.where(F.col("doc_id") % 20 == 0),
+        docs,
+        "doc_id",
+        "text",
+        threshold=0.9,
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix (operators/funnel.py::
+    event_transitions): ONE user-keyed lag window over (ts, type) —
+    the default same-ts tiebreak on the renamed to_type column is
+    exactly what the round-8 streaming twin caught and fixed
+    (`7d828cb`) — then a types²-bounded aggregate and broadcast
+    outgoing-share join; out_pm is exact integer ppm (rules 4/15)."""
+    from buildkite_logs_parquet_spark.operators import funnel as FN
+
+    return FN.event_transitions(_events(spark, sf_dir))
+
+
+def q_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution (operators/funnel.py::
+    attribute_conversions), BOTH modes union-tagged: last_touch rides
+    the as-of sweep (operators/asof.py — one user-keyed shuffle +
+    per-key sort, no range join), first_touch one user-keyed struct-min
+    aggregate.  Same-ms channel ties resolve by highest event_id
+    (rule 6); unattributed conversions keep NULL channel/touch."""
+    from buildkite_logs_parquet_spark.operators import funnel as FN
+
+    ev = _events(spark, sf_dir)
+    cols = ["conversion_id", "user_id", "conv_ts_ms", "channel", "touch_ts_ms"]
+    last = FN.attribute_conversions(
+        ev, "purchase", ["view", "click"], mode="last_touch"
+    ).select(F.lit("last").alias("side"), *cols)
+    first = FN.attribute_conversions(
+        ev, "purchase", ["view", "click"], mode="first_touch"
+    ).select(F.lit("first").alias("side"), *cols)
+    return last.unionByName(first)
+
+
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-travelled 3-step event paths (operators/funnel.py::
+    top_paths): all depth−1 lags from ONE user-keyed window (Catalyst
+    collapses same-window lags into one WindowExec), a
+    vocabulary³-bounded aggregate, and a TakeOrderedAndProject top-20
+    under the (count desc, lexicographic path) rule-6 total order."""
+    from buildkite_logs_parquet_spark.operators import funnel as FN
+
+    return FN.top_paths(_events(spark, sf_dir), depth=3, top_k=20)
+
+
+def q_funnel_user_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel completion detail (operators/funnel.py::
+    funnel_user_times — the row-level companion to the proven
+    funnel_steps key, same earliest-completion chain): one row per
+    funnel entrant with every step's completion epoch-ms, the furthest
+    step index, and the conversion latency — all BIGINT."""
+    from buildkite_logs_parquet_spark.operators import funnel as FN
+
+    return FN.funnel_user_times(
+        _events(spark, sf_dir), ["view", "click", "purchase"]
+    )
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary coverage / OOV report
+    (operators/text_analysis.py::vocab_coverage): the vocab side is the
+    src0 slice's distinct lowercase tokens (lexicon-sized → broadcast
+    membership join, no corpus-side shuffle); outputs are occurrence
+    and type counts with exact integer-ppm OOV rates (rule 15)."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.where(F.col("source") == "src0")
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("token")
+        )
+        .where(F.col("token") != "")
+    )
+    return TA.vocab_coverage(
+        docs, vocab, group_col="source", text_col="text", vocab_col="token"
+    )
+
+
+def q_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog version-to-version distribution drift (sources/
+    catalog.py::version_stats_drift) through REAL catalog IO: two
+    versions of an orders-derived table published to a fresh temp root
+    (publish → LATEST pointer → read_version), then the PSI bucket
+    relation between v1 and v2.  v2 mutates deterministically: drop
+    okey%11 rows, flip status→'X' for okey%3, shift price100 by +5000.00
+    for even keys — so every bucket delta is a pure function of orders.
+
+    Hash discipline: identical to the proven table_profile drift leg —
+    counts ride as BIGINTs and shares as scale-9 integers from the
+    spelled-out half-up division (never round(double) or a decimal
+    render); price100 is the events_agg-proven v100 device over the
+    exactly-2-dp price, so the numeric bucketing is the integer-exact
+    branch of profiling._bucket_counts on both sides.  The ln-based
+    psi_term stays in the operator but out of the cross-engine hash."""
+    import tempfile
+
+    from buildkite_logs_parquet_spark.sources import catalog as CAT
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price100"),
+    )
+    v2df = base.where(F.col("okey") % 11 != 0).select(
+        "okey",
+        F.when(F.col("okey") % 3 == 0, F.lit("X"))
+        .otherwise(F.col("status"))
+        .alias("status"),
+        "prio",
+        (
+            F.col("price100")
+            + F.when(F.col("okey") % 2 == 0, F.lit(500000)).otherwise(F.lit(0))
+        ).alias("price100"),
+    )
+    root = tempfile.mkdtemp(prefix="vdrift-")
+    v1 = CAT.publish_version(base, root)
+    v2 = CAT.publish_version(v2df, root)
+    dr = CAT.version_stats_drift(
+        spark,
+        root,
+        v1,
+        v2,
+        cat_cols=["status", "prio"],
+        num_cols=["price100"],
+        n_bins=8,
+    )
+    from pyspark.sql import Window as W
+
+    wcol = W.partitionBy("column")
+    dr = (
+        dr.withColumn("_ta", F.sum("n_a").over(wcol))
+        .withColumn("_tb", F.sum("n_b").over(wcol))
+        .withColumn(
+            "_s9a",
+            F.expr(
+                "cast((2 * cast(n_a as decimal(38,0)) * 1000000000"
+                " + _ta) div (2 * _ta) as bigint)"
+            ),
+        )
+        .withColumn(
+            "_s9b",
+            F.expr(
+                "cast((2 * cast(n_b as decimal(38,0)) * 1000000000"
+                " + _tb) div (2 * _tb) as bigint)"
+            ),
+        )
+    )
+
+    def _sh9(col):
+        return F.expr(
+            f"concat(cast({col} div 1000000000 as string), '.',"
+            f" lpad(cast({col} % 1000000000 as string), 9, '0'))"
+        )
+
+    gap9 = F.expr(
+        "concat(case when _s9a - _s9b < 0 then '-' else '' end,"
+        " cast(abs(_s9a - _s9b) div 1000000000 as string), '.',"
+        " lpad(cast(abs(_s9a - _s9b) % 1000000000 as string), 9, '0'))"
+    )
+    return dr.select(
+        F.concat_ws(":", "column", "bucket").alias("col_bucket"),
+        F.col("n_a").cast("long").alias("n_from"),
+        F.col("n_b").cast("long").alias("n_to"),
+        _sh9("_s9a").alias("share_from"),
+        _sh9("_s9b").alias("share_to"),
+        gap9.alias("share_gap"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered oracle-checked queries.
 
@@ -3113,11 +3442,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bk_filter_by_group": q_bk_filter_by_group,
         "bk_filter_entries": q_bk_filter_entries,
         "bk_seek_tail": q_bk_seek_tail,
-        "tpch_q1_pricing": q_tpch_q1_pricing,
         # round-8 second-wave consolidations (each merged leg proven
         # green rounds 1-7): part_type_stats + supplier_running_revenue
         # ride top_parts_per_brand / revenue_rankings; winnow_fingerprint
         # + dedup_exact ride segment_dedup; events_asof rides events_agg.
+        # round-9 consolidations (proven onto proven): tpch_q1_pricing →
+        # orders_discount_audit ('q1' rows); kmeans_step →
+        # embedding_label_centroid_sim ('km' rows); tfidf_top_terms →
+        # bm25_scores ('tfidf' rows); dsir_weights → lm_perplexity
+        # (dsir_* columns); pii_scrub → doc_quality (joined columns);
+        # url_domain_stats → webgraph_rank ('dom:' rows); k_anonymity →
+        # table_profile ('kanon:<all>' row).
         "revenue_rankings": q_revenue_rankings,
         "top_parts_per_brand": q_top_parts_per_brand,
         "orders_discount_audit": q_orders_discount_audit,
@@ -3137,32 +3472,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "ann_topk": q_ann_topk,
         "embedding_label_centroid_sim": q_embedding_label_centroid_sim,
-        "kmeans_step": q_kmeans_step,
         "semantic_dedup": q_semantic_dedup,
         "corpus_select": q_corpus_select,
         "doc_quality": q_doc_quality,
         "quality_classifier": q_quality_classifier,
         "domain_boilerplate": q_domain_boilerplate,
-        "k_anonymity": q_k_anonymity,
         "pack_sequences": q_pack_sequences,
         "doc_chunks": q_doc_chunks,
         "contamination": q_contamination,
-        "dsir_weights": q_dsir_weights,
         "lr_classifier": q_lr_classifier,
         "entity_linkage": q_entity_linkage,
-        "pii_scrub": q_pii_scrub,
-        "tfidf_top_terms": q_tfidf_top_terms,
         "curation_pipeline": q_curation_pipeline,
         "lm_perplexity": q_lm_perplexity,
         "bm25_scores": q_bm25_scores,
         "bpe_encode": q_bpe_encode,
-        "url_domain_stats": q_url_domain_stats,
         "webgraph_rank": q_webgraph_rank,
         "triangle_counts": q_triangle_counts,
         "crawl_bitext": q_crawl_bitext,
         "table_profile": q_table_profile,
         "top_terms_by_group": q_top_terms_by_group,
         "fill_gaps": q_fill_gaps,
+        # round-9 key wave, each on its OWN slot (rule 14b)
+        "containment_join": q_containment_join,
+        "event_transitions": q_event_transitions,
+        "conversion_attribution": q_conversion_attribution,
+        "top_paths": q_top_paths,
+        "funnel_user_times": q_funnel_user_times,
+        "vocab_coverage": q_vocab_coverage,
+        "version_drift": q_version_drift,
     }
 
 
@@ -4442,9 +4779,7 @@ UNION ALL
 SELECT 'pq' AS op, vec_id, score FROM (
   SELECT vec_id, round({_adc_sum}, 6) AS score FROM pqpiv
   ORDER BY score, vec_id LIMIT 10
-)
-UNION ALL
-SELECT 'pqcode' AS op, vec_id, CAST({_code_pack} AS DOUBLE) AS score FROM pqpiv"""
+)"""
     # Residual IVF-PQ leg: codes are per-subspace argmins of
     # (codeword − (v − coarse[cell])); search probes the query's 2
     # nearest cells (same ranking formula as the 'ivf' probe) and joins
@@ -4585,17 +4920,17 @@ SELECT 'bqrerank' AS op, vec_id, cosine AS score FROM (
 )"""
     sql["ann_topk"] = sql["ann_topk"].replace(
         "ncent(cid, nc) AS (",
-        _qz_ctes + _rq_ctes + _tr_ctes + _bq_ctes + "ncent(cid, nc) AS (",
+        _qz_ctes + _rq_ctes + _bq_ctes + "ncent(cid, nc) AS (",
     )
     sql["ann_topk"] = (
         sql["ann_topk"].rstrip()
         + "\n"
         + _qz_legs
         + _rq_leg
-        + _tr_leg
         + _bq_leg
         + "\n"
     )
+
 
     # kmeans_step: same assignment CTE as the IVF oracle (all vectors),
     # decimal element sums for the new centroid, drift vs the raw literal
@@ -4696,6 +5031,44 @@ dups AS (
 SELECT a.vec_id, CAST(a.cell AS INT) AS ivf_cell,
        (d.vec_id IS NOT NULL) AS is_semantic_dup
 FROM a LEFT JOIN dups d ON a.vec_id = d.vec_id
+"""
+
+    # round-9 split (verdict #2): the one-time quantizer legs — pqcode
+    # (full-corpus PQ index build) and pqtrain (two distributed Lloyd
+    # rounds) — move from ann_topk onto semantic_dedup, byte-identical
+    # CTE fragments, so the ann_topk key times the per-query probe path
+    # alone.  ppiv is the code-only pivot (no ADC lut → no q needed).
+    _ppiv_cols = ",\n            ".join(
+        f"max(CASE WHEN cs = {s} THEN code END) AS c{s}" for s in range(_pm)
+    )
+    sql["semantic_dedup"] = f"""
+SELECT 'sem' AS op, vec_id, ivf_cell, is_semantic_dup,
+       CAST(NULL AS DOUBLE) AS score
+FROM ({sql["semantic_dedup"]})
+UNION ALL
+SELECT op, vec_id, CAST(NULL AS INT) AS ivf_cell,
+       CAST(NULL AS BOOLEAN) AS is_semantic_dup, score
+FROM (
+WITH cbv(cs, code, c) AS (
+  VALUES {_cb_rows}
+),
+pqv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
+pqd AS (SELECT vec_id, cs, code, {_pq_terms} AS d FROM pqv, cbv),
+pqc AS (
+  SELECT vec_id, cs, code FROM (
+    SELECT vec_id, cs, code,
+           row_number() OVER (PARTITION BY vec_id, cs ORDER BY d, code) AS rn
+    FROM pqd
+  ) WHERE rn = 1
+),
+{_tr_ctes}ppiv AS (
+  SELECT vec_id,
+            {_ppiv_cols}
+  FROM pqc GROUP BY vec_id
+)
+SELECT 'pqcode' AS op, vec_id, CAST({_code_pack} AS DOUBLE) AS score FROM ppiv
+{_tr_leg.lstrip()}
+)
 """
 
     # dsir_weights: identical bucket hashing (seed 13, 15-hex md5 → mod
@@ -6512,6 +6885,334 @@ SELECT 'v2' AS side, okey + 1000000000 AS okey, 'N' AS status,
        CAST(0 AS DOUBLE) AS price,
        CAST(2000 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
 FROM base WHERE okey % 7 = 0
+"""
+
+    # ---------------------------------------------------------------
+    # round-9 consolidations (rule 14b: PROVEN legs onto PROVEN keys —
+    # every merged relation below rode its own green key through round
+    # 8; the proven SQL stays byte-identical inside a nested subquery,
+    # wrappers only tag, NULL-pad, join, and integer-render).  Slots
+    # freed: tpch_q1_pricing, kmeans_step, tfidf_top_terms,
+    # dsir_weights, pii_scrub, url_domain_stats, k_anonymity — carried
+    # by the round-9 key wave below.
+    # ---------------------------------------------------------------
+
+    sql["orders_discount_audit"] += f"""
+UNION ALL
+SELECT 'q1' AS side, l_returnflag || '/' || l_linestatus AS key,
+       count_order AS n_orders,
+       sum_qty || '|' || sum_base_price || '|' || sum_disc_price || '|'
+         || sum_charge AS total_price
+FROM ({sql.pop("tpch_q1_pricing")})
+"""
+
+    sql["embedding_label_centroid_sim"] += f"""
+UNION ALL
+SELECT 'km' AS side, CAST(iter AS VARCHAR) AS a,
+       CAST(ivf_cell AS VARCHAR) AS b, CAST(n_assigned AS BIGINT) AS n,
+       centroid_drift AS v1, CAST(NULL AS DOUBLE) AS v2
+FROM ({sql.pop("kmeans_step")})
+"""
+
+    sql["bm25_scores"] = f"""
+SELECT op, doc_id, score, aux, CAST(NULL AS BIGINT) AS "rank",
+       CAST(NULL AS VARCHAR) AS term, CAST(NULL AS DOUBLE) AS tfidf
+FROM ({sql["bm25_scores"]})
+UNION ALL
+SELECT 'tfidf' AS op, doc_id, CAST(NULL AS VARCHAR) AS score,
+       CAST(tf AS BIGINT) AS aux, CAST("rank" AS BIGINT) AS "rank",
+       term, tfidf
+FROM ({sql.pop("tfidf_top_terms")})
+"""
+
+    sql["lm_perplexity"] = f"""
+SELECT l.*, d.n_grams AS dsir_n_grams, d.dsir_logweight
+FROM ({sql["lm_perplexity"]}) l
+LEFT JOIN ({sql.pop("dsir_weights")}) d ON l.doc_id = d.doc_id
+"""
+
+    sql["doc_quality"] = f"""
+SELECT q.*, p.n_email, p.n_ipv4, p.n_card, p.n_card_valid, p.n_phone,
+       p.scrubbed, p.n_blocklist_hits, p.blocked, p.nfc_digest,
+       p.folded_digest
+FROM ({sql["doc_quality"]}) q
+JOIN ({sql.pop("pii_scrub")}) p ON q.doc_id = p.doc_id
+"""
+
+    sql["webgraph_rank"] += f"""
+UNION ALL
+SELECT 'dom:' || domain AS item,
+       CAST(n_urls * 1000000000 + n_docs AS BIGINT) AS value
+FROM ({sql.pop("url_domain_stats")})
+"""
+
+    sql["table_profile"] += f"""
+UNION ALL
+SELECT 'kanon:<all>' AS "column", n_rows, n_classes AS n_nulls,
+       min_class_size AS approx_distinct,
+       CAST(rows_below_2 AS VARCHAR) || '|'
+         || CAST(rows_below_5 AS VARCHAR) AS "min",
+       CAST(rows_below_10 AS VARCHAR) AS "max",
+       CAST(classes_l1 AS VARCHAR) AS approx_p50,
+       CAST(NULL AS VARCHAR) AS approx_p95
+FROM ({sql.pop("k_anonymity")})
+"""
+
+    # ---------------------------------------------------------------
+    # round-9 key wave: oracles for the round-8 second-wave operator
+    # tier (each on its own key per rule 14b; BIGINT-only / proven-
+    # device outputs per rules 14a/15)
+    # ---------------------------------------------------------------
+
+    # containment_join: INDEPENDENT brute-force derivation (distinct
+    # word sets, token equi-join, integer ppm decision) — never sees
+    # the operator's prefix filter, mirroring the setsim_join gate.
+    sql["containment_join"] = r"""
+WITH ctoks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+probe AS (SELECT doc_id, tok FROM ctoks WHERE doc_id % 20 = 0),
+psz AS (SELECT doc_id, count(*) AS sa FROM probe GROUP BY doc_id),
+isz AS (SELECT doc_id, count(*) AS sb FROM ctoks GROUP BY doc_id),
+ci AS (
+  SELECT p.doc_id AS id_a, t.doc_id AS id_b, count(*) AS i
+  FROM probe p JOIN ctoks t ON p.tok = t.tok
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(i AS BIGINT) AS intersection,
+       CAST(sa AS BIGINT) AS size_a, CAST(sb AS BIGINT) AS size_b,
+       CAST(i * 1000000 // sa AS BIGINT) AS containment_pm
+FROM ci
+JOIN psz ON id_a = psz.doc_id
+JOIN isz ON id_b = isz.doc_id
+WHERE i * 1000000 >= 900000 * sa
+"""
+
+    # event_transitions: lag window under the SAME (ts, to_type) total
+    # order the operator uses; out_pm integer ppm of the from-type's
+    # outgoing mass.
+    sql["event_transitions"] = """
+WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+p AS (
+  SELECT user_id, event_type AS to_type, ts_ms,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts_ms, event_type) AS from_type
+  FROM ev
+),
+cells AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2
+),
+outs AS (SELECT from_type, sum(n) AS o FROM cells GROUP BY 1)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
+       CAST(n * 1000000 // o AS BIGINT) AS out_pm
+FROM cells JOIN outs USING (from_type)
+"""
+
+    # conversion_attribution: last_touch = latest channel slot at-or-
+    # before the conversion ((user, ms) slots resolve same-ms channel
+    # ties by max event_id — arg_max, rule 6); first_touch = the
+    # (ts, id)-earliest channel event, credited only when it precedes
+    # the conversion.
+    sql["conversion_attribution"] = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+),
+conv AS (
+  SELECT event_id AS conversion_id, user_id, ts_ms AS conv_ts_ms
+  FROM ev WHERE event_type = 'purchase'
+),
+slots AS (
+  SELECT user_id, ts_ms AS tts, arg_max(event_type, event_id) AS channel
+  FROM ev WHERE event_type IN ('view', 'click') GROUP BY 1, 2
+),
+lt AS (
+  SELECT c.conversion_id, s.channel, s.tts,
+         row_number() OVER (PARTITION BY c.conversion_id
+                            ORDER BY s.tts DESC) AS rn
+  FROM conv c JOIN slots s
+    ON c.user_id = s.user_id AND s.tts <= c.conv_ts_ms
+),
+ft AS (
+  SELECT user_id, tts, channel FROM (
+    SELECT user_id, ts_ms AS tts, event_type AS channel,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts_ms, event_id) AS rn
+    FROM ev WHERE event_type IN ('view', 'click')
+  ) WHERE rn = 1
+)
+SELECT 'last' AS side, c.conversion_id, c.user_id, c.conv_ts_ms,
+       l.channel, l.tts AS touch_ts_ms
+FROM conv c LEFT JOIN (SELECT * FROM lt WHERE rn = 1) l
+  ON c.conversion_id = l.conversion_id
+UNION ALL
+SELECT 'first', c.conversion_id, c.user_id, c.conv_ts_ms,
+       CASE WHEN f.tts <= c.conv_ts_ms THEN f.channel END,
+       CASE WHEN f.tts <= c.conv_ts_ms THEN f.tts END
+FROM conv c LEFT JOIN ft f ON c.user_id = f.user_id
+"""
+
+    # top_paths: two lags under the operator's (ts, type) order,
+    # vocabulary^3 aggregate, rule-6 (count desc, lex path) top-20.
+    sql["top_paths"] = """
+WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+lagd AS (
+  SELECT user_id, event_type AS step_3,
+         lag(event_type, 1) OVER (PARTITION BY user_id
+                                  ORDER BY ts_ms, event_type) AS step_2,
+         lag(event_type, 2) OVER (PARTITION BY user_id
+                                  ORDER BY ts_ms, event_type) AS step_1
+  FROM ev
+),
+counts AS (
+  SELECT step_1, step_2, step_3, count(*) AS n
+  FROM lagd WHERE step_1 IS NOT NULL GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT step_1, step_2, step_3, n,
+         row_number() OVER (ORDER BY n DESC, step_1, step_2, step_3) AS r
+  FROM counts
+)
+SELECT step_1, step_2, step_3, CAST(n AS BIGINT) AS n_paths,
+       CAST(r AS BIGINT) AS rank
+FROM ranked WHERE r <= 20
+"""
+
+    # funnel_user_times: the funnel_steps min-chain CTEs emitted at the
+    # per-user grain with the furthest-step CASE and convert latency.
+    sql["funnel_user_times"] = """
+WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+s1 AS (SELECT user_id, min(ts_ms) AS t FROM ev WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts_ms) AS t
+       FROM ev e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts_ms >= s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts_ms) AS t
+       FROM ev e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts_ms >= s2.t GROUP BY 1)
+SELECT s1.user_id,
+       CAST(CASE WHEN s3.t IS NOT NULL THEN 3
+                 WHEN s2.t IS NOT NULL THEN 2
+                 ELSE 1 END AS BIGINT) AS furthest_step,
+       CAST(s1.t AS BIGINT) AS t_1,
+       CAST(s2.t AS BIGINT) AS t_2,
+       CAST(s3.t AS BIGINT) AS t_3,
+       CAST(s3.t - s1.t AS BIGINT) AS convert_ms
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+    # vocab_coverage: src0's distinct lowercase tokens as the vocab;
+    # occurrence- and type-level OOV as exact integer ppm.
+    sql["vocab_coverage"] = r"""
+WITH tk AS (
+  SELECT source AS g, tok FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+voc AS (SELECT DISTINCT tok FROM tk WHERE g = 'src0'),
+marked AS (
+  SELECT tk.g, tk.tok, (v.tok IS NULL) AS oov
+  FROM tk LEFT JOIN voc v ON tk.tok = v.tok
+),
+occ AS (
+  SELECT g, count(*) AS n_tokens,
+         sum(CASE WHEN oov THEN 1 ELSE 0 END) AS n_oov
+  FROM marked GROUP BY g
+),
+ty AS (
+  SELECT g, count(*) AS n_types,
+         sum(CASE WHEN oov THEN 1 ELSE 0 END) AS n_oov_types
+  FROM (SELECT DISTINCT g, tok, oov FROM marked) GROUP BY g
+)
+SELECT g AS source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_oov AS BIGINT) AS n_oov,
+       CASE WHEN n_tokens > 0
+            THEN CAST(n_oov * 1000000 // n_tokens AS BIGINT) END AS oov_pm,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(n_oov_types AS BIGINT) AS n_oov_types,
+       CASE WHEN n_types > 0
+            THEN CAST(n_oov_types * 1000000 // n_types AS BIGINT)
+       END AS type_oov_pm
+FROM occ JOIN ty USING (g)
+"""
+
+    # version_drift: v1/v2 replayed as pure functions of orders (the
+    # catalog IO itself is Spark-side-only — what the oracle checks is
+    # that the published+read distributions bucket and share exactly as
+    # the relational replay); price100 rides the events_agg-proven v100
+    # round(2-dp double · 100) device, bucketing is the integer-exact
+    # _bucket_counts branch in HUGEINT, shares the table_profile-proven
+    # half-up scale-9 integers.
+    sql["version_drift"] = """
+WITH v1 AS (
+  SELECT o_orderkey AS okey, o_orderstatus AS status,
+         o_orderpriority AS prio,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price100
+  FROM orders
+),
+v2 AS (
+  SELECT okey,
+         CASE WHEN okey % 3 = 0 THEN 'X' ELSE status END AS status,
+         prio,
+         price100 + CASE WHEN okey % 2 = 0 THEN 500000 ELSE 0 END AS price100
+  FROM v1 WHERE okey % 11 <> 0
+),
+bnd AS (
+  SELECT CAST(min(price100) AS BIGINT) AS lo,
+         CAST(max(price100) AS BIGINT) AS hi
+  FROM (SELECT price100 FROM v1 UNION ALL SELECT price100 FROM v2)
+),
+tagged AS (
+  SELECT 'status' AS col, status AS bucket, 1 AS a, 0 AS b FROM v1
+  UNION ALL SELECT 'status', status, 0, 1 FROM v2
+  UNION ALL SELECT 'prio', prio, 1, 0 FROM v1
+  UNION ALL SELECT 'prio', prio, 0, 1 FROM v2
+  UNION ALL
+  SELECT 'price100',
+         CAST(CAST(least(greatest(
+           (CAST(price100 AS HUGEINT) - bnd.lo) * 8 // (bnd.hi - bnd.lo + 1),
+           0), 7) AS BIGINT) AS VARCHAR),
+         1, 0
+  FROM v1, bnd
+  UNION ALL
+  SELECT 'price100',
+         CAST(CAST(least(greatest(
+           (CAST(price100 AS HUGEINT) - bnd.lo) * 8 // (bnd.hi - bnd.lo + 1),
+           0), 7) AS BIGINT) AS VARCHAR),
+         0, 1
+  FROM v2, bnd
+),
+cells AS (
+  SELECT col, bucket, sum(a) AS n_a, sum(b) AS n_b,
+         sum(sum(a)) OVER (PARTITION BY col) AS tot_a,
+         sum(sum(b)) OVER (PARTITION BY col) AS tot_b
+  FROM tagged GROUP BY col, bucket
+),
+s AS (
+  SELECT col, bucket, n_a, n_b,
+         (2 * CAST(n_a AS HUGEINT) * 1000000000 + tot_a) // (2 * tot_a) AS s9a,
+         (2 * CAST(n_b AS HUGEINT) * 1000000000 + tot_b) // (2 * tot_b) AS s9b
+  FROM cells
+)
+SELECT col || ':' || bucket AS col_bucket,
+       CAST(n_a AS BIGINT) AS n_from, CAST(n_b AS BIGINT) AS n_to,
+       CAST(s9a // 1000000000 AS VARCHAR) || '.'
+         || lpad(CAST(s9a % 1000000000 AS VARCHAR), 9, '0') AS share_from,
+       CAST(s9b // 1000000000 AS VARCHAR) || '.'
+         || lpad(CAST(s9b % 1000000000 AS VARCHAR), 9, '0') AS share_to,
+       CASE WHEN s9a - s9b < 0 THEN '-' ELSE '' END
+         || CAST(abs(s9a - s9b) // 1000000000 AS VARCHAR) || '.'
+         || lpad(CAST(abs(s9a - s9b) % 1000000000 AS VARCHAR), 9, '0')
+         AS share_gap
+FROM s
 """
 
     return sql

@@ -24,8 +24,8 @@ BENCH_QUERIES = [
     "bk_groups_summary",
     "bk_filter_by_group",
     "bk_seek_tail",
-    # star-schema analytics
-    "tpch_q1_pricing",
+    # star-schema analytics (tpch_q1_pricing rides orders_discount_audit
+    # since the round-9 consolidation)
     "revenue_rankings",
     "top_parts_per_brand",
     # event-time (events_agg carries the former events_percentiles,
@@ -45,12 +45,9 @@ BENCH_QUERIES = [
     "embedding_label_centroid_sim",
     "preference_pairs",
     "contamination",
-    "pii_scrub",
-    "tfidf_top_terms",
     "corpus_select",
     "orders_discount_audit",
     "semantic_dedup",
-    "dsir_weights",
     "lr_classifier",
     "doc_chunks",
     "segment_dedup",
@@ -61,7 +58,6 @@ BENCH_QUERIES = [
     "setsim_join",
     "entity_linkage",
     "triangle_counts",
-    "k_anonymity",
     "fill_gaps",
     "domain_boilerplate",
     # round-8 second-wave keys (behavioral analytics, corpus overlap,
@@ -77,11 +73,21 @@ BENCH_QUERIES = [
     "lm_perplexity",
     "bm25_scores",
     "bpe_encode",
-    "url_domain_stats",
     "webgraph_rank",
     "crawl_bitext",
     "table_profile",
     "top_terms_by_group",
+    # round-9 oracle keys (the round-8 second-wave operators, now
+    # driver-gated; tpch_q1_pricing / kmeans_step / tfidf_top_terms /
+    # dsir_weights / pii_scrub / url_domain_stats / k_anonymity ride
+    # their consolidated carriers above)
+    "containment_join",
+    "event_transitions",
+    "conversion_attribution",
+    "top_paths",
+    "funnel_user_times",
+    "vocab_coverage",
+    "version_drift",
 ]
 
 
@@ -1431,24 +1437,9 @@ def _extra_ops():
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return tokenizer_fertility(docs, "source", "text")
 
-    def containment_join_bench(spark, sf_dir):
-        """Asymmetric containment join at scale: the doc_id%2 half probed
-        against the full table at t=0.9 — prefix-filtered probe side vs
-        full index, exact integer containment decisions."""
-        from buildkite_logs_parquet_spark.operators.dedup import (
-            containment_join,
-        )
-
-        # probe 1/20th of the corpus: the synthetic templates make word
-        # containment clique-quadratic (measured 103x TRUE pairs at 10x
-        # docs — the setsim annotation class), so a half-corpus probe
-        # measures output explosion, not the plan; the thin probe keeps
-        # the wall proportional to per-probe candidate cost
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return containment_join(
-            docs.where("doc_id % 20 = 0"), docs, "doc_id", "text",
-            threshold=0.9,
-        )
+    # (containment_join is a REGISTERED oracle key since round 9 — the
+    # former x_containment_join duplicate entry is gone; the registered
+    # fixture is identical: doc_id%20 probe vs full table at t=0.9)
 
     def event_transitions_bench(spark, sf_dir):
         """First-order event-transition matrix: one user-keyed lag
@@ -1500,7 +1491,6 @@ def _extra_ops():
         "x_resize_images": resize_images_bench,
         "x_truncation_recall": truncation_recall_bench,
         "x_event_transitions": event_transitions_bench,
-        "x_containment_join": containment_join_bench,
         "x_corpus_overlap_est": corpus_overlap_minhash_bench,
         "x_funnel_times": funnel_times_bench,
         "x_embedding_outliers": embedding_outliers_bench,
@@ -1654,13 +1644,16 @@ def main() -> None:
         "lm_perplexity": "Kneser-Ney train+score legs",
         "text_profile": "script detection columns",
         "doc_chunks": "SFT chat legs + span-corruption/negative legs (round 5)",
-        # round-6 de-consolidation: dsir_weights / url_domain_stats SHRANK
-        # back to their round-4 content (GD+cal legs -> lr_classifier;
-        # robots/bitext -> crawl_bitext; pre:/pr: -> webgraph_rank), so
-        # their trailing-min guard re-arms from the round-4 floor while
-        # the three new keys have no history yet
-        "dsir_weights": "round-6 split: GD/cal legs moved to lr_classifier",
-        "url_domain_stats": "round-6 split: legs moved to webgraph_rank/crawl_bitext",
+        # round-9 consolidations: the seven freed keys ride these
+        # carriers now, so each carrier's workload grew by the merged
+        # relation (same proven SQL, new location)
+        "orders_discount_audit": "q1 pricing leg (round 9)",
+        "embedding_label_centroid_sim": "kmeans 'km' legs (round 9)",
+        "bm25_scores": "tfidf 'tfidf' leg (round 9)",
+        "lm_perplexity": "dsir weight columns (round 9)",
+        "doc_quality": "pii/blocklist/normalization columns (round 9)",
+        "webgraph_rank": "url-domain 'dom:' legs (round 9)",
+        "table_profile": "k-anonymity 'kanon' row (round 9)",
         # round-8 second-wave consolidations: merged legs land on these
         # carriers (revenue_rankings gains the lineitem-sized running-
         # revenue window; events_agg the asof+interval joins;

@@ -920,3 +920,163 @@ def stream_transitions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_attribution(
+    stream: DataFrame,
+    conversion_type: str,
+    channel_types: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_ms",
+    id_col: str = "event_id",
+):
+    """Streaming last-touch conversion attribution — the stream twin of
+    ``operators/funnel.py::attribute_conversions(mode='last_touch')``,
+    on ``applyInPandasWithState`` keyed by user.
+
+    State per user is the current best touch as THREE values
+    ``(tts, tid, tch)``: the latest channel timestamp, the highest
+    event id within that millisecond (the batch twin's (user, ms) slot
+    resolves same-ms channel ties by ``max_by(type, event_id)`` —
+    rule-6 parity), and its channel.  Each micro-batch merges touches
+    and conversions in timestamp order: before a conversion at ``cts``
+    is attributed, every batch touch with ``tts <= cts`` has been
+    folded into the state — so a touch in the SAME millisecond as the
+    conversion is credited, exactly like the batch twin's
+    ``s.tts <= c.cts``.
+
+    Emits one APPEND row per conversion event:
+    ``(conversion_id, user, conv_ts_ms, channel, touch_ts_ms)`` with
+    NULL channel for unattributed conversions.  A replayed conversion
+    row re-emits a VALUE-IDENTICAL attribution (state only advances on
+    touches with a higher (ts, id)), so downstream consumers dedup by
+    conversion_id without coordination.
+
+    Out-of-order caveat (shared with every streaming attributor): a
+    touch arriving AFTER its conversion's micro-batch cannot
+    retro-attribute; the batch operator is the backfill source of
+    truth.
+
+    100 TB shape: state is two longs + one short string per user; rows
+    flow through Arrow batches; output is conversions-sized.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    chans = set(channel_types)
+
+    def track(key, pdfs, state):
+        if state.exists:
+            tts, tid, tch = state.get
+        else:
+            tts, tid, tch = -1, -1, None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        rows = sorted(
+            zip(
+                batch[ts_col].astype("int64"),
+                batch[id_col].astype("int64"),
+                batch[type_col],
+            )
+        )
+        touches = [(t, i, c) for (t, i, c) in rows if c in chans]
+        out = []
+        ti = 0
+        for t, i, c in rows:
+            if c != conversion_type:
+                continue
+            while ti < len(touches) and touches[ti][0] <= t:
+                nt, ni, nc = touches[ti]
+                if nt > tts or (nt == tts and ni > tid):
+                    tts, tid, tch = nt, ni, nc
+                ti += 1
+            if tch is not None and tts <= t:
+                out.append((i, key[0], t, tch, tts))
+            else:
+                out.append((i, key[0], t, None, None))
+        # fold any remaining touches (after the last conversion) so the
+        # carried state reflects the whole batch
+        while ti < len(touches):
+            nt, ni, nc = touches[ti]
+            if nt > tts or (nt == tts and ni > tid):
+                tts, tid, tch = nt, ni, nc
+            ti += 1
+        state.update((int(tts), int(tid), tch if tch is not None else ""))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "conversion_id", user_col, "conv_ts_ms", "channel",
+                    "touch_ts_ms",
+                ],
+            )
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        track,
+        outputStructType=(
+            f"conversion_id long, {user_col} long, conv_ts_ms long, "
+            "channel string, touch_ts_ms long"
+        ),
+        stateStructType="tts bigint, tid bigint, tch string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_paths(
+    stream: DataFrame,
+    depth: int = 3,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_ms",
+):
+    """Streaming event-path feed — the stream twin of
+    ``operators/funnel.py::top_paths``'s depth-gram stage, on
+    ``applyInPandasWithState`` keyed by user.
+
+    State per user is the last ``depth − 1`` event types (short
+    strings).  Each micro-batch sorts its rows by ``(ts, type)`` — the
+    batch operator's window order — and emits one APPEND row per
+    completed depth-gram, chaining across batches through the carried
+    history; counting per path downstream and ranking (count desc, lex)
+    reproduces the batch top-k for in-order streams.
+
+    Output rows: ``(user, step_1 .. step_{depth}, ts_ms)`` (the ts of
+    the last step).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if depth < 2:
+        raise ValueError("depth must be >= 2")
+    h = depth - 1
+    step_cols = [f"step_{i}" for i in range(1, depth + 1)]
+
+    def track(key, pdfs, state):
+        hist = list(state.get) if state.exists else [""] * h
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values([ts_col, type_col], kind="mergesort")
+        out = []
+        for typ, ts in zip(batch[type_col], batch[ts_col]):
+            if all(hist):
+                out.append((key[0], *hist, typ, int(ts)))
+            hist = hist[1:] + [typ]
+        state.update(tuple(hist))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[user_col, *step_cols, ts_col]
+            )
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        track,
+        outputStructType=(
+            f"{user_col} long, "
+            + ", ".join(f"{c} string" for c in step_cols)
+            + f", {ts_col} long"
+        ),
+        stateStructType=", ".join(f"h{i} string" for i in range(h)),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -213,7 +213,9 @@ def test_dsir_lut_is_broadcast(spark):
     gram in the corpus."""
     import __spark_entry__ as E
 
-    df = E.queries()["dsir_weights"](spark, "/root/testdata/sf0.001")
+    # dsir_weights rides lm_perplexity since the round-9 consolidation;
+    # the plan property belongs to the dsir relation itself
+    df = E.q_dsir_weights(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
 

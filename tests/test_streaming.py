@@ -1012,6 +1012,160 @@ def test_stream_cohort_activity_matches_batch_retention(spark, tmp_path):
     assert dict(got) == want
 
 
+def test_stream_attribution_matches_batch_last_touch(spark, tmp_path):
+    """Streaming last-touch attribution over three ts-ordered micro-batches
+    must emit exactly the batch attribute_conversions(mode='last_touch')
+    relation — cross-batch touches, same-ms touch/conversion pairs, same-ms
+    channel ties (max event_id wins), and unattributed conversions."""
+    import json
+    import os
+    import time as _time
+
+    from buildkite_logs_parquet_spark.operators.funnel import (
+        attribute_conversions,
+    )
+    from buildkite_logs_parquet_spark.streaming.follow import (
+        stream_attribution,
+    )
+
+    # (event_id, user, type, ts): u1 converts twice (second touch in an
+    # earlier batch than its conversion); u2's conversion shares its ms
+    # with TWO channel touches (id 21 view, id 22 click → click wins by
+    # max id); u3 converts with no touch at all
+    rows_b1 = [(10, 1, "view", 100), (30, 3, "purchase", 50)]
+    rows_b2 = [(11, 1, "purchase", 200), (12, 1, "click", 300),
+               (21, 2, "view", 400), (22, 2, "click", 400)]
+    rows_b3 = [(13, 1, "purchase", 350), (23, 2, "purchase", 400)]
+    src = tmp_path / "in"
+    src.mkdir()
+    base_t = _time.time() - 60
+    for i, (name, rows) in enumerate(
+        (("b1.json", rows_b1), ("b2.json", rows_b2), ("b3.json", rows_b3))
+    ):
+        with open(src / name, "w") as f:
+            for eid, u, t, ts in rows:
+                f.write(json.dumps(
+                    {"event_id": eid, "user_id": u, "event_type": t,
+                     "ts_ms": ts}) + "\n")
+        os.utime(src / name, (base_t + 10 * i, base_t + 10 * i))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts_ms long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            stream_attribution(stream, "purchase", ["view", "click"])
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    run_once()
+    got = {
+        r["conversion_id"]: (r["channel"], r["touch_ts_ms"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = spark.createDataFrame(
+        rows_b1 + rows_b2 + rows_b3,
+        "event_id long, user_id long, event_type string, ts_ms long",
+    )
+    want = {
+        r["conversion_id"]: (r["channel"], r["touch_ts_ms"])
+        for r in attribute_conversions(
+            batch, "purchase", ["view", "click"], mode="last_touch"
+        ).collect()
+    }
+    assert got == want
+    # the sharp edges actually happened: same-ms tie broke to click
+    # (id 22 > 21), u3 is unattributed, u1's second conversion credits
+    # the batch-2 click
+    assert got[23] == ("click", 400)
+    assert got[30] == (None, None)
+    assert got[13] == ("click", 300)
+    # replay idempotence by value: a re-delivered conversion row emits
+    # an identical attribution (state only advances on touches)
+    with open(src / "b4_replay.json", "w") as f:
+        f.write(json.dumps(
+            {"event_id": 13, "user_id": 1, "event_type": "purchase",
+             "ts_ms": 350}) + "\n")
+    run_once()
+    rep = [
+        (r["channel"], r["touch_ts_ms"])
+        for r in spark.read.parquet(out_dir).collect()
+        if r["conversion_id"] == 13
+    ]
+    # original emission + the value-identical replay emission
+    assert sorted(rep) == [("click", 300), ("click", 300)]
+
+
+def test_stream_paths_matches_batch_top_paths(spark, tmp_path):
+    """Counting the streamed depth-3 grams per path and ranking
+    (count desc, lex) must reproduce the batch top_paths relation across
+    three ts-ordered micro-batches, grams spanning batch boundaries
+    included."""
+    import json
+    import os
+    import time as _time
+    from collections import Counter
+
+    from buildkite_logs_parquet_spark.operators.funnel import top_paths
+    from buildkite_logs_parquet_spark.streaming.follow import stream_paths
+
+    rows_b1 = [(1, "view", 100), (2, "view", 10), (1, "click", 150)]
+    rows_b2 = [(1, "purchase", 200), (2, "click", 20), (1, "view", 250)]
+    rows_b3 = [(2, "purchase", 30), (1, "click", 300), (2, "view", 40)]
+    src = tmp_path / "in"
+    src.mkdir()
+    base_t = _time.time() - 60
+    for i, (name, rows) in enumerate(
+        (("b1.json", rows_b1), ("b2.json", rows_b2), ("b3.json", rows_b3))
+    ):
+        with open(src / name, "w") as f:
+            for u, t, ts in rows:
+                f.write(json.dumps(
+                    {"user_id": u, "event_type": t, "ts_ms": ts}) + "\n")
+        os.utime(src / name, (base_t + 10 * i, base_t + 10 * i))
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, ts_ms long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream_paths(stream, depth=3)
+        .writeStream.format("memory")
+        .queryName("paths_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = Counter(
+        (r["step_1"], r["step_2"], r["step_3"])
+        for r in spark.sql("select * from paths_stream").collect()
+    )
+    batch = spark.createDataFrame(
+        rows_b1 + rows_b2 + rows_b3,
+        "user_id long, event_type string, ts_ms long",
+    )
+    want = {
+        (r["step_1"], r["step_2"], r["step_3"]): r["n_paths"]
+        for r in top_paths(batch, depth=3, top_k=100).collect()
+    }
+    assert dict(got) == want
+    # grams crossing batch boundaries exist (u1: view@100,click@150 in b1
+    # completed by purchase@200 in b2; u2's entire path spans 3 batches)
+    assert got[("view", "click", "purchase")] >= 2
+
+
 def test_stream_funnel_same_timestamp_completes_in_funnel_order(spark, tmp_path):
     """Same-timestamp multi-step completion: steps=['view','click'] with
     view@t and click@t in ONE micro-batch.  'click' sorts lexicographically

@@ -55,9 +55,8 @@ ALLOWLIST = {
     # is hashed via DuckDB's decimal renderer — also stable r1-r5.
     # Kept (proven in the field), but no NEW oracle may copy this:
     # derive new log-ratios on an integer grid instead (rule 13).
-    ("dsir_weights", "transcendental"): "proven r1-r5 driver-green; ln on exact-integer-derived doubles",
-    ("dsir_weights", "round-double"): "same construct; see above",
-    ("dsir_weights", "decimal-render"): "CAST(round(ln..) AS DECIMAL) feeds a decimal SUM, not a direct render; proven r1-r5",
+    # (round 9: the dsir construct now lives nested inside lm_perplexity
+    # after the consolidation — lm_perplexity's entries below cover it)
     # lm_perplexity: ln on exact-integer-derived doubles, result rounded
     # to 9dp and decimal-summed (rule 5); driver-green r3-r5.
     ("lm_perplexity", "transcendental"): "proven r3-r5 driver-green; rule-5 round-then-decimal-sum",
@@ -67,8 +66,8 @@ ALLOWLIST = {
     ("corpus_select", "transcendental"): "A-ES key ln(u)/w; proven r5 driver-green",
     ("corpus_select", "round-double"): "same construct; see above",
     # tfidf: round(ln(ratio), 9) then decimal sum; driver-green r3-r5.
-    ("tfidf_top_terms", "transcendental"): "proven r3-r5 driver-green",
-    ("tfidf_top_terms", "round-double"): "same construct; see above",
+    # (round 9: the tfidf construct now lives nested inside bm25_scores
+    # after the consolidation — bm25_scores' entries below cover it)
     # bm25: ln on exact integers (idf), round-then-decimal-sum (rule 10);
     # driver-green r4-r5.
     ("bm25_scores", "transcendental"): "proven r4-r5 driver-green; rule-10 discipline",
@@ -85,8 +84,14 @@ ALLOWLIST = {
     # driver-green r2-r5.
     ("ann_topk", "round-double"): "rule-4 decision rounding on fold-exact cosines; proven r2-r5",
     ("semantic_dedup", "round-double"): "rule-4; proven r2-r5",
+    # round-9: the pqtrain digest (round-then-decimal-sum on fold-exact
+    # codeword doubles) moved here from ann_topk byte-identically — the
+    # same construct ann_topk's decimal-render entry argues, proven on
+    # that key rounds 5-8
+    ("semantic_dedup", "decimal-render"): "pqtrain round-then-decimal-sum (rule 5), moved from ann_topk round 9; proven r5-r8",
     ("embedding_label_centroid_sim", "round-double"): "rule-4; proven r2-r5 (cent leg) / r2-r6 (lshpair leg, merged round 7)",
-    ("kmeans_step", "round-double"): "rule-4; proven r3-r5",
+    # (round 9: kmeans_step rides embedding_label_centroid_sim, whose
+    # round-double entry above covers the merged 'km' legs)
     ("ngram_jaccard", "round-double"): "rule-4 on exact ratio; proven r1-r5",
     # events_asof merged onto events_agg round 8.2; its round(click_value,4)
     # now lives inside the events_agg nested SQL (events_agg round-double
@@ -97,6 +102,13 @@ ALLOWLIST = {
     # same integer; the rest of the interpolation is pure BIGINT.
     ("events_agg", "decimal-render"): "round(2dp-double*100, 0): 4e-12 from integer, no half-case exists; measured sf0.1",
     ("events_agg", "round-double"): "same construct; see above",
+    # version_drift: the SAME v100 device over o_totalprice (TPC-H money,
+    # exactly 2-dp — verified 0 rows off-integer at sf0.01/sf0.1), so
+    # round(price*100, 0) is never near a half-case; the result is CAST
+    # to BIGINT and every downstream bucket/share is pure integer
+    # arithmetic (HUGEINT bucket index, half-up scale-9 shares).
+    ("version_drift", "decimal-render"): "events_agg v100 device on exactly-2-dp o_totalprice; integer lineage after the cast",
+    ("version_drift", "round-double"): "same construct; see above",
     # doc_quality: quantile_cont at EXACTLY q=0.5 over an integer column
     # is release-proof by arithmetic: the result is lo, or (lo+hi)/2 of
     # two integers ≤ 2^52 — exact in IEEE under ANY interior formula
