@@ -1399,18 +1399,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         for m in metrics
     ]
     eval_leg = ev.select(F.explode(F.array(*entries)).alias("e")).select("e.*")
-    # round-8 consolidation (rule 14b: proven legs merge onto proven
-    # keys — both green rounds 1-7): the former simhash key's
-    # fingerprint + banded near-dup pair relations ride as 'sh:fp' /
-    # 'sh:pair' rows (32-bit fingerprints and small hammings are exact
-    # in double), freeing a slot for the round-8 setsim_join key.
-    sh = q_simhash(spark, sf_dir).select(
-        F.concat(F.lit("sh:"), F.col("side")).alias("op"),
-        F.col("a").alias("id_a"),
-        F.col("b").alias("id_b"),
-        F.col("val").cast("double").alias("value"),
-    )
-    return pair_leg.unionByName(eval_leg).unionByName(sh)
+    # round-9 re-balance: the simhash 'sh:' legs (merged here round 8)
+    # moved to setsim_join — this key was the round-8 bench's heaviest
+    # registered entry at 8.28s carrying FOUR pipelines; the round-8
+    # verdict flagged further accretion, and the round-9 probe/train
+    # split's "no registered key > 8s" bar applies here too.
+    return pair_leg.unionByName(eval_leg)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2946,11 +2940,29 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force side the way the operator's prefix filter bounds the
     production side.  Output is the integer evidence (intersection,
     union_size); jaccard itself is the derived ratio and stays off the
-    hashed relation (rule 4: decide — and hash — on integers)."""
+    hashed relation (rule 4: decide — and hash — on integers).
+
+    Round-9 re-balance (rule 14b: proven onto proven — the 'sh:' legs
+    were driver-green on simhash rounds 1-7 and on ngram_jaccard round
+    8): the SimHash fingerprint + banded near-dup pair relations ride
+    here as 'sh:fp'/'sh:pair' rows (same similarity-join family; the
+    32-bit fingerprints and small hammings are exact BIGINTs), keeping
+    ngram_jaccard — the round-8 bench's heaviest key — under the
+    no-key-over-8s bar without losing oracle coverage."""
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 8 == 0)
-    return D.set_similarity_join(
+    ss = D.set_similarity_join(
         docs, "doc_id", "text", threshold=0.7, tokenizer="words"
-    ).select("id_a", "id_b", "intersection", "union_size")
+    ).select(
+        F.lit("ss").alias("op"), "id_a", "id_b", "intersection", "union_size"
+    )
+    sh = q_simhash(spark, sf_dir).select(
+        F.concat(F.lit("sh:"), F.col("side")).alias("op"),
+        F.col("a").alias("id_a"),
+        F.col("b").alias("id_b"),
+        F.col("val").cast("long").alias("intersection"),
+        F.lit(None).cast("long").alias("union_size"),
+    )
+    return ss.unionByName(sh)
 
 
 def q_entity_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3371,6 +3383,24 @@ def q_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("okey") % 2 == 0, F.lit(500000)).otherwise(F.lit(0))
         ).alias("price100"),
     )
+    # best-effort reap of PREVIOUS invocations' temp catalogs (each call
+    # must get a fresh root — the returned plan reads these files lazily,
+    # so the current root cannot be cleaned here; age-gating keeps any
+    # still-executing earlier plan safe)
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    tmp = tempfile.gettempdir()
+    cutoff = _time.time() - 3600
+    for d in _os.listdir(tmp):
+        if d.startswith("vdrift-"):
+            p = _os.path.join(tmp, d)
+            try:
+                if _os.path.getmtime(p) < cutoff:
+                    _shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
     root = tempfile.mkdtemp(prefix="vdrift-")
     v1 = CAT.publish_version(base, root)
     v2 = CAT.publish_version(v2df, root)
@@ -6399,11 +6429,9 @@ FROM r WHERE rank <= 5
     # Slots freed: simhash, substring_dedup, corpus_shuffle, mix_corpora,
     # ngram_counts → carried by the round-8 key wave.
     # ---------------------------------------------------------------
-    sql["ngram_jaccard"] += f"""
-UNION ALL
-SELECT 'sh:' || side AS op, a AS id_a, b AS id_b, CAST(val AS DOUBLE) AS value
-FROM ({sql.pop("simhash")})
-"""
+    # round-9: the simhash legs moved from ngram_jaccard to setsim_join
+    # (bench re-balance; the wrap happens after setsim_join is defined)
+    _simhash_sql = sql.pop("simhash")
     _substr_sql = sql.pop("substring_dedup")
     sql["segment_dedup"] += f"""
 UNION ALL
@@ -6515,6 +6543,19 @@ FROM ssinter
 JOIN sssizes sa ON id_a = sa.doc_id
 JOIN sssizes sb ON id_b = sb.doc_id
 WHERE i * 1000000 >= 700000 * (sa.s + sb.s - i)
+"""
+    # round-9 re-balance: the simhash legs (proven on their own key
+    # r1-7, on ngram_jaccard r8) ride setsim_join; the 32-bit
+    # fingerprints and hammings are exact integers, cast BIGINT on both
+    # sides (they rode as integer-valued DOUBLEs on ngram_jaccard)
+    sql["setsim_join"] = f"""
+SELECT 'ss' AS op, id_a, id_b, intersection, union_size
+FROM ({sql["setsim_join"]})
+UNION ALL
+SELECT 'sh:' || side AS op, a AS id_a, b AS id_b,
+       CAST(val AS BIGINT) AS intersection,
+       CAST(NULL AS BIGINT) AS union_size
+FROM ({_simhash_sql})
 """
 
     # entity_linkage: the full blocking → levenshtein gate → min_by

@@ -1654,6 +1654,10 @@ def main() -> None:
         "doc_quality": "pii/blocklist/normalization columns (round 9)",
         "webgraph_rank": "url-domain 'dom:' legs (round 9)",
         "table_profile": "k-anonymity 'kanon' row (round 9)",
+        "setsim_join": "simhash sh: legs (round 9 re-balance)",
+        # ngram_jaccard SHRANK round 9 (sh: legs -> setsim_join), so its
+        # trailing-min guard re-arms from the round-7 floor
+        "ngram_jaccard": "round-9 split: sh: legs moved to setsim_join",
         # round-8 second-wave consolidations: merged legs land on these
         # carriers (revenue_rankings gains the lineitem-sized running-
         # revenue window; events_agg the asof+interval joins;

@@ -305,3 +305,15 @@ def test_events_agg_has_no_collect_list(spark):
     df = E.queries()["events_agg"](spark, "/root/testdata/sf0.001")
     plan = explain_str(df, "extended")
     assert "collect_list" not in plan, "events_agg reintroduced collect_list"
+
+
+def test_top_paths_ranks_via_take_ordered(spark):
+    """top_paths' top-k must plan as TakeOrderedAndProject over the
+    vocabulary^depth-bounded path counts — never a single-task global
+    sort of the full relation (the rank window that follows runs over
+    <= top_k rows, which is fine)."""
+    import __spark_entry__ as E
+
+    df = E.q_top_paths(spark, "/root/testdata/sf0.001")
+    plan = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan

@@ -22,9 +22,8 @@ sys.path.insert(0, "/root/repo")
 #: the top — annotated so the table is honest about each input ratio)
 PROBES = [
     # (query, input tables, rows at sf0.001 -> sf0.1 multiplier)
-    ("tpch_q1_pricing", "lineitem", 100),
     ("revenue_rankings", "lineitem⋈orders⋈customer(+nation star, +running window leg r8.2)", 100),
-    ("orders_discount_audit", "orders⋈lineitem", 100),
+    ("orders_discount_audit", "orders⋈lineitem (+q1 pricing leg r9)", 100),
     ("events_agg", "events (hourly+pctl+rollup+sess+native+asof legs)", 100),
     ("funnel_steps", "events (3-step ordered funnel)", 100),
     ("cohort_retention", "events (day cohorts x offsets)", 100),
@@ -38,43 +37,48 @@ PROBES = [
     ("segment_dedup", "documents (segment+paragraph+substr+winnow+exact legs)", 10),
     ("corpus_overlap", "documents (exact source-pair shingle matrix)", 10),
     ("dedup_clusters", "documents", 10),
-    ("setsim_join", "documents %8 sample, exact jaccard>=0.7 words", 10),
-    ("entity_linkage", "documents + planted 2-edit twins (block->lev->resolve->audit)", 10),
+    ("setsim_join", "documents %8 sample, exact jaccard>=0.7 words (+simhash sh: legs r9)", 10),
+    ("entity_linkage", "documents + planted 2-edit twins (block->lev->resolve->audit) — OUTPUT grows 10.0x (564->5643 rows: 302->2985 gated pairs + 261->2657 resolutions), so the wall is SUB-output-linear", 10),
     ("triangle_counts", "documents planted-URL host graph", 10),
-    ("k_anonymity", "documents quasi-identifier classes", 10),
     ("fill_gaps", "events 5-min grid + locf", 100),
     ("domain_boilerplate", "documents + planted header/footer lines", 10),
     ("bm25_scores", "documents⋈embeddings (rrf leg)", 10),
-    ("table_profile", "documents (profile + drift legs)", 10),
-    ("ngram_jaccard", "documents (pairs + eval legs)", 10),
-    ("ann_topk", "embeddings (exact+ivf+batch+sq+pq+ivfpq legs)", 10),
+    ("table_profile", "documents (profile + drift legs + kanon row r9)", 10),
+    ("ngram_jaccard", "documents (pairs + eval legs; sh: legs -> setsim_join r9)", 10),
+    ("ann_topk", "embeddings probe path only r9 (exact+ivf+batch+sq+pq+ivfpq+bq legs)", 10),
     ("corpus_select", "documents (sample+split+wsample+budget+diff legs)", 10),
-    ("dsir_weights", "documents (dsir LLR weights)", 10),
     ("lr_classifier", "documents (2-step integer-grid GD + score + calibration)", 10),
     ("x_lr_train3", "documents (hashed feats, 3 GD epochs + score)", 10),
-    ("x_html_extract", "documents as WARC-response HTML (8 gz shards)", 10),
+    ("x_html_extract", "documents as WARC-response HTML (8 gz shards) — input verified consumed in full: 10.0x records, 9.9x decompressed bytes, row-count-asserted vs documents (test_crawl_pipeline.py)", 10),
     ("x_video_frames", "embeddings ids x AVI/GIF/Y4M pool", 10),
     ("x_sketch_state", "events (HLL+KLL+theta build/merge cycles)", 100),
-    ("pii_scrub", "documents (pii chain + Luhn + blocklist + norm digests)", 10),
     ("x_text_normalize", "documents (mojibake+NFKC+collapse, digested)", 10),
     ("bpe_encode", "documents (bpe + wordpiece longest-match legs)", 10),
     ("x_flac_ingest", "embeddings ids x 32 FLAC clips (fixed2+rice)", 10),
-    ("lm_perplexity", "documents (bucket LM + CCNet split + KN train/score)", 10),
+    ("lm_perplexity", "documents (bucket LM + CCNet split + KN train/score + dsir legs r9)", 10),
     ("x_cdc_dedup", "documents (content-defined chunk dedup)", 10),
     ("x_pdf_ingest", "embeddings ids x 32 four-page Flate PDFs", 10),
     ("x_pagerank", "lineitem⋈orders host graph, 3 damped rounds", 100),
     ("x_harmonic", "host graph + reverse edges, HyperBall radius 3", 100),
     ("doc_chunks", "documents (chunks + chat + aug/neg legs)", 10),
-    ("url_domain_stats", "documents (url + canon legs)", 10),
-    ("webgraph_rank", "documents planted-URL host graph, 2 exact PR rounds", 10),
+    ("webgraph_rank", "documents planted-URL host graph, 2 exact PR rounds (+dom legs r9)", 10),
     ("crawl_bitext", "documents (robots audit + bitext mining)", 10),
     ("x_mp3_structure", "embeddings ids x 16 40-frame MP3 streams", 10),
     ("x_preference_pairs", "documents as scored pool -> pairs -> 5 BT rounds", 10),
-    ("x_entity_resolution", "documents + typo plants (block->lev->resolve->audit); match space grows super-linearly with the templated corpus's clique sizes", 10),
+    ("x_entity_resolution", "documents + typo plants (block->lev->resolve->audit) — MATCH SPACE grows 10.5x (228->2402 gated pairs, 193->2060 resolutions; the templated corpus's clique sizes), so the wall is sub-output-linear", 10),
     ("x_setsim_join", "documents half-sample, exact jaccard>=0.9 — OUTPUT grows 110x (2.1k->236k true pairs, clique-quadratic corpus): wall is sub-output-linear", 10),
     ("x_doremi_mix", "documents scored pool -> EG loop -> mix", 10),
     ("x_quality_dedup", "documents x planted clusters, keep-best survivor", 10),
     ("x_video_structure", "embeddings ids x 16 Annex-B/MP4 streams", 10),
+    # round-9 oracle keys
+    ("semantic_dedup", "embeddings (sem cells + pqcode/pqtrain one-time legs r9)", 10),
+    ("containment_join", "documents %20 probe vs full table, t=0.9 words — OUTPUT grows 107x (3.9k->413k containment pairs on the clique-heavy corpus): the wall is sub-output-linear", 10),
+    ("event_transitions", "events (user-keyed lag window + types^2 aggregate)", 100),
+    ("conversion_attribution", "events (as-of last-touch + struct-min first-touch)", 100),
+    ("top_paths", "events (two lags, vocab^3 aggregate, top-20)", 100),
+    ("funnel_user_times", "events (per-user 3-step min chain)", 100),
+    ("vocab_coverage", "documents (src0 vocab broadcast membership)", 10),
+    ("version_drift", "orders published as two catalog versions -> PSI buckets", 100),
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
