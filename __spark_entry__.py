@@ -2706,6 +2706,54 @@ def q_crawl_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_leg.unionByName(bitext_leg)
 
 
+def _drift_share9(dr):
+    """Half-up scale-9 share integers + integer-string renders for a
+    ``corpus_drift`` relation — the hash-proven device (DETERMINISM
+    rules 13/14a, §17) SHARED by q_table_profile's drift leg and
+    q_version_drift so the two cross-engine-critical call sites can
+    never diverge.  Returns ``(dr_with_s9, share9_render, gap9)``:
+    ``dr`` gains ``_ta/_tb/_s9a/_s9b`` (hu(n·10⁹, tot) in
+    decimal-widened integer arithmetic — exact at any corpus size;
+    2·n·10⁹ overflows BIGINT past n ≈ 4.6e9, the share itself is ≤ 10⁹
+    so the final cast is safe); ``share9_render(col_name)`` renders a
+    scale-9 integer by pure div/mod string concat (never round(double)
+    or a decimal render); ``gap9`` is the signed share difference."""
+    from pyspark.sql import Window as W
+
+    wcol = W.partitionBy("column")
+    dr = (
+        dr.withColumn("_ta", F.sum("n_a").over(wcol))
+        .withColumn("_tb", F.sum("n_b").over(wcol))
+        .withColumn(
+            "_s9a",
+            F.expr(
+                "cast((2 * cast(n_a as decimal(38,0)) * 1000000000"
+                " + _ta) div (2 * _ta) as bigint)"
+            ),
+        )
+        .withColumn(
+            "_s9b",
+            F.expr(
+                "cast((2 * cast(n_b as decimal(38,0)) * 1000000000"
+                " + _tb) div (2 * _tb) as bigint)"
+            ),
+        )
+    )
+
+    def share9(col):
+        return F.expr(
+            f"concat(cast({col} div 1000000000 as string), '.',"
+            f" lpad(cast({col} % 1000000000 as string), 9, '0'))"
+        )
+
+    gap9 = F.expr(
+        "concat(case when _s9a - _s9b < 0 then '-' else '' end,"
+        " cast(abs(_s9a - _s9b) div 1000000000 as string), '.',"
+        " lpad(cast(abs(_s9a - _s9b) % 1000000000 as string), 9, '0'))"
+    )
+    return dr, share9, gap9
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table profiling (operators/profiling.py::table_profile) in exact
     mode — same one-aggregate plan shape and output schema as the
@@ -2797,43 +2845,7 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     dr = P.corpus_drift(
         a, b, cat_cols=["lang", "source"], num_cols=["n_chars"], n_bins=8
     )
-    from pyspark.sql import Window as W
-
-    wcol = W.partitionBy("column")
-    dr = (
-        dr.withColumn("_ta", F.sum("n_a").over(wcol))
-        .withColumn("_tb", F.sum("n_b").over(wcol))
-        # hu(n·10^9, tot) in decimal-widened integer arithmetic: exact at
-        # any corpus size (2·n·10^9 overflows BIGINT past n ≈ 4.6e9);
-        # the share integer itself is ≤ 10^9 so the final cast is safe
-        .withColumn(
-            "_s9a",
-            F.expr(
-                "cast((2 * cast(n_a as decimal(38,0)) * 1000000000"
-                " + _ta) div (2 * _ta) as bigint)"
-            ),
-        )
-        .withColumn(
-            "_s9b",
-            F.expr(
-                "cast((2 * cast(n_b as decimal(38,0)) * 1000000000"
-                " + _tb) div (2 * _tb) as bigint)"
-            ),
-        )
-    )
-
-    def _share9(col):
-        # integer div/mod render, no floats (col is a column NAME here)
-        return F.expr(
-            f"concat(cast({col} div 1000000000 as string), '.',"
-            f" lpad(cast({col} % 1000000000 as string), 9, '0'))"
-        )
-
-    gap9 = F.expr(
-        "concat(case when _s9a - _s9b < 0 then '-' else '' end,"
-        " cast(abs(_s9a - _s9b) div 1000000000 as string), '.',"
-        " lpad(cast(abs(_s9a - _s9b) % 1000000000 as string), 9, '0'))"
-    )
+    dr, _share9, gap9 = _drift_share9(dr)
     drift_leg = dr.select(
         F.concat_ws(":", F.lit("drift"), "column", "bucket").alias("column"),
         F.col("n_a").alias("n_rows"),
@@ -3345,6 +3357,11 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: temp catalog roots created by q_version_drift IN THIS PROCESS —
+#: reaped on the next call (see the contract note inside the function)
+_VDRIFT_ROOTS: list[str] = []
+
+
 def q_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog version-to-version distribution drift (sources/
     catalog.py::version_stats_drift) through REAL catalog IO: two
@@ -3383,25 +3400,21 @@ def q_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("okey") % 2 == 0, F.lit(500000)).otherwise(F.lit(0))
         ).alias("price100"),
     )
-    # best-effort reap of PREVIOUS invocations' temp catalogs (each call
-    # must get a fresh root — the returned plan reads these files lazily,
-    # so the current root cannot be cleaned here; age-gating keeps any
-    # still-executing earlier plan safe)
-    import os as _os
+    # best-effort reap of THIS PROCESS's previous invocations' temp
+    # catalogs (each call gets a fresh root because the returned plan
+    # reads the files lazily — the current root cannot be cleaned here).
+    # Only roots this process registered are touched: an age gate would
+    # race a built-but-not-yet-executed plan in ANOTHER session, and
+    # cross-process /tmp hygiene belongs to the OS.  Contract: a new
+    # q_version_drift call invalidates this session's EARLIER
+    # version_drift plans — the driver/gate/bench all materialize each
+    # plan before requesting the next, so nothing live is reaped.
     import shutil as _shutil
-    import time as _time
 
-    tmp = tempfile.gettempdir()
-    cutoff = _time.time() - 3600
-    for d in _os.listdir(tmp):
-        if d.startswith("vdrift-"):
-            p = _os.path.join(tmp, d)
-            try:
-                if _os.path.getmtime(p) < cutoff:
-                    _shutil.rmtree(p, ignore_errors=True)
-            except OSError:
-                pass
+    while _VDRIFT_ROOTS:
+        _shutil.rmtree(_VDRIFT_ROOTS.pop(), ignore_errors=True)
     root = tempfile.mkdtemp(prefix="vdrift-")
+    _VDRIFT_ROOTS.append(root)
     v1 = CAT.publish_version(base, root)
     v2 = CAT.publish_version(v2df, root)
     dr = CAT.version_stats_drift(
@@ -3413,39 +3426,7 @@ def q_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_cols=["price100"],
         n_bins=8,
     )
-    from pyspark.sql import Window as W
-
-    wcol = W.partitionBy("column")
-    dr = (
-        dr.withColumn("_ta", F.sum("n_a").over(wcol))
-        .withColumn("_tb", F.sum("n_b").over(wcol))
-        .withColumn(
-            "_s9a",
-            F.expr(
-                "cast((2 * cast(n_a as decimal(38,0)) * 1000000000"
-                " + _ta) div (2 * _ta) as bigint)"
-            ),
-        )
-        .withColumn(
-            "_s9b",
-            F.expr(
-                "cast((2 * cast(n_b as decimal(38,0)) * 1000000000"
-                " + _tb) div (2 * _tb) as bigint)"
-            ),
-        )
-    )
-
-    def _sh9(col):
-        return F.expr(
-            f"concat(cast({col} div 1000000000 as string), '.',"
-            f" lpad(cast({col} % 1000000000 as string), 9, '0'))"
-        )
-
-    gap9 = F.expr(
-        "concat(case when _s9a - _s9b < 0 then '-' else '' end,"
-        " cast(abs(_s9a - _s9b) div 1000000000 as string), '.',"
-        " lpad(cast(abs(_s9a - _s9b) % 1000000000 as string), 9, '0'))"
-    )
+    dr, _sh9, gap9 = _drift_share9(dr)
     return dr.select(
         F.concat_ws(":", "column", "bucket").alias("col_bucket"),
         F.col("n_a").cast("long").alias("n_from"),

@@ -883,10 +883,13 @@ def stream_transitions(
     State per user is the LAST event type seen (one short string).
     Each micro-batch sorts its rows by ``(ts, type)`` and emits one
     append row per consecutive pair, chaining across batches through
-    the carried state — so for in-order streams the emitted multiset
-    equals the batch operator's pair relation (tested over splits);
-    counting per (from, to) downstream gives the live transition
-    matrix.
+    the carried state — so for in-order streams whose same-timestamp
+    events don't split across micro-batches the emitted multiset
+    equals the batch operator's pair relation (tested over splits; a
+    same-ts tie split across a boundary is already committed to pair
+    order when the later event arrives — the shared streaming-horizon
+    caveat); counting per (from, to) downstream gives the live
+    transition matrix.
 
     Output rows: ``(user, from_type, to_type, ts_ms)`` (the ts of the
     TO event).
@@ -970,6 +973,11 @@ def stream_attribution(
     def track(key, pdfs, state):
         if state.exists:
             tts, tid, tch = state.get
+            # '' is the Arrow-state spelling of "no touch yet" — decode
+            # it back to None so a restored empty sentinel can never be
+            # emitted as a real (truthy-checked) channel
+            if tch == "":
+                tch = None
         else:
             tts, tid, tch = -1, -1, None
         batch = pd.concat(list(pdfs), ignore_index=True)
@@ -1040,7 +1048,13 @@ def stream_paths(
     batch operator's window order — and emits one APPEND row per
     completed depth-gram, chaining across batches through the carried
     history; counting per path downstream and ranking (count desc, lex)
-    reproduces the batch top-k for in-order streams.
+    reproduces the batch top-k for streams where a user's
+    SAME-TIMESTAMP events never split across micro-batches (in-batch
+    ties sort exactly like the batch window; a tie split across a batch
+    boundary is already committed to gram order when the later event
+    arrives, so its grams can differ from the batch twin's — the same
+    horizon class as every caveat above: the batch operator is the
+    backfill source of truth).
 
     Output rows: ``(user, step_1 .. step_{depth}, ts_ms)`` (the ts of
     the last step).

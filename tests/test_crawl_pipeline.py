@@ -245,10 +245,12 @@ def test_warc_html_sf01_corpus_consumed_end_to_end(spark):
     )
     from buildkite_logs_parquet_spark.sources.warc import read_warc_html
 
-    warc_dir = "bench_warc_html_sf0.1"
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    warc_dir = os.path.join(repo_root, "bench_warc_html_sf0.1")
+    small_dir = os.path.join(repo_root, "bench_warc_html_sf0.001")
     sf_dir = "/root/testdata/sf0.1"
-    if not os.path.isdir(warc_dir) or not os.path.isdir(sf_dir):
-        pytest.skip("sf0.1 fixtures not present")
+    if not all(os.path.isdir(d) for d in (warc_dir, small_dir, sf_dir)):
+        pytest.skip("sf0.1 / sf0.001 WARC fixtures not present")
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
@@ -265,7 +267,7 @@ def test_warc_html_sf01_corpus_consumed_end_to_end(spark):
         return n, b
 
     n_big, bytes_big = corpus_stats(warc_dir)
-    n_small, bytes_small = corpus_stats("bench_warc_html_sf0.001")
+    n_small, bytes_small = corpus_stats(small_dir)
     assert n_big == n_docs  # every document became exactly one record
     assert n_big == 10 * n_small
     assert bytes_big > 8 * bytes_small

@@ -1031,11 +1031,14 @@ def test_stream_attribution_matches_batch_last_touch(spark, tmp_path):
     # (event_id, user, type, ts): u1 converts twice (second touch in an
     # earlier batch than its conversion); u2's conversion shares its ms
     # with TWO channel touches (id 21 view, id 22 click → click wins by
-    # max id); u3 converts with no touch at all
-    rows_b1 = [(10, 1, "view", 100), (30, 3, "purchase", 50)]
+    # max id); u3 converts with no touch at all; u4 converts untouched in
+    # TWO different batches (state-restore sentinel path)
+    rows_b1 = [(10, 1, "view", 100), (30, 3, "purchase", 50),
+               (40, 4, "purchase", 60)]
     rows_b2 = [(11, 1, "purchase", 200), (12, 1, "click", 300),
                (21, 2, "view", 400), (22, 2, "click", 400)]
-    rows_b3 = [(13, 1, "purchase", 350), (23, 2, "purchase", 400)]
+    rows_b3 = [(13, 1, "purchase", 350), (23, 2, "purchase", 400),
+               (41, 4, "purchase", 500)]
     src = tmp_path / "in"
     src.mkdir()
     base_t = _time.time() - 60
@@ -1091,6 +1094,10 @@ def test_stream_attribution_matches_batch_last_touch(spark, tmp_path):
     assert got[23] == ("click", 400)
     assert got[30] == (None, None)
     assert got[13] == ("click", 300)
+    # u4 RE-converts two batches after an unattributed conversion: the
+    # restored empty-string state sentinel must not surface as a real
+    # channel (the round-9 review's stream_attribution finding)
+    assert got[40] == (None, None) and got[41] == (None, None)
     # replay idempotence by value: a re-delivered conversion row emits
     # an identical attribution (state only advances on touches)
     with open(src / "b4_replay.json", "w") as f:
