@@ -3264,7 +3264,7 @@ def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT containment-threshold join (operators/dedup.py::
     containment_join — the quote/excerpt/superset detector): the
-    doc_id%20 slice probed against the FULL documents table at t=0.9,
+    doc_id%32 slice probed against the FULL documents table at t=0.9,
     word tokens.  The operator runs the asymmetric prefix filter under
     a global rarest-first token order; the oracle is an INDEPENDENT
     brute-force derivation (distinct token sets, token equi-join,
@@ -3272,7 +3272,7 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     setsim_join gating pattern.  All outputs BIGINT (rule 15)."""
     docs = _t(spark, sf_dir, "documents")
     return D.containment_join(
-        docs.where(F.col("doc_id") % 20 == 0),
+        docs.where(F.col("doc_id") % 32 == 0),
         docs,
         "doc_id",
         "text",
@@ -6997,7 +6997,7 @@ WITH ctoks AS (
     FROM documents
   ) WHERE tok <> ''
 ),
-probe AS (SELECT doc_id, tok FROM ctoks WHERE doc_id % 20 = 0),
+probe AS (SELECT doc_id, tok FROM ctoks WHERE doc_id % 32 = 0),
 psz AS (SELECT doc_id, count(*) AS sa FROM probe GROUP BY doc_id),
 isz AS (SELECT doc_id, count(*) AS sb FROM ctoks GROUP BY doc_id),
 ci AS (
