@@ -72,7 +72,7 @@ PROBES = [
     ("x_video_structure", "embeddings ids x 16 Annex-B/MP4 streams", 10),
     # round-9 oracle keys
     ("semantic_dedup", "embeddings (sem cells + pqcode/pqtrain one-time legs r9)", 10),
-    ("containment_join", "documents %32 probe vs full table, t=0.9 words — OUTPUT grows ~107x with probes (measured 3.9k->413k pairs at the %20 shape; clique-heavy corpus): the wall is sub-output-linear", 10),
+    ("containment_join", "documents %32 probe vs full table, t=0.9 words — OUTPUT grows 107x at 10x docs (2.4k->262k containment pairs, gate-counted; clique-heavy corpus): the wall is sub-output-linear", 10),
     ("event_transitions", "events (user-keyed lag window + types^2 aggregate)", 100),
     ("conversion_attribution", "events (as-of last-touch + struct-min first-touch)", 100),
     ("top_paths", "events (two lags, vocab^3 aggregate, top-20)", 100),
