@@ -225,9 +225,10 @@ def test_warc_html_sf01_corpus_consumed_end_to_end(spark):
 
     Also pins the input-scaling fact the bench legs rely on: the sf0.1
     corpus carries ~10x the records and ~10x the decompressed bytes of
-    the sf0.001 one (both fixture dirs are committed), so a bench wall
-    that barely moves between them is measuring per-job overhead, not a
-    truncated read.
+    the sf0.001 one (both dirs are bench-generated and gitignored —
+    the guard below skips cleanly on a fresh checkout until a bench
+    run materializes them), so a bench wall that barely moves between
+    them is measuring per-job overhead, not a truncated read.
     """
     import glob
     import gzip
