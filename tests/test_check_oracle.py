@@ -167,3 +167,24 @@ def test_lint_rejects_hugeint_output_oracle():
     assert "bad_decimal" in findings and "DECIMAL" in findings["bad_decimal"]
     assert "does_not_bind" in findings
     assert "good_bigint" not in findings
+
+
+def test_registry_is_exactly_fifty_and_oracle_aligned():
+    """The driver's correctness harness checks the FIRST 50 queries()
+    entries only (observed round 2: 55 registered -> exactly 50 rows in
+    CORRECTNESS). A key past position 50 silently falls OUT of the gate
+    window, and an oracle without a query (or vice versa) is a rotation
+    mistake — both must fail loudly here, not at the driver."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    assert len(qs) == 50, (
+        f"registry holds {len(qs)} keys — the driver gates exactly the "
+        "first 50; consolidate (rule 14b) before adding"
+    )
+    assert set(qs) == set(oracles), (
+        sorted(set(qs) ^ set(oracles))
+    )
+    for name, fn in qs.items():
+        assert callable(fn), name
