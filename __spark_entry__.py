@@ -207,6 +207,46 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Scale out an under-partitioned input before a compute-bound
+    narrow-map chain.
+
+    The test fixtures are single-row-group parquet files, and a parquet
+    row group is indivisible on read: no split config can turn a
+    1-row-group file into more than one non-empty scan partition, so
+    every expression upstream of the first shuffle runs on ONE core
+    while the other 31 idle (the round-9 `pq` probe leg spent 2.9s
+    single-threaded on 1,999 rows of interpreted higher-order-function
+    evaluation; 32-way it is ~0.4s, bit-identical output).  At the
+    100 TB design point inputs arrive as many multi-row-group files and
+    scans are naturally parallel — this shim only fires when the scan
+    produced FEWER partitions than the cluster has slots, i.e. exactly
+    the small-fixture case (or, at scale, a post-filter collapse), and
+    is a no-op otherwise, so it can never coalesce a healthy scan.
+    Round-robin repartition is deterministic (Spark sorts within the
+    source partition before redistribution) and every consumer is
+    row-order-independent (top-k with explicit id tie-breaks, or
+    order-insensitive digests), so placement never changes results.
+
+    APPLY ONLY WHERE AN A/B MEASUREMENT WINS: the shuffle is not free.
+    Round-10 interleaved A/B at sf0.1 (min-of-2 per arm, two arms each):
+    the embeddings keys win big — per-row HOF expression cost dominates
+    (ann_topk 9.0/7.7→8.0/6.2s, semantic_dedup 6.4/6.0→5.8/5.5s) — but
+    every documents-table key LOST 8-15% (setsim_join, ngram_jaccard,
+    lm_perplexity, dedup_keep_best, containment_join): their pipelines
+    shuffle almost immediately anyway, so the extra full-text shuffle
+    buys nothing.  Registered users: ann_topk, semantic_dedup."""
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_NO_FANOUT"):  # A/B escape hatch
+        return df
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _dec(col, scale: int = 4):
     """Decimal-exact money term: identical sums in any order/engine."""
     return col.cast(f"decimal(18,{scale})")
@@ -832,6 +872,36 @@ def q_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(cv100.cast("string"), F.lit("N")),
         ).alias("p90"),
     )
+    # round-10 consolidation (rule 14b: fill_gaps was green on its own
+    # key rounds 8-9 over exactly this event stream): the gap-filled
+    # 5-minute locf grid rides as 'gaps' rows — the carried value (an
+    # exactly-2-dp parquet double, untouched by the operator) goes
+    # through the SAME v100 integer device the pctl/asof legs proved,
+    # rendered by integer div/mod (rule 14a); a leading hole before any
+    # observation (NULL value) renders as literal 'N' via an explicit
+    # CASE on BOTH engines (DuckDB concat() skips NULLs, so the
+    # NULL-propagating render must never rely on it); is_filled rides
+    # n_events as 0/1.  Frees a slot for the round-10 key wave.
+    fg = q_fill_gaps(spark, sf_dir).withColumn(
+        "_v100", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    gaps_leg = fg.select(
+        F.lit("gaps").alias("side"),
+        F.concat_ws(
+            "|", "event_type", F.col("bucket_ms").cast("string")
+        ).alias("key"),
+        F.col("is_filled").cast("long").alias("n_events"),
+        F.when(F.col("value").isNull(), F.lit("N"))
+        .otherwise(
+            F.expr(
+                "concat(cast(_v100 div 100 as string), '.',"
+                " lpad(cast(_v100 % 100 as string), 2, '0'))"
+            )
+        )
+        .alias("total_value"),
+        ndbl.alias("p50"),
+        ndbl.alias("p90"),
+    )
     return (
         hourly.unionByName(jsonb)
         .unionByName(pctl)
@@ -839,6 +909,7 @@ def q_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sess_leg)
         .unionByName(native_leg)
         .unionByName(asof_legs)
+        .unionByName(gaps_leg)
     )
 
 
@@ -855,7 +926,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the PER-QUERY probe path alone; a probe regression can no longer
     hide inside training noise (round-8 verdict #2).  Values and
     oracle SQL are byte-identical to their proven ann_topk form."""
-    emb = _t(spark, sf_dir, "embeddings")
+    # _fan_out: the single-row-group fixture otherwise serializes the PQ
+    # encode and both Lloyd rounds on one core (decimal element sums —
+    # partition-order-independent by construction)
+    emb = _fan_out(_t(spark, sf_dir, "embeddings"))
     sem = S.semantic_dedup(
         emb, _ivf_centroids(), threshold=_NEAR_DUP_THRESHOLD, round_to=4
     ).select(
@@ -1502,7 +1576,13 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # returned plan, so releasing now would disable the reuse) — it is
     # registered with _persist_for_query and released on entry to the
     # next persisting query or by an explicit release_query_caches().
-    emb = _persist_for_query(_t(spark, sf_dir, "embeddings"), "ann_topk")
+    # _fan_out: the single-row-group fixture scans as ONE partition, which
+    # serialized all nine probe legs' HOF expression evaluation on one
+    # core (round-9 verdict #1: the pq leg alone was 2.98s) — repartition
+    # BEFORE the persist so the cached blocks themselves are 32-way
+    emb = _persist_for_query(
+        _fan_out(_t(spark, sf_dir, "embeddings")), "ann_topk"
+    )
     # ONE driver job fetches both scalars the legs need: the query vector
     # (vec_id=0's embedding) and the corpus max-|x| SQ anchor — instead
     # of a .first() per leg
@@ -2607,17 +2687,41 @@ def q_webgraph_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-9 consolidation (rule 14b: proven onto proven —
     # url_domain_stats was green rounds 4 and 6-8 on exactly this
     # content): the per-domain URL stats ride as 'dom:' rows with the
-    # two counts integer-packed into value (n_urls·10⁹ + n_docs — both
-    # BIGINT-safe at any registered sf), freeing a slot for the
-    # round-9 key wave.
+    # two counts integer-packed into value (n_urls·10⁹ + n_docs).  The
+    # packing is ambiguous if any domain ever reaches n_docs ≥ 10⁹, so
+    # the invariant is ENFORCED, not assumed: the Spark side emits NULL
+    # for such a row while the oracle still packs — an overflow reds the
+    # key loudly instead of hashing an aliased value (round-9 advice).
     dom_leg = q_url_domain_stats(spark, sf_dir).select(
         F.concat(F.lit("dom:"), F.col("domain")).alias("item"),
-        (
+        F.when(
+            F.col("n_docs") < 1_000_000_000,
             F.col("n_urls").cast("long") * F.lit(1_000_000_000).cast("long")
-            + F.col("n_docs").cast("long")
+            + F.col("n_docs").cast("long"),
         ).alias("value"),
     )
-    return edge_leg.unionByName(rank_leg).unionByName(dom_leg)
+    # round-10 consolidation (rule 14b: proven onto proven —
+    # triangle_counts was green on its own key rounds 8-9 over exactly
+    # this host graph): per-node triangle counts and degrees ride as
+    # 'tri:'/'trideg:' rows — two UNAMBIGUOUS row kinds instead of one
+    # packed BIGINT (the dom-leg packing lesson), freeing a slot for
+    # the round-10 key wave.  Values and the oracle's canonical-edge
+    # three-way-join derivation are byte-identical to the proven form.
+    tri = q_triangle_counts(spark, sf_dir)
+    tri_leg = tri.select(
+        F.concat(F.lit("tri:"), F.col("node")).alias("item"),
+        F.col("n_triangles").cast("long").alias("value"),
+    )
+    trideg_leg = tri.select(
+        F.concat(F.lit("trideg:"), F.col("node")).alias("item"),
+        F.col("deg").cast("long").alias("value"),
+    )
+    return (
+        edge_leg.unionByName(rank_leg)
+        .unionByName(dom_leg)
+        .unionByName(tri_leg)
+        .unionByName(trideg_leg)
+    )
 
 
 def q_crawl_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3154,12 +3258,41 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the raw stream.  Conversion ratios are exact integer
     ppm (rules 4/15); the oracle replays the min-timestamp chain as
     independent CTEs.  The windowed variant (completion deadline from
-    step 1) is pinned by pytest twins (tests/test_funnel.py)."""
+    step 1) is pinned by pytest twins (tests/test_funnel.py).
+
+    Round-10 consolidation (rule 14b: proven onto proven —
+    cohort_retention was green on its own key rounds 8-9 over exactly
+    this event stream): the day-cohort retention matrix rides as
+    'cohort' rows, union-tagged and NULL-padded into one generic
+    (side, step, a..e) BIGINT shape; both derivations stay
+    byte-identical inside nested subqueries.  Frees a slot for the
+    round-10 key wave."""
     from buildkite_logs_parquet_spark.operators import funnel as FN
 
-    return FN.funnel_steps(
+    nl = F.lit(None).cast("long")
+    steps = FN.funnel_steps(
         _events(spark, sf_dir), ["view", "click", "purchase"]
+    ).select(
+        F.lit("step").alias("side"),
+        "step",
+        F.col("step_idx").cast("long").alias("a"),
+        F.col("n_users").cast("long").alias("b"),
+        F.col("conv_from_first_pm").cast("long").alias("c"),
+        F.col("conv_from_prev_pm").cast("long").alias("d"),
+        nl.alias("e"),
     )
+    cohort = FN.cohort_retention(
+        _events(spark, sf_dir), user_col="user_id", period_ms=86_400_000
+    ).select(
+        F.lit("cohort").alias("side"),
+        F.lit(None).cast("string").alias("step"),
+        F.col("cohort_period").cast("long").alias("a"),
+        F.col("offset").cast("long").alias("b"),
+        F.col("n_users").cast("long").alias("c"),
+        F.col("cohort_size").cast("long").alias("d"),
+        F.col("retention_pm").cast("long").alias("e"),
+    )
+    return steps.unionByName(cohort)
 
 
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3357,9 +3490,135 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation-recall sweep (operators/similarity.py::
+    truncation_recall): exact top-10 recall of 32- and 16-dim PREFIX
+    truncations against the 64-dim ground truth, 8 lowest-id query
+    vectors inlined as literals (the centroid pattern — one corpus scan
+    + explode per dim, no join against the corpus, no cartesian).
+
+    Registered with ``round_to=4``: ranking on the 4-dp-rounded cosine
+    with id tie-breaks is the PROVEN ann_topk exact-leg device — the
+    ordering (and therefore the hit counts) is reproducible across
+    engines, and the oracle replays the same slice-cosine ranking with
+    ``list_cosine_similarity`` rounded identically.  Outputs all BIGINT
+    (rule 15): hits and ``recall_pm = hits·10⁶ div k`` (the 64-dim rows
+    read exactly 10⁶ — a built-in sanity check the oracle shares).
+
+    Own key per DETERMINISM rule 14b (new hashed legs ride alone for
+    ≥ 1 driver round)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.truncation_recall(
+        emb, dims=[64, 32, 16], k=10, n_queries=8, round_to=4
+    )
+
+
+def q_group_advantages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRPO group-relative advantages + best-of-n selection
+    (operators/preference.py::group_advantages, arXiv:2402.03300): 16+
+    responses per prompt (prompt = doc_id%64), reward = a rule-3 md5
+    INTEGER in [0, 10^6) — so the group sums Σr and Σr² are EXACT
+    integers in double (≤ 5e15 < 2^53, order-independent), and every
+    derived float (mean, population variance, the standardized
+    advantage) is the same IEEE operation sequence on identical bits in
+    both engines.  The hashed advantage is the operator's 9-dp grid
+    carried as ``adv9 = round(advantage·10⁹)`` BIGINT (rule 15);
+    rank/selected pin the (advantage desc, id) rule-6 total order.
+
+    Own key per DETERMINISM rule 14b."""
+    from buildkite_logs_parquet_spark.operators import preference as PR
+
+    docs = _t(spark, sf_dir, "documents")
+    pool = docs.select(
+        F.col("doc_id").alias("resp_id"),
+        (F.col("doc_id") % 64).alias("prompt"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("r:"), F.col("doc_id").cast("string"))
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+        )
+        .cast("double")
+        .alias("reward"),
+    )
+    out = PR.group_advantages(pool, "prompt", "reward", "resp_id", top_n=2)
+    return out.select(
+        F.col("resp_id"),
+        F.col("prompt").cast("long").alias("prompt"),
+        F.col("reward").cast("long").alias("reward"),
+        F.round(F.col("advantage") * 1e9, 0).cast("long").alias("adv9"),
+        F.col("n_group").cast("long").alias("n_group"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("selected"),
+    )
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test near-dup leakage audit (operators/dedup.py::
+    split_leakage + split_leakage_summary over curation.split_assign):
+    deterministic 90/5/5 content-hash split, the PROVEN 8-perm/4-band
+    MinHash-LSH pipeline (the dedup_clusters oracle replay, threshold
+    0.5), pairs kept only where the split boundary is crossed — plus
+    the per-boundary summary counts as 'sum' rows.
+
+    est_jaccard is an exact multiple of 1/8, carried as the agreement
+    COUNT ``agree8 = est_jaccard·8`` BIGINT (rule 15).  Own key per
+    DETERMINISM rule 14b."""
+    from buildkite_logs_parquet_spark.operators import curation as _CU
+
+    docs = _t(spark, sf_dir, "documents")
+    sp = _CU.split_assign(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    leaks = D.split_leakage(
+        sp, "doc_id", "text", "split",
+        num_perm=8, bands=4, shingle_k=8, threshold=0.5,
+    )
+    nl = F.lit(None).cast("long")
+    leak_rows = leaks.select(
+        F.lit("leak").alias("side"),
+        F.col("split_a").alias("sa"),
+        F.col("split_b").alias("sb"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.round(F.col("est_jaccard") * 8, 0).cast("long").alias("v"),
+    )
+    sum_rows = D.split_leakage_summary(leaks).select(
+        F.lit("sum").alias("side"),
+        F.col("split_lo").alias("sa"),
+        F.col("split_hi").alias("sb"),
+        nl.alias("a"),
+        nl.alias("b"),
+        F.col("n_pairs").cast("long").alias("v"),
+    )
+    return leak_rows.unionByName(sum_rows)
+
+
 #: temp catalog roots created by q_version_drift IN THIS PROCESS —
 #: reaped on the next call (see the contract note inside the function)
+#: and, for the LAST root a process creates, by the atexit hook below
+#: so repeated sessions don't accrete orphaned /tmp trees
 _VDRIFT_ROOTS: list[str] = []
+
+
+def _reap_vdrift_roots() -> None:
+    import shutil as _shutil
+
+    while _VDRIFT_ROOTS:
+        _shutil.rmtree(_VDRIFT_ROOTS.pop(), ignore_errors=True)
+
+
+import atexit as _atexit  # noqa: E402 — registration next to the state it reaps
+
+_atexit.register(_reap_vdrift_roots)
 
 
 def q_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3377,7 +3636,14 @@ def q_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     render); price100 is the events_agg-proven v100 device over the
     exactly-2-dp price, so the numeric bucketing is the integer-exact
     branch of profiling._bucket_counts on both sides.  The ln-based
-    psi_term stays in the operator but out of the cross-engine hash."""
+    psi_term stays in the operator but out of the cross-engine hash.
+
+    SINGLE-LIVE-PLAN CONTRACT: each call publishes to a fresh temp root
+    and reaps the roots of this process's EARLIER calls, so only the
+    most recent returned plan stays readable — materialize (drain/
+    collect) each version_drift plan before building the next, or the
+    reaped files surface as a read error.  The driver, gate, and bench
+    all follow this; the final root is removed by an atexit hook."""
     import tempfile
 
     from buildkite_logs_parquet_spark.sources import catalog as CAT
@@ -3408,11 +3674,10 @@ def q_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cross-process /tmp hygiene belongs to the OS.  Contract: a new
     # q_version_drift call invalidates this session's EARLIER
     # version_drift plans — the driver/gate/bench all materialize each
-    # plan before requesting the next, so nothing live is reaped.
-    import shutil as _shutil
-
-    while _VDRIFT_ROOTS:
-        _shutil.rmtree(_VDRIFT_ROOTS.pop(), ignore_errors=True)
+    # plan before requesting the next, so nothing live is reaped (the
+    # public contract is in the docstring above; the last root is
+    # reaped at process exit by the atexit hook).
+    _reap_vdrift_roots()
     root = tempfile.mkdtemp(prefix="vdrift-")
     _VDRIFT_ROOTS.append(root)
     v1 = CAT.publish_version(base, root)
@@ -3468,9 +3733,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_parts_per_brand": q_top_parts_per_brand,
         "orders_discount_audit": q_orders_discount_audit,
         "events_agg": q_events_agg,
-        # round-8 second-wave keys, each on its OWN slot (rule 14b)
+        # round-10 consolidations (proven onto proven): cohort_retention
+        # → funnel_steps ('cohort' rows); fill_gaps → events_agg ('gaps'
+        # rows); triangle_counts → webgraph_rank ('tri:'/'trideg:' rows)
         "funnel_steps": q_funnel_steps,
-        "cohort_retention": q_cohort_retention,
         "corpus_overlap": q_corpus_overlap,
         "skew_report": q_skew_report,
         "scd2_snapshot": q_scd2_snapshot,
@@ -3498,11 +3764,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,
         "bpe_encode": q_bpe_encode,
         "webgraph_rank": q_webgraph_rank,
-        "triangle_counts": q_triangle_counts,
         "crawl_bitext": q_crawl_bitext,
         "table_profile": q_table_profile,
         "top_terms_by_group": q_top_terms_by_group,
-        "fill_gaps": q_fill_gaps,
         # round-9 key wave, each on its OWN slot (rule 14b)
         "containment_join": q_containment_join,
         "event_transitions": q_event_transitions,
@@ -3511,6 +3775,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_user_times": q_funnel_user_times,
         "vocab_coverage": q_vocab_coverage,
         "version_drift": q_version_drift,
+        # round-10 key wave, each on its OWN slot (rule 14b)
+        "truncation_recall": q_truncation_recall,
+        "group_advantages": q_group_advantages,
+        "split_leakage": q_split_leakage,
     }
 
 
@@ -6967,6 +7235,202 @@ SELECT 'dom:' || domain AS item,
        CAST(n_urls * 1000000000 + n_docs AS BIGINT) AS value
 FROM ({sql.pop("url_domain_stats")})
 """
+
+    # round-10 consolidation: triangle_counts (proven solo rounds 8-9)
+    # rides webgraph_rank as two unambiguous row kinds — n_triangles on
+    # 'tri:' rows, deg on 'trideg:' rows (no BIGINT packing); the
+    # canonical-edge three-way-join derivation is byte-identical inside
+    # both subqueries.
+    sql["webgraph_rank"] += f"""
+UNION ALL
+SELECT 'tri:' || node AS item, CAST(n_triangles AS BIGINT) AS value
+FROM ({sql["triangle_counts"]})
+UNION ALL
+SELECT 'trideg:' || node AS item, CAST(deg AS BIGINT) AS value
+FROM ({sql.pop("triangle_counts")})
+"""
+
+    # round-10 consolidation: cohort_retention (proven solo rounds 8-9)
+    # rides funnel_steps as 'cohort' rows, NULL-padded into one generic
+    # (side, step, a..e) BIGINT shape; both derivations byte-identical
+    # inside nested subqueries.
+    sql["funnel_steps"] = f"""
+SELECT 'step' AS side, step, CAST(step_idx AS BIGINT) AS a,
+       CAST(n_users AS BIGINT) AS b,
+       CAST(conv_from_first_pm AS BIGINT) AS c,
+       CAST(conv_from_prev_pm AS BIGINT) AS d,
+       CAST(NULL AS BIGINT) AS e
+FROM ({sql["funnel_steps"]})
+UNION ALL
+SELECT 'cohort' AS side, CAST(NULL AS VARCHAR) AS step,
+       CAST(cohort_period AS BIGINT) AS a, CAST("offset" AS BIGINT) AS b,
+       CAST(n_users AS BIGINT) AS c, CAST(cohort_size AS BIGINT) AS d,
+       CAST(retention_pm AS BIGINT) AS e
+FROM ({sql.pop("cohort_retention")})
+"""
+
+    # round-10 consolidation: fill_gaps (proven solo rounds 8-9) rides
+    # events_agg as 'gaps' rows — carried value through the proven v100
+    # device, rendered by ||-concatenation (NULL-propagating; DuckDB
+    # concat() skips NULLs) behind an explicit CASE for the leading-hole
+    # NULL; is_filled on n_events.
+    sql["events_agg"] += f"""
+UNION ALL
+SELECT 'gaps' AS side,
+       event_type || '|' || CAST(bucket_ms AS VARCHAR) AS key,
+       CAST(is_filled AS BIGINT) AS n_events,
+       CASE WHEN value IS NULL THEN 'N'
+            ELSE CAST(CAST(round(value * 100, 0) AS BIGINT) // 100 AS VARCHAR)
+                 || '.'
+                 || lpad(CAST(CAST(round(value * 100, 0) AS BIGINT) % 100 AS VARCHAR), 2, '0')
+       END AS total_value,
+       CAST(NULL AS VARCHAR) AS p50, CAST(NULL AS VARCHAR) AS p90
+FROM ({sql.pop("fill_gaps")})
+"""
+
+    # ---------------------------------------------------------------
+    # round-10 key wave (rule 14b: each new hashed relation on its own
+    # slot; BIGINT-only outputs per rule 15)
+    # ---------------------------------------------------------------
+
+    # truncation_recall: slice-cosine ranking on the 4-dp rounded value
+    # with id tie-breaks (the proven ann_topk exact-leg device); the
+    # recall intersection and ppm are pure integer arithmetic.
+    sql["truncation_recall"] = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM base ORDER BY vec_id LIMIT 8),
+dims(dim) AS (VALUES (64), (32), (16)),
+ranked AS (
+  SELECT d.dim, q.qid, b.vec_id,
+         row_number() OVER (
+           PARTITION BY d.dim, q.qid
+           ORDER BY round(list_cosine_similarity(
+                      list_slice(b.v, 1, d.dim),
+                      list_slice(q.qv, 1, d.dim)), 4) DESC,
+                    b.vec_id
+         ) AS r
+  FROM dims d, q, base b
+),
+sel AS (SELECT dim, qid, vec_id FROM ranked WHERE r <= 10),
+truth AS (SELECT qid, vec_id FROM sel WHERE dim = 64),
+hits AS (
+  SELECT s.dim, s.qid, count(*) AS h
+  FROM sel s JOIN truth t ON t.qid = s.qid AND t.vec_id = s.vec_id
+  GROUP BY 1, 2
+),
+shape AS (SELECT d.dim, q.qid FROM dims d, q)
+SELECT CAST(shape.dim AS BIGINT) AS dim,
+       CAST(shape.qid AS BIGINT) AS query_id,
+       CAST(coalesce(h.h, 0) AS BIGINT) AS hits,
+       CAST(coalesce(h.h, 0) * 1000000 // 10 AS BIGINT) AS recall_pm
+FROM shape LEFT JOIN hits h ON h.dim = shape.dim AND h.qid = shape.qid
+"""
+
+    # group_advantages: rewards are exact integers, so the group sums
+    # are exact in double regardless of order and every derived float
+    # (mean, population var, standardized advantage) is the same IEEE
+    # operation sequence on identical bits in both engines; the 9-dp
+    # grid rides as adv9 BIGINT.
+    sql["group_advantages"] = """
+WITH pool AS (
+  SELECT doc_id AS resp_id, doc_id % 64 AS prompt,
+         CAST(CAST(concat('0x', substr(md5('r:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 1000000 AS DOUBLE) AS reward
+  FROM documents
+),
+stats AS (
+  SELECT prompt, count(*) AS n_group,
+         sum(reward) AS sr, sum(reward * reward) AS srr
+  FROM pool GROUP BY prompt
+),
+adv AS (
+  SELECT p.resp_id, p.prompt, p.reward, s.n_group,
+         CASE WHEN s.n_group >= 2 THEN
+           round((p.reward - s.sr / s.n_group)
+                 / (sqrt(greatest(s.srr / s.n_group
+                                  - (s.sr / s.n_group) * (s.sr / s.n_group),
+                                  0.0)) + 0.000001), 9)
+         END AS advantage
+  FROM pool p JOIN stats s USING (prompt)
+),
+rk AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY prompt
+           ORDER BY advantage DESC NULLS LAST, resp_id
+         ) AS "rank"
+  FROM adv
+)
+SELECT resp_id, CAST(prompt AS BIGINT) AS prompt,
+       CAST(reward AS BIGINT) AS reward,
+       CAST(round(advantage * 1000000000, 0) AS BIGINT) AS adv9,
+       CAST(n_group AS BIGINT) AS n_group,
+       CAST("rank" AS BIGINT) AS "rank",
+       ("rank" <= 2 AND advantage IS NOT NULL) AS selected
+FROM rk
+"""
+
+    # split_leakage: the proven 8-perm/4-band LSH replay (dedup_clusters
+    # CTE) at threshold 0.5, split bounds computed by the IDENTICAL
+    # Python float accumulation split_assign runs driver-side, leak
+    # pairs where the boundary is crossed + per-boundary summary counts;
+    # est_jaccard (an exact multiple of 1/8) rides as the agreement
+    # count agree8.
+    _sl_weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    _sl_total = sum(_sl_weights.values())
+    _sl_names = sorted(_sl_weights)
+    _sl_bounds = []
+    _sl_acc = 0.0
+    for _sl_name in _sl_names[:-1]:
+        _sl_acc += _sl_weights[_sl_name] / _sl_total
+        _sl_bounds.append(int(_sl_acc * (1 << 32)))
+    _sl_case = (
+        f"CASE WHEN bucket < {_sl_bounds[0]} THEN '{_sl_names[0]}' "
+        f"WHEN bucket < {_sl_bounds[1]} THEN '{_sl_names[1]}' "
+        f"ELSE '{_sl_names[2]}' END"
+    )
+    _sl_agree = " + ".join(
+        f"CAST(a.minhash_{p} = b.minhash_{p} AS INT)" for p in range(8)
+    )
+    sql["split_leakage"] = (
+        "WITH "
+        + _LSH_PAIRS_CTE.lstrip()
+        + f""",
+sl_buckets AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS bucket
+  FROM documents
+),
+sl_splits AS (SELECT doc_id, {_sl_case} AS split FROM sl_buckets),
+sl_nd AS (
+  SELECT c.id_a, c.id_b, ({_sl_agree}) AS agree8
+  FROM cand c
+  JOIN signatures a ON c.id_a = a.doc_id
+  JOIN signatures b ON c.id_b = b.doc_id
+  WHERE (({_sl_agree}) / 8.0) >= 0.5
+),
+sl_leaks AS (
+  SELECT n.id_a, sa.split AS split_a, n.id_b, sb.split AS split_b, n.agree8
+  FROM sl_nd n
+  JOIN sl_splits sa ON sa.doc_id = n.id_a
+  JOIN sl_splits sb ON sb.doc_id = n.id_b
+  WHERE sa.split <> sb.split
+)
+SELECT 'leak' AS side, split_a AS sa, split_b AS sb,
+       CAST(id_a AS BIGINT) AS a, CAST(id_b AS BIGINT) AS b,
+       CAST(agree8 AS BIGINT) AS v
+FROM sl_leaks
+UNION ALL
+SELECT 'sum' AS side, least(split_a, split_b) AS sa,
+       greatest(split_a, split_b) AS sb,
+       CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b,
+       CAST(count(*) AS BIGINT) AS v
+FROM sl_leaks
+GROUP BY least(split_a, split_b), greatest(split_a, split_b)
+"""
+    )
 
     sql["table_profile"] += f"""
 UNION ALL

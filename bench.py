@@ -57,15 +57,12 @@ BENCH_QUERIES = [
     # keys above — ngram_jaccard, segment_dedup, corpus_select)
     "setsim_join",
     "entity_linkage",
-    "triangle_counts",
-    "fill_gaps",
     "domain_boilerplate",
     # round-8 second-wave keys (behavioral analytics, corpus overlap,
     # scale diagnostics, SCD2 time travel; events_asof / dedup_exact /
     # winnow_fingerprint / part_type_stats / supplier_running_revenue
     # ride their consolidated carriers above)
     "funnel_steps",
-    "cohort_retention",
     "corpus_overlap",
     "skew_report",
     "scd2_snapshot",
@@ -88,6 +85,13 @@ BENCH_QUERIES = [
     "funnel_user_times",
     "vocab_coverage",
     "version_drift",
+    # round-10 oracle keys (the round-9 bench-only tier, now driver-
+    # gated; cohort_retention / fill_gaps / triangle_counts ride their
+    # consolidated carriers above — funnel_steps, events_agg,
+    # webgraph_rank)
+    "truncation_recall",
+    "group_advantages",
+    "split_leakage",
 ]
 
 
@@ -1356,35 +1360,6 @@ def _extra_ops():
             margin_threshold=1.0,
         )
 
-    def group_adv_bench(spark, sf_dir):
-        """GRPO group-relative advantages + best-of-n over a synthetic
-        response pool: 16 responses per prompt derived from documents,
-        reward = deterministic md5 grid (the preference-tier scoring
-        convention)."""
-        from pyspark.sql import functions as F
-
-        from buildkite_logs_parquet_spark.operators import preference as PR
-
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        pool = docs.select(
-            F.col("doc_id").alias("resp_id"),
-            (F.col("doc_id") % 64).alias("prompt"),
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit("r:"), F.col("doc_id"))), 1, 8
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % 1000000
-                / 1000000.0
-            ).alias("reward"),
-        )
-        return PR.group_advantages(
-            pool, "prompt", "reward", "resp_id", top_n=2
-        )
-
     def corpus_overlap_minhash_bench(spark, sf_dir):
         """Corpus-overlap MinHash estimator at scale: per-source 64-perm
         signatures in ONE group-keyed aggregate (state = 64 longs per
@@ -1437,9 +1412,26 @@ def _extra_ops():
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return tokenizer_fertility(docs, "source", "text")
 
-    # (containment_join is a REGISTERED oracle key since round 9 — the
-    # former x_containment_join duplicate entry is gone; the registered
-    # fixture is identical: doc_id%20 probe vs full table at t=0.9)
+    # (containment_join is a REGISTERED oracle key since round 9; its
+    # probe was thinned from doc_id%20 to doc_id%32 in round 9 to fit
+    # the no-key-over-8s bar — x_containment_full below keeps the
+    # UNTHINNED probe timed so a probe-side plan regression cannot hide
+    # behind the registered slice: round-9 verdict #2)
+
+    def containment_full_bench(spark, sf_dir):
+        """Full-probe containment join: EVERY document probed against
+        the full table at t=0.9 — the operator's production shape
+        (operators/dedup.py::containment_join), same plan as the
+        registered key (asymmetric prefix filter under the global
+        rarest-first token order), only the probe slice differs.
+        Output is probe-linear: SCALING.md carries the measured output
+        denominator next to this wall."""
+        from buildkite_logs_parquet_spark.operators.dedup import (
+            containment_join,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return containment_join(docs, docs, "doc_id", "text", threshold=0.9)
 
     def event_transitions_bench(spark, sf_dir):
         """First-order event-transition matrix: one user-keyed lag
@@ -1451,17 +1443,6 @@ def _extra_ops():
 
         ev = E._events(spark, sf_dir)
         return event_transitions(ev, tiebreak_col="event_id")
-
-    def truncation_recall_bench(spark, sf_dir):
-        """Matryoshka truncation-recall sweep (64/32/16 dims, exact
-        top-10, 8 literal queries): three corpus scans with explode +
-        per-query rank windows, recall join over the tiny top-k set."""
-        from buildkite_logs_parquet_spark.operators.similarity import (
-            truncation_recall,
-        )
-
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        return truncation_recall(emb, dims=[64, 32, 16], k=10, n_queries=8)
 
     def resize_images_bench(spark, sf_dir):
         """Batch image resize throughput: 64 distinct PNGs replicated
@@ -1489,7 +1470,6 @@ def _extra_ops():
 
     return {
         "x_resize_images": resize_images_bench,
-        "x_truncation_recall": truncation_recall_bench,
         "x_event_transitions": event_transitions_bench,
         "x_corpus_overlap_est": corpus_overlap_minhash_bench,
         "x_funnel_times": funnel_times_bench,
@@ -1498,10 +1478,10 @@ def _extra_ops():
         "x_video_structure": video_structure_bench,
         "x_preference_pairs": preference_bench,
         "x_margin_mine": margin_mine_bench,
-        "x_group_advantages": group_adv_bench,
         "x_entity_resolution": entity_resolution_bench,
         "x_doremi_mix": doremi_mix_bench,
         "x_setsim_join": setsim_join_bench,
+        "x_containment_full": containment_full_bench,
         "x_quality_dedup": quality_dedup_bench,
         "x_mp3_structure": mp3_structure_bench,
         "x_text_normalize": text_normalize_bench,
@@ -1632,6 +1612,45 @@ def main() -> None:
                     )
     except Exception:  # no history yet — guard simply stays off
         hist_best = {}
+    # round-over-round reference (round-9 verdict #4): workload-change
+    # reporting must compare against the PREVIOUS ROUND'S CLOSING
+    # artifact, not the all-history min — same-round pair runs land in
+    # BENCH_HISTORY.jsonl first and re-baseline hist_best, which is how
+    # round 9 reshaped 14 of 50 keys yet stamped `workload_changed: []`.
+    # BENCH_r{N}.json is the driver's per-round closing artifact; its
+    # headline `parsed.queries` is truncated to the top 10, so the full
+    # per-query map is recovered from the history entry with the same
+    # total at the same sf (the stamped run is always appended there).
+    round_ref: dict[str, float] = {}
+    try:
+        import glob as _glob
+        import re as _re
+
+        _here = os.path.dirname(os.path.abspath(__file__))
+        arts = []
+        for p in _glob.glob(os.path.join(_here, "BENCH_r*.json")):
+            m = _re.search(r"BENCH_r0*(\d+)\.json$", p)
+            if m:
+                arts.append((int(m.group(1)), p))
+        if arts:
+            with open(max(arts)[1]) as f:
+                parsed = (json.load(f) or {}).get("parsed") or {}
+            if str(parsed.get("sf")) == str(sf):
+                target = float(parsed.get("value"))
+                for entry in reversed(same_sf):
+                    v = entry.get("value")
+                    if (
+                        isinstance(v, (int, float))
+                        and abs(float(v) - target) < 1e-6
+                    ):
+                        round_ref = {
+                            qn: float(t)
+                            for qn, t in (entry.get("queries") or {}).items()
+                            if isinstance(t, (int, float))
+                        }
+                        break
+    except Exception:  # noqa: BLE001 — reference is advisory
+        round_ref = {}
     # keys whose registered workload intentionally GREW (new union-tag
     # legs riding the same row): the trailing-min guard would misread the
     # one-time jump as a burst until the trend log accumulates 5
@@ -1649,7 +1668,13 @@ def main() -> None:
         # relation (same proven SQL, new location)
         "bm25_scores": "tfidf 'tfidf' leg (round 9)",
         "doc_quality": "pii/blocklist/normalization columns (round 9)",
-        "webgraph_rank": "url-domain 'dom:' legs (round 9)",
+        "webgraph_rank": "url-domain 'dom:' legs (round 9); triangle"
+        " 'tri:'/'trideg:' legs (round 10)",
+        # round-10 consolidations: the three freed keys ride these
+        # carriers now (same proven SQL, new location)
+        "funnel_steps": "cohort_retention 'cohort' rows (round 10)",
+        "events_agg": "round-7 sessions+native legs; asof + interval join"
+        " legs (round 8.2); fill_gaps 'gaps' rows (round 10)",
         "setsim_join": "simhash sh: legs (round 9 re-balance)",
         # ngram_jaccard SHRANK round 9 (sh: legs -> setsim_join), so its
         # trailing-min guard re-arms from the round-7 floor
@@ -1671,7 +1696,6 @@ def main() -> None:
         "orders_discount_audit": "round-6 q17_small_qty row; q1 pricing leg (round 9)",
         # round-7 consolidations freeing slots for probe_env /
         # preference_pairs / dedup_keep_best (rule 14b)
-        "events_agg": "round-7 sessions+native legs; asof + interval join legs (round 8.2)",
         "embedding_label_centroid_sim": "round-7 lshpair leg; kmeans 'km' legs (round 9)",
     }
     burst_suspects: list[str] = []
@@ -1709,11 +1733,23 @@ def main() -> None:
             timings[name] = {"error": msg[:500]}
             print(f"bench: {name} FAILED: {msg[:200]}", file=sys.stderr)
             continue
+        # workload-change report: a declared-intent key (workload_grew)
+        # whose closing time moved >25% EITHER WAY vs the previous
+        # round's closing artifact is listed — the round-ref baseline is
+        # immune to same-round re-baselining (round-9 verdict #4)
+        rref = round_ref.get(name)
+        if (
+            name in workload_grew
+            and rref is not None
+            and (best > 1.25 * rref or best < 0.8 * rref)
+        ):
+            workload_changed.append(name)
         ref = hist_best.get(name)
         if name in workload_grew and ref is not None and best > 2.0 * ref:
             # known intentional growth — don't burn extra samples, don't
             # cry burst; record separately so the artifact stays honest
-            workload_changed.append(name)
+            if name not in workload_changed:
+                workload_changed.append(name)
             ref = None
         extra = 0
         while ref is not None and best > 2.0 * ref and extra < 2:

@@ -1018,6 +1018,7 @@ def truncation_recall(
     dims: list[int] | None = None,
     k: int = 10,
     n_queries: int = 8,
+    round_to: int | None = None,
 ) -> DataFrame:
     """Matryoshka-style truncation evaluation: exact top-k recall of
     PREFIX-truncated embeddings against the full-dimension ground truth
@@ -1039,6 +1040,10 @@ def truncation_recall(
     per-query rank window over candidates — no join against the corpus,
     no cartesian; the recall intersection runs over the
     (dims × queries × k)-row top-k relation only.
+
+    ``round_to``: round the cosine before ranking (the ann_topk
+    exact-leg device) — makes the per-dim ordering reproducible across
+    engines for oracle checking; ``None`` ranks on the raw double.
     """
     from functools import reduce
 
@@ -1082,6 +1087,8 @@ def truncation_recall(
                 ).alias("_s"),
             )
         )
+        if round_to is not None:
+            scored = scored.withColumn("_s", F.round("_s", int(round_to)))
         w = Window.partitionBy("query_id").orderBy(
             F.col("_s").desc(), F.col(id_col)
         )

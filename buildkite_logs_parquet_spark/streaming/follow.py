@@ -797,7 +797,7 @@ def stream_cohort_activity(
     user_col: str = "user_id",
     ts_col: str = "ts_ms",
     period_ms: int = 86_400_000,
-    max_offsets: int = 64,
+    max_offsets: int = 63,
 ):
     """Streaming cohort-activity tracker — the stream twin of
     ``operators/funnel.py::cohort_retention``'s cell feed, on
@@ -832,8 +832,15 @@ def stream_cohort_activity(
     if w < 1:
         raise ValueError("period_ms must be >= 1")
     # signed-bigint mask: bits 0..62 only (1 << 63 overflows the state
-    # column's long at Arrow serialization)
-    horizon = min(int(max_offsets), 63)
+    # column's long at Arrow serialization) — reject a wider ask instead
+    # of silently truncating the caller's observation horizon
+    horizon = int(max_offsets)
+    if horizon > 63:
+        raise ValueError(
+            "max_offsets must be <= 63: the per-user activity mask is one "
+            "signed BIGINT state column (bits 0..62); for longer horizons "
+            "widen period_ms or use the batch cohort_retention operator"
+        )
 
     def track(key, pdfs, state):
         if state.exists:
@@ -1058,6 +1065,12 @@ def stream_paths(
 
     Output rows: ``(user, step_1 .. step_{depth}, ts_ms)`` (the ts of
     the last step).
+
+    CONTRACT: event types must be NON-EMPTY strings.  ``""`` is the
+    no-history sentinel in the carried state (emission is gated on
+    ``all(hist)``), so a genuine empty-string event type would be
+    conflated with missing history and suppress grams the batch
+    ``top_paths`` counts.  Filter or map empty types upstream.
     """
     import pandas as pd
 

@@ -1217,6 +1217,23 @@ def test_stream_funnel_same_timestamp_completes_in_funnel_order(spark, tmp_path)
     assert agg == {1: 1, 2: 1}
 
 
+def test_stream_cohort_activity_rejects_horizon_past_63(spark):
+    """A horizon wider than the signed-bigint mask must raise loudly at
+    plan-build time, not silently truncate the caller's observation
+    window (round-9 advice)."""
+    import pytest
+
+    from buildkite_logs_parquet_spark.streaming.follow import (
+        stream_cohort_activity,
+    )
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    with pytest.raises(ValueError, match="max_offsets must be <= 63"):
+        stream_cohort_activity(stream, max_offsets=100)
+
+
 def test_stream_cohort_activity_offset63_horizon_no_mask_overflow(spark, tmp_path):
     """Signed-bigint mask boundary: offset 62 (bit 62) is the last usable
     slot; offset 63 must be DROPPED (1 << 63 would overflow the bigint
@@ -1237,7 +1254,7 @@ def test_stream_cohort_activity_offset63_horizon_no_mask_overflow(spark, tmp_pat
             f.write(json.dumps({"user_id": u, "ts_ms": ts}) + "\n")
     stream = spark.readStream.schema("user_id long, ts_ms long").json(str(src))
     q = (
-        stream_cohort_activity(stream)  # default max_offsets=64 → horizon 63
+        stream_cohort_activity(stream)  # default max_offsets=63 (the cap)
         .writeStream.format("memory")
         .queryName("cohort_boundary")
         .option("checkpointLocation", str(tmp_path / "ck"))

@@ -131,6 +131,14 @@ ALLOWLIST = {
     ("quality_classifier", "transcendental"): "legacy 4-dp sigmoid render, held r2-r5; decision path is exp-free; frozen, superseded by lr_classifier",
     ("lm_perplexity", "decimal-render"): "CAST(round(ln..) AS DECIMAL) feeds a decimal sum (rule 5), not a render; proven r3-r5",
     ("bm25_scores", "decimal-render"): "round-then-decimal-sum (rule 10); proven r4-r5",
+    # group_advantages (round 10): advantage is round(x, 9) where x is
+    # derived from EXACT-integer group sums (Σr, Σr² ≤ 8e13 < 2^53) via
+    # an identical IEEE op sequence in both engines — identical bits in,
+    # identical 9-dp grid out; adv9 = round(advantage·10⁹, 0) then lands
+    # within ULPs of an integer (a 9-dp-rounded value times 10⁹), never
+    # near a half-case — the events_agg v100 device one scale up.
+    ("group_advantages", "round-double"): "9-dp grid on integer-derived IEEE-identical doubles; v100-device argument at 1e9",
+    ("group_advantages", "decimal-render"): "CAST(round(adv·1e9, 0) AS BIGINT): integer landing, no render of engine formatting",
 }
 
 

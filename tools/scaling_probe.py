@@ -25,8 +25,7 @@ PROBES = [
     ("revenue_rankings", "lineitem⋈orders⋈customer(+nation star, +running window leg r8.2)", 100),
     ("orders_discount_audit", "orders⋈lineitem (+q1 pricing leg r9)", 100),
     ("events_agg", "events (hourly+pctl+rollup+sess+native+asof legs)", 100),
-    ("funnel_steps", "events (3-step ordered funnel)", 100),
-    ("cohort_retention", "events (day cohorts x offsets)", 100),
+    ("funnel_steps", "events (3-step ordered funnel + cohort rows r10)", 100),
     ("skew_report", "orders (key-count agg + top-k)", 100),
     ("scd2_snapshot", "orders (init -> merge -> two as-of reads)", 100),
     ("preference_pairs", "documents as scored pool (pairs + audit legs)", 10),
@@ -39,8 +38,6 @@ PROBES = [
     ("dedup_clusters", "documents", 10),
     ("setsim_join", "documents %8 sample, exact jaccard>=0.7 words (+simhash sh: legs r9)", 10),
     ("entity_linkage", "documents + planted 2-edit twins (block->lev->resolve->audit) — OUTPUT grows 10.0x (564->5643 rows: 302->2985 gated pairs + 261->2657 resolutions), so the wall is SUB-output-linear", 10),
-    ("triangle_counts", "documents planted-URL host graph", 10),
-    ("fill_gaps", "events 5-min grid + locf", 100),
     ("domain_boilerplate", "documents + planted header/footer lines", 10),
     ("bm25_scores", "documents⋈embeddings (rrf leg)", 10),
     ("table_profile", "documents (profile + drift legs + kanon row r9)", 10),
@@ -61,7 +58,7 @@ PROBES = [
     ("x_pagerank", "lineitem⋈orders host graph, 3 damped rounds", 100),
     ("x_harmonic", "host graph + reverse edges, HyperBall radius 3", 100),
     ("doc_chunks", "documents (chunks + chat + aug/neg legs)", 10),
-    ("webgraph_rank", "documents planted-URL host graph, 2 exact PR rounds (+dom legs r9)", 10),
+    ("webgraph_rank", "documents planted-URL host graph, 2 exact PR rounds (+dom legs r9, +tri legs r10)", 10),
     ("crawl_bitext", "documents (robots audit + bitext mining)", 10),
     ("x_mp3_structure", "embeddings ids x 16 40-frame MP3 streams", 10),
     ("x_preference_pairs", "documents as scored pool -> pairs -> 5 BT rounds", 10),
@@ -79,6 +76,14 @@ PROBES = [
     ("funnel_user_times", "events (per-user 3-step min chain)", 100),
     ("vocab_coverage", "documents (src0 vocab broadcast membership)", 10),
     ("version_drift", "orders published as two catalog versions -> PSI buckets", 100),
+    # round-10 oracle keys (cohort_retention/fill_gaps/triangle_counts
+    # ride their carriers above after the r10 consolidation)
+    ("truncation_recall", "embeddings (3 dims x 8 literal queries, 4-dp rank)", 10),
+    ("group_advantages", "documents as GRPO response pool (64 prompt groups)", 10),
+    ("split_leakage", "documents (90/5/5 hash split, 8-perm LSH cross-split pairs)", 10),
+    # full-probe containment (round-9 verdict #2): the registered key's
+    # doc_id%32 probe thinning cannot hide a probe-side plan regression
+    ("x_containment_full", "documents FULL probe vs full table, t=0.9 words — output is probe-linear vs the registered %32 slice", 10),
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
