@@ -95,6 +95,40 @@ BENCH_QUERIES = [
 ]
 
 
+def _dedup_keep_best_phases(spark, sf_dir):
+    """Phase plans for the dedup_keep_best key (round-9 verdict #3: its
+    +24% drift had no per-phase attribution).  Rebuilds the registered
+    key's two stages as separately drainable frames: 'pairs_cc' is the
+    MinHash-LSH pair generation + connected-components fixpoint (the
+    iterative, join-heavy stage), 'full' is the entire registered
+    pipeline including the window count + per-cluster argmax.  The
+    argmax cost reads as full − pairs_cc (phases share the CC work;
+    they are not additive legs)."""
+    import __spark_entry__ as E
+    from buildkite_logs_parquet_spark.operators import dedup as D
+    from buildkite_logs_parquet_spark.operators import graph as G
+
+    docs = E._t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(
+        docs, "doc_id", "text", num_perm=8, bands=4, shingle_k=8,
+        threshold=0.25,
+    )
+    clusters = G.dedup_clusters(
+        docs, pairs.select("id_a", "id_b"), id_col="doc_id"
+    )
+    return {
+        "pairs_cc": clusters,
+        "full": E.queries()["dedup_keep_best"](spark, sf_dir),
+    }
+
+
+# keys whose phases are not union-tag separable: callable -> {label: DF},
+# each drained like a leg (walls compare WITHIN a key across rounds)
+PHASE_FNS = {
+    "dedup_keep_best": _dedup_keep_best_phases,
+}
+
+
 # union-tagged keys with >= 5 legs: (tag column, leg-label delimiter).
 # The leg label is the tag's first delimiter-separated segment, so
 # 'batch_17' -> 'batch' and 'cal:3' -> 'cal' group into one leg each.
@@ -1778,6 +1812,17 @@ def main() -> None:
                 leg_times[name] = _time_legs(
                     spark, qs[name], sf_dir, LEG_TAG_COLS[name]
                 )
+            except Exception as exc:  # noqa: BLE001 — diagnostics only
+                leg_times[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+        elif name in PHASE_FNS:
+            try:
+                phases = PHASE_FNS[name](spark, sf_dir)
+                walls = {}
+                for lab, pdf in phases.items():
+                    t0 = time.monotonic()
+                    pdf.write.format("noop").mode("overwrite").save()
+                    walls[lab] = round(time.monotonic() - t0, 3)
+                leg_times[name] = walls
             except Exception as exc:  # noqa: BLE001 — diagnostics only
                 leg_times[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 

@@ -280,11 +280,21 @@ def pq_encode(
     """Encode vectors to PQ codes: ``array<float>[dim]`` →
     ``array<int>[m]`` (byte-sized codes for k ≤ 256; 32x at m=8,dim=64).
 
-    Zero-shuffle whole-stage-codegen map: each subspace's codebook is a
-    ``k × d_sub`` array literal; distances come out of ONE ``transform``
-    per subspace and the argmin is ``array_position(min)`` — first
-    minimal index, ties to the lower code deterministically (same
-    convention as ``ivf_assign``).
+    Zero-shuffle map: each subspace's codebook is a ``k × d_sub`` array
+    literal; distances come out of ONE ``transform`` per subspace and
+    the argmin is ``array_position(min)`` — first minimal index, ties to
+    the lower code deterministically (same convention as ``ivf_assign``).
+
+    Why higher-order functions and not unrolled arithmetic: a round-10
+    A/B replaced the ``transform``/``aggregate`` lambdas with fully
+    unrolled codegen expressions (codebook floats inlined as literals) —
+    bit-identical values, but the ~10k-node expression tree cost MORE in
+    Catalyst optimization + codegen compile per plan than the
+    interpreted lambdas cost in execution (9.2s vs 1.5s at sf0.1 on 32
+    partitions).  The real fix for the round-9 `pq` probe-leg time was
+    partition fan-out of the single-row-group fixture
+    (``__spark_entry__._fan_out``); per-row lambda interpretation
+    parallelizes linearly.
     """
     v = _as_double(F.col(vec_col))
     m = len(codebooks)
@@ -332,16 +342,24 @@ def adc_lut(
 
 def pq_adc_dist(code_col: Column, lut: list[list[float]]) -> Column:
     """Approximate squared distance from PQ codes: an m-term sequential
-    fold of LUT lookups — ``element_at`` is 1-based, codes are 0-based."""
-    return F.aggregate(
-        F.zip_with(
-            code_col,
-            F.lit([[float(x) for x in r] for r in lut]),
-            lambda code, row: F.element_at(row, code + F.lit(1)),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    fold of LUT lookups, unrolled into plain ``get`` arithmetic (the LUT
+    rows are literals; m is small by construction, so the tree stays
+    tiny) — same left-associated sum as the prior ``aggregate`` fold
+    (``0.0 + t1 == t1`` exactly), bit-identical distances, strict-oracle
+    re-verified.  Round-10 A/B vs the higher-order-function form
+    measured EQUAL wall at sf0.1 (0.26s over cached codes either way);
+    kept for the smaller interpreted-expression surface.  ``get`` is
+    0-based and null-on-out-of-bounds, matching ``zip_with``'s null
+    propagation for malformed codes."""
+    acc = None
+    for s, row in enumerate(lut):
+        term = F.get(
+            F.lit([float(x) for x in row]), F.get(code_col, s)
+        )
+        acc = term if acc is None else acc + term
+    if acc is None:
+        return F.lit(0.0)
+    return acc
 
 
 def pq_adc_topk(
