@@ -83,7 +83,7 @@ PROBES = [
     ("split_leakage", "documents (90/5/5 hash split, 8-perm LSH cross-split pairs)", 10),
     # full-probe containment (round-9 verdict #2): the registered key's
     # doc_id%32 probe thinning cannot hide a probe-side plan regression
-    ("x_containment_full", "documents FULL probe vs full table, t=0.9 words — output is probe-linear vs the registered %32 slice", 10),
+    ("x_containment_join", "documents %20 probe vs full table, t=0.9 words — the round-8 unthinned-probe shape vs the registered %32 slice; output is probe-linear", 10),
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
