@@ -3266,7 +3266,14 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     'cohort' rows, union-tagged and NULL-padded into one generic
     (side, step, a..e) BIGINT shape; both derivations stay
     byte-identical inside nested subqueries.  Frees a slot for the
-    round-10 key wave."""
+    round-10 key wave.
+
+    Round-10 second consolidation (same rule: funnel_user_times was
+    green on its OWN key in the round-9 driver gate over exactly this
+    funnel): the per-user completion detail rides as 'usr' rows — the
+    user id rendered through the integer→VARCHAR device (rule 14a) into
+    the step column, (furthest_step, t_1, t_2, t_3, convert_ms) into
+    a..e.  Frees the slot for tokenizer_fertility."""
     from buildkite_logs_parquet_spark.operators import funnel as FN
 
     nl = F.lit(None).cast("long")
@@ -3292,7 +3299,18 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cohort_size").cast("long").alias("d"),
         F.col("retention_pm").cast("long").alias("e"),
     )
-    return steps.unionByName(cohort)
+    usr = FN.funnel_user_times(
+        _events(spark, sf_dir), ["view", "click", "purchase"]
+    ).select(
+        F.lit("usr").alias("side"),
+        F.col("user_id").cast("string").alias("step"),
+        F.col("furthest_step").cast("long").alias("a"),
+        F.col("t_1").cast("long").alias("b"),
+        F.col("t_2").cast("long").alias("c"),
+        F.col("t_3").cast("long").alias("d"),
+        F.col("convert_ms").cast("long").alias("e"),
+    )
+    return steps.unionByName(cohort).unionByName(usr)
 
 
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3461,12 +3479,35 @@ def q_funnel_user_times(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel_user_times — the row-level companion to the proven
     funnel_steps key, same earliest-completion chain): one row per
     funnel entrant with every step's completion epoch-ms, the furthest
-    step index, and the conversion latency — all BIGINT."""
+    step index, and the conversion latency — all BIGINT.
+
+    Green on its own key in the round-9 driver gate; since round 10 the
+    relation rides q_funnel_steps as 'usr' rows (rule 14b
+    consolidation) and this standalone form stays for the library
+    surface and pytest."""
     from buildkite_logs_parquet_spark.operators import funnel as FN
 
     return FN.funnel_user_times(
         _events(spark, sf_dir), ["view", "click", "purchase"]
     )
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer efficiency report (operators/
+    text_analysis.py::tokenizer_fertility): fertility (sub-word tokens
+    per whitespace word) and compression (bytes per token) by source —
+    the first number every tokenizer/corpus pairing decision reads.
+    ONE map-side-combined aggregate; outputs are BIGINT sums and exact
+    integer per-mille ratios (rule 15).  The word and sub-word counting
+    devices are the PROVEN text_profile oracle pair; byte length is
+    Spark ``octet_length`` = DuckDB ``strlen`` (UTF-8 bytes both).
+
+    Own key per DETERMINISM rule 14b (new hashed legs ride alone for
+    ≥ 1 driver round); promoted from the bench-only
+    ``x_tokenizer_fertility`` entry flagged oracle-promotable in
+    COVERAGE.md."""
+    docs = _t(spark, sf_dir, "documents")
+    return TA.tokenizer_fertility(docs, group_col="source", text_col="text")
 
 
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3772,13 +3813,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "conversion_attribution": q_conversion_attribution,
         "top_paths": q_top_paths,
-        "funnel_user_times": q_funnel_user_times,
+        # funnel_user_times: green solo in the round-9 driver gate, now
+        # rides funnel_steps as 'usr' rows (rule 14b consolidation)
         "vocab_coverage": q_vocab_coverage,
         "version_drift": q_version_drift,
         # round-10 key wave, each on its OWN slot (rule 14b)
         "truncation_recall": q_truncation_recall,
         "group_advantages": q_group_advantages,
         "split_leakage": q_split_leakage,
+        "tokenizer_fertility": q_tokenizer_fertility,
     }
 
 
@@ -7590,6 +7633,60 @@ SELECT s1.user_id,
 FROM s1
 LEFT JOIN s2 ON s1.user_id = s2.user_id
 LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+    # round-10 second consolidation (rule 14b, proven onto proven):
+    # funnel_user_times was green on its OWN key in the round-9 driver
+    # gate; it now rides funnel_steps as 'usr' rows — the user id
+    # through the integer→VARCHAR device (rule 14a) into the step
+    # column, (furthest_step, t_1, t_2, t_3, convert_ms) into a..e.
+    # The min-timestamp chain stays byte-identical inside the nested
+    # subquery.  Frees the slot for tokenizer_fertility.
+    sql["funnel_steps"] += f"""
+UNION ALL
+SELECT 'usr' AS side, CAST(user_id AS VARCHAR) AS step,
+       CAST(furthest_step AS BIGINT) AS a, CAST(t_1 AS BIGINT) AS b,
+       CAST(t_2 AS BIGINT) AS c, CAST(t_3 AS BIGINT) AS d,
+       CAST(convert_ms AS BIGINT) AS e
+FROM ({sql.pop("funnel_user_times")})
+"""
+
+    # tokenizer_fertility (round-10 key, own slot per rule 14b): the
+    # per-group tokenizer efficiency report — byte/word/sub-word sums
+    # through the PROVEN text_profile devices (regexp_split_to_array
+    # word count, the BPE-ish regexp_extract_all), plus DuckDB strlen =
+    # UTF-8 bytes = Spark octet_length; ratios are exact integer
+    # per-mille divisions (rule 15).
+    sql["tokenizer_fertility"] = r"""
+WITH f AS (
+  SELECT source,
+         CAST(strlen(text) AS BIGINT) AS b,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+              AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+              AS BIGINT) AS t
+  FROM documents
+),
+g AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(b) AS BIGINT) AS n_bytes,
+         CAST(sum(w) AS BIGINT) AS n_words,
+         CAST(sum(t) AS BIGINT) AS n_tokens
+  FROM f GROUP BY source
+)
+SELECT source, n_docs, n_bytes, n_words, n_tokens,
+       CASE WHEN n_words > 0
+            THEN CAST(n_tokens * 1000 // n_words AS BIGINT) END
+         AS fertility_pm3,
+       CASE WHEN n_tokens > 0
+            THEN CAST(n_bytes * 1000 // n_tokens AS BIGINT) END
+         AS bytes_per_token_pm3,
+       CASE WHEN n_docs > 0
+            THEN CAST(n_tokens // n_docs AS BIGINT) END
+         AS tokens_per_doc
+FROM g
 """
 
     # vocab_coverage: src0's distinct lowercase tokens as the vocab;

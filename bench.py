@@ -82,16 +82,16 @@ BENCH_QUERIES = [
     "event_transitions",
     "conversion_attribution",
     "top_paths",
-    "funnel_user_times",
     "vocab_coverage",
     "version_drift",
     # round-10 oracle keys (the round-9 bench-only tier, now driver-
-    # gated; cohort_retention / fill_gaps / triangle_counts ride their
-    # consolidated carriers above — funnel_steps, events_agg,
-    # webgraph_rank)
+    # gated; cohort_retention / fill_gaps / triangle_counts /
+    # funnel_user_times ride their consolidated carriers above —
+    # funnel_steps, events_agg, webgraph_rank, funnel_steps again)
     "truncation_recall",
     "group_advantages",
     "split_leakage",
+    "tokenizer_fertility",
 ]
 
 
@@ -1436,16 +1436,6 @@ def _extra_ops():
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return embedding_outliers(emb, bottom_pm=50_000)
 
-    def tokenizer_fertility_bench(spark, sf_dir):
-        """Per-source tokenizer efficiency report: one map-side-combined
-        aggregate over the documents table (fertility + bytes/token)."""
-        from buildkite_logs_parquet_spark.operators.text_analysis import (
-            tokenizer_fertility,
-        )
-
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return tokenizer_fertility(docs, "source", "text")
-
     # (containment_join is a REGISTERED oracle key since round 9; its
     # probe was thinned from doc_id%20 to doc_id%32 in round 9 to fit
     # the no-key-over-8s bar — x_containment_join below restores the
@@ -1514,7 +1504,6 @@ def _extra_ops():
         "x_corpus_overlap_est": corpus_overlap_minhash_bench,
         "x_funnel_times": funnel_times_bench,
         "x_embedding_outliers": embedding_outliers_bench,
-        "x_tokenizer_fertility": tokenizer_fertility_bench,
         "x_video_structure": video_structure_bench,
         "x_preference_pairs": preference_bench,
         "x_margin_mine": margin_mine_bench,
@@ -1778,7 +1767,8 @@ def main() -> None:
         " 'tri:'/'trideg:' legs (round 10)",
         # round-10 consolidations: the three freed keys ride these
         # carriers now (same proven SQL, new location)
-        "funnel_steps": "cohort_retention 'cohort' rows (round 10)",
+        "funnel_steps": "cohort_retention 'cohort' rows +"
+        " funnel_user_times 'usr' rows (round 10)",
         "events_agg": "round-7 sessions+native legs; asof + interval join"
         " legs (round 8.2); fill_gaps 'gaps' rows (round 10)",
         "setsim_join": "simhash sh: legs (round 9 re-balance)",
