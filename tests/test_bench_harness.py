@@ -42,3 +42,53 @@ def test_host_calibration_shape(spark):
     assert set(cal) == {"py_loop_s", "jvm_hash_sum_s", "jvm_shuffle_s"}
     for v in cal.values():
         assert isinstance(v, float) and v >= 0.0
+
+
+def test_funnel_steps_usr_rows_equal_standalone_funnel_user_times(spark):
+    """The round-10 rule-14b consolidation must be an identity: the
+    'usr' rows riding the funnel_steps key are the standalone
+    funnel_user_times relation, column-for-column (user id through the
+    integer→VARCHAR device) — if the carrier's mapping drifts, this
+    fails before the oracle does."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    merged = (
+        E.queries()["funnel_steps"](spark, SF)
+        .where(F.col("side") == "usr")
+        .select(
+            F.col("step").cast("long").alias("user_id"),
+            F.col("a").alias("furthest_step"),
+            F.col("b").alias("t_1"),
+            F.col("c").alias("t_2"),
+            F.col("d").alias("t_3"),
+            F.col("e").alias("convert_ms"),
+        )
+    )
+    standalone = E.q_funnel_user_times(spark, SF)
+    assert merged.count() == standalone.count() > 0
+    assert merged.exceptAll(standalone).count() == 0
+    assert standalone.exceptAll(merged).count() == 0
+
+
+def test_tokenizer_fertility_plan_is_one_partial_aggregate(spark):
+    """The registered tokenizer_fertility key's 100 TB shape: ONE
+    map-side-combined aggregate (partial then final HashAggregate), no
+    Python UDF stage, scan reads only (source, text)."""
+    import __spark_entry__ as E
+    from buildkite_logs_parquet_spark.plans.checks import (
+        explain_str,
+        read_schema_columns,
+    )
+
+    import re
+
+    df = E.queries()["tokenizer_fertility"](spark, SF)
+    plan = explain_str(df)
+    # one shuffle: the group-by (formatted mode names each node twice —
+    # tree line + detail header — so count the detail headers)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "partial_sum" in plan  # map-side combine materialized
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    cols = read_schema_columns(df)
+    assert cols and all(set(c) <= {"source", "text"} for c in cols)
