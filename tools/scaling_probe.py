@@ -73,7 +73,8 @@ PROBES = [
     ("event_transitions", "events (user-keyed lag window + types^2 aggregate)", 100),
     ("conversion_attribution", "events (as-of last-touch + struct-min first-touch)", 100),
     ("top_paths", "events (two lags, vocab^3 aggregate, top-20)", 100),
-    ("funnel_user_times", "events (per-user 3-step min chain)", 100),
+    # funnel_user_times rides funnel_steps as 'usr' rows since round 10
+    ("tokenizer_fertility", "documents (one map-side-combined byte/word/sub-word aggregate)", 10),
     ("vocab_coverage", "documents (src0 vocab broadcast membership)", 10),
     ("version_drift", "orders published as two catalog versions -> PSI buckets", 100),
     # round-10 oracle keys (cohort_retention/fill_gaps/triangle_counts
