@@ -349,8 +349,12 @@ def pq_adc_dist(code_col: Column, lut: list[list[float]]) -> Column:
     re-verified.  Round-10 A/B vs the higher-order-function form
     measured EQUAL wall at sf0.1 (0.26s over cached codes either way);
     kept for the smaller interpreted-expression surface.  ``get`` is
-    0-based and null-on-out-of-bounds, matching ``zip_with``'s null
-    propagation for malformed codes."""
+    0-based and null-on-out-of-bounds, which matches ``zip_with``'s
+    null propagation for NULL and too-SHORT code arrays; a code array
+    LONGER than m would differ (``zip_with`` padded the LUT side with
+    nulls → NULL, while a bare ``get`` fold ignores trailing codes), so
+    a ``size(code_col) == m`` guard nulls that case explicitly and the
+    old contract holds for every malformed shape (round-10 ADVICE)."""
     acc = None
     for s, row in enumerate(lut):
         term = F.get(
@@ -359,7 +363,9 @@ def pq_adc_dist(code_col: Column, lut: list[list[float]]) -> Column:
         acc = term if acc is None else acc + term
     if acc is None:
         return F.lit(0.0)
-    return acc
+    return F.when(F.size(code_col) == len(lut), acc).otherwise(
+        F.lit(None).cast("double")
+    )
 
 
 def pq_adc_topk(

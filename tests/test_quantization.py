@@ -158,6 +158,30 @@ def test_pq_adc_topk_matches_numpy(spark, vectors):
     ]
 
 
+def test_pq_adc_dist_nulls_on_malformed_codes(spark):
+    """The zip_with-era contract (round-10 ADVICE): any code array whose
+    length differs from m — NULL, too short, or too LONG — yields a NULL
+    distance; only an exactly-m array scores.  Trailing codes must never
+    be silently ignored."""
+    lut = [[1.0, 2.0], [10.0, 20.0]]  # m=2, k=2
+    df = spark.createDataFrame(
+        [
+            (0, [0, 1]),  # exact m -> 1.0 + 20.0
+            (1, [0]),  # too short -> NULL
+            (2, [0, 1, 0]),  # too long -> NULL (not 21.0)
+            (3, None),  # NULL codes -> NULL
+        ],
+        "vec_id long, pq_code array<int>",
+    )
+    got = {
+        r["vec_id"]: r["d"]
+        for r in df.select(
+            "vec_id", Q.pq_adc_dist(F.col("pq_code"), lut).alias("d")
+        ).collect()
+    }
+    assert got == {0: 21.0, 1: None, 2: None, 3: None}
+
+
 def test_pq_train_improves_recall_over_seeded(spark, vectors):
     df, rows = vectors
 
