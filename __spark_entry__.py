@@ -2686,19 +2686,33 @@ def q_webgraph_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # round-9 consolidation (rule 14b: proven onto proven —
     # url_domain_stats was green rounds 4 and 6-8 on exactly this
-    # content): the per-domain URL stats ride as 'dom:' rows with the
-    # two counts integer-packed into value (n_urls·10⁹ + n_docs).  The
-    # packing is ambiguous if any domain ever reaches n_docs ≥ 10⁹, so
-    # the invariant is ENFORCED, not assumed: the Spark side emits NULL
-    # for such a row while the oracle still packs — an overflow reds the
-    # key loudly instead of hashing an aliased value (round-9 advice).
-    dom_leg = q_url_domain_stats(spark, sf_dir).select(
-        F.concat(F.lit("dom:"), F.col("domain")).alias("item"),
-        F.when(
-            F.col("n_docs") < 1_000_000_000,
-            F.col("n_urls").cast("long") * F.lit(1_000_000_000).cast("long")
-            + F.col("n_docs").cast("long"),
-        ).alias("value"),
+    # content), re-shaped in round 11 to the tri-leg two-row pattern:
+    # n_urls on 'domu:' rows and n_docs on 'domd:' rows — two
+    # UNAMBIGUOUS row kinds, so the old n_urls·10⁹+n_docs packing and
+    # its n_docs ≥ 10⁹ overflow tripwire are deleted outright (round-10
+    # verdict #6).  One execution of the domain-stats pipeline emits
+    # both rows via a 2-element explode.
+    dom_leg = (
+        q_url_domain_stats(spark, sf_dir)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.concat(F.lit("domu:"), F.col("domain")).alias(
+                            "item"
+                        ),
+                        F.col("n_urls").cast("long").alias("value"),
+                    ),
+                    F.struct(
+                        F.concat(F.lit("domd:"), F.col("domain")).alias(
+                            "item"
+                        ),
+                        F.col("n_docs").cast("long").alias("value"),
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.item", "_e.value")
     )
     # round-10 consolidation (rule 14b: proven onto proven —
     # triangle_counts was green on its own key rounds 8-9 over exactly
@@ -3844,7 +3858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embedding_label_centroid_sim ('km' rows); tfidf_top_terms →
         # bm25_scores ('tfidf' rows); dsir_weights → lm_perplexity
         # (dsir_* columns); pii_scrub → doc_quality (joined columns);
-        # url_domain_stats → webgraph_rank ('dom:' rows); k_anonymity →
+        # url_domain_stats → webgraph_rank ('domu:'/'domd:' rows since
+        # round 11 — two row kinds, no packing); k_anonymity →
         # table_profile ('kanon:<all>' row).
         "revenue_rankings": q_revenue_rankings,
         "top_parts_per_brand": q_top_parts_per_brand,
@@ -7382,10 +7397,16 @@ FROM ({sql["doc_quality"]}) q
 JOIN ({sql.pop("pii_scrub")}) p ON q.doc_id = p.doc_id
 """
 
+    # round-11 re-shape (round-10 verdict #6): the dom leg drops the
+    # n_urls·10⁹+n_docs packing for the tri-leg two-row pattern —
+    # 'domu:' carries n_urls, 'domd:' carries n_docs — so no overflow
+    # tripwire is needed on either engine.
     sql["webgraph_rank"] += f"""
 UNION ALL
-SELECT 'dom:' || domain AS item,
-       CAST(n_urls * 1000000000 + n_docs AS BIGINT) AS value
+SELECT 'domu:' || domain AS item, CAST(n_urls AS BIGINT) AS value
+FROM ({sql["url_domain_stats"]})
+UNION ALL
+SELECT 'domd:' || domain AS item, CAST(n_docs AS BIGINT) AS value
 FROM ({sql.pop("url_domain_stats")})
 """
 

@@ -1747,8 +1747,8 @@ def main() -> None:
         # relation (same proven SQL, new location)
         "bm25_scores": "tfidf 'tfidf' leg (round 9)",
         "doc_quality": "pii/blocklist/normalization columns (round 9)",
-        "webgraph_rank": "url-domain 'dom:' legs (round 9); triangle"
-        " 'tri:'/'trideg:' legs (round 10)",
+        "webgraph_rank": "url-domain 'domu:'/'domd:' legs (round 9,"
+        " un-packed round 11); triangle 'tri:'/'trideg:' legs (round 10)",
         # round-11 consolidations (judge-directed): the last two
         # oracle-expressible bench-only ops ride their related proven
         # carriers — the retired x_corpus_overlap_est work now times
