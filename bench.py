@@ -1615,6 +1615,48 @@ def _host_calibration(
     }
 
 
+def _host_drift_suspects(
+    timings: dict,
+    round_ref: dict,
+    calibration: dict,
+    round_ref_cal: dict,
+    workload_changed: list,
+) -> list:
+    """The DETERMINISM §20 heuristic, automated (round-10 verdict #4):
+    a key whose wall moved >25% vs the previous round's closing
+    artifact WHILE the fixed-work calibration probes moved ≥15% the
+    SAME direction is attributed to the HOST, not the plans.  The probe
+    ratio is the MEDIAN of the three probes' cur/ref ratios (robust to
+    one noisy probe); keys named in ``workload_changed`` are excluded —
+    their deltas are intentional reshapes, not drift.  Empty whenever
+    either side's calibration is missing (first round, errored probes):
+    attribution is advisory and must never invent a suspect."""
+    probe_ratios = sorted(
+        calibration[k] / round_ref_cal[k]
+        for k in ("py_loop_s", "jvm_hash_sum_s", "jvm_shuffle_s")
+        if isinstance(calibration.get(k), (int, float))
+        and round_ref_cal.get(k)
+    )
+    if not probe_ratios:
+        return []
+    probe_drift = probe_ratios[len(probe_ratios) // 2]
+    out = []
+    for name, t in timings.items():
+        rref = round_ref.get(name)
+        if (
+            not isinstance(t, (int, float))
+            or rref is None
+            or name in workload_changed
+        ):
+            continue
+        ratio = float(t) / rref
+        if (ratio > 1.25 and probe_drift > 1.15) or (
+            ratio < 0.8 and probe_drift < 0.87
+        ):
+            out.append(name)
+    return out
+
+
 def main() -> None:
     import __spark_entry__ as E
     from buildkite_logs_parquet_spark.session import get_spark
@@ -1701,6 +1743,7 @@ def main() -> None:
     # per-query map is recovered from the history entry with the same
     # total at the same sf (the stamped run is always appended there).
     round_ref: dict[str, float] = {}
+    round_ref_cal: dict[str, float] = {}
     try:
         import glob as _glob
         import re as _re
@@ -1726,6 +1769,13 @@ def main() -> None:
                             qn: float(t)
                             for qn, t in (entry.get("queries") or {}).items()
                             if isinstance(t, (int, float))
+                        }
+                        round_ref_cal = {
+                            k: float(v)
+                            for k, v in (
+                                entry.get("calibration") or {}
+                            ).items()
+                            if isinstance(v, (int, float))
                         }
                         break
     except Exception:  # noqa: BLE001 — reference is advisory
@@ -1940,6 +1990,17 @@ def main() -> None:
             "still_drifting": False,
         }
 
+    # host-drift attribution (round-10 verdict #4: the §20 heuristic,
+    # automated — see _host_drift_suspects).  Runs on the FINAL timings,
+    # after the whole-run drift check's extra passes have kept their
+    # mins, so a key rescued by a re-measurement is not flagged.
+    try:
+        host_drift_suspected = _host_drift_suspects(
+            timings, round_ref, calibration, round_ref_cal, workload_changed
+        )
+    except Exception:  # noqa: BLE001 — attribution is advisory
+        host_drift_suspected = []
+
     load_after = _load_snapshot()
     result = {
         "metric": "headline_queries_total_wall",
@@ -1953,6 +2014,7 @@ def main() -> None:
         "measured_queries": len(bench_names) - len(errors),
         "burst_suspects": burst_suspects,
         "workload_changed": workload_changed,
+        "host_drift_suspected": host_drift_suspected,
         "leg_times": leg_times,
         "load_before": load_before,
         "load_after": load_after,
@@ -1974,7 +2036,12 @@ def main() -> None:
     compact = dict(
         sorted(ok_timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
-    for name in list(errors) + burst_suspects + workload_changed:
+    for name in (
+        list(errors)
+        + burst_suspects
+        + workload_changed
+        + host_drift_suspected
+    ):
         if name in timings:
             compact.setdefault(name, timings[name])
     headline = {

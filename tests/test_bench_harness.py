@@ -44,6 +44,30 @@ def test_host_calibration_shape(spark):
         assert isinstance(v, float) and v >= 0.0
 
 
+def test_host_drift_suspects_heuristic():
+    """The automated §20 attribution (round-10 verdict #4): flag a key
+    only when its wall AND the median probe ratio move >25% / ≥15% the
+    same direction; never flag reshaped keys or when calibration is
+    missing."""
+    cal_slow = {"py_loop_s": 0.6, "jvm_hash_sum_s": 0.5, "jvm_shuffle_s": 0.58}
+    cal_ref = {"py_loop_s": 0.3, "jvm_hash_sum_s": 0.29, "jvm_shuffle_s": 0.3}
+    timings = {"a": 2.6, "b": 1.0, "c": 3.0, "d": 2.6}
+    round_ref = {"a": 2.0, "b": 1.0, "c": 2.0}
+    # host 2x slower: 'a' (+30%) flagged, 'b' (flat) not, 'c' reshaped
+    # not, 'd' has no reference so not
+    got = B._host_drift_suspects(timings, round_ref, cal_slow, cal_ref, ["c"])
+    assert got == ["a"]
+    # probes flat -> same key deltas are PLAN drift, nothing flagged
+    assert B._host_drift_suspects(timings, round_ref, cal_ref, cal_ref, []) == []
+    # faster host + faster key flags the downward direction too
+    cal_fast = {"py_loop_s": 0.2, "jvm_hash_sum_s": 0.2, "jvm_shuffle_s": 0.2}
+    got = B._host_drift_suspects({"a": 1.4}, {"a": 2.0}, cal_fast, cal_ref, [])
+    assert got == ["a"]
+    # missing calibration on either side -> empty, never invent suspects
+    assert B._host_drift_suspects(timings, round_ref, {}, cal_ref, []) == []
+    assert B._host_drift_suspects(timings, round_ref, cal_slow, {}, []) == []
+
+
 def test_funnel_steps_usr_rows_equal_standalone_funnel_user_times(spark):
     """The round-10 rule-14b consolidation must be an identity: the
     'usr' rows riding the funnel_steps key are the standalone
