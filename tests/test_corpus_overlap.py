@@ -193,6 +193,43 @@ def test_incremental_signature_merge_equals_full_recompute(spark):
     assert a == b
 
 
+def test_incremental_merge_reproduces_registered_est_leg(spark):
+    """Cross-engine evidence for the incremental path (round 11): the
+    min-merged half-corpus signatures, pushed through the pair stage,
+    must reproduce the REGISTERED corpus_overlap key's 'est' rows over
+    the driver's fixture — the same 64-perm relation the DuckDB oracle
+    hashes, so incremental maintenance inherits the key's gate."""
+    import __spark_entry__ as E
+    from buildkite_logs_parquet_spark.operators.dedup import (
+        corpus_signatures,
+        merge_corpus_signatures,
+        signature_overlap_matrix,
+    )
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merged = merge_corpus_signatures(
+        corpus_signatures(
+            docs.where("doc_id % 2 = 0"), "source", "text", num_perm=64
+        ),
+        corpus_signatures(
+            docs.where("doc_id % 2 != 0"), "source", "text", num_perm=64
+        ),
+        "source",
+    )
+    incr = sorted(
+        map(tuple, signature_overlap_matrix(merged, "source").collect())
+    )
+    key_est = sorted(
+        (r["group_a"], r["group_b"], r["a"], r["b"], r["c"])
+        for r in E.q_corpus_overlap(spark, sf_dir)
+        .where(F.col("side") == "est")
+        .collect()
+    )
+    assert incr == key_est and len(incr) > 0
+
+
 def test_signature_merge_passthrough_and_schema_guard(spark):
     import pytest as _pytest
 

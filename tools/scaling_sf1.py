@@ -3,7 +3,8 @@
 verdict #6): generate a deterministic sf1-equivalent input set (10× the
 sf0.1 documents/embeddings/lineitem/orders rows) under
 ``bench_sf1/`` (bench-generated, gitignored — the ``bench_warc_html_*``
-precedent), time the eight >5s keys there, and rewrite the
+precedent), time the heavy keys there (the eight >5s round-9 keys plus
+the round-10 verdict's 4.8-7.4s tier), and rewrite the
 "## sf1-equivalent decade" section of SCALING.md with wall AND measured
 output-row denominators.
 
@@ -42,8 +43,10 @@ DST = "/root/repo/bench_sf1"
 COPIES = 10
 
 #: (key, output-relation description) — the eight >5s keys from the
-#: round-9 bench, each with its measured output rows recorded so a
-#: superlinear-looking wall can be read against output growth.
+#: round-9 bench plus the round-10 verdict's next tier (#5: the
+#: 4.8–7.4s keys not yet in the decade), each with its measured output
+#: rows recorded so a superlinear-looking wall can be read against
+#: output growth.
 HEAVY = [
     ("x_setsim_join", "exact pairs @ jaccard>=0.9 (clique-quadratic)"),
     ("ann_topk", "probe top-k legs (output fixed per corpus)"),
@@ -53,9 +56,12 @@ HEAVY = [
     ("dedup_keep_best", "per-doc survivor map"),
     ("x_harmonic", "host centralities (nodes)"),
     ("semantic_dedup", "sem rows + pq codes + trained codewords"),
+    ("x_entity_resolution", "blocked matches + resolution + cap audit"),
+    ("x_preference_pairs", "BT strengths + pair audit (prompt-bounded)"),
+    ("x_margin_mine", "mutual-best margin pairs"),
 ]
 
-SECTION = "## sf1-equivalent decade (bench-generated, round 10)"
+SECTION = "## sf1-equivalent decade (bench-generated, rounds 10-11)"
 
 
 def generate(spark) -> None:
@@ -201,7 +207,8 @@ def main() -> None:
     lines = [
         SECTION,
         "",
-        "`tools/scaling_sf1.py`: the eight >5s keys timed one decade past",
+        "`tools/scaling_sf1.py`: the heavy keys (eight >5s round-9 keys +",
+        "the round-10 4.8-7.4s tier) timed one decade past",
         "the committed testdata — 10× sf0.1 inputs generated",
         "deterministically under `bench_sf1/` (rotated-variant documents",
         "that preserve near-dup cliques, perturbed-variant embeddings that",
@@ -224,10 +231,12 @@ def main() -> None:
 
     path = "/root/repo/SCALING.md"
     old = open(path).read()
-    if SECTION in old:
-        start = old.index(SECTION)
-        nxt = old.find("\n## ", start + len(SECTION))
-        old = old[:start] + old[nxt + 1 :] if nxt != -1 else old[:start]
+    # strip the previous decade section whichever round named it
+    for sec in (SECTION, "## sf1-equivalent decade (bench-generated, round 10)"):
+        if sec in old:
+            start = old.index(sec)
+            nxt = old.find("\n## ", start + len(sec))
+            old = old[:start] + old[nxt + 1 :] if nxt != -1 else old[:start]
     if not old.endswith("\n"):
         old += "\n"
     open(path, "w").write(old + block)
