@@ -2721,20 +2721,34 @@ def q_webgraph_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # packed BIGINT (the dom-leg packing lesson), freeing a slot for
     # the round-10 key wave.  Values and the oracle's canonical-edge
     # three-way-join derivation are byte-identical to the proven form.
-    tri = q_triangle_counts(spark, sf_dir)
-    tri_leg = tri.select(
-        F.concat(F.lit("tri:"), F.col("node")).alias("item"),
-        F.col("n_triangles").cast("long").alias("value"),
-    )
-    trideg_leg = tri.select(
-        F.concat(F.lit("trideg:"), F.col("node")).alias("item"),
-        F.col("deg").cast("long").alias("value"),
+    # round-11: one execution of the triangle pipeline emits both row
+    # kinds via a 2-element explode (the dom-leg device above) — the
+    # two .select branches previously re-ran the canonical-edge
+    # three-way join once per leg.  Same rows, same oracle.
+    tri_leg = (
+        q_triangle_counts(spark, sf_dir)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.concat(F.lit("tri:"), F.col("node")).alias("item"),
+                        F.col("n_triangles").cast("long").alias("value"),
+                    ),
+                    F.struct(
+                        F.concat(F.lit("trideg:"), F.col("node")).alias(
+                            "item"
+                        ),
+                        F.col("deg").cast("long").alias("value"),
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.item", "_e.value")
     )
     return (
         edge_leg.unionByName(rank_leg)
         .unionByName(dom_leg)
         .unionByName(tri_leg)
-        .unionByName(trideg_leg)
     )
 
 
@@ -3588,8 +3602,10 @@ def q_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka truncation-recall sweep (operators/similarity.py::
     truncation_recall): exact top-10 recall of 32- and 16-dim PREFIX
     truncations against the 64-dim ground truth, 8 lowest-id query
-    vectors inlined as literals (the centroid pattern — one corpus scan
-    + explode per dim, no join against the corpus, no cartesian).
+    vectors inlined as literals (the centroid pattern — each (dim,
+    query) pair is its own TakeOrderedAndProject heap branch since
+    round 11, never a corpus-partition rank window; no join against
+    the corpus, no cartesian; plan-guarded in tests/test_plans.py).
 
     Registered with ``round_to=4``: ranking on the 4-dp-rounded cosine
     with id tie-breaks is the PROVEN ann_topk exact-leg device — the
