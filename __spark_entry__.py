@@ -3602,10 +3602,11 @@ def q_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka truncation-recall sweep (operators/similarity.py::
     truncation_recall): exact top-10 recall of 32- and 16-dim PREFIX
     truncations against the 64-dim ground truth, 8 lowest-id query
-    vectors inlined as literals (the centroid pattern — each (dim,
-    query) pair is its own TakeOrderedAndProject heap branch since
-    round 11, never a corpus-partition rank window; no join against
-    the corpus, no cartesian; plan-guarded in tests/test_plans.py).
+    vectors inlined as literals (the centroid pattern — one corpus scan
+    + explode per dim; since round 11 the ranking is a TWO-PHASE top-k
+    whose corpus-fed windows partition by (query, input partition),
+    never a corpus-partition rank window; plan-guarded in
+    tests/test_plans.py).
 
     Registered with ``round_to=4``: ranking on the 4-dp-rounded cosine
     with id tie-breaks is the PROVEN ann_topk exact-leg device — the
