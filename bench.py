@@ -1756,7 +1756,24 @@ def main() -> None:
                 arts.append((int(m.group(1)), p))
         if arts:
             with open(max(arts)[1]) as f:
-                parsed = (json.load(f) or {}).get("parsed") or {}
+                art = json.load(f) or {}
+            parsed = art.get("parsed") or {}
+            # round-11 fix: the driver's tail capture can truncate the
+            # headline line so `parsed` lands null (BENCH_r10.json did)
+            # — then the round-ref baseline silently degraded to the
+            # trailing-min path and under-reported workload_changed
+            # (run A of the r11 pair missed version_drift at +41%).
+            # Recover the headline total from the raw tail fragment
+            # (the first `<float>, "unit": "sec"` is the value — the
+            # headline prints value then unit) and the sf from the
+            # artifact's own top level.
+            if not parsed:
+                m = _re.search(
+                    r"([0-9]+\.[0-9]+),\s*\"unit\":\s*\"sec\"",
+                    art.get("tail") or "",
+                )
+                if m and str(art.get("sf")) == str(sf):
+                    parsed = {"sf": art.get("sf"), "value": float(m.group(1))}
             if str(parsed.get("sf")) == str(sf):
                 target = float(parsed.get("value"))
                 for entry in reversed(same_sf):
