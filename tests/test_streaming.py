@@ -1190,6 +1190,85 @@ def test_stream_paths_reproduces_registered_top_paths_relation(
     assert stream_top == key_top
 
 
+def test_stream_transitions_reproduces_registered_relation(spark, tmp_path):
+    """Second driver-fixture twin gate (the stream_paths pattern): the
+    sf0.001 events fixture replayed through stream_transitions as three
+    ts-tercile micro-batches, counted per (from, to) with out_pm
+    recomputed as n·10⁶ div the from-type's outgoing total, must
+    reproduce the registered event_transitions key's relation exactly."""
+    import json
+    import os
+    import time as _time
+    from collections import Counter
+
+    import __spark_entry__ as E
+    from buildkite_logs_parquet_spark.streaming.follow import (
+        stream_transitions,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = (
+        E._events(spark, sf_dir)
+        .select("user_id", "event_type", "ts_ms")
+        .collect()
+    )
+    ts_sorted = sorted(r["ts_ms"] for r in rows)
+    t1 = ts_sorted[len(ts_sorted) // 3]
+    t2 = ts_sorted[2 * len(ts_sorted) // 3]
+    batches = [
+        [r for r in rows if r["ts_ms"] <= t1],
+        [r for r in rows if t1 < r["ts_ms"] <= t2],
+        [r for r in rows if r["ts_ms"] > t2],
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    base_t = _time.time() - 60
+    for i, batch in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as f:
+            for r in batch:
+                f.write(
+                    json.dumps(
+                        {
+                            "user_id": r["user_id"],
+                            "event_type": r["event_type"],
+                            "ts_ms": r["ts_ms"],
+                        }
+                    )
+                    + "\n"
+                )
+        os.utime(src / f"b{i}.json", (base_t + 10 * i, base_t + 10 * i))
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, ts_ms long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream_transitions(stream)
+        .writeStream.format("memory")
+        .queryName("trans_stream_fixture")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = Counter(
+        (r["from_type"], r["to_type"])
+        for r in spark.sql("select * from trans_stream_fixture").collect()
+    )
+    out_totals = Counter()
+    for (frm, _to), n in got.items():
+        out_totals[frm] += n
+    stream_rel = sorted(
+        (frm, to, n, n * 1_000_000 // out_totals[frm])
+        for (frm, to), n in got.items()
+    )
+    key_rel = sorted(
+        (r["from_type"], r["to_type"], r["n_transitions"], r["out_pm"])
+        for r in E.queries()["event_transitions"](spark, sf_dir).collect()
+    )
+    assert stream_rel == key_rel and len(stream_rel) > 0
+
+
 def test_stream_paths_matches_batch_top_paths(spark, tmp_path):
     """Counting the streamed depth-3 grams per path and ranking
     (count desc, lex) must reproduce the batch top_paths relation across
