@@ -1242,9 +1242,19 @@ def _extra_ops():
             ).alias("text"),
         )
         ents = base.unionByName(typo)
-        matches = LK.link_entities(ents, ents, rel_pct=20, max_block_size=256)
+        # round-11 optimization: one persisted blocking-key relation
+        # feeds candidates AND audit; the match relation feeds resolve
+        # (same sharing as the registered entity_linkage key)
+        from pyspark import StorageLevel
+
+        keys = LK.blocking_keys(ents, "id", "text").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        matches = LK.link_entities(
+            ents, ents, rel_pct=20, max_block_size=256, keys=keys
+        )
         resolved = LK.resolve_entities(matches)
-        audit = LK.linkage_audit(ents, ents, max_block_size=256)
+        audit = LK.linkage_audit(ents, ents, max_block_size=256, keys=keys)
         return resolved.select(
             F.col("id_a").alias("a"),
             F.col("best_id").alias("b"),
@@ -1281,7 +1291,15 @@ def _extra_ops():
             ),
             F.col("n_chars"),
         )
-        pairs = PR.make_preference_pairs(scored, text_len_col="n_chars")
+        # round-11 optimization: pairs feeds THREE consumers (audit in
+        # the returned plan, the gpairs projection bt_fit materializes,
+        # and bt_fit's own narrow persist) — persist once so the
+        # windowed pair construction runs once, not per consumer
+        from pyspark import StorageLevel
+
+        pairs = PR.make_preference_pairs(
+            scored, text_len_col="n_chars"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         audit = PR.preference_pair_audit(pairs)
         # generator ranking: winner/loser = the planted generator ids
         gpairs = pairs.select(
@@ -1394,6 +1412,25 @@ def _extra_ops():
             margin_threshold=1.0,
         )
 
+    def corpus_overlap_minhash_bench(spark, sf_dir):
+        """Corpus-overlap MinHash estimator at scale: per-source 64-perm
+        signatures in ONE group-keyed aggregate (state = 64 longs per
+        corpus regardless of size), pair agreements through the
+        (permutation, min) equi-join — the 100 TB path whose exact twin
+        is the oracle-gated corpus_overlap key.  Restored in the
+        round-11 optimization pass: the promotion onto corpus_overlap
+        retired this entry, but the bench contract forbids removing
+        query names — the standalone timing continues alongside the
+        carrier's 'est' leg."""
+        from buildkite_logs_parquet_spark.operators.dedup import (
+            corpus_overlap_minhash,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return corpus_overlap_minhash(
+            docs, "source", "text", num_perm=64, shingle_k=12
+        )
+
     def funnel_times_bench(spark, sf_dir):
         """Per-user funnel completion detail (windowed variant): the
         three-step earliest-completion chain plus the k-1 left-join
@@ -1486,6 +1523,7 @@ def _extra_ops():
     return {
         "x_resize_images": resize_images_bench,
         "x_event_transitions": event_transitions_bench,
+        "x_corpus_overlap_est": corpus_overlap_minhash_bench,
         "x_funnel_times": funnel_times_bench,
         "x_embedding_outliers": embedding_outliers_bench,
         "x_video_structure": video_structure_bench,

@@ -280,7 +280,16 @@ def ngram_jaccard_pairs(
     UNIVERSE (both intersections and set sizes, so the result is a true
     Jaccard over the capped universe — the classic DF cap of exact-
     similarity indexes).
+
+    Round-11 optimization: the (capped) shingle relation feeds three
+    consumers — set sizes and both sides of the inverted-index join —
+    and Catalyst re-evaluated the shingling (and the DF-cap semi-join)
+    once per consumer; it is persisted MEMORY_AND_DISK for the duration
+    of the returned plan (narrow id+shingle rows).  Callers own cache
+    hygiene after materializing (the ``set_similarity_join`` contract).
     """
+    from pyspark import StorageLevel
+
     sh = _shingles_inline(df, id_col, text_col, k)
     if max_shingle_df is not None:
         keep = (
@@ -290,6 +299,7 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(keep, "shingle", "left_semi")
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -616,6 +626,14 @@ def substring_dedup(
             _hash64(F.col("_g"), 1, hash_fn).alias("_h"),
             (F.col(id_col) * _SEGMENT_POS_BOUND + F.col("pos")).alias("_ord"),
         )
+    # round-11 optimization: slim feeds BOTH the canonical-min agg and
+    # the anchors join; without a persist the window-hash pass (the
+    # Arrow-batched Buzhash stage on the default path) executed twice
+    # per run.  Narrow (id, pos, hash, ord) longs — cache them, not the
+    # text.  Callers own cache hygiene after materializing.
+    from pyspark import StorageLevel
+
+    slim = slim.persist(StorageLevel.MEMORY_AND_DISK)
     canon = slim.groupBy("_h").agg(
         F.min("_ord").alias("_first"), F.count("*").alias("_cnt")
     )
@@ -1026,7 +1044,12 @@ def neardup_eval(
     sigs = minhash_signatures(
         df, id_col, text_col, num_perm, shingle_k, hash_fn
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    cand = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
+    # round-11 optimization: cand feeds BOTH the predicted leg and the
+    # confusion full-outer join — persist it so the banded self-join
+    # runs once per run, not twice (narrow id-pair rows)
+    cand = lsh_candidate_pairs(sigs, id_col, num_perm, bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sa = sigs.select(
         F.col(id_col).alias("id_a"),
         *[F.col(f"minhash_{p}").alias(f"_a{p}") for p in range(num_perm)],
@@ -1540,6 +1563,7 @@ def set_similarity_join(
     threshold: float = 0.7,
     tokenizer: str = "words",
     shingle_k: int = 8,
+    persist: bool = True,
 ) -> DataFrame:
     """EXACT Jaccard-threshold self-join via prefix filtering (the
     SSJoin/PPJoin family — Chaudhuri et al. 2006, Xiao et al. 2008):
@@ -1569,11 +1593,28 @@ def set_similarity_join(
     per-doc rank window (one id-keyed shuffle) → prefix equi-join →
     two candidate-bounded joins + one pair agg.  No cross join, no cap.
 
+    ``persist`` (round-11 optimization): the distinct token relation
+    feeds FIVE consumers (sizes, document frequencies, the rank window,
+    and both verification sides) and the candidate relation two (the
+    intersection count and the final decision) — Catalyst plans each
+    consumer as an independent subtree (no ReusedExchange fires across
+    the differing projections), so without a persist the tokenize +
+    distinct shuffle executes five times per run (measured: 28 parquet
+    scans / 58 Exchanges in the registered key's plan).  Both relations
+    are id+token/id-pair narrow longs — orders of magnitude smaller
+    than the text they derive from — so MEMORY_AND_DISK is safe at any
+    scale where the join itself is feasible.  The operator does not
+    unpersist (the returned plan reads the cached blocks lazily);
+    callers own cache hygiene (`spark.catalog.clearCache()` or
+    ``DataFrame.unpersist`` after materializing), same contract as
+    ``minhash_near_duplicates(persist_signatures=True)``.
+
     Output: ``(id_a, id_b, intersection, union_size, jaccard)`` with
     ``id_a < id_b``.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
+    from pyspark import StorageLevel
     from pyspark.sql import Window as W
 
     if tokenizer == "words":
@@ -1590,6 +1631,8 @@ def set_similarity_join(
     else:
         raise ValueError("tokenizer must be words | shingles")
     toks = toks.distinct()
+    if persist:
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("_s"))
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("_df"))
     # global total order (df asc, tok asc) → per-doc prefix of length
@@ -1634,6 +1677,8 @@ def set_similarity_join(
         .select("id_a", "id_b", "_sa", "_sb")
         .distinct()
     )
+    if persist:
+        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
     ta = toks.select(F.col(id_col).alias("id_a"), "tok")
     tb = toks.select(F.col(id_col).alias("id_b"), "tok")
     inter = (
@@ -1787,6 +1832,7 @@ def containment_join(
     threshold: float = 0.8,
     tokenizer: str = "words",
     shingle_k: int = 8,
+    persist: bool = True,
 ) -> DataFrame:
     """EXACT containment-threshold join: every pair ``(a ∈ left,
     b ∈ right)`` with ``|A∩B| ≥ t·|A|`` — "a's token set is mostly
@@ -1815,9 +1861,21 @@ def containment_join(
     Citation note (reference parity): the reference engine has no join
     surface at all; this extends the SSJoin tier (Chaudhuri et al. 2006
     prefix filtering, asymmetric variant).
+
+    ``persist`` (round-11 optimization): the probe-side token relation
+    feeds four consumers (sizes, the shared df order, the rank window,
+    the verification side) and the index-side relation four more —
+    Catalyst plans each as an independent subtree (no ReusedExchange
+    across the differing projections), so the tokenize + distinct
+    shuffles executed ~8× per run (28 parquet scans / 48 Exchanges in
+    the registered key's plan).  Tokens and candidates are narrow
+    id/token rows; the operator does not unpersist (callers own cache
+    hygiene after materializing) — the ``set_similarity_join``
+    contract.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
+    from pyspark import StorageLevel
     from pyspark.sql import Window as W
 
     def toks_of(df: DataFrame) -> DataFrame:
@@ -1837,7 +1895,12 @@ def containment_join(
         return out.distinct()
 
     tl = toks_of(left)
-    tr = toks_of(right)
+    # self-join callers pass the same relation twice — share one token
+    # tree (and one cached copy) instead of building two identical ones
+    tr = tl if right is left else toks_of(right)
+    if persist:
+        tl = tl.persist(StorageLevel.MEMORY_AND_DISK)
+        tr = tl if right is left else tr.persist(StorageLevel.MEMORY_AND_DISK)
     sl = tl.groupBy(id_col).agg(F.count("*").alias("_sa"))
     sr = tr.groupBy(id_col).agg(F.count("*").alias("_sb"))
     # ONE global token order across both relations (df asc, tok asc):
@@ -1877,6 +1940,8 @@ def containment_join(
         # size filter: |A∩B| ≤ |B| and ≥ t·|A| ⇒ 10⁶·|B| ≥ t6·|A|
         .where(F.lit(1_000_000) * F.col("_sb") >= F.lit(t6) * F.col("_sa"))
     )
+    if persist:
+        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
     ta = tl.select(F.col(id_col).alias("id_a"), "tok")
     tb = tr.select(F.col(id_col).alias("id_b"), "tok")
     inter = (
