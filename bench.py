@@ -1572,6 +1572,25 @@ def _extra_ops():
     }
 
 
+def _cold_start(spark, gc) -> None:
+    """Reset ALL cached state before a timed run so the measurement is a
+    from-parquet computation (round-11 measurement fix).
+
+    Three layers of cached state can leak into a repeat run: the entry
+    module's ``_persist_for_query`` registry (released so a re-entering
+    query re-persists fresh DataFrame instances instead of being handed
+    run 1's), the Spark cache itself (operator-internal ``persist()``
+    calls are not in the registry, and the CacheManager would otherwise
+    map a repeat run's identical plan onto the previous run's blocks),
+    and py4j-held dead DataFrames whose blocks the ContextCleaner cannot
+    drop until Python's GC releases them."""
+    import __spark_entry__ as E
+
+    E.release_query_caches()
+    spark.catalog.clearCache()
+    gc.collect()
+
+
 def _load_snapshot() -> dict | None:
     """Machine-load evidence for the artifact (round-8, judge ask #2):
     the round-7 closing bench recorded 165.8s while a mid-round run of
@@ -1717,14 +1736,13 @@ def main() -> None:
             file=sys.stderr,
         )
     spark = get_spark(app_name="bklp-bench")
-    # the CacheManager's `Asked to cache already cached data` WARN fires
-    # on the min-of-runs repeat path by design (run 2 re-persists an
-    # identical plan and the manager maps it onto run 1's blocks — that
-    # reuse IS the steady-state being measured, and _persist_for_query
-    # now consults its registry so the registry path never re-persists).
-    # What remains is operator-internal persists on rebuilt plans; the
-    # mapping is intentional, so the advisory WARN is lowered to ERROR
-    # for this logger only.
+    # the CacheManager's `Asked to cache already cached data` WARN can
+    # still fire WITHIN one run when a query persists the same relation
+    # through two code paths (registry + operator-internal); the mapping
+    # is harmless, so the advisory WARN is lowered to ERROR for this
+    # logger only.  (It no longer fires on the min-of-runs repeat path:
+    # since the round-11 measurement fix every run starts from a cleared
+    # cache — see _cold_start.)
     try:
         jvm = spark.sparkContext._jvm
         jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
@@ -1899,22 +1917,25 @@ def main() -> None:
     total = 0.0
     for name in bench_names:
         best = None
-        # isolate queries from each other's storage pressure: cached blocks
-        # left by an earlier query (persisted signatures, checkpoints) can
-        # evict a later query's working set and distort its timing.  The
-        # cache is NOT cleared between the runs of one query — min-of-runs
-        # deliberately measures the steady state incl. legitimate reuse.
-        spark.catalog.clearCache()
-        # release py4j refs to dead DataFrames so the ContextCleaner can
-        # drop their checkpoint/cache blocks before the next measurement
+        # round-11 measurement fix (OPTIMIZATION_r11.md "Methodology"):
+        # the cache is now cleared between EVERY run, including the runs
+        # of one query.  The old loop cleared only between queries, so
+        # with operator-internal persists (round-11's multi-consumer
+        # intermediates, ann_topk's probe cache, ...) runs 2..N reused
+        # run 1's materialized blocks and min-of-runs reported a
+        # WARM-cache wall that skips the expensive upstream compute.
+        # Every reported number must be a from-parquet computation; the
+        # min now only absorbs interference bursts and JIT/codegen
+        # warm-up, not cached state.  (Cache clearing is harness
+        # hygiene, so it sits OUTSIDE the timed region.)
         import gc
 
-        gc.collect()
         # one broken query must never void the whole benchmark: record the
         # error for that query and keep measuring the rest
         try:
             fn = qs[name]
-            for _ in range(runs):  # steady-state: min over runs (codegen warm)
+            for _ in range(runs):  # min over COLD runs (burst/JIT robustness)
+                _cold_start(spark, gc)
                 t0 = time.monotonic()
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
@@ -1946,6 +1967,7 @@ def main() -> None:
             ref = None
         extra = 0
         while ref is not None and best > 2.0 * ref and extra < 2:
+            _cold_start(spark, gc)
             t0 = time.monotonic()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.monotonic() - t0)

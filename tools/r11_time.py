@@ -1,9 +1,9 @@
 #!/usr/bin/env python3
 """Round-11 isolated query timing: min-of-N noop-sink walls for the
-named queries, bench-identical methodology (clearCache + gc between
-queries, NOT between runs of one query — steady state incl. legitimate
-reuse), plus the host-calibration probes so readings on different hosts
-stay comparable.
+named queries, bench-identical methodology (cache + persist registry
+cleared before EVERY run, so each sample is a cold from-parquet
+computation — bench._cold_start), plus the host-calibration probes so
+readings on different hosts stay comparable.
 
 Usage: SPARK_GRAFT_SF_DIR=... python tools/r11_time.py q1 [q2 ...]
 Env: R11_RUNS (default 3)
@@ -37,12 +37,10 @@ def main() -> None:
         cal = {"error": str(exc)[:120]}
     out = {}
     for name in names:
-        spark.catalog.clearCache()
-        E.release_query_caches()
-        gc.collect()
         best = None
         samples = []
         for _ in range(runs):
+            bench._cold_start(spark, gc)
             t0 = time.monotonic()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
