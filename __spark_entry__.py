@@ -1045,15 +1045,22 @@ def q_lr_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     release_query_caches(except_key="lr_classifier")
     # the two GD steps + the scoring pass + the batch-size count each
     # re-derive the hashed features (an md5-per-token explode) — persist
-    # the narrow (doc_id, feat, cnt) relation and the labels once
+    # the narrow (doc_id, feat, cnt) relation and the labels once.
+    # Both are persisted PRE-PARTITIONED on doc_id (round-11, the
+    # lr_train discipline): every per-doc margin aggregate, residual
+    # join and calibration join then reads co-partitioned cached blocks
+    # — the only shuffle left per GD step is the ≤ dim-group gradient
+    # aggregate.  Joins/aggregates are row-order-free, so values are
+    # untouched (oracle re-proven strict after the change).
     feats = _persist_for_query(
-        CL.hashed_features(docs, dim=64, seed=0), "lr_classifier"
+        CL.hashed_features(docs, dim=64, seed=0).repartition("doc_id"),
+        "lr_classifier",
     )
     labels = _persist_for_query(
         docs.select(
             "doc_id",
             F.col("text").contains(" the ").cast("int").alias("label"),
-        ),
+        ).repartition("doc_id"),
         "lr_classifier",
     )
     n_docs = labels.count()  # driver scalar: the batch size
@@ -2700,7 +2707,10 @@ def q_webgraph_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("item"),
         F.col("weight").alias("value"),
     )
-    pr = WG.pagerank(link_e, n_iter=2)
+    # broadcast_ranks: the rank state is HOST-level (planted-URL hosts —
+    # orders of magnitude fewer than docs), the contract the flag
+    # asserts; the hint only changes join strategy, never values
+    pr = WG.pagerank(link_e, n_iter=2, broadcast_ranks=True)
     rank_leg = pr.select(
         F.concat(F.lit("rank:"), F.col("node")).alias("item"),
         F.col("r12").alias("value"),

@@ -384,6 +384,16 @@ def margin_knn_mine(
         query_id_col="id_right", query_vec_col="_rv",
         id_col="id_left", vec_col="_lv", round_to=round_to,
     ).select("id_left", "id_right", "cosine")
+    # round-11: each direction's kNN edge list feeds TWO consumers (its
+    # side's neighborhood mean AND the candidate union) — without a
+    # persist Catalyst re-executes the cell join + rank window per
+    # consumer.  The edge lists are k-bounded (id, id, cosine) rows —
+    # tiny relative to the corpus.  Callers own cache hygiene after
+    # materializing (the set_similarity_join contract).
+    from pyspark import StorageLevel
+
+    fwd = fwd.persist(StorageLevel.MEMORY_AND_DISK)
+    bwd = bwd.persist(StorageLevel.MEMORY_AND_DISK)
     # neighborhood density per side: mean of each id's own top-k cosines
     mean_l = fwd.groupBy("id_left").agg(
         F.round(F.avg("cosine"), round_to).alias("_ml")

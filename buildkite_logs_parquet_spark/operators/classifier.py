@@ -273,6 +273,12 @@ def lr_train(
         base = features.repartition(id_col).persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        # labels join into every epoch's residual on the same key: the
+        # same one-exchange treatment (round-11 — without it the label
+        # projection re-shuffled once per epoch)
+        labels = labels.repartition(id_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     n_docs = labels.count()
     w_schema = "feat long, w double"
     weights = spark.createDataFrame([], w_schema)
@@ -288,6 +294,7 @@ def lr_train(
     finally:
         if persist_input:
             base.unpersist()
+            labels.unpersist()
     return weights
 
 

@@ -282,6 +282,9 @@ def _pagerank_loop(
     # join out-degree onto edges ONCE; the loop's per-round join then
     # carries only the rank column
     e2 = _persist(e.join(deg, on="a"))
+    # degree table re-keyed by node, used by the setup aggregate and the
+    # per-round probe's dangling test
+    degn = _persist(deg.select(F.col("a").alias("node"), "degw"))
     vertex = (
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))
@@ -296,13 +299,32 @@ def _pagerank_loop(
         )
     else:
         vertex = vertex.select("node", F.lit(True).alias("_seed"))
-    nodes = _persist(vertex)
-    # ONE job for both driver scalars: |V| and |seeds ∩ V|
+    # fold the LOOP-INVARIANT dangling test into the node table once
+    # (round-11): every round's probe used to re-join the degree table
+    # to ask "is this node dangling?" — the answer never changes, so it
+    # is computed here and carried as a boolean through the loop
+    nodes = _persist(
+        vertex.join(degn, on="node", how="left").select(
+            "node", "_seed", F.col("degw").isNull().alias("_dangling")
+        )
+    )
+    # ONE job for all three driver scalars: |V|, |seeds ∩ V| and the
+    # count of dangling seed nodes (round-11: the initial dangling mass
+    # used to be a separate node-sized job — but rank init gives exactly
+    # ``r0`` to each seed and 0 to everyone else, so the initial dangling
+    # mass is ``r0 · |{seed ∧ no out-degree}|``, computable from the same
+    # aggregate that fetches |V|)
     hdr = nodes.agg(
         F.count("*").alias("nv"),
         F.sum(F.col("_seed").cast("long")).alias("nk"),
+        F.sum(
+            F.when(F.col("_seed") & F.col("_dangling"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("nd"),
     ).first()
     n_nodes, n_teleport = int(hdr["nv"]), int(hdr["nk"] or 0)
+    n_seed_dangling = int(hdr["nd"] or 0)
     if n_nodes == 0:
         return nodes.select(
             "node",
@@ -323,8 +345,6 @@ def _pagerank_loop(
             "the weights (cap, log-bucket, or divide by their gcd) — "
             "relative weights are all PageRank uses"
         )
-    # degree table re-keyed by node for the dangling test in the probe
-    degn = _persist(deg.select(F.col("a").alias("node"), "degw"))
     # NOTE: e and deg stay persisted until the loop ENDS (the caller's
     # finally releases them).  An earlier version released them after
     # round 1 "once e2/degn are materialized" — but DataFrame.unpersist
@@ -346,27 +366,18 @@ def _pagerank_loop(
         .cast("long")
         .alias("r12"),
     )
-    # initial dangling mass: Σ r12 over zero-out-degree nodes — one
-    # node-sized job (seeded init makes it data-dependent)
-    dangling12 = int(
-        ranks.join(degn, on="node", how="left")
-        .agg(
-            F.sum(
-                F.when(F.col("degw").isNull(), F.col("r12")).otherwise(
-                    F.lit(0)
-                )
-            ).alias("d")
-        )
-        .first()["d"]
-        or 0
-    )
-    for _ in range(n_iter):
+    # initial dangling mass: rank init is r0 on seeds / 0 elsewhere, so
+    # Σ r12 over zero-out-degree nodes = r0 · |{seed ∧ dangling}| — a
+    # driver multiplication off the setup aggregate, not a Spark job
+    dangling12 = r0 * n_seed_dangling
+    for _round in range(n_iter):
         dang_per = (2 * dangling12 + k) // (2 * k)
         # hu(r12·w, degw) in long `div` arithmetic (never `/`, which is
         # double division — exact only to 2^53): r12 ≤ ~S = 10^12, so
         # r12·w stays inside BIGINT for per-edge weights up to ~10^6;
         # widen to decimal(38,0) here for heavier host graphs
-        rside = F.broadcast(ranks) if broadcast_ranks else ranks
+        prev = ranks.select("node", "r12")
+        rside = F.broadcast(prev) if broadcast_ranks else prev
         contrib = e2.join(
             rside, on=F.col("a") == F.col("node"), how="inner"
         ).select(
@@ -376,8 +387,26 @@ def _pagerank_loop(
         agg = contrib.groupBy(F.col("b").alias("node")).agg(
             F.sum("c12").alias("in12")
         )
+        # under the broadcast_ranks contract the caller asserts per-node
+        # state is executor-memory-small, so every node-sized join side
+        # in the round is hinted into a broadcast join: the only shuffle
+        # left per round is the contribution groupBy (round-11, guide
+        # §2.4/§3.1 — without the hints AQE planned each of these as a
+        # two-exchange sort-merge join, ~3 extra exchanges per round)
+        if broadcast_ranks:
+            agg = F.broadcast(agg)
+        # the round's state carries the PREVIOUS rank and the loop-
+        # invariant dangling flag, so the probe below is a join-free
+        # aggregate over the state itself (round-11: it used to re-join
+        # the previous ranks and the degree table every round)
         new_ranks = _ckpt(
             nodes.join(agg, on="node", how="left")
+            .join(
+                (F.broadcast(prev) if broadcast_ranks else prev)
+                .select("node", F.col("r12").alias("_prev")),
+                on="node",
+                how="inner",
+            )
             .select(
                 "node",
                 (
@@ -389,25 +418,18 @@ def _pagerank_loop(
                         f" + if(_seed, {dang_per}, 0)) * 2 + 100) div 200"
                     )
                 ).alias("r12"),
+                "_prev",
+                "_dangling",
             )
         )
-        # ONE probe job materializes the round and returns both loop
-        # scalars: convergence delta and the next dangling mass
-        probe = (
-            new_ranks.join(
-                ranks.select("node", F.col("r12").alias("_prev")), on="node"
-            )
-            .join(degn, on="node", how="left")
-            .agg(
-                F.max(F.abs(F.col("r12") - F.col("_prev"))).alias("dmax"),
-                F.sum(
-                    F.when(F.col("degw").isNull(), F.col("r12")).otherwise(
-                        F.lit(0)
-                    )
-                ).alias("dang"),
-            )
-            .first()
-        )
+        # ONE join-free probe job materializes the round and returns
+        # both loop scalars: convergence delta and the next dangling mass
+        probe = new_ranks.agg(
+            F.max(F.abs(F.col("r12") - F.col("_prev"))).alias("dmax"),
+            F.sum(
+                F.when(F.col("_dangling"), F.col("r12")).otherwise(F.lit(0))
+            ).alias("dang"),
+        ).first()
         while pinned:
             pinned.pop().unpersist()
         ranks = new_ranks
@@ -433,6 +455,7 @@ def harmonic_centrality(
     round_to: int = 6,
     checkpoint_dir: str | None = None,
     stall_rounds: int = 2,
+    broadcast_state: bool = False,
 ) -> DataFrame:
     """Approximate harmonic centrality via HyperBall (Boldi & Vigna
     2013): ``H(v) = Σ_{u≠v} 1/d(u→v)`` — the centrality Common Crawl
@@ -471,6 +494,14 @@ def harmonic_centrality(
 
     Returns ``(node, harmonic, reach_est)`` — reach_est is the final
     ball size (how many nodes can reach v at all, ≈ in-component size).
+
+    ``broadcast_state``: the ``pagerank(broadcast_ranks=...)`` contract,
+    sketch edition — the caller asserts |V| · 2^lg_k sketch bytes fits
+    executor memory (true for host graphs after ``host_edges``; never
+    for page-level graphs), and every node-sized join side in the round
+    is hinted into a broadcast join, leaving the in-neighbor sketch
+    groupBy as the round's only shuffle.  Default off: at page scale
+    the state must shuffle-join.
     """
     persisted, pinned, _persist, _ckpt = _loop_state(edges, checkpoint_dir)
     try:
@@ -520,10 +551,15 @@ def harmonic_centrality(
         for r in range(1, max_radius + 1):
             # in-neighbor union: edge a→b puts a's ball inside b's next
             nbr = (
-                e.join(state, on=F.col("a") == F.col("node"))
+                e.join(
+                    F.broadcast(state) if broadcast_state else state,
+                    on=F.col("a") == F.col("node"),
+                )
                 .groupBy(F.col("b").alias("node"))
                 .agg(F.hll_union_agg(F.col("sk"), F.lit(False)).alias("nsk"))
             )
+            if broadcast_state:
+                nbr = F.broadcast(nbr)
             merged = state.join(nbr, on="node", how="left").select(
                 "node",
                 F.when(
