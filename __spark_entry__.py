@@ -936,8 +936,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle SQL are byte-identical to their proven ann_topk form."""
     # _fan_out: the single-row-group fixture otherwise serializes the PQ
     # encode and both Lloyd rounds on one core (decimal element sums —
-    # partition-order-independent by construction)
-    emb = _fan_out(_t(spark, sf_dir, "embeddings"))
+    # partition-order-independent by construction).
+    # round-11: the fanned-out vector table feeds THREE pipelines (the
+    # in-cell cosine dedup, the PQ encode leg and the Lloyd trainer's
+    # subvector explode) — persist it once, the ann_topk discipline
+    release_query_caches(except_key="semantic_dedup")
+    emb = _persist_for_query(
+        _fan_out(_t(spark, sf_dir, "embeddings")), "semantic_dedup"
+    )
     sem = S.semantic_dedup(
         emb, _ivf_centroids(), threshold=_NEAR_DUP_THRESHOLD, round_to=4
     ).select(
@@ -1746,8 +1752,20 @@ def q_embedding_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFram
     per-row cosine is a deterministic scalar, so this query hash-matches
     its oracle despite being float-heavy.
     """
-    emb = _t(spark, sf_dir, "embeddings")
-    dim = len(emb.first()["embedding"])
+    # round-11: five pipelines consume the embeddings scan (centroid
+    # aggregate, the rescoring join's probe side, the LSH pair leg and
+    # both Lloyd legs' derivations) — persist the PLAIN scan once; the
+    # sub-queries' internally re-derived scans map onto the cached
+    # blocks via the CacheManager's sameResult rewrite (the
+    # lm_perplexity discipline).  The centroid aggregate additionally
+    # fans out the single-row-group fixture (decimal sums are
+    # partition-order-independent, the ann_topk lesson).
+    release_query_caches(except_key="embedding_label_centroid_sim")
+    emb0 = _persist_for_query(
+        _t(spark, sf_dir, "embeddings"), "embedding_label_centroid_sim"
+    )
+    emb = _fan_out(emb0)
+    dim = len(emb0.first()["embedding"])
     v = F.col("embedding").cast("array<double>")
     sums = [
         F.sum(F.element_at(v, i + 1).cast("decimal(28,12)"))
@@ -1869,7 +1887,13 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic construction the bench uses); the oracle's paragraph
     side groups by paragraph TEXT (hash-free — equivalent canonical
     under collision-free hashing), an independent derivation."""
-    docs = _t(spark, sf_dir, "documents")
+    # round-11: six legs scan the documents table (segment, paragraph,
+    # substr ×2, winnow, exact) — persist the plain scan once; the
+    # consolidated sub-queries' internally re-derived scans map onto the
+    # cached blocks via the CacheManager's sameResult rewrite (the
+    # lm_perplexity discipline)
+    release_query_caches(except_key="segment_dedup")
+    docs = _persist_for_query(_t(spark, sf_dir, "documents"), "segment_dedup")
     seg = D.segment_dedup(docs, "doc_id", "text", k=10).select(
         F.lit("segment").alias("side"),
         "doc_id",
@@ -1897,7 +1921,6 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without a persist the whole ExactSubstr pipeline — including its
     # Python window-hash stage — executed twice per run (4 MapInPandas
     # nodes in the before-plan, 2 after)
-    release_query_caches(except_key="segment_dedup")
     sub = _persist_for_query(q_substring_dedup(spark, sf_dir), "segment_dedup")
     sub_main = sub.select(
         F.lit("substr").alias("side"),
@@ -2355,45 +2378,70 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _persist_for_query(_t(spark, sf_dir, "documents"), "lm_perplexity")
     scored = docs.where(F.col("source") != "src0")
     ref = docs.where(F.col("source") == "src0")
-    base = CU.ccnet_buckets(
-        scored,
-        ref,
-        "doc_id",
-        group_col="lang",
-        tercile_mode="rank",
-        n_buckets=4096,
-        seed=29,
-    ).select(
-        "doc_id",
-        "lang",
-        "n_grams",
-        "sum_logp9",
-        F.when(
-            F.col("nll9").isNotNull(),
-            F.expr(
-                "concat(cast(nll9 div 1000000000 as string), '.',"
-                " lpad(cast(nll9 % 1000000000 as string), 9, '0'))"
-            ),
-        ).alias("nll"),
-        "ppl_bucket",
-    )
-    kn = CU.kn_score(
-        scored, CU.train_kn_bigram_lm(ref, "doc_id"), "doc_id"
-    ).select(
-        "doc_id",
-        F.col("n_grams").alias("kn_n_grams"),
-        "kn_sum_logp9",
-    )
+
+    # round-11 (guide §2.6 — overlap independent jobs): the three model
+    # constructions each run their own driver-side training jobs (the
+    # CCNet tercile/count collects, the KN count() probe, the DSIR LUT
+    # collects) and are fully independent of each other — submit them
+    # from a small thread pool so their jobs back-fill each other's
+    # stage tails instead of serializing ~6 small jobs end to end.
+    # Determinism is untouched: each branch computes exactly what it
+    # computed sequentially, and the composed plan is built from the
+    # futures in the same fixed order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _base() -> DataFrame:
+        return CU.ccnet_buckets(
+            scored,
+            ref,
+            "doc_id",
+            group_col="lang",
+            tercile_mode="rank",
+            n_buckets=4096,
+            seed=29,
+        ).select(
+            "doc_id",
+            "lang",
+            "n_grams",
+            "sum_logp9",
+            F.when(
+                F.col("nll9").isNotNull(),
+                F.expr(
+                    "concat(cast(nll9 div 1000000000 as string), '.',"
+                    " lpad(cast(nll9 % 1000000000 as string), 9, '0'))"
+                ),
+            ).alias("nll"),
+            "ppl_bucket",
+        )
+
+    def _kn() -> DataFrame:
+        return CU.kn_score(
+            scored, CU.train_kn_bigram_lm(ref, "doc_id"), "doc_id"
+        ).select(
+            "doc_id",
+            F.col("n_grams").alias("kn_n_grams"),
+            "kn_sum_logp9",
+        )
+
     # round-9 consolidation (rule 14b: proven onto proven — dsir_weights
     # was green rounds 4 and 6-8 on exactly this content): the DSIR
     # importance weights join on as two more columns over the SAME
     # scored slice (source <> 'src0', 475 rows both sides), freeing a
     # slot for the round-9 key wave.
-    dsir = q_dsir_weights(spark, sf_dir).select(
-        "doc_id",
-        F.col("n_grams").alias("dsir_n_grams"),
-        "dsir_logweight",
-    )
+    def _dsir() -> DataFrame:
+        return q_dsir_weights(spark, sf_dir).select(
+            "doc_id",
+            F.col("n_grams").alias("dsir_n_grams"),
+            "dsir_logweight",
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_base, f_kn, f_dsir = (
+            pool.submit(_base),
+            pool.submit(_kn),
+            pool.submit(_dsir),
+        )
+        base, kn, dsir = f_base.result(), f_kn.result(), f_dsir.result()
     return (
         base.join(kn, on="doc_id", how="left")
         .join(dsir, on="doc_id", how="left")

@@ -674,10 +674,20 @@ def train_kn_bigram_lm(
     Returns ``{"bigram", "context", "continuation", "n_types"}`` for
     :func:`kn_score`.
     """
+    from pyspark import StorageLevel
+
     bi = (
         _bigram_pairs(reference, id_col, text_col)
         .groupBy("v", "w")
         .agg(F.count("*").alias("c"))
+        # round-11: the count table feeds FOUR consumers (ctx, cont, the
+        # n_types probe right below and kn_score's bigram join) — without
+        # a persist each one re-runs the corpus bigram explode + groupBy.
+        # Bigram-type-bounded rows (Zipf), so the cache is tiny relative
+        # to the corpus; the n_types count materializes it.  Callers own
+        # cache hygiene after materializing (set_similarity_join
+        # contract).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ctx = bi.groupBy("v").agg(
         F.sum("c").alias("cv"), F.count("*").alias("n1v")

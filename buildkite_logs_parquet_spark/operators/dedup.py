@@ -135,13 +135,22 @@ def minhash_signatures(
     # min over a multiset equals min over the set: no distinct needed —
     # one shuffle (the signature groupBy) instead of two
     sh = _shingles_inline(df, id_col, text_col, shingle_k, distinct=False)
+    return _signatures_from_shingles(sh, id_col, num_perm, hash_fn)
+
+
+def _signatures_from_shingles(
+    sh: DataFrame, id_col: str, num_perm: int, hash_fn: str = "md5"
+) -> DataFrame:
+    """Signature aggregate over an existing (id, shingle) relation —
+    split out (round-11) so callers that need BOTH the raw shingles and
+    the signatures (``neardup_eval``) explode the text once."""
     base = _hash64(F.col("shingle"), 0, hash_fn)
-    sh = sh.select(id_col, base.alias("_h"))
+    hashed = sh.select(id_col, base.alias("_h"))
     aggs = [
         F.min(_perm_hash(F.col("_h"), p)).alias(f"minhash_{p}")
         for p in range(num_perm)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def _banded(
@@ -268,6 +277,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.0,
     candidates: DataFrame | None = None,
     max_shingle_df: int | None = None,
+    raw_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for pairs sharing ≥1 shingle.
 
@@ -290,7 +300,15 @@ def ngram_jaccard_pairs(
     """
     from pyspark import StorageLevel
 
-    sh = _shingles_inline(df, id_col, text_col, k)
+    # ``raw_shingles``: an existing possibly-multiset (id, shingle)
+    # relation for the SAME documents and the SAME k (round-11 —
+    # ``neardup_eval`` shares one explode between this truth index and
+    # its signature pipeline); distincted here, so values are identical
+    # to the self-derived path
+    if raw_shingles is not None:
+        sh = raw_shingles.distinct()
+    else:
+        sh = _shingles_inline(df, id_col, text_col, k)
     if max_shingle_df is not None:
         keep = (
             sh.groupBy("shingle")
@@ -1041,8 +1059,17 @@ def neardup_eval(
     """
     from pyspark import StorageLevel
 
-    sigs = minhash_signatures(
-        df, id_col, text_col, num_perm, shingle_k, hash_fn
+    # round-11: the signature pipeline (multiset minima) and the truth
+    # index (distinct shingles) both start from the SAME k-shingle
+    # explode of the same corpus — derive both from one persisted raw
+    # shingle relation instead of exploding the text twice per run
+    # (narrow id+shingle rows; values unchanged: min over a multiset
+    # equals min over the set, and the truth side distincts below)
+    raw_sh = _shingles_inline(
+        df, id_col, text_col, shingle_k, distinct=False
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _signatures_from_shingles(
+        raw_sh, id_col, num_perm, hash_fn
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # round-11 optimization: cand feeds BOTH the predicted leg and the
     # confusion full-outer join — persist it so the banded self-join
@@ -1075,6 +1102,7 @@ def neardup_eval(
         k=shingle_k,
         threshold=threshold,
         max_shingle_df=max_shingle_df,
+        raw_shingles=raw_sh,
     ).select("id_a", "id_b")
     u = (
         truth.withColumn("in_t", F.lit(1))
