@@ -1342,12 +1342,18 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     # absent ids fall back to singleton clusters of themselves)
     from pyspark.sql import Window as _W
 
-    multi = (
+    # round-11: the partial map feeds TWO consumers inside
+    # dedup_keep_best (the clustered inner join and the singleton
+    # anti-join) — without a persist the corpus join + cluster-count
+    # window above re-executes per consumer.  Narrow (id, cluster) rows.
+    release_query_caches(except_key="dedup_keep_best")
+    multi = _persist_for_query(
         clusters.withColumn(
             "_n", F.count("*").over(_W.partitionBy("cluster"))
         )
         .where(F.col("_n") >= 2)
-        .select("doc_id", "cluster")
+        .select("doc_id", "cluster"),
+        "dedup_keep_best",
     )
     q = (
         F.conv(F.substring(F.md5(F.concat(F.lit("q:"), F.col("doc_id").cast("string"))), 1, 15), 16, 10)
@@ -2086,10 +2092,15 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     query proves the COMPOSITION is still oracle-exact — the property a
     real pipeline depends on."""
     docs = _t(spark, sf_dir, "documents")
-    kept = (
+    # round-11: the gopher-filtered slice feeds TWO consumers (the
+    # fingerprint relation and the canonical join-back) — without a
+    # persist the quality filter's regex/stat expressions run twice
+    release_query_caches(except_key="curation_pipeline")
+    kept = _persist_for_query(
         CU.gopher_quality_filter(docs, "text")
         .where("passes")
-        .select("doc_id", "text")
+        .select("doc_id", "text"),
+        "curation_pipeline",
     )
     fp = TA.fingerprint(kept, "doc_id", "text")
     canon_ids = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
@@ -2379,17 +2390,14 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.where(F.col("source") != "src0")
     ref = docs.where(F.col("source") == "src0")
 
-    # round-11 (guide §2.6 — overlap independent jobs): the three model
-    # constructions each run their own driver-side training jobs (the
-    # CCNet tercile/count collects, the KN count() probe, the DSIR LUT
-    # collects) and are fully independent of each other — submit them
-    # from a small thread pool so their jobs back-fill each other's
-    # stage tails instead of serializing ~6 small jobs end to end.
-    # Determinism is untouched: each branch computes exactly what it
-    # computed sequentially, and the composed plan is built from the
-    # futures in the same fixed order.
-    from concurrent.futures import ThreadPoolExecutor
-
+    # round-11 measured DEAD END (kept as a record): submitting the
+    # three independent model constructions from a driver thread pool
+    # (guide §2.6) read fine in isolation (7.87 → 6.98 s) but blew up
+    # to 27.8 s in the full bench — the three branches' first actions
+    # race to materialize the SAME uncached documents persist, and
+    # concurrent jobs do not share an in-flight InMemoryRelation build,
+    # so the corpus parse ran once per branch plus cache-memory churn.
+    # Sequential construction (below) materializes the persist once.
     def _base() -> DataFrame:
         return CU.ccnet_buckets(
             scored,
@@ -2435,13 +2443,7 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dsir_logweight",
         )
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_base, f_kn, f_dsir = (
-            pool.submit(_base),
-            pool.submit(_kn),
-            pool.submit(_dsir),
-        )
-        base, kn, dsir = f_base.result(), f_kn.result(), f_dsir.result()
+    base, kn, dsir = _base(), _kn(), _dsir()
     return (
         base.join(kn, on="doc_id", how="left")
         .join(dsir, on="doc_id", how="left")
@@ -3477,7 +3479,31 @@ def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     times inside this key."""
     docs = _t(spark, sf_dir, "documents")
     nl = F.lit(None).cast("long")
-    ex = D.corpus_overlap(docs, "source", "text", shingle_k=12).select(
+    # round-11: the exact matrix and the MinHash estimator both start
+    # from the same k=12 shingle explode + hash of the full corpus.
+    # Persist the DISTINCT (source, hash) relation once and hand it to
+    # both: the exact path needs exactly that relation (it previously
+    # persisted it internally), and MinHash minima over the distinct
+    # set equal minima over the raw multiset — so the estimator's
+    # values are unchanged while its whole explode+hash pass disappears
+    # (it reads the set the exact path had to build anyway).  The raw
+    # multiset is NOT persisted — it is corpus-occurrence-sized, the
+    # wrong side of the guide's narrow-relation rule.
+    release_query_caches(except_key="corpus_overlap")
+    hashed_set = _persist_for_query(
+        D.corpus_hashed_shingles(docs, "source", "text", shingle_k=12)
+        .distinct(),
+        "corpus_overlap",
+    )
+    ex = D.corpus_overlap(
+        docs,
+        "source",
+        "text",
+        shingle_k=12,
+        hashed=hashed_set,
+        hashed_is_distinct=True,
+        persist=False,
+    ).select(
         F.lit("exact").alias("side"),
         "group_a",
         "group_b",
@@ -3490,7 +3516,7 @@ def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("containment_b_pm").alias("g"),
     )
     est = D.corpus_overlap_minhash(
-        docs, "source", "text", num_perm=64, shingle_k=12
+        docs, "source", "text", num_perm=64, shingle_k=12, hashed=hashed_set
     ).select(
         F.lit("est").alias("side"),
         "group_a",

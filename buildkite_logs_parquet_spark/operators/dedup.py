@@ -1744,12 +1744,33 @@ def set_similarity_join(
 # --------------------------------------------------- corpus-level overlap
 
 
+def corpus_hashed_shingles(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    shingle_k: int = 12,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """The possibly-multiset ``(group, shingle-hash)`` relation both
+    corpus-overlap paths start from — exposed (round-11) so a caller
+    running the exact matrix AND the MinHash estimator over the same
+    corpora can persist ONE text explode + hash pass and hand it to
+    both (the exact path distincts it; the estimator takes minima, and
+    min over a multiset equals min over the set)."""
+    return _shingles_inline(
+        df, group_col, text_col, shingle_k, distinct=False
+    ).select(F.col(group_col), _hash64(F.col("shingle"), 0, hash_fn).alias("_h"))
+
+
 def corpus_overlap(
     df: DataFrame,
     group_col: str,
     text_col: str,
     shingle_k: int = 12,
     hash_fn: str = "md5",
+    hashed: DataFrame | None = None,
+    hashed_is_distinct: bool = False,
+    persist: bool = True,
 ) -> DataFrame:
     """EXACT pairwise corpus overlap matrix: for every pair of corpora
     (``group_col`` values, e.g. sources or dataset versions), the
@@ -1779,14 +1800,18 @@ def corpus_overlap(
     shingles also in B).  Pairs with an empty intersection are omitted
     (their estimate is 0; emitting G² zero rows would be noise).
     """
-    sh = (
-        _shingles_inline(df, group_col, text_col, shingle_k, distinct=False)
-        .select(
-            F.col(group_col),
-            _hash64(F.col("shingle"), 0, hash_fn).alias("_h"),
+    if hashed is None:
+        hashed = corpus_hashed_shingles(
+            df, group_col, text_col, shingle_k, hash_fn
         )
-        .distinct()
-    )
+    sh = hashed if hashed_is_distinct else hashed.distinct()
+    if persist:
+        # round-11: the distinct relation feeds THREE consumers (sizes
+        # and both self-join sides) — narrow (group, 8-byte hash) rows;
+        # callers own cache hygiene after materializing
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(group_col).agg(F.count("*").alias("_n"))
     a = sh.select(F.col(group_col).alias("group_a"), "_h")
     b = sh.select(F.col(group_col).alias("group_b"), "_h")
@@ -1826,6 +1851,7 @@ def corpus_overlap_minhash(
     num_perm: int = 64,
     shingle_k: int = 12,
     hash_fn: str = "md5",
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash ESTIMATE of the pairwise corpus Jaccard matrix — the
     scale path when even the distinct (group, hash) relation of
@@ -1847,7 +1873,7 @@ def corpus_overlap_minhash(
     reproducible).
     """
     sig = corpus_signatures(
-        df, group_col, text_col, num_perm, shingle_k, hash_fn
+        df, group_col, text_col, num_perm, shingle_k, hash_fn, hashed=hashed
     )
     return signature_overlap_matrix(sig, group_col)
 
@@ -2002,6 +2028,7 @@ def corpus_signatures(
     num_perm: int = 64,
     shingle_k: int = 12,
     hash_fn: str = "md5",
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Per-corpus MinHash signature relation ``(group, m0..m{P-1})`` —
     the state :func:`corpus_overlap_minhash` derives internally, exposed
@@ -2010,9 +2037,11 @@ def corpus_signatures(
     yesterday's lake plus today's batch signatures combine by
     element-wise min without touching yesterday's text
     (:func:`merge_corpus_signatures`)."""
-    sh = _shingles_inline(
-        df, group_col, text_col, shingle_k, distinct=False
-    ).select(F.col(group_col), _hash64(F.col("shingle"), 0, hash_fn).alias("_h"))
+    sh = (
+        corpus_hashed_shingles(df, group_col, text_col, shingle_k, hash_fn)
+        if hashed is None
+        else hashed
+    )
     aggs = [
         F.min(_perm_hash(F.col("_h"), p)).alias(f"m{p}")
         for p in range(num_perm)

@@ -179,14 +179,25 @@ def link_entities(
         left, right, id_col, text_col, prefix_len, max_block_size,
         keys=keys, right_keys=right_keys,
     )
-    lev = F.levenshtein("norm_a", "norm_b")
+    # round-11 (guide §1.2 step 2 — per-task work): the keep gate
+    # ``lev·100 ≤ rel_pct·max(len)`` bounds the distance of every
+    # surviving pair by ``t = (rel_pct·max(len)) div 100`` (lev is an
+    # integer, so the two forms are equivalent), and Spark's THRESHOLDED
+    # levenshtein computes only a 2t+1 diagonal band with early abandon
+    # — O(t·len) instead of O(len²) per pair, returning the EXACT
+    # distance for every pair at or under the bound and -1 (dropped
+    # anyway) above it.  Values of the kept relation are unchanged.
+    t_sql = f"cast(({int(rel_pct)} * greatest(len_a, len_b)) div 100 as int)"
+    if max_dist is not None:
+        t_sql = f"least({t_sql}, {int(max_dist)})"
+    # SQL form: the Python levenshtein() wrapper only takes int
+    # thresholds, but the underlying expression accepts any IntegerType
+    # column (verified: identical distances for kept pairs, -1 above
+    # the per-pair bound)
+    lev = F.expr(f"levenshtein(norm_a, norm_b, {t_sql})")
     out = cand.select(
         "id_a", "id_b", lev.alias("lev"), "len_a", "len_b"
-    ).where(
-        F.col("lev") * 100 <= int(rel_pct) * F.greatest("len_a", "len_b")
-    )
-    if max_dist is not None:
-        out = out.where(F.col("lev") <= int(max_dist))
+    ).where(F.col("lev") >= 0)
     return out
 
 
