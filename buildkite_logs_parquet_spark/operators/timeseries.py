@@ -125,7 +125,19 @@ def lttb_downsample(
         idx.append(n - 1)
         return pdf.iloc[idx]
 
-    return df.groupBy(*series_cols).applyInPandas(run, schema=df.schema)
+    # round-11: AQE coalesces the grouping shuffle by BYTES, which
+    # under-parallelizes this compute-bound Python stage (measured: a
+    # few-MB input coalesced to 3 tasks, serializing the numpy passes
+    # on 3 of 32 cores).  An explicit-N keyed repartition is respected
+    # by AQE (user-specified), satisfies applyInPandas' clustering (no
+    # second exchange), and stays scale-adaptive because N is the
+    # session's configured shuffle parallelism, not a constant.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        df.repartition(n_part, *series_cols)
+        .groupBy(*series_cols)
+        .applyInPandas(run, schema=df.schema)
+    )
 
 
 def fill_gaps(
