@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 from buildkite_logs_parquet_spark.operators.similarity import (
     _as_double,
     ivf_assign,
+    lit_double_array as _lit_dmat,
     probe_cells,
 )
 
@@ -309,7 +310,7 @@ def pq_encode(
     codes = []
     for s in range(m):
         sub = F.slice(v, s * d_sub + 1, d_sub)
-        cb = F.lit([[float(x) for x in c] for c in codebooks[s]])
+        cb = _lit_dmat([[float(x) for x in c] for c in codebooks[s]])
         dists = _dists(sub, cb)
         codes.append(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
@@ -358,7 +359,7 @@ def pq_adc_dist(code_col: Column, lut: list[list[float]]) -> Column:
     acc = None
     for s, row in enumerate(lut):
         term = F.get(
-            F.lit([float(x) for x in row]), F.get(code_col, s)
+            _lit_dmat([float(x) for x in row]), F.get(code_col, s)
         )
         acc = term if acc is None else acc + term
     if acc is None:
@@ -419,7 +420,7 @@ def ivf_pq_encode(
     assigned = ivf_assign(df, coarse_centroids, vec_col)
     if cell_col != "ivf_cell":
         assigned = assigned.withColumnRenamed("ivf_cell", cell_col)
-    cmat = F.lit([[float(x) for x in c] for c in coarse_centroids])
+    cmat = _lit_dmat([[float(x) for x in c] for c in coarse_centroids])
     v = _as_double(F.col(vec_col))
     resid = F.zip_with(
         v, F.element_at(cmat, F.col(cell_col) + 1), lambda a, b: a - b
@@ -724,7 +725,7 @@ def pq_train_distributed(
     history: list[dict] = []
     try:
         for it in range(1, max_iter + 1):
-            cb_lit = F.lit(books)  # m x k x d_sub nested literal
+            cb_lit = _lit_dmat(books)  # m x k x d_sub nested literal
             dists = F.transform(
                 F.element_at(cb_lit, F.col("s") + 1),
                 lambda c: _sqdist(c, F.col("sub")),

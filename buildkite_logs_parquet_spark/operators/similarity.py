@@ -29,7 +29,33 @@ def _lit_vec(vec: list[float]) -> Column:
     codegen dominate small-batch latency (measured at bench scale:
     ann_topk 5.3s → see BENCH_HISTORY).  A single array literal is
     value-identical and constant-folded the same way."""
-    return F.lit([float(x) for x in vec])
+    return lit_double_array(vec)
+
+
+def lit_double_array(values) -> Column:
+    """An arbitrarily-nested double-array literal rendered as ONE SQL
+    expression string (round-11, the simhash round-9 lesson at the
+    expression level): ``F.lit`` on a (nested) Python list makes one
+    py4j round-trip PER ELEMENT — cProfile attributed 4.8 s of
+    ann_topk's 6.4 s plan build to ~5,900 ``lit`` calls over the
+    codebook/centroid matrices — while one ``F.expr`` string is a
+    single round-trip.  Value-identical: ``repr`` of a finite double is
+    the shortest exactly-round-tripping decimal, and the SQL parser's
+    decimal→double conversion is correctly rounded, so the literal
+    carries the same bits as ``F.lit``'s."""
+    import math as _math
+
+    def render(v) -> str:
+        if isinstance(v, (list, tuple)):
+            return "array(" + ",".join(render(x) for x in v) + ")"
+        x = float(v)
+        if not _math.isfinite(x):
+            if _math.isnan(x):
+                return "cast('NaN' as double)"
+            return f"cast('{'-' if x < 0 else ''}Infinity' as double)"
+        return f"{x!r}D"
+
+    return F.expr(render(values))
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -142,7 +168,7 @@ def hyperplane_buckets(
     # 2^i weights summed in plane order.
     weights = F.lit([1 << i for i in range(n_planes)])
     bits = F.zip_with(
-        F.lit(planes),
+        lit_double_array(planes),
         weights,
         lambda p, w: F.when(dot(v, p) >= 0, w).otherwise(F.lit(0)),
     )
@@ -219,7 +245,7 @@ def ivf_assign(
     for c in centroids:
         cn = math.sqrt(sum(x * x for x in c)) or 1.0
         mat.append([float(x) / cn for x in c])
-    scores = F.transform(F.lit(mat), lambda c: dot(v, c))
+    scores = F.transform(lit_double_array(mat), lambda c: dot(v, c))
     s = F.col("_ivf_scores")
     return (
         df.withColumn("_ivf_scores", scores)
@@ -575,7 +601,7 @@ def kmeans_step(
     # (≈6 py4j lambda conversions each) of pure driver latency; values
     # are identical (same sequential dot over the same centroid)
     oldc = F.element_at(
-        F.lit([[float(x) for x in c] for c in centroids]),
+        lit_double_array([[float(x) for x in c] for c in centroids]),
         F.col("ivf_cell") + 1,
     )
     drift = cosine(oldc, newc)
@@ -706,7 +732,7 @@ def ivf_probe_assign(
     for c in centroids:
         cn = math.sqrt(sum(x * x for x in c)) or 1.0
         mat.append([float(x) / cn for x in c])
-    scores = F.transform(F.lit(mat), lambda c: dot(v, c))
+    scores = F.transform(lit_double_array(mat), lambda c: dot(v, c))
     entries = F.transform(
         F.col("_pr_scores"),
         lambda s, i: F.struct((-s).alias("neg"), i.cast("int").alias("cell")),
@@ -929,7 +955,7 @@ def random_projection(
     ]
     v = _as_double(F.col(vec_col))
     return df.withColumn(
-        out_col, F.transform(F.lit(mat), lambda g: dot(v, g))
+        out_col, F.transform(lit_double_array(mat), lambda g: dot(v, g))
     )
 
 
@@ -1077,7 +1103,7 @@ def truncation_recall(
         entries = [
             F.struct(
                 F.lit(int(r[id_col])).alias("qid"),
-                F.lit([float(x) for x in r["_v"][:d]]).alias("qv"),
+                lit_double_array(r["_v"][:d]).alias("qv"),
             )
             for r in qrows
         ]
