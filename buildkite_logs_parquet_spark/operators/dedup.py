@@ -310,13 +310,20 @@ def ngram_jaccard_pairs(
     else:
         sh = _shingles_inline(df, id_col, text_col, k)
     if max_shingle_df is not None:
-        keep = (
+        # anti-join on the OVER-cap shingles rather than semi-join on the
+        # under-cap ones: the drop set holds at most (total shingle
+        # occurrences)/max_df distinct values — ≥ max_df× smaller than
+        # the keep side by construction — so AQE can plan it as a
+        # broadcast anti join instead of shuffling the whole shingle
+        # relation against a shingle-universe-sized keep set (round-11;
+        # identical kept rows: df ≤ cap ⇔ NOT df > cap, df never NULL)
+        drop = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("_df"))
-            .where(F.col("_df") <= int(max_shingle_df))
+            .where(F.col("_df") > int(max_shingle_df))
             .select("shingle")
         )
-        sh = sh.join(keep, "shingle", "left_semi")
+        sh = sh.join(drop, "shingle", "left_anti")
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")

@@ -7,11 +7,12 @@ Algorithm: min-label propagation with pointer jumping (the path-doubling
 idea of Shiloach–Vishkin; the alternating-star family of Kiveris et al.,
 "Connected Components in MapReduce and Beyond", SoCC'14, is the same
 round-compression goal).  Each round does one edge join, one keyed
-aggregation, and one jump join ``comp ← prev_label(comp)`` through the
-previous (already materialized) label table, so label chains compress
-well beyond plain propagation and each round evaluates one plan tree
-exactly once.  The driver sees one aggregate per round (the label-sum
-convergence probe), never row data.
+min aggregate (the labels table unions in as each vertex's own
+contribution, so no separate self-join is needed), and one jump join
+``comp ← prev_label(comp)`` through the previous (already materialized)
+label table, so label chains compress well beyond plain propagation and
+each round evaluates one plan tree exactly once.  The driver sees one
+aggregate per round (the label-sum convergence probe), never row data.
 
 Scale discipline:
 
@@ -113,23 +114,29 @@ def connected_components(
     if dedupe_edges:
         sym = sym.distinct()
     sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
-    if nodes is not None:
-        vertex = nodes.select(F.col(id_col).alias("id")).distinct()
-    else:
-        vertex = sym.select(F.col("a").alias("id")).distinct()
     # seed comp = min(id, min neighbor): one round's propagation folded
     # into the init materialization — saves a full loop round (join +
-    # checkpoint + probe) on every graph
-    seed_min = sym.groupBy(F.col("b").alias("id")).agg(F.min("a").alias("_sm"))
-    labels = (
-        vertex.join(seed_min, on="id", how="left")
-        .select(
+    # checkpoint + probe) on every graph.  Round-11: on the edge-touched
+    # path (nodes=None) the seed is ONE aggregate — sym is symmetric, so
+    # every vertex appears as `b`, and min over least(a, b) within the
+    # group is exactly min(id, min neighbor); the former vertex-distinct
+    # and left join were two extra exchanges per query for the same
+    # values.
+    if nodes is not None:
+        vertex = nodes.select(F.col(id_col).alias("id")).distinct()
+        seed_min = sym.groupBy(F.col("b").alias("id")).agg(
+            F.min("a").alias("_sm")
+        )
+        labels = vertex.join(seed_min, on="id", how="left").select(
             "id",
             F.least(F.col("id"), F.coalesce(F.col("_sm"), F.col("id"))).alias(
                 "comp"
             ),
         )
-    )
+    else:
+        labels = sym.groupBy(F.col("b").alias("id")).agg(
+            F.min(F.least("a", "b")).alias("comp")
+        )
     # LAZY checkpoints for the per-round label tables: the convergence
     # probe right below is the materializing action, so on the local path
     # each round runs ONE job (materialize-and-sum) instead of two
@@ -143,16 +150,22 @@ def connected_components(
     prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
     _release_pinned()  # the probe materialized the seed checkpoint
     for _ in range(max_iter):
-        neigh_min = (
-            sym.join(labels, sym.a == labels.id)
-            .groupBy(F.col("b").alias("id"))
-            .agg(F.min("comp").alias("_nc"))
+        # propagation as ONE aggregate: each edge ships its a-side label
+        # to b, and the labels table unions in as every vertex's own
+        # contribution — min over that multiset is exactly
+        # least(comp, min neighbor comp), with every vertex (isolated
+        # ones included) present via the union side.  The former
+        # neigh_min + left-join shape was one more join (two more
+        # exchanges, one more AQE job) per round for the same values
+        # (round-11; A/B'd 64 → 52 jobs on the registered
+        # dedup-clusters pair graph).
+        contrib = sym.join(labels, sym.a == labels.id).select(
+            F.col("b").alias("id"), "comp"
         )
-        cand = labels.join(neigh_min, on="id", how="left").select(
-            "id",
-            F.least(F.col("comp"), F.coalesce(F.col("_nc"), F.col("comp"))).alias(
-                "comp"
-            ),
+        cand = (
+            contrib.union(labels.select("id", "comp"))
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
         )
         # pointer jump THROUGH THE MATERIALIZED PREVIOUS LABELS:
         # prev_label(x) ≤ x and stays in x's component, so it is an
@@ -160,6 +173,13 @@ def connected_components(
         # itself (a self-join on an unmaterialized subtree, which would
         # evaluate the whole round's plan twice), the previous labels are
         # already checkpointed, so each round evaluates one tree once.
+        # Exactly ONE jump per round: a second jump join was tried
+        # (round-11) and on long-chain graphs it silently defeated the
+        # lazy localCheckpoint's lineage truncation — per-round wall grew
+        # ~4× per round from round ~10 (0.8 → 2.1 → 8.5 → 37 → 166 s on a
+        # 300-node random graph) while the single-jump shape stays flat;
+        # the measured round saving (6 → 5 on the registered pair graph)
+        # is not worth a shape that degrades with chain length.
         jumped = cand.join(
             labels.select(F.col("id").alias("_jid"), F.col("comp").alias("_jc")),
             cand.comp == F.col("_jid"),
