@@ -48,8 +48,10 @@ from pyspark.sql import functions as F
 
 from buildkite_logs_parquet_spark.operators.similarity import (
     _as_double,
+    _as_double_sql,
     ivf_assign,
     lit_double_array as _lit_dmat,
+    lit_double_array_sql as _lit_dmat_sql,
     probe_cells,
 )
 
@@ -272,6 +274,19 @@ def _sqdist(c: Column, sub: Column) -> Column:
     )
 
 
+def _sqdist_sql(c: str, sub: str) -> str:
+    """SQL source of :func:`_sqdist` — parses to the identical
+    zip_with/aggregate tree (``0.0D`` is the same double-zero literal),
+    so distances are bit-identical; exists because every Python-lambda
+    higher-order function costs dozens of py4j round-trips of pure
+    driver latency per plan build (round-11: 2.9 s of ann_topk's 3.5 s
+    build was that chatter)."""
+    return (
+        f"aggregate(zip_with({c}, {sub}, (a, b) -> (a - b) * (a - b)),"
+        " 0.0D, (acc, v) -> acc + v)"
+    )
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -297,25 +312,23 @@ def pq_encode(
     (``__spark_entry__._fan_out``); per-row lambda interpretation
     parallelizes linearly.
     """
-    v = _as_double(F.col(vec_col))
+    v = _as_double_sql(vec_col)
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
 
-    # single-arg lambda built per subspace: a default-arg closure would
-    # make the callable arity-2 and F.transform would bind the second
-    # parameter to the element INDEX lambda variable
-    def _dists(sub: Column, cb: Column) -> Column:
-        return F.transform(cb, lambda c: _sqdist(c, sub))
-
+    # the whole m-code array is ONE SQL expression string (round-11):
+    # the per-subspace transform/zip_with/aggregate lambda towers were
+    # ~1 s of py4j round-trips per call at m=8 — the parsed tree (and
+    # therefore every distance and argmin tie-break) is identical
     codes = []
     for s in range(m):
-        sub = F.slice(v, s * d_sub + 1, d_sub)
-        cb = _lit_dmat([[float(x) for x in c] for c in codebooks[s]])
-        dists = _dists(sub, cb)
+        sub = f"slice({v}, {s * d_sub + 1}, {d_sub})"
+        cb = _lit_dmat_sql([[float(x) for x in c] for c in codebooks[s]])
+        dists = f"transform({cb}, c -> {_sqdist_sql('c', sub)})"
         codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            f"cast(array_position({dists}, array_min({dists})) - 1 as int)"
         )
-    return df.withColumn(out_col, F.array(*codes))
+    return df.withColumn(out_col, F.expr("array(" + ", ".join(codes) + ")"))
 
 
 def adc_lut(
@@ -420,10 +433,10 @@ def ivf_pq_encode(
     assigned = ivf_assign(df, coarse_centroids, vec_col)
     if cell_col != "ivf_cell":
         assigned = assigned.withColumnRenamed("ivf_cell", cell_col)
-    cmat = _lit_dmat([[float(x) for x in c] for c in coarse_centroids])
-    v = _as_double(F.col(vec_col))
-    resid = F.zip_with(
-        v, F.element_at(cmat, F.col(cell_col) + 1), lambda a, b: a - b
+    cmat = _lit_dmat_sql([[float(x) for x in c] for c in coarse_centroids])
+    resid = F.expr(
+        f"zip_with({_as_double_sql(vec_col)},"
+        f" element_at({cmat}, `{cell_col}` + 1), (a, b) -> a - b)"
     )
     out = pq_encode(
         assigned.withColumn("_resid", resid), codebooks, "_resid", code_col
@@ -725,13 +738,17 @@ def pq_train_distributed(
     history: list[dict] = []
     try:
         for it in range(1, max_iter + 1):
-            cb_lit = _lit_dmat(books)  # m x k x d_sub nested literal
-            dists = F.transform(
-                F.element_at(cb_lit, F.col("s") + 1),
-                lambda c: _sqdist(c, F.col("sub")),
+            # per-round assignment as ONE SQL string (round-11): the
+            # _lit_dmat + transform + _sqdist lambda tower re-paid its
+            # py4j chatter EVERY iteration
+            cb_lit = _lit_dmat_sql(books)  # m x k x d_sub nested literal
+            dists = (
+                f"transform(element_at({cb_lit}, `s` + 1),"
+                f" c -> {_sqdist_sql('c', '`sub`')})"
             )
-            code = (F.array_position(dists, F.array_min(dists)) - 1).cast(
-                "int"
+            code = F.expr(
+                f"cast(array_position({dists}, array_min({dists})) - 1"
+                " as int)"
             )
             rows = (
                 sub_rows.withColumn("code", code)

@@ -32,17 +32,12 @@ def _lit_vec(vec: list[float]) -> Column:
     return lit_double_array(vec)
 
 
-def lit_double_array(values) -> Column:
-    """An arbitrarily-nested double-array literal rendered as ONE SQL
-    expression string (round-11, the simhash round-9 lesson at the
-    expression level): ``F.lit`` on a (nested) Python list makes one
-    py4j round-trip PER ELEMENT — cProfile attributed 4.8 s of
-    ann_topk's 6.4 s plan build to ~5,900 ``lit`` calls over the
-    codebook/centroid matrices — while one ``F.expr`` string is a
-    single round-trip.  Value-identical: ``repr`` of a finite double is
-    the shortest exactly-round-tripping decimal, and the SQL parser's
-    decimal→double conversion is correctly rounded, so the literal
-    carries the same bits as ``F.lit``'s."""
+def lit_double_array_sql(values) -> str:
+    """SQL source of an arbitrarily-nested double-array literal — the
+    string form of :func:`lit_double_array`, for embedding inside a
+    larger single ``F.expr`` (round-11: building a whole scoring
+    expression as ONE string removes the py4j round-trips of every
+    nested higher-order-function lambda, not just the literals)."""
     import math as _math
 
     def render(v) -> str:
@@ -55,7 +50,51 @@ def lit_double_array(values) -> Column:
             return f"cast('{'-' if x < 0 else ''}Infinity' as double)"
         return f"{x!r}D"
 
-    return F.expr(render(values))
+    return render(values)
+
+
+def lit_double_array(values) -> Column:
+    """An arbitrarily-nested double-array literal rendered as ONE SQL
+    expression string (round-11, the simhash round-9 lesson at the
+    expression level): ``F.lit`` on a (nested) Python list makes one
+    py4j round-trip PER ELEMENT — cProfile attributed 4.8 s of
+    ann_topk's 6.4 s plan build to ~5,900 ``lit`` calls over the
+    codebook/centroid matrices — while one ``F.expr`` string is a
+    single round-trip.  Value-identical: ``repr`` of a finite double is
+    the shortest exactly-round-tripping decimal, and the SQL parser's
+    decimal→double conversion is correctly rounded, so the literal
+    carries the same bits as ``F.lit``'s."""
+    return F.expr(lit_double_array_sql(values))
+
+
+def _col_sql(name: str) -> str:
+    """Backtick-quoted column reference for SQL-string expressions."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _as_double_sql(col_name: str) -> str:
+    return f"cast({_col_sql(col_name)} as array<double>)"
+
+
+def dot_sql(a: str, b: str) -> str:
+    """SQL source of :func:`dot` — identical expression tree once
+    parsed (same zip_with/aggregate shape, same 0.0 double init), so
+    values are bit-identical; exists because each Python-lambda HOF
+    costs dozens of py4j round-trips of driver latency per call
+    (round-11: ann_topk spent 2.9 s of a 3.5 s plan build in that
+    chatter)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
+        " (acc, v) -> acc + v)"
+    )
+
+
+def norm_sql(a: str) -> str:
+    """SQL source of :func:`norm` (same tree, same values)."""
+    return (
+        f"sqrt(aggregate(transform({a}, x -> x * x), 0.0D,"
+        " (acc, v) -> acc + v))"
+    )
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -130,8 +169,15 @@ def cosine_topk(
     top-k (per-partition heaps + driver merge — no global sort shuffle).
     Ties broken by id for determinism.
     """
-    q = _lit_vec(query_vec)
-    score = cosine(_as_double(F.col(vec_col)), q)
+    # one SQL string for the whole score: the dot + two norm lambdas
+    # cost ~0.1 s of py4j chatter per call and this is the most-called
+    # scoring entry point (round-11; parsed tree identical, values
+    # bit-identical)
+    q = lit_double_array_sql([float(x) for x in query_vec])
+    v = _as_double_sql(vec_col)
+    score = F.expr(
+        f"{dot_sql(v, q)} / ({norm_sql(v)} * {norm_sql(q)})"
+    )
     if round_to is not None:
         score = F.round(score, round_to)
     return (
@@ -160,19 +206,19 @@ def hyperplane_buckets(
     planes = [
         [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
     ]
-    v = _as_double(F.col(vec_col))
+    v = _as_double_sql(vec_col)
     # ONE plane-matrix literal + one weight literal, folded with a single
-    # zip_with/aggregate pair: the per-plane WHEN chain this replaces cost
-    # ~n_planes×4 py4j constructions per call (driver latency, not executor
-    # work).  Values are identical: same sequential dot per plane, same
-    # 2^i weights summed in plane order.
-    weights = F.lit([1 << i for i in range(n_planes)])
-    bits = F.zip_with(
-        lit_double_array(planes),
-        weights,
-        lambda p, w: F.when(dot(v, p) >= 0, w).otherwise(F.lit(0)),
+    # zip_with/aggregate pair — and the whole thing is ONE SQL string
+    # (round-11): the per-plane WHEN chain this replaces cost
+    # ~n_planes×4 py4j constructions per call, and even the lambda form
+    # paid dozens of round-trips per HOF.  Values are identical: same
+    # sequential dot per plane, same 2^i weights summed in plane order.
+    weights = "array(" + ",".join(str(1 << i) for i in range(n_planes)) + ")"
+    bits = (
+        f"zip_with({lit_double_array_sql(planes)}, {weights},"
+        f" (p, w) -> CASE WHEN {dot_sql(v, 'p')} >= 0 THEN w ELSE 0 END)"
     )
-    bucket = F.aggregate(bits, F.lit(0), lambda acc, b: acc + b)
+    bucket = F.expr(f"aggregate({bits}, 0, (acc, b) -> acc + b)")
     return df.withColumn("bucket", bucket.cast("int"))
 
 
@@ -240,12 +286,16 @@ def ivf_assign(
     ``array_position``'s ordering equality, where the old equality chain
     produced a NULL cell — unreachable for finite inputs.)
     """
-    v = _as_double(F.col(vec_col))
+    v = _as_double_sql(vec_col)
     mat = []
     for c in centroids:
         cn = math.sqrt(sum(x * x for x in c)) or 1.0
         mat.append([float(x) / cn for x in c])
-    scores = F.transform(lit_double_array(mat), lambda c: dot(v, c))
+    # whole score array as ONE SQL string (round-11 — the transform +
+    # per-centroid dot lambdas were pure py4j driver latency)
+    scores = F.expr(
+        f"transform({lit_double_array_sql(mat)}, c -> {dot_sql(v, 'c')})"
+    )
     s = F.col("_ivf_scores")
     return (
         df.withColumn("_ivf_scores", scores)
@@ -727,22 +777,25 @@ def ivf_probe_assign(
     entry (the original lesson — 4.4s → 0.1s plan time — still applies,
     just at array granularity now).
     """
-    v = _as_double(F.col(vec_col))
+    v = _as_double_sql(vec_col)
     mat = []
     for c in centroids:
         cn = math.sqrt(sum(x * x for x in c)) or 1.0
         mat.append([float(x) / cn for x in c])
-    scores = F.transform(lit_double_array(mat), lambda c: dot(v, c))
-    entries = F.transform(
-        F.col("_pr_scores"),
-        lambda s, i: F.struct((-s).alias("neg"), i.cast("int").alias("cell")),
+    scores = F.expr(
+        f"transform({lit_double_array_sql(mat)}, c -> {dot_sql(v, 'c')})"
     )
-    ranked = F.slice(F.array_sort(entries), 1, n_probe)
+    # named_struct('neg', -s, 'cell', …) parses to the same struct the
+    # Column form built; array_sort's default struct ordering and the
+    # 0-based transform index are unchanged
+    probe = F.expr(
+        "explode(transform(slice(array_sort(transform(`_pr_scores`,"
+        " (s, i) -> named_struct('neg', -s, 'cell', cast(i as int)))),"
+        f" 1, {int(n_probe)}), s -> s.cell))"
+    )
     return (
         queries.withColumn("_pr_scores", scores)
-        .withColumn(
-            "probe_cell", F.explode(F.transform(ranked, lambda s: s["cell"]))
-        )
+        .withColumn("probe_cell", probe)
         .drop("_pr_scores")
     )
 
