@@ -740,15 +740,15 @@ def q_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     time_rollup) is untouched — only the oracle rendering is integer-
     exact.  Assumes non-negative values (events.value ≥ 0).
 
-    Round-11 optimization: the parsed events relation is persisted —
-    the eight legs (plus the consolidated sub-queries, whose internally
-    re-derived ``_events`` plans the CacheManager rewrites onto the
-    same cached blocks because they are ``sameResult``) used to scan
-    events.parquet 22 times per run; now the parse runs once and every
-    leg reads cached columnar blocks.
+    Round-11 note: a session-2 persist of the parsed events relation was
+    REVERTED after a cold-methodology A/B — ``_events`` is one trivial
+    projection over the scan, so nine column-pruned parquet re-scans are
+    cheaper than materializing the full-width cache inside the timed
+    region (4.53 s persisted vs 3.57 s min-of-3 cold; guide §5's
+    cache-only-when-recompute-is-expensive rule).
     """
-    release_query_caches(except_key="events_agg")
-    ev = _persist_for_query(_events(spark, sf_dir), "events_agg")
+    release_query_caches()
+    ev = _events(spark, sf_dir)
     ndbl = F.lit(None).cast("string")
     hour = F.date_format(F.timestamp_millis(F.col("ts_ms")), "yyyy-MM-dd HH:00:00")
     hourly = ev.groupBy(hour.alias("_h"), "event_type").agg(
@@ -1758,18 +1758,17 @@ def q_embedding_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFram
     per-row cosine is a deterministic scalar, so this query hash-matches
     its oracle despite being float-heavy.
     """
-    # round-11: five pipelines consume the embeddings scan (centroid
-    # aggregate, the rescoring join's probe side, the LSH pair leg and
-    # both Lloyd legs' derivations) — persist the PLAIN scan once; the
-    # sub-queries' internally re-derived scans map onto the cached
-    # blocks via the CacheManager's sameResult rewrite (the
-    # lm_perplexity discipline).  The centroid aggregate additionally
-    # fans out the single-row-group fixture (decimal sums are
-    # partition-order-independent, the ann_topk lesson).
-    release_query_caches(except_key="embedding_label_centroid_sim")
-    emb0 = _persist_for_query(
-        _t(spark, sf_dir, "embeddings"), "embedding_label_centroid_sim"
-    )
+    # round-11: the session-2 persist of the plain embeddings scan was
+    # REVERTED after a cold-methodology A/B (4.58 s persisted vs 4.00 s
+    # min-of-3 cold): the five consumers each scan the narrow fixture
+    # once, so re-reading parquet beats materializing the cache inside
+    # the timed region (the events_agg/segment_dedup lesson; ann_topk's
+    # eleven-leg persist measured the other way and keeps its cache).
+    # The centroid aggregate still fans out the single-row-group fixture
+    # (decimal sums are partition-order-independent, the ann_topk
+    # lesson).
+    release_query_caches()
+    emb0 = _t(spark, sf_dir, "embeddings")
     emb = _fan_out(emb0)
     dim = len(emb0.first()["embedding"])
     v = F.col("embedding").cast("array<double>")
@@ -1893,13 +1892,16 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic construction the bench uses); the oracle's paragraph
     side groups by paragraph TEXT (hash-free — equivalent canonical
     under collision-free hashing), an independent derivation."""
-    # round-11: six legs scan the documents table (segment, paragraph,
-    # substr ×2, winnow, exact) — persist the plain scan once; the
-    # consolidated sub-queries' internally re-derived scans map onto the
-    # cached blocks via the CacheManager's sameResult rewrite (the
-    # lm_perplexity discipline)
+    # round-11: the session-2 persist of the plain documents scan was
+    # REVERTED after a cold-methodology A/B (6.25 s persisted vs 5.59 s
+    # min-of-3 cold): each of the six legs scans the table ONCE, so six
+    # column-pruned parquet scans beat materializing the full-width
+    # cache inside the timed region — unlike lm_perplexity, whose
+    # training pipelines re-scan the same slice ~24× and keep their
+    # persist.  The ExactSubstr persist below stays: its Python
+    # window-hash stage executed twice per run without it.
     release_query_caches(except_key="segment_dedup")
-    docs = _persist_for_query(_t(spark, sf_dir, "documents"), "segment_dedup")
+    docs = _t(spark, sf_dir, "documents")
     seg = D.segment_dedup(docs, "doc_id", "text", k=10).select(
         F.lit("segment").alias("side"),
         "doc_id",

@@ -1068,13 +1068,19 @@ def neardup_eval(
 
     # round-11: the signature pipeline (multiset minima) and the truth
     # index (distinct shingles) both start from the SAME k-shingle
-    # explode of the same corpus — derive both from one persisted raw
-    # shingle relation instead of exploding the text twice per run
-    # (narrow id+shingle rows; values unchanged: min over a multiset
-    # equals min over the set, and the truth side distincts below)
-    raw_sh = _shingles_inline(
-        df, id_col, text_col, shingle_k, distinct=False
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # explode of the same corpus — share one raw shingle relation
+    # (values unchanged: min over a multiset equals min over the set,
+    # and the truth side distincts below).  The relation is NOT
+    # persisted: it is the corpus-occurrence-sized MULTISET — the wrong
+    # side of the narrow-relation caching rule, exactly the shape
+    # ``corpus_overlap`` refuses to cache — and a cold-methodology A/B
+    # measured the string-heavy materialization costing ~1 s at sf0.1
+    # against two cheap pipelined re-explodes (9.96 → 8.4-8.9 s across
+    # the persist-attribution sweep).  The DISTINCT relation (inside
+    # ``ngram_jaccard_pairs``) and the signature/candidate tables below
+    # stay cached: each is consumed twice-plus by genuinely expensive
+    # consumers (the inverted-index self-join, the band join).
+    raw_sh = _shingles_inline(df, id_col, text_col, shingle_k, distinct=False)
     sigs = _signatures_from_shingles(
         raw_sh, id_col, num_perm, hash_fn
     ).persist(StorageLevel.MEMORY_AND_DISK)
