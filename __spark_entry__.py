@@ -1346,6 +1346,10 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup_keep_best (the clustered inner join and the singleton
     # anti-join) — without a persist the corpus join + cluster-count
     # window above re-executes per consumer.  Narrow (id, cluster) rows.
+    # (A second-pass aggregate+semi-join rewrite of the window was tried
+    # and reverted: it made the `clusters` subtree evaluate twice —
+    # once under the count aggregate, once as the semi-join probe —
+    # and measured ~0.7 s slower cold.)
     release_query_caches(except_key="dedup_keep_best")
     multi = _persist_for_query(
         clusters.withColumn(
