@@ -316,7 +316,13 @@ def ngram_jaccard_pairs(
         # the keep side by construction — so AQE can plan it as a
         # broadcast anti join instead of shuffling the whole shingle
         # relation against a shingle-universe-sized keep set (round-11;
-        # identical kept rows: df ≤ cap ⇔ NOT df > cap, df never NULL)
+        # identical kept rows: df ≤ cap ⇔ NOT df > cap, df never NULL).
+        # NULL shingles (NULL-text docs) are dropped explicitly first:
+        # the old semi-join dropped them structurally (NULL never
+        # matches), the anti join KEEPS them — pairs-invariant (a NULL
+        # key never equi-joins) but the persisted relation and its
+        # set_size rows must match the proven shape (round-11 ADVICE)
+        sh = sh.where(F.col("shingle").isNotNull())
         drop = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("_df"))

@@ -63,6 +63,16 @@ def connected_components(
     joining singletons back afterwards (see ``dedup_clusters``) so the
     iteration only carries edge-touched nodes.
 
+    CONTRACT (round-11 ADVICE): a supplied ``nodes`` must be a SUPERSET
+    of the edge endpoints.  The union-based propagation (each round's
+    labels enter the min-aggregate alongside the edge contributions)
+    surfaces every edge-touched id in the output, so an endpoint missing
+    from ``nodes`` appears as an extra labeled row rather than being
+    silently confined — per-round re-confinement would cost one
+    semi-join per round for an out-of-contract input.  Both in-repo
+    callers satisfy the superset invariant by construction
+    (``dedup_clusters`` passes the documents the pairs came from).
+
     ``checkpoint_dir``: when set, per-round lineage truncation uses
     reliable ``checkpoint()`` into that directory (survives executor
     loss — the production option for long cluster runs); when ``None``,

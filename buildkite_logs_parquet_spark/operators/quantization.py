@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 from buildkite_logs_parquet_spark.operators.similarity import (
     _as_double,
     _as_double_sql,
+    _col_sql,
     ivf_assign,
     lit_double_array as _lit_dmat,
     lit_double_array_sql as _lit_dmat_sql,
@@ -281,9 +282,12 @@ def _sqdist_sql(c: str, sub: str) -> str:
     higher-order function costs dozens of py4j round-trips of pure
     driver latency per plan build (round-11: 2.9 s of ann_topk's 3.5 s
     build was that chatter)."""
+    # __lv-prefixed lambda variables (round-11 ADVICE): a lambda var
+    # shadows any same-named column in the body — see similarity.dot_sql
     return (
-        f"aggregate(zip_with({c}, {sub}, (a, b) -> (a - b) * (a - b)),"
-        " 0.0D, (acc, v) -> acc + v)"
+        f"aggregate(zip_with({c}, {sub},"
+        " (__lv0, __lv1) -> (__lv0 - __lv1) * (__lv0 - __lv1)),"
+        " 0.0D, (__lv2, __lv3) -> __lv2 + __lv3)"
     )
 
 
@@ -324,7 +328,7 @@ def pq_encode(
     for s in range(m):
         sub = f"slice({v}, {s * d_sub + 1}, {d_sub})"
         cb = _lit_dmat_sql([[float(x) for x in c] for c in codebooks[s]])
-        dists = f"transform({cb}, c -> {_sqdist_sql('c', sub)})"
+        dists = f"transform({cb}, __lv8 -> {_sqdist_sql('__lv8', sub)})"
         codes.append(
             f"cast(array_position({dists}, array_min({dists})) - 1 as int)"
         )
@@ -434,9 +438,12 @@ def ivf_pq_encode(
     if cell_col != "ivf_cell":
         assigned = assigned.withColumnRenamed("ivf_cell", cell_col)
     cmat = _lit_dmat_sql([[float(x) for x in c] for c in coarse_centroids])
+    # _col_sql(cell_col) instead of raw backticks (round-11 ADVICE): a
+    # cell_col containing a backtick must escape like every other site
     resid = F.expr(
         f"zip_with({_as_double_sql(vec_col)},"
-        f" element_at({cmat}, `{cell_col}` + 1), (a, b) -> a - b)"
+        f" element_at({cmat}, {_col_sql(cell_col)} + 1),"
+        " (__lv0, __lv1) -> __lv0 - __lv1)"
     )
     out = pq_encode(
         assigned.withColumn("_resid", resid), codebooks, "_resid", code_col
@@ -744,7 +751,7 @@ def pq_train_distributed(
             cb_lit = _lit_dmat_sql(books)  # m x k x d_sub nested literal
             dists = (
                 f"transform(element_at({cb_lit}, `s` + 1),"
-                f" c -> {_sqdist_sql('c', '`sub`')})"
+                f" __lv8 -> {_sqdist_sql('__lv8', '`sub`')})"
             )
             code = F.expr(
                 f"cast(array_position({dists}, array_min({dists})) - 1"

@@ -82,18 +82,28 @@ def dot_sql(a: str, b: str) -> str:
     values are bit-identical; exists because each Python-lambda HOF
     costs dozens of py4j round-trips of driver latency per call
     (round-11: ann_topk spent 2.9 s of a 3.5 s plan build in that
-    chatter)."""
+    chatter).
+
+    Lambda variables use the reserved ``__lv`` prefix (round-11 ADVICE):
+    a lambda variable SHADOWS any same-named column inside the body —
+    backticks don't escape lambda-variable resolution — so short names
+    like ``x``/``acc`` silently change semantics for a frame whose
+    vec column is literally named that.  ``__lv*`` collides with
+    nothing a caller can reasonably name a column; callers passing
+    their own outer-lambda variables (ivf/pq sites) use ``__lv8`` and
+    up, disjoint by construction."""
     return (
-        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
-        " (acc, v) -> acc + v)"
+        f"aggregate(zip_with({a}, {b}, (__lv0, __lv1) -> __lv0 * __lv1),"
+        " 0.0D, (__lv2, __lv3) -> __lv2 + __lv3)"
     )
 
 
 def norm_sql(a: str) -> str:
-    """SQL source of :func:`norm` (same tree, same values)."""
+    """SQL source of :func:`norm` (same tree, same values; ``__lv``
+    naming per :func:`dot_sql`)."""
     return (
-        f"sqrt(aggregate(transform({a}, x -> x * x), 0.0D,"
-        " (acc, v) -> acc + v))"
+        f"sqrt(aggregate(transform({a}, __lv0 -> __lv0 * __lv0), 0.0D,"
+        " (__lv2, __lv3) -> __lv2 + __lv3))"
     )
 
 
@@ -216,9 +226,10 @@ def hyperplane_buckets(
     weights = "array(" + ",".join(str(1 << i) for i in range(n_planes)) + ")"
     bits = (
         f"zip_with({lit_double_array_sql(planes)}, {weights},"
-        f" (p, w) -> CASE WHEN {dot_sql(v, 'p')} >= 0 THEN w ELSE 0 END)"
+        f" (__lv8, __lv9) -> CASE WHEN {dot_sql(v, '__lv8')} >= 0"
+        " THEN __lv9 ELSE 0 END)"
     )
-    bucket = F.expr(f"aggregate({bits}, 0, (acc, b) -> acc + b)")
+    bucket = F.expr(f"aggregate({bits}, 0, (__lv2, __lv3) -> __lv2 + __lv3)")
     return df.withColumn("bucket", bucket.cast("int"))
 
 
@@ -294,7 +305,7 @@ def ivf_assign(
     # whole score array as ONE SQL string (round-11 — the transform +
     # per-centroid dot lambdas were pure py4j driver latency)
     scores = F.expr(
-        f"transform({lit_double_array_sql(mat)}, c -> {dot_sql(v, 'c')})"
+        f"transform({lit_double_array_sql(mat)}, __lv8 -> {dot_sql(v, '__lv8')})"
     )
     s = F.col("_ivf_scores")
     return (
@@ -783,7 +794,7 @@ def ivf_probe_assign(
         cn = math.sqrt(sum(x * x for x in c)) or 1.0
         mat.append([float(x) / cn for x in c])
     scores = F.expr(
-        f"transform({lit_double_array_sql(mat)}, c -> {dot_sql(v, 'c')})"
+        f"transform({lit_double_array_sql(mat)}, __lv8 -> {dot_sql(v, '__lv8')})"
     )
     # named_struct('neg', -s, 'cell', …) parses to the same struct the
     # Column form built; array_sort's default struct ordering and the

@@ -620,3 +620,33 @@ class TestTruncationRecall:
             want_full = topk(16, qi)
             assert out[(16, qi)] == k
             assert out[(8, qi)] == len(topk(8, qi) & want_full)
+
+
+def test_sql_lambdas_safe_for_colliding_column_names(spark, vectors):
+    """Round-11 ADVICE: SQL-string lambda variables shadow same-named
+    columns (backticks don't escape lambda-variable resolution), so the
+    scoring helpers must use reserved names.  A frame whose vector
+    column is named exactly like a former lambda variable (`c`, `p`,
+    `x`, `acc`) must score identically to the canonical column name."""
+    df, rows = vectors
+    want = [
+        (r["vec_id"], r["cosine"])
+        for r in S.cosine_topk(df, rows[0][1], k=5).collect()
+    ]
+    for name in ("c", "p", "x", "acc"):
+        renamed = df.withColumnRenamed("embedding", name)
+        got = [
+            (r["vec_id"], r["cosine"])
+            for r in S.cosine_topk(renamed, rows[0][1], k=5, vec_col=name).collect()
+        ]
+        assert got == want, name
+        # bucket/assignment paths built from the same SQL-string lambdas
+        b_ref = {
+            r["vec_id"]: r["bucket"]
+            for r in S.hyperplane_buckets(df, "embedding", DIM, 4, seed=3).collect()
+        }
+        b_got = {
+            r["vec_id"]: r["bucket"]
+            for r in S.hyperplane_buckets(renamed, name, DIM, 4, seed=3).collect()
+        }
+        assert b_got == b_ref, name
