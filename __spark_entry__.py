@@ -109,6 +109,78 @@ def _persist_for_query(df: DataFrame, key: str, level=None) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# §2.6 job overlap for multi-leg queries (round 12)
+# --------------------------------------------------------------------------
+
+#: flip to False (bench._time_legs and the plan dumper do) to rebuild the
+#: lazy single-plan shape — per-leg diagnostics and plan capture need the
+#: full operator tree, the headline path wants the overlapped jobs
+_OVERLAP_LEGS = True
+
+#: one shared driver pool: Spark job submission is I/O-bound py4j work,
+#: so a handful of threads is enough to keep independent jobs in flight
+#: (guide §2.6: "2-3 jobs in flight is plenty"); reusing one executor
+#: avoids creating hundreds of short-lived JVM-pinned threads across a
+#: bench run
+_OVERLAP_POOL = None
+
+
+def _overlap(legs, materialize_first=()) -> list:
+    """Overlap the independent legs of a multi-leg query (guide §2.6).
+
+    ``legs`` — DataFrames or zero-arg callables returning DataFrames
+    (callables when the construction itself runs driver jobs: training
+    loops, percentile bisections, graph fixpoints).  Each leg is built
+    and eagerly ``localCheckpoint``-ed from a small driver thread pool,
+    so the legs' jobs back-fill each other's stage tails instead of
+    serializing — Spark schedules concurrent jobs FIFO and the wall
+    becomes ~max(leg) plus shared work, instead of ~Σ leg (the r11
+    profile evidence: the suite's wall at sf0.1 is tens of SEQUENTIAL
+    AQE stage-materialization jobs at ~50-80 ms each, and the same
+    barrier rounds are real scheduling waves at 100 TB).
+
+    Values are untouched: a localCheckpoint pins the rows the lazy plan
+    would produce (strict-oracle re-proven per touched key), and it is
+    computed from the parquet inputs inside the timed region on every
+    run — no cross-run state (the blocks die with the DataFrames; the
+    bench's _cold_start gc pass reaps them between runs).
+
+    ``materialize_first`` — shared persisted relations the legs consume,
+    materialized ONCE sequentially BEFORE the pool: concurrent first
+    actions do not share an in-flight InMemoryRelation build (round-11's
+    measured 27.8 s lm_perplexity dead end — three branches raced to
+    build the same documents cache and the corpus parse ran per branch).
+
+    Checkpoint only RESULT-SIZED legs: the blocks land in executor
+    memory/disk.  Every call site in this file checkpoints output-shaped
+    relations — never corpus-shaped intermediates (those stay persisted
+    or recomputed per the round-11 narrow-relation audit).
+    """
+    if not _OVERLAP_LEGS:
+        return [leg() if callable(leg) else leg for leg in legs]
+    from concurrent.futures import ThreadPoolExecutor
+
+    for df in materialize_first:
+        # one cheap action; the InMemoryRelation stores whole rows, so a
+        # count materializes every cached column for the pooled legs
+        df.count()
+
+    def _run(leg):
+        df = leg() if callable(leg) else leg
+        return df.localCheckpoint(eager=True)
+
+    if len(legs) < 2:
+        return [_run(leg) for leg in legs]
+    global _OVERLAP_POOL
+    if _OVERLAP_POOL is None:
+        # 4 jobs in flight (guide §2.6: "2-3 is plenty" — one extra for
+        # the many-leg unions).  Legs must NOT call _overlap recursively
+        # (a saturated pool waiting on its own submissions would stall).
+        _OVERLAP_POOL = ThreadPoolExecutor(max_workers=4)
+    return list(_OVERLAP_POOL.map(_run, legs))
+
+
+# --------------------------------------------------------------------------
 # synthetic log lines: portable SQL, identical text in Spark SQL and DuckDB
 # --------------------------------------------------------------------------
 
@@ -787,33 +859,36 @@ def q_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # machinery table_profile uses, same pure-BIGINT ps and hash
     from buildkite_logs_parquet_spark.operators import profiling as _P
 
-    gstats = _P.grouped_exact_int_percentiles(
-        ev.select(
+    def _pctl() -> DataFrame:
+        # construction runs the bisection's driver jobs — a callable so
+        # _overlap runs them concurrently with the other legs' drains
+        gstats = _P.grouped_exact_int_percentiles(
+            ev.select(
+                "event_type",
+                F.round(F.col("value") * 100, 0).cast("long").alias("v100"),
+            ),
             "event_type",
-            F.round(F.col("value") * 100, 0).cast("long").alias("v100"),
-        ),
-        "event_type",
-        "v100",
-        [50, 90],
-    )
+            "v100",
+            [50, 90],
+        )
 
-    def _p4(ps: int) -> str:
-        return f"{ps // 10000}.{ps % 10000:04d}"
+        def _p4(ps: int) -> str:
+            return f"{ps // 10000}.{ps % 10000:04d}"
 
-    pctl_rows = [
-        (et, n, _p4(ps[50]), _p4(ps[90]))
-        for et, (n, _lo, _hi, ps) in sorted(gstats.items())
-    ]
-    pctl = spark.createDataFrame(
-        pctl_rows, "key string, n_events long, p50 string, p90 string"
-    ).select(
-        F.lit("pctl").alias("side"),
-        "key",
-        "n_events",
-        F.lit(None).cast("string").alias("total_value"),
-        "p50",
-        "p90",
-    )
+        pctl_rows = [
+            (et, n, _p4(ps[50]), _p4(ps[90]))
+            for et, (n, _lo, _hi, ps) in sorted(gstats.items())
+        ]
+        return spark.createDataFrame(
+            pctl_rows, "key string, n_events long, p50 string, p90 string"
+        ).select(
+            F.lit("pctl").alias("side"),
+            "key",
+            "n_events",
+            F.lit(None).cast("string").alias("total_value"),
+            "p50",
+            "p90",
+        )
     # round-4 union-tag: the hypertable-style multi-granularity rollup
     # (operators/timeseries.py::time_rollup — native ROLLUP, one Expand +
     # one shuffle for all four levels) rides the same row; the oracle
@@ -910,15 +985,19 @@ def q_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ndbl.alias("p50"),
         ndbl.alias("p90"),
     )
-    return (
-        hourly.unionByName(jsonb)
-        .unionByName(pctl)
-        .unionByName(roll)
-        .unionByName(sess_leg)
-        .unionByName(native_leg)
-        .unionByName(asof_legs)
-        .unionByName(gaps_leg)
+    # §2.6 overlap (round 12): eight independent aggregations over the
+    # same un-persisted events scan (the round-11 audit kept the scan
+    # re-reads — one trivial projection each) previously drained as one
+    # sequential AQE stage chain.  Every leg's output is result-sized
+    # (hour buckets, sessions, the 54k-row grand total across ALL legs).
+    legs = _overlap(
+        [hourly, jsonb, _pctl, roll, sess_leg, native_leg, asof_legs,
+         gaps_leg]
     )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1456,33 +1535,45 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern), DF-capped (``max_shingle_df``), or computed on a
     content-stable sample as here; the oracle samples identically."""
     docs = _t(spark, sf_dir, "documents")
+
     # max_shingle_df=100 exercises the DF cap through the oracle too:
     # at sf0.01 the capped universe yields the IDENTICAL 6 pairs and
     # values, while at bench scale it removes the boilerplate-shingle
     # quadratic mass
-    out = D.ngram_jaccard_pairs(
-        docs.where(F.col("doc_id") % 2 == 0),
-        "doc_id",
-        "text",
-        k=12,
-        threshold=0.2,
-        max_shingle_df=100,
-    )
+    def _pairs() -> DataFrame:
+        return D.ngram_jaccard_pairs(
+            docs.where(F.col("doc_id") % 2 == 0),
+            "doc_id",
+            "text",
+            k=12,
+            threshold=0.2,
+            max_shingle_df=100,
+        )
+
+    def _eval() -> DataFrame:
+        return D.neardup_eval(
+            docs.where(F.col("doc_id") % 4 == 0),
+            "doc_id",
+            "text",
+            threshold=0.5,
+            num_perm=8,
+            bands=4,
+            shingle_k=8,
+            max_shingle_df=100,
+        )
+
+    # §2.6 overlap (round 12): the two legs are fully independent
+    # pipelines (different samples, different shingle k) whose AQE
+    # stages previously materialized in shared sequential waves —
+    # round-11 measured the legs ALONE at 3.41 + 4.06 s vs 9.65 s
+    # unioned.  Each leg's OUTPUT (pair rows / 8 metric scalars) is
+    # result-sized, the _overlap checkpoint contract.
+    out, ev = _overlap([_pairs, _eval])
     pair_leg = out.select(
         F.lit("pair").alias("op"),
         "id_a",
         "id_b",
         F.round("jaccard", 6).alias("value"),
-    )
-    ev = D.neardup_eval(
-        docs.where(F.col("doc_id") % 4 == 0),
-        "doc_id",
-        "text",
-        threshold=0.5,
-        num_perm=8,
-        bands=4,
-        shingle_k=8,
-        max_shingle_df=100,
     )
     metrics = [
         "n_truth",
@@ -1811,26 +1902,37 @@ def q_embedding_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFram
     # embedding_near_dups_lsh key — banded hyperplane-LSH near-dup pairs
     # over the same seeded planes the oracle inlines — rides as
     # 'lshpair' rows, freeing its slot for the round-7 keys
-    pair_leg = q_embedding_near_dups_lsh(spark, sf_dir).select(
-        F.lit("lshpair").alias("side"),
-        F.col("id_a").cast("string").alias("a"),
-        F.col("id_b").cast("string").alias("b"),
-        F.lit(0).cast("long").alias("n"),
-        F.col("cosine").alias("v1"),
-        F.lit(None).cast("double").alias("v2"),
-    )
+    def _pair() -> DataFrame:
+        return q_embedding_near_dups_lsh(spark, sf_dir).select(
+            F.lit("lshpair").alias("side"),
+            F.col("id_a").cast("string").alias("a"),
+            F.col("id_b").cast("string").alias("b"),
+            F.lit(0).cast("long").alias("n"),
+            F.col("cosine").alias("v1"),
+            F.lit(None).cast("double").alias("v2"),
+        )
+
     # round-9 consolidation (rule 14b: proven onto proven — kmeans_step
     # was green rounds 1-8): both Lloyd iterations ride as 'km' rows
     # (a = iter, b = cell — integer→VARCHAR renders; v1 = the same
     # proven round-4 drift double), freeing a slot for the round-9 keys.
-    km_leg = q_kmeans_step(spark, sf_dir).select(
-        F.lit("km").alias("side"),
-        F.col("iter").cast("string").alias("a"),
-        F.col("ivf_cell").cast("string").alias("b"),
-        F.col("n_assigned").cast("long").alias("n"),
-        F.col("centroid_drift").alias("v1"),
-        F.lit(None).cast("double").alias("v2"),
-    )
+    def _km() -> DataFrame:
+        # construction runs kmeans_update's driver job — a callable so
+        # the collect overlaps the other legs' drains
+        return q_kmeans_step(spark, sf_dir).select(
+            F.lit("km").alias("side"),
+            F.col("iter").cast("string").alias("a"),
+            F.col("ivf_cell").cast("string").alias("b"),
+            F.col("n_assigned").cast("long").alias("n"),
+            F.col("centroid_drift").alias("v1"),
+            F.lit(None).cast("double").alias("v2"),
+        )
+
+    # §2.6 overlap (round 12): three independent pipelines over the
+    # un-persisted embeddings scan (round-11 audit: five single-scan
+    # consumers beat a full-width cache); outputs are label rows + LSH
+    # pairs + 2×|cells| rows — result-sized.
+    cent_leg, pair_leg, km_leg = _overlap([cent_leg, _pair, _km])
     return cent_leg.unionByName(pair_leg).unionByName(km_leg)
 
 
@@ -2396,14 +2498,13 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.where(F.col("source") != "src0")
     ref = docs.where(F.col("source") == "src0")
 
-    # round-11 measured DEAD END (kept as a record): submitting the
-    # three independent model constructions from a driver thread pool
-    # (guide §2.6) read fine in isolation (7.87 → 6.98 s) but blew up
-    # to 27.8 s in the full bench — the three branches' first actions
-    # race to materialize the SAME uncached documents persist, and
-    # concurrent jobs do not share an in-flight InMemoryRelation build,
-    # so the corpus parse ran once per branch plus cache-memory churn.
-    # Sequential construction (below) materializes the persist once.
+    # round-11's §2.6 pool attempt blew up (27.8 s) because the three
+    # branches' first actions raced to materialize the SAME uncached
+    # documents persist — concurrent jobs do not share an in-flight
+    # InMemoryRelation build, so the corpus parse ran once per branch.
+    # Round 12 closes that item with _overlap's materialize_first
+    # contract: ONE cheap action builds the cache before the pool, then
+    # the three trainings' sequential driver jobs back-fill each other.
     def _base() -> DataFrame:
         return CU.ccnet_buckets(
             scored,
@@ -2449,7 +2550,9 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dsir_logweight",
         )
 
-    base, kn, dsir = _base(), _kn(), _dsir()
+    base, kn, dsir = _overlap(
+        [_base, _kn, _dsir], materialize_first=[docs]
+    )
     return (
         base.join(kn, on="doc_id", how="left")
         .join(dsir, on="doc_id", how="left")
@@ -2763,14 +2866,17 @@ def q_webgraph_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("item"),
         F.col("weight").alias("value"),
     )
+
     # broadcast_ranks: the rank state is HOST-level (planted-URL hosts —
     # orders of magnitude fewer than docs), the contract the flag
     # asserts; the hint only changes join strategy, never values
-    pr = WG.pagerank(link_e, n_iter=2, broadcast_ranks=True)
-    rank_leg = pr.select(
-        F.concat(F.lit("rank:"), F.col("node")).alias("item"),
-        F.col("r12").alias("value"),
-    )
+    def _rank() -> DataFrame:
+        # construction runs the 2-round pagerank fixpoint's driver jobs
+        pr = WG.pagerank(link_e, n_iter=2, broadcast_ranks=True)
+        return pr.select(
+            F.concat(F.lit("rank:"), F.col("node")).alias("item"),
+            F.col("r12").alias("value"),
+        )
     # round-9 consolidation (rule 14b: proven onto proven —
     # url_domain_stats was green rounds 4 and 6-8 on exactly this
     # content), re-shaped in round 11 to the tri-leg two-row pattern:
@@ -2779,28 +2885,29 @@ def q_webgraph_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its n_docs ≥ 10⁹ overflow tripwire are deleted outright (round-10
     # verdict #6).  One execution of the domain-stats pipeline emits
     # both rows via a 2-element explode.
-    dom_leg = (
-        q_url_domain_stats(spark, sf_dir)
-        .select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.concat(F.lit("domu:"), F.col("domain")).alias(
-                            "item"
+    def _dom() -> DataFrame:
+        return (
+            q_url_domain_stats(spark, sf_dir)
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.concat(F.lit("domu:"), F.col("domain")).alias(
+                                "item"
+                            ),
+                            F.col("n_urls").cast("long").alias("value"),
                         ),
-                        F.col("n_urls").cast("long").alias("value"),
-                    ),
-                    F.struct(
-                        F.concat(F.lit("domd:"), F.col("domain")).alias(
-                            "item"
+                        F.struct(
+                            F.concat(F.lit("domd:"), F.col("domain")).alias(
+                                "item"
+                            ),
+                            F.col("n_docs").cast("long").alias("value"),
                         ),
-                        F.col("n_docs").cast("long").alias("value"),
-                    ),
-                )
-            ).alias("_e")
+                    )
+                ).alias("_e")
+            )
+            .select("_e.item", "_e.value")
         )
-        .select("_e.item", "_e.value")
-    )
     # round-10 consolidation (rule 14b: proven onto proven —
     # triangle_counts was green on its own key rounds 8-9 over exactly
     # this host graph): per-node triangle counts and degrees ride as
@@ -2812,25 +2919,39 @@ def q_webgraph_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kinds via a 2-element explode (the dom-leg device above) — the
     # two .select branches previously re-ran the canonical-edge
     # three-way join once per leg.  Same rows, same oracle.
-    tri_leg = (
-        q_triangle_counts(spark, sf_dir)
-        .select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.concat(F.lit("tri:"), F.col("node")).alias("item"),
-                        F.col("n_triangles").cast("long").alias("value"),
-                    ),
-                    F.struct(
-                        F.concat(F.lit("trideg:"), F.col("node")).alias(
-                            "item"
+    def _tri() -> DataFrame:
+        return (
+            q_triangle_counts(spark, sf_dir)
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.concat(F.lit("tri:"), F.col("node")).alias(
+                                "item"
+                            ),
+                            F.col("n_triangles").cast("long").alias("value"),
                         ),
-                        F.col("deg").cast("long").alias("value"),
-                    ),
-                )
-            ).alias("_e")
+                        F.struct(
+                            F.concat(F.lit("trideg:"), F.col("node")).alias(
+                                "item"
+                            ),
+                            F.col("deg").cast("long").alias("value"),
+                        ),
+                    )
+                ).alias("_e")
+            )
+            .select("_e.item", "_e.value")
         )
-        .select("_e.item", "_e.value")
+
+    # §2.6 overlap (round 12): the four legs are independent consumers
+    # of the shared link-edge persist (tri re-derives the same plan; the
+    # CacheManager's sameResult rewrite maps it onto the cache), so the
+    # persist is materialized FIRST — concurrent first actions would
+    # race to build it (_overlap's materialize_first contract).  The
+    # pagerank fixpoint's sequential driver jobs then overlap the
+    # dom/tri join drains.  All outputs are host-graph-sized.
+    edge_leg, rank_leg, dom_leg, tri_leg = _overlap(
+        [edge_leg, _rank, _dom, _tri], materialize_first=[link_e]
     )
     return (
         edge_leg.unionByName(rank_leg)

@@ -156,7 +156,20 @@ def _time_legs(spark, fn, sf_dir, spec, max_legs: int = 16):
 
     col, delim = spec
     tag = F.substring_index(F.col(col), delim, 1)
-    df = fn(spark, sf_dir)
+    # round-12: rebuild the LAZY single-plan shape for per-leg walls —
+    # the headline path overlaps leg jobs and localCheckpoints their
+    # results (__spark_entry__._overlap), which would collapse every
+    # filtered drain to a checkpoint read of ~0 s; the diagnostics here
+    # compare each leg's genuine plan cost across rounds, so the
+    # overlap is toggled off for this rebuild only.
+    import __spark_entry__ as _E
+
+    _prev = _E._OVERLAP_LEGS
+    _E._OVERLAP_LEGS = False
+    try:
+        df = fn(spark, sf_dir)
+    finally:
+        _E._OVERLAP_LEGS = _prev
     labels = sorted(
         r[0]
         for r in df.select(tag.alias("_l")).distinct().collect()

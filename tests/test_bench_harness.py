@@ -116,3 +116,35 @@ def test_tokenizer_fertility_plan_is_one_partial_aggregate(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     cols = read_schema_columns(df)
     assert cols and all(set(c) <= {"source", "text"} for c in cols)
+
+
+def test_overlap_legs_value_identical(spark):
+    """The §2.6 overlap (round 12) must not change any query's rows: the
+    eager localCheckpoint path and the lazy single-plan path are the
+    same relation.  Checked on the two most leg-heavy touched keys at
+    sf0.001 (events_agg: 8 legs incl. the driver-side percentile
+    bisection; webgraph_rank: 4 legs over a shared persist)."""
+    import __spark_entry__ as E
+
+    for key in ("events_agg", "webgraph_rank"):
+        rows = {}
+        for flag in (True, False):
+            E._OVERLAP_LEGS = flag
+            E.release_query_caches()
+            spark.catalog.clearCache()
+            df = E.queries()[key](spark, SF)
+            rows[flag] = sorted(map(tuple, df.collect()))
+        E._OVERLAP_LEGS = True
+        assert rows[True] == rows[False], key
+
+
+def test_time_legs_rebuilds_lazy_shape(spark):
+    """bench._time_legs must measure the LAZY plan (per-leg diagnostics)
+    even while the headline path overlaps: the rebuild inside it toggles
+    __spark_entry__._OVERLAP_LEGS off and restores it."""
+    import __spark_entry__ as E
+
+    assert E._OVERLAP_LEGS is True
+    legs = B._time_legs(spark, E.queries()["events_agg"], SF, ("side", "|"))
+    assert E._OVERLAP_LEGS is True
+    assert set(legs) >= {"hourly", "pctl", "rollup"}
