@@ -58,25 +58,43 @@ _FIXED_COEFS = {
 }
 
 
+def _crc_tables() -> tuple[list[int], list[int]]:
+    # 256-entry tables for both frame CRCs (round-12, guide §1.2 step 2:
+    # the bitwise loops were ~16% of a clip decode — profile in
+    # OPTIMIZATION_r12.md).  Entries are exactly the 8-step bitwise
+    # update applied to each byte value, so the per-byte table lookup
+    # computes the identical remainder.
+    t8, t16 = [], []
+    for byte in range(256):
+        c = byte
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        t8.append(c)
+        c = byte << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+        t16.append(c)
+    return t8, t16
+
+
+_CRC8_TABLE, _CRC16_TABLE = _crc_tables()
+
+
 def _crc8(data: bytes) -> int:
     """CRC-8, poly 0x07, init 0 (frame-header CRC)."""
     crc = 0
+    table = _CRC8_TABLE
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = table[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     """CRC-16, poly 0x8005, init 0 (whole-frame CRC)."""
     crc = 0
+    table = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = (
-                ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
-            )
+        crc = ((crc << 8) & 0xFF00) ^ table[(crc >> 8) ^ b]
     return crc
 
 
@@ -137,6 +155,55 @@ class _Bits:
         q = self.read_unary()
         v = (q << k) | self.read(k) if k else q
         return (v >> 1) ^ -(v & 1)  # unzigzag
+
+    def read_rices(self, k: int, n: int) -> list[int]:
+        """``n`` Rice codes in one tight loop (round-12): the per-sample
+        ``read_rice`` → ``read_unary`` + ``read`` chain cost three
+        method dispatches and repeated attribute loads per residual —
+        the decode hot path.  Same bit consumption, same unzigzag,
+        byte-for-byte identical values (pytest round-trips)."""
+        data = self.data
+        pos = self.pos
+        bit = self.bit
+        size = len(data)
+        kmask = (1 << k) - 1
+        out = []
+        append = out.append
+        for _ in range(n):
+            q = 0
+            while True:
+                if pos >= size:
+                    raise ValueError("FLAC: truncated stream")
+                rest = data[pos] & ((1 << (8 - bit)) - 1)
+                if rest == 0:
+                    q += 8 - bit
+                    bit = 0
+                    pos += 1
+                    continue
+                zeros = (8 - bit) - rest.bit_length()
+                q += zeros
+                nb = bit + zeros + 1
+                pos += nb >> 3
+                bit = nb & 7
+                break
+            if k:
+                nbytes = (bit + k + 7) >> 3
+                chunk = data[pos : pos + nbytes]
+                if len(chunk) < nbytes:
+                    raise ValueError("FLAC: truncated stream")
+                shift = (nbytes << 3) - bit - k
+                v = (q << k) | (
+                    (int.from_bytes(chunk, "big") >> shift) & kmask
+                )
+                nb = bit + k
+                pos += nb >> 3
+                bit = nb & 7
+            else:
+                v = q
+            append((v >> 1) ^ -(v & 1))  # unzigzag
+        self.pos = pos
+        self.bit = bit
+        return out
 
     def read_coded_number(self) -> int:
         """The frame header's UTF-8-style coded frame/sample number
@@ -222,7 +289,7 @@ def _read_residual(bits: _Bits, block_size: int, order: int) -> list[int]:
                 bits.read_signed(raw_bits) if raw_bits else 0 for _ in range(n)
             )
         else:
-            out.extend(bits.read_rice(k) for _ in range(n))
+            out.extend(bits.read_rices(k, n))
     return out
 
 
@@ -244,10 +311,41 @@ def _read_subframe(bits: _Bits, block_size: int, bps: int) -> list[int]:
         warm = [bits.read_signed(eff) for _ in range(order)]
         resid = _read_residual(bits, block_size, order)
         samples = list(warm)
-        coefs = _FIXED_COEFS[order]
-        for r in resid:
-            pred = sum(c * samples[-1 - i] for i, c in enumerate(coefs))
-            samples.append(pred + r)
+        # specialized per-order reconstruction in local variables
+        # (round-12): the generic coefficient genexpr was ~20% of a clip
+        # decode; each branch is the same integer polynomial spelled out
+        append = samples.append
+        if order == 0:
+            samples.extend(resid)
+        elif order == 1:
+            a = samples[-1]
+            for r in resid:
+                a = a + r
+                append(a)
+        elif order == 2:
+            a, b = samples[-1], samples[-2]
+            for r in resid:
+                v = 2 * a - b + r
+                append(v)
+                b = a
+                a = v
+        elif order == 3:
+            a, b, c3 = samples[-1], samples[-2], samples[-3]
+            for r in resid:
+                v = 3 * a - 3 * b + c3 + r
+                append(v)
+                c3 = b
+                b = a
+                a = v
+        else:
+            a, b, c3, d = samples[-1], samples[-2], samples[-3], samples[-4]
+            for r in resid:
+                v = 4 * a - 6 * b + 4 * c3 - d + r
+                append(v)
+                d = c3
+                c3 = b
+                b = a
+                a = v
     elif stype >= 32:  # LPC order 1-32
         order = (stype & 0x1F) + 1
         warm = [bits.read_signed(eff) for _ in range(order)]
