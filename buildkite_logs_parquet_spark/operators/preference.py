@@ -175,6 +175,62 @@ def preference_pair_audit(pairs: DataFrame) -> DataFrame:
     )
 
 
+#: contingency rows the driver will hold for the in-driver MM loop; a
+#: (winner, loser) count row is ~3 machine words, so the bound caps
+#: driver state at tens of MB.  Matchup universes past this (millions of
+#: distinct item pairs) take the distributed per-round path.
+_BT_MAX_DRIVER_COMBOS = 1 << 21
+
+
+def _bt_loop_counts(rows, n_iter: int, tol: float) -> dict[int, float]:
+    """MM loop over the collected (winner, loser, n_ij) contingency —
+    the same arithmetic as :func:`_bt_loop`/:func:`bt_fit_py`, with each
+    matchup's 12-dp term weighted by its exact integer count (decimal
+    multiplication by an int is exact, so ``t * c`` equals ``c`` decimal
+    additions of ``t``, which is what the distributed sum computes)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+    counts: dict[tuple[int, int], int] = {}
+    for r in rows:
+        key = (int(r["winner_id"]), int(r["loser_id"]))
+        counts[key] = counts.get(key, 0) + int(r["n_ij"])
+    items = sorted({i for pair in counts for i in pair})
+    if not items:
+        return {}
+    strengths = {i: 1.0 for i in items}
+    q = Decimal(1).scaleb(-12)
+    # 38 significant digits = the precision of Spark's decimal(38,12)
+    # sum accumulator the distributed path uses
+    with localcontext() as ctx:
+        ctx.prec = 38
+        for _ in range(n_iter):
+            wins = {i: 0 for i in items}
+            denom = {i: Decimal(0) for i in items}
+            for (w, l), c in counts.items():
+                t = Decimal(
+                    repr(1.0 / (strengths[w] + strengths[l]))
+                ).quantize(q, rounding=ROUND_HALF_UP)
+                tc = t * c
+                wins[w] += c
+                denom[w] += tc
+                denom[l] += tc
+            new = {}
+            for i in items:
+                if denom[i] == 0:
+                    new[i] = strengths[i]
+                else:
+                    new[i] = max(wins[i], 1e-6) / float(denom[i])
+            log_gm = sum(math.log(new[i]) for i in items) / len(items)
+            scale = math.exp(-log_gm)
+            new = {k: v * scale for k, v in new.items()}
+            delta = max(abs(new[i] - strengths[i]) for i in items)
+            strengths = new
+            if delta <= tol:
+                break
+    return strengths
+
+
 def _bt_round_terms(
     pairs: DataFrame, strengths: dict[int, float]
 ) -> DataFrame:
@@ -227,24 +283,44 @@ def bt_fit(
     treatment for free: their denominator is finite because every
     appearance contributes a term.
 
-    Driver state = one float per ITEM (generators/checkpoints — \
-    metadata-sized); each round is one broadcast join + one item-keyed
-    aggregate over the pair relation.  Returns ``{item: strength}``.
+    Driver state = the observed (winner, loser) CONTINGENCY TABLE when
+    it is driver-sized (≤ ``_BT_MAX_DRIVER_COMBOS`` distinct matchups —
+    every round's terms depend on the pairs only through those counts,
+    so the whole MM loop runs in driver Python off ONE item-pair-keyed
+    Spark aggregate); above the bound it falls back to one float per
+    item with one broadcast join + item-keyed aggregate per round over
+    the persisted pair relation.  Returns ``{item: strength}``.
 
     Determinism: per-round terms are 12-dp rounded then DECIMAL-summed,
     and the update arithmetic runs in driver Python floats from those
     exact decimals — bit-identical across layouts and partitionings
-    (pinned by the pure-Python-twin test)."""
+    (pinned by the pure-Python-twin test).  The driver-counts path is
+    bit-identical to the distributed path because decimal addition is
+    exact: summing ``c`` copies of one 12-dp term equals ``term × c``
+    (pinned by the forced-fallback equivalence test)."""
     from pyspark import StorageLevel
 
+    pairs = pairs.select("winner_id", "loser_id")
+    # one aggregate instead of (1 distinct + n_iter round jobs): the
+    # limit(N+1) probe collects the full contingency iff it fits the
+    # driver bound — when it truncates, nothing downstream uses the
+    # (arbitrary) subset
+    cont = pairs.groupBy("winner_id", "loser_id").agg(
+        F.count(F.lit(1)).alias("n_ij")
+    )
+    rows = cont.limit(_BT_MAX_DRIVER_COMBOS + 1).collect()
+    if len(rows) <= _BT_MAX_DRIVER_COMBOS:
+        return _bt_loop_counts(rows, n_iter, tol)
+
+    # contingency exceeds the driver bound (huge item universes, e.g.
+    # player-ranking workloads): per-round distributed aggregates over
+    # the persisted pair relation, one float per item on the driver.
     # every MM round re-aggregates the pair relation, whose lineage can
     # be an arbitrarily expensive upstream (make_preference_pairs over a
     # scored pool): persist ONCE so rounds read cached rows — the same
     # persist_input discipline as classifier.lr_train (and the same
     # lesson as webgraph's round-6 per-round-recompute fix)
-    pairs = pairs.select("winner_id", "loser_id").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         return _bt_loop(pairs, n_iter, tol)
     finally:

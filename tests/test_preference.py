@@ -160,6 +160,26 @@ class TestBTFit:
     def test_empty(self, spark):
         assert bt_fit(self._pairs_df(spark, []), n_iter=3) == {}
 
+    def test_driver_counts_path_equals_distributed_path(self, spark, monkeypatch):
+        """The round-12 in-driver contingency loop must be bit-identical
+        to the distributed per-round aggregates (decimal t*c == c
+        additions of t); force the fallback by shrinking the bound."""
+        import random
+
+        from buildkite_logs_parquet_spark.operators import preference as P
+
+        rng = random.Random(7)
+        pair_list = [
+            (rng.randrange(6), rng.randrange(6)) for _ in range(300)
+        ]
+        pair_list = [(w, l) for w, l in pair_list if w != l]
+        df = self._pairs_df(spark, pair_list)
+        fast = bt_fit(df, n_iter=12)
+        monkeypatch.setattr(P, "_BT_MAX_DRIVER_COMBOS", 0)
+        slow = bt_fit(df, n_iter=12)
+        assert fast == slow  # EXACT float equality
+        assert fast == bt_fit_py(pair_list, n_iter=12)
+
 
 class TestDedupKeepBest:
     def test_best_survives_min_id_breaks_ties(self, spark):
