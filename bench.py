@@ -1286,19 +1286,27 @@ def _extra_ops():
         )
         resolved = LK.resolve_entities(matches)
         audit = LK.linkage_audit(ents, ents, max_block_size=256, keys=keys)
-        return resolved.select(
+        res_leg = resolved.select(
             F.col("id_a").alias("a"),
             F.col("best_id").alias("b"),
             F.col("best_lev").cast("long").alias("v"),
             F.col("n_candidates").alias("w"),
-        ).unionByName(
-            audit.select(
-                F.lit(-1).alias("a"),
-                F.col("n_blocks").alias("b"),
-                F.col("n_capped_blocks").alias("v"),
-                F.col("n_orphaned_records").alias("w"),
-            )
         )
+        audit_leg = audit.select(
+            F.lit(-1).alias("a"),
+            F.col("n_blocks").alias("b"),
+            F.col("n_capped_blocks").alias("v"),
+            F.col("n_orphaned_records").alias("w"),
+        )
+        # §2.6 overlap (round 12): the resolve and audit legs are
+        # independent consumers of the shared keys persist — same shape
+        # as the registered entity_linkage key's overlapped legs
+        import __spark_entry__ as E
+
+        res_leg, audit_leg = E._overlap(
+            [res_leg, audit_leg], materialize_first=[keys]
+        )
+        return res_leg.unionByName(audit_leg)
 
     def preference_bench(spark, sf_dir):
         """Preference-data tier end to end (operators/preference.py):
